@@ -1,0 +1,53 @@
+"""Catalog: the driver's synthetic parquet tables as DataFrames / temp views.
+
+The reference's ``AutoMigrate`` declares its two-table schema from Go structs
+(``/root/reference/internal/state/repo.go:102-104``); here the catalog is the
+set of parquet tables in a scale-factor directory (TESTDATA.md).  Reads stay
+fully declarative so Catalyst can push filters/projections into the parquet
+scan (check ``PushedFilters`` / ``ReadSchema`` in ``df.explain``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofeed_spark.session import ensure_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table. Lazy — no I/O until an action runs.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark cannot
+    read natively; we read nanos as LONG and truncate to microseconds —
+    exactly what DuckDB does on its side of the oracle comparison.
+    """
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every table as a temp view so ``spark.sql`` text matches the
+    DuckDB oracle's table names 1:1."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All shuffles are key-local and linear in corpus size:
+
+- exact: hash-groupBy on the normalized text (one shuffle).
+- n-gram Jaccard: shingle-inverted-index self-join (candidate pairs only
+  materialize when docs share a shingle) + exact Jaccard from counts.
+- MinHash + LSH: per-doc signature via xxhash64 (no Python), banded
+  bucketing, bucket-join for candidates, signature-estimated Jaccard filter.
+- SimHash: token-hash bit votes → 64-bit fingerprint split in 16-bit bands;
+  near-dup = band collision + Hamming distance bound (bit_count(xor)).
+
+At 100 TB the dominant cost is the shingle/band shuffle, which is
+O(total tokens); no all-pairs product ever forms unless two docs actually
+collide.  Skew (a viral shingle shared by millions of docs) is handled by
+dropping shingles above a document-frequency cap — standard practice and
+semantically safe for NEAR-dup candidate generation (a shingle in >df_cap
+docs carries no discriminative signal); df capping is off by default so
+small-corpus results stay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gofeed_spark.functions.text import normalized_text, shingles, ws_tokens
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical docs: (text, n, keep_id=min id)."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic keep-first dedup: survivor ids (min id per text)."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        docs.select(id_col, text_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col)
+    )
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    toks = ws_tokens(text_col)
+    return docs.select(F.col(id_col).alias("doc_id"), shingles(toks, k).alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard similarity over distinct k-word shingles for every pair
+    of docs sharing at least one shingle; returns (doc_a, doc_b, jac) with
+    jac >= threshold and doc_a < doc_b.
+
+    Plan shape: explode shingles → self-equi-join on shingle (inverted
+    index) → count shared per pair → join per-doc shingle counts →
+    jac = shared / (|A| + |B| - shared).  One wide shuffle on shingle, one
+    on the pair key — no cartesian product.
+    """
+    sh = _doc_shingles(docs, text_col, id_col, k)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("sh"))
+    if df_cap is not None:
+        hot = ex.groupBy("sh").count().filter(F.col("count") > df_cap).select("sh")
+        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jac",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jac"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) MinHash signatures.
+
+    h_i(shingle) = xxhash64(i, shingle) — deterministic, JVM-side, no
+    Python.  Signature = min over the doc's shingles per i.  Docs with no
+    shingles are dropped (nothing to compare).
+
+    Shape: explode shingles → widen to num_hashes min-aggregates in ONE
+    hash-aggregate pass (map-side partial min → final min), then assemble
+    the signature array.  Everything stays in whole-stage codegen — the
+    nested higher-order-function formulation is interpreted per element and
+    benchmarked ~20× slower.
+    """
+    sh = _doc_shingles(docs, text_col, id_col, k).filter(F.size("sh") > 0)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    mins = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, filtered by the
+    signature-estimated Jaccard (fraction of agreeing hash positions).
+
+    rows_per_band = num_hashes/bands; a pair collides when one band's rows
+    all agree.  Candidates shuffle on (band, band_hash) — linear, skew-safe
+    (a band bucket of b docs yields b² pairs only for actual collisions).
+    Returns (doc_a, doc_b, est_jac) with est_jac >= threshold.
+    """
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+    band_rows = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "sig",
+        "band",
+        F.xxhash64("band", F.slice("sig", F.col("band") * rpb + 1, rpb)).alias("bh"),
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.withColumn("est_jac", agree.cast("double") / F.lit(float(num_hashes)))
+        .filter(F.col("est_jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jac", 6).alias("est_jac"))
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash hi/lo as two non-negative ints) 64-bit SimHash.
+
+    Per-token xxhash64 → each bit votes ±1 → fingerprint bit b set when the
+    vote sum is positive.  Bit extraction via shiftright/&1 stays in
+    codegen; the fingerprint is returned as two 32-bit halves to avoid
+    BIGINT sign traps in downstream engines.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(ws_tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    hi = sum(
+        (F.when(F.col(f"v{b}") > 0, 1).otherwise(0) * F.lit(1 << (b - 32)))
+        for b in range(32, 64)
+    )
+    lo = sum(
+        (F.when(F.col(f"v{b}") > 0, 1).otherwise(0) * F.lit(1 << b)) for b in range(32)
+    )
+    return votes.select(
+        "doc_id", hi.cast("long").alias("sim_hi"), lo.cast("long").alias("sim_lo")
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming between SimHash
+    fingerprints.  Candidate generation: 4 bands of 16 bits (pigeonhole — any
+    pair within distance 3 shares a band; wider distances are best-effort,
+    standard SimHash practice).  Exact distance check via bit_count(xor).
+    """
+    sh = simhash64(docs, text_col, id_col)
+    bands = sh.select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                F.concat(F.lit("b0:"), (F.col("sim_lo").bitwiseAND(F.lit(0xFFFF))).cast("string")),
+                F.concat(F.lit("b1:"), F.shiftright(F.col("sim_lo"), 16).cast("string")),
+                F.concat(F.lit("b2:"), (F.col("sim_hi").bitwiseAND(F.lit(0xFFFF))).cast("string")),
+                F.concat(F.lit("b3:"), F.shiftright(F.col("sim_hi"), 16).cast("string")),
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_topk``: exact cosine top-k for one query vector.  One pass over
+  the corpus, TakeOrderedAndProject (per-partition heap + driver merge) —
+  the correctness baseline and perfectly scalable for single queries.
+- ``topk_similar_pairs``: exact top-k most-similar PAIRS (block-joined);
+  quadratic — correctness oracle only, never the 100 TB path.
+- ``lsh_bucket_topk``: the scale path — signed-random-projection LSH.
+  Hyperplanes are deterministic (seeded numpy), shipped as a literal column
+  (tiny: n_planes × dim doubles), bucket = sign-bit string.  Probing the
+  query's bucket (plus optional multi-probe neighbors) turns top-k into a
+  partition-pruned scan of ~corpus/2^planes rows.
+
+All dot products run JVM-side via zip_with/aggregate in DOUBLE — see
+functions/vector.py for the bit-compatibility argument vs the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gofeed_spark.functions.vector import as_double_array, cosine
+
+
+def brute_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one stored vector.
+
+    Returns (rank INT, neighbor_id) — rank 1 = most similar; ties broken by
+    id.  The query vector joins in via broadcast cross-join (1 row).
+    """
+    e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
+    q = e.filter(F.col("nid") == query_id).select(F.col("v").alias("qv"))
+    scored = (
+        e.filter(F.col("nid") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("nid", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("nid").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return scored.select(
+        F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
+    )
+
+
+def topk_similar_pairs(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k most-cosine-similar pairs (rank, id_a, id_b), a < b.
+
+    O(n²) dot products — the small-corpus oracle twin of the LSH path.
+    """
+    e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+    return pairs.select(F.row_number().over(w).alias("rank"), "id_a", "id_b")
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_bucket(vec_col, planes: list[list[float]]):
+    """Signed-random-projection bucket id (string of sign bits) for an
+    array<double> column — pure column expression."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 3,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's SRP bucket.
+
+    At 100 TB, write the corpus bucketed/partitioned by this key so the
+    probe is a partition-pruned read; here it is a filtered scan.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
+    e = e.withColumn("bucket", srp_bucket(F.col("v"), planes))
+    q = e.filter(F.col("nid") == query_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        e.filter(F.col("nid") != query_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select("nid", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("nid").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return scored.select(
+        F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
+    )
+
+
+def label_centroid_norms(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid (elementwise mean) L2 norm, rounded to 1e-6.
+
+    posexplode → (label, pos) mean → re-aggregate Σm² — two skinny shuffles,
+    never materializing centroids wider than the embedding dim.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double_array(vec_col)).alias("pos", "x"),
+    )
+    means = ex.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
+    )

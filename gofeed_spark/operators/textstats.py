@@ -1,0 +1,76 @@
+"""Text-analysis operators: token counting, language-ID heuristic, quality
+scoring, document fingerprinting.  All pure column expressions (codegen) —
+these run on every document of a 100 TB corpus, so no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gofeed_spark.functions.text import TOKEN_RE, normalized_text, re_tokens
+
+# Stopword marker sets for the portable language-ID heuristic.  Deliberately
+# tiny and LIKE-based so the identical logic is expressible in ANSI SQL for
+# the oracle; a real n-gram profile model would be a broadcast lookup table
+# with the same plan shape.
+_EN_MARKERS = (" the ", " and ", " of ")
+_ES_MARKERS = (" el ", " la ", " los ", " de ")
+
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens_ws (whitespace) and n_tokens_re (regex word) columns."""
+    t = F.col(text_col)
+    ws = (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1).cast("int")
+    return docs.withColumn("n_tokens_ws", ws).withColumn(
+        "n_tokens_re", F.size(re_tokens(t))
+    )
+
+
+def lang_id_expr(text_col: str = "text"):
+    """Marker-based language guess — deterministic, SQL-portable."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    en_hits = sum(F.when(padded.contains(m), 1).otherwise(0) for m in _EN_MARKERS)
+    es_hits = sum(F.when(padded.contains(m), 1).otherwise(0) for m in _ES_MARKERS)
+    return (
+        F.when(en_hits >= es_hits + 1, "en")
+        .when(es_hits >= 1, "es")
+        .otherwise("unknown")
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / word-shape quality features + a quality flag.
+
+    punct_ratio  = chars outside [a-z0-9 ] (lower-cased) / total chars
+    avg_word_len = non-space chars / whitespace tokens
+    quality      = 'ok' unless too short or degenerate word shape
+    """
+    t = F.col(text_col)
+    lower = F.lower(t)
+    total = F.length(t).cast("double")
+    nonspace = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double")
+    n_tokens = (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1).cast(
+        "double"
+    )
+    punct = F.length(F.regexp_replace(lower, "[a-z0-9 ]", "")).cast("double")
+    punct_ratio = F.round(punct / total, 6)
+    avg_wl = F.round(nonspace / n_tokens, 6)
+    quality = (
+        F.when((n_tokens >= 5) & (avg_wl >= 2.0) & (avg_wl <= 12.0), "ok").otherwise("low")
+    )
+    return docs.select(
+        "doc_id",
+        punct_ratio.alias("punct_ratio"),
+        avg_wl.alias("avg_word_len"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint_expr(text_col: str = "text"):
+    """Deterministic content fingerprint: md5 of the normalized text.
+
+    (The reference has no fingerprinting; md5-of-normalized is the portable
+    stand-in for a rolling hash — identical output in any engine.)
+    """
+    return F.md5(normalized_text(text_col).cast("binary"))

@@ -1,0 +1,12 @@
+"""Query registry: every declared operator/query from SURVEY.md §2.
+
+Each entry pairs a Spark DataFrame implementation with (when expressible)
+the ANSI-SQL oracle text DuckDB runs on the same parquet tables.  The
+driver's correctness gate compares the two at sf0.01.
+"""
+
+from gofeed_spark.queries.registry import QUERIES, ORACLES, query, get_query
+import gofeed_spark.queries.relational  # noqa: F401  (registers Q01-Q26)
+import gofeed_spark.queries.llm  # noqa: F401  (registers Q27-Q35 + pipeline ops)
+
+__all__ = ["QUERIES", "ORACLES", "query", "get_query"]

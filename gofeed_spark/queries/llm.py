@@ -1,0 +1,286 @@
+"""LLM-data-pipeline queries: dedup (Q27/Q28 + MinHash/SimHash/Jaccard),
+text analysis (Q29/Q30 + token/lang/quality/fingerprint), similarity search
+(Q34 + pair ranking + LSH), multimodal plumbing, centroids (Q35).
+
+Exact/deterministic operators carry a DuckDB oracle; the approximate LSH
+variants (whose outputs depend on engine-internal hashing) are registered
+without one → the driver applies the rows-only check, and the exact twins
+cover correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gofeed_spark.catalog import load_table
+from gofeed_spark.operators import dedup, multimodal, similarity, textstats
+from gofeed_spark.queries.registry import query
+
+
+def T(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q27 exact dup groups ---------------------------------------------------
+@query(
+    "q27_dedup_exact",
+    oracle="""
+SELECT text, COUNT(*) AS n, MIN(doc_id) AS keep_id FROM documents
+GROUP BY text HAVING COUNT(*) > 1 ORDER BY keep_id
+""",
+)
+def q27(spark, sf_dir):
+    return dedup.exact_dup_groups(T(spark, sf_dir, "documents"))
+
+
+# --- Q28 keep-first dedup -----------------------------------------------------
+@query(
+    "q28_dedup_keep_first",
+    oracle="""
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1 ORDER BY doc_id
+""",
+)
+def q28(spark, sf_dir):
+    return dedup.dedup_keep_first(T(spark, sf_dir, "documents"))
+
+
+# --- Q29 per-doc text stats ------------------------------------------------------
+@query(
+    "q29_text_analysis",
+    oracle="""
+SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_chars_q,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS INTEGER) AS n_tokens_approx,
+       lang
+FROM documents ORDER BY doc_id
+""",
+)
+def q29(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars_q"),
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
+        .cast("int")
+        .alias("n_tokens_approx"),
+        "lang",
+    )
+
+
+# --- Q30 grouped text stats ---------------------------------------------------------
+@query(
+    "q30_grouped_text_stats",
+    oracle="""
+SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars, MIN(doc_id) AS first_doc
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def q30(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# --- Q34 exact brute-force k-NN of one vector ------------------------------------------
+@query(
+    "q34_knn_brute",
+    oracle="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 1),
+s AS (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+           / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * SQRT(list_dot_product(q.qe, q.qe))) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> 1)
+SELECT CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id
+FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rn FROM s) t
+WHERE rn <= 3 ORDER BY rank
+""",
+)
+def q34(spark, sf_dir):
+    return similarity.brute_topk(T(spark, sf_dir, "embeddings"), query_id=1, k=3)
+
+
+# --- Q35 label centroid norms -------------------------------------------------------------
+@query(
+    "q35_label_centroids",
+    oracle="""
+SELECT label, ROUND(SQRT(SUM(m*m)), 6) AS centroid_norm
+FROM (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM embeddings, LATERAL (SELECT UNNEST(range(1, len(embedding)+1)) AS i) t
+      GROUP BY label, i) s
+GROUP BY label ORDER BY label
+""",
+)
+def q35(spark, sf_dir):
+    return similarity.label_centroid_norms(T(spark, sf_dir, "embeddings"))
+
+
+# --- token counting ---------------------------------------------------------------------------
+@query(
+    "q36_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS INTEGER) AS n_tokens_ws,
+       CAST(LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens_re
+FROM documents ORDER BY doc_id
+""",
+)
+def q36(spark, sf_dir):
+    d = textstats.with_token_counts(T(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_tokens_ws", "n_tokens_re")
+
+
+# --- language-ID heuristic ----------------------------------------------------------------------
+@query(
+    "q37_lang_id",
+    oracle="""
+SELECT doc_id,
+  CASE WHEN (CASE WHEN padded LIKE '% the %' THEN 1 ELSE 0 END
+           + CASE WHEN padded LIKE '% and %' THEN 1 ELSE 0 END
+           + CASE WHEN padded LIKE '% of %' THEN 1 ELSE 0 END)
+         >= (CASE WHEN padded LIKE '% el %' THEN 1 ELSE 0 END
+           + CASE WHEN padded LIKE '% la %' THEN 1 ELSE 0 END
+           + CASE WHEN padded LIKE '% los %' THEN 1 ELSE 0 END
+           + CASE WHEN padded LIKE '% de %' THEN 1 ELSE 0 END) + 1 THEN 'en'
+       WHEN (CASE WHEN padded LIKE '% el %' THEN 1 ELSE 0 END
+           + CASE WHEN padded LIKE '% la %' THEN 1 ELSE 0 END
+           + CASE WHEN padded LIKE '% los %' THEN 1 ELSE 0 END
+           + CASE WHEN padded LIKE '% de %' THEN 1 ELSE 0 END) >= 1 THEN 'es'
+       ELSE 'unknown' END AS lang_guess
+FROM (SELECT doc_id, ' ' || LOWER(text) || ' ' AS padded FROM documents) p
+ORDER BY doc_id
+""",
+)
+def q37(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.lang_id_expr("text").alias("lang_guess"))
+
+
+# --- quality scoring ------------------------------------------------------------------------------
+@query(
+    "q38_quality_score",
+    oracle="""
+SELECT doc_id,
+       ROUND(CAST(LENGTH(regexp_replace(LOWER(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / CAST(LENGTH(text) AS DOUBLE), 6) AS punct_ratio,
+       ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE), 6) AS avg_word_len,
+       CASE WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) >= 5
+              AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                  / CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE)
+                  BETWEEN 2.0 AND 12.0
+            THEN 'ok' ELSE 'low' END AS quality
+FROM documents ORDER BY doc_id
+""",
+)
+def q38(spark, sf_dir):
+    return textstats.quality_features(T(spark, sf_dir, "documents"))
+
+
+# --- fingerprinting ---------------------------------------------------------------------------------
+@query(
+    "q39_fingerprint",
+    oracle="""
+SELECT doc_id, md5(LOWER(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+""",
+)
+def q39(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.fingerprint_expr("text").alias("fp"))
+
+
+# --- n-gram Jaccard near-dup pairs (EXACT — the LSH twins below approximate it) ----------------------
+@query(
+    "q40_ngram_jaccard_pairs",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, UNNEST(list_distinct([array_to_string(words[i:i+4], ' ')
+                                       FOR i IN range(1, GREATEST(len(words)-4, 0)+1)])) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared), 6) AS jac
+FROM shared
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared) >= 0.6
+ORDER BY doc_a, doc_b
+""",
+)
+def q40(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.6, k=5)
+
+
+# --- MinHash-LSH near-dup pairs (approximate → rows-only check) ---------------------------------------
+@query("q41_minhash_lsh_pairs")
+def q41(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), num_hashes=64, bands=16, k=5, threshold=0.5
+    )
+
+
+# --- SimHash near-dup pairs (approximate → rows-only check) --------------------------------------------
+@query("q42_simhash_neardup")
+def q42(spark, sf_dir):
+    return dedup.simhash_neardup_pairs(T(spark, sf_dir, "documents"), max_hamming=8)
+
+
+# --- exact top-k most similar embedding pairs ------------------------------------------------------------
+@query(
+    "q43_topk_similar_pairs",
+    oracle="""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.e, b.e)
+               / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))) AS cos
+      FROM d a JOIN d b ON a.vec_id < b.vec_id)
+SELECT CAST(rn AS INTEGER) AS rank, id_a, id_b
+FROM (SELECT id_a, id_b, ROW_NUMBER() OVER (ORDER BY cos DESC, id_a, id_b) AS rn FROM p) t
+WHERE rn <= 10 ORDER BY rank
+""",
+)
+def q43(spark, sf_dir):
+    return similarity.topk_similar_pairs(T(spark, sf_dir, "embeddings"), k=10)
+
+
+# --- LSH-bucketed ANN (approximate → rows-only check) ------------------------------------------------------
+@query("q44_ann_lsh")
+def q44(spark, sf_dir):
+    return similarity.lsh_bucket_topk(
+        T(spark, sf_dir, "embeddings"), query_id=1, k=3, n_planes=4, dim=64
+    )
+
+
+# --- multimodal: JVM-side byte stats over the binary column -------------------------------------------------
+@query(
+    "q45_multimodal_bytes",
+    oracle="""
+SELECT doc_id AS media_id, CAST(strlen(text) AS INTEGER) AS byte_len, md5(text) AS content_md5
+FROM documents ORDER BY media_id
+""",
+)
+def q45(spark, sf_dir):
+    media = multimodal.docs_as_media(T(spark, sf_dir, "documents"))
+    return multimodal.media_byte_stats(media)
+
+
+# --- multimodal: pandas-UDF featurizer (stubbed decode → rows-only check) ------------------------------------
+@query("q46_multimodal_features")
+def q46(spark, sf_dir):
+    media = multimodal.docs_as_media(T(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "media_type", "byte_len", "sha_prefix")

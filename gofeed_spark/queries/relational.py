@@ -1,0 +1,606 @@
+"""Declared relational queries Q01-Q26 + Q31-Q33 (SURVEY.md §2.C).
+
+Each implementation is pure DataFrame API (Catalyst built-ins only — no UDFs,
+no collect), with the DuckDB oracle SQL registered next to it.  Column names
+AND types are aligned with the oracle (the driver hashes values after sorting
+columns by name, so every computed column is aliased identically on both
+sides, and integer-width/decimal-scale differences are cast away).
+
+Provenance markers cite the reference operator each query generalizes
+(e.g. R3 = group-by-count at /root/reference/internal/state/repo.go:141-162).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gofeed_spark.catalog import load_table
+from gofeed_spark.operators.asof import asof_join_last_event
+from gofeed_spark.queries.registry import query
+
+D18_2 = "decimal(18,2)"
+D18_4 = "decimal(18,4)"
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q01 scan/projection (R1 scan shape) ---------------------------------
+@query(
+    "q01_scan_project",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey
+""",
+)
+def q01(spark, sf_dir):
+    # Column pruning: ReadSchema in the parquet scan carries only 3 columns.
+    return T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# --- Q02 filter: inequality + time range (R1 repo.go:110-111) -------------
+@query(
+    "q02_filter_ineq_time",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+WHERE event_type <> 'complete' AND ts < TIMESTAMP '2024-06-01 00:00:00'
+ORDER BY event_id
+""",
+)
+def q02(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("event_type") != "complete")
+        & (F.col("ts") < F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+    ).select("event_id", "user_id", "event_type")
+
+
+# --- Q03 filter: conjunctive equality (R2 repo.go:117-118) -----------------
+@query(
+    "q03_filter_conj_eq",
+    oracle="""
+SELECT event_id, value FROM events
+WHERE user_id = 7 AND event_type = 'click' ORDER BY event_id
+""",
+)
+def q03(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return e.filter((F.col("user_id") == 7) & (F.col("event_type") == "click")).select(
+        "event_id", "value"
+    )
+
+
+# --- Q04 sort + limit (R2 repo.go:118-119) --------------------------------
+@query(
+    "q04_sort_limit",
+    oracle="""
+SELECT event_id, ts FROM events WHERE event_type = 'click'
+ORDER BY ts, event_id LIMIT 100
+""",
+)
+def q04(spark, sf_dir):
+    # Catalyst plans this as TakeOrderedAndProject — per-partition top-k
+    # then driver-side k-way merge; no total sort even at 100 TB.
+    e = T(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "click")
+        .select("event_id", "ts")
+        .orderBy("ts", "event_id")
+        .limit(100)
+    )
+
+
+# --- Q05 group-by count (R3 repo.go:141-162 = GetCountByStatus) ------------
+@query(
+    "q05_groupby_count",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def q05(spark, sf_dir):
+    return T(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+# --- Q06 multi-agg with exact decimals (TPC-H Q1 shape, R3 generalized) ----
+@query(
+    "q06_groupby_multiagg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sq,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sp,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q06(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(D18_2)).cast(D18_2).alias("sq"),
+            F.sum(F.col("l_extendedprice").cast(D18_2)).cast(D18_2).alias("sp"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --- Q07 count distinct ----------------------------------------------------
+@query(
+    "q07_count_distinct",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
+)
+def q07(spark, sf_dir):
+    return T(spark, sf_dir, "orders").agg(F.countDistinct("o_custkey").alias("n"))
+
+
+# --- Q08 having (R3 + R8 threshold watcher.go:147-150) ---------------------
+@query(
+    "q08_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n FROM orders
+GROUP BY o_custkey HAVING COUNT(*) >= 3 ORDER BY o_custkey
+""",
+)
+def q08(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+
+
+# --- Q09 rollup -------------------------------------------------------------
+@query(
+    "q09_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n
+""",
+)
+def q09(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- Q10 inner equi-join ----------------------------------------------------
+@query(
+    "q10_inner_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+ORDER BY o.o_orderkey
+""",
+)
+def q10(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    # customer is the small side at every SF ratio (1:10 vs orders); at
+    # cluster scale it still fits broadcast at 64 MB — hint it explicitly.
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("c_custkey", "c_name", "o_orderkey")
+    )
+
+
+# --- Q11 3-way join + agg ---------------------------------------------------
+@query(
+    "q11_join3_agg",
+    oracle="""
+SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+)
+def q11(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast(D18_2)).cast(D18_2).alias("rev"))
+    )
+
+
+# --- Q12 left outer join ----------------------------------------------------
+@query(
+    "q12_left_join",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST
+""",
+)
+def q12(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_orderkey")
+
+
+# --- Q13 semi join (EXISTS) --------------------------------------------------
+@query(
+    "q13_semi_join",
+    oracle="""
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+ORDER BY c_custkey
+""",
+)
+def q13(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+# --- Q14 anti join (NOT EXISTS) ----------------------------------------------
+@query(
+    "q14_anti_join",
+    oracle="""
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+)
+def q14(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+# --- Q15 equi-join + residual theta predicate ---------------------------------
+@query(
+    "q15_theta_join",
+    oracle="""
+SELECT p.p_partkey, l.l_orderkey, l.l_linenumber
+FROM part p JOIN lineitem l
+  ON p.p_partkey = l.l_partkey AND l.l_quantity > CAST(p.p_size AS DOUBLE)
+ORDER BY p.p_partkey, l.l_orderkey, l.l_linenumber
+""",
+)
+def q15(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    l = T(spark, sf_dir, "lineitem")
+    # Equi-key drives the hash join; theta residual evaluated post-match.
+    return (
+        l.join(
+            F.broadcast(p),
+            (l.l_partkey == p.p_partkey) & (l.l_quantity > p.p_size.cast("double")),
+        )
+        .select("p_partkey", "l_orderkey", "l_linenumber")
+    )
+
+
+# --- Q16 window: row_number / rank --------------------------------------------
+@query(
+    "q16_window_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn,
+       CAST(RANK()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rk
+FROM orders ORDER BY o_custkey, rn
+""",
+)
+def q16(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+    )
+
+
+# --- Q17 window top-k per group (Spark-native form of R2's per-partition LIMIT) -
+@query(
+    "q17_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+  FROM orders) t
+WHERE rn <= 3 ORDER BY o_custkey, rn
+""",
+)
+def q17(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- Q18 window: lag ------------------------------------------------------------
+@query(
+    "q18_window_lag",
+    oracle="""
+SELECT event_id, user_id,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+FROM events ORDER BY user_id, ts, event_id
+""",
+)
+def q18(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return T(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.lag("value").over(w).alias("prev_v")
+    )
+
+
+# --- Q19 window: running frame ----------------------------------------------------
+@query(
+    "q19_window_running",
+    oracle=f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS run
+FROM events ORDER BY user_id, ts, event_id
+""",
+)
+def q19(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(D18_4)).over(w).cast(D18_4).alias("run"),
+    )
+
+
+# --- Q20 set ops: union all / except -----------------------------------------------
+@query(
+    "q20a_union_all",
+    oracle="""
+SELECT c_custkey AS k FROM customer UNION ALL SELECT s_suppkey FROM supplier ORDER BY k
+""",
+)
+def q20a(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    return c.unionAll(s)
+
+
+@query(
+    "q20b_except",
+    oracle="""
+SELECT o_custkey AS k FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+ORDER BY k
+""",
+)
+def q20b(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    # SQL EXCEPT is set semantics → Spark subtract (= EXCEPT DISTINCT).
+    return o.subtract(c)
+
+
+# --- Q21 intersect ------------------------------------------------------------------
+@query(
+    "q21_intersect",
+    oracle="""
+SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k
+""",
+)
+def q21(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+# --- Q22 string functions -------------------------------------------------------------
+@query(
+    "q22_string_funcs",
+    oracle="""
+SELECT c_custkey, UPPER(c_name) AS u, SUBSTRING(c_name, 1, 5) AS s5,
+       CAST(LENGTH(c_name) AS INTEGER) AS ln, REPLACE(c_mktsegment, 'A', '_') AS rp
+FROM customer WHERE c_name LIKE 'Customer%' ORDER BY c_custkey
+""",
+)
+def q22(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("Customer%")).select(
+        "c_custkey",
+        F.upper("c_name").alias("u"),
+        F.substring("c_name", 1, 5).alias("s5"),
+        F.length("c_name").alias("ln"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("_")).alias("rp"),
+    )
+
+
+# --- Q23 date functions ------------------------------------------------------------------
+@query(
+    "q23_date_funcs",
+    oracle="""
+SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mo
+FROM orders ORDER BY o_orderkey
+""",
+)
+def q23(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+    )
+
+
+# --- Q24 math / conditional (CASE ladder mirrors R8 watcher.go:147-161) --------------------
+@query(
+    "q24_math_conditional",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS net,
+       CASE WHEN l_tax > 0.05 THEN 'hi' ELSE 'lo' END AS band,
+       COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q24(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        # double → decimal(18,6) recovers the exact 4-dp product, THEN the
+        # half-up round to 2 dp is a true decimal tie-break — identical in
+        # both engines (direct double→(18,2) casts diverge on .xx5 ties).
+        F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"), 2)
+        .cast(D18_2)
+        .alias("net"),
+        F.when(F.col("l_tax") > 0.05, "hi").otherwise("lo").alias("band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias("rf"),
+    )
+
+
+# --- Q25 gate-decision ladder as a query (R8 watcher.go:147-161) ----------------------------
+@query(
+    "q25_gate_decision",
+    oracle="""
+SELECT o_custkey,
+       CASE WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0 THEN 'Failed'
+            WHEN SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) > 0 THEN 'Available'
+            ELSE 'Complete' END AS partition_status
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""",
+)
+def q25(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    failed = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    open_ = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+    return o.groupBy("o_custkey").agg(
+        F.when(failed > 0, "Failed")
+        .when(open_ > 0, "Available")
+        .otherwise("Complete")
+        .alias("partition_status")
+    )
+
+
+# --- Q26 retry semantics as columnar expr (R13 item.go:27-38) -------------------------------
+@query(
+    "q26_retry_semantics",
+    oracle=f"""
+SELECT event_id,
+       CASE WHEN value < 0 THEN 'Failed' ELSE 'Available' END AS status,
+       CAST(ABS(value) AS DECIMAL(18,4)) AS av
+FROM events ORDER BY event_id
+""",
+)
+def q26(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") < 0, "Failed").otherwise("Available").alias("status"),
+        F.abs(F.col("value")).cast(D18_4).alias("av"),
+    )
+
+
+# --- Q31 sessionization (gaps-and-islands; batch twin of session_window) --------------------
+@query(
+    "q31_sessionization",
+    oracle="""
+SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+FROM (
+  SELECT user_id, event_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events) a
+) b
+GROUP BY user_id, session_id ORDER BY user_id, session_id
+""",
+)
+def q31(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    # µs precision: cast-to-long truncates to seconds and would disagree
+    # with the oracle's INTERVAL comparison on fractional-second gaps.
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    is_new = F.when(prev.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        e.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_new").over(wrun).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event"))
+    )
+
+
+# --- Q32 tumbling window, batch twin of window(ts,'1 hour') ---------------------------------
+@query(
+    "q32_tumbling_window",
+    oracle=f"""
+SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sv
+FROM events GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type
+""",
+)
+def q32(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(D18_4)).cast(D18_4).alias("sv"),
+        )
+    )
+
+
+# --- Q33 as-of join: latest event at or before the order date ------------------------------
+@query(
+    "q33_asof_join",
+    oracle="""
+SELECT o.o_orderkey,
+       (SELECT MAX(e.event_id) FROM events e
+        WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_event
+FROM orders o ORDER BY o.o_orderkey
+""",
+)
+def q33(spark, sf_dir):
+    # Scalable union-tag + running-last implementation (no range join, no
+    # N+1): see operators/asof.py.
+    return asof_join_last_event(
+        left=T(spark, sf_dir, "orders"),
+        right=T(spark, sf_dir, "events"),
+        left_on="o_custkey",
+        right_on="user_id",
+        left_time="o_orderdate",
+        right_time="ts",
+        right_value="event_id",
+        left_keep="o_orderkey",
+        out_col="last_event",
+    )
