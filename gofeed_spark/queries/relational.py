@@ -108,8 +108,8 @@ def q05(spark, sf_dir):
     "q06_groupby_multiagg",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sq,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sp,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
        COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -118,13 +118,16 @@ ORDER BY l_returnflag, l_linestatus
 """,
 )
 def q06(spark, sf_dir):
+    # Decimal math internally (exact, order-independent sums); the FINAL
+    # column is cast to DOUBLE on both sides — decimal client-side rendering
+    # differs between engines and breaks the driver's value hash.
     l = T(spark, sf_dir, "lineitem")
     return (
         l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(D18_2)).cast(D18_2).alias("sq"),
-            F.sum(F.col("l_extendedprice").cast(D18_2)).cast(D18_2).alias("sp"),
+            F.sum(F.col("l_quantity").cast(D18_2)).cast("double").alias("sq"),
+            F.sum(F.col("l_extendedprice").cast(D18_2)).cast("double").alias("sp"),
             F.count("*").alias("n"),
         )
     )
@@ -185,10 +188,11 @@ ORDER BY o.o_orderkey
 def q10(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
-    # customer is the small side at every SF ratio (1:10 vs orders); at
-    # cluster scale it still fits broadcast at 64 MB — hint it explicitly.
+    # customer scales linearly with SF — a forced broadcast OOMs at cluster
+    # scale.  Leave the strategy to AQE/autoBroadcastJoinThreshold: small SFs
+    # still get a broadcast join, big ones a shuffled hash join.
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .select("c_custkey", "c_name", "o_orderkey")
     )
 
@@ -197,7 +201,7 @@ def q10(spark, sf_dir):
 @query(
     "q11_join3_agg",
     oracle="""
-SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+SELECT n.n_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -208,11 +212,13 @@ def q11(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
     n = T(spark, sf_dir, "nation")
+    # customer scales with SF — no forced broadcast (AQE picks the strategy);
+    # nation is a fixed 25-row dimension, always broadcast-safe.
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("o_totalprice").cast(D18_2)).cast(D18_2).alias("rev"))
+        .agg(F.sum(F.col("o_totalprice").cast(D18_2)).cast("double").alias("rev"))
     )
 
 
@@ -276,9 +282,10 @@ def q15(spark, sf_dir):
     p = T(spark, sf_dir, "part")
     l = T(spark, sf_dir, "lineitem")
     # Equi-key drives the hash join; theta residual evaluated post-match.
+    # part scales with SF — no forced broadcast (AQE decides).
     return (
         l.join(
-            F.broadcast(p),
+            p,
             (l.l_partkey == p.p_partkey) & (l.l_quantity > p.p_size.cast("double")),
         )
         .select("p_partkey", "l_orderkey", "l_linenumber")
@@ -348,11 +355,13 @@ def q18(spark, sf_dir):
 SELECT event_id, user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS run
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run
 FROM events ORDER BY user_id, ts, event_id
 """,
 )
 def q19(spark, sf_dir):
+    # Running sum in exact decimal; final column cast to DOUBLE on both
+    # sides (decimal rendering is not hash-stable across engines).
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -361,7 +370,7 @@ def q19(spark, sf_dir):
     return T(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast(D18_4)).over(w).cast(D18_4).alias("run"),
+        F.sum(F.col("value").cast(D18_4)).over(w).cast("double").alias("run"),
     )
 
 
@@ -456,7 +465,7 @@ def q23(spark, sf_dir):
     "q24_math_conditional",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS net,
+       CAST(CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS net,
        CASE WHEN l_tax > 0.05 THEN 'hi' ELSE 'lo' END AS band,
        COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf
 FROM lineitem ORDER BY l_orderkey, l_linenumber
@@ -472,6 +481,7 @@ def q24(spark, sf_dir):
         # both engines (direct double→(18,2) casts diverge on .xx5 ties).
         F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"), 2)
         .cast(D18_2)
+        .cast("double")
         .alias("net"),
         F.when(F.col("l_tax") > 0.05, "hi").otherwise("lo").alias("band"),
         F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias("rf"),
@@ -507,7 +517,7 @@ def q25(spark, sf_dir):
     oracle=f"""
 SELECT event_id,
        CASE WHEN value < 0 THEN 'Failed' ELSE 'Available' END AS status,
-       CAST(ABS(value) AS DECIMAL(18,4)) AS av
+       CAST(CAST(ABS(value) AS DECIMAL(18,4)) AS DOUBLE) AS av
 FROM events ORDER BY event_id
 """,
 )
@@ -516,7 +526,7 @@ def q26(spark, sf_dir):
     return e.select(
         "event_id",
         F.when(F.col("value") < 0, "Failed").otherwise("Available").alias("status"),
-        F.abs(F.col("value")).cast(D18_4).alias("av"),
+        F.abs(F.col("value")).cast(D18_4).cast("double").alias("av"),
     )
 
 
@@ -565,7 +575,7 @@ def q31(spark, sf_dir):
     "q32_tumbling_window",
     oracle=f"""
 SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sv
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
 FROM events GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type
 """,
 )
@@ -575,7 +585,7 @@ def q32(spark, sf_dir):
         e.groupBy(F.date_trunc("hour", "ts").alias("h"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(D18_4)).cast(D18_4).alias("sv"),
+            F.sum(F.col("value").cast(D18_4)).cast("double").alias("sv"),
         )
     )
 
