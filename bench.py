@@ -1,0 +1,97 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q06_groupby_multiagg": <sec>, ...}, "sf": <float>}
+
+Each query executes end-to-end (parquet scan -> plan -> noop sink) so the
+timing covers the real distributed execution path without driver-side
+collect of large results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gofeed_spark.queries import QUERIES  # noqa: E402
+from gofeed_spark.session import get_spark  # noqa: E402
+
+# Representative mix: scans, aggs, joins, windows, sessionization, as-of,
+# dedup/LSH, similarity — the shapes whose plans matter at 100 TB.
+HEADLINE = [
+    "q01_scan_project",
+    "q04_sort_limit",
+    "q06_groupby_multiagg",
+    "q08_having",
+    "q10_inner_join",
+    "q11_join3_agg",
+    "q15_theta_join",
+    "q16_window_rank",
+    "q17_topk_per_group",
+    "q19_window_running",
+    "q24_math_conditional",
+    "q31_sessionization",
+    "q32_tumbling_window",
+    "q33_asof_join",
+    "q36_token_count",
+    "q38_quality_score",
+    "q40_ngram_jaccard_pairs",
+    "q41_minhash_lsh_pairs",
+    "q34_knn_brute",
+    "q35_label_centroids",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footer cache off the clock with a cheap scan.
+    QUERIES["q01_scan_project"](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        try:
+            timings[name] = round(run_query(spark, name, sf_dir), 3)
+        except Exception as exc:  # noqa: BLE001 — a broken query must not kill the bench
+            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
