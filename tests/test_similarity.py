@@ -1,0 +1,59 @@
+"""Similarity operators on hand-computed vectors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from gofeed_spark.operators.similarity import (
+    brute_topk,
+    label_centroid_norms,
+    lsh_bucket_topk,
+    topk_similar_pairs,
+)
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # vec 1 is the query; 2 is parallel to 1 (cos=1), 3 orthogonal, 4 opposite,
+    # 5 at 45 degrees.
+    data = [
+        (1, [1.0, 0.0], "a"),
+        (2, [2.0, 0.0], "a"),
+        (3, [0.0, 1.0], "b"),
+        (4, [-1.0, 0.0], "b"),
+        (5, [1.0, 1.0], "b"),
+    ]
+    return spark.createDataFrame(data, "vec_id long, embedding array<double>, label string")
+
+
+def test_brute_topk_ranking(emb):
+    out = rows(brute_topk(emb, query_id=1, k=3), "rank", "neighbor_id")
+    assert out == {(1, 2), (2, 5), (3, 3)}
+
+
+def test_topk_similar_pairs_exact(emb):
+    out = rows(topk_similar_pairs(emb, k=2), "rank", "id_a", "id_b")
+    assert out == {(1, 1, 2), (2, 2, 5)} or out == {(1, 1, 2), (2, 1, 5)}
+    # (1,2) is the unique cos=1 pair; second place is a 45-degree pair —
+    # ties broken by (id_a, id_b): (1,5) before (2,5)
+    assert (1, 1, 2) in out
+
+
+def test_lsh_bucket_topk_same_halfspace(emb):
+    # The query's bucket always contains the parallel vector (identical
+    # projections signs) — rank 1 must be vec 2 regardless of bucket pruning.
+    out = dict(
+        rows(lsh_bucket_topk(emb, query_id=1, k=3, n_planes=2, dim=2), "rank", "neighbor_id")
+    )
+    assert out[1] == 2
+
+
+def test_label_centroid_norms(emb):
+    # label a: mean([1,0],[2,0]) = [1.5, 0] -> norm 1.5
+    # label b: mean([0,1],[-1,0],[1,1]) = [0, 2/3] -> norm 2/3
+    out = dict(rows(label_centroid_norms(emb), "label", "centroid_norm"))
+    assert out["a"] == 1.5
+    assert out["b"] == round(2 / 3, 6)

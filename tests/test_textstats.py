@@ -1,0 +1,73 @@
+"""Text-analysis expressions on hand-computed strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gofeed_spark.functions.text import normalized_text, shingles, ws_tokens
+from gofeed_spark.operators.textstats import (
+    fingerprint_expr,
+    lang_id_expr,
+    quality_features,
+    with_token_counts,
+)
+from tests.conftest import rows
+
+
+def test_token_counts(spark):
+    d = spark.createDataFrame(
+        [(1, "one two three"), (2, "word"), (3, "a-b c,d e!")],
+        "doc_id long, text string",
+    )
+    out = rows(with_token_counts(d), "doc_id", "n_tokens_ws", "n_tokens_re")
+    assert out == {(1, 3, 3), (2, 1, 1), (3, 3, 5)}
+
+
+def test_lang_id_markers(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the hat of doom"),
+            (2, "el gato y la casa de los perros"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rows(d.select("doc_id", lang_id_expr().alias("lang")))
+    assert out == {(1, "en"), (2, "es"), (3, "unknown")}
+
+
+def test_quality_degenerate_short_doc_flagged(spark):
+    d = spark.createDataFrame(
+        [(1, "hi"), (2, "a perfectly reasonable sentence with several words")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.quality for r in quality_features(d).collect()}
+    assert out[1] == "low"
+    assert out[2] == "ok"
+
+
+def test_fingerprint_invariant_to_case_and_whitespace(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fp for r in d.select("doc_id", fingerprint_expr().alias("fp")).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_shingles_short_doc_empty(spark):
+    d = spark.createDataFrame([(1, "only four words here")], "doc_id long, text string")
+    out = d.select(shingles(ws_tokens("text"), 5).alias("sh")).collect()[0].sh
+    assert out == []
+
+
+def test_shingles_distinct_and_ordered_window(spark):
+    d = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    out = d.select(shingles(ws_tokens("text"), 2).alias("sh")).collect()[0].sh
+    assert sorted(out) == ["a b", "b a"]
+
+
+def test_normalized_text(spark):
+    d = spark.createDataFrame([(1, "  A\t\tB  c ")], "doc_id long, text string")
+    assert d.select(normalized_text("text").alias("n")).collect()[0].n == " a b c "
