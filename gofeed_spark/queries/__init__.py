@@ -9,5 +9,6 @@ from gofeed_spark.queries.registry import QUERIES, ORACLES, query, get_query
 import gofeed_spark.queries.relational  # noqa: F401  (registers Q01-Q26)
 import gofeed_spark.queries.llm  # noqa: F401  (registers Q27-Q35 + pipeline ops)
 import gofeed_spark.queries.feed  # noqa: F401  (registers Q47-Q51 feed-state layer)
+import gofeed_spark.queries.streaming_q  # noqa: F401  (registers Q52 streaming gate)
 
 __all__ = ["QUERIES", "ORACLES", "query", "get_query"]

@@ -1,0 +1,50 @@
+"""Watermarked streaming window aggregations — the streaming twins of the
+batch queries Q31 (sessionization) and Q32 (tumbling hourly rollup).
+
+The reference has no event time at all (SURVEY §2.B); these are declared
+north-star extensions.  Late data beyond the watermark is dropped — the
+batch twins are the ground truth the tests compare against when every
+event arrives inside the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Hourly tumbling count+sum per event_type (streaming Q32).
+
+    groupBy(window) shuffles on (window, event_type) with partial
+    aggregation map-side; the watermark bounds state retention."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sv"),
+        )
+        .select(F.col("w.start").alias("h"), "event_type", "n", "sv")
+    )
+
+
+def streaming_session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap (streaming
+    Q31 twin) via the built-in session_window — state merges adjacent
+    windows per key and expires on watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "first_event",
+        )
+    )

@@ -1,0 +1,177 @@
+"""Streaming layer tests: keyed gate state machine over a replayed item
+stream, idempotent foreachBatch merge with checkpoint restart (the
+exactly-once proof), and the watermarked window twins vs their batch
+oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from gofeed_spark.catalog import load_table
+from gofeed_spark.feedstate.model import AVAILABLE, COMPLETE, FAILED
+from gofeed_spark.queries import QUERIES
+from gofeed_spark.streaming.feed_stream import (
+    ITEM_EVENT_DDL,
+    gate_stream,
+    replay_stream,
+)
+from gofeed_spark.streaming.sinks import ParquetUpsertSink
+from gofeed_spark.streaming.windows import (
+    streaming_session_counts,
+    streaming_tumbling_counts,
+)
+from tests.conftest import rows
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_stream(spark, stage_dir, ckpt_dir, sink):
+    src = replay_stream(spark, stage_dir, ITEM_EVENT_DDL)
+    q = (
+        gate_stream(src)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "stage": str(tmp_path / "stage"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "sink": str(tmp_path / "sink"),
+    }
+    os.makedirs(d["stage"])
+    return d
+
+
+def _stage(spark, stage_dir, rows_, name):
+    # append lands new part-files in the stage ROOT (the file stream source
+    # does not recurse into subdirectories)
+    df = spark.createDataFrame(rows_, ITEM_EVENT_DDL)
+    df.coalesce(1).write.mode("append").parquet(stage_dir)
+
+
+def test_gate_stream_restart_exactly_once(spark, dirs):
+    sink = ParquetUpsertSink(dirs["sink"], key="partition_id")
+
+    # --- phase 1: two items available at gate 0 -> partition Available
+    _stage(
+        spark, dirs["stage"],
+        [("i1", "p1", 0, AVAILABLE), ("i2", "p1", 0, AVAILABLE)],
+        "slice1",
+    )
+    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink)
+    state = {r.partition_id: (r.status, r.gate) for r in sink.read(spark).collect()}
+    assert state["p1"] == (AVAILABLE, 0)
+    committed_after_1 = sink.committed()
+    assert len(committed_after_1) >= 1
+
+    # --- phase 2 (restart from checkpoint): i1 completes, i2 fails
+    _stage(
+        spark, dirs["stage"],
+        [("i1", "p1", 0, COMPLETE), ("i2", "p1", 0, FAILED)],
+        "slice2",
+    )
+    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink)
+    state = {r.partition_id: (r.status, r.gate) for r in sink.read(spark).collect()}
+    assert state["p1"] == (FAILED, 0)  # failed item fails the partition
+    # restart consumed ONLY the new slice: batch ids strictly extend, no reuse
+    committed_after_2 = sink.committed()
+    assert committed_after_2[: len(committed_after_1)] == committed_after_1
+    assert len(set(committed_after_2)) == len(committed_after_2)
+
+    # --- idempotency: re-delivering an already-committed batch is a no-op
+    before = {tuple(r) for r in sink.read(spark).collect()}
+    poison = spark.createDataFrame(
+        [("p1", 9, AVAILABLE, 9, 9, 9)],
+        "partition_id string, gate int, status int, n_items int, failed_n int, avail_n int",
+    )
+    sink(poison, committed_after_2[-1])  # duplicate batch id -> skipped
+    after = {tuple(r) for r in sink.read(spark).collect()}
+    assert after == before
+
+
+def test_gate_stream_advances_gate(spark, dirs):
+    sink = ParquetUpsertSink(dirs["sink"], key="partition_id")
+    # all gate-0 work done, one item waiting at gate 1 -> barrier clears,
+    # gate increments (watcher.go:151-155 semantics)
+    _stage(
+        spark, dirs["stage"],
+        [("i1", "p1", 0, COMPLETE), ("i2", "p1", 1, AVAILABLE)],
+        "slice1",
+    )
+    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink)
+    state = {r.partition_id: (r.status, r.gate) for r in sink.read(spark).collect()}
+    assert state["p1"] == (AVAILABLE, 1)
+
+
+def test_gate_stream_autoclose(spark, dirs):
+    sink = ParquetUpsertSink(dirs["sink"], key="partition_id")
+    _stage(spark, dirs["stage"], [("i1", "p1", 0, COMPLETE)], "slice1")
+    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink)
+    state = {r.partition_id: r.status for r in sink.read(spark).collect()}
+    assert state["p1"] == COMPLETE
+
+
+def _write_events(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    load_table(spark, SF, "events").write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_streaming_tumbling_matches_batch_q32(spark, tmp_path):
+    src = _write_events(spark, tmp_path)
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    out_rows = []
+    q = (
+        streaming_tumbling_counts(events)
+        .writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck32"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.h, r.event_type): (r.n, r.sv) for r in out_rows}
+    batch = QUERIES["q32_tumbling_window"](spark, SF).collect()
+    want = {(r.h, r.event_type): (r.n, round(r.sv, 4)) for r in batch}
+    assert got == want
+
+
+def test_streaming_sessions_cover_all_events(spark, tmp_path):
+    src = _write_events(spark, tmp_path)
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    out_rows = []
+    q = (
+        streaming_session_counts(events)
+        .writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck31"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # batch twin q31 groups by (user, session) with the same 30-min gap:
+    # session structure must agree on count and membership totals
+    batch = QUERIES["q31_sessionization"](spark, SF).collect()
+    assert sum(r.n_events for r in out_rows) == sum(r.n_events for r in batch)
+    assert len(out_rows) == len(batch)
+    assert {(r.user_id, r.first_event) for r in out_rows} == {
+        (r.user_id, r.first_event) for r in batch
+    }
