@@ -207,7 +207,7 @@ def q39(spark, sf_dir):
 WITH s AS (
   SELECT doc_id, UNNEST(list_distinct([array_to_string(words[i:i+4], ' ')
                                        FOR i IN range(1, GREATEST(len(words)-4, 0)+1)])) AS sh
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
 shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -278,9 +278,142 @@ def q45(spark, sf_dir):
     return multimodal.media_byte_stats(media)
 
 
-# --- multimodal: pandas-UDF featurizer (stubbed decode → rows-only check) ------------------------------------
-@query("q46_multimodal_features")
+# --- multimodal: pandas-UDF featurizer (decode stubbed; the metadata columns
+# are DuckDB-expressible, so the Arrow plumbing IS hash-checked) ----------------------------------------------
+@query(
+    "q46_multimodal_features",
+    oracle="""
+SELECT doc_id AS media_id, 'image' AS media_type,
+       CAST(strlen(text) AS INTEGER) AS byte_len,
+       substr(sha256(text), 1, 16) AS sha_prefix
+FROM documents ORDER BY media_id
+""",
+)
 def q46(spark, sf_dir):
     media = multimodal.docs_as_media(T(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media)
     return feats.select("media_id", "media_type", "byte_len", "sha_prefix")
+
+
+# =============================================================================
+# Non-vacuous dedup + LSH invariant checks.  The synthetic documents table has
+# ZERO exact duplicates (q27/q28 pass vacuously), so these queries build a
+# corpus that provably contains them: every doc (or every 5th) unioned back in
+# under doc_id + CLONE_OFFSET.  Identical docs have identical shingle sets →
+# identical MinHash signatures → collide in EVERY band, and identical SimHash
+# fingerprints → Hamming 0 — so "LSH finds every clone pair" is an exact,
+# hash-checkable invariant, not a probabilistic one.
+# =============================================================================
+
+CLONE_OFFSET = 10_000_000
+
+
+def _with_clones(docs, every: int = 1):
+    clones = docs.filter((F.col("doc_id") % every) == 0).select(
+        (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(clones)
+
+
+_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CLONE_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@query(
+    "q53_dedup_exact_dups",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keep_id
+FROM corpus GROUP BY text HAVING COUNT(*) > 1 ORDER BY keep_id
+""",
+)
+def q53(spark, sf_dir):
+    """Exact dedup on a corpus that HAS duplicates (every 5th doc cloned)."""
+    corpus = _with_clones(T(spark, sf_dir, "documents"), every=5)
+    return (
+        dedup.exact_dup_groups(corpus)
+        .select(F.md5(F.col("text").cast("binary")).alias("fp"), "n", "keep_id")
+    )
+
+
+@query(
+    "q54_dedup_keep_first_dups",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM corpus) t
+WHERE rn = 1 ORDER BY doc_id
+""",
+)
+def q54(spark, sf_dir):
+    """Keep-first dedup over the cloned corpus: survivors are the originals."""
+    corpus = _with_clones(T(spark, sf_dir, "documents"), every=5)
+    return dedup.dedup_keep_first(corpus)
+
+
+@query(
+    "q55_minhash_lsh_clone_recall",
+    oracle=r"""
+SELECT doc_id AS doc_a FROM documents
+WHERE len(regexp_split_to_array(lower(text), '\s+')) >= 5
+ORDER BY doc_a
+""",
+)
+def q55(spark, sf_dir):
+    """MinHash-LSH must recover EVERY (doc, clone) pair: identical shingle
+    sets give identical signatures, which collide in all 16 bands — a
+    deterministic invariant of the banding implementation (dedup.py), not a
+    probabilistic recall estimate.  Docs under 5 tokens have no shingles and
+    are excluded on both sides."""
+    corpus = _with_clones(T(spark, sf_dir, "documents"), every=1)
+    pairs = dedup.minhash_lsh_pairs(corpus, num_hashes=64, bands=16, k=5, threshold=1.0)
+    return (
+        pairs.filter(F.col("doc_b") == F.col("doc_a") + CLONE_OFFSET)
+        .select("doc_a")
+        .orderBy("doc_a")
+    )
+
+
+@query(
+    "q56_simhash_clone_recall",
+    oracle="""
+SELECT doc_id AS doc_a FROM documents ORDER BY doc_a
+""",
+)
+def q56(spark, sf_dir):
+    """SimHash clone recall: identical docs fingerprint identically →
+    Hamming 0 → band collision guaranteed; every doc must pair with its
+    clone."""
+    corpus = _with_clones(T(spark, sf_dir, "documents"), every=1)
+    pairs = dedup.simhash_neardup_pairs(corpus, max_hamming=0)
+    return (
+        pairs.filter(F.col("doc_b") == F.col("doc_a") + CLONE_OFFSET)
+        .select("doc_a")
+        .orderBy("doc_a")
+    )
+
+
+@query(
+    "q57_ann_lsh_self_match",
+    oracle="""
+SELECT 1 AS rank, MAX(vec_id) + 10000000 AS neighbor_id FROM embeddings
+""",
+)
+def q57(spark, sf_dir):
+    """SRP-LSH self-match: a clone of the query vector lands in the query's
+    bucket (identical projections) and scores cosine 1.0 → must be ranked
+    first.  Checks bucketing + scoring end-to-end with a deterministic
+    outcome."""
+    emb = T(spark, sf_dir, "embeddings")
+    # scalar max id (tiny agg, not a data-path collect)
+    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    clone = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(max_id + 10_000_000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clone)
+    out = similarity.lsh_bucket_topk(corpus, query_id=1, k=3, n_planes=4, dim=64)
+    return out.filter(F.col("rank") == 1)
