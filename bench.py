@@ -44,6 +44,8 @@ HEADLINE = [
     "q41_minhash_lsh_pairs",
     "q34_knn_brute",
     "q35_label_centroids",
+    "q58_topk_pairs_lsh",
+    "q49_feed_e2e_items",
 ]
 
 

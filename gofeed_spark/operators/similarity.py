@@ -79,6 +79,68 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def topk_pairs_lsh(
+    emb: DataFrame,
+    k: int = 10,
+    n_planes: int = 3,
+    n_tables: int = 24,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-cosine-similar pairs via multi-table SRP-LSH candidates +
+    exact re-rank — the 100 TB replacement for the O(n²) ``topk_similar_pairs``.
+
+    Plan: ``n_tables`` independent sign-bucket keys per vector (deterministic
+    seeded hyperplanes) → explode to (table, bucket) → self-equi-join on the
+    SLIM (table, bucket, id) relation (ids only — vectors are re-joined once
+    per surviving candidate, avoiding the wide-payload shuffle tax) →
+    dedup candidate pairs → exact cosine re-rank → global top-k
+    (TakeOrderedAndProject).
+
+    Cost is linear in corpus size + bucket-collision pairs; no cartesian
+    product ever forms.  A pair at angle θ collides in ≥1 of L tables with
+    probability 1-(1-(1-θ/π)^planes)^L — with the 3×24 default that is
+    ≥0.9995 even at cos 0.46 (the hardest pairs in the random test data;
+    real near-dup corpora sit at cos≥0.9 where recall is ~1).  Tune planes
+    UP as the corpus grows so expected bucket size stays bounded
+    (buckets per table = 2^planes).  Deterministic given the seed, so the
+    exact-oracle comparison at test SF is stable.
+    """
+    e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+    tables = [
+        srp_bucket(F.col("v"), _hyperplanes(dim, n_planes, seed=42 + 1000 * t))
+        for t in range(n_tables)
+    ]
+    keyed = e.select(
+        "id",
+        F.posexplode(F.array(*tables)).alias("tbl", "bucket"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+    return scored.select(F.row_number().over(w).alias("rank"), "id_a", "id_b")
+
+
 def srp_bucket(vec_col, planes: list[list[float]]):
     """Signed-random-projection bucket id (string of sign bits) for an
     array<double> column — pure column expression."""

@@ -254,7 +254,31 @@ WHERE rn <= 10 ORDER BY rank
 """,
 )
 def q43(spark, sf_dir):
+    """Exact all-pairs top-k — the small-corpus oracle twin.  The primary
+    scale path is q58 (LSH candidates + exact re-rank); this brute variant
+    exists to pin the oracle and for corpora small enough to block-join."""
     return similarity.topk_similar_pairs(T(spark, sf_dir, "embeddings"), k=10)
+
+
+# --- PRIMARY top-k pair search: multi-table LSH candidates + exact re-rank ---
+@query(
+    "q58_topk_pairs_lsh",
+    oracle="""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.e, b.e)
+               / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))) AS cos
+      FROM d a JOIN d b ON a.vec_id < b.vec_id)
+SELECT CAST(rn AS INTEGER) AS rank, id_a, id_b
+FROM (SELECT id_a, id_b, ROW_NUMBER() OVER (ORDER BY cos DESC, id_a, id_b) AS rn FROM p) t
+WHERE rn <= 10 ORDER BY rank
+""",
+)
+def q58(spark, sf_dir):
+    """Scale-path pair search: SRP-LSH candidate generation (24 tables × 3
+    planes, slim id-only bucket join) + exact cosine re-rank, checked
+    against the exact all-pairs oracle — no nested-loop join in the plan."""
+    return similarity.topk_pairs_lsh(T(spark, sf_dir, "embeddings"), k=10)
 
 
 # --- LSH-bucketed ANN (approximate → rows-only check) ------------------------------------------------------

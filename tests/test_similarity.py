@@ -10,6 +10,7 @@ from gofeed_spark.operators.similarity import (
     brute_topk,
     label_centroid_norms,
     lsh_bucket_topk,
+    topk_pairs_lsh,
     topk_similar_pairs,
 )
 from tests.conftest import rows
@@ -49,6 +50,18 @@ def test_lsh_bucket_topk_same_halfspace(emb):
         rows(lsh_bucket_topk(emb, query_id=1, k=3, n_planes=2, dim=2), "rank", "neighbor_id")
     )
     assert out[1] == 2
+
+
+def test_topk_pairs_lsh_matches_exact(emb):
+    exact = rows(topk_similar_pairs(emb, k=2), "rank", "id_a", "id_b")
+    lsh = rows(topk_pairs_lsh(emb, k=2, n_planes=2, n_tables=8, dim=2), "rank", "id_a", "id_b")
+    assert lsh == exact
+
+
+def test_topk_pairs_lsh_no_nested_loop(emb):
+    plan = topk_pairs_lsh(emb, k=2, n_planes=2, n_tables=8, dim=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_label_centroid_norms(emb):
