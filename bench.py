@@ -45,7 +45,6 @@ HEADLINE = [
     "q34_knn_brute",
     "q35_label_centroids",
     "q58_topk_pairs_lsh",
-    "q49_feed_e2e_items",
 ]
 
 

@@ -11,12 +11,12 @@ All shuffles are key-local and linear in corpus size:
   near-dup = band collision + Hamming distance bound (bit_count(xor)).
 
 At 100 TB the dominant cost is the shingle/band shuffle, which is
-O(total tokens); no all-pairs product ever forms unless two docs actually
-collide.  Skew (a viral shingle shared by millions of docs) is handled by
-dropping shingles above a document-frequency cap — standard practice and
-semantically safe for NEAR-dup candidate generation (a shingle in >df_cap
-docs carries no discriminative signal); df capping is off by default so
-small-corpus results stay exact.
+O(total tokens) over 8-byte hashed keys; no all-pairs product ever forms
+unless two docs actually collide.  Skew (a viral shingle shared by
+millions of docs) is handled by dropping shingles above a
+document-frequency cap — ON by default (10k): a shingle in that many docs
+carries no near-dup signal, and an uncapped viral shingle is a quadratic
+bucket.  Pass ``df_cap=None`` for exact small-corpus semantics.
 """
 
 from __future__ import annotations
@@ -52,34 +52,59 @@ def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     return docs.select(F.col(id_col).alias("doc_id"), shingles(toks, k).alias("sh"))
 
 
+def _group_pairs(keyed: DataFrame, key: str, df_cap: int | None) -> DataFrame:
+    """Inverted-index pair generation in ONE pass: group doc ids per key,
+    emit ordered in-group pairs via a nested explode.  Equivalent to the
+    textbook self-equi-join but scans/shuffles the index once instead of
+    twice; per-key work is m² for a key shared by m docs, so keys above
+    ``df_cap`` (non-discriminative by definition) are dropped — the
+    standard skew guard for near-dup candidate generation at corpus scale.
+    """
+    grouped = (
+        keyed.groupBy(key)
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if df_cap is not None:
+        grouped = grouped.filter(F.size("ids") <= df_cap)
+    return (
+        grouped.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    df_cap: int | None = None,
+    df_cap: int | None = 10_000,
 ) -> DataFrame:
     """EXACT Jaccard similarity over distinct k-word shingles for every pair
     of docs sharing at least one shingle; returns (doc_a, doc_b, jac) with
     jac >= threshold and doc_a < doc_b.
 
-    Plan shape: explode shingles → self-equi-join on shingle (inverted
-    index) → count shared per pair → join per-doc shingle counts →
-    jac = shared / (|A| + |B| - shared).  One wide shuffle on shingle, one
-    on the pair key — no cartesian product.
+    Plan shape: explode shingles, hashed to 64-bit ints so the wide shuffle
+    moves 8-byte keys instead of strings → group per shingle → in-group
+    ordered pairs (one shuffle, one scan — see _group_pairs) → count shared
+    per pair → join per-doc shingle counts → jac = shared/(|A|+|B|-shared).
+    No cartesian product; a viral shingle is bounded by ``df_cap`` (on by
+    default — shingles shared by >10k docs carry no near-dup signal; set
+    None for exact small-corpus semantics).
     """
-    sh = _doc_shingles(docs, text_col, id_col, k)
+    # Shingling is the expensive subtree and feeds both the size relation
+    # and the inverted index — persist so it is computed once (spills to
+    # disk under pressure; at warehouse scale materialize it as a table).
+    sh = _doc_shingles(docs, text_col, id_col, k).persist()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("sh"))
-    if df_cap is not None:
-        hot = ex.groupBy("sh").count().filter(F.col("count") > df_cap).select("sh")
-        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
-    a = ex.alias("a")
-    b = ex.alias("b")
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
     shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _group_pairs(ex, "h", df_cap)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
     return (
@@ -143,34 +168,26 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+    # Signatures feed the band relation AND both sides of the candidate
+    # re-join — persist so the 64-min-agg pipeline runs once, not 3×.
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col).persist()
+    # SLIM band relation: (doc_id, band-bucket hash) only — the 64-element
+    # signatures never ride through the band shuffle (a 16× weight saving);
+    # they are re-joined exactly twice, once per side of each surviving
+    # candidate pair.
     band_rows = sigs.select(
         "doc_id",
-        "sig",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
     ).select(
         "doc_id",
-        "sig",
-        "band",
         F.xxhash64("band", F.slice("sig", F.col("band") * rpb + 1, rpb)).alias("bh"),
     )
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = _group_pairs(band_rows, "bh", df_cap=None).dropDuplicates(
+        ["doc_a", "doc_b"]
     )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -178,7 +195,9 @@ def minhash_lsh_pairs(
         )
     )
     return (
-        cand.withColumn("est_jac", agree.cast("double") / F.lit(float(num_hashes)))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jac", agree.cast("double") / F.lit(float(num_hashes)))
         .filter(F.col("est_jac") >= threshold)
         .select("doc_a", "doc_b", F.round("est_jac", 6).alias("est_jac"))
     )
@@ -226,32 +245,29 @@ def simhash_neardup_pairs(
     pair within distance 3 shares a band; wider distances are best-effort,
     standard SimHash practice).  Exact distance check via bit_count(xor).
     """
-    sh = simhash64(docs, text_col, id_col)
+    sh = simhash64(docs, text_col, id_col).persist()
+    # Slim band relation (doc_id, hashed 16-bit band) — fingerprints are
+    # re-joined per candidate pair, not shuffled per band.
     bands = sh.select(
         "doc_id",
-        "sim_hi",
-        "sim_lo",
         F.explode(
             F.array(
-                F.concat(F.lit("b0:"), (F.col("sim_lo").bitwiseAND(F.lit(0xFFFF))).cast("string")),
-                F.concat(F.lit("b1:"), F.shiftright(F.col("sim_lo"), 16).cast("string")),
-                F.concat(F.lit("b2:"), (F.col("sim_hi").bitwiseAND(F.lit(0xFFFF))).cast("string")),
-                F.concat(F.lit("b3:"), F.shiftright(F.col("sim_hi"), 16).cast("string")),
+                F.xxhash64(F.lit(0), F.col("sim_lo").bitwiseAND(F.lit(0xFFFF))),
+                F.xxhash64(F.lit(1), F.shiftright(F.col("sim_lo"), 16)),
+                F.xxhash64(F.lit(2), F.col("sim_hi").bitwiseAND(F.lit(0xFFFF))),
+                F.xxhash64(F.lit(3), F.shiftright(F.col("sim_hi"), 16)),
             )
-        ).alias("band_key"),
+        ).alias("bh"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    ham = F.bit_count(
-        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
-    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    cand = _group_pairs(bands, "bh", df_cap=None).dropDuplicates(["doc_a", "doc_b"])
+    fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sim_hi").alias("hi_a"), F.col("sim_lo").alias("lo_a"))
+    fb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sim_hi").alias("hi_b"), F.col("sim_lo").alias("lo_b"))
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
     return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

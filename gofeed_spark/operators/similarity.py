@@ -17,11 +17,13 @@ functions/vector.py for the bit-compatibility argument vs the oracle.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gofeed_spark.functions.vector import as_double_array, cosine
+from gofeed_spark.functions.vector import as_double_array, cosine, dot, l2_norm
 
 
 def brute_topk(
@@ -82,11 +84,12 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def topk_pairs_lsh(
     emb: DataFrame,
     k: int = 10,
-    n_planes: int = 3,
+    n_planes: int | None = None,
     n_tables: int = 24,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 100,
 ) -> DataFrame:
     """Top-k most-cosine-similar pairs via multi-table SRP-LSH candidates +
     exact re-rank — the 100 TB replacement for the O(n²) ``topk_similar_pairs``.
@@ -108,32 +111,60 @@ def topk_pairs_lsh(
     exact-oracle comparison at test SF is stable.
     """
     e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
-    tables = [
-        srp_bucket(F.col("v"), _hyperplanes(dim, n_planes, seed=42 + 1000 * t))
-        for t in range(n_tables)
-    ]
-    keyed = e.select(
-        "id",
-        F.posexplode(F.array(*tables)).alias("tbl", "bucket"),
+    if n_planes is None:
+        # Bucket count tracks corpus size so expected bucket population (and
+        # with it the m² in-bucket pair cost) stays ~constant: planes =
+        # log2(n / target_bucket), floored at 3.  One cheap count() action.
+        n = emb.count()
+        n_planes = max(3, math.ceil(math.log2(max(n / target_bucket, 1.0))))
+    # All n_tables × n_planes projections in one numpy matmul per Arrow
+    # batch (mapInPandas): the interpreted per-element fold of the
+    # column-expression formulation is ~10× slower for this many planes.
+    # Vectors cross the Python boundary once; the output is the SLIM
+    # (id, table-qualified bucket) relation.
+    planes_mat = np.concatenate(
+        [_hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    bits_w = np.array([1 << b for b in range(n_planes)], dtype=np.int64)
+    nt, npl = n_tables, n_planes
+
+    def bucketize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)  # (B, dim)
+            signs = (vecs @ planes_mat.T) >= 0  # (B, nt*npl)
+            codes = signs.reshape(len(vecs), nt, npl) @ bits_w  # (B, nt)
+            codes = codes + (np.arange(nt, dtype=np.int64) << int(npl))
+            ids = np.repeat(pdf["id"].to_numpy(), nt)
+            yield pd.DataFrame({"doc_id": ids, "bh": codes.reshape(-1)})
+
+    keyed = e.mapInPandas(bucketize, "doc_id long, bh long")
+    grouped = (
+        keyed.groupBy("bh")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # Norms are computed once per VECTOR (persisted), so per-PAIR scoring is
+    # one dot + one division instead of three fold-aggregates — the same
+    # dot/(|a|·|b|) float expression as the oracle, just factored.
+    en = e.select("id", "v", l2_norm(F.col("v")).alias("nrm")).persist()
+    va = en.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = en.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     scored = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
         .orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
