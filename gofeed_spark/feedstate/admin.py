@@ -1,0 +1,112 @@
+"""Operational surface of the feed engine: table DDL/migration and
+healthcheck — the Spark twins of AutoMigrate (repo.go:102-104, invoked
+main.go:106-108) and Watcher.Healthcheck (watcher.go:214-239).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import SparkSession
+
+from gofeed_spark.feedstate.model import ITEM_DDL, PARTITION_DDL
+
+FEED_TABLES = {"partitions": PARTITION_DDL, "items": ITEM_DDL}
+
+
+def auto_migrate(spark: SparkSession, base_path: str) -> dict[str, str]:
+    """Create the feed-state tables (empty parquet with the declared schema)
+    when absent; existing tables are evolved in-place by reading with
+    mergeSchema and rewriting any missing columns as typed NULLs — the
+    additive half of Gorm's AutoMigrate, which also never drops columns.
+
+    Returns {table: path}.  On a real deployment this maps to
+    ``CREATE TABLE ... USING delta`` + ``mergeSchema`` evolution.
+    """
+    out = {}
+    for name, ddl in FEED_TABLES.items():
+        path = os.path.join(base_path, name)
+        want = spark.createDataFrame([], ddl)
+        if not os.path.exists(path):
+            want.write.mode("overwrite").parquet(path)
+        else:
+            have = spark.read.option("mergeSchema", "true").parquet(path)
+            missing = [f for f in want.schema.fields if f.name not in have.columns]
+            if missing:
+                from pyspark.sql import functions as F
+
+                for f in missing:
+                    have = have.withColumn(f.name, F.lit(None).cast(f.dataType))
+                tmp = path + "_migrating"
+                have.select([f.name for f in want.schema.fields]).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                old = path + "_old"
+                os.replace(path, old)
+                os.replace(tmp, path)
+                import shutil
+
+                shutil.rmtree(old, ignore_errors=True)
+        out[name] = path
+    return out
+
+
+def healthcheck(
+    spark: SparkSession,
+    processor_check: Callable[[], None] | None = None,
+    timeout: float = 10.0,
+) -> list[str]:
+    """Run the engine and processor health probes concurrently and join
+    their failures (the fan-in of watcher.go:214-239).  Returns a list of
+    error strings — empty means healthy.
+
+    Engine probe = a trivial distributed job (the JVM/scheduler round-trip
+    the reference's DB ping approximates); processor probe = the injectable
+    callable (e.g. an HTTP GET against the processor's health endpoint,
+    httprocessor/processor.go:88-95).
+    """
+    errors: list[str] = []
+
+    def spark_ping() -> None:
+        assert spark.range(1).count() == 1
+
+    probes = {"spark": spark_ping}
+    if processor_check is not None:
+        probes["processor"] = processor_check
+    with ThreadPoolExecutor(max_workers=len(probes)) as pool:
+        futures = {name: pool.submit(fn) for name, fn in probes.items()}
+        for name, fut in futures.items():
+            try:
+                fut.result(timeout=timeout)
+            except Exception as e:  # noqa: BLE001 — join ALL failures
+                errors.append(f"{name}: {e!r}")
+    return errors
+
+
+def http_healthcheck(
+    target: str,
+    endpoint: str = "healthcheck",
+    transport: Callable[[str], int] | None = None,
+    timeout: float = 10.0,
+) -> Callable[[], None]:
+    """Processor health probe: GET target/endpoint, raise on failure
+    (httprocessor/processor.go:88-95).  ``transport(url) -> status`` is
+    injectable for tests."""
+
+    def default_transport(url: str) -> int:
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            return resp.status
+
+    tx = transport or default_transport
+
+    def check() -> None:
+        url = target.rstrip("/") + "/" + endpoint
+        status = tx(url)
+        if not (200 <= status < 300):
+            raise RuntimeError(f"healthcheck HTTP status {status}")
+
+    return check

@@ -59,20 +59,18 @@ def asof_join_last_event(
         F.lit(None).cast("long").alias("__v"),
         F.col(left_keep).cast("long").alias("__keep"),
     )
-    # Right rows first at equal time (side 0 < 1) → inclusive "<=";
-    # among right rows at equal time the largest value is last → running
-    # last() == MAX over the prefix only if values are monotone in sort
-    # order, so sort right rows by value too.
+    # Right rows sort BEFORE left probes at equal time (side 0 < 1), which
+    # gives the inclusive "<=" semantics.  Correctness rests on the running
+    # MAX over the prefix frame — ties among right rows at one timestamp
+    # need no value ordering, max() is order-insensitive.
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__v").asc_nulls_last())
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = r.unionByName(l)
-    # NOTE: running last() carries the LATEST right value ≤ t. The declared
-    # oracle (Q33) uses MAX(event_id) with ts <= date; in the synthetic data
-    # event_id is unique and monotone within (user, ts) ordering only per
-    # timestamp, so we take max-so-far instead of last-so-far:
+    # The declared oracle (Q33) is MAX(value) over right rows with ts <= t;
+    # the running max over the tagged union computes exactly that.
     carried = F.max("__v").over(w)
     return (
         unioned.withColumn(out_col, carried)
