@@ -90,6 +90,7 @@ def topk_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket: int = 100,
+    min_cos: float | None = None,
 ) -> DataFrame:
     """Top-k most-cosine-similar pairs via multi-table SRP-LSH candidates +
     exact re-rank — the 100 TB replacement for the O(n²) ``topk_similar_pairs``.
@@ -157,19 +158,21 @@ def topk_pairs_lsh(
     en = e.select("id", "v", l2_norm(F.col("v")).alias("nrm")).persist()
     va = en.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = en.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    scored = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
-        )
-        .orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-        .limit(k)
+    scored = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a",
+        "id_b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
     )
+    if k == -1:
+        # threshold mode (embedding_neardup_pairs): no global top-k
+        return scored.filter(F.col("cos") >= min_cos).select(
+            "id_a", "id_b", F.round("cos", 6).alias("cos")
+        )
+    topk = scored.orderBy(
+        F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-    return scored.select(F.row_number().over(w).alias("rank"), "id_a", "id_b")
+    return topk.select(F.row_number().over(w).alias("rank"), "id_a", "id_b")
 
 
 def srp_bucket(vec_col, planes: list[list[float]]):
@@ -217,6 +220,100 @@ def lsh_bucket_topk(
     scored = (
         e.filter(F.col("nid") != query_id)
         .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select("nid", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("nid").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return scored.select(
+        F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    min_cos: float = 0.9,
+    n_planes: int | None = None,
+    n_tables: int = 24,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    cos >= min_cos, id_a < id_b — the semantic-dedup operator for training
+    corpora (near-identical items under paraphrase/re-encode survive text
+    dedup but not this).
+
+    Same LSH candidate machinery as ``topk_pairs_lsh`` (linear, slim
+    shuffles) with a threshold filter instead of a global top-k.  At the
+    dedup-relevant regime (cos >= 0.9) candidate recall is ~1; identical
+    vectors are found with certainty (identical projections in every
+    table).
+    """
+    all_pairs = topk_pairs_lsh(
+        emb,
+        k=-1,  # sentinel: no global limit (threshold filter instead)
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        min_cos=min_cos,
+    )
+    return all_pairs
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    every vector to its nearest of ``n_cells`` centroids; a query scans only
+    the ``n_probe`` cells nearest to it.
+
+    The coarse centroids are the ``n_cells`` lowest-id vectors — a
+    deterministic seeding (k-means iterations would tighten the cells but
+    add nothing structural; the partition-prune shape is identical).  At
+    warehouse scale the corpus is WRITTEN partitioned by ``cell`` so the
+    probe is partition pruning on disk; here it is a filtered scan.
+
+    Cell assignment is one numpy matmul per Arrow batch against the
+    broadcast centroid matrix (n_cells × dim — always tiny); scoring within
+    probed cells is the same JVM dot-product path as brute_topk.
+    """
+    import pandas as pd
+
+    e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
+    cents = (
+        e.orderBy("nid").limit(n_cells).collect()
+    )  # n_cells × dim — the coarse codebook, tiny by construction
+    cmat = np.array([r.v for r in cents], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+            sims = (vecs @ cmat.T) / (
+                np.linalg.norm(vecs, axis=1)[:, None] * cnorm[None, :]
+            )
+            yield pd.DataFrame(
+                {"nid": pdf["nid"], "v": pdf["v"], "cell": sims.argmax(axis=1)}
+            )
+
+    cells = e.mapInPandas(assign, "nid long, v array<double>, cell int").persist()
+    q = cells.filter(F.col("nid") == query_id).collect()[0]
+    qv = np.array(q.v)
+    qsims = (cmat @ qv) / (cnorm * np.linalg.norm(qv))
+    probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
+    qdf = cells.sparkSession.createDataFrame([(q.v,)], "qv array<double>")
+    scored = (
+        cells.filter(F.col("cell").isin(probe) & (F.col("nid") != query_id))
+        .crossJoin(F.broadcast(qdf))
         .select("nid", cosine(F.col("v"), F.col("qv")).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)

@@ -422,6 +422,58 @@ def q56(spark, sf_dir):
 
 
 @query(
+    "q59_embedding_neardup",
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))), 6) AS cos
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))) >= 0.9
+ORDER BY id_a, id_b
+""",
+)
+def q59(spark, sf_dir):
+    """Embedding-cosine near-dup (semantic dedup) on a corpus with cloned
+    vectors: LSH candidates + threshold filter must recover exactly the
+    pairs the exact O(n²) oracle finds at cos >= 0.9 (the clones, found
+    with certainty — identical vectors share every bucket)."""
+    emb = T(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(clones)
+    return similarity.embedding_neardup_pairs(corpus, min_cos=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q60_ivf_self_match",
+    oracle="""
+SELECT 1 AS rank, MAX(vec_id) + 10000000 AS neighbor_id FROM embeddings
+""",
+)
+def q60(spark, sf_dir):
+    """IVF coarse-quantized ANN: a clone of the query vector quantizes to
+    the query's own cell, so probing must rank it first — checks cell
+    assignment + probe + scoring end-to-end."""
+    emb = T(spark, sf_dir, "embeddings")
+    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    clone = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(max_id + 10_000_000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clone)
+    out = similarity.ivf_topk(corpus, query_id=1, k=3, n_cells=16, n_probe=4)
+    return out.filter(F.col("rank") == 1)
+
+
+@query(
     "q57_ann_lsh_self_match",
     oracle="""
 SELECT 1 AS rank, MAX(vec_id) + 10000000 AS neighbor_id FROM embeddings

@@ -8,6 +8,8 @@ import pytest
 
 from gofeed_spark.operators.similarity import (
     brute_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
     label_centroid_norms,
     lsh_bucket_topk,
     topk_pairs_lsh,
@@ -62,6 +64,20 @@ def test_topk_pairs_lsh_no_nested_loop(emb):
     plan = topk_pairs_lsh(emb, k=2, n_planes=2, n_tables=8, dim=2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_threshold(emb):
+    # only the parallel pair (1,2) has cos >= 0.9; (1,5)/(2,5) are at ~0.707
+    out = rows(
+        embedding_neardup_pairs(emb, min_cos=0.9, n_planes=2, n_tables=8, dim=2),
+        "id_a", "id_b",
+    )
+    assert out == {(1, 2)}
+
+
+def test_ivf_topk_finds_parallel_vector(emb):
+    out = dict(rows(ivf_topk(emb, query_id=1, k=2, n_cells=2, n_probe=2), "rank", "neighbor_id"))
+    assert out[1] == 2  # cos=1 parallel vector ranked first
 
 
 def test_label_centroid_norms(emb):
