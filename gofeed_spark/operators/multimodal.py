@@ -85,6 +85,61 @@ def extract_features(media: DataFrame, n_feat: int = 8) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize as Arrow-batched mapInPandas.  The pixel transform is a
+    STUB (no imaging library in this container): output bytes are a
+    deterministic function of (input sha256, target dims) so the plumbing —
+    schema, batch shape, partition-parallel execution — is real and
+    testable; swap ``_stub_resize`` for PIL's ``Image.resize`` in a real
+    deployment and nothing else changes."""
+
+    def _stub_resize(content: bytes) -> bytes:
+        seed = hashlib.sha256(content + f"{width}x{height}".encode()).digest()
+        return seed  # stand-in for the resized pixel buffer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": pdf["content"].map(lambda b: _stub_resize(bytes(b))),
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, width int, height int, content binary"
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling: one input blob → up to ``max_frames`` rows
+    (media_id, frame_idx, frame BINARY) — a flatMap-shaped mapInPandas (the
+    output rows-per-input are data-dependent, which is why this is not a
+    1:1 pandas UDF).  Frame extraction is a STUB deriving deterministic
+    frame bytes from (blob sha256, frame index); swap for ffmpeg/pyav
+    decode in a real deployment.  Scales per-blob across executor cores;
+    no driver involvement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                # stub: pretend the blob has len(blob)//every_n frames
+                n = min(max_frames, max(len(blob) // max(every_n, 1), 1))
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i * every_n)
+                    out["frame"].append(
+                        hashlib.sha256(blob + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, "media_id long, frame_idx int, frame binary")
+
+
 def media_byte_stats(media: DataFrame) -> DataFrame:
     """JVM-side byte stats over the binary column (no Python): length and
     md5 — the portable subset used for the oracle check."""

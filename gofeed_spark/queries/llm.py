@@ -319,6 +319,24 @@ def q46(spark, sf_dir):
     return feats.select("media_id", "media_type", "byte_len", "sha_prefix")
 
 
+# --- multimodal: video frame sampling (flatMap-shaped mapInPandas; frame
+# indices are DuckDB-expressible so the fan-out plumbing is hash-checked) -----
+@query(
+    "q61_frame_sample",
+    oracle="""
+SELECT doc_id AS media_id, CAST((i - 1) * 10 AS INTEGER) AS frame_idx
+FROM documents,
+     LATERAL (SELECT UNNEST(range(1, LEAST(8, GREATEST(strlen(text) // 10, 1)) + 1)) AS i) t
+ORDER BY media_id, frame_idx
+""",
+)
+def q61(spark, sf_dir):
+    media = multimodal.docs_as_media(T(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, every_n=10, max_frames=8).select(
+        "media_id", "frame_idx"
+    )
+
+
 # =============================================================================
 # Non-vacuous dedup + LSH invariant checks.  The synthetic documents table has
 # ZERO exact duplicates (q27/q28 pass vacuously), so these queries build a

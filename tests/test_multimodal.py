@@ -44,6 +44,33 @@ def test_extract_features_schema_and_determinism(media):
     assert r2[1].feature == r[1].feature
 
 
+def test_resize_deterministic_schema(media):
+    from gofeed_spark.operators.multimodal import resize_images
+
+    out = {r.media_id: r for r in resize_images(media, 224, 224).collect()}
+    assert out[1].width == 224 and out[1].height == 224
+    assert isinstance(out[1].content, (bytes, bytearray))
+    out2 = {r.media_id: r for r in resize_images(media, 224, 224).collect()}
+    assert bytes(out[1].content) == bytes(out2[1].content)  # deterministic
+    out3 = {r.media_id: r for r in resize_images(media, 64, 64).collect()}
+    assert bytes(out[1].content) != bytes(out3[1].content)  # dims matter
+
+
+def test_sample_frames_fanout(media):
+    from gofeed_spark.operators.multimodal import sample_frames
+
+    rows_ = sample_frames(media, every_n=10, max_frames=8).collect()
+    by_id = {}
+    for r in rows_:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    # "hello world" = 11 bytes -> 1 frame; empty doc -> floor 1 frame
+    assert by_id[1] == [0]
+    assert by_id[3] == [0]
+    # frames are distinct deterministic blobs
+    frames = [bytes(r.frame) for r in rows_ if r.media_id == 1]
+    assert len(set(frames)) == len(frames)
+
+
 def test_media_byte_stats_jvm_side(media):
     r = {x.media_id: x for x in media_byte_stats(media).collect()}
     assert r[2].byte_len == len(b"spark engine")
