@@ -48,8 +48,16 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(doc_id, sh: array<long>) — distinct k-shingles HASHED to 64-bit ints
+    at construction, so everything downstream (explode, band shuffles, the
+    64 minhash functions) operates on 8-byte keys instead of ~40-byte
+    strings.  Within-doc hash collisions (~n²/2⁶⁴) are negligible against
+    the exact-Jaccard oracle."""
     toks = ws_tokens(text_col)
-    return docs.select(F.col(id_col).alias("doc_id"), shingles(toks, k).alias("sh"))
+    hashed = F.array_distinct(
+        F.transform(shingles(toks, k), lambda s: F.xxhash64(s))
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), hashed.alias("sh"))
 
 
 def _group_pairs(keyed: DataFrame, key: str, df_cap: int | None) -> DataFrame:
@@ -99,9 +107,7 @@ def ngram_jaccard_pairs(
     # disk under pressure; at warehouse scale materialize it as a table).
     sh = _doc_shingles(docs, text_col, id_col, k).persist()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
-    )
+    ex = sh.select("doc_id", F.explode("sh").alias("h"))
     shared = (
         _group_pairs(ex, "h", df_cap)
         .groupBy("doc_a", "doc_b")
