@@ -118,16 +118,20 @@ ORDER BY l_returnflag, l_linestatus
 """,
 )
 def q06(spark, sf_dir):
-    # Decimal math internally (exact, order-independent sums); the FINAL
-    # column is cast to DOUBLE on both sides — decimal client-side rendering
-    # differs between engines and breaks the driver's value hash.
+    # Exact fixed-point aggregation in LONG cents: round(x*100) recovers the
+    # exact 2-decimal value, the long sum stays in whole-stage codegen
+    # (Spark's DECIMAL sum is an order of magnitude slower), and /100.0 at
+    # the end lands on the same IEEE double as the oracle's
+    # DECIMAL-sum→DOUBLE cast.  Headroom: 9.2e18 cents ≈ 9e4 trillion —
+    # safe at any TPC-H scale factor.
     l = T(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
     return (
         l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(D18_2)).cast("double").alias("sq"),
-            F.sum(F.col("l_extendedprice").cast(D18_2)).cast("double").alias("sp"),
+            (F.sum(cents("l_quantity")) / 100.0).alias("sq"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sp"),
             F.count("*").alias("n"),
         )
     )
