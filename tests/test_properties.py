@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): the columnar gate/retry engines must
+agree with a direct Python model of the reference's logic on arbitrary
+inputs — beyond the hand-picked fixtures.
+
+Model functions are transcriptions of the decision ladder
+(watcher.go:147-161) and Item.error (item.go:27-38) semantics; the Spark
+implementations under test are independent set-based formulations, so
+agreement is a meaningful check, not a tautology.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gofeed_spark.feedstate.engine import apply_process_results, gate_decision
+from gofeed_spark.feedstate.model import AVAILABLE, COMPLETE, FAILED, ITEM_DDL, PARTITION_DDL
+
+STATUSES = [0, AVAILABLE, COMPLETE, FAILED]
+
+item_st = st.tuples(
+    st.integers(0, 3),  # gate
+    st.sampled_from(STATUSES),
+)
+partition_st = st.tuples(
+    st.integers(0, 3),  # gate
+    st.sampled_from(STATUSES),
+    st.lists(item_st, max_size=6),
+)
+
+
+def model_decision(p_gate, p_status, items, manual_checkpoint, auto_close):
+    if p_status == COMPLETE:
+        return p_gate, p_status
+    failed = sum(1 for g, s in items if s == FAILED)
+    avail = sum(1 for g, s in items if s == AVAILABLE)
+    at_gate = sum(1 for g, s in items if s == AVAILABLE and g == p_gate)
+    if failed > 0:
+        return p_gate, FAILED
+    if avail > 0:
+        return (p_gate + 1 if at_gate == 0 and not manual_checkpoint else p_gate), AVAILABLE
+    return p_gate, (COMPLETE if auto_close else p_status)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(parts=st.lists(partition_st, min_size=1, max_size=4),
+       manual=st.booleans(), auto=st.booleans())
+def test_gate_decision_matches_model(spark, parts, manual, auto):
+    prows, irows = [], []
+    expected = {}
+    for pi, (g, s, items) in enumerate(parts):
+        pid = f"p{pi}"
+        prows.append((pid, 0, g, s))
+        for ii, (ig, istat) in enumerate(items):
+            irows.append((f"{pid}_i{ii}", 0, 0, pid, ig, istat, "", "{}"))
+        eg, es = model_decision(g, s, items, manual, auto)
+        expected[pid] = (eg, es)
+    pdf = spark.createDataFrame(prows, PARTITION_DDL)
+    idf = spark.createDataFrame(irows, ITEM_DDL) if irows else spark.createDataFrame([], ITEM_DDL)
+    out = {
+        r.id: (r.gate, r.status)
+        for r in gate_decision(pdf, idf, manual_checkpoint=manual, auto_close=auto).collect()
+    }
+    assert out == expected
+
+
+def model_error(retry_count, error_messages, status, msg, no_retry, max_retries):
+    retry_count += 1
+    if error_messages == "":
+        error_messages = msg
+    elif error_messages != msg:
+        error_messages = error_messages + "\n" + msg
+    if no_retry or (retry_count > max_retries and max_retries >= 0):
+        status = FAILED
+    return retry_count, error_messages, status
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rc=st.integers(0, 7),
+    prior=st.sampled_from(["", "boom", "a\nb"]),
+    msg=st.sampled_from(["boom", "crash", "a\nb"]),
+    no_retry=st.booleans(),
+    max_retries=st.sampled_from([-1, 0, 3, 5]),
+)
+def test_retry_engine_matches_model(spark, rc, prior, msg, no_retry, max_retries):
+    items = spark.createDataFrame(
+        [("x", 0, rc, "p", 0, AVAILABLE, prior, "{}")], ITEM_DDL
+    )
+    results = spark.createDataFrame(
+        [("x", 0, False, "", msg, no_retry)],
+        "id string, next_gate int, complete boolean, new_data string, "
+        "error_msg string, no_retry boolean",
+    )
+    got = apply_process_results(items, results, max_retries=max_retries).collect()[0]
+    erc, eem, est = model_error(rc, prior, AVAILABLE, msg, no_retry, max_retries)
+    assert (got.retry_count, got.error_messages, got.status) == (erc, eem, est)
