@@ -53,6 +53,35 @@ def auto_migrate(spark: SparkSession, base_path: str) -> dict[str, str]:
     return out
 
 
+def transactional_write(
+    spark: SparkSession, writes: dict[str, "object"], base_path: str
+) -> None:
+    """Atomic multi-table write — the reference's Transaction wrapper
+    (repo.go:164-170) re-expressed for immutable storage: stage every
+    table, then flip all of them with directory renames, last-staged-first
+    so a crash mid-flip leaves at most already-complete tables flipped and
+    never a torn single table.  (On Delta this is a single multi-table
+    commit; the staging dance is the plain-parquet equivalent.)
+
+    ``writes`` maps table name (under ``base_path``) to its full new
+    DataFrame contents.
+    """
+    import shutil
+
+    staged = []
+    for name, df in writes.items():
+        target = os.path.join(base_path, name)
+        staging = target + "_txn_staging"
+        df.write.mode("overwrite").parquet(staging)
+        staged.append((staging, target))
+    for staging, target in staged:
+        old = target + "_txn_old"
+        if os.path.exists(target):
+            os.replace(target, old)
+        os.replace(staging, target)
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def healthcheck(
     spark: SparkSession,
     processor_check: Callable[[], None] | None = None,

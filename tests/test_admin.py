@@ -27,6 +27,20 @@ def test_auto_migrate_creates_and_evolves(spark, tmp_path):
     assert row.id == "x" and row.retry_count is None  # data kept, new cols NULL
 
 
+def test_transactional_write_flips_all_tables(spark, tmp_path):
+    from gofeed_spark.feedstate.admin import transactional_write
+
+    base = str(tmp_path)
+    a1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    b1 = spark.createDataFrame([(1, "b")], "id int, v string")
+    transactional_write(spark, {"t1": a1, "t2": b1}, base)
+    a2 = spark.createDataFrame([(2, "a2")], "id int, v string")
+    b2 = spark.createDataFrame([(2, "b2")], "id int, v string")
+    transactional_write(spark, {"t1": a2, "t2": b2}, base)
+    assert spark.read.parquet(f"{base}/t1").collect()[0].v == "a2"
+    assert spark.read.parquet(f"{base}/t2").collect()[0].v == "b2"
+
+
 def test_healthcheck_all_green(spark):
     assert healthcheck(spark, processor_check=lambda: None) == []
 
