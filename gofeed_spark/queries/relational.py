@@ -534,6 +534,119 @@ def q26(spark, sf_dir):
     )
 
 
+# --- Q62 JSON functions (payload extraction — the engine-side twin of the
+# reference's opaque JSON item payloads, httprocessor/processor.go:21-31) ----
+@query(
+    "q62_json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+            THEN 'hi' ELSE 'lo' END AS k_band
+FROM events ORDER BY event_id
+""",
+)
+def q62(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
+    )
+
+
+# --- Q63 cube (full grouping-set lattice; rollup is Q09) --------------------
+@query(
+    "q63_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n
+""",
+)
+def q63(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- Q64 exact percentiles --------------------------------------------------
+@query(
+    "q64_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def q64(spark, sf_dir):
+    # exact interpolated percentile (matches quantile_cont); the scale path
+    # for sketchy quantiles is percentile_approx — not oracle-comparable.
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+# --- Q65 pivot (wide conditional aggregation) -------------------------------
+@query(
+    "q65_pivot",
+    oracle="""
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_n,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_n,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_n
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def q65(spark, sf_dir):
+    # df.groupBy().pivot() with explicit values — one shuffle, no second
+    # pass to discover the pivot domain.
+    e = T(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("click", F.lit(0)).alias("click_n"),
+        F.coalesce("view", F.lit(0)).alias("view_n"),
+        F.coalesce("purchase", F.lit(0)).alias("purchase_n"),
+    )
+
+
+# --- Q66 array functions ----------------------------------------------------
+@query(
+    "q66_array_funcs",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_toks,
+       array_to_string(list_sort(toks)[1:3], ',') AS first3,
+       list_contains(toks, 'the') AS has_the
+FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents) t
+ORDER BY doc_id
+""",
+)
+def q66(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.slice(F.sort_array(toks), 1, 3), ",").alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )
+
+
 # --- Q31 sessionization (gaps-and-islands; batch twin of session_window) --------------------
 @query(
     "q31_sessionization",
