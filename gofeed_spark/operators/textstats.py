@@ -19,11 +19,15 @@ _ES_MARKERS = (" el ", " la ", " los ", " de ")
 
 
 def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds n_tokens_ws (whitespace) and n_tokens_re (regex word) columns."""
+    """Adds n_tokens_ws (whitespace) and n_tokens_re (regex word) columns.
+
+    ``regexp_count`` counts matches without materializing the token array
+    (regexp_extract_all + size allocates every token string just to throw
+    it away — measurably slower on a full-corpus pass)."""
     t = F.col(text_col)
     ws = (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1).cast("int")
     return docs.withColumn("n_tokens_ws", ws).withColumn(
-        "n_tokens_re", F.size(re_tokens(t))
+        "n_tokens_re", F.regexp_count(F.lower(t), F.lit(TOKEN_RE)).cast("int")
     )
 
 

@@ -110,20 +110,32 @@ class FeedRunner:
             "id",
             F.col("version").alias("__old_v"),
             F.col("updated_at").alias("__old_ts"),
+            F.col("status").alias("__old_status"),
         )
-        out_items = (
-            new_items.join(prev, "id", "left")
-            .withColumn(
-                "updated_at",
-                F.when(
-                    F.col("version") > F.coalesce(F.col("__old_v"), F.lit(-1)),
-                    F.lit(tick),
-                )
-                .otherwise(F.coalesce(F.col("__old_ts"), F.lit(0)))
-                .cast("long"),
+        joined = new_items.join(prev, "id", "left")
+        out_items = joined.withColumn(
+            "updated_at",
+            F.when(
+                F.col("version") > F.coalesce(F.col("__old_v"), F.lit(-1)),
+                F.lit(tick),
             )
-            .drop("__old_v", "__old_ts")
+            .otherwise(F.coalesce(F.col("__old_ts"), F.lit(0)))
+            .cast("long"),
+        ).drop("__old_v", "__old_ts", "__old_status")
+        # Dead-letter routing: items that TRANSITIONED to Failed this step
+        # (retries exhausted or non-retryable — item.go:35-37) are appended
+        # to an immutable log with their error trail, exactly once.
+        from gofeed_spark.feedstate.model import FAILED as _FAILED
+
+        dead = joined.filter(
+            (F.col("status") == _FAILED)
+            & (F.coalesce(F.col("__old_status"), F.lit(-1)) != _FAILED)
+        ).select(
+            "id", "partition_id", "gate", "retry_count", "error_messages", "data",
+            F.lit(tick).alias("failed_at_tick"),
         )
+        if not dead.isEmpty():
+            dead.write.mode("append").parquet(os.path.join(self.base, "dead_letter"))
         from gofeed_spark.feedstate.admin import transactional_write
 
         transactional_write(

@@ -53,6 +53,13 @@ def test_streaming_feed_reaches_reference_goldens(spark, tmp_path):
     assert parts["p2_gate"] == (FAILED, 0)
     assert all(s == COMPLETE for p, (s, g) in parts.items() if p.startswith("p1"))
 
+    # dead-letter log: exactly the items that transitioned to Failed, once
+    dead = spark.read.parquet(os.path.join(base, "dead_letter"))
+    dl = sorted(r.id for r in dead.collect())
+    assert dl == ["s10_ready_should_fail", "s13_gate_fail", "s6_owned_should_fail"]
+    assert all(r.retry_count == 4 for r in dead.collect())  # MaxRetries=3 + 1
+    assert all("moving to failed item" in r.error_messages for r in dead.collect())
+
     # crash-idempotency: re-delivering an already-committed batch is a no-op
     before = {tuple(r) for r in runner.items().collect()}
     poison = spark.createDataFrame([(1,)], "x int")
