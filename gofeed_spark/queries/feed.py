@@ -233,6 +233,42 @@ def q51(spark, sf_dir):
     ).orderBy("partition_id")
 
 
+# Engine modes (watcher.go:30-35): ManualCheckpoint freezes gate
+# advancement (an operator advances gates out-of-band); !AutoClose leaves
+# exhausted partitions in their prior status instead of Complete.
+@query(
+    "q67_feed_manual_checkpoint",
+    oracle=f"""
+WITH p AS (SELECT * FROM {_P_VALUES}),
+     i AS (SELECT * FROM {_I_VALUES}),
+     c AS (
+       SELECT p.id,
+              SUM(CASE WHEN i.status = 3 THEN 1 ELSE 0 END) AS failed_n,
+              SUM(CASE WHEN i.status = 1 THEN 1 ELSE 0 END) AS avail_n
+       FROM p LEFT JOIN i ON i.partition_id = p.id
+       GROUP BY p.id
+     )
+SELECT p.id AS partition_id,
+       CASE WHEN p.status = 2 THEN p.status
+            WHEN c.failed_n > 0 THEN 3
+            WHEN c.avail_n > 0 THEN 1
+            ELSE p.status END AS status,
+       p.gate AS gate
+FROM p JOIN c ON c.id = p.id
+ORDER BY partition_id
+""",
+)
+def q67(spark, sf_dir):
+    """Single tick under ManualCheckpoint + !AutoClose: gates never bump,
+    exhausted partitions keep their prior status."""
+    parts, items = seed_dataframes(spark)
+    return (
+        gate_decision(parts, items, manual_checkpoint=True, auto_close=False)
+        .select(F.col("id").alias("partition_id"), "status", "gate")
+        .orderBy("partition_id")
+    )
+
+
 # OCC upsert fixture: version match, version miss (stale), absent key
 # (insert), untouched target row.
 _OCC_TARGET = [("a", 2, "old_a"), ("b", 5, "old_b"), ("c", 0, "old_c")]
