@@ -66,8 +66,13 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
-    # Warm the JVM + parquet footer cache off the clock with a cheap scan.
+    # Warm the JVM + parquet footer cache AND the Python UDF workers off the
+    # clock (executor-side daemons spin up on first Arrow exchange; that
+    # cost is per-session, not per-query).
     QUERIES["q01_scan_project"](spark, sf_dir).limit(1).collect()
+    spark.range(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -324,6 +324,36 @@ def ivf_topk(
     )
 
 
+def label_centroid_norms_udaf(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid norm via a pandas GROUPED_AGG UDAF — the
+    user-defined-aggregate surface (the reference has none; Spark-native
+    engines need one for vector math that built-ins can't fold).
+
+    Semantics identical to ``label_centroid_norms``; the posexplode
+    formulation remains the preferred plan for very wide groups (it never
+    materializes a group's vectors in one worker), while this one is a
+    single shuffle with Arrow-batched numpy per group."""
+    # explicit functionType: this module uses `from __future__ import
+    # annotations`, which stringifies hints and defeats pandas_udf's
+    # annotation-based type inference
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def centroid_norm(vecs):
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        return float(np.sqrt((mat.mean(axis=0) ** 2).sum()))
+
+    return (
+        emb.select(F.col(label_col).alias("label"), as_double_array(vec_col).alias("v"))
+        .groupBy("label")
+        .agg(F.round(centroid_norm("v"), 6).alias("centroid_norm"))
+    )
+
+
 def label_centroid_norms(
     emb: DataFrame,
     label_col: str = "label",

@@ -125,6 +125,24 @@ def q35(spark, sf_dir):
     return similarity.label_centroid_norms(T(spark, sf_dir, "embeddings"))
 
 
+# --- Q68 label centroids via pandas UDAF (same oracle as Q35) ----------------
+@query(
+    "q68_centroids_udaf",
+    oracle="""
+SELECT label, ROUND(SQRT(SUM(m*m)), 6) AS centroid_norm
+FROM (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM embeddings, LATERAL (SELECT UNNEST(range(1, len(embedding)+1)) AS i) t
+      GROUP BY label, i) s
+GROUP BY label ORDER BY label
+""",
+)
+def q68(spark, sf_dir):
+    """The UDAF surface: grouped-agg pandas UDF computing the same centroid
+    norms as Q35's posexplode plan — two independent formulations, one
+    oracle."""
+    return similarity.label_centroid_norms_udaf(T(spark, sf_dir, "embeddings"))
+
+
 # --- token counting ---------------------------------------------------------------------------
 @query(
     "q36_token_count",
