@@ -1,0 +1,69 @@
+"""Generic table IO: format-dispatched reads and partitioned writes.
+
+The reference reads exactly one store (its SQL DB via the ORM); an
+analytics engine needs file-format breadth and, at 100 TB, layout control:
+``write_partitioned`` lays data out so later scans prune partitions
+(static + dynamic partition pruning are free once the directory layout
+exists — check ``PartitionFilters`` in the scan node).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMATS = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
+
+
+def infer_format(path: str) -> str:
+    for suffix, fmt in _FORMATS.items():
+        if path.rstrip("/").endswith(suffix):
+            return fmt
+    return "parquet"
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Read any supported format; csv defaults to header+inferSchema unless
+    an explicit schema is given (explicit schema skips the inference scan —
+    always pass one on the hot path)."""
+    fmt = fmt or infer_format(path)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        if schema is None:
+            reader = reader.option("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partition-laid-out write.  ``partition_by`` columns become directory
+    keys so downstream filters on them prune at plan time;
+    ``maxRecordsPerFile`` bounds file sizes (small-file storms and giant
+    files both hurt at scale)."""
+    out_fmt = fmt or infer_format(path)
+    writer = df.write.format(out_fmt).mode(mode)
+    if out_fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)

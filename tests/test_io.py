@@ -1,0 +1,40 @@
+"""Format-dispatched IO + partition-pruning evidence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gofeed_spark.sources.io import infer_format, read_table, write_partitioned
+from tests.conftest import rows
+
+
+def test_roundtrip_formats(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    for fmt in ["parquet", "csv", "json"]:
+        p = str(tmp_path / f"t.{fmt}")
+        write_partitioned(df, p)
+        back = read_table(spark, p, schema="id int, v string")
+        assert rows(back) == {(1, "a"), (2, "b")}, fmt
+
+
+def test_infer_format():
+    assert infer_format("/x/t.csv") == "csv"
+    assert infer_format("/x/t.json") == "json"
+    assert infer_format("/x/whatever") == "parquet"
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "us" if i % 2 else "eu", i * 1.0) for i in range(100)],
+        "id int, region string, v double",
+    )
+    p = str(tmp_path / "part")
+    write_partitioned(df, p, partition_by=["region"])
+    scan = read_table(spark, p).filter(F.col("region") == "us")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the region filter lands in PartitionFilters (pruned at plan time),
+    # not in the row-level data filters
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1][:200]
+    assert "region" in pf
+    assert scan.count() == 50
