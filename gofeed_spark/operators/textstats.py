@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gofeed_spark.functions.text import TOKEN_RE, normalized_text, re_tokens
+from gofeed_spark.functions.text import TOKEN_RE, normalized_text, re_tokens, ws_tokens
 
 # Stopword marker sets for the portable language-ID heuristic.  Deliberately
 # tiny and LIKE-based so the identical logic is expressible in ANSI SQL for
@@ -68,6 +68,49 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         avg_wl.alias("avg_word_len"),
         quality.alias("quality"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 5, window: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every k-gram, slide a window of ``window`` consecutive k-gram hashes,
+    keep each window's minimum — guarantees any match of length
+    >= k+window-1 shares a fingerprint, with ~2/(window+1) selection
+    density.  The standard local-document-fingerprinting algorithm (the
+    rolling-hash fingerprint the plain md5 ``fingerprint_expr``
+    approximates globally).
+
+    Plan: positional k-gram md5s (codegen) → running window MIN per doc →
+    distinct.  One narrow shuffle on doc_id for the window; md5 hex keeps
+    the hash oracle-expressible (lexicographic MIN agrees across engines).
+    """
+    from pyspark.sql import Window as W
+
+    # Materialize the token array as a projection column FIRST: referencing
+    # the split(...) expression tree inside the transform lambda inlines it
+    # and re-evaluates the split per k-gram (O(tokens²) per doc).
+    with_toks = docs.select(
+        F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("toks")
+    )
+    n = F.size("toks")
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.md5(F.array_join(F.slice("toks", i, k), " "))
+            )
+        ).alias("pos", "h"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
     )
 
 

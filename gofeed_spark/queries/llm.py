@@ -218,6 +218,29 @@ def q39(spark, sf_dir):
     return d.select("doc_id", textstats.fingerprint_expr("text").alias("fp"))
 
 
+# --- Q69 winnowing fingerprints ----------------------------------------------
+@query(
+    "q69_winnowing",
+    oracle=r"""
+WITH g AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(words[i:i+4], ' ')) AS h
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+       LATERAL (SELECT UNNEST(range(1, GREATEST(len(words)-4, 0)+1)) AS i) t
+)
+SELECT DISTINCT doc_id,
+       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+FROM g ORDER BY doc_id, fp
+""",
+)
+def q69(spark, sf_dir):
+    """Winnowing (k=5 grams, window 4): the guarantee-bearing local
+    fingerprinting algorithm; matched against a window-function oracle."""
+    return textstats.winnowing_fingerprints(
+        T(spark, sf_dir, "documents"), k=5, window=4
+    ).orderBy("doc_id", "fp")
+
+
 # --- n-gram Jaccard near-dup pairs (EXACT — the LSH twins below approximate it) ----------------------
 @query(
     "q40_ngram_jaccard_pairs",
