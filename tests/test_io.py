@@ -23,6 +23,24 @@ def test_infer_format():
     assert infer_format("/x/whatever") == "parquet"
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    from gofeed_spark.sources.io import write_bucketed
+
+    left = spark.createDataFrame([(i, i * 2) for i in range(1000)], "k long, a long")
+    right = spark.createDataFrame([(i, i * 3) for i in range(1000)], "k long, b long")
+    write_bucketed(left, "bkt_left", ["k"], n_buckets=8, sort_by=["k"])
+    write_bucketed(right, "bkt_right", ["k"], n_buckets=8, sort_by=["k"])
+    try:
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed equi-join: no Exchange (shuffle) on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, "us" if i % 2 else "eu", i * 1.0) for i in range(100)],
