@@ -624,6 +624,58 @@ def q65(spark, sf_dir):
     )
 
 
+# --- Q70/Q71 sketches: HLL distinct + approximate quantiles ------------------
+# Sketch outputs are engine-internal (not oracle-comparable value-for-value),
+# so the REGISTERED result is the accuracy invariant: sketch vs exact within
+# the sketch's published error bound — a hash-checkable boolean plus the
+# exact value.  The scale story: one pass, fixed memory, mergeable partials.
+@query(
+    "q70_approx_distinct",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_n, true AS within_2pct
+FROM orders
+""",
+)
+def q70(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("exact_n"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_n"),
+    )
+    return agg.select(
+        F.col("exact_n").cast("long").alias("exact_n"),
+        (
+            F.abs(F.col("approx_n") - F.col("exact_n"))
+            <= F.col("exact_n") * 0.02
+        ).alias("within_2pct"),
+    )
+
+
+@query(
+    "q71_approx_quantile",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS exact_p50,
+       true AS approx_within_1pct
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def q71(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= F.abs(F.col("exact_p50")) * 0.01
+        ).alias("approx_within_1pct"),
+    )
+
+
 # --- Q66 array functions ----------------------------------------------------
 @query(
     "q66_array_funcs",
