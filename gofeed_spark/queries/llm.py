@@ -218,6 +218,74 @@ def q39(spark, sf_dir):
     return d.select("doc_id", textstats.fingerprint_expr("text").alias("fp"))
 
 
+# --- Q72 the composed training-corpus pipeline --------------------------------
+@query(
+    "q72_clean_corpus",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, text, lang,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS n_toks,
+         CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+           / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS awl
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text FROM scored
+  WHERE n_toks >= 5 AND awl BETWEEN 2.0 AND 12.0 AND lang = 'en'
+),
+deduped AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT doc_id FROM deduped WHERE rn = 1 ORDER BY doc_id
+""",
+)
+def q72(spark, sf_dir):
+    """The end-to-end corpus-prep pipeline in one plan: quality gate →
+    language filter → exact keep-first dedup → survivor ids.  Each stage is
+    the registered operator composed, not re-implemented — the pipeline a
+    training-data user actually runs."""
+    d = T(spark, sf_dir, "documents")
+    q = textstats.quality_features(d).select("doc_id", "quality")
+    kept = (
+        d.join(q, "doc_id")
+        .filter((F.col("quality") == "ok") & (F.col("lang") == "en"))
+        .select("doc_id", "text")
+    )
+    return dedup.dedup_keep_first(kept)
+
+
+# --- Q73 text cleaning / redaction --------------------------------------------
+@query(
+    "q73_redact_clean",
+    oracle=r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\d{3}[- .]\d{3,4}[- .]\d{4}', '<PHONE>', 'g') AS redacted,
+       LENGTH(text) - LENGTH(regexp_replace(text, '\d', '', 'g')) AS n_digits
+FROM documents ORDER BY doc_id
+""",
+)
+def q73(spark, sf_dir):
+    """PII-shaped redaction (emails, phone-number shapes) + digit counting —
+    pure codegen regexp over every document; the shape of any
+    normalization/scrubbing pass at corpus scale."""
+    d = T(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\d{3}[- .]\d{3,4}[- .]\d{4}"
+    red = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"\d", ""))).alias(
+            "n_digits"
+        ),
+    )
+
+
 # --- Q69 winnowing fingerprints ----------------------------------------------
 @query(
     "q69_winnowing",
