@@ -64,6 +64,43 @@ def test_gate_decision_matches_model(spark, parts, manual, auto):
     assert out == expected
 
 
+ts_st = st.integers(0, 6)  # small timestamp domain forces ties
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rights=st.lists(st.tuples(st.integers(1, 3), ts_st, st.integers(0, 99)), max_size=8),
+    lefts=st.lists(st.tuples(st.integers(1, 3), ts_st), min_size=1, max_size=6),
+)
+def test_asof_join_matches_bruteforce(spark, rights, lefts):
+    import datetime as dt
+
+    from gofeed_spark.operators.asof import asof_join_last_event
+
+    def t(x):
+        return dt.datetime(2024, 1, 1, x)
+
+    right = spark.createDataFrame(
+        [(k, t(x), v) for k, x, v in rights] or [(0, t(0), 0)],
+        "k long, t timestamp, v long",
+    )
+    left = spark.createDataFrame(
+        [(k, t(x), i) for i, (k, x) in enumerate(lefts)],
+        "k long, t timestamp, probe_id long",
+    )
+    out = {
+        r.probe_id: r.asof_value
+        for r in asof_join_last_event(
+            left, right, "k", "k", "t", "t", "v", "probe_id"
+        ).collect()
+    }
+    effective_rights = rights or [(0, 0, 0)]  # mirrors the empty-list fallback row
+    for i, (k, x) in enumerate(lefts):
+        cands = [v for rk, rx, v in effective_rights if rk == k and rx <= x]
+        want = max(cands) if cands else None
+        assert out[i] == want, (i, k, x)
+
+
 def model_error(retry_count, error_messages, status, msg, no_retry, max_retries):
     retry_count += 1
     if error_messages == "":
