@@ -112,11 +112,11 @@ def topk_pairs_lsh(
     exact-oracle comparison at test SF is stable.
     """
     e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+    n = emb.count()  # one cheap action; sizes the plane count AND the scorer
     if n_planes is None:
         # Bucket count tracks corpus size so expected bucket population (and
         # with it the m² in-bucket pair cost) stays ~constant: planes =
-        # log2(n / target_bucket), floored at 3.  One cheap count() action.
-        n = emb.count()
+        # log2(n / target_bucket), floored at 3.
         n_planes = max(3, math.ceil(math.log2(max(n / target_bucket, 1.0))))
     # All n_tables × n_planes projections in one numpy matmul per Arrow
     # batch (mapInPandas): the interpreted per-element fold of the
@@ -146,31 +146,74 @@ def topk_pairs_lsh(
         .agg(F.collect_set("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    # NOTE: candidates are NOT deduplicated here — a pair colliding in t
+    # tables appears t times.  Scoring duplicates in numpy costs ~nothing,
+    # while a dropDuplicates at this stage is a full shuffle of the
+    # candidate set; each consumer below dedups at its (far smaller)
+    # natural point instead.
     cand = (
         grouped.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
-    # Norms are computed once per VECTOR (persisted), so per-PAIR scoring is
-    # one dot + one division instead of three fold-aggregates — the same
-    # dot/(|a|·|b|) float expression as the oracle, just factored.
-    en = e.select("id", "v", l2_norm(F.col("v")).alias("nrm")).persist()
-    va = en.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    vb = en.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    scored = cand.join(va, "id_a").join(vb, "id_b").select(
-        "id_a",
-        "id_b",
-        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
-    )
-    if k == -1:
-        # threshold mode (embedding_neardup_pairs): no global top-k
-        return scored.filter(F.col("cos") >= min_cos).select(
-            "id_a", "id_b", F.round("cos", 6).alias("cos")
+    # Candidate scoring.  Small corpora (fits a broadcast comfortably):
+    # ship the normalized matrix to every Python worker once and score
+    # candidate id-pairs with one numpy gather+einsum per Arrow batch —
+    # candidates cross the boundary as 16-byte id pairs, never vectors.
+    # Large corpora: JVM path — norms precomputed per vector, one dot +
+    # one division per pair (no broadcast of the corpus).
+    BROADCAST_LIMIT = 2_000_000  # vectors; ~1 GB at dim 64
+    if n <= BROADCAST_LIMIT:
+        rows_local = e.collect()  # the same corpus a broadcast join would ship
+        ids_arr = np.array([r.id for r in rows_local], dtype=np.int64)
+        mat = np.array([r.v for r in rows_local], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+        idx_of = {int(i): p for p, i in enumerate(ids_arr)}
+        sc = e.sparkSession.sparkContext
+        b_mat = sc.broadcast(mat)
+        b_idx = sc.broadcast(idx_of)
+
+        def score(batches):
+            import pandas as pd
+
+            m, ix = b_mat.value, b_idx.value
+            for pdf in batches:
+                ia = pdf["id_a"].map(ix).to_numpy()
+                ib = pdf["id_b"].map(ix).to_numpy()
+                cos = np.einsum("ij,ij->i", m[ia], m[ib])
+                yield pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos}
+                )
+
+        scored = cand.mapInPandas(score, "id_a long, id_b long, cos double")
+    else:
+        en = e.select("id", "v", l2_norm(F.col("v")).alias("nrm")).persist()
+        va = en.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+        vb = en.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        scored = cand.join(va, "id_a").join(vb, "id_b").select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
         )
-    topk = scored.orderBy(
-        F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()
-    ).limit(k)
+    if k == -1:
+        # threshold mode (embedding_neardup_pairs): dedup AFTER the
+        # threshold filter, when the set is already small
+        return (
+            scored.filter(F.col("cos") >= min_cos)
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        )
+    # A pair occurs at most n_tables times, so the top k·n_tables scored
+    # rows are guaranteed to contain k distinct pairs: TakeOrdered that
+    # tiny prefix, then dedup driver-cheap rows instead of shuffling the
+    # full candidate set.
+    topk = (
+        scored.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k * n_tables)
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
+    )
     w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
     return topk.select(F.row_number().over(w).alias("rank"), "id_a", "id_b")
 
