@@ -676,6 +676,44 @@ def q71(spark, sf_dir):
     )
 
 
+# --- Q74 multi-resolution time rollup (hypertable continuous-aggregate shape) -
+@query(
+    "q74_time_rollup",
+    oracle="""
+SELECT resolution, bucket, event_type, n, sv FROM (
+  SELECT 'hour' AS resolution, DATE_TRUNC('hour', ts) AS bucket, event_type,
+         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'day', DATE_TRUNC('day', ts), event_type,
+         COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+  FROM events GROUP BY 2, 3
+) t ORDER BY resolution, bucket, event_type
+""",
+)
+def q74(spark, sf_dir):
+    """Multi-resolution rollup in ONE scan: grouping-sets over pre-computed
+    hour/day truncations (the hypertable continuous-aggregate shape) — the
+    engine reads events once and emits every resolution, vs one scan per
+    resolution for the naive union (which the oracle spells out)."""
+    e = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast(D18_4).alias("v"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+    )
+    gs = e.groupingSets(
+        [["h", "event_type"], ["d", "event_type"]], "h", "d", "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("v").cast("double").alias("sv"))
+    return gs.select(
+        F.when(F.col("h").isNotNull(), "hour").otherwise("day").alias("resolution"),
+        F.coalesce("h", "d").alias("bucket"),
+        "event_type",
+        "n",
+        "sv",
+    )
+
+
 # --- Q66 array functions ----------------------------------------------------
 @query(
     "q66_array_funcs",
