@@ -286,6 +286,66 @@ def q73(spark, sf_dir):
     )
 
 
+# --- Q75 deterministic train/validation split ---------------------------------
+@query(
+    "q75_train_test_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+            THEN 'train' ELSE 'val' END AS split
+FROM documents ORDER BY doc_id
+""",
+)
+def q75(spark, sf_dir):
+    """Content-addressed 80/20 split: the assignment is a pure function of
+    the id (md5 prefix mod 10), so it is reproducible across engines, runs,
+    and re-shards — the property random samplers lack.  No shuffle at all:
+    a projection over the scan."""
+    d = T(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10
+    return d.select(
+        "doc_id", F.when(bucket < 8, "train").otherwise("val").alias("split")
+    )
+
+
+# --- Q76 greedy token packing --------------------------------------------------
+@query(
+    "q76_token_packing",
+    oracle="""
+SELECT doc_id, n_toks,
+       CAST(FLOOR((run - n_toks) / 2048) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, n_toks,
+         SUM(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM (SELECT doc_id, LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_toks FROM documents) t
+) s ORDER BY doc_id
+""",
+)
+def q76(spark, sf_dir):
+    """Sequence packing for training: documents stream in id order and a
+    running token count assigns each to a ~2048-token pack (the standard
+    streaming approximation of bin packing — deterministic, one window
+    pass).  pack_id = floor(tokens-before-this-doc / budget)."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf_dir, "documents")
+    n_toks = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        d.select("doc_id", n_toks.alias("n_toks"))
+        .withColumn("run", F.sum("n_toks").over(w))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.floor((F.col("run") - F.col("n_toks")) / 2048).alias("pack_id"),
+        )
+    )
+
+
 # --- Q69 winnowing fingerprints ----------------------------------------------
 @query(
     "q69_winnowing",
