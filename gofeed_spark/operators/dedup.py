@@ -167,24 +167,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures.
 
-    h_i(shingle) = xxhash64(i, shingle) — deterministic, JVM-side, no
-    Python.  Signature = min over the doc's shingles per i.  Docs with no
-    shingles are dropped (nothing to compare).
-
-    Shape: explode shingles → widen to num_hashes min-aggregates in ONE
-    hash-aggregate pass (map-side partial min → final min), then assemble
-    the signature array.  Everything stays in whole-stage codegen — the
-    nested higher-order-function formulation is interpreted per element and
-    benchmarked ~20× slower.
+    h_i(s) = multiply-shift transform of the 64-bit shingle hash
+    (a_i·s + b_i over uint64 wraparound — a standard universal-ish family),
+    minimized per doc across shingles.  Computed alongside shingling in the
+    SAME Arrow batch as one numpy (n_shingles × num_hashes) broadcasted
+    min-reduce — no explode, no 64-way aggregate, no second shuffle; the
+    signature leaves the worker already assembled.  Deterministic
+    (fixed seeds).  Docs with no shingles are dropped.
     """
-    sh = _doc_shingles(docs, text_col, id_col, k).filter(F.size("sh") > 0)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    mins = ex.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    import numpy as np
+
+    rng = np.random.RandomState(9172)
+    A = rng.randint(1, 2**63 - 1, size=num_hashes, dtype=np.int64).astype(np.uint64) | np.uint64(1)
+    B = rng.randint(0, 2**63 - 1, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    sh = _doc_shingles(docs, text_col, id_col, k)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, hs in zip(pdf["doc_id"], pdf["sh"]):
+                if len(hs) == 0:
+                    continue
+                s = np.array(hs, dtype=np.int64).astype(np.uint64)
+                # (n_sh, num_hashes) wraparound multiply-shift, min over shingles
+                sig = (s[:, None] * A[None, :] + B[None, :]).min(axis=0)
+                ids.append(did)
+                sigs.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return sh.mapInPandas(run, "doc_id long, sig array<long>")
 
 
 def minhash_lsh_pairs(
