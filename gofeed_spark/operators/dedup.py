@@ -258,31 +258,47 @@ def minhash_lsh_pairs(
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash hi/lo as two non-negative ints) 64-bit SimHash.
 
-    Per-token xxhash64 → each bit votes ±1 → fingerprint bit b set when the
-    vote sum is positive.  Bit extraction via shiftright/&1 stays in
-    codegen; the fingerprint is returned as two 32-bit halves to avoid
-    BIGINT sign traps in downstream engines.
+    Per-token blake2b-8 hash → each bit votes ±1 → fingerprint bit b set
+    when the vote sum is positive.  The whole per-document computation is
+    one numpy unpackbits/sum in the Arrow worker (the 64-sum-aggregate
+    columnar formulation shuffles 64 longs per doc and runs the bit
+    extraction per token per bit — measurably slower); the fingerprint is
+    returned as two 32-bit halves to avoid BIGINT sign traps downstream.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(ws_tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
-    )
-    hi = sum(
-        (F.when(F.col(f"v{b}") > 0, 1).otherwise(0) * F.lit(1 << (b - 32)))
-        for b in range(32, 64)
-    )
-    lo = sum(
-        (F.when(F.col(f"v{b}") > 0, 1).otherwise(0) * F.lit(1 << b)) for b in range(32)
-    )
-    return votes.select(
-        "doc_id", hi.cast("long").alias("sim_hi"), lo.cast("long").alias("sim_lo")
+    import hashlib
+    import re
+
+    import numpy as np
+
+    def run(batches):
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(text.lower())
+                if not toks:
+                    continue
+                hs = np.frombuffer(
+                    b"".join(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest()
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                    np.int32
+                )
+                votes = (bits * 2 - 1).sum(axis=0)
+                fp = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                ids.append(did)
+                his.append((fp >> 32) & 0xFFFFFFFF)
+                los.append(fp & 0xFFFFFFFF)
+            yield pd.DataFrame({"doc_id": ids, "sim_hi": his, "sim_lo": los})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, "doc_id long, sim_hi long, sim_lo long"
     )
 
 

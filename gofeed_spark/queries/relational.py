@@ -624,6 +624,35 @@ def q65(spark, sf_dir):
     )
 
 
+# --- Q77 remaining window functions: ntile, percent_rank, first/last_value ---
+@query(
+    "q77_window_misc",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       FIRST_VALUE(o_orderkey) OVER w AS first_ord,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def q77(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.first("o_orderkey").over(w).alias("first_ord"),
+        F.last("o_orderkey").over(w_full).alias("last_ord"),
+    )
+
+
 # --- Q70/Q71 sketches: HLL distinct + approximate quantiles ------------------
 # Sketch outputs are engine-internal (not oracle-comparable value-for-value),
 # so the REGISTERED result is the accuracy invariant: sketch vs exact within
