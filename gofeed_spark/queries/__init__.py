@@ -6,9 +6,9 @@ driver's correctness gate compares the two at sf0.01.
 """
 
 from gofeed_spark.queries.registry import QUERIES, ORACLES, query, get_query
-import gofeed_spark.queries.relational  # noqa: F401  (registers Q01-Q26)
-import gofeed_spark.queries.llm  # noqa: F401  (registers Q27-Q35 + pipeline ops)
-import gofeed_spark.queries.feed  # noqa: F401  (registers Q47-Q51 feed-state layer)
-import gofeed_spark.queries.streaming_q  # noqa: F401  (registers Q52 streaming gate)
+import gofeed_spark.queries.relational  # noqa: F401  (Q01-Q26, Q62-Q66, Q70/Q71, Q74, Q77)
+import gofeed_spark.queries.llm  # noqa: F401  (Q27-Q46, Q53-Q61, Q68/Q69, Q72/Q73, Q75/Q76)
+import gofeed_spark.queries.feed  # noqa: F401  (Q47-Q51, Q67 feed-state layer)
+import gofeed_spark.queries.streaming_q  # noqa: F401  (Q52 streaming gate)
 
 __all__ = ["QUERIES", "ORACLES", "query", "get_query"]
