@@ -346,6 +346,45 @@ def q76(spark, sf_dir):
     )
 
 
+# --- Q78 UDTF surface: sentence splitting as a table function ------------------
+@query(
+    "q78_udtf_sentences",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 0, 'First sentence.', 15),
+  (1, 1, 'Second one!', 11),
+  (1, 2, 'And a third?', 12),
+  (2, 0, 'Only one here.', 14),
+  (3, 0, 'Trailing spaces handled.', 24)
+) AS g(doc_id, pos, sentence, n_chars)
+ORDER BY doc_id, pos
+""",
+)
+def q78(spark, sf_dir):
+    """Python UDTF (one row in, N rows out) driven through SQL LATERAL —
+    checked against golden outputs on a fixed fixture (sentence splitting
+    uses lookbehind, which DuckDB's RE2 cannot express directly)."""
+    from gofeed_spark.functions.udtf_text import register_udtfs
+
+    register_udtfs(spark)
+    fixture = spark.createDataFrame(
+        [
+            (1, "First sentence. Second one! And a third?"),
+            (2, "Only one here."),
+            (3, "Trailing spaces handled.   "),
+        ],
+        "doc_id int, text string",
+    )
+    fixture.createOrReplaceTempView("udtf_fixture")
+    return spark.sql(
+        """
+        SELECT f.doc_id, s.pos, s.sentence, s.n_chars
+        FROM udtf_fixture f, LATERAL split_sentences(f.text) s
+        ORDER BY f.doc_id, s.pos
+        """
+    )
+
+
 # --- Q69 winnowing fingerprints ----------------------------------------------
 @query(
     "q69_winnowing",
