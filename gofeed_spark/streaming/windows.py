@@ -31,6 +31,50 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins, state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` expires
+    seen-keys once they age out) — the streaming twin of the batch
+    keep-first dedup, and the dedup story for a continuously-ingested
+    training corpus."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase joins
+    clicks by the same user within ``horizon`` BEFORE it (click-through
+    attribution).  Watermarks on both sides bound the join state — without
+    the time bound a stream-stream join is unbounded-state and rejected.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""c_user = p_user AND
+                click_ts <= purchase_ts AND
+                click_ts >= purchase_ts - INTERVAL {horizon}"""
+        ),
+    ).select("p_user", "purchase_id", "click_id", "click_ts", "purchase_ts")
+
+
 def streaming_session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

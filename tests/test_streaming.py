@@ -151,6 +151,66 @@ def test_streaming_tumbling_matches_batch_q32(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_dedup_keeps_first_occurrence(spark, tmp_path):
+    import datetime as dt
+
+    from gofeed_spark.streaming.windows import streaming_dedup
+
+    src = str(tmp_path / "dups")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows1 = [(1, t0, 10.0), (2, t0, 20.0)]
+    rows2 = [(1, t0, 99.0), (3, t0, 30.0)]  # event 1 re-delivered
+    ddl = "event_id long, ts timestamp, value double"
+    for i, rws in enumerate([rows1, rows2]):
+        spark.createDataFrame(rws, ddl).coalesce(1).write.mode("append").parquet(src)
+    out = []
+    q = (
+        streaming_dedup(
+            spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src),
+            ["event_id"],
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.value for r in out}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}  # first occurrence of 1 won
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    import datetime as dt
+
+    from gofeed_spark.streaming.windows import stream_stream_attribution
+
+    ddl = "event_id long, ts timestamp, user_id long"
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    clicks = [(100, t(0), 1), (101, t(30), 1), (102, t(0), 2)]
+    purchases = [(200, t(45), 1), (201, t(50), 3)]
+    csrc, psrc = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(clicks, ddl).write.parquet(csrc)
+    spark.createDataFrame(purchases, ddl).write.parquet(psrc)
+    out = []
+    q = (
+        stream_stream_attribution(
+            spark.readStream.schema(ddl).parquet(csrc),
+            spark.readStream.schema(ddl).parquet(psrc),
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r.purchase_id, r.click_id) for r in out}
+    # both of user 1's clicks are within the hour before purchase 200;
+    # user 3's purchase has no click; user 2's click matches nothing
+    assert pairs == {(200, 100), (200, 101)}
+
+
 def test_streaming_sessions_cover_all_events(spark, tmp_path):
     src = _write_events(spark, tmp_path)
     events = spark.readStream.schema(
