@@ -39,15 +39,16 @@ def auto_migrate(spark: SparkSession, base_path: str) -> dict[str, str]:
 
                 for f in missing:
                     have = have.withColumn(f.name, F.lit(None).cast(f.dataType))
+                import shutil
+
                 tmp = path + "_migrating"
                 have.select([f.name for f in want.schema.fields]).write.mode(
                     "overwrite"
                 ).parquet(tmp)
                 old = path + "_old"
+                shutil.rmtree(old, ignore_errors=True)  # stale from a crashed run
                 os.replace(path, old)
                 os.replace(tmp, path)
-                import shutil
-
                 shutil.rmtree(old, ignore_errors=True)
         out[name] = path
     return out
@@ -58,10 +59,15 @@ def transactional_write(
 ) -> None:
     """Atomic multi-table write — the reference's Transaction wrapper
     (repo.go:164-170) re-expressed for immutable storage: stage every
-    table, then flip all of them with directory renames, last-staged-first
-    so a crash mid-flip leaves at most already-complete tables flipped and
-    never a torn single table.  (On Delta this is a single multi-table
-    commit; the staging dance is the plain-parquet equivalent.)
+    table first, then flip them with directory renames in staging order —
+    a crash mid-flip leaves a prefix of tables fully flipped and never a
+    torn single table; the next run's re-staging completes the flip
+    idempotently.  (On Delta this is a single multi-table commit; the
+    staging dance is the plain-parquet equivalent.)
+
+    Stale ``*_txn_old`` / ``*_txn_staging`` directories left by a crash
+    between a rename and its cleanup are removed up-front, so recovery
+    never wedges on a non-empty rename target (ENOTEMPTY).
 
     ``writes`` maps table name (under ``base_path``) to its full new
     DataFrame contents.
@@ -72,10 +78,12 @@ def transactional_write(
     for name, df in writes.items():
         target = os.path.join(base_path, name)
         staging = target + "_txn_staging"
+        shutil.rmtree(staging, ignore_errors=True)  # stale from a crashed run
         df.write.mode("overwrite").parquet(staging)
         staged.append((staging, target))
     for staging, target in staged:
         old = target + "_txn_old"
+        shutil.rmtree(old, ignore_errors=True)  # stale _old would wedge os.replace
         if os.path.exists(target):
             os.replace(target, old)
         os.replace(staging, target)
@@ -112,6 +120,43 @@ def healthcheck(
             except Exception as e:  # noqa: BLE001 — join ALL failures
                 errors.append(f"{name}: {e!r}")
     return errors
+
+
+def serve_healthcheck(
+    spark: SparkSession,
+    port: int = 0,
+    processor_check: Callable[[], None] | None = None,
+):
+    """Serve ``GET /healthcheck`` over HTTP — the reference's served
+    endpoint (main.go:99-104: 200 when Watcher.Healthcheck returns no
+    error, 503 with the joined error text otherwise), stdlib-only.
+
+    Returns the started ``http.server.ThreadingHTTPServer`` (daemon
+    thread); ``server.server_address[1]`` is the bound port (pass
+    ``port=0`` for an ephemeral one), ``server.shutdown()`` stops it.
+    """
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — stdlib contract
+            if self.path.rstrip("/") != "/healthcheck":
+                self.send_error(404)
+                return
+            errors = healthcheck(spark, processor_check=processor_check)
+            body = ("ok" if not errors else "; ".join(errors)).encode()
+            self.send_response(200 if not errors else 503)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet test output
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
 
 
 def http_healthcheck(

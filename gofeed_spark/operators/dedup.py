@@ -70,7 +70,7 @@ def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
         for pdf in batches:
             ids, shs = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = ws.split(text.lower())
+                toks = ws.split(text.lower()) if text else []
                 n = len(toks)
                 if n >= k:
                     hs = {
@@ -89,7 +89,8 @@ def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
                 shs.append(list(hs))
             yield pd.DataFrame({"doc_id": ids, "sh": shs})
 
-    return docs.select(id_col, text_col).mapInPandas(run, "doc_id long, sh array<long>")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(run, f"doc_id {id_type}, sh array<long>")
 
 
 def _group_pairs(keyed: DataFrame, key: str, df_cap: int | None) -> DataFrame:
@@ -100,13 +101,24 @@ def _group_pairs(keyed: DataFrame, key: str, df_cap: int | None) -> DataFrame:
     ``df_cap`` (non-discriminative by definition) are dropped — the
     standard skew guard for near-dup candidate generation at corpus scale.
     """
+    if df_cap is not None:
+        # Drop hot keys BEFORE the collect_set aggregation: a viral key
+        # shared by millions of docs must never materialize its full id set
+        # in one aggregation buffer.  The count is map-side combinable and
+        # shuffles (key, long) only; the surviving hot-key set is tiny by
+        # definition, so it broadcasts.
+        hot = (
+            keyed.groupBy(key)
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select(key)
+        )
+        keyed = keyed.join(F.broadcast(hot), key, "left_anti")
     grouped = (
         keyed.groupBy(key)
         .agg(F.collect_set("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if df_cap is not None:
-        grouped = grouped.filter(F.size("ids") <= df_cap)
     return (
         grouped.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
@@ -277,7 +289,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         for pdf in batches:
             ids, his, los = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = ws.split(text.lower())
+                toks = ws.split(text.lower()) if text else []
                 if not toks:
                     continue
                 hs = np.frombuffer(
@@ -297,8 +309,9 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                 los.append(fp & 0xFFFFFFFF)
             yield pd.DataFrame({"doc_id": ids, "sim_hi": his, "sim_lo": los})
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
-        run, "doc_id long, sim_hi long, sim_lo long"
+        run, f"doc_id {id_type}, sim_hi long, sim_lo long"
     )
 
 

@@ -162,11 +162,17 @@ def topk_pairs_lsh(
     # candidates cross the boundary as 16-byte id pairs, never vectors.
     # Large corpora: JVM path — norms precomputed per vector, one dot +
     # one division per pair (no broadcast of the corpus).
-    BROADCAST_LIMIT = 2_000_000  # vectors; ~1 GB at dim 64
+    # Sized for the REAL footprint: the matrix is dim×8 bytes/vector
+    # (~0.5 GB at dim 64 for 1M) and the Arrow toPandas intermediate
+    # (ndarray-of-ndarray) roughly doubles that transiently — far below the
+    # multi-GB Row-object cost the old .collect() path paid.
+    BROADCAST_LIMIT = 1_000_000
     if n <= BROADCAST_LIMIT:
-        rows_local = e.collect()  # the same corpus a broadcast join would ship
-        ids_arr = np.array([r.id for r in rows_local], dtype=np.int64)
-        mat = np.array([r.v for r in rows_local], dtype=np.float64)
+        # Arrow-columnar transfer (no per-row Python Row objects); the same
+        # bytes a broadcast join would ship to every executor anyway.
+        pdf_local = e.toPandas()
+        ids_arr = pdf_local["id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf_local["v"].to_numpy()).astype(np.float64, copy=False)
         mat = mat / np.linalg.norm(mat, axis=1)[:, None]
         idx_of = {int(i): p for p, i in enumerate(ids_arr)}
         sc = e.sparkSession.sparkContext

@@ -326,23 +326,23 @@ FROM (
 def q76(spark, sf_dir):
     """Sequence packing for training: documents stream in id order and a
     running token count assigns each to a ~2048-token pack (the standard
-    streaming approximation of bin packing — deterministic, one window
-    pass).  pack_id = floor(tokens-before-this-doc / budget)."""
-    from pyspark.sql import Window as W
+    streaming approximation of bin packing).  pack_id =
+    floor(tokens-before-this-doc / budget).
+
+    The running count uses the distributed two-pass cumulative sum
+    (operators/packing.py) — NOT a global un-partitioned window, which
+    would move the whole corpus to one partition at scale."""
+    from gofeed_spark.operators.packing import global_running_sum
 
     d = T(spark, sf_dir, "documents")
     n_toks = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        d.select("doc_id", n_toks.alias("n_toks"))
-        .withColumn("run", F.sum("n_toks").over(w))
-        .select(
-            "doc_id",
-            "n_toks",
-            F.floor((F.col("run") - F.col("n_toks")) / 2048).alias("pack_id"),
-        )
+    base = d.select("doc_id", n_toks.alias("n_toks"))
+    return global_running_sum(base, "doc_id", "n_toks").select(
+        "doc_id",
+        "n_toks",
+        F.floor((F.col("run") - F.col("n_toks")) / 2048).alias("pack_id"),
     )
 
 
@@ -411,7 +411,7 @@ def q69(spark, sf_dir):
 # --- n-gram Jaccard near-dup pairs (EXACT — the LSH twins below approximate it) ----------------------
 @query(
     "q40_ngram_jaccard_pairs",
-    oracle="""
+    oracle=r"""
 WITH s AS (
   SELECT doc_id, UNNEST(list_distinct([array_to_string(words[i:i+4], ' ')
                                        FOR i IN range(1, GREATEST(len(words)-4, 0)+1)])) AS sh
@@ -609,7 +609,7 @@ def q54(spark, sf_dir):
     "q55_minhash_lsh_clone_recall",
     oracle=r"""
 SELECT doc_id AS doc_a FROM documents
-WHERE len(regexp_split_to_array(lower(text), '\s+')) >= 5
+WHERE len(regexp_split_to_array(lower(text), '\s+')) >= 5 AND doc_id % 5 = 0
 ORDER BY doc_a
 """,
 )
@@ -618,8 +618,9 @@ def q55(spark, sf_dir):
     sets give identical signatures, which collide in all 16 bands — a
     deterministic invariant of the banding implementation (dedup.py), not a
     probabilistic recall estimate.  Docs under 5 tokens have no shingles and
-    are excluded on both sides."""
-    corpus = _with_clones(T(spark, sf_dir, "documents"), every=1)
+    are excluded on both sides.  Every 5th doc is cloned (like q53/q54) to
+    keep the driver-sweep cost low while exercising the same code path."""
+    corpus = _with_clones(T(spark, sf_dir, "documents"), every=5)
     pairs = dedup.minhash_lsh_pairs(corpus, num_hashes=64, bands=16, k=5, threshold=1.0)
     return (
         pairs.filter(F.col("doc_b") == F.col("doc_a") + CLONE_OFFSET)
@@ -631,14 +632,14 @@ def q55(spark, sf_dir):
 @query(
     "q56_simhash_clone_recall",
     oracle="""
-SELECT doc_id AS doc_a FROM documents ORDER BY doc_a
+SELECT doc_id AS doc_a FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a
 """,
 )
 def q56(spark, sf_dir):
     """SimHash clone recall: identical docs fingerprint identically →
-    Hamming 0 → band collision guaranteed; every doc must pair with its
-    clone."""
-    corpus = _with_clones(T(spark, sf_dir, "documents"), every=1)
+    Hamming 0 → band collision guaranteed; every cloned doc must pair with
+    its clone (every 5th doc cloned, q53/q54 pattern, for sweep cost)."""
+    corpus = _with_clones(T(spark, sf_dir, "documents"), every=5)
     pairs = dedup.simhash_neardup_pairs(corpus, max_hamming=0)
     return (
         pairs.filter(F.col("doc_b") == F.col("doc_a") + CLONE_OFFSET)

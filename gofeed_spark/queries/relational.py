@@ -601,9 +601,9 @@ def q64(spark, sf_dir):
     "q65_pivot",
     oracle="""
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_n,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_n,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_n
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_n,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_n,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_n
 FROM events GROUP BY user_id ORDER BY user_id
 """,
 )

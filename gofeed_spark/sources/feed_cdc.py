@@ -9,11 +9,15 @@ monotone microsecond timestamp; ties are re-read and deduplicated
 downstream by the idempotent sink, matching the reference's at-least-once
 posture).
 
-The backing store here is a parquet directory (the container has no DB
-server); the ``read``/``readBetweenOffsets`` implementation goes through
-pyarrow predicate-filtered reads, which is exactly the shape of a JDBC
-``WHERE updated_at > ?`` poll — swap the pyarrow call for a DB cursor and
-nothing else changes.
+Two interchangeable backing stores (option ``backend``):
+
+- ``parquet`` (default): a parquet directory polled through pyarrow
+  predicate-filtered reads,
+- ``sqlite``: a SQLite database file polled with an actual SQL cursor —
+  ``SELECT ... WHERE updated_at > ? ORDER BY updated_at`` — the same
+  store family the reference uses (Gorm over SQL Server/SQLite,
+  examples/state_processor/main.go:74-80, go.mod:11-12).  Swapping this
+  cursor for a JDBC/network-DB cursor changes nothing else.
 """
 
 from __future__ import annotations
@@ -33,9 +37,9 @@ _COLS = [
 ]
 
 
-def _scan(path: str, after: int) -> list[tuple]:
-    """Poll the backing table for rows with updated_at > after — the JDBC
-    ``WHERE updated_at > ? ORDER BY updated_at`` twin (repo.go:118)."""
+def _scan_parquet(path: str, after: int, table: str = "items") -> list[tuple]:
+    """Poll a parquet directory for rows with updated_at > after — the
+    predicate-pushdown twin of the reference's poll (repo.go:118)."""
     import pyarrow.dataset as ds
 
     if not os.path.exists(path):
@@ -49,25 +53,54 @@ def _scan(path: str, after: int) -> list[tuple]:
     return rows
 
 
+def _scan_sqlite(path: str, after: int, table: str = "items") -> list[tuple]:
+    """Poll a SQLite table with the reference's literal query shape:
+    ``WHERE updated_at > ? ORDER BY updated_at`` (repo.go:106-120) through
+    a real DB cursor (stdlib sqlite3 — the same store Gorm's sqlite driver
+    wraps, go.mod:12)."""
+    import sqlite3
+
+    if not os.path.exists(path):
+        return []
+    con = sqlite3.connect(path)
+    try:
+        cur = con.execute(
+            f"SELECT {', '.join(_COLS)} FROM {table} "
+            "WHERE updated_at > ? ORDER BY updated_at, id",
+            (after,),
+        )
+        return [tuple(r) for r in cur.fetchall()]
+    finally:
+        con.close()
+
+
+_BACKENDS = {"parquet": _scan_parquet, "sqlite": _scan_sqlite}
+
+
 class FeedCDCReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("feed_cdc requires option 'path'")
+        backend = options.get("backend", "parquet")
+        if backend not in _BACKENDS:
+            raise ValueError(f"feed_cdc backend must be one of {sorted(_BACKENDS)}")
+        self.table = options.get("table", "items")
+        self._scan = _BACKENDS[backend]
 
     def initialOffset(self) -> dict:
         return {"last_ts": -1}
 
     def read(self, start: dict):
         last = int(start["last_ts"])
-        rows = _scan(self.path, last)
+        rows = self._scan(self.path, last, self.table)
         new_last = max((r[-1] for r in rows), default=last)
         return iter(rows), {"last_ts": new_last}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         """Deterministic replay for recovery: rows in (start, end]."""
         lo, hi = int(start["last_ts"]), int(end["last_ts"])
-        return iter([r for r in _scan(self.path, lo) if r[-1] <= hi])
+        return iter([r for r in self._scan(self.path, lo, self.table) if r[-1] <= hi])
 
 
 class FeedCDCDataSource(DataSource):

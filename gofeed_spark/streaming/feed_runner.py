@@ -98,6 +98,14 @@ class FeedRunner:
             manual_checkpoint=self.manual_checkpoint,
             auto_close=self.auto_close,
         )
+        # Materialize the processor output ONCE, immediately: everything
+        # below (dead.isEmpty, dead.write, the items upsert) would otherwise
+        # re-execute the uncached feed_step DAG and re-run the side-effectful
+        # processor (HTTP POSTs) up to 3× per micro-batch — and a
+        # non-deterministic outcome could make the dead-letter log disagree
+        # with the committed items table.
+        new_items = new_items.localCheckpoint()
+        new_parts = new_parts.localCheckpoint()
         # Re-queue ONLY rows whose version moved this step: they get
         # updated_at = batch tick (> the source's high-water mark), so the
         # CDC source re-delivers them for the next decision round; untouched
@@ -140,7 +148,7 @@ class FeedRunner:
 
         transactional_write(
             self.spark,
-            {"items": out_items.localCheckpoint(), "partitions": new_parts.localCheckpoint()},
+            {"items": out_items.localCheckpoint(), "partitions": new_parts},
             self.base,
         )
         self._commit(batch_id)

@@ -96,8 +96,12 @@ def gate_stream(
             gate, status = 0, AVAILABLE
             items = {}
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                items[row["id"]] = (int(row["gate"]), int(row["status"]))
+            # Vectorized fold: zip over columns (tolist() → Python ints for
+            # state serialization); later rows overwrite earlier ones, same
+            # as the row-at-a-time loop.
+            items.update(
+                zip(pdf["id"].tolist(), zip(pdf["gate"].tolist(), pdf["status"].tolist()))
+            )
         gate, status = _decide(items, gate, status, manual_checkpoint, auto_close)
         ids = list(items.keys())
         state.update((

@@ -62,3 +62,55 @@ def test_http_healthcheck_status_mapping():
         raise AssertionError("expected raise")
     except RuntimeError as e:
         assert "503" in str(e)
+
+
+def test_transactional_write_recovers_from_stale_dirs(spark, tmp_path):
+    """A crash between os.replace and rmtree leaves *_txn_old behind; the
+    next write must flip cleanly instead of wedging on ENOTEMPTY."""
+    import os
+
+    from gofeed_spark.feedstate.admin import transactional_write
+
+    base = str(tmp_path)
+    a1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    transactional_write(spark, {"t1": a1}, base)
+    # simulate the crash: a non-empty stale _old AND a stale _staging
+    os.makedirs(f"{base}/t1_txn_old", exist_ok=True)
+    open(f"{base}/t1_txn_old/leftover", "w").write("x")
+    os.makedirs(f"{base}/t1_txn_staging", exist_ok=True)
+    open(f"{base}/t1_txn_staging/leftover", "w").write("x")
+    a2 = spark.createDataFrame([(2, "a2")], "id int, v string")
+    transactional_write(spark, {"t1": a2}, base)
+    assert spark.read.parquet(f"{base}/t1").collect()[0].v == "a2"
+    assert not os.path.exists(f"{base}/t1_txn_old")
+
+
+def test_served_healthcheck_endpoint(spark):
+    """GET /healthcheck → 200 'ok' when healthy, 503 + error text when a
+    probe fails (main.go:99-104's served endpoint)."""
+    import urllib.error
+    import urllib.request
+
+    from gofeed_spark.feedstate.admin import serve_healthcheck
+
+    srv = serve_healthcheck(spark, port=0, processor_check=lambda: None)
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthcheck", timeout=30) as r:
+            assert r.status == 200 and r.read() == b"ok"
+    finally:
+        srv.shutdown()
+
+    def bad():
+        raise RuntimeError("processor down")
+
+    srv = serve_healthcheck(spark, port=0, processor_check=bad)
+    try:
+        port = srv.server_address[1]
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthcheck", timeout=30)
+            raise AssertionError("expected HTTP 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503 and b"processor down" in e.read()
+    finally:
+        srv.shutdown()

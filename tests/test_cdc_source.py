@@ -55,6 +55,63 @@ def test_cdc_incremental_offsets(spark, tmp_path):
     assert sorted((r.id, r.updated_at) for r in got2) == [("a", 300), ("c", 400)]
 
 
+def _append_sqlite(db_path, rows):
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    with con:
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS items ("
+            "id TEXT PRIMARY KEY, version INTEGER, retry_count INTEGER, "
+            "partition_id TEXT, gate INTEGER, status INTEGER, "
+            "error_messages TEXT, data TEXT, updated_at INTEGER)"
+        )
+        con.executemany(
+            "INSERT OR REPLACE INTO items VALUES (?,?,?,?,?,?,?,?,?)",
+            [(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8]) for r in rows],
+        )
+    con.close()
+
+
+def test_cdc_sqlite_backend_incremental(spark, tmp_path):
+    """Same incremental-offset contract against the DB-cursor backend —
+    the reference's actual store family (Gorm/SQLite, main.go:74-80)."""
+    db, ckpt = str(tmp_path / "feed.db"), str(tmp_path / "ckpt_sql")
+    _append_sqlite(db, [_item("a", "p", 0, AVAILABLE, 100), _item("b", "p", 0, AVAILABLE, 200)])
+    got = []
+    q = (
+        spark.readStream.format("feed_cdc")
+        .option("path", db)
+        .option("backend", "sqlite")
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.id for r in got) == ["a", "b"]
+
+    # UPDATE in place (the DB shape — no append-only log): only rows whose
+    # updated_at moved past the checkpointed mark are re-delivered.
+    _append_sqlite(db, [_item("a", "p", 0, COMPLETE, 300, version=1), _item("c", "p", 0, AVAILABLE, 400)])
+    got2 = []
+    q = (
+        spark.readStream.format("feed_cdc")
+        .option("path", db)
+        .option("backend", "sqlite")
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: got2.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted((r.id, r.updated_at) for r in got2) == [("a", 300), ("c", 400)]
+
+
 def test_cdc_to_gate_machine_end_to_end(spark, tmp_path):
     """The reference's whole loop: poll the items table → per-partition
     decision → idempotent state sink (watcher.go:89-184 as one pipeline)."""
