@@ -141,31 +141,19 @@ def topk_pairs_lsh(
             yield pd.DataFrame({"doc_id": ids, "bh": codes.reshape(-1)})
 
     keyed = e.mapInPandas(bucketize, "doc_id long, bh long")
-    grouped = (
-        keyed.groupBy("bh")
-        .agg(F.collect_set("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    # NOTE: candidates are NOT deduplicated here — a pair colliding in t
-    # tables appears t times.  Scoring duplicates in numpy costs ~nothing,
-    # while a dropDuplicates at this stage is a full shuffle of the
-    # candidate set; each consumer below dedups at its (far smaller)
-    # natural point instead.
-    cand = (
-        grouped.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
     # Candidate scoring.  Small corpora (fits a broadcast comfortably):
-    # ship the normalized matrix to every Python worker once and score
-    # candidate id-pairs with one numpy gather+einsum per Arrow batch —
-    # candidates cross the boundary as 16-byte id pairs, never vectors.
+    # shuffle ONLY the slim (doc_id, bucket) relation — hash-partitioned by
+    # bucket — and score each bucket with one numpy gram matrix against the
+    # broadcast normalized corpus.  Candidate PAIRS never materialize as
+    # rows crossing the JVM<->Python boundary (at bench scale that was the
+    # whole cost: ~1.6M pair rows through Arrow for a 2k corpus); each
+    # worker emits only its buckets' top rows / threshold survivors.
     # Large corpora: JVM path — norms precomputed per vector, one dot +
     # one division per pair (no broadcast of the corpus).
-    # Sized for the REAL footprint: the matrix is dim×8 bytes/vector
-    # (~0.5 GB at dim 64 for 1M) and the Arrow toPandas intermediate
-    # (ndarray-of-ndarray) roughly doubles that transiently — far below the
-    # multi-GB Row-object cost the old .collect() path paid.
+    # BROADCAST_LIMIT is sized for the REAL footprint: the matrix is dim×8
+    # bytes/vector (~0.5 GB at dim 64 for 1M) and the Arrow toPandas
+    # intermediate (ndarray-of-ndarray) roughly doubles that transiently —
+    # far below the multi-GB Row-object cost a .collect() would pay.
     BROADCAST_LIMIT = 1_000_000
     if n <= BROADCAST_LIMIT:
         # Arrow-columnar transfer (no per-row Python Row objects); the same
@@ -174,25 +162,77 @@ def topk_pairs_lsh(
         ids_arr = pdf_local["id"].to_numpy(dtype=np.int64)
         mat = np.stack(pdf_local["v"].to_numpy()).astype(np.float64, copy=False)
         mat = mat / np.linalg.norm(mat, axis=1)[:, None]
-        idx_of = {int(i): p for p, i in enumerate(ids_arr)}
+        order = np.argsort(ids_arr)
+        sorted_ids, sorted_mat = ids_arr[order], mat[order]
         sc = e.sparkSession.sparkContext
-        b_mat = sc.broadcast(mat)
-        b_idx = sc.broadcast(idx_of)
+        b_mat = sc.broadcast(sorted_mat)
+        b_ids = sc.broadcast(sorted_ids)
+        keep = None if k == -1 else k * n_tables
+        thresh = min_cos
 
-        def score(batches):
+        def bucket_score(batches):
             import pandas as pd
 
-            m, ix = b_mat.value, b_idx.value
-            for pdf in batches:
-                ia = pdf["id_a"].map(ix).to_numpy()
-                ib = pdf["id_b"].map(ix).to_numpy()
-                cos = np.einsum("ij,ij->i", m[ia], m[ib])
-                yield pd.DataFrame(
-                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos}
-                )
+            m, sids = b_mat.value, b_ids.value
+            # Concat the partition's Arrow batches BEFORE grouping: a
+            # bucket whose rows straddle a batch boundary (batches cap at
+            # ~10k rows) would otherwise lose its cross-batch pairs.  The
+            # concat is slim — 16 bytes/row — and bounded by partition size.
+            frames = list(batches)
+            if frames:
+                pdf = pd.concat(frames, ignore_index=True)
+                out_a, out_b, out_c = [], [], []
+                for _, g in pdf.groupby("bh", sort=False):
+                    ids = np.unique(g["doc_id"].to_numpy())
+                    if len(ids) < 2:
+                        continue
+                    sub = m[np.searchsorted(sids, ids)]
+                    iu, ju = np.triu_indices(len(ids), 1)
+                    # einsum (not a gram matmul): keeps the per-pair
+                    # summation order identical to the previous scorer and
+                    # the oracle's sequential dot — gemm's blocked
+                    # accumulation flips pairs sitting exactly on the
+                    # threshold boundary
+                    cos = np.einsum("ij,ij->i", sub[iu], sub[ju])
+                    if keep is None:
+                        sel = np.nonzero(cos >= thresh)[0]
+                    elif len(cos) > keep:
+                        # deterministic per-bucket top-keep under the SAME
+                        # total order as the global sort (cos desc, id_a,
+                        # id_b) — any globally-top row survives its bucket
+                        sel = np.lexsort((ids[ju], ids[iu], -cos))[:keep]
+                    else:
+                        sel = np.arange(len(cos))
+                    out_a.append(ids[iu[sel]])
+                    out_b.append(ids[ju[sel]])
+                    out_c.append(cos[sel])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                            "cos": np.concatenate(out_c),
+                        }
+                    )
 
-        scored = cand.mapInPandas(score, "id_a long, id_b long, cos double")
+        scored = keyed.repartition("bh").mapInPandas(
+            bucket_score, "id_a long, id_b long, cos double"
+        )
     else:
+        grouped = (
+            keyed.groupBy("bh")
+            .agg(F.collect_set("doc_id").alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        # NOTE: candidates are NOT deduplicated here — a pair colliding in
+        # t tables appears t times; a dropDuplicates at this stage is a
+        # full shuffle of the candidate set, so each consumer below dedups
+        # at its (far smaller) natural point instead.
+        cand = (
+            grouped.select(F.explode("ids").alias("id_a"), "ids")
+            .select("id_a", F.explode("ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
         en = e.select("id", "v", l2_norm(F.col("v")).alias("nrm")).persist()
         va = en.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
         vb = en.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
@@ -363,6 +403,124 @@ def ivf_topk(
     scored = (
         cells.filter(F.col("cell").isin(probe) & (F.col("nid") != query_id))
         .crossJoin(F.broadcast(qdf))
+        .select("nid", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("nid").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return scored.select(
+        F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
+    )
+
+
+def build_ann_index(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the SRP-LSH layout ``lsh_bucket_topk``'s docstring
+    promises: the corpus WRITTEN partitioned by sign-bucket, so a probe is
+    a partition-PRUNED read (the scan's PartitionFilters skips every other
+    bucket's files on disk) instead of a filtered full scan.  This is the
+    100 TB ANN serving shape: pay the layout once, then every query reads
+    ~corpus/2^planes rows."""
+    planes = _hyperplanes(dim, n_planes)
+    e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
+    e = e.withColumn("bucket", srp_bucket(F.col("v"), planes))
+    from gofeed_spark.sources.io import write_partitioned
+
+    write_partitioned(e, path, partition_by=["bucket"])
+
+
+def probe_ann_index(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 3,
+    n_planes: int = 4,
+    dim: int = 64,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k cosine probe against a ``build_ann_index`` layout.  The query's
+    bucket is computed driver-side (n_planes dot products); the read prunes
+    to that bucket's partition directory — verify with
+    ``PartitionFilters: [isnotnull(bucket), (bucket = ...)]`` in the plan."""
+    planes = _hyperplanes(dim, n_planes)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    bucket = "".join("1" if float(np.dot(p, qv)) >= 0.0 else "0" for p in planes)
+    idx = spark.read.parquet(path).filter(F.col("bucket") == bucket)
+    if exclude_id is not None:
+        idx = idx.filter(F.col("nid") != exclude_id)
+    qdf = spark.createDataFrame([(qv.tolist(),)], "qv array<double>")
+    scored = (
+        idx.crossJoin(F.broadcast(qdf))
+        .select("nid", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("nid").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return scored.select(
+        F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF layout (corpus partitioned by coarse cell) and
+    return the codebook (n_cells × dim).  Probes prune to n_probe cell
+    directories — ``ivf_topk``'s warehouse-scale shape made real."""
+    import pandas as pd
+
+    e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
+    cents = e.orderBy("nid").limit(n_cells).collect()
+    cmat = np.array([r.v for r in cents], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+            sims = (vecs @ cmat.T) / (
+                np.linalg.norm(vecs, axis=1)[:, None] * cnorm[None, :]
+            )
+            yield pd.DataFrame(
+                {"nid": pdf["nid"], "v": pdf["v"], "cell": sims.argmax(axis=1)}
+            )
+
+    cells = e.mapInPandas(assign, "nid long, v array<double>, cell int")
+    from gofeed_spark.sources.io import write_partitioned
+
+    write_partitioned(cells, path, partition_by=["cell"])
+    return cmat
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    codebook: np.ndarray,
+    query_vec,
+    k: int = 3,
+    n_probe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k cosine probe over the ``n_probe`` nearest cells of a
+    ``build_ivf_index`` layout — a partition-pruned multi-directory read."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsims = (codebook @ qv) / (np.linalg.norm(codebook, axis=1) * np.linalg.norm(qv))
+    probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        idx = idx.filter(F.col("nid") != exclude_id)
+    qdf = spark.createDataFrame([(qv.tolist(),)], "qv array<double>")
+    scored = (
+        idx.crossJoin(F.broadcast(qdf))
         .select("nid", cosine(F.col("v"), F.col("qv")).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)

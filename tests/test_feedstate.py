@@ -266,3 +266,93 @@ def test_fixpoint_reproduces_golden_outcomes(spark):
     assert pst["p1_gate"] == (COMPLETE, 1)
     assert pst["p2_gate"] == (FAILED, 0)
     assert all(pst[p][0] == COMPLETE for p in pst if p.startswith("p1"))
+
+
+def test_two_writers_occ_race_single_winner(spark):
+    """The reference's flagship concurrency guarantee (watcher_test.go:
+    233-266,381-390): TWO writers racing on ONE state store.  Both read the
+    same committed snapshot, both attempt the same OCC batch; the version
+    column arbitrates — every item gets exactly ONE version bump, no torn
+    state, and the final table is byte-identical to the single-writer run.
+
+    The store commit is serialized (a DB commit is atomic); everything
+    else — snapshot reads, update computation, commit order — races freely.
+    """
+    import threading
+
+    from pyspark.sql import functions as F
+
+    FIELDS = ["retry_count", "partition_id", "gate", "status", "error_messages", "data"]
+
+    def seed():
+        return items_df(
+            spark,
+            *[
+                (f"i{n}", 0, 0, "p", 0, AVAILABLE, "", f"payload{n}")
+                for n in range(4)
+            ],
+        ).localCheckpoint()
+
+    def make_updates(snap):
+        # Deterministic "processing": Available -> Complete, data derived
+        # from the item alone (both writers compute identical updates, like
+        # the reference's two watchers running one processor).
+        return (
+            snap.filter(F.col("status") == AVAILABLE)
+            .withColumn("status", F.lit(COMPLETE))
+            .withColumn("data", F.concat(F.lit("done:"), F.col("id")))
+        )
+
+    def run_writers(n_writers):
+        store = {"items": seed()}
+        lock = threading.Lock()
+        barrier = threading.Barrier(n_writers)
+        wins = {w: 0 for w in range(n_writers)}
+        errors = []
+
+        def writer(w):
+            try:
+                first = True
+                for _ in range(8):
+                    snap = store["items"]  # committed-snapshot read
+                    updates = make_updates(snap).localCheckpoint()
+                    if first:
+                        # guarantee a true collision: every writer holds
+                        # updates computed from the SAME seed snapshot
+                        # before any commit lands
+                        barrier.wait(timeout=120)
+                        first = False
+                    if updates.isEmpty():
+                        break
+                    with lock:  # the DB's atomic commit
+                        cur = store["items"]
+                        won = (
+                            updates.select("id", "version")
+                            .join(cur.select("id", "version"), ["id", "version"])
+                            .count()
+                        )
+                        wins[w] += won
+                        store["items"] = occ_upsert(
+                            cur, updates, fields=FIELDS
+                        ).localCheckpoint()
+            except Exception as e:  # surface thread failures to pytest
+                errors.append(e)
+
+        threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        return store["items"], wins
+
+    final_racy, wins = run_writers(2)
+    final_solo, _ = run_writers(1)
+
+    racy = rows(final_racy, "id", "version", "status", "data")
+    # single-winner arbitration: every item bumped exactly once, total wins
+    # across writers == item count (no double processing, no lost update)
+    assert all(v == 1 and s == COMPLETE for _, v, s, _ in racy)
+    assert sum(wins.values()) == 4
+    # no torn state: the racy final table equals the single-writer goldens
+    assert racy == rows(final_solo, "id", "version", "status", "data")

@@ -48,3 +48,45 @@ def test_agg_has_map_side_partial(spark):
 def test_no_cartesian_anywhere_in_primary_pair_search(spark):
     plan = plan_of(spark, "q58_topk_pairs_lsh")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_index_probe_is_partition_pruned(spark, tmp_path):
+    """The pre-bucketed ANN layout: a probe read must show PartitionFilters
+    on the bucket key (files of other buckets never open), and the probe
+    must find the query's nearest neighbors exactly like the scan path."""
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.similarity import build_ann_index, probe_ann_index
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ann_srp")
+    build_ann_index(emb, path, n_planes=4, dim=64)
+    qv = emb.filter(F.col("vec_id") == 1).collect()[0].embedding
+    probe = probe_ann_index(spark, path, qv, k=3, n_planes=4, dim=64, exclude_id=1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "bucket" in pf and ("isnotnull" in pf or "=" in pf)
+    # self-match invariant: vec 1's own bucket contains it; nearest result
+    # is deterministic and matches the unpartitioned scan-path operator
+    from gofeed_spark.operators.similarity import lsh_bucket_topk
+
+    want = {(r.rank, r.neighbor_id) for r in lsh_bucket_topk(emb, 1, k=3).collect()}
+    got = {(r.rank, r.neighbor_id) for r in probe.collect()}
+    assert got == want
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.similarity import build_ivf_index, probe_ivf_index
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ann_ivf")
+    codebook = build_ivf_index(emb, path, n_cells=8)
+    qv = emb.filter(F.col("vec_id") == 1).collect()[0].embedding
+    probe = probe_ivf_index(spark, path, codebook, qv, k=3, n_probe=2, exclude_id=1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in pf
+    got = [r.neighbor_id for r in probe.collect()]
+    assert len(got) == 3 and 1 not in got
