@@ -183,11 +183,20 @@ _GOLDEN_PARTS = [
 ]
 
 
+_GOLDEN_CACHE: dict[int, tuple] = {}
+
+
 def _run_golden(spark):
-    parts, items = seed_dataframes(spark)
-    return run_feed_to_fixpoint(
-        parts, items, json_times_processor, max_retries=3, auto_close=True
-    )
+    """Memoized per session: q49 and q51 both need this fixpoint run; the
+    result is two localCheckpoint-ed (materialized) frames, so caching the
+    pair halves the correctness-sweep cost without changing semantics."""
+    key = id(spark._jsparkSession)
+    if key not in _GOLDEN_CACHE:
+        parts, items = seed_dataframes(spark)
+        _GOLDEN_CACHE[key] = run_feed_to_fixpoint(
+            parts, items, json_times_processor, max_retries=3, auto_close=True
+        )
+    return _GOLDEN_CACHE[key]
 
 
 @query(

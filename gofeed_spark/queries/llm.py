@@ -701,6 +701,72 @@ def q60(spark, sf_dir):
 
 
 @query(
+    "q79_ann_index_probe",
+    oracle="""
+SELECT 1 AS rank, MAX(vec_id) + 10000000 AS neighbor_id FROM embeddings
+""",
+)
+def q79(spark, sf_dir):
+    """Partition-pruned SRP index probe: the corpus (plus a clone of the
+    query vector) is WRITTEN partitioned by sign bucket
+    (similarity.build_ann_index) and the probe reads ONLY the query's
+    bucket directory (PartitionFilters — asserted in tests/test_plans.py).
+    The clone shares the query's bucket and scores cosine 1.0 → rank 1.
+    The serving-layout twin of q57's filtered-scan path."""
+    import shutil
+    import tempfile
+
+    emb = T(spark, sf_dir, "embeddings")
+    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    qrow = emb.filter(F.col("vec_id") == 1).collect()[0]
+    clone = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(max_id + 10_000_000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clone)
+    path = tempfile.mkdtemp(prefix="gofeed_q79_")
+    try:
+        similarity.build_ann_index(corpus, path, n_planes=4, dim=64)
+        out = similarity.probe_ann_index(
+            spark, path, qrow.embedding, k=3, n_planes=4, dim=64, exclude_id=1
+        )
+        return out.filter(F.col("rank") == 1).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "q80_ivf_index_probe",
+    oracle="""
+SELECT 1 AS rank, MAX(vec_id) + 10000000 AS neighbor_id FROM embeddings
+""",
+)
+def q80(spark, sf_dir):
+    """Partition-pruned IVF index probe: corpus written partitioned by
+    coarse cell (similarity.build_ivf_index); the probe prunes to the
+    n_probe nearest cell directories.  A clone of the query quantizes to
+    the query's cell and scores cosine 1.0 → rank 1 (q60's layout twin)."""
+    import shutil
+    import tempfile
+
+    emb = T(spark, sf_dir, "embeddings")
+    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    qrow = emb.filter(F.col("vec_id") == 1).collect()[0]
+    clone = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(max_id + 10_000_000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clone)
+    path = tempfile.mkdtemp(prefix="gofeed_q80_")
+    try:
+        codebook = similarity.build_ivf_index(corpus, path, n_cells=16)
+        out = similarity.probe_ivf_index(
+            spark, path, codebook, qrow.embedding, k=3, n_probe=4, exclude_id=1
+        )
+        return out.filter(F.col("rank") == 1).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "q57_ann_lsh_self_match",
     oracle="""
 SELECT 1 AS rank, MAX(vec_id) + 10000000 AS neighbor_id FROM embeddings

@@ -13,6 +13,7 @@ from gofeed_spark.queries.registry import query
 from gofeed_spark.streaming.feed_stream import (
     ITEM_EVENT_DDL,
     gate_stream,
+    one_slice_df,
     replay_stream,
 )
 from gofeed_spark.streaming.sinks import ParquetUpsertSink
@@ -43,19 +44,22 @@ def q52(spark, sf_dir):
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
+        # Stage BOTH slices up front: maxFilesPerTrigger=1 makes the single
+        # availableNow run deliver them as two ordered micro-batches with
+        # state carried between them — same trigger sequence as two
+        # separate runs at half the query-startup cost (checkpoint-restart
+        # state persistence is separately pinned by tests/test_streaming.py).
         for s in (slice1, slice2):
-            spark.createDataFrame(s, ITEM_EVENT_DDL).coalesce(1).write.mode(
-                "append"
-            ).parquet(stage)
-            q = (
-                gate_stream(replay_stream(spark, stage, ITEM_EVENT_DDL))
-                .writeStream.outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .foreachBatch(sink)
-                .start()
-            )
-            q.awaitTermination(120)
+            one_slice_df(spark, s, ITEM_EVENT_DDL).write.mode("append").parquet(stage)
+        q = (
+            gate_stream(replay_stream(spark, stage, ITEM_EVENT_DDL))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination(120)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return sink.read(spark).select(

@@ -53,7 +53,21 @@ def stage_slices(df_slices: Iterable, stage_dir: str) -> None:
     """Write each DataFrame slice as one staged file (one micro-batch)."""
     os.makedirs(stage_dir, exist_ok=True)
     for i, sdf in enumerate(df_slices):
-        sdf.coalesce(1).write.mode("append").parquet(stage_dir)
+        # repartition(1), not coalesce(1): a coalesced task evaluates every
+        # parent partition's Python chain sequentially (~4 s for a tiny
+        # driver-built frame on local[32])
+        sdf.repartition(1).write.mode("append").parquet(stage_dir)
+
+
+def one_slice_df(spark: SparkSession, rows: list, schema_ddl: str) -> DataFrame:
+    """Single-partition DataFrame from driver-side fixture rows.
+
+    ``createDataFrame`` spreads even a 3-row list over defaultParallelism
+    partitions; writing that as one file via ``coalesce(1)`` costs one
+    Python evaluation per parent partition inside a single task (~4 s on
+    local[32]).  Parallelizing with one slice writes the same file in
+    ~0.1 s."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema_ddl)
 
 
 def _decide(items: dict[str, tuple[int, int]], gate: int, status: int,

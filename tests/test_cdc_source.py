@@ -18,7 +18,9 @@ def _item(i, pid, gate, status, ts, version=0):
 
 
 def _append(spark, path, rows):
-    spark.createDataFrame(rows, CDC_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    from gofeed_spark.streaming.feed_stream import one_slice_df
+
+    one_slice_df(spark, rows, CDC_SCHEMA).write.mode("append").parquet(path)
 
 
 def _drain(spark, table, ckpt, collector):

@@ -57,8 +57,9 @@ def dirs(tmp_path):
 def _stage(spark, stage_dir, rows_, name):
     # append lands new part-files in the stage ROOT (the file stream source
     # does not recurse into subdirectories)
-    df = spark.createDataFrame(rows_, ITEM_EVENT_DDL)
-    df.coalesce(1).write.mode("append").parquet(stage_dir)
+    from gofeed_spark.streaming.feed_stream import one_slice_df
+
+    one_slice_df(spark, rows_, ITEM_EVENT_DDL).write.mode("append").parquet(stage_dir)
 
 
 def test_gate_stream_restart_exactly_once(spark, dirs):
@@ -162,7 +163,9 @@ def test_streaming_dedup_keeps_first_occurrence(spark, tmp_path):
     rows2 = [(1, t0, 99.0), (3, t0, 30.0)]  # event 1 re-delivered
     ddl = "event_id long, ts timestamp, value double"
     for i, rws in enumerate([rows1, rows2]):
-        spark.createDataFrame(rws, ddl).coalesce(1).write.mode("append").parquet(src)
+        from gofeed_spark.streaming.feed_stream import one_slice_df
+
+        one_slice_df(spark, rws, ddl).write.mode("append").parquet(src)
     out = []
     q = (
         streaming_dedup(
