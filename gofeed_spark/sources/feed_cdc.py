@@ -74,7 +74,35 @@ def _scan_sqlite(path: str, after: int, table: str = "items") -> list[tuple]:
         con.close()
 
 
-_BACKENDS = {"parquet": _scan_parquet, "sqlite": _scan_sqlite}
+def _scan_txlog(path: str, after: int, table: str = "items") -> list[tuple]:
+    """Poll a TxLog-managed table (feedstate/txlog.py): resolve the latest
+    complete manifest (pure JSON — no Spark on the poll path) and
+    predicate-read that snapshot dir.  The snapshot is immutable, so this
+    poll is consistent even while a writer is staging the next commit."""
+    import json
+
+    logdir = os.path.join(path, "_txlog")
+    if not os.path.isdir(logdir):
+        return []
+    versions = sorted(
+        int(os.path.splitext(f)[0])
+        for f in os.listdir(logdir)
+        if f.endswith(".json") and os.path.splitext(f)[0].isdigit()
+    )
+    for v in reversed(versions):
+        try:
+            with open(os.path.join(logdir, f"{v:08d}.json")) as f:
+                manifest = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue  # burned version
+        rel = manifest["tables"].get(table)
+        if rel is None:
+            return []
+        return _scan_parquet(os.path.join(path, rel), after, table)
+    return []
+
+
+_BACKENDS = {"parquet": _scan_parquet, "sqlite": _scan_sqlite, "txlog": _scan_txlog}
 
 
 class FeedCDCReader(SimpleDataSourceStreamReader):

@@ -29,14 +29,22 @@ from gofeed_spark.sources.feed_cdc import register_feed_cdc
 
 
 class FeedRunner:
-    """Continuous feed processing over parquet state tables.
+    """Continuous feed processing over versioned state tables.
 
-    ``items_path`` is both source and sink: the CDC source reads new/changed
+    ``items`` is both source and sink: the CDC source reads new/changed
     rows; the engine writes processed rows back with ``updated_at`` bumped
     to the micro-batch watermark, which re-queues continuation work — the
     same convergence-through-the-data loop as the reference (failed but
     retryable items stay Available and re-match the next poll,
     item.go:27-38 / repo.go:114-120).
+
+    ``storage``: ``"parquet"`` (default) writes plain table dirs flipped by
+    ``transactional_write`` — single-writer-safe, the original layout.
+    ``"txlog"`` commits both tables through the manifest log
+    (feedstate/txlog.py): multi-writer-safe — a concurrent runner's commit
+    loses the O_EXCL claim, and this runner re-reads the fresh state and
+    recomputes before retrying, the reference's dirty=false path at the
+    storage layer.
     """
 
     def __init__(
@@ -47,24 +55,53 @@ class FeedRunner:
         max_retries: int = 5,
         manual_checkpoint: bool = False,
         auto_close: bool = True,
+        storage: str = "parquet",
+        runner_id: str = "",
     ):
+        """``runner_id``: distinct per concurrent runner sharing one store
+        (txlog mode) — each runner keeps its OWN streaming checkpoint and
+        batch manifest (its private poll offsets, like each reference
+        watcher's in-process cursor) while the shared TxLog arbitrates the
+        state commits."""
         self.spark = spark
         self.base = base_path
         self.items_path = os.path.join(base_path, "items")
         self.parts_path = os.path.join(base_path, "partitions")
-        self.ckpt = os.path.join(base_path, "_checkpoint")
-        self.manifest = os.path.join(base_path, "_batches.json")
+        suffix = f"_{runner_id}" if runner_id else ""
+        self.ckpt = os.path.join(base_path, f"_checkpoint{suffix}")
+        self.manifest = os.path.join(base_path, f"_batches{suffix}.json")
+        # Per-runner dead-letter partition dir: concurrent Spark jobs must
+        # never append into ONE directory (FileOutputCommitter's shared
+        # _temporary staging is not concurrency-safe); readers scan the
+        # dead_letter root and see `writer` as a partition column.
+        self.dead_dir = os.path.join(
+            base_path, "dead_letter", f"writer={runner_id or 'w0'}"
+        )
         self.processor = processor
         self.max_retries = max_retries
         self.manual_checkpoint = manual_checkpoint
         self.auto_close = auto_close
+        if storage not in ("parquet", "txlog"):
+            raise ValueError("storage must be 'parquet' or 'txlog'")
+        self.storage = storage
+        if storage == "txlog":
+            from gofeed_spark.feedstate.txlog import TxLog
+
+            self.log = TxLog(base_path)
         register_feed_cdc(spark)
 
     # -- state-table accessors -------------------------------------------
+    def _items_with_ts(self):
+        if self.storage == "txlog":
+            return self.log.read(self.spark, "items")
+        return self.spark.read.parquet(self.items_path)
+
     def items(self):
-        return self.spark.read.parquet(self.items_path).drop("updated_at")
+        return self._items_with_ts().drop("updated_at")
 
     def partitions(self):
+        if self.storage == "txlog":
+            return self.log.read(self.spark, "partitions")
         return self.spark.read.parquet(self.parts_path)
 
     def _committed(self) -> list[int]:
@@ -87,7 +124,22 @@ class FeedRunner:
             return  # re-delivered after crash: idempotent skip
         if changed.isEmpty():
             return
-        with_ts = self.spark.read.parquet(self.items_path)
+        # txlog mode: a concurrent runner may win the commit claim; re-read
+        # the fresh snapshot and recompute (at-least-once, like every retry
+        # path here — the batch-id manifest still dedups whole batches).
+        attempts = 8 if self.storage == "txlog" else 1
+        last_conflict = None
+        for _ in range(attempts):
+            if self._attempt(batch_id):
+                return
+            from gofeed_spark.feedstate.txlog import CommitConflict
+
+            last_conflict = CommitConflict("txlog commit lost repeatedly")
+        raise last_conflict
+
+    def _attempt(self, batch_id: int) -> bool:
+        expected = self.log.latest()[0] if self.storage == "txlog" else None
+        with_ts = self._items_with_ts()
         items = with_ts.drop("updated_at")
         parts = self.partitions()
         new_parts, new_items = feed_step(
@@ -142,27 +194,44 @@ class FeedRunner:
             "id", "partition_id", "gate", "retry_count", "error_messages", "data",
             F.lit(tick).alias("failed_at_tick"),
         )
-        if not dead.isEmpty():
-            dead.write.mode("append").parquet(os.path.join(self.base, "dead_letter"))
-        from gofeed_spark.feedstate.admin import transactional_write
+        # Materialize dead BEFORE the storage commit: its lineage reads the
+        # PRE-commit items table, whose files the commit replaces.
+        dead = dead.localCheckpoint()
+        if self.storage == "txlog":
+            from gofeed_spark.feedstate.txlog import CommitConflict
 
-        transactional_write(
-            self.spark,
-            {"items": out_items.localCheckpoint(), "partitions": new_parts},
-            self.base,
-        )
+            try:
+                self.log.commit(
+                    {"items": out_items.localCheckpoint(), "partitions": new_parts},
+                    expected_version=expected,
+                )
+            except CommitConflict:
+                return False  # recompute against the fresh snapshot
+        else:
+            from gofeed_spark.feedstate.admin import transactional_write
+
+            transactional_write(
+                self.spark,
+                {"items": out_items.localCheckpoint(), "partitions": new_parts},
+                self.base,
+            )
+        if not dead.isEmpty():
+            dead.write.mode("append").parquet(self.dead_dir)
         self._commit(batch_id)
+        return True
 
     # -- driver ----------------------------------------------------------
     def run_available(self, timeout_s: int = 300, max_rounds: int = 16) -> None:
         """Drain all available work: repeated availableNow passes until the
         CDC source has nothing new (each pass may re-queue continuation
         work for the next)."""
+        src_path = self.base if self.storage == "txlog" else self.items_path
         for _ in range(max_rounds):
             before = self._committed()
             q = (
                 self.spark.readStream.format("feed_cdc")
-                .option("path", self.items_path)
+                .option("path", src_path)
+                .option("backend", "txlog" if self.storage == "txlog" else "parquet")
                 .load()
                 .writeStream.option("checkpointLocation", self.ckpt)
                 .trigger(availableNow=True)
