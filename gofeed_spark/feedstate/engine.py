@@ -245,10 +245,14 @@ def run_feed_to_fixpoint(
         )
         new_parts, new_its = new_parts.localCheckpoint(), new_its.localCheckpoint()
         # Quiescent when nothing was ready (items unchanged) and the
-        # partition decision is a no-op (cheap: two small anti-joins).
+        # partition decision is a no-op.  The exceptAll probe only runs
+        # once the ready set is empty — one tiny job per step instead of
+        # two for every non-final step.
         still_ready = ready_items(new_parts, new_its).limit(1).count()
-        parts_changed = new_parts.exceptAll(parts).limit(1).count()
+        quiescent = (
+            still_ready == 0 and new_parts.exceptAll(parts).limit(1).count() == 0
+        )
         parts, its = new_parts, new_its
-        if still_ready == 0 and parts_changed == 0:
+        if quiescent:
             break
     return parts, its

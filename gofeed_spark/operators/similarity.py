@@ -91,6 +91,7 @@ def topk_pairs_lsh(
     vec_col: str = "embedding",
     target_bucket: int = 100,
     min_cos: float | None = None,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Top-k most-cosine-similar pairs via multi-table SRP-LSH candidates +
     exact re-rank — the 100 TB replacement for the O(n²) ``topk_similar_pairs``.
@@ -150,12 +151,12 @@ def topk_pairs_lsh(
     # worker emits only its buckets' top rows / threshold survivors.
     # Large corpora: JVM path — norms precomputed per vector, one dot +
     # one division per pair (no broadcast of the corpus).
-    # BROADCAST_LIMIT is sized for the REAL footprint: the matrix is dim×8
-    # bytes/vector (~0.5 GB at dim 64 for 1M) and the Arrow toPandas
-    # intermediate (ndarray-of-ndarray) roughly doubles that transiently —
-    # far below the multi-GB Row-object cost a .collect() would pay.
-    BROADCAST_LIMIT = 1_000_000
-    if n <= BROADCAST_LIMIT:
+    # broadcast_limit's default is sized for the REAL footprint: the matrix
+    # is dim×8 bytes/vector (~0.5 GB at dim 64 for 1M) and the Arrow
+    # toPandas intermediate (ndarray-of-ndarray) roughly doubles that
+    # transiently — far below the multi-GB Row-object cost a .collect()
+    # would pay.  (Parameterized so tests can force the JVM path.)
+    if n <= broadcast_limit:
         # Arrow-columnar transfer (no per-row Python Row objects); the same
         # bytes a broadcast join would ship to every executor anyway.
         pdf_local = e.toPandas()
@@ -327,6 +328,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos >= min_cos, id_a < id_b — the semantic-dedup operator for training
@@ -348,6 +350,7 @@ def embedding_neardup_pairs(
         id_col=id_col,
         vec_col=vec_col,
         min_cos=min_cos,
+        broadcast_limit=broadcast_limit,
     )
     return all_pairs
 

@@ -88,3 +88,45 @@ def write_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.save(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a table directory into
+    ``ceil(total_bytes / target_file_bytes)`` files and atomically swap it
+    in.  Returns the new file count.
+
+    Streaming sinks and incremental upserts accrete small files; at 100 TB
+    the scan's task count (and the namenode/object-store listing cost)
+    tracks file count, not byte count, so periodic compaction is part of
+    the table lifecycle (Delta/Iceberg call it OPTIMIZE / rewriteFiles —
+    this is the plain-parquet equivalent, single-writer like the other
+    staging flips; run it from the maintenance job, not the hot path).
+    """
+    import math
+    import shutil
+
+    out_fmt = fmt or infer_format(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = read_table(spark, path, fmt=out_fmt)
+    staging = path.rstrip("/") + "_compact_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    writer = df.repartition(n_files).write.format(out_fmt).mode("overwrite")
+    if out_fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(staging)
+    old = path.rstrip("/") + "_compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

@@ -56,3 +56,22 @@ def test_partitioned_write_prunes(spark, tmp_path):
     pf = plan.split("PartitionFilters:")[1][:200]
     assert "region" in pf
     assert scan.count() == 50
+
+
+def test_compact_shrinks_file_count_preserves_data(spark, tmp_path):
+    import os
+
+    from gofeed_spark.sources.io import compact
+
+    path = str(tmp_path / "accreted.parquet")
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(path)  # simulate small-file accretion
+    before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert before >= 32
+    n = compact(spark, path, target_file_bytes=1 << 30)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert after == n == 1
+    assert spark.read.parquet(path).count() == 10_000
+    assert spark.read.parquet(path).agg({"k": "sum"}).collect()[0][0] == 49995000

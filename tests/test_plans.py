@@ -90,3 +90,13 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
     assert "cell" in pf
     got = [r.neighbor_id for r in probe.collect()]
     assert len(got) == 3 and 1 not in got
+
+
+def test_token_packing_window_is_partitioned(spark):
+    """q76's running sum must never route the corpus through a
+    single-partition window (the classic global-cumsum scale-killer): the
+    Window node is keyed by the range-partition id and no SinglePartition
+    exchange exists anywhere in the plan."""
+    plan = plan_of(spark, "q76_token_packing")
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(__pid" in plan

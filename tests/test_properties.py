@@ -132,3 +132,26 @@ def test_retry_engine_matches_model(spark, rc, prior, msg, no_retry, max_retries
     got = apply_process_results(items, results, max_retries=max_retries).collect()[0]
     erc, eem, est = model_error(rc, prior, AVAILABLE, msg, no_retry, max_retries)
     assert (got.retry_count, got.error_messages, got.status) == (erc, eem, est)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+)
+def test_global_running_sum_matches_model(spark, vals):
+    """Distributed two-pass cumulative sum == the sequential prefix sum,
+    for any value sequence and any partition count."""
+    from gofeed_spark.operators.packing import global_running_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    out = {
+        r.k: r.run
+        for r in global_running_sum(df, "k", "v", num_partitions=5).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert out == want

@@ -86,3 +86,30 @@ def test_label_centroid_norms(emb):
     out = dict(rows(label_centroid_norms(emb), "label", "centroid_norm"))
     assert out["a"] == 1.5
     assert out["b"] == round(2 / 3, 6)
+
+
+def test_topk_pairs_lsh_jvm_path_matches_broadcast(emb):
+    """broadcast_limit=0 forces the large-corpus branch (JVM dot products
+    over the candidate join, no broadcast matrix); both paths must produce
+    the exact top-k."""
+    broadcast = rows(
+        topk_pairs_lsh(emb, k=2, n_planes=2, n_tables=8, dim=2),
+        "rank", "id_a", "id_b",
+    )
+    jvm = rows(
+        topk_pairs_lsh(emb, k=2, n_planes=2, n_tables=8, dim=2, broadcast_limit=0),
+        "rank", "id_a", "id_b",
+    )
+    assert jvm == broadcast
+    exact = rows(topk_similar_pairs(emb, k=2), "rank", "id_a", "id_b")
+    assert jvm == exact
+
+
+def test_embedding_neardup_jvm_path(emb):
+    out = rows(
+        embedding_neardup_pairs(
+            emb, min_cos=0.9, n_planes=2, n_tables=8, dim=2, broadcast_limit=0
+        ),
+        "id_a", "id_b",
+    )
+    assert out == {(1, 2)}
