@@ -106,30 +106,46 @@ class TxLog:
     ) -> int:
         """Atomically commit new contents for every table in ``writes``.
 
+        A value may be a DataFrame (staged as a new snapshot dir) or a str
+        naming an EXISTING snapshot dir from a prior manifest — carrying an
+        unchanged table into the new commit without rewriting a byte
+        (vacuum keeps every dir the retained manifests reference).
+
         ``expected_version`` (optional OCC pre-check): conflict immediately
         if the log has moved past the version this writer based its work
         on — saves staging work; the O_EXCL claim is the real arbiter.
         Returns the committed version; raises ``CommitConflict`` on loss.
         """
         versions = self._manifest_versions()
-        current = versions[-1] if versions else 0
-        if expected_version is not None and current != expected_version:
-            raise CommitConflict(f"log at v{current}, expected v{expected_version}")
-        target = current + 1
+        # OCC pre-check compares COMPLETE commits only (latest() semantics):
+        # a burned manifest must not wedge every expected_version commit
+        # forever.  The claim target still skips burned numbers.
+        if expected_version is not None:
+            current_complete = self.latest()[0]
+            if current_complete != expected_version:
+                raise CommitConflict(
+                    f"log at v{current_complete}, expected v{expected_version}"
+                )
+        target = (versions[-1] if versions else 0) + 1
         # Writer-unique snapshot names: two committers racing for the same
         # target version must never stage into one directory (the manifest,
         # not the name, decides which becomes visible).
         token = uuid.uuid4().hex[:8]
         staged: dict[str, str] = {}
+        fresh: list[str] = []
         for name, df in writes.items():
+            if isinstance(df, str):  # re-reference an existing snapshot
+                staged[name] = df
+                continue
             rel = f"{name}__v{target:08d}_{token}"
             df.write.mode("overwrite").parquet(os.path.join(self.base, rel))
             staged[name] = rel
+            fresh.append(rel)
         claim = os.path.join(self.logdir, f"{target:08d}.json")
         try:
             fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            for rel in staged.values():  # lost the race: remove orphans
+            for rel in fresh:  # lost the race: remove OUR orphans only
                 shutil.rmtree(os.path.join(self.base, rel), ignore_errors=True)
             raise CommitConflict(f"version {target} claimed by another writer") from None
         with os.fdopen(fd, "w") as f:
@@ -155,20 +171,36 @@ class TxLog:
         raise CommitConflict(f"no commit after {max_attempts} attempts")
 
     # -- maintenance -----------------------------------------------------
-    def vacuum(self, keep: int = 2) -> list[str]:
+    def vacuum(self, keep: int = 2, min_age_s: float = 3600.0) -> list[str]:
         """Remove snapshot dirs not referenced by the last ``keep`` complete
         commits (and orphans from crashed/conflicted commits).  Returns the
-        removed dir names."""
+        removed dir names.
+
+        ``min_age_s`` is the retention window (Delta-style): a dir younger
+        than this is NEVER removed even if unreferenced, because it may be
+        an in-flight committer's staged snapshot that has not claimed its
+        manifest yet — deleting it would let the claim succeed and publish
+        a manifest pointing at nothing."""
+        import time
+
         complete = [v for v in self._manifest_versions() if self._load(v) is not None]
         keep_versions = complete[-keep:] if keep else []
         live = set()
         for v in keep_versions:
             live.update(self._load(v)["tables"].values())
         removed = []
+        now = time.time()
         for name in os.listdir(self.base):
             if name.startswith("_") or name in live:
                 continue
-            if "__v" in name:  # the snapshot-dir naming convention
-                shutil.rmtree(os.path.join(self.base, name), ignore_errors=True)
-                removed.append(name)
+            if "__v" not in name:  # not ours (snapshot-dir naming convention)
+                continue
+            full = os.path.join(self.base, name)
+            try:
+                if now - os.path.getmtime(full) < min_age_s:
+                    continue  # possibly an in-flight commit's staging
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(name)
         return removed

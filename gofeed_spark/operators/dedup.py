@@ -210,7 +210,8 @@ def minhash_signatures(
                 sigs.append(sig.astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return sh.mapInPandas(run, "doc_id long, sig array<long>")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return sh.mapInPandas(run, f"doc_id {id_type}, sig array<long>")
 
 
 def minhash_lsh_pairs(

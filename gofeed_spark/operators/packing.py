@@ -39,12 +39,13 @@ def global_running_sum(
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # Materialize (localCheckpoint, released with the frame): the subtotal
+    # job and the final scan must observe the SAME partition assignment
+    # (range bounds come from sampling).
     ranged = (
         df.repartitionByRange(n, order_col)
         .withColumn("__pid", F.spark_partition_id())
-        # Materialize: the subtotal job and the final scan must observe the
-        # SAME partition assignment (range bounds come from sampling).
-        .persist()
+        .localCheckpoint()
     )
     # Pass 1: per-partition subtotals — N tiny rows to the driver.
     subtotals = {

@@ -448,12 +448,15 @@ def probe_ann_index(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Top-k cosine probe against a ``build_ann_index`` layout.  The query's
-    bucket is computed driver-side (n_planes dot products); the read prunes
-    to that bucket's partition directory — verify with
-    ``PartitionFilters: [isnotnull(bucket), (bucket = ...)]`` in the plan."""
+    bucket is computed with the SAME JVM ``srp_bucket`` expression the index
+    writer used (a 1-row job) — a driver-side numpy dot sums in a different
+    order and can flip the sign bit of a near-zero projection, probing the
+    wrong partition.  The read prunes to that bucket's directory — verify
+    with ``PartitionFilters: [isnotnull(bucket), (bucket = ...)]``."""
     planes = _hyperplanes(dim, n_planes)
     qv = np.asarray(query_vec, dtype=np.float64)
-    bucket = "".join("1" if float(np.dot(p, qv)) >= 0.0 else "0" for p in planes)
+    q1 = spark.createDataFrame([(qv.tolist(),)], "qv array<double>")
+    bucket = q1.select(srp_bucket(F.col("qv"), planes).alias("b")).collect()[0].b
     idx = spark.read.parquet(path).filter(F.col("bucket") == bucket)
     if exclude_id is not None:
         idx = idx.filter(F.col("nid") != exclude_id)

@@ -183,14 +183,14 @@ _GOLDEN_PARTS = [
 ]
 
 
-_GOLDEN_CACHE: dict[int, tuple] = {}
+_GOLDEN_CACHE: dict[str, tuple] = {}
 
 
 def _run_golden(spark):
     """Memoized per session: q49 and q51 both need this fixpoint run; the
     result is two localCheckpoint-ed (materialized) frames, so caching the
     pair halves the correctness-sweep cost without changing semantics."""
-    key = id(spark._jsparkSession)
+    key = spark.sparkContext.applicationId
     if key not in _GOLDEN_CACHE:
         parts, items = seed_dataframes(spark)
         _GOLDEN_CACHE[key] = run_feed_to_fixpoint(

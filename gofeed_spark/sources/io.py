@@ -117,10 +117,33 @@ def compact(
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / target_file_bytes))
+    # Preserve a partitioned layout: discover the Hive-style key=value
+    # directory chain and re-apply it — compacting an ANN/partitioned table
+    # must never flatten the layout its pruned probes depend on.
+    part_cols: list[str] = []
+    probe = path
+    while True:
+        subs = [
+            d
+            for d in os.listdir(probe)
+            if "=" in d and os.path.isdir(os.path.join(probe, d))
+        ]
+        if not subs:
+            break
+        part_cols.append(subs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subs[0])
     df = read_table(spark, path, fmt=out_fmt)
     staging = path.rstrip("/") + "_compact_staging"
     shutil.rmtree(staging, ignore_errors=True)
-    writer = df.repartition(n_files).write.format(out_fmt).mode("overwrite")
+    if part_cols:
+        # repartition BY the partition keys: one shuffled write produces
+        # ≤ n_files files per partition directory without a global sort
+        df = df.repartition(n_files, *part_cols)
+    else:
+        df = df.repartition(n_files)
+    writer = df.write.format(out_fmt).mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     if out_fmt == "csv":
         writer = writer.option("header", "true")
     writer.save(staging)

@@ -122,7 +122,14 @@ class FeedRunner:
     def _step(self, changed, batch_id: int) -> None:
         if batch_id in self._committed():
             return  # re-delivered after crash: idempotent skip
-        if changed.isEmpty():
+        try:
+            empty = changed.isEmpty()
+        except Exception:
+            # Transient task loss (local mode fails a job on FIRST task
+            # failure; concurrent Python-data-source queries occasionally
+            # hit a JVM deserialization hiccup) — one retry re-runs the job.
+            empty = changed.isEmpty()
+        if empty:
             return
         # txlog mode: a concurrent runner may win the commit claim; re-read
         # the fresh snapshot and recompute (at-least-once, like every retry
@@ -183,8 +190,8 @@ class FeedRunner:
             .cast("long"),
         ).drop("__old_v", "__old_ts", "__old_status")
         # Dead-letter routing: items that TRANSITIONED to Failed this step
-        # (retries exhausted or non-retryable — item.go:35-37) are appended
-        # to an immutable log with their error trail, exactly once.
+        # (retries exhausted or non-retryable — item.go:35-37) land in a
+        # log with their error trail.
         from gofeed_spark.feedstate.model import FAILED as _FAILED
 
         dead = joined.filter(
@@ -198,16 +205,38 @@ class FeedRunner:
         # PRE-commit items table, whose files the commit replaces.
         dead = dead.localCheckpoint()
         if self.storage == "txlog":
+            # EXACTLY-once dead letters: the dead_letter table rides in the
+            # SAME atomic manifest commit as the state tables — a crash can
+            # never separate a Failed transition from its dead-letter row,
+            # and a conflict retry recomputes both together.  Unchanged
+            # commits carry the previous snapshot forward by name (no
+            # rewrite).  (At warehouse scale dead letters would go to an
+            # append sink keyed by (writer, batch) instead of a snapshot.)
             from gofeed_spark.feedstate.txlog import CommitConflict
 
+            tables = {"items": out_items.localCheckpoint(), "partitions": new_parts}
+            _, prev_tables = self.log.latest()
+            if not dead.isEmpty():
+                if "dead_letter" in prev_tables:
+                    tables["dead_letter"] = self.log.read(
+                        self.spark, "dead_letter"
+                    ).unionByName(dead)
+                else:
+                    tables["dead_letter"] = dead
+            elif "dead_letter" in prev_tables:
+                tables["dead_letter"] = prev_tables["dead_letter"]  # by name
             try:
-                self.log.commit(
-                    {"items": out_items.localCheckpoint(), "partitions": new_parts},
-                    expected_version=expected,
-                )
+                self.log.commit(tables, expected_version=expected)
             except CommitConflict:
                 return False  # recompute against the fresh snapshot
         else:
+            # Parquet mode is single-writer: write dead letters BEFORE the
+            # state flip so a crash between the two can only DUPLICATE a
+            # dead letter on batch replay (at-least-once, the reference's
+            # posture), never lose one — the post-crash recompute sees the
+            # item already Failed and would skip it.
+            if not dead.isEmpty():
+                dead.write.mode("append").parquet(self.dead_dir)
             from gofeed_spark.feedstate.admin import transactional_write
 
             transactional_write(
@@ -215,16 +244,28 @@ class FeedRunner:
                 {"items": out_items.localCheckpoint(), "partitions": new_parts},
                 self.base,
             )
-        if not dead.isEmpty():
-            dead.write.mode("append").parquet(self.dead_dir)
         self._commit(batch_id)
         return True
+
+    def dead_letters(self):
+        """The dead-letter log as a DataFrame (None when nothing failed)."""
+        if self.storage == "txlog":
+            _, tables = self.log.latest()
+            if "dead_letter" not in tables:
+                return None
+            return self.log.read(self.spark, "dead_letter")
+        root = os.path.join(self.base, "dead_letter")
+        if not os.path.exists(root):
+            return None
+        return self.spark.read.parquet(root)
 
     # -- driver ----------------------------------------------------------
     def run_available(self, timeout_s: int = 300, max_rounds: int = 16) -> None:
         """Drain all available work: repeated availableNow passes until the
         CDC source has nothing new (each pass may re-queue continuation
         work for the next)."""
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
         src_path = self.base if self.storage == "txlog" else self.items_path
         for _ in range(max_rounds):
             before = self._committed()
@@ -238,6 +279,15 @@ class FeedRunner:
                 .foreachBatch(self._step)
                 .start()
             )
-            q.awaitTermination(timeout_s)
+            try:
+                q.awaitTermination(timeout_s)
+            except StreamingQueryException:
+                # A failed round is safe to retry wholesale: the streaming
+                # checkpoint re-delivers the batch and the batch-id manifest
+                # + OCC storage commit make re-processing idempotent.  Seen
+                # under concurrent runners as transient local-mode task
+                # failures; a persistent error still surfaces by exhausting
+                # max_rounds without convergence.
+                continue
             if self._committed() == before:
                 break

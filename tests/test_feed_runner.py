@@ -104,7 +104,10 @@ def test_feed_runner_on_txlog_storage(spark, tmp_path):
     # one manifest version per committed micro-batch, atop the seed commit
     version, tables = log.latest()
     assert version == 1 + len(runner._committed())
-    assert set(tables) == {"items", "partitions"}
+    # dead letters ride in the SAME atomic commit as the state tables
+    assert set(tables) == {"items", "partitions", "dead_letter"}
+    dl = sorted(r.id for r in runner.dead_letters().collect())
+    assert dl == ["s10_ready_should_fail", "s13_gate_fail", "s6_owned_should_fail"]
     # a stale-expected commit from "another writer" conflicts cleanly
     import pytest as _pytest
 
@@ -186,6 +189,6 @@ def test_two_feed_runners_race_on_shared_txlog(spark, tmp_path):
     assert parts_out["p2_gate"] == (FAILED, 0)
     assert all(s == COMPLETE for p, (s, g) in parts_out.items() if p.startswith("p1"))
     # dead letters: the SAME set as the single-runner run, each exactly once
-    dead = spark.read.parquet(os.path.join(base, "dead_letter"))
+    dead = runners[0].dead_letters()
     dl = sorted(r.id for r in dead.collect())
     assert dl == ["s10_ready_should_fail", "s13_gate_fail", "s6_owned_should_fail"]

@@ -75,3 +75,24 @@ def test_compact_shrinks_file_count_preserves_data(spark, tmp_path):
     assert after == n == 1
     assert spark.read.parquet(path).count() == 10_000
     assert spark.read.parquet(path).agg({"k": "sum"}).collect()[0][0] == 49995000
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    import os
+
+    from gofeed_spark.sources.io import compact, write_partitioned
+
+    path = str(tmp_path / "parted.parquet")
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id % 4 AS INT) AS bucket")
+    write_partitioned(df.repartition(16), path, partition_by=["bucket"])
+    n = compact(spark, path, target_file_bytes=1 << 30)
+    # layout intact: Hive-style bucket dirs still present, data identical
+    assert sorted(d for d in os.listdir(path) if d.startswith("bucket=")) == [
+        f"bucket={i}" for i in range(4)
+    ]
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    # probes still prune on the partition key
+    plan = back.filter("bucket = 2")._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "bucket" in pf

@@ -58,12 +58,44 @@ def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
     log = TxLog(str(tmp_path))
     for i in range(4):
         log.commit({"t": df(spark, (i, "x"))})
-    removed = log.vacuum(keep=2)
+    # retention window: young unreferenced dirs survive (they may be an
+    # in-flight committer's staged-but-unclaimed snapshot)
+    assert log.vacuum(keep=2) == []
+    removed = log.vacuum(keep=2, min_age_s=0)
     assert any(rel.startswith("t__") for rel in removed)
     assert rows(log.read(spark, "t")) == [(3, "x")]
     assert rows(log.read(spark, "t", version=3)) == [(2, "x")]
     with pytest.raises(Exception):
         log.read(spark, "t", version=1).collect()  # vacuumed snapshot gone
+
+
+def test_burned_version_does_not_wedge_occ_commits(spark, tmp_path):
+    """A burned (crashed, unparseable) newest manifest must not make every
+    expected_version commit conflict forever: the OCC pre-check compares
+    against the latest COMPLETE commit, while the claim skips the burned
+    number."""
+    log = TxLog(str(tmp_path))
+    log.commit({"t": df(spark, (1, "x"))})
+    open(os.path.join(log.logdir, "00000002.json"), "w").close()  # crash artifact
+    v = log.commit({"t": df(spark, (2, "y"))}, expected_version=log.latest()[0])
+    assert v == 3
+    assert rows(log.read(spark, "t")) == [(2, "y")]
+    # commit_retry converges too (it reads latest() for its expectation)
+    v2 = log.commit_retry(lambda version, tables: {"t": df(spark, (3, "z"))})
+    assert v2 == 4
+
+
+def test_commit_carries_table_forward_by_name(spark, tmp_path):
+    """Passing a str re-references a prior snapshot dir without rewriting;
+    vacuum keeps it alive as long as a retained manifest names it."""
+    log = TxLog(str(tmp_path))
+    log.commit({"a": df(spark, (1, "x")), "b": df(spark, (1, "y"))})
+    _, tables = log.latest()
+    log.commit({"a": df(spark, (2, "x2")), "b": tables["b"]})
+    assert rows(log.read(spark, "a")) == [(2, "x2")]
+    assert rows(log.read(spark, "b")) == [(1, "y")]
+    log.vacuum(keep=1, min_age_s=0)
+    assert rows(log.read(spark, "b")) == [(1, "y")]  # survived the vacuum
 
 
 def test_two_committers_race_no_lost_updates(spark, tmp_path):
