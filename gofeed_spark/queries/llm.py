@@ -10,6 +10,7 @@ cover correctness.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gofeed_spark.catalog import load_table
@@ -786,3 +787,90 @@ def q57(spark, sf_dir):
     corpus = emb.unionByName(clone)
     out = similarity.lsh_bucket_topk(corpus, query_id=1, k=3, n_planes=4, dim=64)
     return out.filter(F.col("rank") == 1)
+
+
+# --- Q81 deterministic stratified sampling (data mixing) ----------------------
+@query(
+    "q81_stratified_sample",
+    oracle="""
+WITH lang AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+              THEN 'head' ELSE 'tail' END AS stratum
+  FROM documents
+)
+SELECT doc_id, stratum FROM lang
+WHERE (stratum = 'head')
+   OR (stratum = 'tail'
+       AND CAST(('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 25)
+ORDER BY doc_id
+""",
+)
+def q81(spark, sf_dir):
+    """Deterministic stratified sampling — the data-mixing primitive of a
+    training pipeline: keep ALL of the minority stratum, a fixed fraction
+    of the majority one.  Both the stratum assignment and the keep
+    decision are content-addressed (md5 of the id), so the sample is
+    reproducible across engines, runs, and re-shards and needs NO shuffle:
+    one projection + filter over the scan (Spark's sampleBy is
+    seed-dependent per partitioning — useless for an oracle or a rerun).
+    Strata here derive from the id hash (a stand-in for any label)."""
+    d = T(spark, sf_dir, "documents")
+    h1 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+    stratum = F.when(h1 < 20, "head").otherwise("tail")
+    h2 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("s"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        d.select("doc_id", stratum.alias("stratum"), h2.alias("__h2"))
+        .filter((F.col("stratum") == "head") | (F.col("__h2") < 25))
+        .select("doc_id", "stratum")
+    )
+
+
+# --- Q82 heavy-hitter tokens per language (vocabulary head) -------------------
+@query(
+    "q82_token_heavy_hitters",
+    oracle=r"""
+WITH toks AS (
+  SELECT d.doc_id, lower(t.tok) AS tok
+  FROM documents d, LATERAL UNNEST(regexp_split_to_array(lower(d.text), '\s+')) AS t(tok)
+  WHERE length(t.tok) >= 2
+),
+counts AS (
+  SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+  FROM toks GROUP BY tok
+),
+ranked AS (
+  SELECT tok, n, df,
+         ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
+  FROM counts
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, tok, CAST(n AS BIGINT) AS n, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rnk <= 20 ORDER BY rnk
+""",
+)
+def q82(spark, sf_dir):
+    """Corpus vocabulary head: top-20 tokens by total occurrences with
+    document frequency — the profiling pass every tokenizer/quality
+    pipeline starts from.  Plan shape at 100 TB: explode to tokens, ONE
+    map-side-combinable groupBy over (token), TakeOrdered for the head —
+    no window over the full vocabulary, no driver-side loops."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") >= 2)
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("df")
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rnk"), "tok", "n", "df"
+    )
