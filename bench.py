@@ -56,8 +56,10 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def run_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
-    """Steady-state latency: best of ``runs`` end-to-end executions.
+def run_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
+    """Steady-state latency: best of ``runs`` end-to-end executions
+    (3 by default — the minimum also rides out transient host-neighbor
+    noise, which can double local-mode per-job overhead).
 
     The first execution of a plan pays one-time JVM costs — Catalyst
     analysis over py4j, whole-stage-codegen compilation (janino), AQE stage
