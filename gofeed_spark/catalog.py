@@ -46,6 +46,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — no Spark job, no data
+    read (the footer stores it).  The cheap statistics source for sizing
+    decisions (LSH plane counts, broadcast-vs-shuffle branches): at
+    warehouse scale the same number comes from the table catalog."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register every table as a temp view so ``spark.sql`` text matches the
     DuckDB oracle's table names 1:1."""

@@ -21,20 +21,27 @@ Commit protocol (optimistic):
 1. resolve the current version V (highest parseable manifest),
 2. write every table's new snapshot dir suffixed ``__V+1`` (invisible —
    readers only follow manifests),
-3. claim ``_txlog/V+1.json`` with O_CREAT|O_EXCL — exactly one concurrent
-   committer can win the claim; losers remove their orphan snapshot dirs
-   and raise ``CommitConflict``,
-4. write the manifest payload to the claimed fd, fsync, close.
+3. write the FULL manifest payload to a writer-unique temp file in the
+   log dir, fsync it,
+4. publish atomically via ``_claim`` — ``os.link(tmp, V+1.json)`` — which
+   fails with EEXIST when another committer already published V+1; losers
+   remove their orphan snapshot dirs and raise ``CommitConflict``.
 
-Crash analysis: before (3) → invisible orphan dirs, removed by ``vacuum``;
-during (4) → an unparseable manifest *burns* that version number (readers
-skip it, the next committer claims V+2) but never exposes a torn state;
-readers always see the highest fully-written manifest, which names only
-completely-written snapshot dirs.  Multi-table atomicity holds because one
-manifest names every table of the commit.
+A manifest therefore either does not exist or is complete: there is no
+claim-to-fsync window in which a competitor's ``latest()`` could observe
+V+1 as claimed-but-torn and base a V+2 commit on V (the lost-update race
+of a claim-then-write protocol), and no version number is ever "burned"
+by a crash mid-manifest-write — a crash before (4) leaves only an
+invisible temp file and orphan snapshot dirs, both removed by ``vacuum``.
+Readers always see the highest fully-written manifest, which names only
+completely-written snapshot dirs.  Multi-table atomicity holds because
+one manifest names every table of the commit.  (Readers still skip any
+unparseable manifest defensively — e.g. one hand-corrupted on disk.)
 
-On S3-class object stores without atomic create-exclusive, step (3) maps
-to a conditional PUT (if-none-match) — same protocol, same guarantees.
+Deployment mapping for the arbitration primitive (``_claim``): POSIX
+filesystems use hard-link-exclusive as above; S3 maps to a conditional
+PUT (``If-None-Match: *``), GCS to ``x-goog-if-generation-match: 0`` —
+same protocol, same guarantees.  ``_claim`` is the single seam to swap.
 """
 
 from __future__ import annotations
@@ -141,18 +148,40 @@ class TxLog:
             df.write.mode("overwrite").parquet(os.path.join(self.base, rel))
             staged[name] = rel
             fresh.append(rel)
-        claim = os.path.join(self.logdir, f"{target:08d}.json")
-        try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            for rel in fresh:  # lost the race: remove OUR orphans only
-                shutil.rmtree(os.path.join(self.base, rel), ignore_errors=True)
-            raise CommitConflict(f"version {target} claimed by another writer") from None
-        with os.fdopen(fd, "w") as f:
+        # Write the complete manifest to a writer-unique temp file FIRST
+        # (fsynced), then publish it atomically: the manifest never exists
+        # in a half-written state, so a competitor's latest() can never
+        # observe a claimed-but-torn version and base a commit that drops
+        # this one's changes.
+        tmp = os.path.join(self.logdir, f".tmp_{target:08d}_{token}.json")
+        with open(tmp, "w") as f:
             json.dump({"version": target, "tables": staged}, f)
             f.flush()
             os.fsync(f.fileno())
+        claim = os.path.join(self.logdir, f"{target:08d}.json")
+        try:
+            self._claim(tmp, claim)
+        except FileExistsError:
+            for rel in fresh:  # lost the race: remove OUR orphans only
+                shutil.rmtree(os.path.join(self.base, rel), ignore_errors=True)
+            os.unlink(tmp)
+            raise CommitConflict(f"version {target} claimed by another writer") from None
+        os.unlink(tmp)  # the published link keeps the inode alive
         return target
+
+    @staticmethod
+    def _claim(tmp: str, claim: str) -> None:
+        """The arbitration primitive: atomically publish a fully-written
+        manifest, failing with ``FileExistsError`` if another committer
+        already published this version.
+
+        POSIX: hard link (atomic, create-exclusive).  Object-store
+        deployments replace exactly this method: S3 → ``PUT`` with
+        ``If-None-Match: *``; GCS → ``x-goog-if-generation-match: 0``;
+        Azure → ``If-None-Match: *`` on Put Blob.  Everything else in the
+        protocol is already object-store-safe (immutable snapshot dirs,
+        manifest-only visibility)."""
+        os.link(tmp, claim)
 
     def commit_retry(
         self,
@@ -190,6 +219,18 @@ class TxLog:
             live.update(self._load(v)["tables"].values())
         removed = []
         now = time.time()
+        # Stale manifest temp files (crash between manifest write and
+        # publish) — invisible to readers, reclaimed after the window.
+        for name in os.listdir(self.logdir):
+            if not name.startswith(".tmp_"):
+                continue
+            full = os.path.join(self.logdir, name)
+            try:
+                if now - os.path.getmtime(full) >= min_age_s:
+                    os.unlink(full)
+                    removed.append(os.path.join("_txlog", name))
+            except OSError:
+                continue
         for name in os.listdir(self.base):
             if name.startswith("_") or name in live:
                 continue

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed by Arrow-batched pandas UDFs via mapInPandas.
 
-The decode step itself is STUBBED (image/audio libraries are not in this
-container): ``decode_stub`` produces a deterministic fake feature vector
-from the byte content so the Spark-side plumbing — schema, batch shape,
-partitioning — is real and testable end-to-end.  Swap ``_fake_decode`` for
-PIL/librosa/ffmpeg in a real deployment; nothing else changes.
+Decoding: when PIL is importable, ``extract_features`` / ``resize_images``
+decode real image bytes (grayscale feature row / true pixel resize); blobs
+PIL cannot parse — and every blob when PIL is absent, as in this container
+— fall back to the deterministic content-hash stubs, so the Spark-side
+plumbing (schema, batch shape, partitioning) is identical and
+oracle-checkable either way.  Audio/video (librosa/ffmpeg) remain stubbed.
 """
 
 from __future__ import annotations
@@ -62,10 +63,46 @@ def _fake_decode(content: bytes, n_feat: int = 8) -> list[float]:
     return [b / 255.0 for b in d[:n_feat]]
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(content: bytes, n_feat: int = 8) -> list[float]:
+    """Real image decode (optional PIL): grayscale → resize to an
+    (n_feat × 1) strip → normalized pixel row as the feature vector.
+    Raises on bytes PIL cannot parse — callers fall back to the
+    deterministic stub so a corrupt blob degrades instead of failing the
+    task (real pipelines would also route it to an error sink)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(content)) as im:
+        px = list(im.convert("L").resize((n_feat, 1)).getdata())
+    return [p / 255.0 for p in px]
+
+
+def _decode_or_fallback(content: bytes, n_feat: int, use_pil: bool) -> list[float]:
+    if use_pil:
+        try:
+            return _pil_decode(content, n_feat)
+        except Exception:  # noqa: BLE001 — undecodable blob → deterministic stub
+            pass
+    return _fake_decode(content, n_feat)
+
+
 def extract_features(media: DataFrame, n_feat: int = 8) -> DataFrame:
     """mapInPandas featurizer: (media_id, media_type, content BINARY) →
     FEATURE_SCHEMA rows.  Arrow-batched; one Python worker per task —
-    scales with executor cores, never a driver loop."""
+    scales with executor cores, never a driver loop.  Real PIL decode when
+    available; per-blob fallback to the deterministic stub otherwise (the
+    metadata columns the oracle checks are decode-independent)."""
+    use_pil = _pil_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,7 +115,9 @@ def extract_features(media: DataFrame, n_feat: int = 8) -> DataFrame:
                     "sha_prefix": content.map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
                     ),
-                    "feature": content.map(lambda b: _fake_decode(bytes(b), n_feat)),
+                    "feature": content.map(
+                        lambda b: _decode_or_fallback(bytes(b), n_feat, use_pil)
+                    ),
                 }
             )
 
@@ -86,16 +125,32 @@ def extract_features(media: DataFrame, n_feat: int = 8) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize as Arrow-batched mapInPandas.  The pixel transform is a
-    STUB (no imaging library in this container): output bytes are a
-    deterministic function of (input sha256, target dims) so the plumbing —
-    schema, batch shape, partition-parallel execution — is real and
-    testable; swap ``_stub_resize`` for PIL's ``Image.resize`` in a real
-    deployment and nothing else changes."""
+    """Image resize as Arrow-batched mapInPandas.  With PIL importable the
+    transform is a true pixel resize (re-encoded PNG); blobs PIL cannot
+    parse — and all blobs when PIL is absent, as in this container — get a
+    deterministic stand-in derived from (input sha256, target dims), so the
+    plumbing (schema, batch shape, partition-parallel execution) is
+    identical and testable either way."""
+    use_pil = _pil_available()
 
     def _stub_resize(content: bytes) -> bytes:
         seed = hashlib.sha256(content + f"{width}x{height}".encode()).digest()
         return seed  # stand-in for the resized pixel buffer
+
+    def _resize(content: bytes) -> bytes:
+        if use_pil:
+            try:
+                from io import BytesIO
+
+                from PIL import Image
+
+                with Image.open(BytesIO(content)) as im:
+                    out = BytesIO()
+                    im.resize((width, height)).save(out, format="PNG")
+                    return out.getvalue()
+            except Exception:  # noqa: BLE001 — undecodable blob → stub
+                pass
+        return _stub_resize(content)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -104,7 +159,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "content": pdf["content"].map(lambda b: _stub_resize(bytes(b))),
+                    "content": pdf["content"].map(lambda b: _resize(bytes(b))),
                 }
             )
 

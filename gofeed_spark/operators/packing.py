@@ -33,32 +33,56 @@ def global_running_sum(
     """Add ``out_col`` = inclusive running sum of ``val_col`` in global
     ``order_col`` order, without ever concentrating the data on one node.
 
-    Deterministic for unique ``order_col`` keys (range partitioning keeps
-    equal keys in one partition, so ties break within a partition exactly
-    like the single-window formulation).
+    For a NUMERIC order column the range bucket is a pure function of the
+    key — ``floor((key - min) / width)`` over the observed [min, max] — so
+    both passes compute it independently and deterministically: no
+    repartitionByRange (whose bounds come from sampling) and therefore no
+    materialization barrier between the passes.  Jobs: one min/max agg,
+    one subtotal agg (N tiny rows to the driver), one final windowed scan.
+    Non-numeric keys fall back to sampled range partitioning with a
+    localCheckpoint pinning the assignment.
+
+    Deterministic for unique ``order_col`` keys (equal keys always share a
+    bucket, so ties break within a partition exactly like the
+    single-window formulation).
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    # Materialize (localCheckpoint, released with the frame): the subtotal
-    # job and the final scan must observe the SAME partition assignment
-    # (range bounds come from sampling).
-    ranged = (
-        df.repartitionByRange(n, order_col)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    # Pass 1: per-partition subtotals — N tiny rows to the driver.
+    dtype = df.schema[order_col].dataType.simpleString()
+    numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float", "double", "date")
+    if numeric:
+        lo_hi = df.agg(
+            F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        ).collect()[0]
+        lo, hi = lo_hi["lo"], lo_hi["hi"]
+        if lo is None:  # empty input: nothing to sum
+            return df.withColumn(out_col, F.lit(None).cast("long"))
+        width = max((float(hi) - float(lo)) / n, 1e-12)
+        pid = F.least(
+            F.floor((F.col(order_col).cast("double") - F.lit(float(lo))) / F.lit(width)),
+            F.lit(n - 1),
+        ).cast("int")
+        ranged = df.withColumn("__pid", pid)
+    else:
+        # Sampled range bounds are not a pure key function: pin ONE
+        # assignment for both passes.
+        ranged = (
+            df.repartitionByRange(n, order_col)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+    # Pass 1: per-bucket subtotals — N tiny rows to the driver.
     subtotals = {
         r["__pid"]: r["s"]
         for r in ranged.groupBy("__pid").agg(F.sum(val_col).alias("s")).collect()
     }
-    # Exclusive prefix sum in pid order (range order == pid order).
+    # Exclusive prefix sum in pid order (bucket ranges ascend with pid).
     offsets, acc = [], 0
-    for pid in sorted(subtotals):
-        offsets.append((pid, acc))
-        acc += int(subtotals[pid] or 0)
+    for pid_v in sorted(subtotals):
+        offsets.append((pid_v, acc))
+        acc += int(subtotals[pid_v] or 0)
     off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offset long")
-    # Pass 2: parallel per-partition running sum + broadcast offset.
+    # Pass 2: parallel per-bucket running sum + broadcast offset.
     w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

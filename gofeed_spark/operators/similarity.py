@@ -20,9 +20,10 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gofeed_spark.functions.ranking import rank_window
 from gofeed_spark.functions.vector import as_double_array, cosine, dot, l2_norm
 
 
@@ -47,7 +48,7 @@ def brute_topk(
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("nid").asc())
+    w = rank_window(F.col("cos").desc(), F.col("nid").asc())
     return scored.select(
         F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
     )
@@ -72,13 +73,75 @@ def topk_similar_pairs(
         .orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+    w = rank_window(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
     return pairs.select(F.row_number().over(w).alias("rank"), "id_a", "id_b")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _srp_project(vecs: np.ndarray, planes_mat: np.ndarray) -> np.ndarray:
+    """SRP projections, einsum NOT gemm: einsum's per-element sequential
+    summation is identical across call shapes (batch of B in an executor,
+    single query vector on the driver), so a vector's sign bits — and with
+    them its bucket — agree between the index writer, the scan operator,
+    and the probe.  A blocked gemm can flip the sign of a near-zero
+    projection between shapes."""
+    return np.einsum("ij,kj->ik", vecs, planes_mat)
+
+
+def _srp_bucket_strs(vecs: np.ndarray, planes_mat: np.ndarray) -> list[str]:
+    proj = _srp_project(vecs, planes_mat)
+    return ["".join("1" if x >= 0 else "0" for x in row) for row in proj]
+
+
+def _srp_bucket_udf(planes: list[list[float]]):
+    """Arrow scalar pandas UDF: SRP bucket string for an array<double>
+    column, one numpy einsum per batch.  The hot-path replacement for the
+    ``srp_bucket`` column expression, whose zip_with/aggregate lambdas
+    Catalyst interprets PER ELEMENT (~n_planes × dim evals per row — the
+    dominant cost of index builds at any scale)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    planes_mat = np.asarray(planes, dtype=np.float64)
+
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def bucket(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vecs = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(_srp_bucket_strs(vecs, planes_mat))
+
+    return bucket
+
+
+def _ivf_sims(vecs: np.ndarray, cmat: np.ndarray, cnorm: np.ndarray) -> np.ndarray:
+    """Cosine similarity of each row vector to each coarse centroid — the
+    ONE formula both cell assignment (executors) and probe-cell selection
+    (driver) must share, in the same einsum call shape, so the query's
+    nearest cell is always among the probed cells."""
+    norms = np.sqrt(np.einsum("ij,ij->i", vecs, vecs))
+    return np.einsum("ij,kj->ik", vecs, cmat) / (norms[:, None] * cnorm[None, :])
+
+
+def _ivf_cell_udf(cmat: np.ndarray, cnorm: np.ndarray):
+    """Arrow scalar pandas UDF: nearest-centroid cell id for an
+    array<double> column (one einsum per batch against the tiny broadcast
+    codebook)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("int", PandasUDFType.SCALAR)
+    def cell(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        vecs = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(_ivf_sims(vecs, cmat, cnorm).argmax(axis=1).astype("int32"))
+
+    return cell
 
 
 def topk_pairs_lsh(
@@ -92,9 +155,16 @@ def topk_pairs_lsh(
     target_bucket: int = 100,
     min_cos: float | None = None,
     broadcast_limit: int = 1_000_000,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Top-k most-cosine-similar pairs via multi-table SRP-LSH candidates +
     exact re-rank — the 100 TB replacement for the O(n²) ``topk_similar_pairs``.
+
+    ``n_hint``: approximate corpus row count, used to size the plane count
+    and pick the scorer.  Callers that know it (parquet footer metadata, a
+    table catalog) should pass it — it saves the one sizing ``count()`` job
+    per invocation; only the order of magnitude matters (plane count is a
+    log2, the scorer branch a coarse memory bound).
 
     Plan: ``n_tables`` independent sign-bucket keys per vector (deterministic
     seeded hyperplanes) → explode to (table, bucket) → self-equi-join on the
@@ -112,8 +182,13 @@ def topk_pairs_lsh(
     (buckets per table = 2^planes).  Deterministic given the seed, so the
     exact-oracle comparison at test SF is stable.
     """
+    if k == -1 and min_cos is None:
+        # threshold mode without a threshold would otherwise surface as a
+        # TypeError deep inside an executor's pandas UDF — fail at the API
+        # boundary instead
+        raise ValueError("k=-1 (threshold mode) requires min_cos")
     e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
-    n = emb.count()  # one cheap action; sizes the plane count AND the scorer
+    n = n_hint if n_hint is not None else emb.count()
     if n_planes is None:
         # Bucket count tracks corpus size so expected bucket population (and
         # with it the m² in-bucket pair cost) stays ~constant: planes =
@@ -261,13 +336,20 @@ def topk_pairs_lsh(
         .orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+    w = rank_window(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
     return topk.select(F.row_number().over(w).alias("rank"), "id_a", "id_b")
 
 
 def srp_bucket(vec_col, planes: list[list[float]]):
     """Signed-random-projection bucket id (string of sign bits) for an
-    array<double> column — pure column expression."""
+    array<double> column — pure column expression.
+
+    Retained for pure-SQL/no-Python contexts; NOT the hot path.  Catalyst
+    interprets the zip_with/aggregate lambdas per element, and the JVM
+    fold's summation order differs from numpy's, so buckets from this
+    expression and from ``_srp_bucket_udf`` may disagree on vectors whose
+    projection is within float rounding of zero — never mix the two for
+    one index."""
     bits = [
         F.when(
             F.aggregate(
@@ -303,7 +385,7 @@ def lsh_bucket_topk(
     """
     planes = _hyperplanes(dim, n_planes)
     e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
-    e = e.withColumn("bucket", srp_bucket(F.col("v"), planes))
+    e = e.withColumn("bucket", _srp_bucket_udf(planes)(F.col("v")))
     q = e.filter(F.col("nid") == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -314,7 +396,7 @@ def lsh_bucket_topk(
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("nid").asc())
+    w = rank_window(F.col("cos").desc(), F.col("nid").asc())
     return scored.select(
         F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
     )
@@ -329,6 +411,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_limit: int = 1_000_000,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos >= min_cos, id_a < id_b — the semantic-dedup operator for training
@@ -351,6 +434,7 @@ def embedding_neardup_pairs(
         vec_col=vec_col,
         min_cos=min_cos,
         broadcast_limit=broadcast_limit,
+        n_hint=n_hint,
     )
     return all_pairs
 
@@ -374,35 +458,28 @@ def ivf_topk(
     warehouse scale the corpus is WRITTEN partitioned by ``cell`` so the
     probe is partition pruning on disk; here it is a filtered scan.
 
-    Cell assignment is one numpy matmul per Arrow batch against the
-    broadcast centroid matrix (n_cells × dim — always tiny); scoring within
-    probed cells is the same JVM dot-product path as brute_topk.
+    Cell assignment is one numpy einsum per Arrow batch against the
+    broadcast centroid matrix (n_cells × dim — always tiny); the query's
+    probe cells come from the SAME formula on the driver (``_ivf_sims``),
+    so the query's own cell is always probed.  Scoring within probed cells
+    is the same JVM dot-product path as brute_topk.  Nothing is persisted:
+    the single assignment pass runs inside the caller's one action (the
+    previous formulation persisted the assigned frame for a query-row
+    lookup and leaked the cache for the session's lifetime).
     """
-    import pandas as pd
-
     e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
     cents = (
         e.orderBy("nid").limit(n_cells).collect()
     )  # n_cells × dim — the coarse codebook, tiny by construction
     cmat = np.array([r.v for r in cents], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
-
-    def assign(batches):
-        for pdf in batches:
-            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
-            sims = (vecs @ cmat.T) / (
-                np.linalg.norm(vecs, axis=1)[:, None] * cnorm[None, :]
-            )
-            yield pd.DataFrame(
-                {"nid": pdf["nid"], "v": pdf["v"], "cell": sims.argmax(axis=1)}
-            )
-
-    cells = e.mapInPandas(assign, "nid long, v array<double>, cell int").persist()
-    q = cells.filter(F.col("nid") == query_id).collect()[0]
-    qv = np.array(q.v)
-    qsims = (cmat @ qv) / (cnorm * np.linalg.norm(qv))
+    qv = np.array(
+        e.filter(F.col("nid") == query_id).collect()[0].v, dtype=np.float64
+    )
+    qsims = _ivf_sims(qv[None, :], cmat, cnorm)[0]
     probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
-    qdf = cells.sparkSession.createDataFrame([(q.v,)], "qv array<double>")
+    cells = e.withColumn("cell", _ivf_cell_udf(cmat, cnorm)(F.col("v")))
+    qdf = emb.sparkSession.createDataFrame([(qv.tolist(),)], "qv array<double>")
     scored = (
         cells.filter(F.col("cell").isin(probe) & (F.col("nid") != query_id))
         .crossJoin(F.broadcast(qdf))
@@ -410,7 +487,7 @@ def ivf_topk(
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("nid").asc())
+    w = rank_window(F.col("cos").desc(), F.col("nid").asc())
     return scored.select(
         F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
     )
@@ -429,13 +506,19 @@ def build_ann_index(
     a partition-PRUNED read (the scan's PartitionFilters skips every other
     bucket's files on disk) instead of a filtered full scan.  This is the
     100 TB ANN serving shape: pay the layout once, then every query reads
-    ~corpus/2^planes rows."""
+    ~corpus/2^planes rows.
+
+    The write repartitions BY the bucket key first: without it every input
+    task writes a file into every bucket directory (tasks × 2^planes small
+    files — the small-file storm that kills object-store listings); with
+    it each bucket's rows are clustered into one task → O(2^planes) files
+    total."""
     planes = _hyperplanes(dim, n_planes)
     e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
-    e = e.withColumn("bucket", srp_bucket(F.col("v"), planes))
+    e = e.withColumn("bucket", _srp_bucket_udf(planes)(F.col("v")))
     from gofeed_spark.sources.io import write_partitioned
 
-    write_partitioned(e, path, partition_by=["bucket"])
+    write_partitioned(e.repartition("bucket"), path, partition_by=["bucket"])
 
 
 def probe_ann_index(
@@ -448,15 +531,14 @@ def probe_ann_index(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Top-k cosine probe against a ``build_ann_index`` layout.  The query's
-    bucket is computed with the SAME JVM ``srp_bucket`` expression the index
-    writer used (a 1-row job) — a driver-side numpy dot sums in a different
-    order and can flip the sign bit of a near-zero projection, probing the
-    wrong partition.  The read prunes to that bucket's directory — verify
-    with ``PartitionFilters: [isnotnull(bucket), (bucket = ...)]``."""
+    bucket is computed on the driver with the SAME einsum call shape the
+    index writer's UDF used (``_srp_project`` — identical summation order,
+    so the sign bit of even a near-zero projection matches; no 1-row Spark
+    job).  The read prunes to that bucket's directory — verify with
+    ``PartitionFilters: [isnotnull(bucket), (bucket = ...)]``."""
     planes = _hyperplanes(dim, n_planes)
     qv = np.asarray(query_vec, dtype=np.float64)
-    q1 = spark.createDataFrame([(qv.tolist(),)], "qv array<double>")
-    bucket = q1.select(srp_bucket(F.col("qv"), planes).alias("b")).collect()[0].b
+    bucket = _srp_bucket_strs(qv[None, :], np.asarray(planes, dtype=np.float64))[0]
     idx = spark.read.parquet(path).filter(F.col("bucket") == bucket)
     if exclude_id is not None:
         idx = idx.filter(F.col("nid") != exclude_id)
@@ -467,7 +549,7 @@ def probe_ann_index(
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("nid").asc())
+    w = rank_window(F.col("cos").desc(), F.col("nid").asc())
     return scored.select(
         F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
     )
@@ -482,28 +564,17 @@ def build_ivf_index(
 ) -> np.ndarray:
     """Materialize the IVF layout (corpus partitioned by coarse cell) and
     return the codebook (n_cells × dim).  Probes prune to n_probe cell
-    directories — ``ivf_topk``'s warehouse-scale shape made real."""
-    import pandas as pd
-
+    directories — ``ivf_topk``'s warehouse-scale shape made real.  Rows are
+    repartitioned by cell before the write (one task per cell → O(n_cells)
+    files, not tasks × n_cells)."""
     e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
     cents = e.orderBy("nid").limit(n_cells).collect()
     cmat = np.array([r.v for r in cents], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
-
-    def assign(batches):
-        for pdf in batches:
-            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
-            sims = (vecs @ cmat.T) / (
-                np.linalg.norm(vecs, axis=1)[:, None] * cnorm[None, :]
-            )
-            yield pd.DataFrame(
-                {"nid": pdf["nid"], "v": pdf["v"], "cell": sims.argmax(axis=1)}
-            )
-
-    cells = e.mapInPandas(assign, "nid long, v array<double>, cell int")
+    cells = e.withColumn("cell", _ivf_cell_udf(cmat, cnorm)(F.col("v")))
     from gofeed_spark.sources.io import write_partitioned
 
-    write_partitioned(cells, path, partition_by=["cell"])
+    write_partitioned(cells.repartition("cell"), path, partition_by=["cell"])
     return cmat
 
 
@@ -517,9 +588,12 @@ def probe_ivf_index(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Top-k cosine probe over the ``n_probe`` nearest cells of a
-    ``build_ivf_index`` layout — a partition-pruned multi-directory read."""
+    ``build_ivf_index`` layout — a partition-pruned multi-directory read.
+    Probe cells come from the same ``_ivf_sims`` einsum the writer's cell
+    assignment used, so the query's nearest cell is always probed."""
     qv = np.asarray(query_vec, dtype=np.float64)
-    qsims = (codebook @ qv) / (np.linalg.norm(codebook, axis=1) * np.linalg.norm(qv))
+    cmat = np.asarray(codebook, dtype=np.float64)
+    qsims = _ivf_sims(qv[None, :], cmat, np.linalg.norm(cmat, axis=1))[0]
     probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probe))
     if exclude_id is not None:
@@ -531,7 +605,7 @@ def probe_ivf_index(
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("nid").asc())
+    w = rank_window(F.col("cos").desc(), F.col("nid").asc())
     return scored.select(
         F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
     )

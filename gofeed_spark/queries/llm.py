@@ -10,10 +10,10 @@ cover correctness.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gofeed_spark.catalog import load_table
+from gofeed_spark.functions.ranking import rank_window
 from gofeed_spark.operators import dedup, multimodal, similarity, textstats
 from gofeed_spark.queries.registry import query
 
@@ -486,8 +486,13 @@ WHERE rn <= 10 ORDER BY rank
 def q58(spark, sf_dir):
     """Scale-path pair search: SRP-LSH candidate generation (24 tables × 3
     planes, slim id-only bucket join) + exact cosine re-rank, checked
-    against the exact all-pairs oracle — no nested-loop join in the plan."""
-    return similarity.topk_pairs_lsh(T(spark, sf_dir, "embeddings"), k=10)
+    against the exact all-pairs oracle — no nested-loop join in the plan.
+    Corpus size comes from parquet footer metadata (no sizing job)."""
+    from gofeed_spark.catalog import table_rowcount
+
+    return similarity.topk_pairs_lsh(
+        T(spark, sf_dir, "embeddings"), k=10, n_hint=table_rowcount(sf_dir, "embeddings")
+    )
 
 
 # --- LSH-bucketed ANN (approximate → rows-only check) ------------------------------------------------------
@@ -676,9 +681,12 @@ def q59(spark, sf_dir):
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
     )
     corpus = emb.select("vec_id", "embedding", "label").unionByName(clones)
-    return similarity.embedding_neardup_pairs(corpus, min_cos=0.9).orderBy(
-        "id_a", "id_b"
-    )
+    from gofeed_spark.catalog import table_rowcount
+
+    n = table_rowcount(sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        corpus, min_cos=0.9, n_hint=n + n // 10
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -870,7 +878,7 @@ def q82(spark, sf_dir):
         F.count("*").alias("n"), F.countDistinct("doc_id").alias("df")
     )
     top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(20)
-    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    w = rank_window(F.col("n").desc(), F.col("tok").asc())
     return top.select(
         F.row_number().over(w).cast("long").alias("rnk"), "tok", "n", "df"
     )

@@ -22,6 +22,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Respect the advisory partition size when coalescing instead of
+    # maximizing parallelism: Spark's own docs recommend false — with the
+    # default (true), a shuffle whose total output is a few MB still fans
+    # out to defaultParallelism reducers, paying task-launch overhead per
+    # reducer at small SF and producing under-filled reducers at 100 TB.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # At 100 TB the default 10 MB broadcast ceiling is too timid for the

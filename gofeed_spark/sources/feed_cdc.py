@@ -9,15 +9,22 @@ monotone microsecond timestamp; ties are re-read and deduplicated
 downstream by the idempotent sink, matching the reference's at-least-once
 posture).
 
-Two interchangeable backing stores (option ``backend``):
+Interchangeable backing stores (option ``backend``):
 
 - ``parquet`` (default): a parquet directory polled through pyarrow
   predicate-filtered reads,
 - ``sqlite``: a SQLite database file polled with an actual SQL cursor —
   ``SELECT ... WHERE updated_at > ? ORDER BY updated_at`` — the same
   store family the reference uses (Gorm over SQL Server/SQLite,
-  examples/state_processor/main.go:74-80, go.mod:11-12).  Swapping this
-  cursor for a JDBC/network-DB cursor changes nothing else.
+  examples/state_processor/main.go:74-80, go.mod:11-12),
+- ``dbapi``: ANY PEP-249 driver, named by option ``dbapi_module`` (e.g.
+  ``pyodbc`` for SQL Server, ``psycopg2``, ``sqlite3``); ``path`` is
+  passed to the module's ``connect()``.  The exact cursor contract as
+  ``sqlite``, with the placeholder style adapted from the module's
+  declared ``paramstyle`` — this is the portable form of the reference's
+  production store (Gorm over SQL Server), proven here through sqlite3's
+  DB-API face,
+- ``txlog``: a TxLog-managed snapshot table.
 """
 
 from __future__ import annotations
@@ -74,6 +81,41 @@ def _scan_sqlite(path: str, after: int, table: str = "items") -> list[tuple]:
         con.close()
 
 
+def _make_scan_dbapi(module_name: str):
+    """Build a poll function over any PEP-249 driver: connect with the
+    source's ``path`` option as the DSN, run the reference's literal query
+    shape (``WHERE updated_at > ? ORDER BY updated_at, id``) with the
+    driver's own ``paramstyle``, fetch, close.  One connection per poll —
+    the availableNow cadence is seconds, and per-poll connections keep the
+    reader fork-safe across Spark's Python workers (a pooled handle would
+    not survive the pickling boundary)."""
+    import importlib
+
+    mod = importlib.import_module(module_name)
+    placeholder = {
+        "qmark": "?",
+        "numeric": ":1",
+        "format": "%s",
+        "pyformat": "%(after)s",
+    }.get(getattr(mod, "paramstyle", "qmark"), "?")
+
+    def scan(path: str, after: int, table: str = "items") -> list[tuple]:
+        con = mod.connect(path)
+        try:
+            sql = (
+                f"SELECT {', '.join(_COLS)} FROM {table} "
+                f"WHERE updated_at > {placeholder} ORDER BY updated_at, id"
+            )
+            params = {"after": after} if placeholder == "%(after)s" else (after,)
+            cur = con.cursor()
+            cur.execute(sql, params)
+            return [tuple(r) for r in cur.fetchall()]
+        finally:
+            con.close()
+
+    return scan
+
+
 def _scan_txlog(path: str, after: int, table: str = "items") -> list[tuple]:
     """Poll a TxLog-managed table (feedstate/txlog.py): resolve the latest
     complete manifest (pure JSON — no Spark on the poll path) and
@@ -111,10 +153,18 @@ class FeedCDCReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("feed_cdc requires option 'path'")
         backend = options.get("backend", "parquet")
-        if backend not in _BACKENDS:
-            raise ValueError(f"feed_cdc backend must be one of {sorted(_BACKENDS)}")
+        if backend == "dbapi":
+            module = options.get("dbapi_module")
+            if not module:
+                raise ValueError("feed_cdc backend=dbapi requires option 'dbapi_module'")
+            self._scan = _make_scan_dbapi(module)
+        elif backend in _BACKENDS:
+            self._scan = _BACKENDS[backend]
+        else:
+            raise ValueError(
+                f"feed_cdc backend must be one of {sorted([*_BACKENDS, 'dbapi'])}"
+            )
         self.table = options.get("table", "items")
-        self._scan = _BACKENDS[backend]
 
     def initialOffset(self) -> dict:
         return {"last_ts": -1}

@@ -110,6 +110,15 @@ def compact(
     import math
     import shutil
 
+    # Crash recovery: the swap below has a window between moving the live
+    # dir aside and moving the staging dir in.  A crash there leaves the
+    # data stranded in *_compact_old with no live path — restore it before
+    # doing anything else (same stale-dir recovery posture as
+    # transactional_write).
+    old = path.rstrip("/") + "_compact_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.replace(old, path)
+
     out_fmt = fmt or infer_format(path)
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -147,7 +156,6 @@ def compact(
     if out_fmt == "csv":
         writer = writer.option("header", "true")
     writer.save(staging)
-    old = path.rstrip("/") + "_compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)
     os.replace(staging, path)

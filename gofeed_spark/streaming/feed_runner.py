@@ -263,10 +263,17 @@ class FeedRunner:
     def run_available(self, timeout_s: int = 300, max_rounds: int = 16) -> None:
         """Drain all available work: repeated availableNow passes until the
         CDC source has nothing new (each pass may re-queue continuation
-        work for the next)."""
+        work for the next).
+
+        Raises instead of returning when the drain does not converge: a
+        persistent per-batch failure (processor bug, corrupt checkpoint)
+        re-raises the last streaming error after ``max_rounds``; a feed
+        that keeps generating work without quiescing raises RuntimeError.
+        Exhaustion is never silent — the caller must know the run failed."""
         from pyspark.errors.exceptions.captured import StreamingQueryException
 
         src_path = self.base if self.storage == "txlog" else self.items_path
+        last_exc: Exception | None = None
         for _ in range(max_rounds):
             before = self._committed()
             q = (
@@ -281,13 +288,20 @@ class FeedRunner:
             )
             try:
                 q.awaitTermination(timeout_s)
-            except StreamingQueryException:
+                last_exc = None
+            except StreamingQueryException as exc:
                 # A failed round is safe to retry wholesale: the streaming
                 # checkpoint re-delivers the batch and the batch-id manifest
-                # + OCC storage commit make re-processing idempotent.  Seen
+                # + OCC storage commit make re-processing idempotent (seen
                 # under concurrent runners as transient local-mode task
-                # failures; a persistent error still surfaces by exhausting
-                # max_rounds without convergence.
+                # failures).  Kept for the retry; re-raised on exhaustion.
+                last_exc = exc
                 continue
             if self._committed() == before:
-                break
+                return  # a clean round committed nothing new: converged
+        if last_exc is not None:
+            raise last_exc
+        raise RuntimeError(
+            f"feed did not quiesce within {max_rounds} rounds: every round "
+            "committed new work (continuation loop or hot producer)"
+        )
