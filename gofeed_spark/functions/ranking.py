@@ -6,20 +6,36 @@ that is ≤ k·n_tables rows BY CONSTRUCTION (it sits after a ``limit``).  A
 but makes WindowExec log "No Partition Defined ... Moving all data to a
 single partition" on every execution — noise that would camouflage a REAL
 unpartitioned window over unbounded data (the classic scale-killer this
-repo pins tests against).  ``rank_window`` partitions by a constant: the
-same single-partition execution, but the intent is stated in the plan
-(``windowspecdefinition(0, ...)``) and the warning can only ever fire for
-a genuine regression.
+repo pins tests against).  Partitioning by a constant doesn't help:
+Catalyst folds foldable partition expressions away and the spec is empty
+again.
+
+``with_rank`` ranks without a WindowExec: shuffle the (tiny, bounded)
+frame to one partition, sort within it, number rows with
+``monotonically_increasing_id`` (consecutive from 0 inside a single
+partition, so +1 is exactly ``row_number`` under the given order).  The
+``repartition(1)`` is an EXCHANGE — upstream stages keep their
+parallelism, unlike a ``coalesce(1)``, which would drag the whole parent
+pipeline into one task.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Window, WindowSpec
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def rank_window(*order) -> WindowSpec:
-    """Window for ranking a bounded (post-``limit``) frame: single
-    partition by constant key — warning-free, deterministic, and cheap
-    because the input is ≤ k rows by construction."""
-    return Window.partitionBy(F.lit(0)).orderBy(*order)
+def with_rank(
+    df: DataFrame,
+    order: list,
+    rank_col: str = "rank",
+    cast: str = "int",
+) -> DataFrame:
+    """Add ``rank_col`` = 1-based row number of ``df`` under ``order``.
+    Only for bounded (post-``limit``) frames: the single output partition
+    is the point, not a bottleneck."""
+    return (
+        df.repartition(1)
+        .sortWithinPartitions(*order)
+        .withColumn(rank_col, (F.monotonically_increasing_id() + 1).cast(cast))
+    )

@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gofeed_spark.functions.ranking import rank_window
+from gofeed_spark.functions.ranking import with_rank
 from gofeed_spark.functions.vector import as_double_array, cosine, dot, l2_norm
 
 
@@ -48,9 +48,8 @@ def brute_topk(
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)
     )
-    w = rank_window(F.col("cos").desc(), F.col("nid").asc())
-    return scored.select(
-        F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
+    return with_rank(scored, [F.col("cos").desc(), F.col("nid").asc()]).select(
+        "rank", F.col("nid").alias("neighbor_id")
     )
 
 
@@ -73,8 +72,9 @@ def topk_similar_pairs(
         .orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
-    w = rank_window(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-    return pairs.select(F.row_number().over(w).alias("rank"), "id_a", "id_b")
+    return with_rank(
+        pairs, [F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()]
+    ).select("rank", "id_a", "id_b")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -336,8 +336,9 @@ def topk_pairs_lsh(
         .orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
-    w = rank_window(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-    return topk.select(F.row_number().over(w).alias("rank"), "id_a", "id_b")
+    return with_rank(
+        topk, [F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()]
+    ).select("rank", "id_a", "id_b")
 
 
 def srp_bucket(vec_col, planes: list[list[float]]):
@@ -396,9 +397,8 @@ def lsh_bucket_topk(
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)
     )
-    w = rank_window(F.col("cos").desc(), F.col("nid").asc())
-    return scored.select(
-        F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
+    return with_rank(scored, [F.col("cos").desc(), F.col("nid").asc()]).select(
+        "rank", F.col("nid").alias("neighbor_id")
     )
 
 
@@ -487,9 +487,8 @@ def ivf_topk(
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)
     )
-    w = rank_window(F.col("cos").desc(), F.col("nid").asc())
-    return scored.select(
-        F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
+    return with_rank(scored, [F.col("cos").desc(), F.col("nid").asc()]).select(
+        "rank", F.col("nid").alias("neighbor_id")
     )
 
 
@@ -549,9 +548,8 @@ def probe_ann_index(
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)
     )
-    w = rank_window(F.col("cos").desc(), F.col("nid").asc())
-    return scored.select(
-        F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
+    return with_rank(scored, [F.col("cos").desc(), F.col("nid").asc()]).select(
+        "rank", F.col("nid").alias("neighbor_id")
     )
 
 
@@ -605,9 +603,8 @@ def probe_ivf_index(
         .orderBy(F.col("cos").desc(), F.col("nid").asc())
         .limit(k)
     )
-    w = rank_window(F.col("cos").desc(), F.col("nid").asc())
-    return scored.select(
-        F.row_number().over(w).alias("rank"), F.col("nid").alias("neighbor_id")
+    return with_rank(scored, [F.col("cos").desc(), F.col("nid").asc()]).select(
+        "rank", F.col("nid").alias("neighbor_id")
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gofeed_spark.catalog import load_table
-from gofeed_spark.functions.ranking import rank_window
+from gofeed_spark.functions.ranking import with_rank
 from gofeed_spark.operators import dedup, multimodal, similarity, textstats
 from gofeed_spark.queries.registry import query
 
@@ -878,7 +878,6 @@ def q82(spark, sf_dir):
         F.count("*").alias("n"), F.countDistinct("doc_id").alias("df")
     )
     top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(20)
-    w = rank_window(F.col("n").desc(), F.col("tok").asc())
-    return top.select(
-        F.row_number().over(w).cast("long").alias("rnk"), "tok", "n", "df"
-    )
+    return with_rank(
+        top, [F.col("n").desc(), F.col("tok").asc()], rank_col="rnk", cast="long"
+    ).select("rnk", "tok", "n", "df")

@@ -114,6 +114,39 @@ def test_cdc_sqlite_backend_incremental(spark, tmp_path):
     assert sorted((r.id, r.updated_at) for r in got2) == [("a", 300), ("c", 400)]
 
 
+def test_cdc_dbapi_backend_incremental(spark, tmp_path):
+    """The generic PEP-249 backend, driven here through sqlite3's DB-API
+    face: the exact cursor contract a pyodbc/SQL Server deployment would
+    use (connection string in via 'path', driver module named by option) —
+    the portable proof of the reference's production-store claim."""
+    db, ckpt = str(tmp_path / "feed_dbapi.db"), str(tmp_path / "ckpt_dbapi")
+    _append_sqlite(db, [_item("a", "p", 0, AVAILABLE, 100), _item("b", "p", 0, AVAILABLE, 200)])
+
+    def drain(into):
+        q = (
+            spark.readStream.format("feed_cdc")
+            .option("path", db)
+            .option("backend", "dbapi")
+            .option("dbapi_module", "sqlite3")
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(lambda df, bid: into.extend(df.collect()))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = []
+    drain(got)
+    assert sorted(r.id for r in got) == ["a", "b"]
+    # in-place UPDATE: only rows past the checkpointed mark re-deliver
+    _append_sqlite(db, [_item("a", "p", 0, COMPLETE, 300, version=1), _item("c", "p", 0, AVAILABLE, 400)])
+    got2 = []
+    drain(got2)
+    assert sorted((r.id, r.updated_at) for r in got2) == [("a", 300), ("c", 400)]
+
+
 def test_cdc_to_gate_machine_end_to_end(spark, tmp_path):
     """The reference's whole loop: poll the items table → per-partition
     decision → idempotent state sink (watcher.go:89-184 as one pipeline)."""

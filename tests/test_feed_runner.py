@@ -192,3 +192,25 @@ def test_two_feed_runners_race_on_shared_txlog(spark, tmp_path):
     dead = runners[0].dead_letters()
     dl = sorted(r.id for r in dead.collect())
     assert dl == ["s10_ready_should_fail", "s13_gate_fail", "s6_owned_should_fail"]
+
+
+def test_run_available_surfaces_persistent_failure(spark, tmp_path):
+    """A processor bug that fails every micro-batch must NOT exhaust
+    max_rounds and return as if the drain succeeded: the last streaming
+    error is re-raised so the caller knows the run failed."""
+    import pytest
+
+    base = str(tmp_path / "feed_broken")
+    _seed(spark, base)
+
+    def broken(item_id: str, data: str):
+        raise RuntimeError("processor bug: fails every batch")
+
+    runner = FeedRunner(spark, base, broken, max_retries=3)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with pytest.raises(Exception, match="processor bug|Streaming"):
+            runner.run_available(timeout_s=120, max_rounds=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -100,3 +100,30 @@ def test_token_packing_window_is_partitioned(spark):
     plan = plan_of(spark, "q76_token_packing")
     assert "SinglePartition" not in plan
     assert "windowspecdefinition(__pid" in plan
+
+
+def test_no_empty_window_partition_spec(spark):
+    """Every window here must carry a partition spec: an EMPTY spec makes
+    WindowExec move ALL rows to one partition (and log its warning — noise
+    that would camouflage a real unbounded global window).  Bounded
+    post-limit rankings state intent with a constant partition key
+    (functions/ranking.rank_window)."""
+    import re
+
+    for name in (
+        "q16_window_rank",
+        "q34_knn_brute",
+        "q43_topk_similar_pairs",
+        "q58_topk_pairs_lsh",
+        "q76_token_packing",
+        "q82_token_heavy_hitters",
+    ):
+        plan = plan_of(spark, name)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+            first_arg = m.group(1).split(",")[0]
+            # no partition expressions => the first argument is already an
+            # ORDER spec (prints with a sort direction)
+            assert " ASC" not in first_arg and " DESC" not in first_arg, (
+                name,
+                m.group(0),
+            )

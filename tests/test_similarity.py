@@ -113,3 +113,13 @@ def test_embedding_neardup_jvm_path(emb):
         "id_a", "id_b",
     )
     assert out == {(1, 2)}
+
+
+def test_ivf_topk_leaves_no_persisted_frames(spark, emb):
+    """A query call must not grow the session's persisted-RDD set (the
+    round-3 ivf_topk persisted its assignment frame per call and never
+    released it — a session-lifetime cache leak at serving rates)."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = ivf_topk(emb, query_id=1, k=2, n_cells=2, n_probe=2)
+    out.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

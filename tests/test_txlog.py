@@ -140,3 +140,26 @@ def test_two_committers_race_no_lost_updates(spark, tmp_path):
         m = json.load(open(os.path.join(log.logdir, f)))
         for rel in m["tables"].values():
             assert os.path.isdir(os.path.join(str(tmp_path), rel))
+
+
+def test_commit_leaves_no_temp_manifests(spark, tmp_path):
+    """The atomic-link publish must not litter the log dir: after a clean
+    commit the only entries are complete manifests."""
+    log = TxLog(str(tmp_path))
+    log.commit({"t": df(spark, (1, "x"))})
+    log.commit({"t": df(spark, (2, "y"))})
+    assert sorted(os.listdir(log.logdir)) == ["00000001.json", "00000002.json"]
+
+
+def test_vacuum_reclaims_stale_manifest_temp(spark, tmp_path):
+    """A crash between manifest write and publish leaves a .tmp_ file that
+    readers never see; vacuum reclaims it after the retention window."""
+    log = TxLog(str(tmp_path))
+    log.commit({"t": df(spark, (1, "x"))})
+    stale = os.path.join(log.logdir, ".tmp_00000002_deadbeef.json")
+    open(stale, "w").close()
+    assert log.vacuum(keep=2) == []  # young: retention window protects it
+    removed = log.vacuum(keep=2, min_age_s=0)
+    assert os.path.join("_txlog", ".tmp_00000002_deadbeef.json") in removed
+    assert not os.path.exists(stale)
+    assert log.latest()[0] == 1  # published manifests untouched
