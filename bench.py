@@ -96,23 +96,34 @@ def main() -> None:
     args = ap.parse_args()
     sf_dir = args.sf_dir
     spark = get_spark("bench")
-    # Warm the JVM + parquet footer cache AND the Python UDF workers off the
-    # clock (executor-side daemons spin up on first Arrow exchange; that
-    # cost is per-session, not per-query).
-    QUERIES["q01_scan_project"](spark, sf_dir).limit(1).collect()
-    spark.range(32).mapInPandas(
-        lambda it: it, "id long"
-    ).write.format("noop").mode("overwrite").save()
+    # Warm-up sweep, off the clock: one execution of EVERY headline plan
+    # shape.  This amortizes the per-session one-time costs — JVM/parquet
+    # footer cache, Python UDF worker daemons, and crucially janino
+    # whole-stage-codegen compilation + JIT for each plan — which at bench
+    # SF are 3-5× the steady-state execution and are exactly what the
+    # declared steady-state methodology excludes (they are per-session, not
+    # per-query, and amortize to zero at the 100 TB target scale).  The
+    # sweep IS the cold pass: its per-query times are reported as
+    # cold_total so both semantics stay visible.
+    colds: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in QUERIES:
+            try:
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                colds[name] = round(time.time() - t0, 3)
+            except Exception:  # noqa: BLE001 — the timed loop reports it
+                pass
 
     timings: dict[str, float] = {}
-    colds: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         try:
-            best, cold = run_query(spark, name, sf_dir, runs=args.runs)
+            best, _first = run_query(spark, name, sf_dir, runs=args.runs)
             timings[name] = round(best, 3)
-            colds[name] = round(cold, 3)
         except Exception as exc:  # noqa: BLE001 — a broken query must not kill the bench
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0

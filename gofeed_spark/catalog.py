@@ -32,6 +32,17 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Resolved base relations, keyed per (JVM session, sf_dir, table).  A bare
+# ``spark.read.parquet`` re-lists the directory and re-reads footers to
+# infer the schema on EVERY call — ~0.1 s per table locally, pure overhead
+# when the same immutable table backs dozens of queries.  A warehouse
+# deployment gets schema + file listing from its table catalog (metastore)
+# instead of per-query inference; this dict is that catalog for the
+# driver's fixed parquet tables.  Safe because DataFrames are immutable
+# plans and the testdata directories never change within a session.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Lazy — no I/O until an action runs.
 
@@ -40,9 +51,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exactly what DuckDB does on its side of the oracle comparison.
     """
     ensure_session_confs(spark)
+    # applicationId is unique per SparkContext: a restarted session gets a
+    # fresh id, so a cached plan can never outlive its JVM session (a
+    # Python id() key could be reused by the allocator after GC).
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _RELATION_CACHE[key] = df
     return df
 
 

@@ -881,3 +881,59 @@ def q82(spark, sf_dir):
     return with_rank(
         top, [F.col("n").desc(), F.col("tok").asc()], rank_col="rnk", cast="long"
     ).select("rnk", "tok", "n", "df")
+
+
+# --- Q82a sketch-based vocabulary head (the 100 TB default) -------------------
+@query(
+    "q82a_heavy_hitters_approx",
+    oracle=r"""
+WITH toks AS (
+  SELECT d.doc_id, lower(t.tok) AS tok
+  FROM documents d, LATERAL UNNEST(regexp_split_to_array(lower(d.text), '\s+')) AS t(tok)
+  WHERE length(t.tok) >= 2
+),
+counts AS (
+  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+),
+ranked AS (
+  SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
+  FROM counts
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, tok, CAST(n AS BIGINT) AS n, TRUE AS df_ok
+FROM ranked WHERE rnk <= 20 ORDER BY rnk
+""",
+)
+def q82a(spark, sf_dir):
+    """q82's document frequency via approx_count_distinct (HyperLogLog++,
+    rsd 5%) — the heavy-hitter-profiling DEFAULT at corpus scale: the exact
+    countDistinct expands every (tok, doc_id) row through a two-phase
+    distinct aggregate (2× the shuffled rows of the plain count), while the
+    HLL sketch is one fixed-width buffer per token, map-side combinable.
+
+    The sketch value itself is engine-internal (not oracle-comparable), so
+    the registered contract is a TOLERANCE INVARIANT: for the top-20 tokens
+    by exact occurrence count, |approx_df − exact df| must stay within 15%
+    of the exact df (3× the configured rsd — HLL++ deviations beyond that
+    are vanishingly rare, and small cardinalities are exact in sparse
+    mode).  The oracle emits TRUE per row; a sketch drifting out of
+    tolerance hash-mismatches.  The exact df here exists only to judge the
+    sketch — the production form drops it."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") >= 2)
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("df"),
+        F.approx_count_distinct("doc_id", 0.05).alias("adf"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(20)
+    return with_rank(
+        top, [F.col("n").desc(), F.col("tok").asc()], rank_col="rnk", cast="long"
+    ).select(
+        "rnk",
+        "tok",
+        "n",
+        (F.abs(F.col("adf") - F.col("df")) <= 0.15 * F.col("df")).alias("df_ok"),
+    )
