@@ -726,8 +726,12 @@ def q79(spark, sf_dir):
     import tempfile
 
     emb = T(spark, sf_dir, "embeddings")
-    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
-    qrow = emb.filter(F.col("vec_id") == 1).collect()[0]
+    # one scalar job for both the max id and the query vector
+    agg = emb.agg(
+        F.max("vec_id").alias("max_id"),
+        F.first(F.when(F.col("vec_id") == 1, F.col("embedding")), ignorenulls=True).alias("qv"),
+    ).collect()[0]
+    max_id, query_vec = int(agg["max_id"]), agg["qv"]
     clone = emb.filter(F.col("vec_id") == 1).select(
         F.lit(max_id + 10_000_000).cast("long").alias("vec_id"), "embedding", "label"
     )
@@ -736,7 +740,7 @@ def q79(spark, sf_dir):
     try:
         similarity.build_ann_index(corpus, path, n_planes=4, dim=64)
         out = similarity.probe_ann_index(
-            spark, path, qrow.embedding, k=3, n_planes=4, dim=64, exclude_id=1
+            spark, path, query_vec, k=3, n_planes=4, dim=64, exclude_id=1
         )
         return out.filter(F.col("rank") == 1).localCheckpoint()
     finally:
@@ -758,8 +762,12 @@ def q80(spark, sf_dir):
     import tempfile
 
     emb = T(spark, sf_dir, "embeddings")
-    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
-    qrow = emb.filter(F.col("vec_id") == 1).collect()[0]
+    # one scalar job for both the max id and the query vector
+    agg = emb.agg(
+        F.max("vec_id").alias("max_id"),
+        F.first(F.when(F.col("vec_id") == 1, F.col("embedding")), ignorenulls=True).alias("qv"),
+    ).collect()[0]
+    max_id, query_vec = int(agg["max_id"]), agg["qv"]
     clone = emb.filter(F.col("vec_id") == 1).select(
         F.lit(max_id + 10_000_000).cast("long").alias("vec_id"), "embedding", "label"
     )
@@ -768,7 +776,7 @@ def q80(spark, sf_dir):
     try:
         codebook = similarity.build_ivf_index(corpus, path, n_cells=16)
         out = similarity.probe_ivf_index(
-            spark, path, codebook, qrow.embedding, k=3, n_probe=4, exclude_id=1
+            spark, path, codebook, query_vec, k=3, n_probe=4, exclude_id=1
         )
         return out.filter(F.col("rank") == 1).localCheckpoint()
     finally:
