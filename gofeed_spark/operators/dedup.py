@@ -12,11 +12,18 @@ All shuffles are key-local and linear in corpus size:
 
 At 100 TB the dominant cost is the shingle/band shuffle, which is
 O(total tokens) over 8-byte hashed keys; no all-pairs product ever forms
-unless two docs actually collide.  Skew (a viral shingle shared by
-millions of docs) is handled by dropping shingles above a
-document-frequency cap — ON by default (10k): a shingle in that many docs
-carries no near-dup signal, and an uncapped viral shingle is a quadratic
-bucket.  Pass ``df_cap=None`` for exact small-corpus semantics.
+unless two docs actually collide.  Skew is handled per key family:
+
+- a viral SHINGLE (shared by millions of docs) carries no near-dup signal
+  → dropped above a document-frequency cap (ON by default, 10k);
+- a hot LSH BAND bucket means its docs ARE near-identical (a template
+  family) → replaced above the cap by a linear spanning star (hub = min
+  id), preserving family connectivity for ``neardup_clusters`` at O(m)
+  instead of the m²/2 pair bomb.  ON by default (5k).
+
+Pairs are candidates, not decisions: ``neardup_clusters`` resolves them
+into connected components (doc_id, cluster_id, keep) — the actual dedup
+verdict a pipeline applies.
 """
 
 from __future__ import annotations
@@ -93,37 +100,62 @@ def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     return docs.select(id_col, text_col).mapInPandas(run, f"doc_id {id_type}, sh array<long>")
 
 
-def _group_pairs(keyed: DataFrame, key: str, df_cap: int | None) -> DataFrame:
+def _group_pairs(
+    keyed: DataFrame, key: str, df_cap: int | None, hot: str = "drop"
+) -> DataFrame:
     """Inverted-index pair generation in ONE pass: group doc ids per key,
     emit ordered in-group pairs via a nested explode.  Equivalent to the
     textbook self-equi-join but scans/shuffles the index once instead of
     twice; per-key work is m² for a key shared by m docs, so keys above
-    ``df_cap`` (non-discriminative by definition) are dropped — the
-    standard skew guard for near-dup candidate generation at corpus scale.
+    ``df_cap`` get one of two linear treatments (``hot``):
+
+    - ``"drop"`` (shingle semantics): remove the key entirely — a shingle
+      shared by that many docs carries no near-dup signal.
+    - ``"star"`` (LSH band semantics): a band bucket shared by m docs means
+      those docs ARE near-identical (the opposite of a viral shingle), so
+      dropping it loses a real duplicate family.  Instead emit a spanning
+      STAR — hub = min doc id, paired with every other doc in the bucket:
+      m-1 pairs instead of m²/2, and no m-sized ``collect_set`` buffer ever
+      forms for the hot key.  Downstream per-pair verification (est_jac /
+      Hamming) still runs on every emitted pair, and cluster resolution
+      (``neardup_clusters``) recovers the full family from the star's
+      connectivity — family recall is preserved at linear cost.  (Pairwise
+      recall within the family is intentionally sacrificed: a 10⁵-doc
+      template family at 100 TB is a cluster decision, never 10¹⁰ pairs.)
     """
+    star = None
     if df_cap is not None:
-        # Drop hot keys BEFORE the collect_set aggregation: a viral key
+        # Identify hot keys BEFORE the collect_set aggregation: a viral key
         # shared by millions of docs must never materialize its full id set
-        # in one aggregation buffer.  The count is map-side combinable and
-        # shuffles (key, long) only; the surviving hot-key set is tiny by
-        # definition, so it broadcasts.
-        hot = (
+        # in one aggregation buffer.  The count/min agg is map-side
+        # combinable and shuffles (key, long, long) only; the hot-key set
+        # is tiny by definition, so it broadcasts.
+        hot_keys = (
             keyed.groupBy(key)
-            .agg(F.count("*").alias("df"))
+            .agg(F.count("*").alias("df"), F.min("doc_id").alias("hub"))
             .filter(F.col("df") > df_cap)
-            .select(key)
         )
-        keyed = keyed.join(F.broadcast(hot), key, "left_anti")
+        if hot == "star":
+            # hub = min id in the bucket, so doc_a < doc_b holds by
+            # construction; the join is broadcast (hot keys are few) and
+            # emits exactly one row per non-hub member — linear.
+            star = (
+                keyed.join(F.broadcast(hot_keys.select(key, "hub")), key)
+                .filter(F.col("doc_id") != F.col("hub"))
+                .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+            )
+        keyed = keyed.join(F.broadcast(hot_keys.select(key)), key, "left_anti")
     grouped = (
         keyed.groupBy(key)
         .agg(F.collect_set("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    return (
+    pairs = (
         grouped.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
+    return pairs.unionByName(star) if star is not None else pairs
 
 
 def ngram_jaccard_pairs(
@@ -222,6 +254,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int | None = 5_000,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, filtered by the
     signature-estimated Jaccard (fraction of agreeing hash positions).
@@ -230,6 +263,14 @@ def minhash_lsh_pairs(
     all agree.  Candidates shuffle on (band, band_hash) — linear, skew-safe
     (a band bucket of b docs yields b² pairs only for actual collisions).
     Returns (doc_a, doc_b, est_jac) with est_jac >= threshold.
+
+    ``df_cap`` bounds the one quadratic surface left: a band bucket shared
+    by m near-identical docs (template/boilerplate families run to 10⁵⁺
+    members in real corpora) is an m²/2 pair bomb.  Buckets above the cap
+    emit a linear spanning star instead of all pairs (hub = min id — see
+    ``_group_pairs``), preserving family connectivity for cluster
+    resolution at O(m) cost.  Sub-cap buckets are byte-identical to the
+    uncapped behavior; pass ``None`` for exact small-corpus semantics.
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
@@ -248,7 +289,7 @@ def minhash_lsh_pairs(
         "doc_id",
         F.xxhash64("band", F.slice("sig", F.col("band") * rpb + 1, rpb)).alias("bh"),
     )
-    cand = _group_pairs(band_rows, "bh", df_cap=None).dropDuplicates(
+    cand = _group_pairs(band_rows, "bh", df_cap=df_cap, hot="star").dropDuplicates(
         ["doc_a", "doc_b"]
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -321,11 +362,16 @@ def simhash_neardup_pairs(
     max_hamming: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int | None = 5_000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming between SimHash
     fingerprints.  Candidate generation: 4 bands of 16 bits (pigeonhole — any
     pair within distance 3 shares a band; wider distances are best-effort,
     standard SimHash practice).  Exact distance check via bit_count(xor).
+
+    ``df_cap``: band buckets above the cap emit a linear spanning star
+    instead of m²/2 pairs (see ``minhash_lsh_pairs`` / ``_group_pairs`` —
+    identical guard, identical argument); sub-cap behavior is unchanged.
     """
     sh = simhash64(docs, text_col, id_col).persist()
     # Slim band relation (doc_id, hashed 16-bit band) — fingerprints are
@@ -341,7 +387,9 @@ def simhash_neardup_pairs(
             )
         ).alias("bh"),
     )
-    cand = _group_pairs(bands, "bh", df_cap=None).dropDuplicates(["doc_a", "doc_b"])
+    cand = _group_pairs(bands, "bh", df_cap=df_cap, hot="star").dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
     fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sim_hi").alias("hi_a"), F.col("sim_lo").alias("lo_a"))
     fb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sim_hi").alias("hi_b"), F.col("sim_lo").alias("lo_b"))
     ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
@@ -352,4 +400,88 @@ def simhash_neardup_pairs(
         .join(fb, "doc_b")
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into a dedup decision: (doc_id, cluster_id,
+    keep) where cluster_id = the minimum doc id of the pair-connected
+    component and keep = 1 exactly for that representative.
+
+    Pairs (from ``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` /
+    ``embedding_neardup_pairs``) are transitive evidence, not a verdict: if
+    A~B and B~C, keeping "first of each pair" would keep A and B (B wins
+    the B~C pair) even though all three are one duplicate family.  The
+    verdict is per connected component — this generalizes the keep-first
+    semantics of ``dedup_keep_first`` from exact to fuzzy duplicates.
+
+    Algorithm: min-label propagation.  labels start as self; each round
+    every node takes the min of its own label and its neighbors' labels
+    (one join + one map-side-combinable min aggregation — two slim
+    shuffles of (long, long) rows per round); converged when no label
+    changed.  Rounds needed = the component graph's diameter, which for
+    dedup graphs is small by construction — LSH band families arrive as
+    stars (diameter 2, see ``_group_pairs``) and organic near-dup chains
+    are short.  Each round ends in ``localCheckpoint`` so lineage (and the
+    re-execution cost of a lost partition) stays one round deep instead of
+    compounding.  Raises if ``max_iter`` rounds don't converge — silent
+    truncation would split clusters.
+
+    When ``docs`` is given, docs appearing in no pair join back in as
+    singleton clusters (keep=1), making the output a COMPLETE per-doc
+    decision over the corpus.
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # Symmetrize so one propagation step moves labels both ways.  No
+    # distinct: duplicate edges only feed extra rows into the min-agg,
+    # which dedups them for free — cheaper than a full shuffle here.
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("nbr_min"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("nbr_min")).alias("label"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor labels flow across each (a -> b) edge, then every node
+        # takes the min over {its label} ∪ {incoming labels}
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = new_labels.join(
+            labels.withColumnRenamed("label", "old"), "node"
+        ).filter(F.col("label") != F.col("old"))
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds: "
+            "component diameter exceeds the bound (raise max_iter)"
+        )
+    edges.unpersist()
+    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    if docs is not None:
+        out = (
+            docs.select(id_col)
+            .join(out, id_col, "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        )
+    return out.withColumn(
+        "keep", (F.col(id_col) == F.col("cluster_id")).cast("int")
     )

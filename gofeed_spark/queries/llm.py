@@ -655,6 +655,67 @@ def q56(spark, sf_dir):
 
 
 @query(
+    "q83_neardup_clusters",
+    oracle=r"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+s AS (
+  SELECT doc_id, UNNEST(list_distinct([array_to_string(words[i:i+4], ' ')
+                                       FOR i IN range(1, GREATEST(len(words)-4, 0)+1)])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM corpus)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared) >= 0.6
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+  WHERE r.label < e.b
+),
+cc AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN COALESCE(cc.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep
+FROM corpus d LEFT JOIN cc ON cc.node = d.doc_id
+ORDER BY doc_id
+""",
+)
+def q83(spark, sf_dir):
+    """Pair → cluster → survivor: near-dup PAIRS (exact n-gram Jaccard, the
+    q40 operator) resolved into connected components by min-label
+    propagation (dedup.neardup_clusters), emitting the per-doc dedup
+    verdict (doc_id, cluster_id, keep).  The corpus clones every 5th doc
+    once and every 10th doc TWICE, so 3-member families exist and the
+    transitive closure is non-trivial — keeping "first of each pair" would
+    disagree with the oracle's recursive CTE here.  Generalizes q28/q54's
+    keep-first semantics to fuzzy duplicates."""
+    d = T(spark, sf_dir, "documents")
+    c1 = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    c2 = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2 * CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = d.select("doc_id", "text").unionByName(c1).unionByName(c2)
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.6, k=5)
+    return dedup.neardup_clusters(pairs, docs=corpus)
+
+
+@query(
     "q59_embedding_neardup",
     oracle="""
 WITH corpus AS (

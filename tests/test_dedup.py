@@ -11,11 +11,14 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from gofeed_spark.operators.dedup import (
     dedup_keep_first,
     exact_dup_groups,
     minhash_lsh_pairs,
     minhash_signatures,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash64,
     simhash_neardup_pairs,
@@ -121,3 +124,97 @@ def test_simhash_neardup_zero_hamming_for_identical(docs):
     assert out[(1, 5)] == 0
     # near-identical docs A/B differ in one word → small distance
     assert out[(1, 3)] <= 16
+
+
+# --- hot band buckets: the 100 TB template-family guard ----------------------
+# A clone family of m docs puts all m into ONE band bucket in every band; the
+# uncapped formulation emits m(m-1)/2 pairs (and buffers m ids in one
+# collect_set).  Above df_cap the bucket must emit a spanning STAR instead:
+# m-1 pairs, hub = min id, linear in m.
+
+
+@pytest.fixture(scope="module")
+def clone_family(spark):
+    """1,200 byte-identical docs (ids 0..1199) + 3 unrelated docs."""
+    fam = spark.range(1200).select(F.col("id").alias("doc_id"), F.lit(A).alias("text"))
+    others = spark.createDataFrame(
+        [(5001, C), (5002, "unrelated words about parquet footers and row groups"),
+         (5003, "another disjoint vocabulary entirely for this final doc")],
+        "doc_id long, text string",
+    )
+    return fam.unionByName(others)
+
+
+def test_minhash_band_cap_emits_star_not_quadratic(clone_family):
+    out = minhash_lsh_pairs(clone_family, threshold=0.5, df_cap=100).collect()
+    fam_pairs = [(r.doc_a, r.doc_b, r.est_jac) for r in out if r.doc_b < 5000]
+    # linear star, not the 719,400-pair quadratic bucket
+    assert len(fam_pairs) == 1199
+    assert all(a == 0 for a, _b, _ in fam_pairs)
+    assert {b for _a, b, _ in fam_pairs} == set(range(1, 1200))
+    # star pairs still flow through the signature re-join: clones est_jac=1
+    assert all(j == 1.0 for *_ab, j in fam_pairs)
+
+
+def test_simhash_band_cap_emits_star_not_quadratic(clone_family):
+    out = simhash_neardup_pairs(clone_family, max_hamming=0, df_cap=100).collect()
+    fam_pairs = [(r.doc_a, r.doc_b, r.hamming) for r in out if r.doc_b < 5000]
+    assert len(fam_pairs) == 1199
+    assert all(a == 0 and h == 0 for a, _b, h in fam_pairs)
+
+
+def test_band_cap_inert_below_cap(docs):
+    """Sub-cap corpora are byte-identical to the uncapped behavior."""
+    capped = rows(minhash_lsh_pairs(docs, threshold=0.0, df_cap=5000), "doc_a", "doc_b")
+    uncapped = rows(minhash_lsh_pairs(docs, threshold=0.0, df_cap=None), "doc_a", "doc_b")
+    assert capped == uncapped
+
+
+# --- connected-components cluster resolution ---------------------------------
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    # a 6-hop chain: pairwise keep-first would keep several docs; the
+    # component verdict keeps exactly the min
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)] + [(30, 31)],
+        "doc_a long, doc_b long",
+    )
+    out = rows(neardup_clusters(pairs), "doc_id", "cluster_id", "keep")
+    assert out == {(i, 10, 1 if i == 10 else 0) for i in range(10, 17)} | {
+        (30, 30, 1),
+        (31, 30, 0),
+    }
+
+
+def test_neardup_clusters_singletons_from_docs(spark):
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    corpus = spark.createDataFrame([(1,), (2,), (9,)], "doc_id long")
+    out = rows(neardup_clusters(pairs, docs=corpus), "doc_id", "cluster_id", "keep")
+    assert out == {(1, 1, 1), (2, 1, 0), (9, 9, 1)}
+
+
+def test_neardup_clusters_merges_two_stars(spark):
+    # two stars sharing one member must merge into ONE cluster — the shape
+    # the band-cap star emission produces when a family spans two buckets
+    pairs = spark.createDataFrame(
+        [(5, 6), (5, 7), (5, 8), (2, 5), (2, 9)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in neardup_clusters(pairs).collect()}
+    assert all(c == 2 for c, _ in out.values())
+    assert out[2] == (2, 1)
+    assert sum(k for _, k in out.values()) == 1
+
+
+def test_capped_star_plus_clusters_recovers_full_family(clone_family):
+    """End-to-end: capped LSH (star pairs only for the hot family) →
+    cluster resolution recovers the WHOLE 1200-doc family as one cluster
+    with the min id as survivor — family recall survives the cap."""
+    pairs = minhash_lsh_pairs(clone_family, threshold=0.5, df_cap=100)
+    out = neardup_clusters(pairs, docs=clone_family)
+    fam = {r.doc_id: (r.cluster_id, r.keep) for r in out.collect() if r.doc_id < 5000}
+    assert len(fam) == 1200
+    assert all(c == 0 for c, _ in fam.values())
+    assert fam[0] == (0, 1)
+    assert sum(k for _, k in fam.values()) == 1
