@@ -46,9 +46,14 @@ _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Lazy — no I/O until an action runs.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark cannot
-    read natively; we read nanos as LONG and truncate to microseconds —
-    exactly what DuckDB does on its side of the oracle comparison.
+    ``events.ts`` normalizes to session-zone TIMESTAMP whatever the parquet
+    generation wrote: TIMESTAMP(NANOS) arrives as LONG nanos (via
+    ``nanosAsLong`` — Spark can't read ns natively; truncate to micros,
+    exactly what DuckDB does on its side of the oracle comparison), while
+    TIMESTAMP(MICROS) without UTC adjustment arrives as TIMESTAMP_NTZ (cast
+    re-interprets the same wall-clock in the pinned UTC session zone, so
+    both engines render identical instants).  Downstream code always sees
+    plain TIMESTAMP.
     """
     ensure_session_confs(spark)
     # applicationId is unique per SparkContext: a restarted session gets a
@@ -60,7 +65,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _RELATION_CACHE[key] = df
     return df
 

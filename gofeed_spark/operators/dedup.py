@@ -117,9 +117,13 @@ def _group_pairs(
       STAR — hub = min doc id, paired with every other doc in the bucket:
       m-1 pairs instead of m²/2, and no m-sized ``collect_set`` buffer ever
       forms for the hot key.  Downstream per-pair verification (est_jac /
-      Hamming) still runs on every emitted pair, and cluster resolution
-      (``neardup_clusters``) recovers the full family from the star's
-      connectivity — family recall is preserved at linear cost.  (Pairwise
+      Hamming) still runs on every emitted pair, so family recall is
+      preserved WHEN the hub verifies against each member — the expected
+      regime, since a bucket only goes hot when its members are
+      near-identical.  A member that fails verification against the hub is
+      disconnected entirely, even if it would have verified against some
+      other member the uncapped path would have paired it with; callers
+      needing exact pairwise semantics pass ``df_cap=None``.  (Pairwise
       recall within the family is intentionally sacrificed: a 10⁵-doc
       template family at 100 TB is a cluster decision, never 10¹⁰ pairs.)
     """
@@ -403,6 +407,23 @@ def simhash_neardup_pairs(
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint``'d frame.
+
+    ``Dataset.unpersist`` only covers cache-manager entries; a local
+    checkpoint's blocks belong to the underlying checkpointed RDD and are
+    otherwise only reclaimed when driver GC + ContextCleaner get around to
+    it.  Iterative algorithms that supersede a checkpoint every round
+    (``neardup_clusters``) must release eagerly or storage accumulates for
+    the life of the session.  Reaches the LogicalRDD's rdd via py4j;
+    best-effort — a plan shape we don't recognize is left for GC.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def neardup_clusters(
     pairs: DataFrame,
     docs: DataFrame | None = None,
@@ -441,40 +462,45 @@ def neardup_clusters(
     # distinct: duplicate edges only feed extra rows into the min-agg,
     # which dedups them for free — cheaper than a full shuffle here.
     edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
-    labels = (
-        edges.groupBy("a")
-        .agg(F.min("b").alias("nbr_min"))
-        .select(
-            F.col("a").alias("node"),
-            F.least(F.col("a"), F.col("nbr_min")).alias("label"),
-        )
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        # neighbor labels flow across each (a -> b) edge, then every node
-        # takes the min over {its label} ∪ {incoming labels}
-        msgs = edges.join(
-            labels.withColumnRenamed("node", "a"), "a"
-        ).select(F.col("b").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+    try:
+        labels = (
+            edges.groupBy("a")
+            .agg(F.min("b").alias("nbr_min"))
+            .select(
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("nbr_min")).alias("label"),
+            )
             .localCheckpoint()
         )
-        changed = new_labels.join(
-            labels.withColumnRenamed("label", "old"), "node"
-        ).filter(F.col("label") != F.col("old"))
-        done = changed.isEmpty()
-        labels = new_labels
-        if done:
-            break
-    else:
-        raise RuntimeError(
-            f"neardup_clusters did not converge in {max_iter} rounds: "
-            "component diameter exceeds the bound (raise max_iter)"
-        )
-    edges.unpersist()
+        for _ in range(max_iter):
+            # neighbor labels flow across each (a -> b) edge, then every node
+            # takes the min over {its label} ∪ {incoming labels}
+            msgs = edges.join(
+                labels.withColumnRenamed("node", "a"), "a"
+            ).select(F.col("b").alias("node"), "label")
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            ).filter(F.col("label") != F.col("old"))
+            done = changed.isEmpty()
+            # the superseded round's checkpoint blocks are dead the moment
+            # `changed` has been evaluated — release them now, not at GC time
+            _release_local_checkpoint(labels)
+            labels = new_labels
+            if done:
+                break
+        else:
+            raise RuntimeError(
+                f"neardup_clusters did not converge in {max_iter} rounds: "
+                "component diameter exceeds the bound (raise max_iter)"
+            )
+    finally:
+        edges.unpersist()
     out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     if docs is not None:
         out = (

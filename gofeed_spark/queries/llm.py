@@ -627,7 +627,13 @@ def q55(spark, sf_dir):
     are excluded on both sides.  Every 5th doc is cloned (like q53/q54) to
     keep the driver-sweep cost low while exercising the same code path."""
     corpus = _with_clones(T(spark, sf_dir, "documents"), every=5)
-    pairs = dedup.minhash_lsh_pairs(corpus, num_hashes=64, bands=16, k=5, threshold=1.0)
+    # df_cap=None: this is an exact every-clone-pair invariant; the capped
+    # default's spanning-star emission only guarantees hub-member pairs, so a
+    # hot band bucket would (legitimately) drop clone pairs where neither
+    # member is the hub.  Production callers keep the capped default.
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, num_hashes=64, bands=16, k=5, threshold=1.0, df_cap=None
+    )
     return (
         pairs.filter(F.col("doc_b") == F.col("doc_a") + CLONE_OFFSET)
         .select("doc_a")
@@ -646,7 +652,8 @@ def q56(spark, sf_dir):
     Hamming 0 → band collision guaranteed; every cloned doc must pair with
     its clone (every 5th doc cloned, q53/q54 pattern, for sweep cost)."""
     corpus = _with_clones(T(spark, sf_dir, "documents"), every=5)
-    pairs = dedup.simhash_neardup_pairs(corpus, max_hamming=0)
+    # df_cap=None for the same reason as q55: exact invariant check.
+    pairs = dedup.simhash_neardup_pairs(corpus, max_hamming=0, df_cap=None)
     return (
         pairs.filter(F.col("doc_b") == F.col("doc_a") + CLONE_OFFSET)
         .select("doc_a")

@@ -37,8 +37,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # ANSI off: the oracle (DuckDB) and the synthetic data never overflow,
     # and non-ANSI matches the reference's permissive Go arithmetic.
     "spark.sql.ansi.enabled": "false",
-    # events.parquet carries TIMESTAMP(NANOS); Spark reads it as LONG and
-    # the catalog truncates to µs (mirrors DuckDB's ns→µs truncation).
+    # Some events.parquet generations carry TIMESTAMP(NANOS); Spark reads it
+    # as LONG and the catalog truncates to µs (mirrors DuckDB's ns→µs
+    # truncation).  µs-written generations are unaffected by this conf; the
+    # catalog normalizes either form to session-zone TIMESTAMP.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -207,6 +207,21 @@ def test_neardup_clusters_merges_two_stars(spark):
     assert sum(k for _, k in out.values()) == 1
 
 
+def test_neardup_clusters_releases_superseded_checkpoints(spark):
+    """Each round's superseded localCheckpoint must be freed eagerly, not
+    left for driver GC: a long chain forces many rounds, yet at most ONE
+    checkpointed RDD (the final labels backing the returned frame) may
+    remain registered in the block manager afterwards."""
+    sc_java = spark.sparkContext._jsc.sc()
+    base = sc_java.getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 14)], "doc_a long, doc_b long"
+    )
+    out = neardup_clusters(pairs)
+    assert out.count() == 14
+    assert sc_java.getPersistentRDDs().size() <= base + 1
+
+
 def test_capped_star_plus_clusters_recovers_full_family(clone_family):
     """End-to-end: capped LSH (star pairs only for the hot family) →
     cluster resolution recovers the WHOLE 1200-doc family as one cluster
