@@ -92,6 +92,49 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def df_rowcount_estimate(df: DataFrame, max_files: int = 256) -> int | None:
+    """Driver-side row-count ESTIMATE for a DataFrame without running a
+    Spark job: sum the parquet footer counts of the plan's input files
+    (``df.inputFiles()`` — public API, resolved from the already-listed
+    file index, so no extra I/O beyond the footers).
+
+    An upper bound when the plan filters rows, and an undercount when the
+    plan multiplies them (explode / join / self-union) — callers use it
+    only for order-of-magnitude sizing (log2 plane counts, coarse
+    broadcast-vs-shuffle branches), where either error is benign and the
+    alternative is a full COUNT job.
+
+    Returns None — caller falls back to ``count()`` — when the plan has no
+    file inputs (in-memory relations, streaming), uses a scheme we can't
+    read driver-side (s3://..., where a real deployment asks its metastore
+    instead), or spans more than ``max_files`` footers (footer reads are
+    cheap but not free; a table that size deserves catalog statistics).
+    """
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as pq
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > max_files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        path = unquote(parsed.path)
+        if not path.endswith(".parquet"):
+            return None
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register every table as a temp view so ``spark.sql`` text matches the
     DuckDB oracle's table names 1:1."""

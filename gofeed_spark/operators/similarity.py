@@ -188,7 +188,16 @@ def topk_pairs_lsh(
         # boundary instead
         raise ValueError("k=-1 (threshold mode) requires min_cos")
     e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
-    n = n_hint if n_hint is not None else emb.count()
+    if n_hint is not None:
+        n = n_hint
+    else:
+        # No hint: try parquet footer statistics before paying a COUNT job
+        # (order-of-magnitude accuracy is all the sizing below needs).
+        from gofeed_spark.catalog import df_rowcount_estimate
+
+        n = df_rowcount_estimate(emb)
+        if n is None:
+            n = emb.count()
     if n_planes is None:
         # Bucket count tracks corpus size so expected bucket population (and
         # with it the m² in-bucket pair cost) stays ~constant: planes =

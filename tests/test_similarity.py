@@ -123,3 +123,35 @@ def test_ivf_topk_leaves_no_persisted_frames(spark, emb):
     out = ivf_topk(emb, query_id=1, k=2, n_cells=2, n_probe=2)
     out.collect()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+# --- driver-side row-count statistics (no COUNT job) --------------------------
+
+
+def test_df_rowcount_estimate_footer_stats(spark):
+    from gofeed_spark.catalog import df_rowcount_estimate, table_rowcount
+
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/embeddings.parquet")
+    exact = table_rowcount(sf, "embeddings")
+    assert df_rowcount_estimate(df) == exact
+    # projections/filters keep the same file inputs — still estimable
+    assert df_rowcount_estimate(df.select("vec_id").filter("vec_id > 3")) == exact
+    # in-memory relations have no file inputs: no estimate, caller counts
+    assert df_rowcount_estimate(spark.range(5)) is None
+
+
+def test_topk_pairs_lsh_hint_free_runs_no_sizing_job(spark):
+    """Without n_hint, a parquet-backed corpus must be sized from footer
+    statistics: building the plan on the (lazy) JVM path may not run ANY
+    Spark job — previously this paid a full COUNT per invocation."""
+    from gofeed_spark.catalog import df_rowcount_estimate
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup()
+    plan = topk_pairs_lsh(emb, k=3, broadcast_limit=0)
+    assert tracker.getJobIdsForGroup() == before
+    # and the footer-sized plan computes the same answer as an exact hint
+    hinted = topk_pairs_lsh(emb, k=3, broadcast_limit=0, n_hint=df_rowcount_estimate(emb))
+    assert rows(plan, "rank", "id_a", "id_b") == rows(hinted, "rank", "id_a", "id_b")
