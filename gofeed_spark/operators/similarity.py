@@ -448,6 +448,80 @@ def embedding_neardup_pairs(
     return all_pairs
 
 
+def ivf_codebook(
+    e: DataFrame,
+    n_cells: int,
+    n_iters: int = 2,
+    sample_cap: int = 100_000,
+) -> np.ndarray:
+    """Coarse IVF codebook (n_cells × dim, float64), deterministic.
+
+    Seeding: the ``n_cells`` lowest-id vectors (reproducible without an RNG
+    pass).  ``n_iters`` Lloyd iterations then tighten the cells — seeded
+    centroids can all land in one dense region, leaving other regions split
+    across far-away cells and forcing probes to a higher n_probe for the
+    same recall.  Each iteration is ONE distributed pass: every partition
+    assigns its vectors to the nearest centroid (same ``_ivf_sims`` einsum
+    as the index writer) and emits per-cell partial (sum, count) — an
+    (n_cells × dim) matrix per partition, never the vectors — which the
+    driver reduces and divides.  No shuffle; the collected partials are
+    bounded by partitions × n_cells rows.
+
+    Determinism: fixed seeding, argmax tie→lowest cell, float64 partial
+    sums reduced in collect order (stable for a deterministic input
+    layout); an empty cell keeps its previous centroid.  ``sample_cap``
+    bounds the refinement input — above it a deterministic xxhash64 id
+    filter thins the corpus (a codebook needs a representative sample, not
+    every row; the final assignment pass always sees the full corpus).
+    """
+    cents = e.orderBy("nid").limit(n_cells).collect()
+    cmat = np.array([r.v for r in cents], dtype=np.float64)
+    if n_iters <= 0:
+        return cmat
+    sample = e.select("nid", "v")
+    from gofeed_spark.catalog import df_rowcount_estimate
+
+    n_est = df_rowcount_estimate(e)
+    if n_est is not None and n_est > sample_cap:
+        every = max(2, n_est // sample_cap)
+        sample = sample.filter(F.pmod(F.xxhash64("nid"), F.lit(every)) == 0)
+    dim = cmat.shape[1]
+
+    def make_partials(codebook: np.ndarray, codebook_norm: np.ndarray):
+        def partials(batches):
+            import pandas as pd
+
+            s = np.zeros((n_cells, dim), dtype=np.float64)
+            cnt = np.zeros(n_cells, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+                a = _ivf_sims(vecs, codebook, codebook_norm).argmax(axis=1)
+                np.add.at(cnt, a, 1)
+                np.add.at(s, a, vecs)
+            yield pd.DataFrame(
+                {"cell": np.arange(n_cells, dtype=np.int32), "cnt": cnt, "s": list(s)}
+            )
+
+        return partials
+
+    for _ in range(n_iters):
+        cnorm = np.linalg.norm(cmat, axis=1)
+        rows = sample.mapInPandas(
+            make_partials(cmat, cnorm), "cell int, cnt long, s array<double>"
+        ).collect()
+        total = np.zeros((n_cells, dim), dtype=np.float64)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in rows:
+            total[r.cell] += np.asarray(r.s, dtype=np.float64)
+            counts[r.cell] += r.cnt
+        nonempty = counts > 0
+        cmat = cmat.copy()
+        cmat[nonempty] = total[nonempty] / counts[nonempty, None]
+    return cmat
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int,
@@ -456,16 +530,16 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     every vector to its nearest of ``n_cells`` centroids; a query scans only
     the ``n_probe`` cells nearest to it.
 
-    The coarse centroids are the ``n_cells`` lowest-id vectors — a
-    deterministic seeding (k-means iterations would tighten the cells but
-    add nothing structural; the partition-prune shape is identical).  At
-    warehouse scale the corpus is WRITTEN partitioned by ``cell`` so the
-    probe is partition pruning on disk; here it is a filtered scan.
+    The coarse codebook comes from ``ivf_codebook`` (lowest-id seeding +
+    ``n_iters`` deterministic Lloyd refinements).  At warehouse scale the
+    corpus is WRITTEN partitioned by ``cell`` so the probe is partition
+    pruning on disk; here it is a filtered scan.
 
     Cell assignment is one numpy einsum per Arrow batch against the
     broadcast centroid matrix (n_cells × dim — always tiny); the query's
@@ -477,10 +551,7 @@ def ivf_topk(
     lookup and leaked the cache for the session's lifetime).
     """
     e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
-    cents = (
-        e.orderBy("nid").limit(n_cells).collect()
-    )  # n_cells × dim — the coarse codebook, tiny by construction
-    cmat = np.array([r.v for r in cents], dtype=np.float64)
+    cmat = ivf_codebook(e, n_cells, n_iters=n_iters)
     cnorm = np.linalg.norm(cmat, axis=1)
     qv = np.array(
         e.filter(F.col("nid") == query_id).collect()[0].v, dtype=np.float64
@@ -568,15 +639,16 @@ def build_ivf_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = 2,
 ) -> np.ndarray:
     """Materialize the IVF layout (corpus partitioned by coarse cell) and
-    return the codebook (n_cells × dim).  Probes prune to n_probe cell
-    directories — ``ivf_topk``'s warehouse-scale shape made real.  Rows are
-    repartitioned by cell before the write (one task per cell → O(n_cells)
-    files, not tasks × n_cells)."""
+    return the codebook (n_cells × dim, Lloyd-refined via ``ivf_codebook``).
+    Probes prune to n_probe cell directories — ``ivf_topk``'s
+    warehouse-scale shape made real.  Rows are repartitioned by cell before
+    the write (one task per cell → O(n_cells) files, not tasks ×
+    n_cells)."""
     e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
-    cents = e.orderBy("nid").limit(n_cells).collect()
-    cmat = np.array([r.v for r in cents], dtype=np.float64)
+    cmat = ivf_codebook(e, n_cells, n_iters=n_iters)
     cnorm = np.linalg.norm(cmat, axis=1)
     cells = e.withColumn("cell", _ivf_cell_udf(cmat, cnorm)(F.col("v")))
     from gofeed_spark.sources.io import write_partitioned
