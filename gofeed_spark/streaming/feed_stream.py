@@ -141,3 +141,105 @@ def gate_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_supported() -> bool:
+    """True when the runtime can actually RUN the Spark 4 typed-state API
+    (``transformWithStateInPandas``).  Gate for ``gate_stream_tws`` —
+    callers fall back to ``gate_stream`` otherwise.
+
+    Two requirements, both checked: the API surface itself, and the
+    ``protobuf`` Python package — transformWithState's state access runs
+    over a protobuf-encoded driver↔worker protocol, and a missing protobuf
+    only surfaces at query start as an opaque "driver worker exited
+    unexpectedly" crash; probing it here turns that into a clean
+    capability report."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+
+        from pyspark.sql import GroupedData
+
+        return hasattr(GroupedData, "transformWithStateInPandas")
+    except ImportError:
+        return False
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def gate_stream_tws(
+    item_events: DataFrame,
+    manual_checkpoint: bool = False,
+    auto_close: bool = True,
+) -> DataFrame:
+    """``transformWithStateInPandas`` implementation of the gate machine —
+    the Spark 4 typed-state migration path for ``gate_stream``, same
+    semantics behind the same tests.
+
+    State layout is where this one earns its keep at scale: the head
+    (gate, status) lives in a ValueState and the item map in a MapState
+    keyed by item id, so an item update touches ONE state-store key
+    instead of deserializing + rewriting the whole per-partition item
+    array the applyInPandasWithState encoding carries.  With the RocksDB
+    provider (required by transformWithState — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``ROCKSDB_PROVIDER``) a million-item partition costs an update only
+    the touched keys, not O(items).
+
+    The decision ladder still needs the per-item status counts, which we
+    fold incrementally: counts re-derive from one pass over the MapState
+    iterator (RocksDB prefix scan over this partition's keys — not a full
+    store scan).  timeMode="none": the reference's gate is data-arrival
+    driven (watcher.go:147-161), no timers.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    mc, ac = manual_checkpoint, auto_close
+
+    class GateProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._head = handle.getValueState("head", "gate int, status int")
+            self._items = handle.getMapState(
+                "items", "id string", "gate int, status int"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (partition_id,) = key
+            head = self._head.get() if self._head.exists() else None
+            gate, status = (head[0], head[1]) if head is not None else (0, AVAILABLE)
+            for pdf in rows:
+                for iid, g, s in zip(
+                    pdf["id"].tolist(), pdf["gate"].tolist(), pdf["status"].tolist()
+                ):
+                    self._items.updateValue((iid,), (int(g), int(s)))
+            items = {k[0]: (v[0], v[1]) for k, v in self._items.iterator()}
+            gate, status = _decide(items, gate, status, mc, ac)
+            self._head.update((gate, status))
+            yield pd.DataFrame(
+                {
+                    "partition_id": [partition_id],
+                    "gate": [gate],
+                    "status": [status],
+                    "n_items": [len(items)],
+                    "failed_n": [sum(1 for g, s in items.values() if s == FAILED)],
+                    "avail_n": [sum(1 for g, s in items.values() if s == AVAILABLE)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return item_events.groupBy("partition_id").transformWithStateInPandas(
+        GateProcessor(),
+        outputStructType=GATE_OUT_DDL,
+        outputMode="update",
+        timeMode="none",
+    )

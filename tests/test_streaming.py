@@ -16,8 +16,11 @@ from gofeed_spark.feedstate.model import AVAILABLE, COMPLETE, FAILED
 from gofeed_spark.queries import QUERIES
 from gofeed_spark.streaming.feed_stream import (
     ITEM_EVENT_DDL,
+    ROCKSDB_PROVIDER,
     gate_stream,
+    gate_stream_tws,
     replay_stream,
+    tws_supported,
 )
 from gofeed_spark.streaming.sinks import ParquetUpsertSink
 from gofeed_spark.streaming.windows import (
@@ -29,17 +32,46 @@ from tests.conftest import rows
 SF = "/root/testdata/sf0.001"
 
 
-def _run_stream(spark, stage_dir, ckpt_dir, sink):
+import contextlib
+
+
+@contextlib.contextmanager
+def _state_provider(spark, impl):
+    """transformWithState requires the RocksDB state store provider; scope
+    the conf to the query start (streaming queries capture confs at start,
+    so restoring afterwards can't disturb a running one)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if impl is not gate_stream_tws:
+        yield
+        return
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+# both state-machine implementations run the SAME test suite: the Spark 4
+# typed-state path must be drop-in for the applyInPandasWithState one
+GATE_IMPLS = [gate_stream] + ([gate_stream_tws] if tws_supported() else [])
+
+
+def _run_stream(spark, stage_dir, ckpt_dir, sink, impl=gate_stream):
     src = replay_stream(spark, stage_dir, ITEM_EVENT_DDL)
-    q = (
-        gate_stream(src)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .foreachBatch(sink)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _state_provider(spark, impl):
+        q = (
+            impl(src)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination(120)
     return q
 
 
@@ -62,7 +94,8 @@ def _stage(spark, stage_dir, rows_, name):
     one_slice_df(spark, rows_, ITEM_EVENT_DDL).write.mode("append").parquet(stage_dir)
 
 
-def test_gate_stream_restart_exactly_once(spark, dirs):
+@pytest.mark.parametrize("impl", GATE_IMPLS, ids=lambda f: f.__name__)
+def test_gate_stream_restart_exactly_once(spark, dirs, impl):
     sink = ParquetUpsertSink(dirs["sink"], key="partition_id")
 
     # --- phase 1: two items available at gate 0 -> partition Available
@@ -71,7 +104,7 @@ def test_gate_stream_restart_exactly_once(spark, dirs):
         [("i1", "p1", 0, AVAILABLE), ("i2", "p1", 0, AVAILABLE)],
         "slice1",
     )
-    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink)
+    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink, impl)
     state = {r.partition_id: (r.status, r.gate) for r in sink.read(spark).collect()}
     assert state["p1"] == (AVAILABLE, 0)
     committed_after_1 = sink.committed()
@@ -83,7 +116,7 @@ def test_gate_stream_restart_exactly_once(spark, dirs):
         [("i1", "p1", 0, COMPLETE), ("i2", "p1", 0, FAILED)],
         "slice2",
     )
-    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink)
+    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink, impl)
     state = {r.partition_id: (r.status, r.gate) for r in sink.read(spark).collect()}
     assert state["p1"] == (FAILED, 0)  # failed item fails the partition
     # restart consumed ONLY the new slice: batch ids strictly extend, no reuse
@@ -102,7 +135,8 @@ def test_gate_stream_restart_exactly_once(spark, dirs):
     assert after == before
 
 
-def test_gate_stream_advances_gate(spark, dirs):
+@pytest.mark.parametrize("impl", GATE_IMPLS, ids=lambda f: f.__name__)
+def test_gate_stream_advances_gate(spark, dirs, impl):
     sink = ParquetUpsertSink(dirs["sink"], key="partition_id")
     # all gate-0 work done, one item waiting at gate 1 -> barrier clears,
     # gate increments (watcher.go:151-155 semantics)
@@ -111,17 +145,39 @@ def test_gate_stream_advances_gate(spark, dirs):
         [("i1", "p1", 0, COMPLETE), ("i2", "p1", 1, AVAILABLE)],
         "slice1",
     )
-    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink)
+    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink, impl)
     state = {r.partition_id: (r.status, r.gate) for r in sink.read(spark).collect()}
     assert state["p1"] == (AVAILABLE, 1)
 
 
-def test_gate_stream_autoclose(spark, dirs):
+@pytest.mark.parametrize("impl", GATE_IMPLS, ids=lambda f: f.__name__)
+def test_gate_stream_autoclose(spark, dirs, impl):
     sink = ParquetUpsertSink(dirs["sink"], key="partition_id")
     _stage(spark, dirs["stage"], [("i1", "p1", 0, COMPLETE)], "slice1")
-    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink)
+    _run_stream(spark, dirs["stage"], dirs["ckpt"], sink, impl)
     state = {r.partition_id: r.status for r in sink.read(spark).collect()}
     assert state["p1"] == COMPLETE
+
+
+def _tws_api_present() -> bool:
+    try:
+        from pyspark.sql import GroupedData
+
+        return hasattr(GroupedData, "transformWithStateInPandas")
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _tws_api_present(), reason="no typed-state API")
+def test_gate_stream_tws_plan_builds(spark, dirs):
+    """Even where the runtime can't EXECUTE transformWithState (e.g. no
+    protobuf), plan construction must work and produce the same streaming
+    schema as gate_stream — catches drift between the two paths' output
+    contracts on every runtime."""
+    src = replay_stream(spark, dirs["stage"], ITEM_EVENT_DDL)
+    a, b = gate_stream(src), gate_stream_tws(src)
+    assert b.isStreaming
+    assert a.schema == b.schema
 
 
 def _write_events(spark, tmp_path):
