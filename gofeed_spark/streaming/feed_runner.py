@@ -45,6 +45,12 @@ class FeedRunner:
     loses the O_EXCL claim, and this runner re-reads the fresh state and
     recomputes before retrying, the reference's dirty=false path at the
     storage layer.
+    ``"dbapi"`` keeps both tables in a PEP-249 database
+    (feedstate/dbstore.py — the reference's literal Gorm-over-SQL
+    deployment): the CDC source polls it with a cursor and writes land as
+    per-row OCC upserts, so out-of-band INSERTS arriving mid-batch
+    survive (a snapshot flip would rewrite the table around them) and a
+    concurrent row update can never be clobbered by a stale runner write.
     """
 
     def __init__(
@@ -57,6 +63,8 @@ class FeedRunner:
         auto_close: bool = True,
         storage: str = "parquet",
         runner_id: str = "",
+        dbapi_module: str = "sqlite3",
+        db_path: str | None = None,
     ):
         """``runner_id``: distinct per concurrent runner sharing one store
         (txlog mode) — each runner keeps its OWN streaming checkpoint and
@@ -81,19 +89,29 @@ class FeedRunner:
         self.max_retries = max_retries
         self.manual_checkpoint = manual_checkpoint
         self.auto_close = auto_close
-        if storage not in ("parquet", "txlog"):
-            raise ValueError("storage must be 'parquet' or 'txlog'")
+        if storage not in ("parquet", "txlog", "dbapi"):
+            raise ValueError("storage must be 'parquet', 'txlog' or 'dbapi'")
         self.storage = storage
         if storage == "txlog":
             from gofeed_spark.feedstate.txlog import TxLog
 
             self.log = TxLog(base_path)
+        elif storage == "dbapi":
+            from gofeed_spark.feedstate.dbstore import DbApiStore
+
+            os.makedirs(base_path, exist_ok=True)
+            self.db_path = db_path or os.path.join(base_path, "state.db")
+            self.dbapi_module = dbapi_module
+            self.db = DbApiStore(self.db_path, dbapi_module)
+            self.db.ensure_schema()
         register_feed_cdc(spark)
 
     # -- state-table accessors -------------------------------------------
     def _items_with_ts(self):
         if self.storage == "txlog":
             return self.log.read(self.spark, "items")
+        if self.storage == "dbapi":
+            return self.db.read_items(self.spark)
         return self.spark.read.parquet(self.items_path)
 
     def items(self):
@@ -102,6 +120,8 @@ class FeedRunner:
     def partitions(self):
         if self.storage == "txlog":
             return self.log.read(self.spark, "partitions")
+        if self.storage == "dbapi":
+            return self.db.read_partitions(self.spark)
         return self.spark.read.parquet(self.parts_path)
 
     def _committed(self) -> list[int]:
@@ -229,6 +249,16 @@ class FeedRunner:
                 self.log.commit(tables, expected_version=expected)
             except CommitConflict:
                 return False  # recompute against the fresh snapshot
+        elif self.storage == "dbapi":
+            # Dead letters first (same at-least-once ordering as parquet
+            # mode), then per-row OCC upserts: rows another writer bumped
+            # past our version are skipped row-by-row in the database, and
+            # rows we never touched are simply not in the statement — no
+            # table rewrite, so concurrent out-of-band inserts survive.
+            if not dead.isEmpty():
+                dead.write.mode("append").parquet(self.dead_dir)
+            self.db.upsert_items(out_items)
+            self.db.upsert_partitions(new_parts)
         else:
             # Parquet mode is single-writer: write dead letters BEFORE the
             # state flip so a crash between the two can only DUPLICATE a
@@ -272,15 +302,24 @@ class FeedRunner:
         Exhaustion is never silent — the caller must know the run failed."""
         from pyspark.errors.exceptions.captured import StreamingQueryException
 
-        src_path = self.base if self.storage == "txlog" else self.items_path
+        if self.storage == "txlog":
+            src_path, backend = self.base, "txlog"
+        elif self.storage == "dbapi":
+            src_path, backend = self.db_path, "dbapi"
+        else:
+            src_path, backend = self.items_path, "parquet"
         last_exc: Exception | None = None
         for _ in range(max_rounds):
             before = self._committed()
-            q = (
+            reader = (
                 self.spark.readStream.format("feed_cdc")
                 .option("path", src_path)
-                .option("backend", "txlog" if self.storage == "txlog" else "parquet")
-                .load()
+                .option("backend", backend)
+            )
+            if self.storage == "dbapi":
+                reader = reader.option("dbapi_module", self.dbapi_module)
+            q = (
+                reader.load()
                 .writeStream.option("checkpointLocation", self.ckpt)
                 .trigger(availableNow=True)
                 .foreachBatch(self._step)

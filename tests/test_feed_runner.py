@@ -214,3 +214,81 @@ def test_run_available_surfaces_persistent_failure(spark, tmp_path):
             runner.run_available(timeout_s=120, max_rounds=2)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def test_feed_runner_dbapi_concurrent_inserts_soak(spark, tmp_path):
+    """Real-database CDC round-trip, soaked 5×: the FULL FeedRunner drains
+    a SQLite-backed state store through the PEP-249 cursor source while an
+    out-of-band writer INSERTs new Available items (with their partitions)
+    mid-stream — the reference's "items added while the feed is running"
+    behavior (README.md:104-110).  Pins the incremental-offset contract
+    under concurrent writes: every late insert must be picked up by a
+    later poll (updated_at > high-water), survive the runner's per-row OCC
+    upserts untouched until processed, and drain to COMPLETE."""
+    import sqlite3
+    import threading
+    import time
+
+    from gofeed_spark.feedstate.model import AVAILABLE as _AV
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for soak in range(5):
+            base = str(tmp_path / f"feed_db_{soak}")
+            runner = FeedRunner(
+                spark, base, json_times_processor, max_retries=3,
+                auto_close=True, storage="dbapi",
+            )
+            # seed: two partitions, items needing TWO processor passes so
+            # continuation re-queues overlap the out-of-band inserts
+            runner.db.seed(
+                items_rows=[
+                    (f"s{i}", 0, 0, f"p{i % 2}", 0, _AV, "", '{"times": 2}', i + 1)
+                    for i in range(4)
+                ],
+                parts_rows=[(f"p{i}", 0, 0, _AV) for i in range(2)],
+            )
+
+            def inject(db_path):
+                con = sqlite3.connect(db_path, timeout=60)
+                try:
+                    for i in range(4):
+                        # widely spaced timestamps: the runner's re-queue
+                        # tick (max+1) must never collide with a future
+                        # out-of-band timestamp at the offset boundary
+                        ts = 1_000_000 * (i + 1)
+                        with con:
+                            con.execute(
+                                "INSERT OR REPLACE INTO items VALUES (?,?,?,?,?,?,?,?,?)",
+                                (f"x{i}", 0, 0, f"px{i}", 0, _AV, "", '{"times": 1}', ts),
+                            )
+                            con.execute(
+                                "INSERT OR REPLACE INTO partitions VALUES (?,?,?,?)",
+                                (f"px{i}", 0, 0, _AV),
+                            )
+                        time.sleep(0.4)
+                finally:
+                    con.close()
+
+            t = threading.Thread(target=inject, args=(runner.db_path,))
+            t.start()
+            try:
+                runner.run_available(timeout_s=180)
+            finally:
+                t.join(timeout=60)
+            assert not t.is_alive()
+            # inserts that landed after the drain quiesced: one more pass
+            runner.run_available(timeout_s=180)
+
+            items = {r.id: r.status for r in runner.items().collect()}
+            expected_ids = {f"s{i}" for i in range(4)} | {f"x{i}" for i in range(4)}
+            assert set(items) == expected_ids, f"soak {soak}: lost rows"
+            assert all(s == COMPLETE for s in items.values()), (
+                f"soak {soak}: unprocessed items "
+                f"{[i for i, s in items.items() if s != COMPLETE]}"
+            )
+            parts = {r.id: r.status for r in runner.partitions().collect()}
+            assert all(s == COMPLETE for s in parts.values()), f"soak {soak}: {parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
