@@ -689,6 +689,87 @@ def probe_ivf_index(
     )
 
 
+_INDEX_META = "_index_meta.json"
+
+
+def _index_matches(path: str, meta: dict) -> dict | None:
+    """Stored meta when ``path`` holds a completed index built with exactly
+    ``meta``'s parameters, else None (absent, incomplete, or stale)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, _INDEX_META)) as f:
+            stored = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    return stored if all(stored.get(k) == v for k, v in meta.items()) else None
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, _INDEX_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _INDEX_META))
+
+
+def ensure_ann_index(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Idempotent ``build_ann_index``: build the SRP layout at ``path``
+    once, then reuse it for every subsequent probe — the serving shape,
+    where the layout cost amortizes over the probe stream instead of being
+    paid per query (q79 rebuilds per run because the correctness gate
+    demands self-contained queries; production callers use this).
+
+    The build's parameters land in ``_index_meta.json`` AFTER the write
+    completes (ordering = completion marker, like Spark's _SUCCESS); a
+    matching meta short-circuits without touching ``emb``, anything else
+    (absent, interrupted build, different params) rebuilds from scratch."""
+    import shutil
+
+    meta = {"kind": "srp", "n_planes": n_planes, "dim": dim}
+    if _index_matches(path, meta) is not None:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    build_ann_index(emb, path, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col)
+    _write_index_meta(path, meta)
+    return path
+
+
+def ensure_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+) -> np.ndarray:
+    """Idempotent ``build_ivf_index``: the codebook rides in the meta file,
+    so a warm call returns it (and probes partition-prune the existing
+    layout) with ZERO Spark jobs — probe cost only."""
+    import shutil
+
+    meta = {"kind": "ivf", "n_cells": n_cells, "n_iters": n_iters}
+    stored = _index_matches(path, meta)
+    if stored is not None:
+        return np.asarray(stored["codebook"], dtype=np.float64)
+    shutil.rmtree(path, ignore_errors=True)
+    cmat = build_ivf_index(
+        emb, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col, n_iters=n_iters
+    )
+    _write_index_meta(path, {**meta, "codebook": cmat.tolist()})
+    return cmat
+
+
 def label_centroid_norms_udaf(
     emb: DataFrame,
     label_col: str = "label",

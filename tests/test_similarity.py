@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -208,3 +209,50 @@ def test_ivf_topk_refined_recall_at_n_probe_1(two_cluster_emb):
         )
     )
     assert out[1] == 13
+
+
+# --- persisted index reuse ----------------------------------------------------
+
+
+def test_ensure_indexes_reuse_until_params_change(spark, emb, tmp_path):
+    from gofeed_spark.operators.similarity import (
+        ensure_ann_index,
+        ensure_ivf_index,
+        probe_ann_index,
+        probe_ivf_index,
+    )
+
+    srp = str(tmp_path / "srp")
+    ensure_ann_index(emb, srp, n_planes=2, dim=2)
+    sentinel = os.path.join(srp, "_sentinel")
+    open(sentinel, "w").close()
+    # same params: reuse (no rebuild — sentinel survives), zero Spark jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup()
+    ensure_ann_index(emb, srp, n_planes=2, dim=2)
+    assert tracker.getJobIdsForGroup() == before
+    assert os.path.exists(sentinel)
+    # changed params: rebuild from scratch
+    ensure_ann_index(emb, srp, n_planes=3, dim=2)
+    assert not os.path.exists(sentinel)
+    out = dict(
+        rows(
+            probe_ann_index(spark, srp, [1.0, 0.05], k=1, n_planes=3, dim=2),
+            "rank",
+            "neighbor_id",
+        )
+    )
+    assert out[1] in (1, 2)  # the parallel pair dominates cosine
+
+    ivf = str(tmp_path / "ivf")
+    cb1 = ensure_ivf_index(emb, ivf, n_cells=2, n_iters=1)
+    before = tracker.getJobIdsForGroup()
+    cb2 = ensure_ivf_index(emb, ivf, n_cells=2, n_iters=1)
+    # warm call: codebook from meta, no jobs, identical values
+    assert tracker.getJobIdsForGroup() == before
+    assert np.allclose(cb1, cb2)
+    out = dict(
+        rows(probe_ivf_index(spark, ivf, cb2, [2.0, 0.0], k=1, n_probe=2, exclude_id=2),
+             "rank", "neighbor_id")
+    )
+    assert out[1] == 1
