@@ -42,6 +42,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # truncation).  µs-written generations are unaffected by this conf; the
     # catalog normalizes either form to session-zone TIMESTAMP.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as plain
+    # TIMESTAMP (session zone, pinned UTC above) instead of TIMESTAMP_NTZ:
+    # with the same wall-clock rendering as DuckDB's naive timestamps this
+    # is semantics-neutral here, and it keeps scans cast-free — timestamp
+    # predicates still push down to the parquet reader, and no per-row
+    # projection rides on every events/orders/lineitem scan (the catalog's
+    # NTZ cast fallback covers sessions where this conf can't be set).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 # Build-time confs (only effective when WE create the session).
