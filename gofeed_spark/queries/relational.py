@@ -222,7 +222,11 @@ def q11(spark, sf_dir):
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("o_totalprice").cast(D18_2)).cast("double").alias("rev"))
+        # exact fixed-point sum in LONG cents (same convention as q06):
+        # matches the oracle's SUM(DECIMAL(18,2))→DOUBLE bit-for-bit while
+        # keeping the aggregate in codegen'd long arithmetic instead of
+        # per-row Decimal objects
+        .agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("rev"))
     )
 
 
