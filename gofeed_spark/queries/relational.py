@@ -378,7 +378,12 @@ def q19(spark, sf_dir):
     return T(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast(D18_4)).over(w).cast("double").alias("run"),
+        # exact fixed-point running sum in LONG ten-thousandths (the q06/q11
+        # cents convention at 4 dp): round(x·10⁴) summed as LONG recovers
+        # the oracle's SUM(DECIMAL(18,4))→DOUBLE bit-for-bit and keeps the
+        # running frame in codegen'd long arithmetic instead of allocating
+        # a Decimal per row per frame step
+        (F.sum(F.round(F.col("value") * 10_000).cast("long")).over(w) / 10_000.0).alias("run"),
     )
 
 
