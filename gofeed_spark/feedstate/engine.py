@@ -235,6 +235,8 @@ def run_feed_to_fixpoint(
     each step with localCheckpoint, the standard Spark pattern for iterative
     algorithms (at durable scale, checkpoint() to reliable storage instead).
     """
+    from gofeed_spark.functions.lineage import release_local_checkpoint
+
     parts, its = partitions.localCheckpoint(), items.localCheckpoint()
     for _ in range(max_steps):
         new_parts, new_its = feed_step(
@@ -252,6 +254,10 @@ def run_feed_to_fixpoint(
         quiescent = (
             still_ready == 0 and new_parts.exceptAll(parts).limit(1).count() == 0
         )
+        # the superseded step's checkpoints are dead once the quiescence
+        # probes have run — release their blocks instead of waiting for GC
+        release_local_checkpoint(parts)
+        release_local_checkpoint(its)
         parts, its = new_parts, new_its
         if quiescent:
             break

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gofeed_spark.functions.lineage import release_local_checkpoint
 from gofeed_spark.functions.text import normalized_text, shingles, ws_tokens
 
 
@@ -407,23 +408,6 @@ def simhash_neardup_pairs(
     )
 
 
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Free the block-manager storage behind a ``localCheckpoint``'d frame.
-
-    ``Dataset.unpersist`` only covers cache-manager entries; a local
-    checkpoint's blocks belong to the underlying checkpointed RDD and are
-    otherwise only reclaimed when driver GC + ContextCleaner get around to
-    it.  Iterative algorithms that supersede a checkpoint every round
-    (``neardup_clusters``) must release eagerly or storage accumulates for
-    the life of the session.  Reaches the LogicalRDD's rdd via py4j;
-    best-effort — a plan shape we don't recognize is left for GC.
-    """
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
-
-
 def neardup_clusters(
     pairs: DataFrame,
     docs: DataFrame | None = None,
@@ -490,7 +474,7 @@ def neardup_clusters(
             done = changed.isEmpty()
             # the superseded round's checkpoint blocks are dead the moment
             # `changed` has been evaluated — release them now, not at GC time
-            _release_local_checkpoint(labels)
+            release_local_checkpoint(labels)
             labels = new_labels
             if done:
                 break

@@ -165,6 +165,27 @@ class FeedRunner:
         raise last_conflict
 
     def _attempt(self, batch_id: int) -> bool:
+        # Every localCheckpoint this attempt creates is released on the way
+        # out (success, conflict, or raise): once the storage commit has the
+        # data — or the attempt is abandoned — the checkpoint blocks are
+        # dead weight, and a long-lived runner would otherwise accumulate
+        # 4-5 of them per micro-batch until driver GC notices.
+        ckpts: list = []
+
+        def ckpt(df):
+            d = df.localCheckpoint()
+            ckpts.append(d)
+            return d
+
+        try:
+            return self._attempt_inner(batch_id, ckpt)
+        finally:
+            from gofeed_spark.functions.lineage import release_local_checkpoint
+
+            for d in ckpts:
+                release_local_checkpoint(d)
+
+    def _attempt_inner(self, batch_id: int, ckpt) -> bool:
         expected = self.log.latest()[0] if self.storage == "txlog" else None
         with_ts = self._items_with_ts()
         items = with_ts.drop("updated_at")
@@ -183,8 +204,8 @@ class FeedRunner:
         # processor (HTTP POSTs) up to 3× per micro-batch — and a
         # non-deterministic outcome could make the dead-letter log disagree
         # with the committed items table.
-        new_items = new_items.localCheckpoint()
-        new_parts = new_parts.localCheckpoint()
+        new_items = ckpt(new_items)
+        new_parts = ckpt(new_parts)
         # Re-queue ONLY rows whose version moved this step: they get
         # updated_at = batch tick (> the source's high-water mark), so the
         # CDC source re-delivers them for the next decision round; untouched
@@ -223,7 +244,7 @@ class FeedRunner:
         )
         # Materialize dead BEFORE the storage commit: its lineage reads the
         # PRE-commit items table, whose files the commit replaces.
-        dead = dead.localCheckpoint()
+        dead = ckpt(dead)
         if self.storage == "txlog":
             # EXACTLY-once dead letters: the dead_letter table rides in the
             # SAME atomic manifest commit as the state tables — a crash can
@@ -234,7 +255,7 @@ class FeedRunner:
             # append sink keyed by (writer, batch) instead of a snapshot.)
             from gofeed_spark.feedstate.txlog import CommitConflict
 
-            tables = {"items": out_items.localCheckpoint(), "partitions": new_parts}
+            tables = {"items": ckpt(out_items), "partitions": new_parts}
             _, prev_tables = self.log.latest()
             if not dead.isEmpty():
                 if "dead_letter" in prev_tables:
@@ -271,7 +292,7 @@ class FeedRunner:
 
             transactional_write(
                 self.spark,
-                {"items": out_items.localCheckpoint(), "partitions": new_parts},
+                {"items": ckpt(out_items), "partitions": new_parts},
                 self.base,
             )
         self._commit(batch_id)

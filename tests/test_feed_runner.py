@@ -292,3 +292,22 @@ def test_feed_runner_dbapi_concurrent_inserts_soak(spark, tmp_path):
             assert all(s == COMPLETE for s in parts.values()), f"soak {soak}: {parts}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def test_feed_runner_releases_checkpoints(spark, tmp_path):
+    """A full drain must not leave any of its per-micro-batch
+    localCheckpoints registered in the block manager: a long-lived runner
+    creates 4-5 per batch and they are dead weight the moment the storage
+    commit lands."""
+    base = str(tmp_path / "feed_ckpt")
+    _seed(spark, base)
+    runner = FeedRunner(spark, base, json_times_processor, max_retries=3)
+    sc_java = spark.sparkContext._jsc.sc()
+    baseline = sc_java.getPersistentRDDs().size()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        runner.run_available()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    assert sc_java.getPersistentRDDs().size() <= baseline
