@@ -65,12 +65,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        ts_type = df.schema["ts"].dataType.simpleString()
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type != "timestamp":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
     _RELATION_CACHE[key] = df
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zone TIMESTAMP whatever the read
+    path produced: LONG nanos (TIMESTAMP(NANOS) parquet via nanosAsLong →
+    truncate to µs, mirroring DuckDB), TIMESTAMP_NTZ (a session where
+    ``inferTimestampNTZ`` couldn't be disabled → re-interpret in the pinned
+    UTC zone), or already TIMESTAMP (the fast path — no projection)."""
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -96,3 +96,43 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     plan = back.filter("bucket = 2")._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "bucket" in pf
+
+
+def test_events_ts_normalizes_under_every_read_shape(spark):
+    """events.ts must land as session-zone TIMESTAMP with identical values
+    whether the parquet read produced native TIMESTAMP (inferTimestampNTZ
+    disabled — the fast, cast-free path), TIMESTAMP_NTZ (a session where
+    that conf can't be set), or LONG nanos (old TIMESTAMP(NANOS)
+    generations via nanosAsLong)."""
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.catalog import load_table, normalize_events_ts
+
+    sf = "/root/testdata/sf0.001"
+    fast = load_table(spark, sf, "events")
+    assert fast.schema["ts"].dataType.simpleString() == "timestamp"
+    golden = {r.event_id: r.ts for r in fast.select("event_id", "ts").limit(50).collect()}
+
+    # NTZ shape (simulated: read raw with inference on, bypassing the
+    # catalog so ensure_session_confs can't flip the conf back)
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        assert raw.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+        ntz = normalize_events_ts(raw)
+    finally:
+        spark.conf.set(key, old)
+    assert ntz.schema["ts"].dataType.simpleString() == "timestamp"
+    got = {r.event_id: r.ts for r in ntz.select("event_id", "ts").limit(50).collect()}
+    assert got == golden
+
+    # LONG-nanos shape (simulated from the same values)
+    as_nanos = fast.select(
+        "event_id", (F.unix_micros("ts") * 1000).alias("ts")
+    )
+    back = normalize_events_ts(as_nanos)
+    assert back.schema["ts"].dataType.simpleString() == "timestamp"
+    got = {r.event_id: r.ts for r in back.select("event_id", "ts").limit(50).collect()}
+    assert got == golden
