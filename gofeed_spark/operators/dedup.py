@@ -170,6 +170,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int | None = 10_000,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity over distinct k-word shingles for every pair
     of docs sharing at least one shingle; returns (doc_a, doc_b, jac) with
@@ -182,7 +183,16 @@ def ngram_jaccard_pairs(
     No cartesian product; a viral shingle is bounded by ``df_cap`` (on by
     default — shingles shared by >10k docs carry no near-dup signal; set
     None for exact small-corpus semantics).
+
+    ``n_hint``: known upper bound on the corpus row count (table catalog /
+    parquet footer).  A key's document frequency can't exceed the corpus,
+    so ``n_hint <= df_cap`` proves no key can go hot and the detection
+    pass (one agg + one anti-join) is dropped from the plan — identical
+    output, two fewer jobs.  Must be an upper BOUND: guessing low re-opens
+    the quadratic surface the cap exists to close.
     """
+    if n_hint is not None and df_cap is not None and n_hint <= df_cap:
+        df_cap = None
     # Shingling is the expensive subtree and feeds both the size relation
     # and the inverted index — persist so it is computed once (spills to
     # disk under pressure; at warehouse scale materialize it as a table).
@@ -260,6 +270,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int | None = 5_000,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, filtered by the
     signature-estimated Jaccard (fraction of agreeing hash positions).
@@ -276,8 +287,14 @@ def minhash_lsh_pairs(
     ``_group_pairs``), preserving family connectivity for cluster
     resolution at O(m) cost.  Sub-cap buckets are byte-identical to the
     uncapped behavior; pass ``None`` for exact small-corpus semantics.
+
+    ``n_hint``: corpus row-count upper bound; ``n_hint <= df_cap`` proves
+    no band bucket can go hot and drops the detection pass from the plan
+    (see ``ngram_jaccard_pairs``).
     """
     assert num_hashes % bands == 0
+    if n_hint is not None and df_cap is not None and n_hint <= df_cap:
+        df_cap = None
     rpb = num_hashes // bands
     # Signatures feed the band relation AND both sides of the candidate
     # re-join — persist so the 64-min-agg pipeline runs once, not 3×.
@@ -368,6 +385,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int | None = 5_000,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming between SimHash
     fingerprints.  Candidate generation: 4 bands of 16 bits (pigeonhole — any
@@ -377,7 +395,10 @@ def simhash_neardup_pairs(
     ``df_cap``: band buckets above the cap emit a linear spanning star
     instead of m²/2 pairs (see ``minhash_lsh_pairs`` / ``_group_pairs`` —
     identical guard, identical argument); sub-cap behavior is unchanged.
+    ``n_hint <= df_cap`` (corpus upper bound) drops the detection pass.
     """
+    if n_hint is not None and df_cap is not None and n_hint <= df_cap:
+        df_cap = None
     sh = simhash64(docs, text_col, id_col).persist()
     # Slim band relation (doc_id, hashed 16-bit band) — fingerprints are
     # re-joined per candidate pair, not shuffled per band.

@@ -431,21 +431,36 @@ ORDER BY doc_a, doc_b
 """,
 )
 def q40(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.6, k=5)
+    from gofeed_spark.catalog import table_rowcount
+
+    # exact corpus count from footer stats: below df_cap it PROVES no
+    # shingle can be hot, dropping the hot-key detection jobs from the plan
+    return dedup.ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), threshold=0.6, k=5,
+        n_hint=table_rowcount(sf_dir, "documents"),
+    )
 
 
 # --- MinHash-LSH near-dup pairs (approximate → rows-only check) ---------------------------------------
 @query("q41_minhash_lsh_pairs")
 def q41(spark, sf_dir):
+    from gofeed_spark.catalog import table_rowcount
+
     return dedup.minhash_lsh_pairs(
-        T(spark, sf_dir, "documents"), num_hashes=64, bands=16, k=5, threshold=0.5
+        T(spark, sf_dir, "documents"), num_hashes=64, bands=16, k=5, threshold=0.5,
+        n_hint=table_rowcount(sf_dir, "documents"),
     )
 
 
 # --- SimHash near-dup pairs (approximate → rows-only check) --------------------------------------------
 @query("q42_simhash_neardup")
 def q42(spark, sf_dir):
-    return dedup.simhash_neardup_pairs(T(spark, sf_dir, "documents"), max_hamming=8)
+    from gofeed_spark.catalog import table_rowcount
+
+    return dedup.simhash_neardup_pairs(
+        T(spark, sf_dir, "documents"), max_hamming=8,
+        n_hint=table_rowcount(sf_dir, "documents"),
+    )
 
 
 # --- exact top-k most similar embedding pairs ------------------------------------------------------------
@@ -718,7 +733,13 @@ def q83(spark, sf_dir):
         (F.col("doc_id") + 2 * CLONE_OFFSET).alias("doc_id"), "text"
     )
     corpus = d.select("doc_id", "text").unionByName(c1).unionByName(c2)
-    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.6, k=5)
+    from gofeed_spark.catalog import table_rowcount
+
+    # exact corpus bound: n + n/5 + n/10 rows (footer count + arithmetic)
+    n = table_rowcount(sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        corpus, threshold=0.6, k=5, n_hint=n + n // 5 + n // 10 + 2
+    )
     return dedup.neardup_clusters(pairs, docs=corpus)
 
 

@@ -233,3 +233,20 @@ def test_capped_star_plus_clusters_recovers_full_family(clone_family):
     assert all(c == 0 for c, _ in fam.values())
     assert fam[0] == (0, 1)
     assert sum(k for _, k in fam.values()) == 1
+
+
+def test_n_hint_below_cap_drops_hot_key_guard(spark):
+    """A corpus-count upper bound at or below df_cap proves no key can be
+    hot: the plan must lose the detection anti-join while producing the
+    identical pair set."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    guarded = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=100)
+    hinted = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=100, n_hint=6)
+    plan_g = guarded._jdf.queryExecution().executedPlan().toString()
+    plan_h = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan_g
+    assert "LeftAnti" not in plan_h
+    assert rows(guarded, "doc_a", "doc_b", "jac") == rows(hinted, "doc_a", "doc_b", "jac")
