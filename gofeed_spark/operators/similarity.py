@@ -144,6 +144,39 @@ def _ivf_cell_udf(cmat: np.ndarray, cnorm: np.ndarray):
     return cell
 
 
+# (applicationId, analyzed-plan semantic hash) → broadcast (matrix, ids).
+# The normalized corpus matrix is an INDEX artifact: rebuilding it per
+# invocation pays a full Arrow collect + normalize + broadcast for bytes
+# that are identical every time (inputs are immutable parquet within a
+# session, the same assumption as catalog._RELATION_CACHE).  Keyed by
+# applicationId so a restarted session can never see a stale broadcast;
+# bounded by broadcast_limit per entry and by distinct corpus plans.
+_CORPUS_BROADCAST_CACHE: dict[tuple[str, int], tuple] = {}
+
+
+def _corpus_broadcast(e: DataFrame) -> tuple:
+    """Broadcast (id-sorted normalized matrix, sorted ids) for a corpus
+    relation (id, v), cached per session + semantically-equal plan."""
+    sc = e.sparkSession.sparkContext
+    try:
+        key = (sc.applicationId, e._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        key = None
+    if key is not None and key in _CORPUS_BROADCAST_CACHE:
+        return _CORPUS_BROADCAST_CACHE[key]
+    # Arrow-columnar transfer (no per-row Python Row objects); the same
+    # bytes a broadcast join would ship to every executor anyway.
+    pdf_local = e.toPandas()
+    ids_arr = pdf_local["id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf_local["v"].to_numpy()).astype(np.float64, copy=False)
+    mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+    order = np.argsort(ids_arr)
+    out = (sc.broadcast(mat[order]), sc.broadcast(ids_arr[order]))
+    if key is not None:
+        _CORPUS_BROADCAST_CACHE[key] = out
+    return out
+
+
 def topk_pairs_lsh(
     emb: DataFrame,
     k: int = 10,
@@ -241,17 +274,7 @@ def topk_pairs_lsh(
     # transiently — far below the multi-GB Row-object cost a .collect()
     # would pay.  (Parameterized so tests can force the JVM path.)
     if n <= broadcast_limit:
-        # Arrow-columnar transfer (no per-row Python Row objects); the same
-        # bytes a broadcast join would ship to every executor anyway.
-        pdf_local = e.toPandas()
-        ids_arr = pdf_local["id"].to_numpy(dtype=np.int64)
-        mat = np.stack(pdf_local["v"].to_numpy()).astype(np.float64, copy=False)
-        mat = mat / np.linalg.norm(mat, axis=1)[:, None]
-        order = np.argsort(ids_arr)
-        sorted_ids, sorted_mat = ids_arr[order], mat[order]
-        sc = e.sparkSession.sparkContext
-        b_mat = sc.broadcast(sorted_mat)
-        b_ids = sc.broadcast(sorted_ids)
+        b_mat, b_ids = _corpus_broadcast(e)
         keep = None if k == -1 else k * n_tables
         thresh = min_cos
 
