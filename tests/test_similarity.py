@@ -256,3 +256,19 @@ def test_ensure_indexes_reuse_until_params_change(spark, emb, tmp_path):
              "rank", "neighbor_id")
     )
     assert out[1] == 1
+
+
+def test_ivf_codebook_sample_cap_path(spark):
+    """Above sample_cap the refinement input thins through the
+    deterministic xxhash64 id filter (parquet-backed corpora only — footer
+    stats provide the bound); the codebook must stay valid, deterministic,
+    and full-rank (no empty-cell collapse)."""
+    from gofeed_spark.operators.similarity import as_double_array, ivf_codebook
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = emb.select(F.col("vec_id").alias("nid"), as_double_array("embedding").alias("v"))
+    a = ivf_codebook(e, n_cells=4, n_iters=2, sample_cap=100)
+    b = ivf_codebook(e, n_cells=4, n_iters=2, sample_cap=100)
+    assert a.shape == (4, 64)
+    assert np.array_equal(a, b)
+    assert np.isfinite(a).all()
