@@ -189,6 +189,7 @@ def topk_pairs_lsh(
     min_cos: float | None = None,
     broadcast_limit: int = 1_000_000,
     n_hint: int | None = None,
+    bucket_cap: int = 2_000,
 ) -> DataFrame:
     """Top-k most-cosine-similar pairs via multi-table SRP-LSH candidates +
     exact re-rank — the 100 TB replacement for the O(n²) ``topk_similar_pairs``.
@@ -214,6 +215,20 @@ def topk_pairs_lsh(
     UP as the corpus grows so expected bucket size stays bounded
     (buckets per table = 2^planes).  Deterministic given the seed, so the
     exact-oracle comparison at test SF is stable.
+
+    ``bucket_cap`` bounds the one quadratic surface plane scaling can't
+    reach: IDENTICAL vectors land in one bucket in every table no matter
+    how many planes, so a clone/template family of m vectors is an m²/2
+    pair bomb (and, on the JVM path, an m-sized aggregation buffer).  A
+    bucket above the cap emits a linear spanning STAR instead (hub = min
+    id, m-1 pairs) — exactly the dedup band guard, and both scorer paths
+    share its semantics (``_group_pairs(hot="star")``).  In the saturated
+    regime members are near-identical: threshold-mode family connectivity
+    is preserved through the hub (star pairs still score exact cosine),
+    and top-k mode keeps its deterministic (cos desc, id_a, id_b) winners
+    among the retained pairs.  Sub-cap buckets are byte-identical to the
+    uncapped behavior; a known ``n_hint <= bucket_cap`` proves no bucket
+    can saturate and skips the guard entirely.
     """
     if k == -1 and min_cos is None:
         # threshold mode without a threshold would otherwise surface as a
@@ -273,6 +288,9 @@ def topk_pairs_lsh(
     # toPandas intermediate (ndarray-of-ndarray) roughly doubles that
     # transiently — far below the multi-GB Row-object cost a .collect()
     # would pay.  (Parameterized so tests can force the JVM path.)
+    # A corpus no bigger than the cap can't saturate any bucket: skip the
+    # guard branches entirely (plan/worker code identical to uncapped).
+    cap = None if n <= bucket_cap else bucket_cap
     if n <= broadcast_limit:
         b_mat, b_ids = _corpus_broadcast(e)
         keep = None if k == -1 else k * n_tables
@@ -294,25 +312,38 @@ def topk_pairs_lsh(
                     ids = np.unique(g["doc_id"].to_numpy())
                     if len(ids) < 2:
                         continue
-                    sub = m[np.searchsorted(sids, ids)]
-                    iu, ju = np.triu_indices(len(ids), 1)
-                    # einsum (not a gram matmul): keeps the per-pair
-                    # summation order identical to the previous scorer and
-                    # the oracle's sequential dot — gemm's blocked
-                    # accumulation flips pairs sitting exactly on the
-                    # threshold boundary
-                    cos = np.einsum("ij,ij->i", sub[iu], sub[ju])
+                    if cap is not None and len(ids) > cap:
+                        # saturated bucket (clone/template family): spanning
+                        # STAR only, hub = min id — m-1 pairs instead of
+                        # m²/2, the same semantics as the JVM path's
+                        # _group_pairs(hot="star") and the dedup band guard
+                        over = ids[1:]
+                        overv = m[np.searchsorted(sids, over)]
+                        hubv = m[np.searchsorted(sids, ids[:1])][0]
+                        pa = np.full(len(over), ids[0], dtype=np.int64)
+                        pb = over
+                        cos = np.einsum("ij,j->i", overv, hubv)
+                    else:
+                        sub = m[np.searchsorted(sids, ids)]
+                        iu, ju = np.triu_indices(len(ids), 1)
+                        pa, pb = ids[iu], ids[ju]
+                        # einsum (not a gram matmul): keeps the per-pair
+                        # summation order identical to the previous scorer
+                        # and the oracle's sequential dot — gemm's blocked
+                        # accumulation flips pairs sitting exactly on the
+                        # threshold boundary
+                        cos = np.einsum("ij,ij->i", sub[iu], sub[ju])
                     if keep is None:
                         sel = np.nonzero(cos >= thresh)[0]
                     elif len(cos) > keep:
                         # deterministic per-bucket top-keep under the SAME
                         # total order as the global sort (cos desc, id_a,
                         # id_b) — any globally-top row survives its bucket
-                        sel = np.lexsort((ids[ju], ids[iu], -cos))[:keep]
+                        sel = np.lexsort((pb, pa, -cos))[:keep]
                     else:
                         sel = np.arange(len(cos))
-                    out_a.append(ids[iu[sel]])
-                    out_b.append(ids[ju[sel]])
+                    out_a.append(pa[sel])
+                    out_b.append(pb[sel])
                     out_c.append(cos[sel])
                 if out_a:
                     yield pd.DataFrame(
@@ -327,19 +358,17 @@ def topk_pairs_lsh(
             bucket_score, "id_a long, id_b long, cos double"
         )
     else:
-        grouped = (
-            keyed.groupBy("bh")
-            .agg(F.collect_set("doc_id").alias("ids"))
-            .filter(F.size("ids") > 1)
-        )
+        # Pair generation = the dedup inverted-index machinery verbatim
+        # (one pass, no self-join), including the saturated-bucket star
+        # guard: above `cap` no m-sized aggregation buffer ever forms.
         # NOTE: candidates are NOT deduplicated here — a pair colliding in
         # t tables appears t times; a dropDuplicates at this stage is a
         # full shuffle of the candidate set, so each consumer below dedups
         # at its (far smaller) natural point instead.
-        cand = (
-            grouped.select(F.explode("ids").alias("id_a"), "ids")
-            .select("id_a", F.explode("ids").alias("id_b"))
-            .filter(F.col("id_a") < F.col("id_b"))
+        from gofeed_spark.operators.dedup import _group_pairs
+
+        cand = _group_pairs(keyed, "bh", df_cap=cap, hot="star").select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         )
         en = e.select("id", "v", l2_norm(F.col("v")).alias("nrm")).persist()
         va = en.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
@@ -444,11 +473,15 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     broadcast_limit: int = 1_000_000,
     n_hint: int | None = None,
+    bucket_cap: int = 2_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos >= min_cos, id_a < id_b — the semantic-dedup operator for training
     corpora (near-identical items under paraphrase/re-encode survive text
-    dedup but not this).
+    dedup but not this).  A clone family larger than ``bucket_cap`` emits
+    hub-star pairs for the overflow (cos 1 for clones → they pass the
+    threshold), so ``neardup_clusters`` still recovers the whole family
+    while pair volume stays linear.
 
     Same LSH candidate machinery as ``topk_pairs_lsh`` (linear, slim
     shuffles) with a threshold filter instead of a global top-k.  At the
@@ -467,6 +500,7 @@ def embedding_neardup_pairs(
         min_cos=min_cos,
         broadcast_limit=broadcast_limit,
         n_hint=n_hint,
+        bucket_cap=bucket_cap,
     )
     return all_pairs
 

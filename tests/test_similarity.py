@@ -272,3 +272,64 @@ def test_ivf_codebook_sample_cap_path(spark):
     assert a.shape == (4, 64)
     assert np.array_equal(a, b)
     assert np.isfinite(a).all()
+
+
+# --- saturated SRP buckets: the vector clone-family guard ---------------------
+
+
+@pytest.fixture(scope="module")
+def vector_clone_family(spark):
+    """800 identical vectors (ids 0..799) + 4 distinct ones: identical
+    vectors collide in EVERY table regardless of plane count — the one
+    bucket-population regime plane scaling can't bound."""
+    fam = [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(800)]
+    others = [
+        (9001, [-1.0, 0.5, 0.25, 0.125]),
+        (9002, [0.0, 1.0, 0.0, 0.0]),
+        (9003, [0.0, 0.0, 1.0, 0.0]),
+        (9004, [0.5, -0.5, 0.5, -0.5]),
+    ]
+    return spark.createDataFrame(fam + others, "vec_id long, embedding array<double>")
+
+
+@pytest.mark.parametrize("blimit", [1_000_000, 0], ids=["broadcast", "jvm"])
+def test_bucket_cap_threshold_mode_linear_star(vector_clone_family, blimit):
+    out = embedding_neardup_pairs(
+        vector_clone_family, min_cos=0.99, n_planes=3, n_tables=4, dim=4,
+        broadcast_limit=blimit, n_hint=804, bucket_cap=50,
+    ).collect()
+    fam = [(r.id_a, r.id_b) for r in out if r.id_b < 9000]
+    # linear spanning star (hub = 0), not the 800*799/2 quadratic bucket
+    assert len(fam) == 799
+    assert all(a == 0 for a, _b in fam)
+    assert all(c == 1.0 for r in out if r.id_b < 9000 for c in [r.cos])
+    # the star hub connects the whole family for cluster resolution
+    from gofeed_spark.operators.dedup import neardup_clusters
+
+    labels = neardup_clusters(
+        embedding_neardup_pairs(
+            vector_clone_family, min_cos=0.99, n_planes=3, n_tables=4, dim=4,
+            broadcast_limit=blimit, n_hint=804, bucket_cap=50,
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    fam_labels = {r.cluster_id for r in labels.collect() if r.doc_id < 9000}
+    assert fam_labels == {0}
+
+
+def test_bucket_cap_topk_mode_still_exact_winners(vector_clone_family):
+    out = rows(
+        topk_pairs_lsh(
+            vector_clone_family, k=3, n_planes=3, n_tables=4, dim=4,
+            n_hint=804, bucket_cap=50,
+        ),
+        "rank", "id_a", "id_b",
+    )
+    # all clone pairs tie at cos 1; deterministic (id_a, id_b) tie-break
+    # keeps the lexicographically-first retained pairs
+    assert out == {(1, 0, 1), (2, 0, 2), (3, 0, 3)}
+
+
+def test_bucket_cap_inert_below_cap(emb):
+    capped = rows(topk_pairs_lsh(emb, k=2, n_planes=2, n_tables=8, dim=2, bucket_cap=2), "rank", "id_a", "id_b")
+    default = rows(topk_pairs_lsh(emb, k=2, n_planes=2, n_tables=8, dim=2), "rank", "id_a", "id_b")
+    assert capped == default
