@@ -121,3 +121,36 @@ def fingerprint_expr(text_col: str = "text"):
     stand-in for a rolling hash — identical output in any engine.)
     """
     return F.md5(normalized_text(text_col).cast("binary"))
+
+
+# PII patterns chosen for IDENTICAL semantics in Java regex (Spark) and
+# RE2 (the DuckDB oracle): character classes, bounded repetition and \b
+# only — no backrefs or lookaround (RE2 has neither).  Replacement order
+# matters (email first: its local part can contain digit runs a later
+# pattern could clip) and is part of the operator contract.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrub for training corpora: emails/phones/IPv4s replaced by
+    typed tokens, with per-class match counts (counted on the ORIGINAL
+    text, before any replacement).  Returns (id, redacted, n_email,
+    n_phone, n_ip).
+
+    Pure column expressions — regexp_count + chained regexp_replace stay
+    in whole-stage codegen, the mandatory shape for an every-document pass
+    at 100 TB (same rule as the rest of this module).
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    redacted = t
+    for name, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return docs.select(id_col, redacted.alias("redacted"), *counts)

@@ -1034,3 +1034,46 @@ def q82a(spark, sf_dir):
         "n",
         (F.abs(F.col("adf") - F.col("df")) <= 0.15 * F.col("df")).alias("df_ok"),
     )
+
+
+# --- PII redaction ------------------------------------------------------------
+@query(
+    "q84_pii_redaction",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || ' reach u' || CAST(doc_id AS VARCHAR)
+              || '@ex.org or 555-123-4567 from 10.0.0.1' AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip
+FROM corpus ORDER BY doc_id
+""",
+)
+def q84(spark, sf_dir):
+    """PII scrub (textstats.redact_pii) over a corpus with deterministic
+    injected PII — the synthetic documents carry none, so each doc gets a
+    doc_id-derived email plus a constant phone and IPv4 appended; counts
+    must come out (1,1,1) per doc and the redacted strings hash-match the
+    oracle's chained RE2 replacements (patterns restricted to the
+    Java-regex ∩ RE2 dialect)."""
+    d = T(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org or 555-123-4567 from 10.0.0.1"),
+        ).alias("text"),
+    )
+    return textstats.redact_pii(corpus)

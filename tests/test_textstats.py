@@ -71,3 +71,25 @@ def test_shingles_distinct_and_ordered_window(spark):
 def test_normalized_text(spark):
     d = spark.createDataFrame([(1, "  A\t\tB  c ")], "doc_id long, text string")
     assert d.select(normalized_text("text").alias("n")).collect()[0].n == " a b c "
+
+
+def test_redact_pii_counts_and_replacement_order(spark):
+    from gofeed_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@d-e.org and x@y.io, call 555-123-4567, host 10.0.0.1"),
+            (2, "no pii here at all"),
+            # the email's digits must be consumed by the EMAIL pass, never
+            # clipped into a phone/ip match later
+            (3, "u555.123.4567@ex.org"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ip) == (2, 1, 1)
+    assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
+    assert "555-123-4567" not in out[1].redacted and "10.0.0.1" not in out[1].redacted
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 0, 0)
+    assert out[2].redacted == "no pii here at all"
+    assert out[3].redacted == "<EMAIL>" and out[3].n_email == 1
