@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from gofeed_spark.catalog import load_table
 from gofeed_spark.functions.ranking import with_rank
+from gofeed_spark.functions.text import ws_tokens
 from gofeed_spark.operators import dedup, multimodal, similarity, textstats
 from gofeed_spark.queries.registry import query
 
@@ -1077,3 +1078,36 @@ def q84(spark, sf_dir):
         ).alias("text"),
     )
     return textstats.redact_pii(corpus)
+
+
+# --- repetition filter --------------------------------------------------------
+@query(
+    "q85_repetition_ratio",
+    oracle=r"""
+SELECT doc_id,
+       ROUND(CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS DOUBLE)
+             / CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 6) AS ttr,
+       CASE WHEN CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS DOUBLE)
+                 / CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) < 0.3
+            THEN 1 ELSE 0 END AS repetitive
+FROM documents ORDER BY doc_id
+""",
+)
+def q85(spark, sf_dir):
+    """Repetition filter via type-token ratio (distinct tokens / total
+    tokens): boilerplate and looping generations collapse toward 0 while
+    organic prose sits high — the standard cheap repetition signal in
+    training-data quality pipelines.  Token convention = ws_tokens (the
+    shingle/oracle convention); pure array expressions, JVM-side."""
+    toks = ws_tokens("text")
+    ttr = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double"), 6
+    )
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ttr.alias("ttr"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double") < 0.3)
+        .cast("int")
+        .alias("repetitive"),
+    )
