@@ -236,6 +236,11 @@ def topk_pairs_lsh(
         # boundary instead
         raise ValueError("k=-1 (threshold mode) requires min_cos")
     e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+    # `trusted` marks n as a real upper bound (explicit hint or exact
+    # count) vs the footer estimate, which UNDERCOUNTS self-union plans
+    # (inputFiles dedups) — fine for order-of-magnitude sizing, not for
+    # proving the bucket guard unnecessary.
+    trusted = n_hint is not None
     if n_hint is not None:
         n = n_hint
     else:
@@ -246,6 +251,7 @@ def topk_pairs_lsh(
         n = df_rowcount_estimate(emb)
         if n is None:
             n = emb.count()
+            trusted = True
     if n_planes is None:
         # Bucket count tracks corpus size so expected bucket population (and
         # with it the m² in-bucket pair cost) stays ~constant: planes =
@@ -288,9 +294,11 @@ def topk_pairs_lsh(
     # toPandas intermediate (ndarray-of-ndarray) roughly doubles that
     # transiently — far below the multi-GB Row-object cost a .collect()
     # would pay.  (Parameterized so tests can force the JVM path.)
-    # A corpus no bigger than the cap can't saturate any bucket: skip the
-    # guard branches entirely (plan/worker code identical to uncapped).
-    cap = None if n <= bucket_cap else bucket_cap
+    # A corpus provably no bigger than the cap can't saturate any bucket:
+    # skip the guard branches entirely (plan/worker code identical to
+    # uncapped).  Requires a TRUSTED bound — the footer estimate alone
+    # must not disable a safety guard.
+    cap = None if (trusted and n <= bucket_cap) else bucket_cap
     if n <= broadcast_limit:
         b_mat, b_ids = _corpus_broadcast(e)
         keep = None if k == -1 else k * n_tables
