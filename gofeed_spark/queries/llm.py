@@ -1111,3 +1111,60 @@ def q85(spark, sf_dir):
         .cast("int")
         .alias("repetitive"),
     )
+
+
+# --- corpus filter: the composed keep/drop verdict ----------------------------
+@query(
+    "q86_corpus_filter",
+    oracle=r"""
+WITH feats AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+         CASE WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) >= 5
+                AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                    / CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE)
+                    BETWEEN 2.0 AND 12.0
+              THEN 'ok' ELSE 'low' END AS quality,
+         CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS DOUBLE)
+           / CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) AS ttr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN rn > 1 THEN 'dup'
+            WHEN quality <> 'ok' THEN 'quality'
+            WHEN ttr < 0.3 THEN 'repetitive'
+            ELSE 'keep' END AS verdict,
+       CASE WHEN rn = 1 AND quality = 'ok' AND ttr >= 0.3 THEN 1 ELSE 0 END AS keep
+FROM feats ORDER BY doc_id
+""",
+)
+def q86(spark, sf_dir):
+    """The composed corpus-filter verdict a training pipeline actually
+    applies: exact-dup keep-first (first reason checked, like a pipeline's
+    dedup-first ordering) → quality gate (q38's flag) → repetition gate
+    (q85's type-token ratio).  One row per doc with the FIRST failing
+    reason and the final keep bit — demonstrates that every signal in this
+    module composes into a single declarative pass (one window + column
+    expressions, no Python)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    awl = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok.cast("double")
+    quality = F.when((n_tok >= 5) & awl.between(2.0, 12.0), "ok").otherwise("low")
+    toks = ws_tokens("text")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    feats = d.select("doc_id", rn.alias("rn"), quality.alias("quality"), ttr.alias("ttr"))
+    verdict = (
+        F.when(F.col("rn") > 1, "dup")
+        .when(F.col("quality") != "ok", "quality")
+        .when(F.col("ttr") < 0.3, "repetitive")
+        .otherwise("keep")
+    )
+    return feats.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        (verdict == "keep").cast("int").alias("keep"),
+    )
