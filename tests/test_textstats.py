@@ -93,3 +93,21 @@ def test_redact_pii_counts_and_replacement_order(spark):
     assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 0, 0)
     assert out[2].redacted == "no pii here at all"
     assert out[3].redacted == "<EMAIL>" and out[3].n_email == 1
+
+
+def test_redact_pii_idempotent(spark):
+    """Redaction is a fixpoint: the replacement tokens contain no digits or
+    @, so a second pass must change nothing — the property that makes the
+    scrub safe to re-run over partially-processed corpora."""
+    from gofeed_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "a@b.io 555-123-4567 10.0.0.1 plain tail")],
+        "doc_id long, text string",
+    )
+    once = redact_pii(docs)
+    twice = redact_pii(once.select(F.col("doc_id"), F.col("redacted").alias("text")))
+    r1 = once.collect()[0]
+    r2 = twice.collect()[0]
+    assert r2.redacted == r1.redacted
+    assert (r2.n_email, r2.n_phone, r2.n_ip) == (0, 0, 0)
