@@ -16,17 +16,25 @@ from gofeed_spark.feedstate.model import ITEM_DDL, PARTITION_DDL
 FEED_TABLES = {"partitions": PARTITION_DDL, "items": ITEM_DDL}
 
 
-def auto_migrate(spark: SparkSession, base_path: str) -> dict[str, str]:
+def auto_migrate(
+    spark: SparkSession, base_path: str, table_prefix: str = ""
+) -> dict[str, str]:
     """Create the feed-state tables (empty parquet with the declared schema)
     when absent; existing tables are evolved in-place by reading with
     mergeSchema and rewriting any missing columns as typed NULLs — the
     additive half of Gorm's AutoMigrate, which also never drops columns.
 
-    Returns {table: path}.  On a real deployment this maps to
+    ``table_prefix`` namespaces the table names (``{prefix}items`` ...) so
+    several feed instances can cohabit one warehouse dir — the reference's
+    Gorm TablePrefix knob (main.go:29, README.md:131-135); the dbapi store
+    applies the same prefix to its SQL tables (dbstore.py).
+
+    Returns {prefixed table: path}.  On a real deployment this maps to
     ``CREATE TABLE ... USING delta`` + ``mergeSchema`` evolution.
     """
     out = {}
-    for name, ddl in FEED_TABLES.items():
+    for bare, ddl in FEED_TABLES.items():
+        name = f"{table_prefix}{bare}"
         path = os.path.join(base_path, name)
         want = spark.createDataFrame([], ddl)
         if not os.path.exists(path):

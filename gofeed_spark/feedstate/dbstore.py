@@ -4,33 +4,52 @@ The reference's literal deployment keeps items/partitions in a SQL
 database behind Gorm (go.mod:11-12, repo.go:106-138).  This store puts
 the SAME tables behind the same ``FeedRunner``: the CDC source polls the
 database with a real cursor (sources/feed_cdc.py backend='dbapi'), the
-micro-batch decision reads the current state through one SELECT per
-table, and state writes go back as per-row OCC upserts.
+micro-batch decision reads the current state through predicate-pushed
+SELECTs, and state writes go back as per-row OCC upserts.
 
 Scale + concurrency shape:
 
+- READS push the reference's poll predicates into the database
+  (repo.go:114-120: equi-predicates on status/partition/gate + ORDER BY
+  updated_at + LIMIT, over the covering index item.go:17-21): the driver
+  only ever fetches rows matching the decision predicates — never the
+  full table.  For state too large for one driver fetch,
+  ``num_partitions>1`` fans the SELECT out to executors as range
+  predicates on ``updated_at`` (the ``spark.read.jdbc``
+  partitionColumn pattern re-expressed over PEP-249).
+- Aggregates the decision needs (the CDC high-water mark, the
+  reference's GetStatusCounts) are pushed down as SQL aggregates
+  (``max_updated_at``, ``read_status_counts``), not computed by
+  fetching rows.
 - WRITES run ``foreachPartition`` with one connection and one
   ``executemany`` per Spark partition — the standard Spark→JDBC sink
   pattern; nothing funnels through the driver.
-- Every upserted row carries its own OCC guard
-  (``ON CONFLICT ... WHERE excluded.version >= version``), so a stale
-  runner write can never clobber a concurrent out-of-band update that
-  bumped the row's version — per-row OCC, exactly the reference's save
-  semantics (repo.go:125-138: losing the version race drops the write).
-- Rows the runner never touched this batch are simply absent from the
+- Every upserted row carries a strict per-row CAS
+  (``... WHERE excluded.version > version``): runner-touched rows
+  always carry version+1, so a stale write — or the loser of a
+  two-writer race where both read version v — is dropped row-by-row in
+  the database, exactly the reference's save semantics (repo.go:125-138:
+  losing the version race drops the write and the loser re-reads).
+- Rows the runner never touched this batch are absent from the
   upsert, so out-of-band INSERTS that land mid-batch survive untouched
   (the snapshot-flip parquet layout would rewrite the whole table and
   lose them — the database layout is what makes "items added while
   Available" safe, README.md:104-110).
-- READS for the decision step are the driver-side equivalent of the
-  reference's own polls (repo.go:106-120); state volume is ACTIVE work,
-  not corpus size.  At warehouse scale the same contract runs over a
-  JDBC dialect with the identical upsert shape.
+
+Dialect portability (the reference's headline store is Gorm over SQL
+Server, examples/state_processor/main.go:74-80): the upsert renders as
+``INSERT ... ON CONFLICT`` for the sqlite/postgres family and as ANSI
+``MERGE INTO ... WHEN MATCHED AND s.version > t.version`` for the SQL
+Server/Oracle family, selected per driver module (overridable), with
+parameter placeholders adapted from the module's declared
+``paramstyle``.  ``table_prefix`` namespaces the tables so several feed
+instances can cohabit one schema (reference ``main.go:29`` /
+README.md:131-135).
 
 SQLite specifics (the test face of the PEP-249 contract, like the
-reference's sqlite driver, main.go:74-80): WAL journal mode so readers
-don't block behind the single writer, and a generous busy timeout so
-concurrent executors serialize instead of erroring.
+reference's sqlite driver): WAL journal mode so readers don't block
+behind the single writer, and a generous busy timeout so concurrent
+executors serialize instead of erroring.
 """
 
 from __future__ import annotations
@@ -38,21 +57,26 @@ from __future__ import annotations
 import importlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (re-exported for callers)
 
 from gofeed_spark.sources.feed_cdc import CDC_SCHEMA, _COLS
 
 PARTITION_COLS = ["id", "version", "gate", "status"]
 
-_ITEMS_DDL_SQL = (
-    "CREATE TABLE IF NOT EXISTS items ("
-    "id TEXT PRIMARY KEY, version INTEGER, retry_count INTEGER, "
-    "partition_id TEXT, gate INTEGER, status INTEGER, "
-    "error_messages TEXT, data TEXT, updated_at INTEGER)"
-)
-_PARTS_DDL_SQL = (
-    "CREATE TABLE IF NOT EXISTS partitions ("
-    "id TEXT PRIMARY KEY, version INTEGER, gate INTEGER, status INTEGER)"
-)
+COUNTS_SCHEMA = "partition_id string, status int, n long"
+
+# Upsert dialect by driver module: the sqlite/postgres family speaks
+# INSERT ... ON CONFLICT; the SQL Server / Oracle family needs MERGE.
+_DIALECT_BY_MODULE = {
+    "sqlite3": "on_conflict",
+    "psycopg2": "on_conflict",
+    "psycopg": "on_conflict",
+    "duckdb": "on_conflict",
+    "pyodbc": "merge",
+    "pymssql": "merge",
+    "oracledb": "merge",
+    "cx_Oracle": "merge",
+}
 
 
 def _connect(module_name: str, path: str):
@@ -64,41 +88,120 @@ def _connect(module_name: str, path: str):
     return mod.connect(path)
 
 
-def _items_upsert_sql() -> str:
-    cols = ", ".join(_COLS)
-    sets = ", ".join(f"{c}=excluded.{c}" for c in _COLS if c != "id")
-    return (
-        f"INSERT INTO items ({cols}) VALUES ({','.join('?' * len(_COLS))}) "
-        f"ON CONFLICT(id) DO UPDATE SET {sets} "
-        "WHERE excluded.version >= items.version"
-    )
-
-
-def _parts_upsert_sql() -> str:
-    cols = ", ".join(PARTITION_COLS)
-    sets = ", ".join(f"{c}=excluded.{c}" for c in PARTITION_COLS if c != "id")
-    return (
-        f"INSERT INTO partitions ({cols}) VALUES ({','.join('?' * len(PARTITION_COLS))}) "
-        f"ON CONFLICT(id) DO UPDATE SET {sets} "
-        "WHERE excluded.version >= partitions.version"
-    )
+def _placeholders(module_name: str, n: int) -> list[str]:
+    """Positional parameter markers in the driver's declared paramstyle.
+    pyformat drivers (psycopg2) accept format-style positional markers;
+    named drivers (oracledb) accept numeric ones."""
+    mod = importlib.import_module(module_name)
+    style = getattr(mod, "paramstyle", "qmark")
+    style = {"pyformat": "format", "named": "numeric"}.get(style, style)
+    if style == "format":
+        return ["%s"] * n
+    if style == "numeric":
+        return [f":{i + 1}" for i in range(n)]
+    return ["?"] * n
 
 
 class DbApiStore:
     """Feed state tables in any PEP-249 database (``module_name`` names the
-    driver; ``path`` is its DSN — a file path for sqlite3)."""
+    driver; ``path`` is its DSN — a file path for sqlite3).
 
-    def __init__(self, path: str, module_name: str = "sqlite3"):
+    ``table_prefix`` namespaces the tables (``{prefix}items`` /
+    ``{prefix}partitions``); ``dialect`` selects the upsert SQL family
+    (``"on_conflict"`` or ``"merge"``, default inferred from the driver
+    module, on_conflict when unknown).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        module_name: str = "sqlite3",
+        table_prefix: str = "",
+        dialect: str | None = None,
+    ):
         self.path = path
         self.module = module_name
+        self.prefix = table_prefix
+        self.items_table = f"{table_prefix}items"
+        self.parts_table = f"{table_prefix}partitions"
+        self.dialect = dialect or _DIALECT_BY_MODULE.get(module_name, "on_conflict")
+        if self.dialect not in ("on_conflict", "merge"):
+            raise ValueError("dialect must be 'on_conflict' or 'merge'")
 
+    # -- SQL rendering ---------------------------------------------------
+    def _ddl(self) -> list[str]:
+        return [
+            f"CREATE TABLE IF NOT EXISTS {self.items_table} ("
+            "id TEXT PRIMARY KEY, version INTEGER, retry_count INTEGER, "
+            "partition_id TEXT, gate INTEGER, status INTEGER, "
+            "error_messages TEXT, data TEXT, updated_at INTEGER)",
+            f"CREATE TABLE IF NOT EXISTS {self.parts_table} ("
+            "id TEXT PRIMARY KEY, version INTEGER, gate INTEGER, status INTEGER)",
+            # the reference's covering poll index (item.go:17-21) + the CDC
+            # offset index: the hot poll and the high-water-mark aggregate
+            # are both index-only
+            f"CREATE INDEX IF NOT EXISTS idx_{self.items_table}_poll "
+            f"ON {self.items_table} (status, partition_id, gate)",
+            f"CREATE INDEX IF NOT EXISTS idx_{self.items_table}_updated "
+            f"ON {self.items_table} (updated_at)",
+        ]
+
+    def _upsert_sql(self, table: str, cols: list[str]) -> str:
+        ph = _placeholders(self.module, len(cols))
+        if self.dialect == "merge":
+            src = ", ".join(f"{p} AS {c}" for p, c in zip(ph, cols))
+            sets = ", ".join(f"{c} = s.{c}" for c in cols if c != "id")
+            ins = ", ".join(f"s.{c}" for c in cols)
+            return (
+                f"MERGE INTO {table} AS t USING (SELECT {src}) AS s "
+                "ON t.id = s.id "
+                "WHEN MATCHED AND s.version > t.version "
+                f"THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
+                f"VALUES ({ins});"
+            )
+        sets = ", ".join(f"{c}=excluded.{c}" for c in cols if c != "id")
+        return (
+            f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({', '.join(ph)}) "
+            f"ON CONFLICT(id) DO UPDATE SET {sets} "
+            f"WHERE excluded.version > {table}.version"
+        )
+
+    def _items_upsert_sql(self) -> str:
+        return self._upsert_sql(self.items_table, list(_COLS))
+
+    def _parts_upsert_sql(self) -> str:
+        return self._upsert_sql(self.parts_table, list(PARTITION_COLS))
+
+    @staticmethod
+    def _status_pred(statuses, exclude_statuses) -> list[str]:
+        preds = []
+        if statuses is not None:
+            vals = ", ".join(str(int(s)) for s in statuses)
+            preds.append(f"status IN ({vals})")
+        if exclude_statuses is not None:
+            vals = ", ".join(str(int(s)) for s in exclude_statuses)
+            preds.append(f"status NOT IN ({vals})")
+        return preds
+
+    def _limit_clause(self, limit) -> str:
+        if limit is None:
+            return ""
+        # LIMIT for the sqlite/postgres family; ANSI FETCH for SQL Server
+        # (2012+) / Oracle (12c+), which reject LIMIT
+        if self.dialect == "merge":
+            return f" OFFSET 0 ROWS FETCH NEXT {int(limit)} ROWS ONLY"
+        return f" LIMIT {int(limit)}"
+
+    # -- DDL / seed ------------------------------------------------------
     def ensure_schema(self) -> None:
         con = _connect(self.module, self.path)
         try:
             if self.module == "sqlite3":
                 con.execute("PRAGMA journal_mode=WAL")
-            con.execute(_ITEMS_DDL_SQL)
-            con.execute(_PARTS_DDL_SQL)
+            cur = con.cursor()
+            for ddl in self._ddl():
+                cur.execute(ddl)
             con.commit()
         finally:
             con.close()
@@ -108,47 +211,136 @@ class DbApiStore:
         self.ensure_schema()
         con = _connect(self.module, self.path)
         try:
-            con.executemany(_items_upsert_sql(), items_rows)
-            con.executemany(_parts_upsert_sql(), parts_rows)
+            cur = con.cursor()
+            cur.executemany(self._items_upsert_sql(), items_rows)
+            cur.executemany(self._parts_upsert_sql(), parts_rows)
             con.commit()
         finally:
             con.close()
 
-    # -- reads -----------------------------------------------------------
-    def read_items(self, spark: SparkSession) -> DataFrame:
+    # -- driver-side scalar/agg pushdown ---------------------------------
+    def _fetchall(self, sql: str) -> list[tuple]:
         con = _connect(self.module, self.path)
         try:
-            rows = [
-                tuple(r)
-                for r in con.execute(
-                    f"SELECT {', '.join(_COLS)} FROM items ORDER BY id"
-                ).fetchall()
-            ]
+            cur = con.cursor()
+            cur.execute(sql)
+            return [tuple(r) for r in cur.fetchall()]
         finally:
             con.close()
-        return spark.createDataFrame(rows, CDC_SCHEMA)
 
-    def read_partitions(self, spark: SparkSession) -> DataFrame:
-        con = _connect(self.module, self.path)
-        try:
-            rows = [
-                tuple(r)
-                for r in con.execute(
-                    f"SELECT {', '.join(PARTITION_COLS)} FROM partitions ORDER BY id"
-                ).fetchall()
-            ]
-        finally:
-            con.close()
+    def max_updated_at(self) -> int:
+        """The CDC high-water mark as a pushed-down aggregate (index-only
+        over idx_*_updated) — never a row fetch."""
+        rows = self._fetchall(f"SELECT MAX(updated_at) FROM {self.items_table}")
+        return int(rows[0][0]) if rows and rows[0][0] is not None else 0
+
+    def read_status_counts(self, spark: SparkSession) -> DataFrame:
+        """Per-partition status counts pushed down as GROUP BY — the twin of
+        the reference's GetStatusCounts (repo.go:141-162), which it runs per
+        partition per tick; one grouped query covers every partition."""
+        rows = self._fetchall(
+            f"SELECT partition_id, status, COUNT(*) FROM {self.items_table} "
+            "GROUP BY partition_id, status"
+        )
+        return spark.createDataFrame(rows, COUNTS_SCHEMA)
+
+    # -- reads -----------------------------------------------------------
+    def read_items(
+        self,
+        spark: SparkSession,
+        statuses=None,
+        exclude_statuses=None,
+        limit: int | None = None,
+        num_partitions: int = 1,
+    ) -> DataFrame:
+        """Items with the poll predicates pushed into the database — the
+        reference's indexed query shape (repo.go:114-120: status
+        equi-predicate + ORDER BY updated_at + LIMIT).
+
+        ``statuses``/``exclude_statuses`` push a ``status IN/NOT IN``;
+        ``limit`` pushes ``ORDER BY updated_at, id`` + a row cap;
+        ``num_partitions>1`` (exclusive with ``limit``) reads
+        executor-side as ``updated_at`` range predicates so state larger
+        than one driver fetch never funnels through the driver.
+        """
+        preds = self._status_pred(statuses, exclude_statuses)
+        if num_partitions > 1 and limit is None:
+            return self._read_items_fanout(spark, preds, num_partitions)
+        where = f" WHERE {' AND '.join(preds)}" if preds else ""
+        sql = (
+            f"SELECT {', '.join(_COLS)} FROM {self.items_table}{where} "
+            f"ORDER BY updated_at, id{self._limit_clause(limit)}"
+        )
+        return spark.createDataFrame(self._fetchall(sql), CDC_SCHEMA)
+
+    def _read_items_fanout(
+        self, spark: SparkSession, preds: list[str], num_partitions: int
+    ) -> DataFrame:
+        """Executor-side partitioned read: split [min, max] of updated_at
+        into ranges (driver runs ONE index-only MIN/MAX query), then each
+        task SELECTs its own range — spark.read.jdbc's partitionColumn
+        pattern over PEP-249."""
+        where = f" WHERE {' AND '.join(preds)}" if preds else ""
+        rows = self._fetchall(
+            f"SELECT MIN(updated_at), MAX(updated_at) FROM {self.items_table}{where}"
+        )
+        if not rows or rows[0][0] is None:
+            return spark.createDataFrame([], CDC_SCHEMA)
+        lo, hi = int(rows[0][0]), int(rows[0][1])
+        n = max(1, min(num_partitions, hi - lo + 1))
+        step = (hi - lo + 1 + n - 1) // n
+        bounds = [
+            (lo + i * step, min(lo + (i + 1) * step - 1, hi)) for i in range(n)
+        ]
+        module, path, table = self.module, self.path, self.items_table
+        cols, conj = list(_COLS), list(preds)
+
+        def scan(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                for b_lo, b_hi in zip(pdf["lo"], pdf["hi"]):
+                    range_preds = conj + [
+                        f"updated_at >= {int(b_lo)}",
+                        f"updated_at <= {int(b_hi)}",
+                    ]
+                    con = _connect(module, path)
+                    try:
+                        cur = con.cursor()
+                        cur.execute(
+                            f"SELECT {', '.join(cols)} FROM {table} "
+                            f"WHERE {' AND '.join(range_preds)}"
+                        )
+                        got = cur.fetchall()
+                    finally:
+                        con.close()
+                    if got:
+                        yield pd.DataFrame(
+                            [tuple(r) for r in got], columns=cols
+                        )
+
+        ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(n)
+        return ranges.mapInPandas(scan, CDC_SCHEMA)
+
+    def read_partitions(
+        self, spark: SparkSession, statuses=None, exclude_statuses=None
+    ) -> DataFrame:
+        preds = self._status_pred(statuses, exclude_statuses)
+        where = f" WHERE {' AND '.join(preds)}" if preds else ""
+        rows = self._fetchall(
+            f"SELECT {', '.join(PARTITION_COLS)} FROM {self.parts_table}{where} "
+            "ORDER BY id"
+        )
         from gofeed_spark.feedstate.model import PARTITION_DDL
 
         return spark.createDataFrame(rows, PARTITION_DDL)
 
     # -- writes ----------------------------------------------------------
     def upsert_items(self, items: DataFrame) -> None:
-        self._upsert(items.select(*_COLS), _items_upsert_sql())
+        self._upsert(items.select(*_COLS), self._items_upsert_sql())
 
     def upsert_partitions(self, parts: DataFrame) -> None:
-        self._upsert(parts.select(*PARTITION_COLS), _parts_upsert_sql())
+        self._upsert(parts.select(*PARTITION_COLS), self._parts_upsert_sql())
 
     def _upsert(self, df: DataFrame, sql: str) -> None:
         module_name, path = self.module, self.path
@@ -159,7 +351,8 @@ class DbApiStore:
                 return
             con = _connect(module_name, path)
             try:
-                con.executemany(sql, rows)
+                cur = con.cursor()
+                cur.executemany(sql, rows)
                 con.commit()
             finally:
                 con.close()

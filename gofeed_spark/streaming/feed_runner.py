@@ -65,17 +65,31 @@ class FeedRunner:
         runner_id: str = "",
         dbapi_module: str = "sqlite3",
         db_path: str | None = None,
+        table_prefix: str = "",
     ):
         """``runner_id``: distinct per concurrent runner sharing one store
         (txlog mode) — each runner keeps its OWN streaming checkpoint and
         batch manifest (its private poll offsets, like each reference
         watcher's in-process cursor) while the shared TxLog arbitrates the
-        state commits."""
+        state commits.
+
+        ``table_prefix``: namespaces this feed's tables (reference
+        ``main.go:29`` / README.md:131-135) so several feed instances can
+        cohabit ONE store — one database (dbapi), one warehouse dir
+        (parquet), or one manifest log (txlog): ``{prefix}items``,
+        ``{prefix}partitions``, ``{prefix}dead_letter``, with the
+        checkpoint/manifest paths namespaced alongside."""
         self.spark = spark
         self.base = base_path
-        self.items_path = os.path.join(base_path, "items")
-        self.parts_path = os.path.join(base_path, "partitions")
-        suffix = f"_{runner_id}" if runner_id else ""
+        self.prefix = table_prefix
+        self.t_items = f"{table_prefix}items"
+        self.t_parts = f"{table_prefix}partitions"
+        self.t_dead = f"{table_prefix}dead_letter"
+        self.items_path = os.path.join(base_path, self.t_items)
+        self.parts_path = os.path.join(base_path, self.t_parts)
+        suffix = (f"_{table_prefix}" if table_prefix else "") + (
+            f"_{runner_id}" if runner_id else ""
+        )
         self.ckpt = os.path.join(base_path, f"_checkpoint{suffix}")
         self.manifest = os.path.join(base_path, f"_batches{suffix}.json")
         # Per-runner dead-letter partition dir: concurrent Spark jobs must
@@ -83,7 +97,7 @@ class FeedRunner:
         # _temporary staging is not concurrency-safe); readers scan the
         # dead_letter root and see `writer` as a partition column.
         self.dead_dir = os.path.join(
-            base_path, "dead_letter", f"writer={runner_id or 'w0'}"
+            base_path, self.t_dead, f"writer={runner_id or 'w0'}"
         )
         self.processor = processor
         self.max_retries = max_retries
@@ -102,14 +116,14 @@ class FeedRunner:
             os.makedirs(base_path, exist_ok=True)
             self.db_path = db_path or os.path.join(base_path, "state.db")
             self.dbapi_module = dbapi_module
-            self.db = DbApiStore(self.db_path, dbapi_module)
+            self.db = DbApiStore(self.db_path, dbapi_module, table_prefix=table_prefix)
             self.db.ensure_schema()
         register_feed_cdc(spark)
 
     # -- state-table accessors -------------------------------------------
     def _items_with_ts(self):
         if self.storage == "txlog":
-            return self.log.read(self.spark, "items")
+            return self.log.read(self.spark, self.t_items)
         if self.storage == "dbapi":
             return self.db.read_items(self.spark)
         return self.spark.read.parquet(self.items_path)
@@ -119,7 +133,7 @@ class FeedRunner:
 
     def partitions(self):
         if self.storage == "txlog":
-            return self.log.read(self.spark, "partitions")
+            return self.log.read(self.spark, self.t_parts)
         if self.storage == "dbapi":
             return self.db.read_partitions(self.spark)
         return self.spark.read.parquet(self.parts_path)
@@ -186,10 +200,24 @@ class FeedRunner:
                 release_local_checkpoint(d)
 
     def _attempt_inner(self, batch_id: int, ckpt) -> bool:
+        from gofeed_spark.feedstate.model import AVAILABLE, COMPLETE, FAILED
+
         expected = self.log.latest()[0] if self.storage == "txlog" else None
-        with_ts = self._items_with_ts()
+        if self.storage == "dbapi":
+            # Decision-step reads push the reference's poll predicates into
+            # the database (repo.go:114-120 over the covering index): only
+            # ACTIVE work — Available/Failed items, non-Complete partitions —
+            # ever crosses the driver.  Complete rows contribute nothing to
+            # the gate counts, are never ready, and are never rewritten, so
+            # the micro-batch cost scales with active work, not table size.
+            with_ts = self.db.read_items(self.spark, statuses=(AVAILABLE, FAILED))
+            parts = self.db.read_partitions(
+                self.spark, exclude_statuses=(COMPLETE,)
+            )
+        else:
+            with_ts = self._items_with_ts()
+            parts = self.partitions()
         items = with_ts.drop("updated_at")
-        parts = self.partitions()
         new_parts, new_items = feed_step(
             parts,
             items,
@@ -211,9 +239,16 @@ class FeedRunner:
         # CDC source re-delivers them for the next decision round; untouched
         # rows keep their timestamp and are not re-delivered — quiescence
         # is reached exactly when a step changes nothing.
-        tick = (
-            with_ts.agg(F.max("updated_at")).collect()[0][0] or 0
-        ) + 1
+        # The re-queue tick must exceed the GLOBAL high-water mark the CDC
+        # source has seen (which may sit on a Complete row outside the
+        # predicate-pushed read) — in dbapi mode it comes back as ONE
+        # pushed-down, index-only MAX, not a row fetch.
+        if self.storage == "dbapi":
+            tick = self.db.max_updated_at() + 1
+        else:
+            tick = (
+                with_ts.agg(F.max("updated_at")).collect()[0][0] or 0
+            ) + 1
         prev = with_ts.select(
             "id",
             F.col("version").alias("__old_v"),
@@ -221,15 +256,17 @@ class FeedRunner:
             F.col("status").alias("__old_status"),
         )
         joined = new_items.join(prev, "id", "left")
-        out_items = joined.withColumn(
-            "updated_at",
-            F.when(
-                F.col("version") > F.coalesce(F.col("__old_v"), F.lit(-1)),
-                F.lit(tick),
+        changed = F.col("version") > F.coalesce(F.col("__old_v"), F.lit(-1))
+        out_items = (
+            joined.withColumn(
+                "updated_at",
+                F.when(changed, F.lit(tick))
+                .otherwise(F.coalesce(F.col("__old_ts"), F.lit(0)))
+                .cast("long"),
             )
-            .otherwise(F.coalesce(F.col("__old_ts"), F.lit(0)))
-            .cast("long"),
-        ).drop("__old_v", "__old_ts", "__old_status")
+            .withColumn("__changed", changed)
+            .drop("__old_v", "__old_ts", "__old_status")
+        )
         # Dead-letter routing: items that TRANSITIONED to Failed this step
         # (retries exhausted or non-retryable — item.go:35-37) land in a
         # log with their error trail.
@@ -255,31 +292,58 @@ class FeedRunner:
             # append sink keyed by (writer, batch) instead of a snapshot.)
             from gofeed_spark.feedstate.txlog import CommitConflict
 
-            tables = {"items": ckpt(out_items), "partitions": new_parts}
+            tables = {
+                self.t_items: ckpt(out_items.drop("__changed")),
+                self.t_parts: new_parts,
+            }
             _, prev_tables = self.log.latest()
             if not dead.isEmpty():
-                if "dead_letter" in prev_tables:
-                    tables["dead_letter"] = self.log.read(
-                        self.spark, "dead_letter"
+                if self.t_dead in prev_tables:
+                    tables[self.t_dead] = self.log.read(
+                        self.spark, self.t_dead
                     ).unionByName(dead)
                 else:
-                    tables["dead_letter"] = dead
-            elif "dead_letter" in prev_tables:
-                tables["dead_letter"] = prev_tables["dead_letter"]  # by name
+                    tables[self.t_dead] = dead
+            elif self.t_dead in prev_tables:
+                tables[self.t_dead] = prev_tables[self.t_dead]  # by name
             try:
                 self.log.commit(tables, expected_version=expected)
             except CommitConflict:
                 return False  # recompute against the fresh snapshot
         elif self.storage == "dbapi":
             # Dead letters first (same at-least-once ordering as parquet
-            # mode), then per-row OCC upserts: rows another writer bumped
-            # past our version are skipped row-by-row in the database, and
-            # rows we never touched are simply not in the statement — no
-            # table rewrite, so concurrent out-of-band inserts survive.
+            # mode), then per-row CAS upserts of ONLY the rows this step
+            # touched: touched items carry version+1 (so the strict
+            # `excluded.version > version` guard applies them, and the loser
+            # of a two-writer race is dropped row-by-row in the database);
+            # untouched rows are simply not in the statement — no table
+            # rewrite, so concurrent out-of-band inserts survive, and the
+            # write volume scales with work done, not table size.
             if not dead.isEmpty():
                 dead.write.mode("append").parquet(self.dead_dir)
-            self.db.upsert_items(out_items)
-            self.db.upsert_partitions(new_parts)
+            self.db.upsert_items(out_items.filter("__changed").drop("__changed"))
+            # gate_decision carries the partition version through unchanged;
+            # bump it here for partitions whose decision actually moved so
+            # the CAS accepts exactly those rows, and skip the rest entirely
+            old_p = parts.select(
+                "id",
+                F.col("gate").alias("__og"),
+                F.col("status").alias("__os"),
+            )
+            changed_parts = (
+                new_parts.join(old_p, "id")
+                .filter(
+                    (F.col("gate") != F.col("__og"))
+                    | (F.col("status") != F.col("__os"))
+                )
+                .select(
+                    "id",
+                    (F.col("version") + 1).alias("version"),
+                    "gate",
+                    "status",
+                )
+            )
+            self.db.upsert_partitions(changed_parts)
         else:
             # Parquet mode is single-writer: write dead letters BEFORE the
             # state flip so a crash between the two can only DUPLICATE a
@@ -292,7 +356,10 @@ class FeedRunner:
 
             transactional_write(
                 self.spark,
-                {"items": ckpt(out_items), "partitions": new_parts},
+                {
+                    self.t_items: ckpt(out_items.drop("__changed")),
+                    self.t_parts: new_parts,
+                },
                 self.base,
             )
         self._commit(batch_id)
@@ -302,10 +369,10 @@ class FeedRunner:
         """The dead-letter log as a DataFrame (None when nothing failed)."""
         if self.storage == "txlog":
             _, tables = self.log.latest()
-            if "dead_letter" not in tables:
+            if self.t_dead not in tables:
                 return None
-            return self.log.read(self.spark, "dead_letter")
-        root = os.path.join(self.base, "dead_letter")
+            return self.log.read(self.spark, self.t_dead)
+        root = os.path.join(self.base, self.t_dead)
         if not os.path.exists(root):
             return None
         return self.spark.read.parquet(root)
@@ -336,6 +403,7 @@ class FeedRunner:
                 self.spark.readStream.format("feed_cdc")
                 .option("path", src_path)
                 .option("backend", backend)
+                .option("table", self.t_items)
             )
             if self.storage == "dbapi":
                 reader = reader.option("dbapi_module", self.dbapi_module)
