@@ -144,20 +144,45 @@ def _ivf_cell_udf(cmat: np.ndarray, cnorm: np.ndarray):
     return cell
 
 
+def _fits_broadcast(n: int, trusted: bool, broadcast_limit: int) -> bool:
+    """Whether an n-row corpus may take the driver-broadcast scorer path.
+    The untrusted parquet-footer estimate UNDERCOUNTS self-union/clone
+    plans (inputFiles dedups), so it only qualifies with 4× headroom — a
+    2-3× undercount can then never toPandas an over-limit corpus onto the
+    driver; a trusted bound (explicit hint or exact count) uses the full
+    limit."""
+    return n <= (broadcast_limit if trusted else broadcast_limit // 4)
+
+
 # (applicationId, analyzed-plan semantic hash) → broadcast (matrix, ids).
 # The normalized corpus matrix is an INDEX artifact: rebuilding it per
 # invocation pays a full Arrow collect + normalize + broadcast for bytes
 # that are identical every time (inputs are immutable parquet within a
 # session, the same assumption as catalog._RELATION_CACHE).  Keyed by
 # applicationId so a restarted session can never see a stale broadcast;
-# bounded by broadcast_limit per entry and by distinct corpus plans.
+# bounded by broadcast_limit per entry and _CORPUS_BROADCAST_CACHE_MAX
+# entries (FIFO), with dead-session entries destroyed on every call.
 _CORPUS_BROADCAST_CACHE: dict[tuple[str, int], tuple] = {}
+_CORPUS_BROADCAST_CACHE_MAX = 8
+
+
+def _evict_corpus_broadcast(key) -> None:
+    for b in _CORPUS_BROADCAST_CACHE.pop(key, ()):
+        try:
+            b.destroy()
+        except Exception:
+            pass  # already destroyed / context gone — nothing to free
 
 
 def _corpus_broadcast(e: DataFrame) -> tuple:
     """Broadcast (id-sorted normalized matrix, sorted ids) for a corpus
     relation (id, v), cached per session + semantically-equal plan."""
     sc = e.sparkSession.sparkContext
+    # Entries keyed by a dead applicationId (session restart) pin their
+    # matrices on the driver for the process lifetime: destroy them the
+    # moment any caller arrives with a live context.
+    for stale in [k for k in _CORPUS_BROADCAST_CACHE if k[0] != sc.applicationId]:
+        _evict_corpus_broadcast(stale)
     try:
         key = (sc.applicationId, e._jdf.queryExecution().analyzed().semanticHash())
     except Exception:
@@ -173,6 +198,8 @@ def _corpus_broadcast(e: DataFrame) -> tuple:
     order = np.argsort(ids_arr)
     out = (sc.broadcast(mat[order]), sc.broadcast(ids_arr[order]))
     if key is not None:
+        while len(_CORPUS_BROADCAST_CACHE) >= _CORPUS_BROADCAST_CACHE_MAX:
+            _evict_corpus_broadcast(next(iter(_CORPUS_BROADCAST_CACHE)))
         _CORPUS_BROADCAST_CACHE[key] = out
     return out
 
@@ -299,7 +326,7 @@ def topk_pairs_lsh(
     # uncapped).  Requires a TRUSTED bound — the footer estimate alone
     # must not disable a safety guard.
     cap = None if (trusted and n <= bucket_cap) else bucket_cap
-    if n <= broadcast_limit:
+    if _fits_broadcast(n, trusted, broadcast_limit):
         b_mat, b_ids = _corpus_broadcast(e)
         keep = None if k == -1 else k * n_tables
         thresh = min_cos
@@ -541,8 +568,13 @@ def ivf_codebook(
     """
     cents = e.orderBy("nid").limit(n_cells).collect()
     cmat = np.array([r.v for r in cents], dtype=np.float64)
-    if n_iters <= 0:
+    if n_iters <= 0 or len(cmat) == 0:
         return cmat
+    # A corpus smaller than n_cells seeds fewer centroids than asked for:
+    # clamp the cell count to the actual seed count so the partial-sum
+    # arrays and the seed matrix agree (refining m cells of an m-row
+    # corpus is the identity, but the general path handles it uniformly).
+    n_cells = len(cmat)
     sample = e.select("nid", "v")
     from gofeed_spark.catalog import df_rowcount_estimate
 
@@ -659,10 +691,41 @@ def build_ann_index(
     total."""
     planes = _hyperplanes(dim, n_planes)
     e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
-    e = e.withColumn("bucket", _srp_bucket_udf(planes)(F.col("v")))
+    # The 'b' prefix keeps the partition value NON-NUMERIC: a bare bit
+    # string ("0101") is re-inferred as INT on read, which drops leading
+    # zeros — and under non-ANSI IN-list coercion the column's string form
+    # ("101") then never equals the probe's ("0101"), silently losing every
+    # leading-zero bucket from a multi-probe.  A string partition value is
+    # byte-compared under every ANSI/coercion setting.
+    e = e.withColumn(
+        "bucket", F.concat(F.lit("b"), _srp_bucket_udf(planes)(F.col("v")))
+    )
     from gofeed_spark.sources.io import write_partitioned
 
     write_partitioned(e.repartition("bucket"), path, partition_by=["bucket"])
+
+
+def _multiprobe_buckets(
+    qv: np.ndarray, planes_mat: np.ndarray, radius: int
+) -> list[str]:
+    """The query's SRP bucket plus every bucket within Hamming distance
+    ``radius``, enumerated in increasing flip-cost order: bits flip in
+    ascending |projection| (the sign decisions nearest the hyperplane are
+    the likeliest to differ for a true neighbor) — multi-probe LSH per Lv
+    et al. (VLDB'07), public technique."""
+    import itertools
+
+    proj = _srp_project(qv[None, :], planes_mat)[0]
+    base = ["1" if x >= 0 else "0" for x in proj]
+    flip_order = np.argsort(np.abs(proj))
+    out = ["".join(base)]
+    for r in range(1, min(radius, len(base)) + 1):
+        for combo in itertools.combinations(flip_order, r):
+            b = list(base)
+            for i in combo:
+                b[i] = "0" if b[i] == "1" else "1"
+            out.append("".join(b))
+    return out
 
 
 def probe_ann_index(
@@ -673,17 +736,32 @@ def probe_ann_index(
     n_planes: int = 4,
     dim: int = 64,
     exclude_id: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Top-k cosine probe against a ``build_ann_index`` layout.  The query's
     bucket is computed on the driver with the SAME einsum call shape the
     index writer's UDF used (``_srp_project`` — identical summation order,
     so the sign bit of even a near-zero projection matches; no 1-row Spark
     job).  The read prunes to that bucket's directory — verify with
-    ``PartitionFilters: [isnotnull(bucket), (bucket = ...)]``."""
+    ``PartitionFilters: [isnotnull(bucket), (bucket = ...)]``.
+
+    ``multiprobe``: also probe every bucket within that Hamming distance
+    (still a partition-pruned multi-directory read, the SRP twin of IVF's
+    ``n_probe``).  Recall/scan is a dial: on structured corpora the single
+    bucket suffices; on unstructured ones radius r scans ~Σ C(planes,i)/2^planes
+    of the corpus — see test_similarity.py's recall@10 gate for measured
+    points."""
     planes = _hyperplanes(dim, n_planes)
     qv = np.asarray(query_vec, dtype=np.float64)
-    bucket = _srp_bucket_strs(qv[None, :], np.asarray(planes, dtype=np.float64))[0]
-    idx = spark.read.parquet(path).filter(F.col("bucket") == bucket)
+    planes_mat = np.asarray(planes, dtype=np.float64)
+    if multiprobe > 0:
+        probe_buckets = [
+            "b" + b for b in _multiprobe_buckets(qv, planes_mat, multiprobe)
+        ]
+        idx = spark.read.parquet(path).filter(F.col("bucket").isin(probe_buckets))
+    else:
+        bucket = "b" + _srp_bucket_strs(qv[None, :], planes_mat)[0]
+        idx = spark.read.parquet(path).filter(F.col("bucket") == bucket)
     if exclude_id is not None:
         idx = idx.filter(F.col("nid") != exclude_id)
     qdf = spark.createDataFrame([(qv.tolist(),)], "qv array<double>")
@@ -757,6 +835,39 @@ def probe_ivf_index(
 _INDEX_META = "_index_meta.json"
 
 
+def _corpus_fingerprint(emb: DataFrame) -> str | None:
+    """Cheap corpus identity for index staleness: a hash over the sorted
+    input file paths plus each file's size/mtime (local paths) and the
+    parquet-footer row count — metadata only, no data read.  Regenerated
+    input (e.g. testdata rewritten between rounds) changes the fingerprint,
+    so a warm ``ensure_*`` call rebuilds instead of silently serving an
+    index built from the old corpus.  Returns None for in-memory frames
+    (no files to fingerprint) — those callers get the parameter-only
+    match, documented as build-once semantics."""
+    import hashlib
+    import os
+
+    try:
+        files = sorted(emb.inputFiles())
+    except Exception:
+        files = []
+    if not files:
+        return None
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+        local = f[7:] if f.startswith("file://") else f
+        try:
+            st = os.stat(local)
+            h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+        except OSError:
+            pass  # non-local path: the name list still fingerprints
+    from gofeed_spark.catalog import df_rowcount_estimate
+
+    h.update(str(df_rowcount_estimate(emb)).encode())
+    return h.hexdigest()
+
+
 def _index_matches(path: str, meta: dict) -> dict | None:
     """Stored meta when ``path`` holds a completed index built with exactly
     ``meta``'s parameters, else None (absent, incomplete, or stale)."""
@@ -795,13 +906,23 @@ def ensure_ann_index(
     paid per query (q79 rebuilds per run because the correctness gate
     demands self-contained queries; production callers use this).
 
-    The build's parameters land in ``_index_meta.json`` AFTER the write
+    The build's parameters AND a corpus fingerprint (input file paths /
+    sizes / footer counts) land in ``_index_meta.json`` AFTER the write
     completes (ordering = completion marker, like Spark's _SUCCESS); a
-    matching meta short-circuits without touching ``emb``, anything else
-    (absent, interrupted build, different params) rebuilds from scratch."""
+    matching meta short-circuits without reading ``emb``'s data, anything
+    else (absent, interrupted build, different params, regenerated corpus
+    files) rebuilds from scratch."""
     import shutil
 
-    meta = {"kind": "srp", "n_planes": n_planes, "dim": dim}
+    meta = {
+        "kind": "srp",
+        "n_planes": n_planes,
+        "dim": dim,
+        # bump when the on-disk bucket format changes (2 = 'b'-prefixed
+        # string partition values) so stale layouts rebuild, never mismatch
+        "layout": 2,
+        "corpus": _corpus_fingerprint(emb),
+    }
     if _index_matches(path, meta) is not None:
         return path
     shutil.rmtree(path, ignore_errors=True)
@@ -823,7 +944,12 @@ def ensure_ivf_index(
     layout) with ZERO Spark jobs — probe cost only."""
     import shutil
 
-    meta = {"kind": "ivf", "n_cells": n_cells, "n_iters": n_iters}
+    meta = {
+        "kind": "ivf",
+        "n_cells": n_cells,
+        "n_iters": n_iters,
+        "corpus": _corpus_fingerprint(emb),
+    }
     stored = _index_matches(path, meta)
     if stored is not None:
         return np.asarray(stored["codebook"], dtype=np.float64)

@@ -333,3 +333,173 @@ def test_bucket_cap_inert_below_cap(emb):
     capped = rows(topk_pairs_lsh(emb, k=2, n_planes=2, n_tables=8, dim=2, bucket_cap=2), "rank", "id_a", "id_b")
     default = rows(topk_pairs_lsh(emb, k=2, n_planes=2, n_tables=8, dim=2), "rank", "id_a", "id_b")
     assert capped == default
+
+
+# --- round-7: small-corpus clamp, cache hygiene, trust guard, staleness ------
+
+
+def test_ivf_codebook_clamps_cells_to_corpus(spark, emb):
+    """n_cells above the corpus size seeds fewer centroids than asked for;
+    the Lloyd refinement must clamp to the actual seed count instead of
+    indexing an n_cells-length mask into the smaller matrix."""
+    from gofeed_spark.operators.similarity import as_double_array, ivf_codebook
+
+    e = emb.select(
+        F.col("vec_id").alias("nid"), as_double_array("embedding").alias("v")
+    )
+    cb = ivf_codebook(e, n_cells=16, n_iters=2)
+    assert cb.shape == (5, 2) and np.isfinite(cb).all()
+    out = dict(
+        rows(ivf_topk(emb, query_id=1, k=2, n_cells=16, n_probe=4), "rank", "neighbor_id")
+    )
+    assert out[1] == 2
+
+
+def test_fits_broadcast_requires_trust_headroom():
+    """The untrusted footer estimate undercounts self-union plans, so it
+    only qualifies for the driver-broadcast scorer with 4x headroom."""
+    from gofeed_spark.operators.similarity import _fits_broadcast
+
+    assert _fits_broadcast(1000, True, 1000)
+    assert not _fits_broadcast(1001, True, 1000)
+    assert _fits_broadcast(250, False, 1000)
+    assert not _fits_broadcast(251, False, 1000)
+
+
+def test_corpus_broadcast_cache_evicts_and_bounds(spark, emb):
+    from gofeed_spark.operators import similarity as S
+
+    class FakeB:
+        def __init__(self):
+            self.destroyed = False
+
+        def destroy(self):
+            self.destroyed = True
+
+    S._CORPUS_BROADCAST_CACHE.clear()
+    dead = (FakeB(), FakeB())
+    S._CORPUS_BROADCAST_CACHE[("dead-app", 1)] = dead
+    app = spark.sparkContext.applicationId
+    fillers = {}
+    for i in range(S._CORPUS_BROADCAST_CACHE_MAX):
+        fb = (FakeB(), FakeB())
+        fillers[(app, -1000 - i)] = fb
+        S._CORPUS_BROADCAST_CACHE[(app, -1000 - i)] = fb
+    try:
+        e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        S._corpus_broadcast(e)
+        # dead-session entry destroyed on sight
+        assert ("dead-app", 1) not in S._CORPUS_BROADCAST_CACHE
+        assert all(b.destroyed for b in dead)
+        # FIFO bound held: the oldest live entry made room for the new one
+        assert len(S._CORPUS_BROADCAST_CACHE) <= S._CORPUS_BROADCAST_CACHE_MAX
+        evicted = [k for k in fillers if k not in S._CORPUS_BROADCAST_CACHE]
+        assert evicted and all(b.destroyed for k in evicted for b in fillers[k])
+    finally:
+        S._CORPUS_BROADCAST_CACHE.clear()
+
+
+def test_ensure_index_rebuilds_on_regenerated_corpus(spark, tmp_path):
+    """The index meta carries a corpus fingerprint (file paths/sizes/
+    footer counts): rewriting the embeddings at the same path — the
+    between-rounds testdata regeneration scenario — must trigger a rebuild
+    on the next warm call instead of silently serving the stale layout."""
+    from gofeed_spark.operators.similarity import (
+        ensure_ann_index,
+        ensure_ivf_index,
+    )
+
+    src = str(tmp_path / "corpus.parquet")
+    corpus_a = [(i, [float(i), 1.0]) for i in range(1, 6)]
+    corpus_b = [(i + 100, [1.0, float(i)]) for i in range(1, 9)]
+    ddl = "vec_id long, embedding array<double>"
+    spark.createDataFrame(corpus_a, ddl).write.mode("overwrite").parquet(src)
+    srp = str(tmp_path / "srp")
+    ensure_ann_index(spark.read.parquet(src), srp, n_planes=2, dim=2)
+    sentinel = os.path.join(srp, "_sentinel")
+    open(sentinel, "w").close()
+    # unchanged corpus: fingerprint matches, layout reused
+    ensure_ann_index(spark.read.parquet(src), srp, n_planes=2, dim=2)
+    assert os.path.exists(sentinel)
+    # regenerated corpus at the same path: warm call rebuilds
+    spark.createDataFrame(corpus_b, ddl).write.mode("overwrite").parquet(src)
+    ensure_ann_index(spark.read.parquet(src), srp, n_planes=2, dim=2)
+    assert not os.path.exists(sentinel)
+    assert {r.nid for r in spark.read.parquet(srp).collect()} == {
+        i + 100 for i in range(1, 9)
+    }
+    # the IVF codebook rides in the meta — a stale one must not be served
+    ivf = str(tmp_path / "ivf")
+    cb_b = ensure_ivf_index(spark.read.parquet(src), ivf, n_cells=2, n_iters=1)
+    spark.createDataFrame(corpus_a, ddl).write.mode("overwrite").parquet(src)
+    cb_a = ensure_ivf_index(spark.read.parquet(src), ivf, n_cells=2, n_iters=1)
+    assert not np.allclose(cb_a, cb_b)
+
+
+def test_ann_recall_at_10_quality_gate(spark, tmp_path):
+    """Recall@10 vs brute force on the ORGANIC sf0.1 vectors — uniformly
+    random 64-dim, the hardest regime (no cluster structure, so any ANN
+    scheme must widen its probe to recall the true top-10; the clustered
+    regime is pinned by test_ivf_topk_refined_recall_at_n_probe_1).  Gates
+    the probe dials so plane/cell tuning has a quality floor:
+
+    - SRP multiprobe radius 3 (Hamming ball over 4 planes) >= 0.9
+    - IVF n_probe=13 of 16 cells >= 0.9
+    - the cheap settings (single bucket / n_probe=4) must stay strictly
+      below the wide ones — the dial is real, and a regression that
+      silently widens or breaks pruning shows up here."""
+    from gofeed_spark.operators.similarity import (
+        ensure_ann_index,
+        ensure_ivf_index,
+        probe_ann_index,
+        probe_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = mat / np.linalg.norm(mat, axis=1)[:, None]
+    qpos = list(range(0, len(ids), max(1, len(ids) // 10)))[:10]
+    truth = {}
+    for qi in qpos:
+        s = nrm @ nrm[qi]
+        s[qi] = -2.0
+        truth[qi] = set(ids[np.argsort(-s)[:10]].tolist())
+
+    srp = str(tmp_path / "srp")
+    ensure_ann_index(emb, srp, n_planes=4, dim=64)
+    ivf = str(tmp_path / "ivf")
+    cb = ensure_ivf_index(emb, ivf, n_cells=16, n_iters=2)
+
+    def recall(probe_fn):
+        vals = []
+        for qi in qpos:
+            got = {r.neighbor_id for r in probe_fn(qi).collect()}
+            vals.append(len(got & truth[qi]) / 10)
+        return sum(vals) / len(vals)
+
+    srp_cheap = recall(
+        lambda qi: probe_ann_index(
+            spark, srp, mat[qi], k=10, n_planes=4, dim=64, exclude_id=int(ids[qi])
+        )
+    )
+    srp_wide = recall(
+        lambda qi: probe_ann_index(
+            spark, srp, mat[qi], k=10, n_planes=4, dim=64,
+            exclude_id=int(ids[qi]), multiprobe=3,
+        )
+    )
+    ivf_cheap = recall(
+        lambda qi: probe_ivf_index(
+            spark, ivf, cb, mat[qi], k=10, n_probe=4, exclude_id=int(ids[qi])
+        )
+    )
+    ivf_wide = recall(
+        lambda qi: probe_ivf_index(
+            spark, ivf, cb, mat[qi], k=10, n_probe=13, exclude_id=int(ids[qi])
+        )
+    )
+    assert srp_wide >= 0.9, f"SRP multiprobe=3 recall@10 {srp_wide}"
+    assert ivf_wide >= 0.9, f"IVF n_probe=13 recall@10 {ivf_wide}"
+    assert srp_cheap < srp_wide and ivf_cheap < ivf_wide
