@@ -434,6 +434,7 @@ def neardup_clusters(
     docs: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    report: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into a dedup decision: (doc_id, cluster_id,
     keep) where cluster_id = the minimum doc id of the pair-connected
@@ -461,6 +462,10 @@ def neardup_clusters(
     When ``docs`` is given, docs appearing in no pair join back in as
     singleton clusters (keep=1), making the output a COMPLETE per-doc
     decision over the corpus.
+
+    ``report``: optional dict the call fills with convergence stats
+    (``{"rounds": r}`` — propagation rounds until fixpoint), so benches
+    and tests can assert the O(diameter) claim without instrumenting.
     """
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     # Symmetrize so one propagation step moves labels both ways.  No
@@ -477,7 +482,7 @@ def neardup_clusters(
             )
             .localCheckpoint()
         )
-        for _ in range(max_iter):
+        for rounds in range(1, max_iter + 1):
             # neighbor labels flow across each (a -> b) edge, then every node
             # takes the min over {its label} ∪ {incoming labels}
             msgs = edges.join(
@@ -498,6 +503,8 @@ def neardup_clusters(
             release_local_checkpoint(labels)
             labels = new_labels
             if done:
+                if report is not None:
+                    report["rounds"] = rounds
                 break
         else:
             raise RuntimeError(

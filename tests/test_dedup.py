@@ -180,11 +180,17 @@ def test_neardup_clusters_transitive_chain(spark):
         [(i, i + 1) for i in range(10, 16)] + [(30, 31)],
         "doc_a long, doc_b long",
     )
-    out = rows(neardup_clusters(pairs), "doc_id", "cluster_id", "keep")
+    report: dict = {}
+    out = rows(
+        neardup_clusters(pairs, report=report), "doc_id", "cluster_id", "keep"
+    )
     assert out == {(i, 10, 1 if i == 10 else 0) for i in range(10, 17)} | {
         (30, 30, 1),
         (31, 30, 0),
     }
+    # O(diameter) convergence, reported for benches: the 6-hop chain needs
+    # several propagation rounds, bounded by max_iter's default
+    assert 2 <= report["rounds"] <= 8
 
 
 def test_neardup_clusters_singletons_from_docs(spark):

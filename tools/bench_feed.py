@@ -1,0 +1,117 @@
+"""Feed-loop throughput bench: items/sec through the FULL FeedRunner
+drain (CDC source → one-pass gate decision + processor map → state
+upsert) at the reference's load profile — the number the reference's
+actual job is judged by, measured per storage backend.
+
+    python tools/bench_feed.py [n_items] [n_parts] [store ...]
+
+Defaults: 200000 items x 1000 partitions, stores parquet txlog dbapi
+(the three FeedRunner layouts).  Every item completes in one processor
+pass; the drain converges in one work round + one empty confirmation
+round, so items/sec ~= n_items / wall(run_available).
+
+Prints ONE JSON line:
+    {"metric": "feed_throughput", "n_items": N, "n_parts": P,
+     "items_per_sec": {store: rate}, "wall_sec": {store: s}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gofeed_spark.feedstate.model import AVAILABLE
+from gofeed_spark.feedstate.processors import json_times_processor
+from gofeed_spark.session import get_spark
+from gofeed_spark.streaming.feed_runner import FeedRunner
+
+
+def _frames(spark, n_items: int, n_parts: int):
+    parts = spark.range(n_parts).select(
+        F.concat(F.lit("p"), "id").alias("id"),
+        F.lit(0).alias("version"),
+        F.lit(0).alias("gate"),
+        F.lit(AVAILABLE).alias("status"),
+    )
+    items = spark.range(n_items).select(
+        F.concat(F.lit("i"), "id").alias("id"),
+        F.lit(0).alias("version"),
+        F.lit(0).alias("retry_count"),
+        F.concat(F.lit("p"), (F.col("id") % n_parts)).alias("partition_id"),
+        F.lit(0).alias("gate"),
+        F.lit(AVAILABLE).alias("status"),
+        F.lit("").alias("error_messages"),
+        F.lit('{"times": 1}').alias("data"),
+        F.lit(0).cast("long").alias("updated_at"),
+    )
+    return parts, items
+
+
+def _seed(spark, runner: FeedRunner, store: str, n_items: int, n_parts: int):
+    parts, items = _frames(spark, n_items, n_parts)
+    if store == "parquet":
+        items.write.mode("overwrite").parquet(runner.items_path)
+        parts.write.mode("overwrite").parquet(runner.parts_path)
+    elif store == "txlog":
+        runner.log.commit({runner.t_items: items, runner.t_parts: parts})
+    else:  # dbapi: executemany through the store's own upsert SQL
+        runner.db.seed(
+            items_rows=[tuple(r) for r in items.collect()],
+            parts_rows=[tuple(r) for r in parts.drop("updated_at").collect()],
+        )
+
+
+def bench_store(spark, store: str, n_items: int, n_parts: int) -> float:
+    base = tempfile.mkdtemp(prefix=f"feed_bench_{store}_")
+    try:
+        runner = FeedRunner(
+            spark, base, json_times_processor, max_retries=3,
+            auto_close=True, storage=store,
+        )
+        _seed(spark, runner, store, n_items, n_parts)
+        t0 = time.perf_counter()
+        runner.run_available(timeout_s=600)
+        wall = time.perf_counter() - t0
+        n_done = runner.items().filter(F.col("status") == 2).count()
+        if n_done != n_items:
+            raise RuntimeError(f"{store}: {n_done}/{n_items} items completed")
+        return wall
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    n_items = int(args[0]) if len(args) > 0 else 200_000
+    n_parts = int(args[1]) if len(args) > 1 else 1_000
+    stores = args[2:] or ["parquet", "txlog", "dbapi"]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("feed-bench", master=f"local[{cpus}]")
+    walls, rates = {}, {}
+    for store in stores:
+        wall = bench_store(spark, store, n_items, n_parts)
+        walls[store] = round(wall, 2)
+        rates[store] = round(n_items / wall)
+    print(
+        json.dumps(
+            {
+                "metric": "feed_throughput",
+                "n_items": n_items,
+                "n_parts": n_parts,
+                "items_per_sec": rates,
+                "wall_sec": walls,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
