@@ -234,6 +234,14 @@ class DbApiStore:
         rows = self._fetchall(f"SELECT MAX(updated_at) FROM {self.items_table}")
         return int(rows[0][0]) if rows and rows[0][0] is not None else 0
 
+    def count_items(self, statuses=None, exclude_statuses=None) -> int:
+        """Pushed-down COUNT over the status index — what the runner sizes
+        its read fan-out with (rows never cross the driver)."""
+        preds = self._status_pred(statuses, exclude_statuses)
+        where = f" WHERE {' AND '.join(preds)}" if preds else ""
+        rows = self._fetchall(f"SELECT COUNT(*) FROM {self.items_table}{where}")
+        return int(rows[0][0]) if rows else 0
+
     def read_status_counts(self, spark: SparkSession) -> DataFrame:
         """Per-partition status counts pushed down as GROUP BY — the twin of
         the reference's GetStatusCounts (repo.go:141-162), which it runs per

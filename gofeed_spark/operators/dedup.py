@@ -163,6 +163,84 @@ def _group_pairs(
     return pairs.unionByName(star) if star is not None else pairs
 
 
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for EVERY corpus doc, the number of its
+    distinct k-gram shingles that appear in ANY benchmark doc, plus the
+    verdict — (doc_id, n_shared, contaminated).  The standard train/eval
+    overlap check a training-data pipeline runs before a corpus ships:
+    contaminated docs leak evaluation answers into training.
+
+    Scale shape (the asymmetry IS the design): evaluation suites are
+    bounded (~1e3-1e6 shingles — a few MB of 8-byte hashes), so the
+    benchmark side collapses to ONE sorted int64 array broadcast to every
+    executor, and the 100 TB corpus side pays a single Arrow mapInPandas
+    pass — hash the doc's shingles (the `_doc_shingles` convention:
+    blake2b-8 over lower-cased \\s+ tokens) and count membership via
+    np.searchsorted against the broadcast array.  No join, no shuffle, no
+    explode; the corpus never moves.
+    """
+    import numpy as np
+
+    bench_rows = (
+        _doc_shingles(benchmark, text_col, id_col, k)
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+        .collect()
+    )
+    bench_arr = np.sort(np.array([r.h for r in bench_rows], dtype=np.int64))
+    b = docs.sparkSession.sparkContext.broadcast(bench_arr)
+
+    def run(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        ba = b.value
+        for pdf in batches:
+            ids, ns = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(text.lower()) if text else []
+                n = len(toks)
+                hs = {
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            " ".join(toks[i : i + k]).encode(), digest_size=8
+                        ).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for i in range(n - k + 1)
+                } if n >= k else set()
+                if hs and len(ba):
+                    row = np.fromiter(hs, dtype=np.int64, count=len(hs))
+                    idx = np.searchsorted(ba, row)
+                    idx_c = np.minimum(idx, len(ba) - 1)
+                    shared = int(((idx < len(ba)) & (ba[idx_c] == row)).sum())
+                else:
+                    shared = 0
+                ids.append(did)
+                ns.append(shared)
+            yield pd.DataFrame({"doc_id": ids, "n_shared": ns})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out = docs.select(id_col, text_col).mapInPandas(
+        run, f"doc_id {id_type}, n_shared long"
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        "n_shared",
+        (F.col("n_shared") > 0).cast("int").alias("contaminated"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.6,

@@ -961,6 +961,60 @@ def ensure_ivf_index(
     return cmat
 
 
+def semantic_contamination(
+    emb: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic train/eval decontamination: each corpus vector's MAX cosine
+    against ANY benchmark vector, plus the verdict — (id, max_cos,
+    contaminated).  The embedding twin of ``dedup.contamination_check``:
+    catches paraphrase/translation leaks that n-gram overlap misses.
+
+    Scale shape (same asymmetry as the n-gram check): evaluation suites
+    are bounded, so the benchmark collapses to one broadcast matrix
+    (rows × dim float64 — MBs), and the 100 TB corpus pays a single Arrow
+    ``mapInPandas`` pass of ``_ivf_sims`` — einsum dots over the
+    norm-product, the SAME summation shape as the SQL oracle's
+    ``list_dot_product / (sqrt·sqrt)``, so rounded values hash-match.  No
+    join, no shuffle; the corpus never moves.  The verdict compares the
+    UNROUNDED max (like the oracle); rounding is presentation only.
+    """
+    b_rows = benchmark.select(as_double_array(vec_col).alias("v")).collect()
+    bmat = np.array([r.v for r in b_rows], dtype=np.float64)
+    sc = emb.sparkSession.sparkContext
+    b = sc.broadcast((bmat, np.linalg.norm(bmat, axis=1) if len(bmat) else None))
+
+    def run(batches):
+        import pandas as pd
+
+        mat, bnorm = b.value
+        for pdf in batches:
+            if len(mat) == 0 or len(pdf) == 0:
+                mc = np.zeros(len(pdf), dtype=np.float64)
+            else:
+                vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+                mc = _ivf_sims(vecs, mat, bnorm).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "max_cos": mc,
+                    "contaminated": (mc >= threshold).astype("int32"),
+                }
+            )
+
+    e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+    id_type = emb.schema[id_col].dataType.simpleString()
+    out = e.mapInPandas(run, f"id {id_type}, max_cos double, contaminated int")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.round("max_cos", 6).alias("max_cos"),
+        "contaminated",
+    )
+
+
 def label_centroid_norms_udaf(
     emb: DataFrame,
     label_col: str = "label",

@@ -1168,3 +1168,89 @@ def q86(spark, sf_dir):
         verdict.alias("verdict"),
         (verdict == "keep").cast("int").alias("keep"),
     )
+
+
+# --- Q87 benchmark decontamination -------------------------------------------
+@query(
+    "q87_decontamination",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id, UNNEST(list_distinct([array_to_string(words[i:i+4], ' ')
+        FOR i IN range(1, GREATEST(len(words)-4, 0)+1)])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+        FROM documents)
+),
+bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared
+  FROM (SELECT * FROM s WHERE doc_id % 20 <> 0) t
+  JOIN bench b USING (sh) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       CAST(COALESCE(h.n_shared, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+ORDER BY d.doc_id
+""",
+)
+def q87(spark, sf_dir):
+    """Benchmark decontamination (train/eval overlap): every 20th doc plays
+    the held-out evaluation set; every TRAINING doc reports how many of its
+    distinct 5-gram shingles appear anywhere in the benchmark, plus the
+    contaminated verdict — the pre-ship check that keeps eval answers out
+    of training corpora.  The benchmark's hashed shingle set broadcasts as
+    one sorted int64 array and the corpus pays a single no-shuffle Arrow
+    pass (dedup.contamination_check) — the corpus never moves, so the plan
+    is identical at 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    return dedup.contamination_check(train, bench, k=5)
+
+
+# --- Q88 semantic decontamination --------------------------------------------
+@query(
+    "q88_semantic_decontamination",
+    oracle="""
+WITH bench AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE vec_id % 20 = 0
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 20 <> 0
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+s AS (
+  SELECT c.vec_id,
+         MAX(list_dot_product(c.v, b.be)
+             / (SQRT(list_dot_product(c.v, c.v))
+                * SQRT(list_dot_product(b.be, b.be)))) AS mc
+  FROM corpus c, bench b GROUP BY c.vec_id
+)
+SELECT vec_id, ROUND(mc, 6) AS max_cos, CAST(mc >= 0.99 AS INT) AS contaminated
+FROM s ORDER BY vec_id
+""",
+)
+def q88(spark, sf_dir):
+    """Semantic decontamination (q87's embedding twin): every 20th vector
+    plays the held-out benchmark; the training corpus — the remaining
+    vectors PLUS exact clones of the benchmark re-labeled past
+    CLONE_OFFSET, so true leaks exist and the check is non-vacuous —
+    reports its max cosine against any benchmark vector and the verdict at
+    0.99.  Catches paraphrase-shaped leaks n-gram overlap misses.  The
+    benchmark broadcasts as one matrix; the corpus pays a single
+    no-shuffle Arrow pass (similarity.semantic_contamination)."""
+    e = T(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 20 == 0)
+    clones = bench.select(
+        (F.col("vec_id") + CLONE_OFFSET).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        e.filter(F.col("vec_id") % 20 != 0)
+        .select("vec_id", "embedding")
+        .unionByName(clones)
+    )
+    return similarity.semantic_contamination(corpus, bench, threshold=0.99)

@@ -66,6 +66,7 @@ class FeedRunner:
         dbapi_module: str = "sqlite3",
         db_path: str | None = None,
         table_prefix: str = "",
+        fanout_rows: int = 200_000,
     ):
         """``runner_id``: distinct per concurrent runner sharing one store
         (txlog mode) — each runner keeps its OWN streaming checkpoint and
@@ -78,7 +79,14 @@ class FeedRunner:
         cohabit ONE store — one database (dbapi), one warehouse dir
         (parquet), or one manifest log (txlog): ``{prefix}items``,
         ``{prefix}partitions``, ``{prefix}dead_letter``, with the
-        checkpoint/manifest paths namespaced alongside."""
+        checkpoint/manifest paths namespaced alongside.
+
+        ``fanout_rows`` (dbapi): active-work rows per read partition.  A
+        pushed-down COUNT sizes each micro-batch's read; at or below one
+        partition's worth the read is a single driver-side SELECT, above
+        it the rows come in executor-side as ``updated_at`` range
+        predicates (DbApiStore.read_items num_partitions) so large active
+        state never funnels through the driver."""
         self.spark = spark
         self.base = base_path
         self.prefix = table_prefix
@@ -118,14 +126,25 @@ class FeedRunner:
             self.dbapi_module = dbapi_module
             self.db = DbApiStore(self.db_path, dbapi_module, table_prefix=table_prefix)
             self.db.ensure_schema()
+        self.fanout_rows = max(1, fanout_rows)
         register_feed_cdc(spark)
 
     # -- state-table accessors -------------------------------------------
+    def _read_fanout(self, n_rows: int) -> int:
+        """Read partitions for an n_rows read: 1 (plain driver SELECT) up
+        to 32 executor-side ranges, one per `fanout_rows` of volume."""
+        return min(32, max(1, (n_rows + self.fanout_rows - 1) // self.fanout_rows))
+
     def _items_with_ts(self):
         if self.storage == "txlog":
             return self.log.read(self.spark, self.t_items)
         if self.storage == "dbapi":
-            return self.db.read_items(self.spark)
+            # full-table accessor: size the read from a pushed-down COUNT
+            # so even user-facing reads never funnel big state through the
+            # driver
+            return self.db.read_items(
+                self.spark, num_partitions=self._read_fanout(self.db.count_items())
+            )
         return self.spark.read.parquet(self.items_path)
 
     def items(self):
@@ -210,7 +229,12 @@ class FeedRunner:
             # ever crosses the driver.  Complete rows contribute nothing to
             # the gate counts, are never ready, and are never rewritten, so
             # the micro-batch cost scales with active work, not table size.
-            with_ts = self.db.read_items(self.spark, statuses=(AVAILABLE, FAILED))
+            active = self.db.count_items(statuses=(AVAILABLE, FAILED))
+            with_ts = self.db.read_items(
+                self.spark,
+                statuses=(AVAILABLE, FAILED),
+                num_partitions=self._read_fanout(active),
+            )
             parts = self.db.read_partitions(
                 self.spark, exclude_statuses=(COMPLETE,)
             )

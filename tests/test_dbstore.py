@@ -375,3 +375,30 @@ def test_auto_migrate_table_prefix(spark, tmp_path):
     paths = auto_migrate(spark, str(tmp_path), table_prefix="blue_")
     assert set(paths) == {"blue_items", "blue_partitions"}
     assert spark.read.parquet(paths["blue_items"]).columns[0] == "id"
+
+
+def test_runner_fanout_read_drains_correctly(spark, tmp_path):
+    """fanout_rows below the active-set size flips the micro-batch read to
+    the executor-side range fan-out; the drain must be byte-equivalent to
+    the driver-read path."""
+    base = str(tmp_path / "feed_fanout")
+    runner = FeedRunner(
+        spark, base, json_times_processor, max_retries=3, auto_close=True,
+        storage="dbapi", fanout_rows=8,
+    )
+    runner.db.seed(
+        items_rows=[
+            _item(f"s{i:02d}", f"p{i % 3}", AVAILABLE, ts=i + 1) for i in range(30)
+        ],
+        parts_rows=[(f"p{i}", 0, 0, AVAILABLE) for i in range(3)],
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        runner.run_available(timeout_s=180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    items = {r.id: r.status for r in runner.items().collect()}
+    assert len(items) == 30 and all(s == COMPLETE for s in items.values())
+    parts = {r.id: r.status for r in runner.partitions().collect()}
+    assert all(s == COMPLETE for s in parts.values())

@@ -256,3 +256,31 @@ def test_n_hint_below_cap_drops_hot_key_guard(spark):
     assert "LeftAnti" in plan_g
     assert "LeftAnti" not in plan_h
     assert rows(guarded, "doc_a", "doc_b", "jac") == rows(hinted, "doc_a", "doc_b", "jac")
+
+
+def test_contamination_check_counts_shared_shingles(spark):
+    """Docs sharing a 5-gram with the benchmark are flagged with the exact
+    distinct-shingle overlap count; clean docs report 0 (and still appear)."""
+    from gofeed_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # two benchmark 5-grams: "the quick brown fox jumps",
+            # "quick brown fox jumps over"
+            (1, "so the quick brown fox jumps over a fence"),
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, "short doc"),  # under k tokens -> no shingles
+            (4, "The QUICK brown fox JUMPS over the lazy dog"),  # case-folded clone
+        ],
+        "doc_id long, text string",
+    )
+    out = rows(contamination_check(docs, bench, k=5), "doc_id", "n_shared", "contaminated")
+    by_id = {r[0]: (r[1], r[2]) for r in out}
+    assert by_id[1] == (2, 1)
+    assert by_id[2] == (0, 0)
+    assert by_id[3] == (0, 0)
+    assert by_id[4] == (5, 1)  # all 5 of its shingles are benchmark shingles

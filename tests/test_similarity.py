@@ -503,3 +503,27 @@ def test_ann_recall_at_10_quality_gate(spark, tmp_path):
     assert srp_wide >= 0.9, f"SRP multiprobe=3 recall@10 {srp_wide}"
     assert ivf_wide >= 0.9, f"IVF n_probe=13 recall@10 {ivf_wide}"
     assert srp_cheap < srp_wide and ivf_cheap < ivf_wide
+
+
+def test_semantic_contamination_flags_clones_and_parallels(spark):
+    from gofeed_spark.operators.similarity import semantic_contamination
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),     # parallel to bench 100 -> cos 1.0
+            (2, [1.0, 1.0]),     # 45 degrees -> max_cos ~0.707107
+            (3, [-1.0, 0.0]),    # opposite -> max_cos 0.0 (vs [0,1])
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.max_cos, r.contaminated)
+        for r in semantic_contamination(corpus, bench, threshold=0.99).collect()
+    }
+    assert out[1] == (1.0, 1)
+    assert out[2] == (0.707107, 0)
+    assert out[3] == (0.0, 0)
