@@ -127,3 +127,20 @@ def test_no_empty_window_partition_spec(spark):
                 name,
                 m.group(0),
             )
+
+
+def test_decontamination_plans_have_no_shuffle(spark):
+    """Both decontamination checks (q87 n-gram, q88 semantic) move the
+    BENCHMARK to the corpus (broadcast set / matrix), never the corpus to
+    a join: the corpus-side plan must contain zero Exchanges — the shape
+    that survives a 100 TB corpus unchanged."""
+    from gofeed_spark.queries import QUERIES
+
+    for name in ("q87_decontamination", "q88_semantic_decontamination"):
+        plan = (
+            QUERIES[name](spark, "/root/testdata/sf0.01")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, f"{name} shuffles: {plan[:400]}"
