@@ -44,7 +44,23 @@ _COLS = [
 ]
 
 
-def _scan_parquet(path: str, after: int, table: str = "items") -> list[tuple]:
+def _cap_at_boundary(rows: list[tuple], limit: int | None) -> list[tuple]:
+    """Cap a (updated_at, id)-sorted poll at ``limit`` rows, then EXTEND to
+    every row sharing the boundary timestamp: the stream offset is the
+    updated_at high-water mark, so cutting inside one timestamp would
+    advance the offset past rows never delivered."""
+    if limit is None or len(rows) <= limit:
+        return rows
+    boundary = rows[limit - 1][-1]
+    i = limit
+    while i < len(rows) and rows[i][-1] == boundary:
+        i += 1
+    return rows[:i]
+
+
+def _scan_parquet(
+    path: str, after: int, table: str = "items", limit: int | None = None
+) -> list[tuple]:
     """Poll a parquet directory for rows with updated_at > after — the
     predicate-pushdown twin of the reference's poll (repo.go:118)."""
     import pyarrow.dataset as ds
@@ -57,26 +73,47 @@ def _scan_parquet(path: str, after: int, table: str = "items") -> list[tuple]:
         zip(*[tbl.column(c).to_pylist() for c in _COLS]),
         key=lambda r: (r[-1], r[0]),
     )
-    return rows
+    return _cap_at_boundary(rows, limit)
 
 
-def _scan_sqlite(path: str, after: int, table: str = "items") -> list[tuple]:
+def _scan_sqlite(
+    path: str, after: int, table: str = "items", limit: int | None = None
+) -> list[tuple]:
     """Poll a SQLite table with the reference's literal query shape:
-    ``WHERE updated_at > ? ORDER BY updated_at`` (repo.go:106-120) through
-    a real DB cursor (stdlib sqlite3 — the same store Gorm's sqlite driver
-    wraps, go.mod:12)."""
+    ``WHERE updated_at > ? ORDER BY updated_at [LIMIT ?]`` (repo.go:106-120)
+    through a real DB cursor (stdlib sqlite3 — the same store Gorm's sqlite
+    driver wraps, go.mod:12).
+
+    ``limit`` caps one poll's backlog (driver memory stays bounded under a
+    hot producer); the cap then EXTENDS to every row sharing the boundary
+    timestamp, because the offset is the updated_at high-water mark —
+    cutting inside one timestamp would advance the offset past rows never
+    delivered."""
     import sqlite3
 
     if not os.path.exists(path):
         return []
     con = sqlite3.connect(path)
     try:
-        cur = con.execute(
+        base = (
             f"SELECT {', '.join(_COLS)} FROM {table} "
-            "WHERE updated_at > ? ORDER BY updated_at, id",
-            (after,),
+            "WHERE updated_at > ? ORDER BY updated_at, id"
         )
-        return [tuple(r) for r in cur.fetchall()]
+        if limit is None:
+            return [tuple(r) for r in con.execute(base, (after,)).fetchall()]
+        rows = [
+            tuple(r)
+            for r in con.execute(base + " LIMIT ?", (after, limit)).fetchall()
+        ]
+        if len(rows) == limit:
+            boundary = rows[-1][-1]
+            extra = con.execute(
+                f"SELECT {', '.join(_COLS)} FROM {table} "
+                "WHERE updated_at = ? AND id > ? ORDER BY id",
+                (boundary, rows[-1][0]),
+            ).fetchall()
+            rows.extend(tuple(r) for r in extra)
+        return rows
     finally:
         con.close()
 
@@ -99,7 +136,9 @@ def _make_scan_dbapi(module_name: str):
         "pyformat": "%(after)s",
     }.get(getattr(mod, "paramstyle", "qmark"), "?")
 
-    def scan(path: str, after: int, table: str = "items") -> list[tuple]:
+    def scan(
+        path: str, after: int, table: str = "items", limit: int | None = None
+    ) -> list[tuple]:
         con = mod.connect(path)
         try:
             sql = (
@@ -109,14 +148,29 @@ def _make_scan_dbapi(module_name: str):
             params = {"after": after} if placeholder == "%(after)s" else (after,)
             cur = con.cursor()
             cur.execute(sql, params)
-            return [tuple(r) for r in cur.fetchall()]
+            if limit is None:
+                return [tuple(r) for r in cur.fetchall()]
+            # bounded poll + boundary-timestamp extension (see _scan_sqlite):
+            # fetchmany keeps driver memory at ~limit rows, then drain every
+            # row sharing the boundary ts so the ts offset never skips rows
+            rows = [tuple(r) for r in cur.fetchmany(limit)]
+            if len(rows) == limit:
+                boundary = rows[-1][-1]
+                while True:
+                    nxt = cur.fetchone()
+                    if nxt is None or nxt[-1] != boundary:
+                        break
+                    rows.append(tuple(nxt))
+            return rows
         finally:
             con.close()
 
     return scan
 
 
-def _scan_txlog(path: str, after: int, table: str = "items") -> list[tuple]:
+def _scan_txlog(
+    path: str, after: int, table: str = "items", limit: int | None = None
+) -> list[tuple]:
     """Poll a TxLog-managed table (feedstate/txlog.py): resolve the latest
     complete manifest (pure JSON — no Spark on the poll path) and
     predicate-read that snapshot dir.  The snapshot is immutable, so this
@@ -140,7 +194,7 @@ def _scan_txlog(path: str, after: int, table: str = "items") -> list[tuple]:
         rel = manifest["tables"].get(table)
         if rel is None:
             return []
-        return _scan_parquet(os.path.join(path, rel), after, table)
+        return _scan_parquet(os.path.join(path, rel), after, table, limit)
     return []
 
 
@@ -165,13 +219,19 @@ class FeedCDCReader(SimpleDataSourceStreamReader):
                 f"feed_cdc backend must be one of {sorted([*_BACKENDS, 'dbapi'])}"
             )
         self.table = options.get("table", "items")
+        # bounded poll (the reference's LIMIT, repo.go:114-120): caps one
+        # micro-batch's backlog so driver memory stays bounded under a hot
+        # producer; undelivered backlog re-polls next trigger.  The cap
+        # extends to the boundary timestamp (see _cap_at_boundary).
+        raw_limit = options.get("poll_limit")
+        self.limit = int(raw_limit) if raw_limit else None
 
     def initialOffset(self) -> dict:
         return {"last_ts": -1}
 
     def read(self, start: dict):
         last = int(start["last_ts"])
-        rows = self._scan(self.path, last, self.table)
+        rows = self._scan(self.path, last, self.table, self.limit)
         new_last = max((r[-1] for r in rows), default=last)
         return iter(rows), {"last_ts": new_last}
 

@@ -67,6 +67,7 @@ class FeedRunner:
         db_path: str | None = None,
         table_prefix: str = "",
         fanout_rows: int = 200_000,
+        poll_limit: int | None = None,
     ):
         """``runner_id``: distinct per concurrent runner sharing one store
         (txlog mode) — each runner keeps its OWN streaming checkpoint and
@@ -86,7 +87,12 @@ class FeedRunner:
         partition's worth the read is a single driver-side SELECT, above
         it the rows come in executor-side as ``updated_at`` range
         predicates (DbApiStore.read_items num_partitions) so large active
-        state never funnels through the driver."""
+        state never funnels through the driver.
+
+        ``poll_limit``: caps each CDC poll's backlog (the reference's poll
+        LIMIT, repo.go:114-120) so a hot producer can't balloon one
+        micro-batch; undelivered rows re-poll next round and
+        ``run_available`` keeps draining until quiescent."""
         self.spark = spark
         self.base = base_path
         self.prefix = table_prefix
@@ -127,6 +133,7 @@ class FeedRunner:
             self.db = DbApiStore(self.db_path, dbapi_module, table_prefix=table_prefix)
             self.db.ensure_schema()
         self.fanout_rows = max(1, fanout_rows)
+        self.poll_limit = poll_limit
         register_feed_cdc(spark)
 
     # -- state-table accessors -------------------------------------------
@@ -431,6 +438,8 @@ class FeedRunner:
             )
             if self.storage == "dbapi":
                 reader = reader.option("dbapi_module", self.dbapi_module)
+            if self.poll_limit is not None:
+                reader = reader.option("poll_limit", str(self.poll_limit))
             q = (
                 reader.load()
                 .writeStream.option("checkpointLocation", self.ckpt)

@@ -182,3 +182,69 @@ def test_cdc_to_gate_machine_end_to_end(spark, tmp_path):
     run()
     st = {r.partition_id: r.status for r in sink.read(spark).collect()}
     assert st == {"p1": COMPLETE, "p2": FAILED}
+
+
+def test_scan_poll_limit_extends_to_boundary_timestamp(tmp_path):
+    """The poll LIMIT (repo.go:114-120 parity) must never split rows that
+    share the boundary updated_at: the offset is the ts high-water mark, so
+    a mid-timestamp cut would skip the rest of that timestamp forever."""
+    import sqlite3
+
+    from gofeed_spark.sources.feed_cdc import _make_scan_dbapi, _scan_sqlite
+
+    db = str(tmp_path / "poll.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE items (id TEXT PRIMARY KEY, version INTEGER, "
+        "retry_count INTEGER, partition_id TEXT, gate INTEGER, status INTEGER, "
+        "error_messages TEXT, data TEXT, updated_at INTEGER)"
+    )
+    # ts 1,2,3 then FIVE rows at ts=4, then ts 5
+    rows = [(f"a{t}", 0, 0, "p", 0, 1, "", "{}", t) for t in (1, 2, 3)]
+    rows += [(f"b{i}", 0, 0, "p", 0, 1, "", "{}", 4) for i in range(5)]
+    rows += [("z9", 0, 0, "p", 0, 1, "", "{}", 5)]
+    con.executemany("INSERT INTO items VALUES (?,?,?,?,?,?,?,?,?)", rows)
+    con.commit()
+    con.close()
+
+    for scan in (_scan_sqlite, _make_scan_dbapi("sqlite3")):
+        # limit 4 cuts inside the ts=4 group -> extends to all 5 of them
+        got = scan(db, 0, "items", 4)
+        assert [r[0] for r in got] == ["a1", "a2", "a3", "b0", "b1", "b2", "b3", "b4"]
+        # next poll resumes past the boundary
+        nxt = scan(db, got[-1][-1], "items", 4)
+        assert [r[0] for r in nxt] == ["z9"]
+        # no limit: everything
+        assert len(scan(db, 0, "items")) == 9
+
+
+def test_feed_runner_poll_limit_drains_backlog(spark, tmp_path):
+    """A backlog far above poll_limit drains to quiescence over multiple
+    bounded polls, each item completing exactly once."""
+    from gofeed_spark.feedstate.model import AVAILABLE, COMPLETE
+    from gofeed_spark.feedstate.processors import json_times_processor
+    from gofeed_spark.streaming.feed_runner import FeedRunner
+
+    base = str(tmp_path / "feed_backlog")
+    runner = FeedRunner(
+        spark, base, json_times_processor, max_retries=3, auto_close=True,
+        storage="dbapi", poll_limit=10,
+    )
+    runner.db.seed(
+        items_rows=[
+            (f"s{i:02d}", 0, 0, f"p{i % 2}", 0, AVAILABLE, "", '{"times": 1}', i + 1)
+            for i in range(40)
+        ],
+        parts_rows=[(f"p{i}", 0, 0, AVAILABLE) for i in range(2)],
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        runner.run_available(timeout_s=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    items = {r.id: (r.status, r.version) for r in runner.items().collect()}
+    assert len(items) == 40
+    assert all(s == COMPLETE for s, _v in items.values())
+    # exactly once: one processor pass per item -> version exactly 1
+    assert all(v == 1 for _s, v in items.values())
