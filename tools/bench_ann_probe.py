@@ -64,6 +64,15 @@ def main():
         ).collect()
     probe_srp = (time.perf_counter() - t0) / n_probes
 
+    # multiprobe (Hamming radius 2): the recall/scan dial's midpoint — how
+    # much the widened partition-pruned read costs over the single bucket
+    t0 = time.perf_counter()
+    for qid, qv in qvecs:
+        similarity.probe_ann_index(
+            spark, srp_path, qv, k=5, n_planes=6, exclude_id=qid, multiprobe=2
+        ).collect()
+    probe_srp_mp2 = (time.perf_counter() - t0) / n_probes
+
     similarity.probe_ivf_index(spark, ivf_path, codebook, qvecs[0][1], k=5).collect()
     t0 = time.perf_counter()
     for qid, qv in qvecs:
@@ -79,6 +88,7 @@ def main():
                 "build_srp": round(build_srp, 3),
                 "build_ivf": round(build_ivf, 3),
                 "probe_srp": round(probe_srp, 3),
+                "probe_srp_mp2": round(probe_srp_mp2, 3),
                 "probe_ivf": round(probe_ivf, 3),
                 "n_probes": n_probes,
                 "sf_dir": sf_dir,
