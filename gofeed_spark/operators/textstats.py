@@ -154,3 +154,77 @@ def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     for name, pat in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
     return docs.select(id_col, redacted.alias("redacted"), *counts)
+
+
+def remove_frequent_lines(
+    docs: DataFrame,
+    min_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb preprocessing
+    step): drop every line whose document frequency within its
+    ``group_col`` (source/domain — boilerplate is per-site) reaches
+    ``min_frac`` of the group's docs, and reassemble each doc in original
+    line order.  Returns (id, clean_text, n_removed) for EVERY input doc.
+
+    A line must appear in at least TWO docs to ever count as boilerplate
+    (threshold = max(2, ceil(min_frac·n_docs))): without the floor, a
+    1-doc group would have every unique line at df = 1 = 100% and the
+    whole doc would vanish.
+
+    Plan, sized for 100 TB: lines explode once; the frequency aggregation
+    shuffles slim (group, xxhash64(line), doc_id) triples — never the
+    line text; the surviving BOILERPLATE relation (df >= threshold) is
+    tiny by nature (a site has few mastheads) and broadcast-joins a flag
+    onto the corpus lines, so the ONLY full-corpus shuffle is the single
+    per-doc aggregation that reassembles the doc (array_sort over
+    (pos, line) structs, kept lines only — collect_list drops the
+    flagged ones as nulls) and counts removals in the same pass.  The
+    threshold compares df >= ceil(min_frac * group_docs) in both this
+    plan and the SQL oracle, so boundary groups agree exactly.
+    """
+    t = F.col(text_col)
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.posexplode(F.split(t, sep)).alias("pos", "line"),
+    ).withColumn("__h", F.xxhash64("line"))
+    gsize = docs.groupBy(F.col(group_col).alias("__g")).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    freq = lines.groupBy("__g", "__h").agg(F.countDistinct("__id").alias("df"))
+    boiler = (
+        freq.join(gsize, "__g")
+        .filter(
+            F.col("df")
+            >= F.greatest(F.lit(2), F.ceil(F.lit(min_frac) * F.col("n_docs")))
+        )
+        .select("__g", "__h", F.lit(1).alias("__b"))
+    )
+    flagged = lines.join(F.broadcast(boiler), ["__g", "__h"], "left")
+    per_doc = flagged.groupBy("__id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__b").isNull(), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("__b").cast("int").alias("n_removed"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_removed", F.lit(0)).cast("int").alias("n_removed"),
+        )
+    )

@@ -1254,3 +1254,69 @@ def q88(spark, sf_dir):
         .unionByName(clones)
     )
     return similarity.semantic_contamination(corpus, bench, threshold=0.99)
+
+
+# --- Q89 line-level boilerplate removal --------------------------------------
+@query(
+    "q89_boilerplate_removal",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, source,
+         '== ' || source || ' masthead ==' || chr(10) ||
+         CASE WHEN doc_id % 5 = 0
+              THEN 'subscribe to ' || source || chr(10) ELSE '' END ||
+         text AS text
+  FROM documents
+),
+parts AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM corpus),
+lines AS (
+  SELECT doc_id, source, i AS pos, ls[i] AS line
+  FROM parts, LATERAL (SELECT UNNEST(range(1, len(ls)+1)) AS i) t
+),
+gsize AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM corpus GROUP BY source),
+freq AS (SELECT source, line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1, 2),
+boiler AS (
+  SELECT f.source, f.line FROM freq f JOIN gsize g USING (source)
+  WHERE f.df >= GREATEST(2, CEIL(0.5 * g.n_docs))
+),
+kept AS (
+  SELECT l.* FROM lines l
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                    WHERE b.source = l.source AND b.line = l.line)
+),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT c.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(t.n_lines - COALESCE(a.n_kept, 0) AS INT) AS n_removed
+FROM corpus c
+JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+ORDER BY c.doc_id
+""",
+)
+def q89(spark, sf_dir):
+    """Line-level boilerplate removal (the CCNet/RefinedWeb preprocessing
+    step): every doc gets a per-source masthead injected (df = 100% of its
+    source, removed) and every 5th doc a promo line (df = 20%, below the
+    0.5 threshold — KEPT, pinning that merely-repeated content survives);
+    textstats.remove_frequent_lines drops the frequent lines per source
+    and reassembles docs in line order.  The corpus-side frequency shuffle
+    carries xxhash64 line keys, the boilerplate relation broadcasts, and
+    the only full-corpus shuffle is the per-doc reassembly."""
+    d = T(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("== "), F.col("source"), F.lit(" masthead =="), F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("subscribe to "), F.col("source"), F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return textstats.remove_frequent_lines(corpus, min_frac=0.5)

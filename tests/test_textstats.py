@@ -111,3 +111,39 @@ def test_redact_pii_idempotent(spark):
     r2 = twice.collect()[0]
     assert r2.redacted == r1.redacted
     assert (r2.n_email, r2.n_phone, r2.n_ip) == (0, 0, 0)
+
+
+def test_remove_frequent_lines_boilerplate(spark):
+    """Per-group frequent lines are removed (df >= ceil(0.5*n_docs)),
+    infrequent repeats and unique bodies survive in original order, and
+    every input doc appears in the output."""
+    from gofeed_spark.operators.textstats import remove_frequent_lines
+    from tests.conftest import rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "sA", "HEAD\nbody one\nPROMO"),
+            (2, "sA", "HEAD\nbody two"),
+            (3, "sA", "HEAD\nbody three"),
+            (4, "sA", "HEAD\nbody four"),
+            (5, "sB", "HEAD\nbody five"),  # other group: HEAD df=1 there
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_removed) for r in
+           remove_frequent_lines(docs, min_frac=0.5).collect()}
+    # group sA: HEAD df=4/4 removed; PROMO df=1/4 kept; bodies kept in order
+    assert out[1] == ("body one\nPROMO", 1)
+    assert out[2] == ("body two", 1)
+    # group sB has ONE doc: the df>=2 floor keeps every line (nothing can
+    # be boilerplate on a single-doc domain)
+    assert out[5] == ("HEAD\nbody five", 0)
+    # a doc that is ALL boilerplate comes back empty, not missing
+    docs2 = spark.createDataFrame(
+        [(1, "s", "X"), (2, "s", "X"), (3, "s", "X\nkeep me... wait")],
+        "doc_id long, source string, text string",
+    )
+    out2 = {r.doc_id: (r.clean_text, r.n_removed) for r in
+            remove_frequent_lines(docs2, min_frac=0.5).collect()}
+    assert out2[1] == ("", 1)
+    assert out2[3] == ("keep me... wait", 1)
