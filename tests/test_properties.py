@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from gofeed_spark.feedstate.engine import apply_process_results, gate_decision
 from gofeed_spark.feedstate.model import AVAILABLE, COMPLETE, FAILED, ITEM_DDL, PARTITION_DDL
@@ -155,3 +156,69 @@ def test_global_running_sum_matches_model(spark, vals):
         acc += v
         want[i] = acc
     assert out == want
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "head", "promo"])
+_line = st.lists(_word, min_size=1, max_size=4).map(" ".join)
+_doc = st.lists(_line, min_size=1, max_size=5).map("\n".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_doc, min_size=1, max_size=8),
+    groups=st.lists(st.sampled_from(["g1", "g2"]), min_size=8, max_size=8),
+)
+def test_remove_frequent_lines_idempotent(spark, texts, groups):
+    """Boilerplate removal is a fixpoint after one pass: kept lines had
+    df below the threshold, and removing OTHER lines never changes which
+    docs contain a kept line — so a second pass removes nothing."""
+    from gofeed_spark.operators.textstats import remove_frequent_lines
+
+    docs = spark.createDataFrame(
+        [(i, groups[i % len(groups)], t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    once = remove_frequent_lines(docs, min_frac=0.5)
+    again_in = once.select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    twice = remove_frequent_lines(again_in, min_frac=0.5)
+    a = {r.doc_id: r.clean_text for r in once.collect()}
+    b = {r.doc_id: (r.clean_text, r.n_removed) for r in twice.collect()}
+    # caveat: a doc whose text became "" contributes an empty LINE to the
+    # second pass; empty lines can legitimately become frequent, so only
+    # docs that kept content participate in the fixpoint claim
+    for did, text in a.items():
+        if text:
+            assert b[did] == (text, 0)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    bench_texts=st.lists(_doc, min_size=1, max_size=3),
+    extra=st.lists(_doc, min_size=1, max_size=4),
+)
+def test_contamination_verbatim_inclusion_always_flagged(spark, bench_texts, extra):
+    """Any training doc that verbatim-equals a benchmark doc with >= k
+    tokens is always contaminated, and n_shared never exceeds the doc's
+    own distinct-shingle count."""
+    from gofeed_spark.operators.dedup import contamination_check
+
+    k = 3
+    bench = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench_texts)],
+        "doc_id long, text string",
+    )
+    clones = [(1000 + i, t) for i, t in enumerate(bench_texts)]
+    others = [(2000 + i, t) for i, t in enumerate(extra)]
+    docs = spark.createDataFrame(clones + others, "doc_id long, text string")
+    out = {r.doc_id: r for r in contamination_check(docs, bench, k=k).collect()}
+    for i, t in enumerate(bench_texts):
+        toks = t.lower().split()
+        n_distinct = len({" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)})
+        r = out[1000 + i]
+        if n_distinct > 0:
+            assert r.contaminated == 1 and r.n_shared == n_distinct
+        else:
+            assert r.n_shared == 0
+    assert all(r.n_shared >= 0 for r in out.values())
