@@ -252,6 +252,20 @@ class DbApiStore:
         )
         return spark.createDataFrame(rows, COUNTS_SCHEMA)
 
+    def read_decision_counts(self, spark: SparkSession) -> DataFrame:
+        """The gate decision's complete input, as ONE pushed-down grouped
+        query: per-(partition, status, gate) counts.  With this, a
+        micro-batch only fetches AVAILABLE item rows — terminal Failed
+        rows, which accumulate for a feed's lifetime, are counted in the
+        database and never cross the driver again."""
+        rows = self._fetchall(
+            f"SELECT partition_id, status, gate, COUNT(*) FROM {self.items_table} "
+            "GROUP BY partition_id, status, gate"
+        )
+        return spark.createDataFrame(
+            rows, "partition_id string, status int, gate int, n long"
+        )
+
     # -- reads -----------------------------------------------------------
     def read_items(
         self,

@@ -48,18 +48,56 @@ def gate_decision(
 
     Complete partitions are frozen (never leased: repo.go:106-112).
     """
+    return _decide(
+        partitions,
+        items.select("partition_id", "status", "gate", F.lit(1).alias("n")),
+        manual_checkpoint,
+        auto_close,
+    )
+
+
+def gate_decision_from_counts(
+    partitions: DataFrame,
+    counts: DataFrame,
+    manual_checkpoint: bool = False,
+    auto_close: bool = True,
+) -> DataFrame:
+    """``gate_decision`` from PRE-AGGREGATED per-(partition, status, gate)
+    counts — the shape a SQL state store pushes down as one GROUP BY
+    (DbApiStore.read_decision_counts), so the decision never needs the
+    terminal Failed rows themselves.  ``counts``: (partition_id, status,
+    gate, n)."""
+    return _decide(partitions, counts, manual_checkpoint, auto_close)
+
+
+def _decide(
+    partitions: DataFrame,
+    weighted: DataFrame,
+    manual_checkpoint: bool,
+    auto_close: bool,
+) -> DataFrame:
+    """The decision ladder over (partition_id, status, gate, n) evidence
+    rows — raw items carry n=1, pushed-down aggregates carry group counts;
+    the sums are identical either way."""
     p = partitions.select(
         "id", "version", F.col("gate").alias("p_gate"), F.col("status").alias("p_status")
     )
     counts = (
-        items.join(p.select(F.col("id").alias("partition_id"), "p_gate"), "partition_id")
+        weighted.join(
+            p.select(F.col("id").alias("partition_id"), "p_gate"), "partition_id"
+        )
         .groupBy("partition_id")
         .agg(
-            F.sum(F.when(F.col("status") == FAILED, 1).otherwise(0)).alias("failed_n"),
-            F.sum(F.when(F.col("status") == AVAILABLE, 1).otherwise(0)).alias("avail_n"),
+            F.sum(F.when(F.col("status") == FAILED, F.col("n")).otherwise(0)).alias(
+                "failed_n"
+            ),
+            F.sum(F.when(F.col("status") == AVAILABLE, F.col("n")).otherwise(0)).alias(
+                "avail_n"
+            ),
             F.sum(
                 F.when(
-                    (F.col("status") == AVAILABLE) & (F.col("gate") == F.col("p_gate")), 1
+                    (F.col("status") == AVAILABLE) & (F.col("gate") == F.col("p_gate")),
+                    F.col("n"),
                 ).otherwise(0)
             ).alias("at_gate_n"),
         )
@@ -204,17 +242,31 @@ def feed_step(
     max_retries: int = 5,
     manual_checkpoint: bool = False,
     auto_close: bool = True,
+    decision_counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch tick over ALL partitions at once (the reference does
     this per-partition per-poll; one distributed pass replaces N+1 queries).
 
     Matches the reference's intra-tick ordering (watcher.go:135-176): the
     ready set and the gate decision both observe the PRE-tick state; item
-    processing lands after."""
+    processing lands after.
+
+    ``decision_counts``: pre-aggregated (partition_id, status, gate, n)
+    evidence for the gate decision (a SQL store's pushed-down GROUP BY) —
+    with it, ``items`` may carry only the rows processing can touch
+    (Available); terminal Failed rows stay in the store."""
     ready = ready_items(partitions, items)
-    new_parts = gate_decision(
-        partitions, items, manual_checkpoint=manual_checkpoint, auto_close=auto_close
-    )
+    if decision_counts is not None:
+        new_parts = gate_decision_from_counts(
+            partitions,
+            decision_counts,
+            manual_checkpoint=manual_checkpoint,
+            auto_close=auto_close,
+        )
+    else:
+        new_parts = gate_decision(
+            partitions, items, manual_checkpoint=manual_checkpoint, auto_close=auto_close
+        )
     results = process_items(ready, processor)
     new_items = apply_process_results(items, results, max_retries=max_retries)
     return new_parts, new_items

@@ -226,21 +226,26 @@ class FeedRunner:
                 release_local_checkpoint(d)
 
     def _attempt_inner(self, batch_id: int, ckpt) -> bool:
-        from gofeed_spark.feedstate.model import AVAILABLE, COMPLETE, FAILED
+        from gofeed_spark.feedstate.model import AVAILABLE, COMPLETE
 
         expected = self.log.latest()[0] if self.storage == "txlog" else None
+        decision_counts = None
         if self.storage == "dbapi":
             # Decision-step reads push the reference's poll predicates into
-            # the database (repo.go:114-120 over the covering index): only
-            # ACTIVE work — Available/Failed items, non-Complete partitions —
-            # ever crosses the driver.  Complete rows contribute nothing to
-            # the gate counts, are never ready, and are never rewritten, so
-            # the micro-batch cost scales with active work, not table size.
-            active = self.db.count_items(statuses=(AVAILABLE, FAILED))
+            # the database (repo.go:114-120 over the covering index): the
+            # gate decision consumes ONE pushed-down GROUP BY (the
+            # GetStatusCounts twin), so only the rows processing can touch —
+            # Available items in non-Complete partitions — ever cross the
+            # driver.  Complete rows are never rewritten, and terminal
+            # Failed rows (which accumulate for the feed's lifetime) are
+            # counted in the database, never fetched: micro-batch cost
+            # scales with READY work, not table size.
+            decision_counts = self.db.read_decision_counts(self.spark)
+            avail = self.db.count_items(statuses=(AVAILABLE,))
             with_ts = self.db.read_items(
                 self.spark,
-                statuses=(AVAILABLE, FAILED),
-                num_partitions=self._read_fanout(active),
+                statuses=(AVAILABLE,),
+                num_partitions=self._read_fanout(avail),
             )
             parts = self.db.read_partitions(
                 self.spark, exclude_statuses=(COMPLETE,)
@@ -256,6 +261,7 @@ class FeedRunner:
             max_retries=self.max_retries,
             manual_checkpoint=self.manual_checkpoint,
             auto_close=self.auto_close,
+            decision_counts=decision_counts,
         )
         # Materialize the processor output ONCE, immediately: everything
         # below (dead.isEmpty, dead.write, the items upsert) would otherwise

@@ -79,10 +79,12 @@ def _spying_connect(real_connect, log):
 
 def test_dbapi_microbatch_never_fetches_full_table(spark, tmp_path, monkeypatch):
     """The decision step's reads must push the poll predicates into the
-    database: with 480 Complete rows and 8 active ones, no per-batch items
-    SELECT may return more than the active set — the round-6 driver-side
-    full-table fetch is the regression this pins out."""
-    n_complete, n_active = 480, 8
+    database: with 480 Complete rows, 30 terminal Failed rows (whose
+    partition is already Failed — counted in the DB for the gate decision,
+    never fetched), and 8 Available ones, no per-batch items SELECT may
+    return more than the READY set — the round-6 driver-side full-table
+    fetch is the regression this pins out."""
+    n_complete, n_failed, n_active = 480, 30, 8
     base = str(tmp_path / "feed_spy")
     runner = FeedRunner(
         spark, base, json_times_processor, max_retries=3,
@@ -92,8 +94,13 @@ def test_dbapi_microbatch_never_fetches_full_table(spark, tmp_path, monkeypatch)
         items_rows=[
             _item(f"c{i}", "pc", COMPLETE, version=1) for i in range(n_complete)
         ]
+        + [_item(f"f{i}", "pf", FAILED, version=1) for i in range(n_failed)]
         + [_item(f"a{i}", "pa", AVAILABLE, ts=2) for i in range(n_active)],
-        parts_rows=[("pc", 0, 0, COMPLETE), ("pa", 0, 0, AVAILABLE)],
+        parts_rows=[
+            ("pc", 0, 0, COMPLETE),
+            ("pf", 0, 0, FAILED),
+            ("pa", 0, 0, AVAILABLE),
+        ],
     )
     log: list[tuple[str, int]] = []
     monkeypatch.setattr(dbstore, "_connect", _spying_connect(dbstore._connect, log))
@@ -123,8 +130,10 @@ def test_dbapi_microbatch_never_fetches_full_table(spark, tmp_path, monkeypatch)
     assert all(n == 1 for _, n in aggs)
 
     items = {r.id: r.status for r in runner.items().collect()}
-    assert all(s == COMPLETE for s in items.values())
-    assert len(items) == n_complete + n_active
+    assert len(items) == n_complete + n_failed + n_active
+    assert all(
+        s == (FAILED if i.startswith("f") else COMPLETE) for i, s in items.items()
+    )
 
 
 # -- strict per-row CAS --------------------------------------------------
@@ -402,3 +411,42 @@ def test_runner_fanout_read_drains_correctly(spark, tmp_path):
     assert len(items) == 30 and all(s == COMPLETE for s in items.values())
     parts = {r.id: r.status for r in runner.partitions().collect()}
     assert all(s == COMPLETE for s in parts.values())
+
+
+def test_decision_counts_pushdown_matches_item_based_decision(spark, tmp_path):
+    """gate_decision over raw items and gate_decision_from_counts over the
+    store's pushed-down GROUP BY must produce identical decisions — the
+    fixture covers every ladder branch (failed, available-at-gate,
+    available-past-gate, complete, frozen)."""
+    from gofeed_spark.feedstate.engine import (
+        gate_decision,
+        gate_decision_from_counts,
+    )
+    from gofeed_spark.feedstate.model import seed_dataframes
+
+    parts, items = seed_dataframes(spark)
+    store = _seeded_store(tmp_path, "counts.db")
+    store.seed(
+        [tuple(r) + (1,) for r in items.collect()],
+        [tuple(r) for r in parts.collect()],
+    )
+    counts = store.read_decision_counts(spark)
+    from_items = {
+        r.id: (r.version, r.gate, r.status)
+        for r in gate_decision(parts, items).collect()
+    }
+    from_counts = {
+        r.id: (r.version, r.gate, r.status)
+        for r in gate_decision_from_counts(parts, counts).collect()
+    }
+    assert from_items == from_counts
+    # and with the ladder knobs flipped
+    from_items_m = {
+        r.id: tuple(r)[1:]
+        for r in gate_decision(parts, items, manual_checkpoint=True, auto_close=False).collect()
+    }
+    from_counts_m = {
+        r.id: tuple(r)[1:]
+        for r in gate_decision_from_counts(parts, counts, manual_checkpoint=True, auto_close=False).collect()
+    }
+    assert from_items_m == from_counts_m
