@@ -1320,3 +1320,56 @@ def q89(spark, sf_dir):
         ).alias("text"),
     )
     return textstats.remove_frequent_lines(corpus, min_frac=0.5)
+
+
+# --- Q90 per-source corpus report --------------------------------------------
+@query(
+    "q90_source_report",
+    oracle=r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dup_docs,
+       CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT)
+         AS total_tokens,
+       ROUND(AVG(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE)), 6)
+         AS avg_tokens,
+       CAST(SUM(CASE WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) >= 5
+                      AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                          / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                          BETWEEN 2.0 AND 12.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS quality_ok_n,
+       CAST(SUM(CASE WHEN CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS DOUBLE)
+                          / CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) < 0.3
+                THEN 1 ELSE 0 END) AS BIGINT) AS repetitive_n,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def q90(spark, sf_dir):
+    """The per-source dataset card a pipeline emits before a corpus ships:
+    doc/dup counts, token volume, mean length, quality-pass and
+    repetition-flag counts (the q38/q85 signals as aggregates), and
+    language spread — ONE grouped pass over the corpus, every signal
+    whole-stage codegen, counts (not ratios) so the output hash is
+    integer-stable."""
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    nonspace = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double")
+    awl = nonspace / n_tok.cast("double")
+    q_ok = ((n_tok >= 5) & (awl >= 2.0) & (awl <= 12.0)).cast("int")
+    toks = ws_tokens("text")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+    feats = d.select(
+        "source", "lang", "text",
+        n_tok.alias("n_tok"), q_ok.alias("q_ok"), (ttr < 0.3).cast("int").alias("rep"),
+    )
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct("text")).alias("dup_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("n_tok").cast("double")), 6).alias("avg_tokens"),
+        F.sum("q_ok").cast("long").alias("quality_ok_n"),
+        F.sum("rep").cast("long").alias("repetitive_n"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
