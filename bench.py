@@ -58,8 +58,8 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def run_query(spark, name: str, sf_dir: str, runs: int = 3) -> tuple[float, float]:
-    """(steady_state, cold) latency: MEDIAN and first of ``runs`` end-to-end
-    executions (3 by default).  Median over min: the minimum rides out
+    """(median, best) latency over ``runs`` end-to-end executions (3 by
+    default).  Median over min for the headline: the minimum rides out
     noise but rewards one lucky scheduling draw, which at the ~0.1-0.3 s
     local-mode floor produced ±10-20 ms round-over-round drift on sub-0.5 s
     queries; the median is stable against both the lucky and the unlucky

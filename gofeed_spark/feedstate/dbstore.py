@@ -66,7 +66,12 @@ PARTITION_COLS = ["id", "version", "gate", "status"]
 COUNTS_SCHEMA = "partition_id string, status int, n long"
 
 # Upsert dialect by driver module: the sqlite/postgres family speaks
-# INSERT ... ON CONFLICT; the SQL Server / Oracle family needs MERGE.
+# INSERT ... ON CONFLICT; the SQL Server family (the reference's headline
+# deployment) takes the T-SQL MERGE rendered below.  Oracle is
+# deliberately NOT mapped: its MERGE dialect differs on four counts
+# (no AS before aliases, FROM dual, WHERE-qualified UPDATE instead of
+# AND-qualified WHEN MATCHED, no trailing semicolon) — an Oracle caller
+# must pass an explicit dialect variant rather than get invalid SQL.
 _DIALECT_BY_MODULE = {
     "sqlite3": "on_conflict",
     "psycopg2": "on_conflict",
@@ -74,8 +79,6 @@ _DIALECT_BY_MODULE = {
     "duckdb": "on_conflict",
     "pyodbc": "merge",
     "pymssql": "merge",
-    "oracledb": "merge",
-    "cx_Oracle": "merge",
 }
 
 
@@ -129,20 +132,33 @@ class DbApiStore:
             raise ValueError("dialect must be 'on_conflict' or 'merge'")
 
     # -- SQL rendering ---------------------------------------------------
-    def _ddl(self) -> list[str]:
+    def _table_bodies(self) -> dict[str, str]:
+        # TEXT/INTEGER are the sqlite/postgres spellings; the merge family
+        # (SQL Server) takes VARCHAR in the id columns (TEXT is deprecated
+        # there and not indexable as a key)
+        idt = "VARCHAR(255)" if self.dialect == "merge" else "TEXT"
+        txt = "VARCHAR(MAX)" if self.dialect == "merge" else "TEXT"
+        return {
+            self.items_table: (
+                f"id {idt} PRIMARY KEY, version INTEGER, retry_count INTEGER, "
+                f"partition_id {idt}, gate INTEGER, status INTEGER, "
+                f"error_messages {txt}, data {txt}, updated_at BIGINT"
+            ),
+            self.parts_table: (
+                f"id {idt} PRIMARY KEY, version INTEGER, gate INTEGER, "
+                "status INTEGER"
+            ),
+        }
+
+    def _index_ddl(self, if_not_exists: bool) -> list[str]:
+        # the reference's covering poll index (item.go:17-21) + the CDC
+        # offset index: the hot poll and the high-water-mark aggregate
+        # are both index-only
+        ine = "IF NOT EXISTS " if if_not_exists else ""
         return [
-            f"CREATE TABLE IF NOT EXISTS {self.items_table} ("
-            "id TEXT PRIMARY KEY, version INTEGER, retry_count INTEGER, "
-            "partition_id TEXT, gate INTEGER, status INTEGER, "
-            "error_messages TEXT, data TEXT, updated_at INTEGER)",
-            f"CREATE TABLE IF NOT EXISTS {self.parts_table} ("
-            "id TEXT PRIMARY KEY, version INTEGER, gate INTEGER, status INTEGER)",
-            # the reference's covering poll index (item.go:17-21) + the CDC
-            # offset index: the hot poll and the high-water-mark aggregate
-            # are both index-only
-            f"CREATE INDEX IF NOT EXISTS idx_{self.items_table}_poll "
+            f"CREATE INDEX {ine}idx_{self.items_table}_poll "
             f"ON {self.items_table} (status, partition_id, gate)",
-            f"CREATE INDEX IF NOT EXISTS idx_{self.items_table}_updated "
+            f"CREATE INDEX {ine}idx_{self.items_table}_updated "
             f"ON {self.items_table} (updated_at)",
         ]
 
@@ -195,13 +211,38 @@ class DbApiStore:
 
     # -- DDL / seed ------------------------------------------------------
     def ensure_schema(self) -> None:
+        """Create tables/indexes when absent — AutoMigrate's additive half.
+
+        The sqlite/postgres family speaks ``IF NOT EXISTS`` directly.  The
+        merge family (SQL Server) has no ``IF NOT EXISTS`` form, so each
+        table is probed with a zero-row SELECT and created only when the
+        probe errors; index creation there is advisory (attempted,
+        failures swallowed) — on a production SQL Server the schema is
+        typically provisioned, and the probe short-circuits to a no-op.
+        """
         con = _connect(self.module, self.path)
         try:
             if self.module == "sqlite3":
                 con.execute("PRAGMA journal_mode=WAL")
             cur = con.cursor()
-            for ddl in self._ddl():
-                cur.execute(ddl)
+            if self.dialect == "merge":
+                for table, body in self._table_bodies().items():
+                    try:
+                        cur.execute(f"SELECT 1 FROM {table} WHERE 1 = 0")
+                        continue  # probe succeeded: table exists
+                    except Exception:
+                        pass
+                    cur.execute(f"CREATE TABLE {table} ({body})")
+                for ddl in self._index_ddl(if_not_exists=False):
+                    try:
+                        cur.execute(ddl)
+                    except Exception:
+                        pass  # index exists / DBA-owned: advisory only
+            else:
+                for table, body in self._table_bodies().items():
+                    cur.execute(f"CREATE TABLE IF NOT EXISTS {table} ({body})")
+                for ddl in self._index_ddl(if_not_exists=True):
+                    cur.execute(ddl)
             con.commit()
         finally:
             con.close()

@@ -166,12 +166,18 @@ _CORPUS_BROADCAST_CACHE: dict[tuple[str, int], tuple] = {}
 _CORPUS_BROADCAST_CACHE_MAX = 8
 
 
-def _evict_corpus_broadcast(key) -> None:
+def _evict_corpus_broadcast(key, destroy: bool = False) -> None:
+    """Drop a cache entry.  ``destroy`` only for DEAD-session entries: a
+    live session's evicted broadcasts may still be captured in lazy
+    DataFrames a caller holds (collect after eviction) — dropping the
+    reference lets Spark's ContextCleaner reclaim them once those
+    closures die, instead of poisoning the pending plans."""
     for b in _CORPUS_BROADCAST_CACHE.pop(key, ()):
-        try:
-            b.destroy()
-        except Exception:
-            pass  # already destroyed / context gone — nothing to free
+        if destroy:
+            try:
+                b.destroy()
+            except Exception:
+                pass  # already destroyed / context gone — nothing to free
 
 
 def _corpus_broadcast(e: DataFrame) -> tuple:
@@ -182,7 +188,7 @@ def _corpus_broadcast(e: DataFrame) -> tuple:
     # matrices on the driver for the process lifetime: destroy them the
     # moment any caller arrives with a live context.
     for stale in [k for k in _CORPUS_BROADCAST_CACHE if k[0] != sc.applicationId]:
-        _evict_corpus_broadcast(stale)
+        _evict_corpus_broadcast(stale, destroy=True)
     try:
         key = (sc.applicationId, e._jdf.queryExecution().analyzed().semanticHash())
     except Exception:

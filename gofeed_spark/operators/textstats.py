@@ -178,19 +178,24 @@ def remove_frequent_lines(
     Plan, sized for 100 TB: lines explode once; the frequency aggregation
     shuffles slim (group, xxhash64(line), doc_id) triples — never the
     line text; the surviving BOILERPLATE relation (df >= threshold) is
-    tiny by nature (a site has few mastheads) and broadcast-joins a flag
-    onto the corpus lines, so the ONLY full-corpus shuffle is the single
+    tiny on organic corpora and joins a flag onto the corpus lines (AQE
+    broadcasts it when small; a degenerate duplicate-heavy corpus falls
+    back to a shuffle join), so the ONLY full-corpus shuffle is the single
     per-doc aggregation that reassembles the doc (array_sort over
     (pos, line) structs, kept lines only — collect_list drops the
     flagged ones as nulls) and counts removals in the same pass.  The
     threshold compares df >= ceil(min_frac * group_docs) in both this
     plan and the SQL oracle, so boundary groups agree exactly.
     """
+    import re as _re
+
     t = F.col(text_col)
+    # F.split takes a REGEX; escape so any literal separator (including
+    # metacharacters like '|') splits exactly where concat_ws rejoins
     lines = docs.select(
         F.col(id_col).alias("__id"),
         F.col(group_col).alias("__g"),
-        F.posexplode(F.split(t, sep)).alias("pos", "line"),
+        F.posexplode(F.split(t, _re.escape(sep))).alias("pos", "line"),
     ).withColumn("__h", F.xxhash64("line"))
     gsize = docs.groupBy(F.col(group_col).alias("__g")).agg(
         F.countDistinct(id_col).alias("n_docs")
@@ -204,7 +209,12 @@ def remove_frequent_lines(
         )
         .select("__g", "__h", F.lit(1).alias("__b"))
     )
-    flagged = lines.join(F.broadcast(boiler), ["__g", "__h"], "left")
+    # no forced broadcast: the boilerplate relation is typically tiny (a
+    # site has few mastheads) and AQE broadcasts it when so — but this
+    # operator runs BEFORE dedup, where a duplicate-heavy corpus can push
+    # most distinct lines over the threshold; forcing a broadcast there
+    # would OOM the driver instead of degrading to a shuffle join
+    flagged = lines.join(boiler, ["__g", "__h"], "left")
     per_doc = flagged.groupBy("__id").agg(
         F.concat_ws(
             sep,

@@ -49,7 +49,7 @@ def _cap_at_boundary(rows: list[tuple], limit: int | None) -> list[tuple]:
     every row sharing the boundary timestamp: the stream offset is the
     updated_at high-water mark, so cutting inside one timestamp would
     advance the offset past rows never delivered."""
-    if limit is None or len(rows) <= limit:
+    if limit is None or len(rows) <= limit or limit < 1:
         return rows
     boundary = rows[limit - 1][-1]
     i = limit
@@ -105,7 +105,7 @@ def _scan_sqlite(
             tuple(r)
             for r in con.execute(base + " LIMIT ?", (after, limit)).fetchall()
         ]
-        if len(rows) == limit:
+        if rows and len(rows) == limit:
             boundary = rows[-1][-1]
             extra = con.execute(
                 f"SELECT {', '.join(_COLS)} FROM {table} "
@@ -136,25 +136,62 @@ def _make_scan_dbapi(module_name: str):
         "pyformat": "%(after)s",
     }.get(getattr(mod, "paramstyle", "qmark"), "?")
 
+    # Drivers whose engines accept `LIMIT n`: push the bound into the SQL
+    # so the SERVER stops producing rows.  Other drivers (e.g. pyodbc to
+    # SQL Server, whose TOP/FETCH syntax differs) fall back to fetchmany —
+    # which bounds what this process MATERIALIZES, but a client-buffering
+    # driver may still stage the full result set internally; production
+    # deployments on such drivers should use a server-side cursor.
+    limit_in_sql = module_name in {
+        "sqlite3", "psycopg2", "psycopg", "duckdb", "pymysql", "MySQLdb",
+        "mariadb",
+    }
+
     def scan(
         path: str, after: int, table: str = "items", limit: int | None = None
     ) -> list[tuple]:
         con = mod.connect(path)
         try:
+            cur = con.cursor()
             sql = (
                 f"SELECT {', '.join(_COLS)} FROM {table} "
                 f"WHERE updated_at > {placeholder} ORDER BY updated_at, id"
             )
             params = {"after": after} if placeholder == "%(after)s" else (after,)
-            cur = con.cursor()
+            if limit is not None and limit_in_sql:
+                cur.execute(sql + f" LIMIT {int(limit)}", params)
+                rows = [tuple(r) for r in cur.fetchall()]
+                if len(rows) == limit and rows:
+                    # boundary-timestamp extension (see _scan_sqlite): one
+                    # follow-up query drains the rest of the boundary ts
+                    bcur = con.cursor()
+                    ph2 = {
+                        "qmark": ("?", "?"),
+                        "numeric": (":1", ":2"),
+                        "format": ("%s", "%s"),
+                        "pyformat": ("%(b)s", "%(i)s"),
+                    }.get(getattr(mod, "paramstyle", "qmark"), ("?", "?"))
+                    bsql = (
+                        f"SELECT {', '.join(_COLS)} FROM {table} "
+                        f"WHERE updated_at = {ph2[0]} AND id > {ph2[1]} "
+                        "ORDER BY id"
+                    )
+                    bparams = (
+                        {"b": rows[-1][-1], "i": rows[-1][0]}
+                        if ph2[0] == "%(b)s"
+                        else (rows[-1][-1], rows[-1][0])
+                    )
+                    bcur.execute(bsql, bparams)
+                    rows.extend(tuple(r) for r in bcur.fetchall())
+                return rows
             cur.execute(sql, params)
             if limit is None:
                 return [tuple(r) for r in cur.fetchall()]
-            # bounded poll + boundary-timestamp extension (see _scan_sqlite):
-            # fetchmany keeps driver memory at ~limit rows, then drain every
-            # row sharing the boundary ts so the ts offset never skips rows
+            # bounded poll + boundary-timestamp extension: fetchmany keeps
+            # what this process materializes at ~limit rows, then drains
+            # every row sharing the boundary ts so the offset never skips
             rows = [tuple(r) for r in cur.fetchmany(limit)]
-            if len(rows) == limit:
+            if rows and len(rows) == limit:
                 boundary = rows[-1][-1]
                 while True:
                     nxt = cur.fetchone()
@@ -224,7 +261,9 @@ class FeedCDCReader(SimpleDataSourceStreamReader):
         # producer; undelivered backlog re-polls next trigger.  The cap
         # extends to the boundary timestamp (see _cap_at_boundary).
         raw_limit = options.get("poll_limit")
-        self.limit = int(raw_limit) if raw_limit else None
+        self.limit = int(raw_limit) if raw_limit is not None else None
+        if self.limit is not None and self.limit < 1:
+            raise ValueError("feed_cdc poll_limit must be >= 1")
 
     def initialOffset(self) -> dict:
         return {"last_ts": -1}

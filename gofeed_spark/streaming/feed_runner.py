@@ -133,6 +133,8 @@ class FeedRunner:
             self.db = DbApiStore(self.db_path, dbapi_module, table_prefix=table_prefix)
             self.db.ensure_schema()
         self.fanout_rows = max(1, fanout_rows)
+        if poll_limit is not None and poll_limit < 1:
+            raise ValueError("poll_limit must be >= 1 (None = unbounded)")
         self.poll_limit = poll_limit
         register_feed_cdc(spark)
 

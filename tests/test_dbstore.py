@@ -231,17 +231,24 @@ def test_read_items_distributed_fanout_matches_driver_read(spark, tmp_path):
 
 class _FakeDriver(types.ModuleType):
     """A PEP-249 stand-in that records every statement (the verdict's
-    'fake paramstyle/dialect module')."""
+    'fake paramstyle/dialect module') and simulates table existence: a
+    zero-row probe of a table never CREATEd raises, like a real engine."""
 
     def __init__(self, name, paramstyle):
         super().__init__(name)
         self.paramstyle = paramstyle
         self.statements: list[tuple[str, list[tuple]]] = []
+        self.tables: set[str] = set()
         outer = self
 
         class Cursor:
             def execute(self, sql, *a):
                 outer.statements.append((sql, []))
+                if sql.startswith("CREATE TABLE "):
+                    outer.tables.add(sql.split()[2])
+                if sql.startswith("SELECT 1 FROM "):
+                    if sql.split()[3] not in outer.tables:
+                        raise RuntimeError(f"no such table: {sql.split()[3]}")
                 return self
 
             def executemany(self, sql, rows):
@@ -450,3 +457,22 @@ def test_decision_counts_pushdown_matches_item_based_decision(spark, tmp_path):
         for r in gate_decision_from_counts(parts, counts, manual_checkpoint=True, auto_close=False).collect()
     }
     assert from_items_m == from_counts_m
+
+
+def test_merge_dialect_ddl_probe_creates_then_noops(fake_mssql):
+    """SQL Server has no CREATE ... IF NOT EXISTS: the merge dialect probes
+    each table with a zero-row SELECT, creates it (plain CREATE TABLE, no
+    sqlite-only syntax) when the probe errors, and no-ops on the next call;
+    index creation is advisory."""
+    store = DbApiStore("dsn", "pyodbc")
+    store.ensure_schema()
+    stmts = [s for s, _ in fake_mssql.statements]
+    creates = [s for s in stmts if s.startswith("CREATE TABLE")]
+    assert {"items", "partitions"} == {s.split()[2] for s in creates}
+    assert all("IF NOT EXISTS" not in s for s in creates)
+    assert any("VARCHAR(255) PRIMARY KEY" in s for s in creates)
+    # second call: probes succeed, nothing new is created
+    n_before = len([s for s, _ in fake_mssql.statements if s.startswith("CREATE TABLE")])
+    store.ensure_schema()
+    n_after = len([s for s, _ in fake_mssql.statements if s.startswith("CREATE TABLE")])
+    assert n_after == n_before
