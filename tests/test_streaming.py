@@ -294,3 +294,40 @@ def test_streaming_sessions_cover_all_events(spark, tmp_path):
     assert {(r.user_id, r.first_event) for r in out_rows} == {
         (r.user_id, r.first_event) for r in batch
     }
+
+
+def test_streaming_decontamination_flags_arriving_docs(spark, tmp_path):
+    """The decontamination check composes with Structured Streaming: the
+    benchmark shingle set is collected once at plan-build time and each
+    arriving micro-batch of docs is flagged in the same no-shuffle Arrow
+    pass the batch path uses — the ingest-time leak filter."""
+    from gofeed_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "incoming")
+    ddl = "doc_id long, text string"
+    batches = [
+        [(1, "so the quick brown fox jumps over a fence")],   # leak
+        [(2, "completely unrelated text with no overlap at all")],
+        [(3, "THE QUICK brown fox jumps over the lazy dog")],  # case-folded leak
+    ]
+    for rws in batches:
+        spark.createDataFrame(rws, ddl).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    flagged = contamination_check(stream, bench, k=5)
+    out = []
+    q = (
+        flagged.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_decon"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.n_shared, r.contaminated) for r in out}
+    assert got[1] == (2, 1)
+    assert got[2] == (0, 0)
+    assert got[3][1] == 1 and got[3][0] >= 4
