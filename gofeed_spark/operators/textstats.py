@@ -156,6 +156,101 @@ def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return docs.select(id_col, redacted.alias("redacted"), *counts)
 
 
+# Gopher-style rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1): the word
+# lengths, symbol ratios, bullet/ellipsis line fractions and stopword
+# requirement used to filter MassiveWeb.  Kept as module constants so the
+# oracle SQL and any caller agree on the exact thresholds.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLET_PREFIXES = ("- ", "* ", "• ")
+GOPHER_ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition/format quality rules — the document-shape
+    filters (distinct from q38's length gate) a web-scale pipeline applies
+    before training: mean word length in [3,10], '#'/'…' symbol-to-word
+    ratio <= 0.1, <= 90% of lines bullet-led, <= 30% of lines
+    ellipsis-ended, and at least 2 of the 8 required stopwords present.
+
+    Returns (id, mean_wl, symbol_ratio, bullet_frac, ellipsis_frac,
+    stop_hits, gopher_ok) with ratios rounded to 6 for hash stability;
+    rule comparisons use the UNROUNDED values.
+
+    Everything is whole-stage codegen: token/line arrays are materialized
+    as projection columns BEFORE the filter lambdas reference them (an
+    inlined split would re-evaluate per element), the stopword test is 8
+    unrolled array_contains terms (no HOF), and the char counts are
+    length-of-replace diffs — no Python, no shuffle, one corpus pass.
+    """
+    t = F.col(text_col)
+    with_arrays = docs.select(
+        F.col(id_col).alias("__id"),
+        t.alias("__text"),
+        ws_tokens(text_col).alias("__toks"),
+        F.split(t, r"\n").alias("__lines"),
+    )
+    txt = F.col("__text")
+    n_words = F.size("__toks").cast("double")
+    nonspace = F.length(F.regexp_replace(txt, r"\s", "")).cast("double")
+    mean_wl = nonspace / n_words
+    n_symbols = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit(""))))
+        + (F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit(""))))
+    ).cast("double")
+    symbol_ratio = n_symbols / n_words
+    n_lines = F.size("__lines").cast("double")
+
+    def _frac(pred):
+        return F.size(F.filter(F.col("__lines"), pred)).cast("double") / n_lines
+
+    def _bullet(line):
+        out = F.lit(False)
+        for p in GOPHER_BULLET_PREFIXES:
+            out = out | line.startswith(p)
+        return out
+
+    def _ellipsis(line):
+        out = F.lit(False)
+        for s in GOPHER_ELLIPSIS_SUFFIXES:
+            out = out | line.endswith(s)
+        return out
+
+    bullet_frac = _frac(_bullet)
+    ellipsis_frac = _frac(_ellipsis)
+    stop_hits = sum(
+        F.when(F.array_contains("__toks", F.lit(s)), 1).otherwise(0)
+        for s in GOPHER_STOPWORDS
+    )
+    ok = (
+        (mean_wl >= min_mean_wl)
+        & (mean_wl <= max_mean_wl)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (stop_hits >= min_stopwords)
+    )
+    return with_arrays.select(
+        F.col("__id").alias(id_col),
+        F.round(mean_wl, 6).alias("mean_wl"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        ok.cast("int").alias("gopher_ok"),
+    )
+
+
 def remove_frequent_lines(
     docs: DataFrame,
     min_frac: float = 0.5,

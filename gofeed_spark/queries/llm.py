@@ -1373,3 +1373,107 @@ def q90(spark, sf_dir):
         F.sum("rep").cast("long").alias("repetitive_n"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# --- Q91 Gopher-style format/quality rules ------------------------------------
+_Q91_LOREM = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed eiusmod"
+    " tempor incididunt labore"
+)
+_Q91_BULLETS = (
+    "\n- alpha\n- beta\n- gamma\n- delta\n- epsilon"
+    "\n- zeta\n- eta\n- theta\n- iota\n- kappa"
+)
+_Q91_ELLIPSES = "\nto be continued...\nthe story goes on…"
+
+
+@query(
+    "q91_gopher_rules",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit sed eiusmod tempor incididunt labore'
+              ELSE text
+                || CASE WHEN doc_id % 7 = 0
+                        THEN chr(10)||'- alpha'||chr(10)||'- beta'||chr(10)||'- gamma'
+                           ||chr(10)||'- delta'||chr(10)||'- epsilon'||chr(10)||'- zeta'
+                           ||chr(10)||'- eta'||chr(10)||'- theta'||chr(10)||'- iota'
+                           ||chr(10)||'- kappa'
+                        ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                        THEN chr(10)||'to be continued...'||chr(10)||'the story goes on…'
+                        ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN ' ' || repeat('#', 30) ELSE '' END
+         END AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) AS n_words,
+         CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+         CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+              + (LENGTH(text) - LENGTH(REPLACE(text, '…', ''))) AS DOUBLE) AS n_sym,
+         string_split(text, chr(10)) AS ls,
+         regexp_split_to_array(lower(text), '\s+') AS toks
+  FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         nonspace / n_words AS mean_wl,
+         n_sym / n_words AS symbol_ratio,
+         CAST(len(list_filter(ls, x -> starts_with(x, '- ')
+                                    OR starts_with(x, '* ')
+                                    OR starts_with(x, '• '))) AS DOUBLE)
+           / len(ls) AS bullet_frac,
+         CAST(len(list_filter(ls, x -> ends_with(x, '...')
+                                    OR ends_with(x, '…'))) AS DOUBLE)
+           / len(ls) AS ellipsis_frac,
+         (CASE WHEN list_contains(toks, 'the')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'be')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'to')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'of')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'and')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS stop_hits
+  FROM f
+)
+SELECT doc_id,
+       ROUND(mean_wl, 6) AS mean_wl,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(bullet_frac, 6) AS bullet_frac,
+       ROUND(ellipsis_frac, 6) AS ellipsis_frac,
+       CAST(stop_hits AS INT) AS stop_hits,
+       CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0
+             AND symbol_ratio <= 0.1
+             AND bullet_frac <= 0.9
+             AND ellipsis_frac <= 0.3
+             AND stop_hits >= 2
+            THEN 1 ELSE 0 END AS gopher_ok
+FROM g ORDER BY doc_id
+""",
+)
+def q91(spark, sf_dir):
+    """Gopher-style format rules (textstats.gopher_rules) — the MassiveWeb
+    document-shape filters: mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, required-stopword presence.  The
+    synthetic docs are single-line prose that trips none of the line
+    rules, so each rule gets deterministic violators injected: every 7th
+    doc ten bullet lines (10/11 > 0.9), every 11th two ellipsis-ended
+    lines, every 13th a 30-char '#' run, every 17th a stopword-free lorem
+    replacement — both engines build the same corpus, so every rule branch
+    is non-vacuous."""
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.lit(_Q91_BULLETS)).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(_Q91_ELLIPSES)).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" " + "#" * 30)).otherwise(F.lit("")),
+    )
+    corpus = d.select(
+        "doc_id",
+        F.when(did % 17 == 0, F.lit(_Q91_LOREM)).otherwise(injected).alias("text"),
+    )
+    return textstats.gopher_rules(corpus)

@@ -147,3 +147,46 @@ def test_remove_frequent_lines_boilerplate(spark):
             remove_frequent_lines(docs2, min_frac=0.5).collect()}
     assert out2[1] == ("", 1)
     assert out2[3] == ("keep me... wait", 1)
+
+
+def test_gopher_rules_hand_computed(spark):
+    from gofeed_spark.operators.textstats import gopher_rules
+
+    d = spark.createDataFrame(
+        [
+            # clean prose: 11 words, 34 non-space chars, 6 stopword hits
+            (1, "the cat and that dog have fun with all of it"),
+            # symbol spam: 2 of 4 tokens are '#', mean word length 7/4
+            (2, "# # the of"),
+            # every line ellipsis-ended (both ASCII and unicode forms)
+            (3, "to be or not...\nthe end of it…"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rows(gopher_rules(d))
+    assert out == {
+        (1, 3.090909, 0.0, 0.0, 0.0, 6, 1),
+        (2, 1.75, 0.5, 0.0, 0.0, 2, 0),
+        # the unicode ellipsis char itself also counts as a symbol: 1/8 words
+        (3, 2.875, 0.125, 0.0, 1.0, 4, 0),
+    }
+
+
+def test_gopher_rules_bullet_majority_fails(spark):
+    from gofeed_spark.operators.textstats import gopher_rules
+
+    bullets = "\n".join("- bullet item number ten" for _ in range(10))
+    d = spark.createDataFrame(
+        [(1, "intro line with the stuff of it\n" + bullets)],
+        "doc_id long, text string",
+    )
+    row = gopher_rules(d).collect()[0]
+    assert row.bullet_frac == 0.909091  # 10 of 11 lines
+    assert row.gopher_ok == 0
+    # same doc with only 4 bullet lines is under the 0.9 cap
+    d2 = spark.createDataFrame(
+        [(1, "intro line with the stuff of it\n" + "\n".join(
+            "- bullet item number ten" for _ in range(4)))],
+        "doc_id long, text string",
+    )
+    assert gopher_rules(d2).collect()[0].gopher_ok == 1
