@@ -333,3 +333,54 @@ def remove_frequent_lines(
             F.coalesce("n_removed", F.lit(0)).cast("int").alias("n_removed"),
         )
     )
+
+
+def dup_ngram_char_fraction(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher duplicate-n-gram repetition metric (Rae et al. 2021): the
+    fraction of a document's characters covered by word n-grams that occur
+    more than once WITHIN the document (every occurrence of a duplicated
+    n-gram contributes its character length; denominator = total chars).
+    Catches looping generations and spammy phrase repetition that the
+    type-token ratio (q85) smooths over.
+
+    Computed in one Arrow mapInPandas pass — the per-token Counter loop is
+    the documented exception to "stay JVM-side" (a sequence/slice HOF
+    formulation is interpreted per element by Catalyst; see _doc_shingles
+    in dedup.py for the measurement).  No shuffle: the corpus never moves,
+    so the plan is identical at 100 TB.  Tokenization is lower-case \\s+
+    split (the ws_tokens/oracle convention); the fraction is an exact
+    integer ratio evaluated in ONE double division, so Spark and any
+    oracle engine produce bit-identical values with no rounding step.
+    """
+    import re
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, dup_ngram_frac double"
+
+    def run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids, fracs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                total = len(text) if text else 0
+                frac = 0.0
+                if total:
+                    toks = ws.split(text.lower())
+                    if len(toks) >= n:
+                        cnt = Counter(
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        )
+                        dup = sum(len(g) * c for g, c in cnt.items() if c > 1)
+                        frac = dup / total
+                ids.append(did)
+                fracs.append(frac)
+            yield pd.DataFrame({id_col: ids, "dup_ngram_frac": fracs})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

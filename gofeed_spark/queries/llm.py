@@ -1477,3 +1477,54 @@ def q91(spark, sf_dir):
         F.when(did % 17 == 0, F.lit(_Q91_LOREM)).otherwise(injected).alias("text"),
     )
     return textstats.gopher_rules(corpus)
+
+
+# --- Q92 duplicate n-gram character fraction ----------------------------------
+_Q92_SPAM = " click here to win click here to win click here to win"
+
+
+@query(
+    "q92_dup_ngram_fraction",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 6 = 0
+                      THEN ' click here to win click here to win click here to win'
+                      ELSE '' END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk,
+         LENGTH(text) AS n_chars
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, n_chars, array_to_string(tk[i:i+2], ' ') AS gram
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(tk) - 1)) AS i) t
+),
+cnt AS (SELECT doc_id, n_chars, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+agg AS (
+  SELECT doc_id, n_chars,
+         SUM(CASE WHEN c > 1 THEN LENGTH(gram) * c ELSE 0 END) AS dup_chars
+  FROM cnt GROUP BY 1, 2
+)
+SELECT doc_id, CAST(dup_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup_ngram_frac
+FROM agg ORDER BY doc_id
+""",
+)
+def q92(spark, sf_dir):
+    """Duplicate-3-gram character fraction (textstats.dup_ngram_char_fraction)
+    — the Gopher rep-ngram repetition signal.  Every 6th doc gets a
+    thrice-repeated spam phrase appended (both engines build the same
+    corpus) so duplicated grams exist by construction; the rest measure
+    the organic corpus.  The Spark side is one no-shuffle Arrow pass; the
+    oracle pays an UNNEST + two aggregations for the same integers."""
+    d = T(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(_Q92_SPAM)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.dup_ngram_char_fraction(corpus)

@@ -190,3 +190,20 @@ def test_gopher_rules_bullet_majority_fails(spark):
         "doc_id long, text string",
     )
     assert gopher_rules(d2).collect()[0].gopher_ok == 1
+
+
+def test_dup_ngram_char_fraction_hand_computed(spark):
+    from gofeed_spark.operators.textstats import dup_ngram_char_fraction
+
+    d = spark.createDataFrame(
+        [
+            # grams: "a b a" x2, "b a b" x2 -> dup chars 4*5=20 over 11 chars
+            (1, "a b a b a b"),
+            (2, "one two three four"),  # all grams unique
+            (3, "hi there"),            # fewer than n tokens
+            (4, ""),                    # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = rows(dup_ngram_char_fraction(d))
+    assert out == {(1, 20 / 11), (2, 0.0), (3, 0.0), (4, 0.0)}
