@@ -1528,3 +1528,43 @@ def q92(spark, sf_dir):
         ).alias("text"),
     )
     return textstats.dup_ngram_char_fraction(corpus)
+
+
+# --- Q93 weighted mixture sampling --------------------------------------------
+@query(
+    "q93_mixture_sample",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(lower(text), '\s+')) AS t,
+         1 + (CAST(substr(source, 4) AS INT) % 4) AS w
+  FROM documents
+),
+per_src AS (SELECT source, MAX(w) AS w, SUM(t) AS src_toks FROM base GROUP BY source),
+tot AS (SELECT SUM(src_toks) AS tot_toks, SUM(w) AS tot_w FROM per_src),
+rates AS (
+  SELECT source,
+         LEAST(CAST(1.0 AS DOUBLE),
+               CAST(0.6 AS DOUBLE) * tot_toks * w / tot_w / src_toks) AS rate
+  FROM per_src, tot
+)
+SELECT b.doc_id, b.source, r.rate
+FROM base b JOIN rates r USING (source)
+WHERE CAST(CAST(('0x' || substr(md5('m' || CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS DOUBLE) < r.rate * 1000000
+ORDER BY b.doc_id
+""",
+)
+def q93(spark, sf_dir):
+    """Weighted mixture sampling (mixing.mixture_sample) — the data-mixing
+    step: per-source target weights derived from the source number (1 + n%4,
+    so targets are deliberately non-uniform over near-uniform sources),
+    global budget 60% of corpus tokens.  Over-weighted small sources clip
+    at rate 1 (kept whole), the rest down-sample content-addressed; both
+    branches are live on the test corpus.  The corpus pays one filter
+    pass; the rate table is two tiny broadcast aggregates."""
+    from gofeed_spark.operators import mixing
+
+    d = T(spark, sf_dir, "documents")
+    w = 1 + (F.substring("source", 4, 10).cast("int") % 4)
+    return mixing.mixture_sample(d, w, budget_frac=0.6)

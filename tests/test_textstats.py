@@ -207,3 +207,27 @@ def test_dup_ngram_char_fraction_hand_computed(spark):
     )
     out = rows(dup_ngram_char_fraction(d))
     assert out == {(1, 20 / 11), (2, 0.0), (3, 0.0), (4, 0.0)}
+
+
+def test_mixture_sample_rates_and_clip(spark):
+    """rate_s = min(1, budget*share_s/T_s): the over-weighted small source
+    clips at 1 (kept whole); the big source down-samples deterministically."""
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.mixing import mixture_sample
+
+    ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [(i, "A", ten) for i in range(1, 5)] + [(9, "B", ten)],
+        "doc_id long, source string, text string",
+    )
+    w = F.when(F.col("source") == "B", 3).otherwise(1)
+    out = mixture_sample(docs, w, budget_frac=0.6)
+    rows_out = sorted((r.doc_id, r.source, r.rate) for r in out.collect())
+    # T=50 tokens, W=4: rate_A = 0.6*50*1/4/40 = 0.1875, rate_B = 2.25 -> 1.0
+    assert (9, "B", 1.0) in rows_out
+    for did, src, rate in rows_out:
+        if src == "A":
+            assert rate == 0.1875
+    # content-addressed: identical output on a rerun
+    assert rows_out == sorted((r.doc_id, r.source, r.rate) for r in out.collect())
