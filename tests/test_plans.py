@@ -144,3 +144,26 @@ def test_decontamination_plans_have_no_shuffle(spark):
             .toString()
         )
         assert "Exchange" not in plan, f"{name} shuffles: {plan[:400]}"
+
+
+def test_plan_lint_sweep_every_registered_query(spark):
+    """Engine-wide physical-plan lint over EVERY registered query: no
+    CartesianProduct may appear anywhere (an unintended cross join is the
+    classic silent 100TB-killer), and no row-at-a-time Python evaluation
+    (BatchEvalPython) — Python is allowed only behind Arrow (mapInPandas /
+    pandas UDF nodes).  One declared exception: q78 is a Python UDTF by
+    design (the SQL LATERAL table-function surface), whose exec node is
+    BatchEvalPythonUDTF.  New queries are linted automatically the moment
+    they register."""
+    allow_batch_python = {"q78_udtf_sentences"}
+    offenders = {}
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        hits = []
+        if "CartesianProduct" in plan:
+            hits.append("CartesianProduct")
+        if "BatchEvalPython" in plan and name not in allow_batch_python:
+            hits.append("BatchEvalPython")
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"plan lint offenders: {offenders}"
