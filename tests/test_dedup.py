@@ -284,3 +284,76 @@ def test_contamination_check_counts_shared_shingles(spark):
     assert by_id[2] == (0, 0)
     assert by_id[3] == (0, 0)
     assert by_id[4] == (5, 1)  # all 5 of its shingles are benchmark shingles
+
+
+def test_minhash_lsh_measured_precision_recall(spark):
+    """Evaluation gate for the approximate dedup path (the dedup twin of
+    the ANN recall@10 gate): on the organic sf0.01 corpus plus perturbed
+    clone families (every 5th doc cloned with every 25th token dropped, so
+    true Jaccard spans ~0.75..1.0 and short docs clone exactly), banded
+    MinHash (64 hashes x 16 bands) at threshold 0.5 must reach
+    recall >= 0.9 against exact-Jaccard truth and precision >= 0.9
+    against the relaxed truth (true jac >= 0.3) — so future band/hash
+    tuning has a measured quality floor, not just clone-invariant tests."""
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.filter(toks, lambda x, i: i % 25 != 24), " ").alias("text"),
+    )
+    corpus = docs.union(clones)
+
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.5, df_cap=None).collect()
+    }
+    relaxed = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.3, df_cap=None).collect()
+    }
+    pred = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(corpus, threshold=0.5, df_cap=None).collect()
+    }
+    assert len(truth) >= 80, f"vacuous truth set: {len(truth)}"
+    recall = len(pred & truth) / len(truth)
+    precision = len(pred & relaxed) / len(pred)
+    assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9 ({len(truth)} true pairs)"
+    assert precision >= 0.9, f"minhash precision {precision:.3f} < 0.9 ({len(pred)} pred)"
+
+
+def test_simhash_measured_recall_on_clone_families(spark):
+    """SimHash evaluation gate on the same perturbed-clone corpus as the
+    MinHash gate: fingerprints of ~0.75+ Jaccard clones should mostly land
+    within Hamming distance 8 and band-collide; assert measured recall
+    >= 0.8 against exact-Jaccard truth at 0.5 (SimHash is the weaker,
+    cheaper signal — the floor documents its real behavior) and that every
+    emitted pair is band-verifiable (hamming <= 8 by construction)."""
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.filter(toks, lambda x, i: i % 25 != 24), " ").alias("text"),
+    )
+    corpus = docs.union(clones)
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.5, df_cap=None).collect()
+    }
+    pred_rows = dedup.simhash_neardup_pairs(corpus, max_hamming=8, df_cap=None).collect()
+    pred = {(r.doc_a, r.doc_b) for r in pred_rows}
+    assert all(r.hamming <= 8 for r in pred_rows)
+    recall = len(pred & truth) / len(truth)
+    assert recall >= 0.8, f"simhash recall {recall:.3f} < 0.8 ({len(truth)} true pairs)"
