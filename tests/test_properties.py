@@ -222,3 +222,75 @@ def test_contamination_verbatim_inclusion_always_flagged(spark, bench_texts, ext
         else:
             assert r.n_shared == 0
     assert all(r.n_shared >= 0 for r in out.values())
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc, min_size=1, max_size=8))
+def test_dup_ngram_fraction_matches_model(spark, texts):
+    """dup_ngram_char_fraction == a direct Python Counter model on
+    arbitrary small docs (including multi-line, repeated-phrase, and
+    sub-n-token shapes)."""
+    import re
+    from collections import Counter
+
+    from gofeed_spark.operators.textstats import dup_ngram_char_fraction
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.dup_ngram_frac for r in dup_ngram_char_fraction(docs).collect()}
+    for i, t in enumerate(texts):
+        want = 0.0
+        if t:
+            toks = re.split(r"\s+", t.lower())
+            if len(toks) >= 3:
+                cnt = Counter(
+                    " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+                )
+                want = sum(len(g) * c for g, c in cnt.items() if c > 1) / len(t)
+        assert out[i] == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_line, min_size=2, max_size=10),
+    weights=st.lists(st.integers(min_value=1, max_value=4), min_size=2, max_size=2),
+)
+def test_mixture_sample_rate_invariants(spark, texts, weights):
+    """mixture_sample rates: every emitted rate is min(1, budget*share/T_s)
+    per the direct model, rates never exceed 1, a clipped source keeps ALL
+    its docs, and the keep decision is the md5 content-address (so the
+    exact kept set is reproducible from the model)."""
+    import hashlib
+
+    from gofeed_spark.operators.mixing import mixture_sample
+
+    srcs = ["A", "B"]
+    docs = spark.createDataFrame(
+        [(i, srcs[i % 2], t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    w = F.when(F.col("source") == "B", weights[1]).otherwise(weights[0])
+    got = {(r.doc_id): (r.source, r.rate) for r in
+           mixture_sample(docs, w, budget_frac=0.6).collect()}
+    # direct model
+    toks = {i: len(t.lower().split()) for i, t in enumerate(texts)}
+    t_src = {s: sum(v for i, v in toks.items() if srcs[i % 2] == s) for s in srcs}
+    t_src = {s: v for s, v in t_src.items() if v}
+    total = sum(t_src.values())
+    wsum = sum(weights[srcs.index(s)] for s in t_src)
+    rate = {
+        s: min(1.0, 0.6 * total * weights[srcs.index(s)] / wsum / t_src[s])
+        for s in t_src
+    }
+    want = {}
+    for i in range(len(texts)):
+        s = srcs[i % 2]
+        if s not in rate:
+            continue
+        h = int(hashlib.md5(f"m{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+        if h < rate[s] * 1_000_000:
+            want[i] = (s, rate[s])
+    assert got == want
+    for s, r in got.values():
+        assert r <= 1.0
