@@ -331,3 +331,49 @@ def test_streaming_decontamination_flags_arriving_docs(spark, tmp_path):
     assert got[1] == (2, 1)
     assert got[2] == (0, 0)
     assert got[3][1] == 1 and got[3][0] >= 4
+
+
+def test_streaming_quality_signals_compose(spark, tmp_path):
+    """The per-doc quality signals (Gopher format rules + duplicate-n-gram
+    repetition) are stateless projections, so they compose unchanged with
+    Structured Streaming — the ingest-time quality filter: codegen rule
+    exprs and the no-shuffle Arrow mapInPandas pass both run per arriving
+    micro-batch."""
+    from gofeed_spark.operators.textstats import dup_ngram_char_fraction, gopher_rules
+
+    src = str(tmp_path / "incoming_q")
+    ddl = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "the cat and that dog have fun with all of it")], ddl
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, "spam spam spam spam spam spam spam spam")], ddl
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    rules, reps = [], []
+    q1 = (
+        gopher_rules(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_rules"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: rules.extend(df.collect()))
+        .start()
+    )
+    q2 = (
+        dup_ngram_char_fraction(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_rep"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: reps.extend(df.collect()))
+        .start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    by_id = {r.doc_id: r for r in rules}
+    assert by_id[1].gopher_ok == 1
+    assert by_id[2].gopher_ok == 0  # no required stopwords
+    rep = {r.doc_id: r.dup_ngram_frac for r in reps}
+    assert rep[1] == 0.0
+    # "spam spam spam" x6 occurrences of the single 3-gram, all duplicated
+    assert rep[2] == 6 * len("spam spam spam") / len("spam spam spam spam spam spam spam spam")
