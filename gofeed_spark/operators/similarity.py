@@ -675,6 +675,39 @@ def ivf_topk(
     )
 
 
+def _with_int8_quantization(e: DataFrame) -> DataFrame:
+    """Replace the ``v`` array<double> column with int8 scalar quantization:
+    per-vector ``scale`` = max|x|/127 and ``q`` = round(x/scale) as
+    array<tinyint> — 8× narrower vector bytes in the stored layout (the
+    100 TB serving lever: a probe's pruned read scans a quarter or less of
+    the float layout's bytes; cosine is scale-invariant, so the only error
+    is the rounding, measured by the quantized recall gate).
+
+    ``scale`` is materialized as a column BEFORE the transform lambda
+    references it (the inlined expression would re-evaluate the array_max
+    per element).  An all-zero vector keeps scale=0 and quantizes to
+    zeros."""
+    e = e.withColumn(
+        "scale", F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    return e.withColumn(
+        "q",
+        F.when(
+            F.col("scale") == 0.0,
+            F.transform("v", lambda x: F.lit(0).cast("tinyint")),
+        ).otherwise(
+            F.transform("v", lambda x: F.round(x / F.col("scale")).cast("tinyint"))
+        ),
+    ).drop("v")
+
+
+def _dequantized(idx: DataFrame) -> DataFrame:
+    """Reconstruct ``v`` from a quantized index read (q * scale)."""
+    return idx.withColumn(
+        "v", F.transform("q", lambda x: x.cast("double") * F.col("scale"))
+    )
+
+
 def build_ann_index(
     emb: DataFrame,
     path: str,
@@ -682,6 +715,7 @@ def build_ann_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> None:
     """Materialize the SRP-LSH layout ``lsh_bucket_topk``'s docstring
     promises: the corpus WRITTEN partitioned by sign-bucket, so a probe is
@@ -706,6 +740,11 @@ def build_ann_index(
     e = e.withColumn(
         "bucket", F.concat(F.lit("b"), _srp_bucket_udf(planes)(F.col("v")))
     )
+    if quantize:
+        # bucket is computed on the FULL-precision vector (sign decisions
+        # near a hyperplane must match the probe's driver-side projection);
+        # only the stored payload narrows to int8
+        e = _with_int8_quantization(e)
     from gofeed_spark.sources.io import write_partitioned
 
     write_partitioned(e.repartition("bucket"), path, partition_by=["bucket"])
@@ -768,6 +807,8 @@ def probe_ann_index(
     else:
         bucket = "b" + _srp_bucket_strs(qv[None, :], planes_mat)[0]
         idx = spark.read.parquet(path).filter(F.col("bucket") == bucket)
+    if "q" in idx.columns:  # int8-quantized layout: reconstruct v in-plan
+        idx = _dequantized(idx)
     if exclude_id is not None:
         idx = idx.filter(F.col("nid") != exclude_id)
     qdf = spark.createDataFrame([(qv.tolist(),)], "qv array<double>")
@@ -905,6 +946,7 @@ def ensure_ann_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> str:
     """Idempotent ``build_ann_index``: build the SRP layout at ``path``
     once, then reuse it for every subsequent probe — the serving shape,
@@ -927,12 +969,16 @@ def ensure_ann_index(
         # bump when the on-disk bucket format changes (2 = 'b'-prefixed
         # string partition values) so stale layouts rebuild, never mismatch
         "layout": 2,
+        "quantize": quantize,
         "corpus": _corpus_fingerprint(emb),
     }
     if _index_matches(path, meta) is not None:
         return path
     shutil.rmtree(path, ignore_errors=True)
-    build_ann_index(emb, path, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col)
+    build_ann_index(
+        emb, path, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col,
+        quantize=quantize,
+    )
     _write_index_meta(path, meta)
     return path
 

@@ -529,3 +529,62 @@ def test_semantic_contamination_flags_clones_and_parallels(spark):
     assert out[1] == (1.0, 1)
     assert out[2] == (0.707107, 0)
     assert out[3] == (0.0, 0)
+
+
+def test_quantized_ann_index_recall_and_size(spark, tmp_path):
+    """int8 scalar quantization of the SRP serving layout: the stored
+    vector payload shrinks to well under half the float layout's bytes
+    (the 100 TB probe-scan lever), while recall@10 at multiprobe=3 on the
+    organic sf0.1 vectors stays at the same >= 0.9 floor as full precision
+    (cosine is scale-invariant; only int8 rounding can hurt), and probes
+    stay deterministic."""
+    import os
+
+    from gofeed_spark.operators.similarity import ensure_ann_index, probe_ann_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = mat / np.linalg.norm(mat, axis=1)[:, None]
+    qpos = list(range(0, len(ids), max(1, len(ids) // 5)))[:5]
+    truth = {}
+    for qi in qpos:
+        s = nrm @ nrm[qi]
+        s[qi] = -2.0
+        truth[qi] = set(ids[np.argsort(-s)[:10]].tolist())
+
+    fpath = str(tmp_path / "srp_f")
+    qpath = str(tmp_path / "srp_q")
+    ensure_ann_index(emb, fpath, n_planes=4, dim=64)
+    ensure_ann_index(emb, qpath, n_planes=4, dim=64, quantize=True)
+
+    def tree_bytes(root):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(root) for f in fs if f.endswith(".parquet")
+        )
+
+    assert tree_bytes(qpath) < 0.5 * tree_bytes(fpath)
+
+    vals = []
+    for qi in qpos:
+        got = {
+            r.neighbor_id
+            for r in probe_ann_index(
+                spark, qpath, mat[qi], k=10, n_planes=4, dim=64,
+                exclude_id=int(ids[qi]), multiprobe=3,
+            ).collect()
+        }
+        # deterministic rerun
+        got2 = {
+            r.neighbor_id
+            for r in probe_ann_index(
+                spark, qpath, mat[qi], k=10, n_planes=4, dim=64,
+                exclude_id=int(ids[qi]), multiprobe=3,
+            ).collect()
+        }
+        assert got == got2
+        vals.append(len(got & truth[qi]) / 10)
+    recall = sum(vals) / len(vals)
+    assert recall >= 0.9, f"quantized SRP recall@10 {recall}"
