@@ -42,11 +42,13 @@ def main():
         f"ann_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     srp_path = os.path.join(base, "srp")
+    srpq_path = os.path.join(base, "srp_q")
     ivf_path = os.path.join(base, "ivf")
 
     t0 = time.perf_counter()
     similarity.ensure_ann_index(emb, srp_path, n_planes=6, dim=64)
     build_srp = time.perf_counter() - t0
+    similarity.ensure_ann_index(emb, srpq_path, n_planes=6, dim=64, quantize=True)
     t0 = time.perf_counter()
     codebook = similarity.ensure_ivf_index(emb, ivf_path, n_cells=64)
     build_ivf = time.perf_counter() - t0
@@ -73,6 +75,21 @@ def main():
         ).collect()
     probe_srp_mp2 = (time.perf_counter() - t0) / n_probes
 
+    # int8-quantized layout: same probe, pruned read scans ~1/4 the bytes
+    similarity.probe_ann_index(spark, srpq_path, qvecs[0][1], k=5, n_planes=6).collect()
+    t0 = time.perf_counter()
+    for qid, qv in qvecs:
+        similarity.probe_ann_index(
+            spark, srpq_path, qv, k=5, n_planes=6, exclude_id=qid
+        ).collect()
+    probe_srp_q = (time.perf_counter() - t0) / n_probes
+
+    def tree_bytes(root):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(root) for f in fs if f.endswith(".parquet")
+        )
+
     similarity.probe_ivf_index(spark, ivf_path, codebook, qvecs[0][1], k=5).collect()
     t0 = time.perf_counter()
     for qid, qv in qvecs:
@@ -89,6 +106,9 @@ def main():
                 "build_ivf": round(build_ivf, 3),
                 "probe_srp": round(probe_srp, 3),
                 "probe_srp_mp2": round(probe_srp_mp2, 3),
+                "probe_srp_q": round(probe_srp_q, 3),
+                "srp_bytes": tree_bytes(srp_path),
+                "srp_q_bytes": tree_bytes(srpq_path),
                 "probe_ivf": round(probe_ivf, 3),
                 "n_probes": n_probes,
                 "sf_dir": sf_dir,
