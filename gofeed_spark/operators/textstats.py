@@ -228,9 +228,13 @@ def gopher_rules(
 
     bullet_frac = _frac(_bullet)
     ellipsis_frac = _frac(_ellipsis)
-    stop_hits = sum(
-        F.when(F.array_contains("__toks", F.lit(s)), 1).otherwise(0)
-        for s in GOPHER_STOPWORDS
+    # single hashed-set pass (array_intersect dedups, so the size IS the
+    # count of distinct stopwords present — measured faster than 8
+    # unrolled array_contains scans of the token array)
+    stop_hits = F.size(
+        F.array_intersect(
+            "__toks", F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
     )
     ok = (
         (mean_wl >= min_mean_wl)
