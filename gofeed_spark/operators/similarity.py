@@ -830,17 +830,22 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iters: int = 2,
+    quantize: bool = False,
 ) -> np.ndarray:
     """Materialize the IVF layout (corpus partitioned by coarse cell) and
     return the codebook (n_cells × dim, Lloyd-refined via ``ivf_codebook``).
     Probes prune to n_probe cell directories — ``ivf_topk``'s
     warehouse-scale shape made real.  Rows are repartitioned by cell before
     the write (one task per cell → O(n_cells) files, not tasks ×
-    n_cells)."""
+    n_cells).  ``quantize`` stores the int8 payload instead of the float
+    vector (see ``_with_int8_quantization``) — cell assignment stays
+    full-precision."""
     e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
     cmat = ivf_codebook(e, n_cells, n_iters=n_iters)
     cnorm = np.linalg.norm(cmat, axis=1)
     cells = e.withColumn("cell", _ivf_cell_udf(cmat, cnorm)(F.col("v")))
+    if quantize:
+        cells = _with_int8_quantization(cells)
     from gofeed_spark.sources.io import write_partitioned
 
     write_partitioned(cells.repartition("cell"), path, partition_by=["cell"])
@@ -865,6 +870,8 @@ def probe_ivf_index(
     qsims = _ivf_sims(qv[None, :], cmat, np.linalg.norm(cmat, axis=1))[0]
     probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    if "q" in idx.columns:  # int8-quantized layout: reconstruct v in-plan
+        idx = _dequantized(idx)
     if exclude_id is not None:
         idx = idx.filter(F.col("nid") != exclude_id)
     qdf = spark.createDataFrame([(qv.tolist(),)], "qv array<double>")
@@ -990,6 +997,7 @@ def ensure_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iters: int = 2,
+    quantize: bool = False,
 ) -> np.ndarray:
     """Idempotent ``build_ivf_index``: the codebook rides in the meta file,
     so a warm call returns it (and probes partition-prune the existing
@@ -1000,6 +1008,7 @@ def ensure_ivf_index(
         "kind": "ivf",
         "n_cells": n_cells,
         "n_iters": n_iters,
+        "quantize": quantize,
         "corpus": _corpus_fingerprint(emb),
     }
     stored = _index_matches(path, meta)
@@ -1007,7 +1016,8 @@ def ensure_ivf_index(
         return np.asarray(stored["codebook"], dtype=np.float64)
     shutil.rmtree(path, ignore_errors=True)
     cmat = build_ivf_index(
-        emb, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col, n_iters=n_iters
+        emb, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        n_iters=n_iters, quantize=quantize,
     )
     _write_index_meta(path, {**meta, "codebook": cmat.tolist()})
     return cmat

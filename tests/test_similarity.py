@@ -588,3 +588,51 @@ def test_quantized_ann_index_recall_and_size(spark, tmp_path):
         vals.append(len(got & truth[qi]) / 10)
     recall = sum(vals) / len(vals)
     assert recall >= 0.9, f"quantized SRP recall@10 {recall}"
+
+
+def test_quantized_ivf_index_recall_and_size(spark, tmp_path):
+    """IVF twin of the quantized-SRP gate: int8 payload, full-precision
+    cell assignment; recall@10 at n_probe=13 keeps the >= 0.9 floor and
+    the layout stores well under half the float bytes."""
+    import os
+
+    from gofeed_spark.operators.similarity import ensure_ivf_index, probe_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = mat / np.linalg.norm(mat, axis=1)[:, None]
+    qpos = list(range(0, len(ids), max(1, len(ids) // 5)))[:5]
+    truth = {}
+    for qi in qpos:
+        s = nrm @ nrm[qi]
+        s[qi] = -2.0
+        truth[qi] = set(ids[np.argsort(-s)[:10]].tolist())
+
+    fpath = str(tmp_path / "ivf_f")
+    qpath = str(tmp_path / "ivf_q")
+    cb_f = ensure_ivf_index(emb, fpath, n_cells=16, n_iters=2)
+    cb_q = ensure_ivf_index(emb, qpath, n_cells=16, n_iters=2, quantize=True)
+    assert (cb_f == cb_q).all()  # codebook is quantization-independent
+
+    def tree_bytes(root):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(root) for f in fs if f.endswith(".parquet")
+        )
+
+    assert tree_bytes(qpath) < 0.5 * tree_bytes(fpath)
+
+    vals = []
+    for qi in qpos:
+        got = {
+            r.neighbor_id
+            for r in probe_ivf_index(
+                spark, qpath, cb_q, mat[qi], k=10, n_probe=13,
+                exclude_id=int(ids[qi]),
+            ).collect()
+        }
+        vals.append(len(got & truth[qi]) / 10)
+    recall = sum(vals) / len(vals)
+    assert recall >= 0.9, f"quantized IVF recall@10 {recall}"
