@@ -601,3 +601,74 @@ def neardup_clusters(
     return out.withColumn(
         "keep", (F.col(id_col) == F.col("cluster_id")).cast("int")
     )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact-substring dedup (the Lee et al. 2022 "Deduplicating
+    Training Data" preprocessing shape, at token granularity): every k-token
+    span that appears in >= ``min_df`` DISTINCT docs is removed from ALL of
+    them — catches cross-doc boilerplate passages that line-level removal
+    (remove_frequent_lines) misses when they share a line with organic
+    text.  A token is dropped iff some flagged span covers it (union of
+    overlapping [s, s+k) ranges); docs are reassembled from the surviving
+    tokens of the NORMALIZED stream (lower-cased \\s+ tokens, the shingle
+    convention — dedup operates on normalized text by contract).
+
+    Returns (id, clean_text, n_removed_tokens) for every input doc.
+
+    Plan, sized for 100 TB: positional k-gram md5s via sequence/slice
+    (codegen, the winnowing_fingerprints shape) explode once; the
+    frequency aggregation shuffles slim (hash, doc_id) pairs; the flagged
+    relation (organic corpora: tiny) joins back onto the shingle relation
+    and collapses to ONE starts-array row per affected doc (AQE broadcasts
+    it when small); the corpus itself is never token-exploded — surviving
+    tokens come from a filter-by-index over the materialized token array
+    (starts per doc are few, so the nested exists is O(tokens·starts) with
+    a small constant).  One slim shuffle + one per-doc join total.
+    """
+    with_toks = docs.select(
+        F.col(id_col).alias("__id"), ws_tokens(text_col).alias("__toks")
+    )
+    n = F.size("__toks")
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = with_toks.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.xxhash64(F.array_join(F.slice("__toks", i, k), " "))
+            )
+        ).alias("spos", "h"),
+    )
+    flagged = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("__id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    starts = (
+        sh.join(flagged, "h")
+        .groupBy("__id")
+        .agg(F.collect_set("spos").alias("__starts"))
+    )
+    joined = with_toks.join(starts, "__id", "left").withColumn(
+        "__ss", F.coalesce("__starts", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(
+            F.col("__ss"), lambda s: (s <= i) & (i <= s + F.lit(k - 1))
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).cast("int").alias("n_removed_tokens"),
+    )

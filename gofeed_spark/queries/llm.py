@@ -1568,3 +1568,75 @@ def q93(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     w = 1 + (F.substring("source", 4, 10).cast("int") % 4)
     return mixing.mixture_sample(d, w, budget_frac=0.6)
+
+
+# --- Q94 span-level exact-substring dedup -------------------------------------
+_Q94_SHARED = " subscribe to our newsletter today for fresh updates and offers"
+
+
+@query(
+    "q94_duplicate_spans",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' subscribe to our newsletter today for fresh updates and offers'
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' unique trailing sentence number ' || CAST(doc_id AS VARCHAR)
+                      || ' written just for this document'
+                 ELSE '' END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM corpus),
+sh AS (SELECT doc_id, i AS spos, array_to_string(tk[i:i+7], ' ') AS g
+       FROM toks, LATERAL (SELECT UNNEST(range(1, len(tk) - 6)) AS i) t),
+freq AS (SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+fl AS (SELECT DISTINCT s.doc_id, s.spos FROM sh s JOIN freq f USING (g)),
+tokrows AS (SELECT doc_id, i AS tpos, tk[i] AS tok
+            FROM toks, LATERAL (SELECT UNNEST(range(1, len(tk) + 1)) AS i) t),
+kept AS (
+  SELECT tr.doc_id, tr.tpos, tr.tok
+  FROM tokrows tr
+  WHERE NOT EXISTS (SELECT 1 FROM fl
+                    WHERE fl.doc_id = tr.doc_id
+                      AND tr.tpos BETWEEN fl.spos AND fl.spos + 7)
+),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(tk) AS n_toks FROM toks)
+SELECT c.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(t.n_toks - COALESCE(a.n_kept, 0) AS INT) AS n_removed_tokens
+FROM corpus c JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+ORDER BY c.doc_id
+""",
+)
+def q94(spark, sf_dir):
+    """Span-level exact-substring dedup (dedup.strip_duplicate_spans, the
+    Lee et al. 2022 shape): cross-doc duplicated 8-token spans are removed
+    from every doc.  Every 4th doc gets a shared 10-token promo sentence
+    appended (3 fully-interior spans flag, their union strips all 10
+    tokens while the organic prefix survives — boundary spans have df=1);
+    every 9th doc gets a doc-unique 10-token tail (df=1, KEPT, pinning
+    that merely-appended content survives).  Both engines build the same
+    corpus; positions never cross engines, only the reassembled text."""
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 4 == 0, F.lit(_Q94_SHARED)).otherwise(F.lit("")),
+            F.when(
+                did % 9 == 0,
+                F.concat(
+                    F.lit(" unique trailing sentence number "),
+                    did.cast("string"),
+                    F.lit(" written just for this document"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup.strip_duplicate_spans(corpus, k=8)

@@ -357,3 +357,42 @@ def test_simhash_measured_recall_on_clone_families(spark):
     assert all(r.hamming <= 8 for r in pred_rows)
     recall = len(pred & truth) / len(truth)
     assert recall >= 0.8, f"simhash recall {recall:.3f} < 0.8 ({len(truth)} true pairs)"
+
+
+def test_strip_duplicate_spans_semantics(spark):
+    """Cross-doc duplicated 8-token spans are removed as a position UNION
+    (9 shared tokens -> two overlapping spans -> all 9 stripped), organic
+    text and unique tails survive, sub-k docs pass through, and a span
+    repeated WITHIN one doc is not flagged (min_df counts distinct docs)."""
+    from gofeed_spark.operators.dedup import strip_duplicate_spans
+
+    common = "COMMON one two three four five six seven eight"  # 9 tokens
+    d = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon zeta eta theta {common} tail1"),
+            (2, f"other words here and more padding to fill {common} tail2"),
+            (3, "completely unrelated text with nothing shared at all here"),
+            (4, "short doc"),
+            # a 9-token run (shared with NO other doc) twice in ONE doc:
+            # df counts distinct docs, so it stays intact
+            (5, "solo p1 p2 p3 p4 p5 p6 p7 p8 solo p1 p2 p3 p4 p5 p6 p7 p8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_removed_tokens) for r in
+           strip_duplicate_spans(d, k=8).collect()}
+    assert out[1] == ("alpha beta gamma delta epsilon zeta eta theta tail1", 9)
+    assert out[2] == ("other words here and more padding to fill tail2", 9)
+    assert out[3] == ("completely unrelated text with nothing shared at all here", 0)
+    assert out[4] == ("short doc", 0)
+    assert out[5] == ("solo p1 p2 p3 p4 p5 p6 p7 p8 solo p1 p2 p3 p4 p5 p6 p7 p8", 0)
+    # a doc that is ENTIRELY a flagged span comes back empty, not missing
+    d2 = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: (r.clean_text, r.n_removed_tokens) for r in
+            strip_duplicate_spans(d2, k=8).collect()}
+    assert out2[1] == ("", 8)
+    assert out2[2] == ("", 8)
+    assert out2[3] == ("x y z", 0)
