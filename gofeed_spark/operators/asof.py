@@ -77,3 +77,45 @@ def asof_join_last_event(
         .filter(F.col("__side") == 1)
         .select(F.col("__keep").alias(left_keep), F.col(out_col))
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-containment join (event.ts ∈ [interval.start, interval.end],
+    inclusive, NO equi key) — the other time-join Spark lacks: the naive
+    theta join plans as BroadcastNestedLoopJoin (every event against every
+    interval; quadratic, and impossible when neither side broadcasts).
+
+    Bin bucketing makes it an equi-join: each interval explodes to its
+    covered time bins (⌈length/bin_width⌉ rows — bounded, and 1-2 for
+    intervals shorter than a bin), each event maps to ONE bin, the join
+    runs on the bin key (ordinary shuffled hash join — AQE's skew-join
+    splitting handles a hot hour), and the exact containment predicate
+    filters the bin's false positives.  Cost is linear in
+    |events| + Σ interval_bins; floor(x / bin) is monotone, so an event
+    inside an interval always lands in one of that interval's bins —
+    no matches are lost.
+
+    All three time columns must share one NUMERIC clock (the µs-epoch
+    convention of the q31/q33 family); ``bin_width`` is in the same unit.
+    Returns events ⋈ intervals rows (all columns of both, minus the bin).
+    """
+    b = F.lit(bin_width)
+    ev = events.withColumn("__bin", F.floor(F.col(ts_col) / b))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(F.floor(F.col(start_col) / b), F.floor(F.col(end_col) / b))
+        ),
+    )
+    return (
+        ev.join(iv, "__bin")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("__bin")
+    )

@@ -1640,3 +1640,41 @@ def q94(spark, sf_dir):
         ).alias("text"),
     )
     return dedup.strip_duplicate_spans(corpus, k=8)
+
+
+# --- Q95 interval-containment join --------------------------------------------
+@query(
+    "q95_interval_join",
+    oracle="""
+WITH iv AS (
+  SELECT user_id AS iv_id, MIN(ts) AS ivstart,
+         MIN(ts) + INTERVAL 30 MINUTE AS ivend
+  FROM events GROUP BY user_id
+)
+SELECT iv.iv_id, COUNT(*) AS n_overlap, MIN(e.event_id) AS first_event
+FROM iv JOIN events e ON e.ts >= iv.ivstart AND e.ts <= iv.ivend
+GROUP BY iv.iv_id ORDER BY iv.iv_id
+""",
+)
+def q95(spark, sf_dir):
+    """Interval-containment join WITHOUT an equi key (asof.interval_join):
+    each user's first-30-minutes window joined against ALL events falling
+    inside it (any user) — the op a naive formulation plans as a
+    nested-loop cross product and the oracle states as a theta join; the
+    engine runs it as a bin-bucketed equi-join (plan-lint clean).  µs
+    epoch clock per the q31/q33 convention."""
+    from gofeed_spark.operators.asof import interval_join
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    iv = e.groupBy(F.col("user_id").alias("iv_id")).agg(
+        F.min("ts_us").alias("start_us")
+    ).withColumn("end_us", F.col("start_us") + F.lit(1_800_000_000))
+    joined = interval_join(
+        e.select("event_id", "ts_us"), iv, "ts_us", "start_us", "end_us"
+    )
+    return joined.groupBy("iv_id").agg(
+        F.count("*").alias("n_overlap"),
+        F.min("event_id").alias("first_event"),
+    )

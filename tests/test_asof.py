@@ -73,3 +73,40 @@ def test_asof_carries_max_not_last(spark):
         "probe_id", "asof_value",
     )
     assert out == {(1, 50)}
+
+
+def test_interval_join_containment_and_bins(spark):
+    """Boundary-inclusive containment, intervals spanning multiple bins,
+    unmatched events dropped, and an event inside two overlapping
+    intervals matches both exactly once."""
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.asof import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, 100), (2, 250), (3, 999), (4, 5000)], "event_id long, t long"
+    )
+    iv = spark.createDataFrame(
+        [
+            ("a", 100, 250),    # hits 1 (start bound) and 2 (end bound)
+            ("b", 200, 1500),   # spans bins; hits 2 and 3
+            ("c", 9000, 9999),  # hits nothing
+        ],
+        "iv_id string, s long, e long",
+    )
+    out = interval_join(ev, iv, "t", "s", "e", bin_width=400)
+    got = sorted((r.event_id, r.iv_id) for r in out.collect())
+    assert got == [(1, "a"), (2, "a"), (2, "b"), (3, "b")]
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The plan must be a bin equi-join: no BroadcastNestedLoopJoin or
+    CartesianProduct anywhere (the whole point of the bucketing)."""
+    from gofeed_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q95_interval_join"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
