@@ -672,3 +672,70 @@ def strip_duplicate_spans(
         F.array_join(kept, " ").alias("clean_text"),
         (F.size("__toks") - F.size(kept)).cast("int").alias("n_removed_tokens"),
     )
+
+
+def fuzzy_join_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.6,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = 10_000,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """Cross-corpus near-duplicate JOIN: every (left, right) doc pair with
+    exact k-shingle Jaccard >= threshold — fuzzy entity/document matching
+    between TWO tables (match incoming docs against an existing corpus,
+    or decontaminate against a benchmark set too large for q87's
+    broadcast-shingle path; this is its shuffle-scale sibling).
+
+    Reuses the self-join machinery: ids are remapped into one disjoint
+    space (left 2·id, right 2·id+1 — ids must fit 62 bits), shingles run
+    through the same hashed inverted index and ``df_cap`` guard, and pairs
+    are restricted to CROSS-side (parity differs) BEFORE the shared-count
+    aggregation — within-side pairs never reach the scoring join, so two
+    large corpora with heavy internal duplication don't pay for pairs the
+    caller didn't ask about.  Returns (left_id, right_id, jac).
+    """
+    if n_hint is not None and df_cap is not None and n_hint <= df_cap:
+        df_cap = None
+    l = left.select(
+        (F.col(id_col) * 2).alias(id_col), F.col(text_col).alias(text_col)
+    )
+    r = right.select(
+        (F.col(id_col) * 2 + 1).alias(id_col), F.col(text_col).alias(text_col)
+    )
+    # persist-without-unpersist matches ngram_jaccard_pairs: the plan stays
+    # lazy; the shingle cache lives for the session like every other pair
+    # generator's (at warehouse scale, materialize it as a table instead)
+    sh = _doc_shingles(l.unionByName(r), text_col, id_col, k).persist()
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("h"))
+    cross = _group_pairs(ex, "h", df_cap).filter(
+        (F.col("doc_a") % 2) != (F.col("doc_b") % 2)
+    )
+    shared = cross.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
+    scored = (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "jac",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    lid = F.when(F.col("doc_a") % 2 == 0, F.col("doc_a")).otherwise(F.col("doc_b"))
+    rid = F.when(F.col("doc_a") % 2 == 1, F.col("doc_a")).otherwise(F.col("doc_b"))
+    return scored.select(
+        F.floor(lid / 2).cast("long").alias("left_id"),
+        F.floor(rid / 2).cast("long").alias("right_id"),
+        F.round("jac", 6).alias("jac"),
+    )

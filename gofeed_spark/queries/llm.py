@@ -1678,3 +1678,58 @@ def q95(spark, sf_dir):
         F.count("*").alias("n_overlap"),
         F.min("event_id").alias("first_event"),
     )
+
+
+# --- Q96 cross-corpus fuzzy join ----------------------------------------------
+@query(
+    "q96_fuzzy_join",
+    oracle=r"""
+WITH ext AS (
+  SELECT doc_id AS ext_id,
+         array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     (x, i) -> i % 25 != 0), ' ') AS text
+  FROM documents WHERE doc_id % 3 = 0
+),
+ls AS (
+  SELECT doc_id, UNNEST(list_distinct([array_to_string(w[i:i+4], ' ')
+                                       FOR i IN range(1, GREATEST(len(w)-4, 0)+1)])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents)
+),
+rs AS (
+  SELECT ext_id, UNNEST(list_distinct([array_to_string(w[i:i+4], ' ')
+                                       FOR i IN range(1, GREATEST(len(w)-4, 0)+1)])) AS sh
+  FROM (SELECT ext_id, regexp_split_to_array(lower(text), '\s+') AS w FROM ext)
+),
+lsz AS (SELECT doc_id, COUNT(*) AS n FROM ls GROUP BY doc_id),
+rsz AS (SELECT ext_id, COUNT(*) AS n FROM rs GROUP BY ext_id),
+shared AS (SELECT l.doc_id, r.ext_id, COUNT(*) AS shared
+           FROM ls l JOIN rs r ON l.sh = r.sh GROUP BY 1, 2)
+SELECT s.doc_id AS left_id, s.ext_id AS right_id,
+       ROUND(CAST(shared AS DOUBLE) / (a.n + b.n - shared), 6) AS jac
+FROM shared s JOIN lsz a USING (doc_id) JOIN rsz b USING (ext_id)
+WHERE CAST(shared AS DOUBLE) / (a.n + b.n - shared) >= 0.5
+ORDER BY left_id, right_id
+""",
+)
+def q96(spark, sf_dir):
+    """Cross-corpus fuzzy join (dedup.fuzzy_join_jaccard): the corpus
+    matched against an 'external' table built from every 3rd doc with
+    every 25th token dropped — perturbed clones land at Jaccard ~0.75+
+    against their source (short docs match exactly), organic cross pairs
+    are rare; threshold 0.5.  The shuffle-scale sibling of q87's
+    broadcast decontamination: same banded machinery as q40, pairs
+    restricted to cross-side before scoring."""
+    from gofeed_spark.catalog import table_rowcount
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    ext = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.filter(toks, lambda x, i: i % 25 != 24), " "
+        ).alias("text"),
+    )
+    n = table_rowcount(sf_dir, "documents")
+    return dedup.fuzzy_join_jaccard(
+        d, ext, threshold=0.5, k=5, n_hint=n + (n // 3 + 1)
+    )

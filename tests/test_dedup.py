@@ -396,3 +396,25 @@ def test_strip_duplicate_spans_semantics(spark):
     assert out2[1] == ("", 8)
     assert out2[2] == ("", 8)
     assert out2[3] == ("x y z", 0)
+
+
+def test_fuzzy_join_cross_side_only_and_id_decode(spark):
+    """Only (left, right) pairs emit — two identical LEFT docs never pair
+    with each other — ids decode back to each table's own space, and an
+    exact clone across tables scores jac 1.0 even when both tables use
+    the same id value."""
+    from gofeed_spark.operators.dedup import fuzzy_join_jaccard
+
+    ident = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    left = spark.createDataFrame(
+        [(1, ident), (2, ident), (3, "totally different words here right now ok")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(1, ident), (9, "nothing shared with anything at all here folks")],
+        "doc_id long, text string",
+    )
+    out = {(r.left_id, r.right_id): r.jac for r in
+           fuzzy_join_jaccard(left, right, threshold=0.5).collect()}
+    # left 1 and left 2 are identical but never pair; both match right 1
+    assert out == {(1, 1): 1.0, (2, 1): 1.0}
