@@ -1,0 +1,69 @@
+"""Keyword retrieval over the corpus: BM25 scoring — the standard lexical
+ranking function (Robertson/Sparck Jones probabilistic model, the Lucene
+default), here as a distributed one-pass scorer for corpus exploration and
+query-based subsetting of a training corpus.
+
+Reference scope note: the reference engine has no retrieval surface; this
+module belongs to the added LLM-pipeline surface (SURVEY.md §2.E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gofeed_spark.functions.text import ws_tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 score of every document containing at least one query term.
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·|d|/avgdl))
+        idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)      (Lucene's form)
+
+    Plan, sized for 100 TB: the corpus pays ONE scan; only tokens matching
+    the (tiny, broadcast-literal) term list explode into the tf
+    aggregation, so the shuffle carries hits — not the corpus; document
+    frequency and the (N, avgdl) corpus stats are two map-side-combinable
+    aggregates whose outputs broadcast back onto the hit relation.  The
+    float chain is fixed left-associative so any engine computes the same
+    doubles (score rounded to 6 after the per-doc sum).
+
+    Returns (id, score), one row per matching doc.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("__toks")
+    ).withColumn("len_d", F.size("__toks"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("len_d").cast("double")).alias("avgdl"),
+    )
+    hits = base.select(
+        "doc_id", "len_d", F.explode("__toks").alias("tok")
+    ).filter(F.col("tok").isin(list(terms)))
+    tf = hits.groupBy("doc_id", "len_d", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.alias("t").join(F.broadcast(dfreq.alias("d")), "tok").crossJoin(
+        F.broadcast(stats.alias("g"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("len_d") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .select(F.col("doc_id").alias(id_col), "score")
+    )

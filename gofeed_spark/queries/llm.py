@@ -1733,3 +1733,36 @@ def q96(spark, sf_dir):
     return dedup.fuzzy_join_jaccard(
         d, ext, threshold=0.5, k=5, n_hint=n + (n // 3 + 1)
     )
+
+
+# --- Q97 BM25 keyword retrieval -----------------------------------------------
+@query(
+    "q97_bm25_search",
+    oracle=r"""
+WITH base AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+lens AS (SELECT doc_id, len(tk) AS len_d FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(len_d AS DOUBLE)) AS avgdl FROM lens),
+hits AS (SELECT b.doc_id, t.tok FROM base b, LATERAL UNNEST(b.tk) AS t(tok)
+         WHERE t.tok IN ('hash', 'join', 'spark')),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln((CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+            / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)
+         * (tf.tf * CAST(2.2 AS DOUBLE))
+         / (tf.tf + CAST(1.2 AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.len_d / s.avgdl))
+       ), 6) AS score
+FROM tf JOIN dfreq USING (tok) JOIN lens l ON l.doc_id = tf.doc_id, stats s
+GROUP BY tf.doc_id ORDER BY tf.doc_id
+""",
+)
+def q97(spark, sf_dir):
+    """BM25 keyword retrieval (search.bm25_scores) for the query
+    ['hash', 'join', 'spark'] over the corpus — one corpus scan, hit-only
+    shuffle, broadcast df/corpus stats; the oracle states the identical
+    left-associative float chain, so scores hash-match at 6 decimals."""
+    from gofeed_spark.operators.search import bm25_scores
+
+    return bm25_scores(T(spark, sf_dir, "documents"), ["hash", "join", "spark"])

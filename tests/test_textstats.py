@@ -231,3 +231,23 @@ def test_mixture_sample_rates_and_clip(spark):
             assert rate == 0.1875
     # content-addressed: identical output on a rerun
     assert rows_out == sorted((r.doc_id, r.source, r.rate) for r in out.collect())
+
+
+def test_bm25_scores_hand_computed(spark):
+    import math
+
+    from gofeed_spark.operators.search import bm25_scores
+
+    d = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird"), (3, "fish")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in bm25_scores(d, ["cat", "dog"]).collect()}
+    # N=3, avgdl=2.0, df(cat)=1, df(dog)=2
+    idf_cat = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1)
+    idf_dog = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    d1 = idf_cat * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.0)) \
+        + idf_dog * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 3 / 2.0))
+    d2 = idf_dog * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / 2.0))
+    assert out == {1: round(d1, 6), 2: round(d2, 6)}
+    assert 3 not in out  # no query term -> no row
