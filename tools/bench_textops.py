@@ -30,6 +30,10 @@ QS = [
     "q91_gopher_rules",
     "q92_dup_ngram_fraction",
     "q93_mixture_sample",
+    "q94_duplicate_spans",
+    "q95_interval_join",
+    "q96_fuzzy_join",
+    "q97_bm25_search",
 ]
 
 
