@@ -2,8 +2,11 @@
 of the bench ratio.  Methodology-matched to bench.py: best-of-N (default 3)
 per query after one warm-up execution, full materialization (fetchall).
 
-Usage: python tools/bench_oracle.py [sf_dir] [runs]
-Prints one JSON line {"metric": "oracle_total", ...}.
+Usage: python tools/bench_oracle.py [sf_dir] [runs] [query ...]
+Prints one JSON line {"metric": "oracle_total", ...}.  Naming queries
+restricts the set (for splitting very long runs across invocations);
+with an explicit subset AND runs=1 the warm-up is skipped, so the single
+timing is a COLD run — label it as such when recording.
 """
 
 from __future__ import annotations
@@ -25,16 +28,20 @@ from gofeed_spark.queries import ORACLES
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if only and name not in only:
+            continue
         sql = ORACLES.get(name)
         if sql is None:
             continue  # rows-only query (no oracle): excluded on both sides
-        con.execute(sql).fetchall()  # warm-up (page cache, duckdb planning)
+        if not (only and runs == 1):
+            con.execute(sql).fetchall()  # warm-up (page cache, planning)
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()
