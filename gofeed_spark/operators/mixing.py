@@ -16,6 +16,85 @@ from pyspark.sql import functions as F
 from gofeed_spark.functions.text import ws_tokens
 
 
+def _keep_hash(id_col: str, salt: str):
+    """The content-addressed keep decision (md5 of the salted id, the q81
+    convention) — one function so the batch sampler and the streaming
+    filter can never drift apart."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    weight_expr: Column,
+    budget_frac: float = 0.6,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source acceptance rates (source, rate) for ``mixture_sample``'s
+    formula — tiny (|sources| rows); collect it once from a profile
+    corpus and hand the dict to ``mixture_filter`` at ingest time."""
+    toks = F.size(ws_tokens(text_col))
+    base = docs.select(source_col, toks.alias("__t"), weight_expr.alias("__w"))
+    per_src = base.groupBy(source_col).agg(
+        F.max("__w").alias("__w"), F.sum("__t").alias("__src_toks")
+    )
+    totals = per_src.agg(
+        F.sum("__src_toks").alias("__T"), F.sum("__w").alias("__W")
+    )
+    # totals derives from per_src, so the cross join is a self-join: alias
+    # both sides or attribute resolution sees two lineages for __w
+    return (
+        per_src.alias("p")
+        .crossJoin(F.broadcast(totals.alias("g")))
+        .select(
+            F.col("p." + source_col).alias(source_col),
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("g.__T")
+                * F.col("p.__w")
+                / F.col("g.__W")
+                / F.col("p.__src_toks"),
+            ).alias("rate"),
+        )
+    )
+
+
+def mixture_filter(
+    docs: DataFrame,
+    rates: dict,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "m",
+) -> DataFrame:
+    """Apply precomputed per-source rates (``mixture_rates`` collected to a
+    dict) as a stateless projection — works identically on a static frame
+    or a readStream (the ingest-time mixing filter: no join, no state, no
+    shuffle; rates ride the plan as a literal map).  Same hash, same
+    comparison as ``mixture_sample``, so the kept set is identical."""
+    pairs: list = []
+    for src, rate in sorted(rates.items()):
+        pairs.extend([F.lit(src), F.lit(float(rate))])
+    rate = F.element_at(F.create_map(*pairs), F.col(source_col))
+    return (
+        docs.withColumn("rate", rate)
+        .filter(
+            F.col("rate").isNotNull()
+            & (_keep_hash(id_col, salt).cast("double") < F.col("rate") * 1_000_000)
+        )
+        .select(id_col, source_col, "rate")
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     weight_expr: Column,
@@ -45,45 +124,14 @@ def mixture_sample(
 
     Returns (id, source, rate) for every kept doc.
     """
-    toks = F.size(ws_tokens(text_col))
-    base = docs.select(
-        id_col, source_col, toks.alias("__t"), weight_expr.alias("__w")
-    )
-    per_src = base.groupBy(source_col).agg(
-        F.max("__w").alias("__w"), F.sum("__t").alias("__src_toks")
-    )
-    totals = per_src.agg(
-        F.sum("__src_toks").alias("__T"), F.sum("__w").alias("__W")
-    )
-    # totals derives from per_src, so the cross join is a self-join: alias
-    # both sides or attribute resolution sees two lineages for __w
-    rates = (
-        per_src.alias("p")
-        .crossJoin(F.broadcast(totals.alias("g")))
-        .select(
-            F.col("p." + source_col).alias(source_col),
-            F.least(
-                F.lit(1.0),
-                F.lit(budget_frac)
-                * F.col("g.__T")
-                * F.col("p.__w")
-                / F.col("g.__W")
-                / F.col("p.__src_toks"),
-            ).alias("rate"),
-        )
-    )
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1_000_000
+    rates = mixture_rates(
+        docs, weight_expr, budget_frac, text_col=text_col, source_col=source_col
     )
     return (
-        base.join(F.broadcast(rates), source_col)
-        .filter(h.cast("double") < F.col("rate") * 1_000_000)
+        docs.select(id_col, source_col)
+        .join(F.broadcast(rates), source_col)
+        .filter(
+            _keep_hash(id_col, salt).cast("double") < F.col("rate") * 1_000_000
+        )
         .select(id_col, source_col, "rate")
     )

@@ -377,3 +377,43 @@ def test_streaming_quality_signals_compose(spark, tmp_path):
     assert rep[1] == 0.0
     # "spam spam spam" x6 occurrences of the single 3-gram, all duplicated
     assert rep[2] == 6 * len("spam spam spam") / len("spam spam spam spam spam spam spam spam")
+
+
+def test_streaming_mixture_filter_matches_batch_sample(spark, tmp_path):
+    """Ingest-time mixing: rates profiled once (mixture_rates on the
+    static profile corpus) then applied to a stream as a stateless
+    literal-map filter — the kept set must EQUAL mixture_sample's batch
+    decision on the same docs (same hash, same comparison)."""
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.mixing import (
+        mixture_filter,
+        mixture_rates,
+        mixture_sample,
+    )
+
+    ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows_all = [(i, "A" if i % 2 == 0 else "B", ten) for i in range(40)]
+    ddl = "doc_id long, source string, text string"
+    docs = spark.createDataFrame(rows_all, ddl)
+    w = F.when(F.col("source") == "B", 3).otherwise(1)
+
+    rates = {r.source: r.rate for r in mixture_rates(docs, w, 0.6).collect()}
+    batch_kept = {(r.doc_id, r.source, r.rate)
+                  for r in mixture_sample(docs, w, 0.6).collect()}
+
+    src = str(tmp_path / "mix_in")
+    docs.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    got = []
+    q = (
+        mixture_filter(stream, rates)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_mix"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r.doc_id, r.source, r.rate) for r in got} == batch_kept
+    assert batch_kept  # non-vacuous
