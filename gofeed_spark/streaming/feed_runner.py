@@ -417,6 +417,45 @@ class FeedRunner:
         return self.spark.read.parquet(root)
 
     # -- driver ----------------------------------------------------------
+    def _cdc_reader(self):
+        """The CDC readStream for this runner's storage backend — shared by
+        the drain mode and the service mode so their source options can
+        never diverge."""
+        if self.storage == "txlog":
+            src_path, backend = self.base, "txlog"
+        elif self.storage == "dbapi":
+            src_path, backend = self.db_path, "dbapi"
+        else:
+            src_path, backend = self.items_path, "parquet"
+        reader = (
+            self.spark.readStream.format("feed_cdc")
+            .option("path", src_path)
+            .option("backend", backend)
+            .option("table", self.t_items)
+        )
+        if self.storage == "dbapi":
+            reader = reader.option("dbapi_module", self.dbapi_module)
+        if self.poll_limit is not None:
+            reader = reader.option("poll_limit", str(self.poll_limit))
+        return reader
+
+    def run_forever(self, poll_interval_s: float = 10.0):
+        """The reference's long-running service mode (main.go:33
+        ``poll_interval``, default 10 s; watcher.go:118's ticker loop): one
+        CDC poll + feed tick per interval, running until the returned
+        StreamingQuery is stopped (or errors — surfaced through
+        ``awaitTermination`` exactly as Spark surfaces streaming errors).
+        Same checkpoint as the drain mode, so the two can be interleaved
+        across restarts with exactly-once effect."""
+        return (
+            self._cdc_reader()
+            .load()
+            .writeStream.option("checkpointLocation", self.ckpt)
+            .trigger(processingTime=f"{poll_interval_s} seconds")
+            .foreachBatch(self._step)
+            .start()
+        )
+
     def run_available(self, timeout_s: int = 300, max_rounds: int = 16) -> None:
         """Drain all available work: repeated availableNow passes until the
         CDC source has nothing new (each pass may re-queue continuation
@@ -429,27 +468,12 @@ class FeedRunner:
         Exhaustion is never silent — the caller must know the run failed."""
         from pyspark.errors.exceptions.captured import StreamingQueryException
 
-        if self.storage == "txlog":
-            src_path, backend = self.base, "txlog"
-        elif self.storage == "dbapi":
-            src_path, backend = self.db_path, "dbapi"
-        else:
-            src_path, backend = self.items_path, "parquet"
         last_exc: Exception | None = None
         for _ in range(max_rounds):
             before = self._committed()
-            reader = (
-                self.spark.readStream.format("feed_cdc")
-                .option("path", src_path)
-                .option("backend", backend)
-                .option("table", self.t_items)
-            )
-            if self.storage == "dbapi":
-                reader = reader.option("dbapi_module", self.dbapi_module)
-            if self.poll_limit is not None:
-                reader = reader.option("poll_limit", str(self.poll_limit))
             q = (
-                reader.load()
+                self._cdc_reader()
+                .load()
                 .writeStream.option("checkpointLocation", self.ckpt)
                 .trigger(availableNow=True)
                 .foreachBatch(self._step)

@@ -311,3 +311,40 @@ def test_feed_runner_releases_checkpoints(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     assert sc_java.getPersistentRDDs().size() <= baseline
+
+
+def test_run_forever_service_mode_processes_and_stops(spark, tmp_path):
+    """The reference's long-running service mode (main.go poll_interval):
+    run_forever ticks on an interval and drains the seeded work without a
+    drain-mode call; stop() ends it cleanly, and a follow-up drain on the
+    SAME checkpoint finds nothing new to do (shared exactly-once state)."""
+    import time
+
+    base = str(tmp_path / "feed_svc")
+    _seed(spark, base)
+    runner = FeedRunner(
+        spark, base, json_times_processor, max_retries=3, auto_close=True
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = runner.run_forever(poll_interval_s=1.0)
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            items = {r.id: r.status for r in runner.items().collect()}
+            if items.get("s1_ready") == COMPLETE and items.get("s14_gate") == COMPLETE:
+                break
+            time.sleep(2)
+        else:
+            raise AssertionError(f"service mode never converged: {items}")
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    before = {r.id: (r.status, r.version) for r in runner.items().collect()}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        runner.run_available()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    after = {r.id: (r.status, r.version) for r in runner.items().collect()}
+    assert after == before  # nothing re-processed across modes
