@@ -1766,3 +1766,52 @@ def q97(spark, sf_dir):
     from gofeed_spark.operators.search import bm25_scores
 
     return bm25_scores(T(spark, sf_dir, "documents"), ["hash", "join", "spark"])
+
+
+# --- Q98 dataset diff ---------------------------------------------------------
+@query(
+    "q98_dataset_diff",
+    oracle="""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' (edited)' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+),
+o AS (SELECT doc_id, md5(text) AS ofp FROM documents),
+n AS (SELECT doc_id, md5(text) AS nfp FROM v2)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.ofp <> n.nfp THEN 'modified' END AS change
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.ofp <> n.nfp)
+ORDER BY doc_id
+""",
+)
+def q98(spark, sf_dir):
+    """Dataset diff (io.dataset_diff) between the corpus and a simulated
+    regeneration: every 13th doc dropped (removed), every 10th edited
+    (modified), the first 20 re-issued under new ids (added) — both
+    engines build the same v2, and unchanged docs produce NO rows (the
+    audit of a 100 TB rebuild is its delta, not a full dump)."""
+    from gofeed_spark.sources.io import dataset_diff
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    v2 = (
+        d.filter(did % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(did % 10 == 0, F.concat(F.col("text"), F.lit(" (edited)")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(did < 20).select(
+                (did + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dataset_diff(d, v2)

@@ -161,3 +161,37 @@ def compact(
     os.replace(staging, path)
     shutil.rmtree(old, ignore_errors=True)
     return n_files
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Version-over-version corpus audit: one row per id whose MEMBERSHIP
+    or CONTENT changed between two snapshots — change ∈ {added, removed,
+    modified} (unchanged rows are dropped; the diff of two near-identical
+    100 TB snapshots is small, and that asymmetry is the point).  The
+    table-lifecycle companion to ``compact``: run it before publishing a
+    regenerated corpus to see exactly what a rebuild touched.
+
+    Plan: each side collapses to (id, md5(content)) — the only full-corpus
+    work is the fingerprint projection inside the scan — then ONE
+    full-outer shuffle on the id and a CASE.  Fingerprints compare
+    content, so a re-shard/rewrite with identical rows diffs empty.
+    """
+    from pyspark.sql import functions as F
+
+    o = old.select(F.col(id_col).alias("__id"), F.md5(F.col(content_col)).alias("__ofp"))
+    n = new.select(F.col(id_col).alias("__id"), F.md5(F.col(content_col)).alias("__nfp"))
+    change = (
+        F.when(F.col("__ofp").isNull(), "added")
+        .when(F.col("__nfp").isNull(), "removed")
+        .when(F.col("__ofp") != F.col("__nfp"), "modified")
+    )
+    return (
+        o.join(n, "__id", "full_outer")
+        .select(F.col("__id").alias(id_col), change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )

@@ -136,3 +136,20 @@ def test_events_ts_normalizes_under_every_read_shape(spark):
     assert back.schema["ts"].dataType.simpleString() == "timestamp"
     got = {r.event_id: r.ts for r in back.select("event_id", "ts").limit(50).collect()}
     assert got == golden
+
+
+def test_dataset_diff_classifies_and_drops_unchanged(spark):
+    from gofeed_spark.sources.io import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "was this"), (3, "gone soon")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now this"), (9, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.change for r in dataset_diff(old, new).collect()}
+    assert out == {2: "modified", 3: "removed", 9: "added"}
+    # identical snapshots (even re-sharded) diff empty
+    assert dataset_diff(old, old.repartition(7)).count() == 0
