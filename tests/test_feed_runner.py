@@ -340,9 +340,14 @@ def test_run_forever_service_mode_processes_and_stops(spark, tmp_path):
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    before = {r.id: (r.status, r.version) for r in runner.items().collect()}
+    # the service loop may stop mid-continuation (the sentinel items only
+    # prove progress, not quiescence): drain the remainder on the SAME
+    # checkpoint, then assert a second drain is a pure no-op — cross-mode
+    # exactly-once without racing the stop point
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        runner.run_available()
+        before = {r.id: (r.status, r.version) for r in runner.items().collect()}
         runner.run_available()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
