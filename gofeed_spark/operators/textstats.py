@@ -176,12 +176,16 @@ def gopher_rules(
     max_bullet_frac: float = 0.9,
     max_ellipsis_frac: float = 0.3,
     min_stopwords: int = 2,
+    stopwords: tuple = GOPHER_STOPWORDS,
 ) -> DataFrame:
     """Gopher-style repetition/format quality rules — the document-shape
     filters (distinct from q38's length gate) a web-scale pipeline applies
     before training: mean word length in [3,10], '#'/'…' symbol-to-word
     ratio <= 0.1, <= 90% of lines bullet-led, <= 30% of lines
-    ellipsis-ended, and at least 2 of the 8 required stopwords present.
+    ellipsis-ended, and at least ``min_stopwords`` of the required
+    ``stopwords`` present (defaults to Gopher's 8 English words — a
+    language/corpus-specific knob, like the language-adapted lists real
+    pipelines swap in).
 
     Returns (id, mean_wl, symbol_ratio, bullet_frac, ellipsis_frac,
     stop_hits, gopher_ok) with ratios rounded to 6 for hash stability;
@@ -233,7 +237,7 @@ def gopher_rules(
     # unrolled array_contains scans of the token array)
     stop_hits = F.size(
         F.array_intersect(
-            "__toks", F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+            "__toks", F.array(*[F.lit(s) for s in stopwords])
         )
     )
     ok = (
