@@ -301,6 +301,7 @@ def minhash_signatures(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_fp: bool = False,
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures.
 
@@ -311,7 +312,16 @@ def minhash_signatures(
     min-reduce — no explode, no 64-way aggregate, no second shuffle; the
     signature leaves the worker already assembled.  Deterministic
     (fixed seeds).  Docs with no shingles are dropped.
+
+    ``with_fp`` adds ``fp``: an EXACT 64-bit digest of the sorted shingle
+    hash set (blake2b-8).  fp equality ⟺ shingle-set equality (modulo
+    64-bit collisions), where full signature agreement only *estimates* it:
+    two docs at true Jaccard 0.99 agree on all 64 minhashes with p ≈ 0.5,
+    so exact-duplicate verdicts must verify on fp, never on est_jac = 1.0
+    (measured on the test corpus — natural jac-0.99 pairs collide).
     """
+    import hashlib
+
     import numpy as np
 
     rng = np.random.RandomState(9172)
@@ -324,7 +334,7 @@ def minhash_signatures(
         import pandas as pd
 
         for pdf in batches:
-            ids, sigs = [], []
+            ids, sigs, fps = [], [], []
             for did, hs in zip(pdf["doc_id"], pdf["sh"]):
                 if len(hs) == 0:
                     continue
@@ -333,10 +343,28 @@ def minhash_signatures(
                 sig = (s[:, None] * A[None, :] + B[None, :]).min(axis=0)
                 ids.append(did)
                 sigs.append(sig.astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+                if with_fp:
+                    fps.append(
+                        int.from_bytes(
+                            hashlib.blake2b(
+                                np.sort(s.astype(np.int64)).tobytes(), digest_size=8
+                            ).digest(),
+                            "big",
+                            signed=True,
+                        )
+                    )
+            if not ids:
+                # an all-dropped batch must yield NOTHING: an empty pandas
+                # frame's float64 columns fail Arrow's array<long> conversion
+                continue
+            out = {"doc_id": ids, "sig": sigs}
+            if with_fp:
+                out["fp"] = fps
+            yield pd.DataFrame(out)
 
     id_type = docs.schema[id_col].dataType.simpleString()
-    return sh.mapInPandas(run, f"doc_id {id_type}, sig array<long>")
+    schema = f"doc_id {id_type}, sig array<long>" + (", fp long" if with_fp else "")
+    return sh.mapInPandas(run, schema)
 
 
 def minhash_lsh_pairs(
@@ -373,22 +401,14 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     if n_hint is not None and df_cap is not None and n_hint <= df_cap:
         df_cap = None
-    rpb = num_hashes // bands
     # Signatures feed the band relation AND both sides of the candidate
     # re-join — persist so the 64-min-agg pipeline runs once, not 3×.
     sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col).persist()
     # SLIM band relation: (doc_id, band-bucket hash) only — the 64-element
     # signatures never ride through the band shuffle (a 16× weight saving);
     # they are re-joined exactly twice, once per side of each surviving
-    # candidate pair.
-    band_rows = sigs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        F.xxhash64("band", F.slice("sig", F.col("band") * rpb + 1, rpb)).alias("bh"),
-    )
+    # candidate pair.  Shared with the persisted index (`_band_rows`).
+    band_rows = _band_rows(sigs, num_hashes, bands)
     cand = _group_pairs(band_rows, "bh", df_cap=df_cap, hot="star").dropDuplicates(
         ["doc_a", "doc_b"]
     )
@@ -738,4 +758,213 @@ def fuzzy_join_jaccard(
         F.floor(lid / 2).cast("long").alias("left_id"),
         F.floor(rid / 2).cast("long").alias("right_id"),
         F.round("jac", 6).alias("jac"),
+    )
+
+
+# --- incremental dedup: persisted MinHash index -------------------------------
+
+
+def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, bh): the slim banded-LSH relation derived from signatures —
+    shared by the batch path (``minhash_lsh_pairs``) and the persisted
+    index so build and probe can never disagree on the band hash."""
+    rpb = num_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        F.xxhash64("band", F.slice("sig", F.col("band") * rpb + 1, rpb)).alias("bh"),
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = 5_000,
+) -> str:
+    """Persist the corpus side of incremental near-dup detection: MinHash
+    signatures (``sigs/``: doc_id, sig) and the banded-LSH relation
+    (``bands/``: doc_id, bh) under ``path``, plus ``_index_meta.json``
+    recording the hash parameters and a corpus fingerprint (written LAST —
+    completion marker, so an interrupted build never reads as valid).
+
+    This is the append-only-corpus dedup shape (the reference's change-feed
+    model applied to corpus curation): the 100 TB corpus is signed ONCE,
+    and every incoming batch probes the index (``probe_minhash_index``)
+    instead of re-running whole-corpus ``minhash_lsh_pairs`` — per-batch
+    cost becomes O(batch + collisions), independent of corpus size.
+
+    ``df_cap`` star-compresses viral band buckets AT REST: a bucket shared
+    by m > df_cap docs (a template family — near-identical by LSH
+    construction) keeps only its hub row (min id), so a probe hitting the
+    family matches the hub in O(1) rows instead of fanning out to m
+    scoring rows.  Matches `_group_pairs`'s star semantics; pass ``None``
+    to keep every row (exact member-level attribution).
+
+    ``sigs/`` also stores the exact shingle-set fingerprint (``fp``) so
+    exact-duplicate probes verify instead of trusting the estimator.
+    """
+    sigs = minhash_signatures(
+        docs, num_hashes, k, text_col, id_col, with_fp=True
+    ).persist()
+    band = _band_rows(sigs, num_hashes, bands)
+    if df_cap is not None:
+        # Hot buckets collapse to their hub: count/min agg is map-side
+        # combinable over (bh, long, long); the hot set is tiny → broadcast.
+        stats = band.groupBy("bh").agg(
+            F.count("*").alias("df"), F.min("doc_id").alias("hub")
+        )
+        hot = stats.filter(F.col("df") > df_cap)
+        band = band.join(
+            F.broadcast(hot.select("bh")), "bh", "left_anti"
+        ).unionByName(hot.select(F.col("hub").alias("doc_id"), "bh"))
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    band.write.mode("overwrite").parquet(f"{path}/bands")
+    sigs.unpersist()
+    from gofeed_spark.operators.similarity import _corpus_fingerprint, _write_index_meta
+
+    _write_index_meta(
+        path,
+        {
+            "kind": "minhash",
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "k": k,
+            "df_cap": df_cap,
+            "fingerprint": _corpus_fingerprint(docs),
+        },
+    )
+    return path
+
+
+def ensure_minhash_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = 5_000,
+) -> str:
+    """Idempotent ``build_minhash_index``: a completed index at ``path``
+    with matching parameters AND corpus fingerprint short-circuits without
+    touching ``docs``'s data; anything else rebuilds (same contract as
+    ``similarity.ensure_ann_index``)."""
+    from gofeed_spark.operators.similarity import (
+        _corpus_fingerprint,
+        _index_matches,
+    )
+
+    meta = {
+        "kind": "minhash",
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "k": k,
+        "df_cap": df_cap,
+        "fingerprint": _corpus_fingerprint(docs),
+    }
+    if _index_matches(path, meta) is not None:
+        return path
+    return build_minhash_index(
+        docs, path, num_hashes, bands, k, text_col, id_col, df_cap
+    )
+
+
+def probe_minhash_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-duplicate matches of an incoming batch against a persisted
+    MinHash index: (new_id, dup_of, est_jac) with est_jac >= threshold.
+    Hash parameters come FROM the index meta, so a probe can never run
+    with mismatched num_hashes/bands/k.
+
+    100 TB posture — the corpus never shuffles.  With ``broadcast_batch``
+    (the incremental contract: batch ≪ corpus) the plan is three
+    broadcast-hash joins against two straight index scans:
+
+      1. batch band rows (16/doc, 8-byte keys) broadcast → ``bands/`` scan
+         streams past them once; collisions become candidate (new_id,
+         dup_of) pairs — no corpus-side shuffle, no sort.
+      2. the candidate set (collisions only, small by construction)
+         broadcast → ``sigs/`` scan picks up the corpus signatures.
+      3. batch signatures broadcast → est_jac = agreeing-position fraction,
+         threshold filter.
+
+    Set ``broadcast_batch=False`` for a batch too large for the driver —
+    the same plan with shuffled equi-joins (AQE still broadcasts any side
+    that turns out small).  Identical-id rows (re-ingesting docs already
+    indexed) are excluded.
+
+    ``threshold >= 1.0`` requests EXACT-duplicate semantics and is
+    enforced on the stored shingle-set fingerprint, not the estimator:
+    natural jac-0.99 pairs pass all 64 minhashes with p ≈ 0.5 (measured),
+    so est_jac = 1.0 alone over-matches.  Below 1.0 the verdict is the
+    standard signature estimate."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        meta = json.load(f)
+    num_hashes, bands, k = meta["num_hashes"], meta["bands"], meta["k"]
+
+    def side(df):
+        return F.broadcast(df) if broadcast_batch else df
+
+    bsigs = minhash_signatures(
+        batch, num_hashes, k, text_col, id_col, with_fp=True
+    ).persist()
+    bband = _band_rows(bsigs, num_hashes, bands).withColumnRenamed("doc_id", "new_id")
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    cand = (
+        idx_bands.join(side(bband), "bh")
+        .select(F.col("doc_id").alias("dup_of"), "new_id")
+        .filter(F.col("dup_of") != F.col("new_id"))
+        .dropDuplicates(["dup_of", "new_id"])
+    )
+    idx_sigs = spark.read.parquet(f"{path}/sigs")
+    cand_sig = idx_sigs.select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("sig").alias("sig_a"),
+        F.col("fp").alias("fp_a"),
+    ).join(side(cand), "dup_of")
+    scored = cand_sig.join(
+        side(
+            bsigs.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("sig").alias("sig_b"),
+                F.col("fp").alias("fp_b"),
+            )
+        ),
+        "new_id",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    scored = scored.withColumn(
+        "est_jac", agree.cast("double") / F.lit(float(num_hashes))
+    )
+    verdict = (
+        (F.col("fp_a") == F.col("fp_b"))
+        if threshold >= 1.0
+        else (F.col("est_jac") >= threshold)
+    )
+    return scored.filter(verdict).select(
+        "new_id", "dup_of", F.round("est_jac", 6).alias("est_jac")
     )

@@ -418,3 +418,110 @@ def test_fuzzy_join_cross_side_only_and_id_decode(spark):
            fuzzy_join_jaccard(left, right, threshold=0.5).collect()}
     # left 1 and left 2 are identical but never pair; both match right 1
     assert out == {(1, 1): 1.0, (2, 1): 1.0}
+
+
+# --- incremental MinHash index (build / ensure / probe) ----------------------
+
+
+@pytest.fixture()
+def index_env(spark, tmp_path):
+    from gofeed_spark.operators.dedup import build_minhash_index
+
+    corpus = spark.createDataFrame(
+        [(10, A), (11, B), (12, C)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(corpus, path, num_hashes=64, bands=16, k=5)
+    return corpus, path
+
+
+def test_probe_exact_matches_only_true_clones(spark, index_env):
+    from gofeed_spark.operators.dedup import probe_minhash_index
+
+    _, path = index_env
+    # 100 clones A (→ 10), 101 is B's near-dup A... A vs B differ in the last
+    # word only (jac 9/11) — high but NOT identical: exact mode must reject it.
+    batch = spark.createDataFrame(
+        [(100, A), (101, B), (102, "tiny")], "doc_id long, text string"
+    )
+    out = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out == {(100, 10), (101, 11)}
+
+
+def test_probe_estimate_mode_finds_neardups(spark, index_env):
+    from gofeed_spark.operators.dedup import probe_minhash_index
+
+    _, path = index_env
+    batch = spark.createDataFrame([(100, A)], "doc_id long, text string")
+    got = {
+        (r.new_id, r.dup_of): r.est_jac
+        for r in probe_minhash_index(spark, path, batch, threshold=0.5).collect()
+    }
+    assert got[(100, 10)] == 1.0  # identical text -> identical signatures
+    assert (100, 11) in got  # A~B near-dup surfaces in estimate mode
+    assert (100, 12) not in got  # unrelated content never collides
+
+
+def test_probe_excludes_identical_ids(spark, index_env):
+    from gofeed_spark.operators.dedup import probe_minhash_index
+
+    _, path = index_env
+    # re-ingesting an indexed doc under the SAME id is not a duplicate
+    batch = spark.createDataFrame([(10, A)], "doc_id long, text string")
+    out = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out == set()
+
+
+def test_probe_shuffle_mode_matches_broadcast_mode(spark, index_env):
+    from gofeed_spark.operators.dedup import probe_minhash_index
+
+    _, path = index_env
+    batch = spark.createDataFrame(
+        [(100, A), (101, C)], "doc_id long, text string"
+    )
+    a = rows(probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of")
+    b = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0, broadcast_batch=False),
+        "new_id",
+        "dup_of",
+    )
+    assert a == b == {(100, 10), (101, 12)}
+
+
+def test_ensure_minhash_index_short_circuits_and_rebuilds(spark, tmp_path):
+    import os
+
+    from gofeed_spark.operators.dedup import ensure_minhash_index
+
+    corpus = spark.createDataFrame([(1, A), (2, C)], "doc_id long, text string")
+    path = str(tmp_path / "mh_ensure")
+    ensure_minhash_index(corpus, path, num_hashes=64, bands=16, k=5)
+    meta = os.path.join(path, "_index_meta.json")
+    stamp = os.stat(meta).st_mtime_ns
+    ensure_minhash_index(corpus, path, num_hashes=64, bands=16, k=5)
+    assert os.stat(meta).st_mtime_ns == stamp  # warm call: no rebuild
+    ensure_minhash_index(corpus, path, num_hashes=64, bands=8, k=5)
+    assert os.stat(meta).st_mtime_ns != stamp  # parameter change rebuilds
+
+
+def test_build_df_cap_star_compresses_hot_buckets(spark, tmp_path):
+    from gofeed_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+    # 30 identical docs = one band-bucket family of 30; df_cap=5 keeps only
+    # the hub row per bucket, so a probing clone matches the hub alone.
+    corpus = spark.createDataFrame(
+        [(i, A) for i in range(1, 31)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_cap")
+    build_minhash_index(corpus, path, df_cap=5)
+    bands_rows = spark.read.parquet(f"{path}/bands").count()
+    assert bands_rows == 16  # 16 bands x 1 hub row, not x 30 members
+    batch = spark.createDataFrame([(100, A)], "doc_id long, text string")
+    out = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out == {(100, 1)}
