@@ -135,3 +135,34 @@ def mixture_sample(
         )
         .select(id_col, source_col, "rate")
     )
+
+
+def source_cap(
+    docs: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "c",
+) -> DataFrame:
+    """EXACT per-source document cap (the RefinedWeb/CCNet per-domain
+    quota): keep at most ``cap`` docs per source, chosen content-addressed
+    — rank within each source by md5(salted id) and keep the first
+    ``cap``.  The selection is a property of the ids alone, so it is
+    reproducible across engines, re-shards, and re-runs, and adding NEW
+    sources never changes which docs survive in old ones (``mixture_*``
+    is the rate-based sibling; this is the hard-quota one).
+
+    Returns docs' rows with a ``keep`` bit (filter upstream, audit
+    downstream).  Posture: ONE hash-partitioned sort per source via a
+    window — no per-group buffering (row_number is streaming over the
+    sorted run, Spark's sort spills), so a mega-source costs an external
+    sort of its own rows, never memory.  The md5 tiebreak makes ranks
+    unique for distinct ids; duplicate ids tie-break on the id itself.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    return docs.withColumn(
+        "keep", (F.row_number().over(w) <= cap).cast("int")
+    )

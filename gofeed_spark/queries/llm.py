@@ -2021,3 +2021,65 @@ def q100(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- q101 exact per-source cap (RefinedWeb per-domain quota) -----------------
+@query(
+    "q101_source_cap",
+    oracle="""
+SELECT doc_id, source,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('c' || CAST(doc_id AS VARCHAR)), doc_id) <= 20
+         THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM documents ORDER BY doc_id
+""",
+)
+def q101(spark, sf_dir):
+    """Exact per-source document cap — the RefinedWeb/CCNet per-domain
+    quota that stops any one domain dominating the training mix.
+    Content-addressed selection (rank by md5 of the salted id within each
+    source) so the surviving set is a pure function of the ids:
+    reproducible across engines/re-shards, and stable as OTHER sources
+    grow.  cap=20 against ~25 docs/source keeps both branches live.
+    mixture_sample (q93) is the rate-based sibling; this is the hard
+    quota (one windowed sort per source, externally spilled — no
+    per-group buffering at any source size)."""
+    from gofeed_spark.operators.mixing import source_cap
+
+    return source_cap(T(spark, sf_dir, "documents"), cap=20).select(
+        "doc_id", "source", "keep"
+    ).orderBy("doc_id")
+
+
+# --- q102 deterministic shard export -----------------------------------------
+@query(
+    "q102_shard_export",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5('x' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id, hx,
+         CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
+FROM s ORDER BY doc_id
+""",
+)
+def q102(spark, sf_dir):
+    """Deterministic global shuffle for training export (io.shard_for_export):
+    every doc gets a content-addressed (shard, pos) — a total order that is
+    a pure function of the ids, so the exported file layout reproduces
+    bit-identically on any engine or cluster size (rand()/repartition
+    cannot).  One hash shuffle into 8 balanced shards + a per-shard
+    external sort; `write.partitionBy('shard')` downstream materializes
+    loader-ready files."""
+    from gofeed_spark.sources.io import shard_for_export
+
+    return shard_for_export(T(spark, sf_dir, "documents"), n_shards=8).select(
+        "doc_id", "shard", "pos"
+    ).orderBy("doc_id")

@@ -195,3 +195,38 @@ def dataset_diff(
         .select(F.col("__id").alias(id_col), change.alias("change"))
         .filter(F.col("change").isNotNull())
     )
+
+
+def shard_for_export(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "x",
+) -> DataFrame:
+    """Deterministic global shuffle + shard/position assignment for
+    training export: shard = content-addressed hash of the id mod
+    ``n_shards``; ``pos`` = the row's rank (by the same hash) within its
+    shard.  Together (shard, pos) define a total order over the corpus
+    that is a pure function of the ids — reproducible across engines,
+    re-shards, and re-runs, unlike ``repartition`` (partitioner-dependent)
+    or ``rand()`` (seed-per-partitioning).  Downstream,
+    ``df.write.partitionBy('shard')`` (or repartition(n, 'shard') +
+    sortWithinPartitions('pos')) materializes exactly the files a training
+    loader consumes in order.
+
+    Posture: one hash shuffle into ``n_shards`` groups + a per-shard sort
+    (Spark's external sort — spills, never buffers); the md5 key is
+    uniform so shards balance regardless of id distribution or source
+    skew.  Tie-break on the id keeps ranks unique for duplicate hashes.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy(shard).orderBy(h, F.col(id_col))
+    return docs.withColumn("shard", shard).withColumn(
+        "pos", F.row_number().over(w).cast("int")
+    )

@@ -525,3 +525,30 @@ def test_build_df_cap_star_compresses_hot_buckets(spark, tmp_path):
         probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
     )
     assert out == {(100, 1)}
+
+
+def test_source_cap_exact_quota_and_stability(spark):
+    from gofeed_spark.operators.mixing import source_cap
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b", f"doc {i}") for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    out = source_cap(docs, cap=10)
+    kept = {r.doc_id for r in out.filter("keep = 1").collect()}
+    per_src = (
+        out.filter("keep = 1").groupBy("source").count().collect()
+    )
+    assert {r.source: r["count"] for r in per_src} == {"a": 10, "b": 10}
+    # adding a NEW source never changes which docs survive in old ones
+    more = docs.unionByName(
+        spark.createDataFrame(
+            [(100 + i, "c", "x") for i in range(5)],
+            "doc_id long, source string, text string",
+        )
+    )
+    kept2 = {
+        r.doc_id for r in source_cap(more, cap=10).filter("keep = 1").collect()
+        if r.doc_id < 100
+    }
+    assert kept2 == kept

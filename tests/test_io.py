@@ -153,3 +153,29 @@ def test_dataset_diff_classifies_and_drops_unchanged(spark):
     assert out == {2: "modified", 3: "removed", 9: "added"}
     # identical snapshots (even re-sharded) diff empty
     assert dataset_diff(old, old.repartition(7)).count() == 0
+
+
+def test_shard_for_export_deterministic_total_order(spark):
+    from gofeed_spark.sources.io import shard_for_export
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = shard_for_export(docs, n_shards=4)
+    got = {r.doc_id: (r.shard, r.pos) for r in out.collect()}
+    # re-sharded input produces the IDENTICAL assignment (pure id function)
+    got2 = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shard_for_export(docs.repartition(13), n_shards=4).collect()
+    }
+    assert got == got2
+    # per-shard positions are contiguous 1..n (loader-ready order)
+    by_shard = {}
+    for s, p in got.values():
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # md5 keys balance the shards (no shard starves on sequential ids)
+    sizes = sorted(len(ps) for ps in by_shard.values())
+    assert sizes[0] >= 25  # ~50 expected under uniform hashing
