@@ -167,3 +167,36 @@ def test_plan_lint_sweep_every_registered_query(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, f"plan lint offenders: {offenders}"
+
+
+def test_minhash_probe_never_shuffles_the_index(spark, tmp_path):
+    """q100's posture claim, pinned: with broadcast_batch (the incremental
+    contract) the probe plan contains ONLY BroadcastHashJoins — no
+    Exchange ever touches the index scans, so the standing corpus never
+    reshuffles no matter its size."""
+    from gofeed_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_plan_idx")
+    build_minhash_index(corpus, path)
+    batch = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta 7")], "doc_id long, text string"
+    )
+    out = probe_minhash_index(spark, path, batch, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # every JOIN is broadcast — the index scans stream, never sort/shuffle
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the single allowed hash Exchange is the candidate-pair dedup: slim
+    # (dup_of, new_id) rows, volume = band collisions, independent of
+    # corpus size.  Anything more means an index-side shuffle crept in.
+    shuffles = [
+        line.strip()
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(shuffles) <= 1, shuffles
+    assert all("dup_of" in s and "new_id" in s for s in shuffles), shuffles
