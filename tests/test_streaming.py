@@ -417,3 +417,54 @@ def test_streaming_mixture_filter_matches_batch_sample(spark, tmp_path):
     q.awaitTermination(120)
     assert {(r.doc_id, r.source, r.rate) for r in got} == batch_kept
     assert batch_kept  # non-vacuous
+
+
+def test_streaming_ingest_dedups_against_persisted_index(spark, tmp_path):
+    """Ingest-time incremental dedup — the reference's change-feed model
+    applied to corpus curation: new docs stream in, each micro-batch
+    probes the PERSISTED MinHash index (built once from the standing
+    corpus) inside foreachBatch, and only verdict-clean docs reach the
+    sink.  The kept set must EQUAL the batch probe's decision on the same
+    docs (same index, same fingerprints)."""
+    from gofeed_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(i, f"{base} corpus doc number {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh_stream_idx")
+    build_minhash_index(corpus, idx)
+
+    # incoming: ids 100.. — evens are clones of corpus doc (id-100), odds new
+    rows_new = [
+        (100 + i, f"{base} corpus doc number {i}" if i % 2 == 0 else f"fresh content {i} nothing like the corpus at all here")
+        for i in range(10)
+    ]
+    ddl = "doc_id long, text string"
+    new_docs = spark.createDataFrame(rows_new, ddl)
+    dup_ids = {
+        r.new_id for r in probe_minhash_index(spark, idx, new_docs, threshold=1.0).collect()
+    }
+    assert dup_ids == {100, 102, 104, 106, 108}  # batch decision, non-vacuous
+
+    src = str(tmp_path / "ingest_in")
+    new_docs.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 3).parquet(src)
+    kept = []
+
+    def dedup_batch(df, bid):
+        dups = probe_minhash_index(spark, idx, df, threshold=1.0).select("new_id")
+        kept.extend(
+            df.join(dups, df.doc_id == dups.new_id, "left_anti").collect()
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ingest"))
+        .trigger(availableNow=True)
+        .foreachBatch(dedup_batch)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id for r in kept} == {101, 103, 105, 107, 109}
