@@ -2083,3 +2083,115 @@ def q102(spark, sf_dir):
     return shard_for_export(T(spark, sf_dir, "documents"), n_shards=8).select(
         "doc_id", "shard", "pos"
     ).orderBy("doc_id")
+
+
+# --- q103 end-to-end curation export pipeline --------------------------------
+@query(
+    "q103_curation_export",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, source FROM documents WHERE doc_id % 5 = 0
+),
+dedup AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM corpus) t
+  WHERE rn = 1
+),
+f AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) AS n_words,
+         CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+         CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+              + (LENGTH(text) - LENGTH(REPLACE(text, '…', ''))) AS DOUBLE) AS n_sym,
+         string_split(text, chr(10)) AS ls,
+         regexp_split_to_array(lower(text), '\s+') AS toks
+  FROM dedup
+),
+g AS (
+  SELECT doc_id FROM f
+  WHERE nonspace / n_words >= 3.0 AND nonspace / n_words <= 10.0
+    AND n_sym / n_words <= 0.1
+    AND CAST(len(list_filter(ls, x -> starts_with(x, '- ')
+                                   OR starts_with(x, '* ')
+                                   OR starts_with(x, '• '))) AS DOUBLE) / len(ls) <= 0.9
+    AND CAST(len(list_filter(ls, x -> ends_with(x, '...')
+                                   OR ends_with(x, '…'))) AS DOUBLE) / len(ls) <= 0.3
+    AND (CASE WHEN list_contains(toks, 'a')     THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'hash')  THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'join')  THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'value') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'row')   THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'key')   THEN 1 ELSE 0 END) >= 2
+),
+quality AS (SELECT d.doc_id, d.text, d.source FROM dedup d JOIN g USING (doc_id)),
+base AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(lower(text), '\s+')) AS t,
+         1 + (CAST(substr(source, 4) AS INT) % 4) AS w
+  FROM quality
+),
+per_src AS (SELECT source, MAX(w) AS w, SUM(t) AS src_toks FROM base GROUP BY source),
+tot AS (SELECT SUM(src_toks) AS tot_toks, SUM(w) AS tot_w FROM per_src),
+rates AS (
+  SELECT source,
+         LEAST(CAST(1.0 AS DOUBLE),
+               CAST(0.6 AS DOUBLE) * tot_toks * w / tot_w / src_toks) AS rate
+  FROM per_src, tot
+),
+mixed AS (
+  SELECT b.doc_id, b.source
+  FROM base b JOIN rates r USING (source)
+  WHERE CAST(CAST(('0x' || substr(md5('m' || CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 1000000 AS DOUBLE) < r.rate * 1000000
+),
+s AS (
+  SELECT doc_id, source, md5('x' || CAST(doc_id AS VARCHAR)) AS hx,
+         CAST(CAST(('0x' || substr(md5('x' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 8 AS INTEGER) AS shard
+  FROM mixed
+)
+SELECT doc_id, source, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
+FROM s ORDER BY doc_id
+""",
+)
+def q103(spark, sf_dir):
+    """The END-TO-END curation-export pipeline as ONE declarative plan —
+    the job a training-data team actually ships: exact dedup keep-first
+    (clone-bearing corpus, q53's fixture) → Gopher format gate (q91's
+    operator, corpus-adapted stopwords) → weighted mixture sampling to a
+    60% token budget (q93's operator) → deterministic shard export
+    (q102's operator).  Every stage is a registered operator; Catalyst
+    fuses the whole chain into one job graph (the dedup window, the
+    codegen quality pass, two tiny rate aggregates broadcast back, one
+    hash shuffle for the export sort).  Content-addressed decisions at
+    every stage mean the exported (shard, pos) layout reproduces
+    bit-identically on any engine or cluster size — verified against the
+    fully-composed SQL oracle."""
+    from gofeed_spark.operators import mixing
+    from gofeed_spark.sources.io import shard_for_export
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text", "source"
+    )
+    corpus = docs.unionByName(clones)
+    deduped = corpus.join(dedup.dedup_keep_first(corpus), "doc_id")
+    rules = textstats.gopher_rules(deduped, stopwords=_Q91_STOPS)
+    quality = deduped.join(
+        rules.filter(F.col("gopher_ok") == 1).select("doc_id"), "doc_id"
+    )
+    w = 1 + (F.substring("source", 4, 10).cast("int") % 4)
+    mixed = mixing.mixture_sample(quality, w, budget_frac=0.6)
+    survivors = quality.join(mixed.select("doc_id"), "doc_id")
+    return (
+        shard_for_export(survivors, n_shards=8)
+        .select("doc_id", "source", "shard", "pos")
+        .orderBy("doc_id")
+    )
