@@ -968,3 +968,45 @@ def probe_minhash_index(
     return scored.filter(verdict).select(
         "new_id", "dup_of", F.round("est_jac", 6).alias("est_jac")
     )
+
+
+def append_minhash_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Grow a persisted MinHash index by a batch — the write half of the
+    append-only loop (probe the batch → keep the clean docs → append them
+    so the NEXT batch dedups against them too).  Hash parameters come from
+    the index meta (an append can never disagree with the build); sigs and
+    band rows land as additional parquet files (no rewrite of the standing
+    index), and the meta's corpus fingerprint is cleared to the sentinel
+    ``"appended"`` — ``ensure_minhash_index`` treats any fingerprint
+    mismatch as stale, so an appended index is explicitly NOT
+    rebuild-elidable from the original corpus frame (the on-disk state is
+    now the corpus of record).
+
+    NOTE: appends do NOT re-apply ``df_cap`` star compression to buckets
+    that go hot only across appends — run ``build_minhash_index`` afresh
+    (a compaction, reference `io.compact`'s shape) when append volume
+    approaches the original corpus size."""
+    import json
+    import os
+
+    from gofeed_spark.operators.similarity import _write_index_meta
+
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        meta = json.load(f)
+    num_hashes, bands, k = meta["num_hashes"], meta["bands"], meta["k"]
+    sigs = minhash_signatures(
+        batch, num_hashes, k, text_col, id_col, with_fp=True
+    ).persist()
+    band = _band_rows(sigs, num_hashes, bands)
+    sigs.write.mode("append").parquet(f"{path}/sigs")
+    band.write.mode("append").parquet(f"{path}/bands")
+    sigs.unpersist()
+    meta["fingerprint"] = "appended"
+    _write_index_meta(path, meta)
+    return path

@@ -552,3 +552,31 @@ def test_source_cap_exact_quota_and_stability(spark):
         if r.doc_id < 100
     }
     assert kept2 == kept
+
+
+def test_append_minhash_index_grows_the_probe_target(spark, index_env):
+    from gofeed_spark.operators.dedup import (
+        append_minhash_index,
+        ensure_minhash_index,
+        probe_minhash_index,
+    )
+
+    corpus, path = index_env
+    fresh = "entirely new subject matter arrives in the second ingest wave"
+    append_minhash_index(spark, path, spark.createDataFrame(
+        [(50, fresh)], "doc_id long, text string"))
+    # a later batch now dedups against the APPENDED doc as well as the build
+    batch = spark.createDataFrame([(200, fresh), (201, A)], "doc_id long, text string")
+    out = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out == {(200, 50), (201, 10)}
+    # an appended index is never silently rebuild-elided from the old frame
+    import json, os
+    meta = json.load(open(os.path.join(path, "_index_meta.json")))
+    assert meta["fingerprint"] == "appended"
+    ensure_minhash_index(corpus, path)  # fingerprint mismatch -> rebuilds
+    out2 = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out2 == {(201, 10)}  # doc 50 gone: rebuilt from the build corpus

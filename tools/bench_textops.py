@@ -34,6 +34,9 @@ QS = [
     "q95_interval_join",
     "q96_fuzzy_join",
     "q97_bm25_search",
+    "q101_source_cap",
+    "q102_shard_export",
+    "q103_curation_export",
 ]
 
 
