@@ -392,3 +392,50 @@ def dup_ngram_char_fraction(
             yield pd.DataFrame({id_col: ids, "dup_ngram_frac": fracs})
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_xent_bits: float = 12.0,
+) -> DataFrame:
+    """Corpus-trained unigram LM quality score — the CCNet/KenLM filter
+    shape (Wenzek et al. 2020) with the LM trained ON the corpus itself:
+    per-doc cross-entropy (bits/token) under the corpus unigram
+    distribution, plus a keep flag at ``max_xent_bits``.  High-entropy
+    docs are gibberish/rare-token soup; the classic LM-perplexity filter
+    uses an external 5-gram model, but the 1-gram self-trained variant
+    needs no model artifact and is fully engine-checkable.
+
+    Returns (id, n_tokens, xent_bits, keep) with xent rounded to 6.
+
+    Posture: tokens explode ONCE into slim (doc_id, xxhash64(token))
+    rows; the frequency table aggregates map-side-combined on the 8-byte
+    key (vocabulary is sublinear in corpus size), the scalar total rides
+    a broadcast, and the score join is an ordinary equi-join AQE
+    broadcasts when the vocab is small.  No Python anywhere.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(ws_tokens(text_col)).alias("__tok"),
+    ).select("__id", F.xxhash64("__tok").alias("__h"))
+    freq = toks.groupBy("__h").agg(F.count("*").alias("__c"))
+    tot = freq.agg(F.sum("__c").alias("__T"))
+    scored = (
+        toks.join(freq, "__h")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            (-F.avg(F.log2(F.col("__c").cast("double") / F.col("__T")))).alias(
+                "__xent"
+            ),
+        )
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.round("__xent", 6).alias("xent_bits"),
+        (F.col("__xent") <= max_xent_bits).cast("int").alias("keep"),
+    )

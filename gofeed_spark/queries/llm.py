@@ -2195,3 +2195,38 @@ def q103(spark, sf_dir):
         .select("doc_id", "source", "shard", "pos")
         .orderBy("doc_id")
     )
+
+
+# --- q104 corpus-trained unigram LM quality score -----------------------------
+@query(
+    "q104_unigram_logprob",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c) AS T FROM freq),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         -AVG(log2(CAST(f.c AS DOUBLE) / tt.T)) AS xent
+  FROM toks t JOIN freq f USING (tok), tot tt
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       ROUND(xent, 6) AS xent_bits,
+       CAST(CASE WHEN xent <= 12.0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored ORDER BY doc_id
+""",
+)
+def q104(spark, sf_dir):
+    """Corpus-trained unigram LM quality score (textstats.unigram_logprob_score)
+    — the CCNet LM-perplexity filter shape with the model trained on the
+    corpus itself: per-doc cross-entropy in bits/token under the corpus
+    unigram distribution + keep flag.  One slim hashed-token explode, a
+    map-side-combinable vocab aggregate, broadcast scalar total, equi-join
+    score — no Python, no model artifact."""
+    return textstats.unigram_logprob_score(
+        T(spark, sf_dir, "documents")
+    ).orderBy("doc_id")

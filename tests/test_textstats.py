@@ -251,3 +251,28 @@ def test_bm25_scores_hand_computed(spark):
     d2 = idf_dog * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / 2.0))
     assert out == {1: round(d1, 6), 2: round(d2, 6)}
     assert 3 not in out  # no query term -> no row
+
+
+def test_unigram_logprob_exact_powers_of_two(spark):
+    from gofeed_spark.operators.textstats import unigram_logprob_score
+
+    # freq: a=2, b=1, c=1, T=4 -> p(a)=1/2 (1 bit), p(b)=p(c)=1/4 (2 bits)
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.xent_bits, r.keep)
+        for r in unigram_logprob_score(docs).collect()
+    }
+    assert got == {1: (2, 1.0, 1), 2: (2, 2.0, 1)}
+
+
+def test_unigram_logprob_flags_rare_token_soup(spark):
+    from gofeed_spark.operators.textstats import unigram_logprob_score
+
+    common = [(i, "the cat sat on the mat in the hat") for i in range(1, 40)]
+    soup = [(100, "zxqv wkjh pqrs mnbv lkyt")]  # every token unique in corpus
+    docs = spark.createDataFrame(common + soup, "doc_id long, text string")
+    out = {r.doc_id: r.keep for r in unigram_logprob_score(docs, max_xent_bits=6.0).collect()}
+    assert out[100] == 0  # rare-token soup exceeds the entropy budget
+    assert all(v == 1 for k, v in out.items() if k != 100)
