@@ -2230,3 +2230,81 @@ def q104(spark, sf_dir):
     return textstats.unigram_logprob_score(
         T(spark, sf_dir, "documents")
     ).orderBy("doc_id")
+
+
+# --- q105 URL hygiene: canonicalize + domain + blocklist ----------------------
+@query(
+    "q105_url_canonicalize",
+    oracle=r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM/docs/'
+         || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '/?utm_source=feed&utm_campaign=x&ref=' || CAST(doc_id AS VARCHAR)
+                 ELSE '/' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+  FROM documents
+),
+c1 AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(url, '#.*$', ''),
+                   '([?&])utm_[A-Za-z_]+=[^&]*', '\1', 'g'),
+                 '&&+', '&', 'g'),
+               '\?&', '?'),
+             '[?&]+$', ''),
+           '/+(\?|$)', '\1', 'g') AS u
+  FROM raw
+),
+c2 AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))
+           || substr(u, LENGTH(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) + 1)
+           AS url_canon
+  FROM c1
+),
+c3 AS (
+  SELECT doc_id, url_canon,
+         regexp_extract(url_canon, '^[a-z][a-z0-9+.-]*://(?:www\.)?([^/:?]+)', 1) AS domain
+  FROM c2
+)
+SELECT doc_id, url_canon, domain,
+       CAST(CASE WHEN domain IN ('src3.example.com', 'src7.example.com')
+            THEN 1 ELSE 0 END AS INT) AS blocked
+FROM c3 ORDER BY doc_id
+""",
+)
+def q105(spark, sf_dir):
+    """URL hygiene (operators/urls.py) — the pre-content gate of a web
+    pipeline: canonicalize (fragment dropped, utm_* stripped with
+    separator cleanup, scheme+host lowercased, trailing slash removed),
+    extract the domain, verdict against a blocklist.  URLs are
+    synthesized deterministically from (source, doc_id) — mixed-case
+    host, tracking params on every 3rd doc, fragments on every 5th, so
+    every canonicalization rule fires on real rows.  One codegen
+    projection pass, no shuffle, no Python."""
+    from gofeed_spark.operators.urls import with_url_verdict
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM/docs/"),
+        sid,
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/?utm_source=feed&utm_campaign=x&ref="), sid),
+        ).otherwise(F.lit("/")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    out = with_url_verdict(
+        d.withColumn("url", url),
+        blocklist=("src3.example.com", "src7.example.com"),
+    )
+    return out.select("doc_id", "url_canon", "domain", "blocked").orderBy("doc_id")
