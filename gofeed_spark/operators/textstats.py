@@ -439,3 +439,68 @@ def unigram_logprob_score(
         F.round("__xent", 6).alias("xent_bits"),
         (F.col("__xent") <= max_xent_bits).cast("int").alias("keep"),
     )
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_xent_bits: float = 8.0,
+) -> DataFrame:
+    """Bigram twin of ``unigram_logprob_score``: per-doc cross-entropy in
+    bits/bigram under the corpus CONDITIONAL bigram model
+    p(w₂|w₁) = c(w₁w₂)/c(w₁·), where c(w₁·) counts w₁ as a bigram left
+    context.  Catches locally-incoherent text (shuffled words, template
+    stitching) that unigram frequencies score as fluent.  Docs with < 2
+    tokens have no bigrams and are dropped — compose with the unigram
+    score, which covers them.
+
+    Returns (id, n_bigrams, xent2_bits, keep).
+
+    Posture: the token stream explodes ONCE with positions; bigrams form
+    by joining the stream to itself shifted by one — implemented as a
+    projection over ``slice``d token arrays, so the only wide plans are
+    the two count aggregates (8-byte hashed keys, map-side combinable)
+    and the slim score joins.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"), ws_tokens(text_col).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    # (doc, left-hash, pair-hash) per bigram: transform over index range
+    # keeps everything in one projection (arrays materialized first —
+    # the inlined-lambda re-evaluation trap)
+    pairs = toks.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.xxhash64(F.element_at("__t", i)).alias("h1"),
+                    F.xxhash64(
+                        F.element_at("__t", i), F.element_at("__t", i + 1)
+                    ).alias("h12"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("__id", F.col("bg.h1").alias("__h1"), F.col("bg.h12").alias("__h12"))
+    c12 = pairs.groupBy("__h12").agg(F.count("*").alias("__c12"))
+    c1 = pairs.groupBy("__h1").agg(F.count("*").alias("__c1"))
+    scored = (
+        pairs.join(c12, "__h12")
+        .join(c1, "__h1")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            (
+                -F.avg(
+                    F.log2(F.col("__c12").cast("double") / F.col("__c1"))
+                )
+            ).alias("__x"),
+        )
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        "n_bigrams",
+        F.round("__x", 6).alias("xent2_bits"),
+        (F.col("__x") <= max_xent_bits).cast("int").alias("keep"),
+    )

@@ -2308,3 +2308,40 @@ def q105(spark, sf_dir):
         blocklist=("src3.example.com", "src7.example.com"),
     )
     return out.select("doc_id", "url_canon", "domain", "blocked").orderBy("doc_id")
+
+
+# --- q106 corpus-trained bigram LM coherence score ----------------------------
+@query(
+    "q106_bigram_logprob",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM t, UNNEST(range(1, len(w))) AS r(i)
+  WHERE len(w) >= 2
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, COUNT(*) AS n,
+         -AVG(log2(CAST(x.c12 AS DOUBLE) / y.c1)) AS xent
+  FROM bg b JOIN c12 x USING (w1, w2) JOIN c1 y USING (w1)
+  GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n AS INT) AS n_bigrams,
+       ROUND(xent, 6) AS xent2_bits,
+       CAST(CASE WHEN xent <= 8.0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored ORDER BY doc_id
+""",
+)
+def q106(spark, sf_dir):
+    """Bigram LM coherence score (textstats.bigram_logprob_score) — q104's
+    conditional twin: cross-entropy under p(w2|w1) trained on the corpus,
+    catching locally-incoherent text unigram frequency misses.  Bigrams
+    form in one array projection (no token self-join); only the two count
+    aggregates and slim hashed-key score joins go wide."""
+    return textstats.bigram_logprob_score(
+        T(spark, sf_dir, "documents")
+    ).orderBy("doc_id")

@@ -276,3 +276,20 @@ def test_unigram_logprob_flags_rare_token_soup(spark):
     out = {r.doc_id: r.keep for r in unigram_logprob_score(docs, max_xent_bits=6.0).collect()}
     assert out[100] == 0  # rare-token soup exceeds the entropy budget
     assert all(v == 1 for k, v in out.items() if k != 100)
+
+
+def test_bigram_logprob_exact_and_short_doc_dropped(spark):
+    from gofeed_spark.operators.textstats import bigram_logprob_score
+
+    # bigrams: (a,b)x2 from docs 1&2, (a,c)x1, (c,a)x1 from doc 2;
+    # c(a.)=3, c(c.)=1 -> p(b|a)=2/3, p(c|a)=1/3, p(a|c)=1
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.xent2_bits)
+           for r in bigram_logprob_score(docs).collect()}
+    import math
+    e1 = round(-math.log2(2 / 3), 6)
+    e2 = round(-(math.log2(1 / 3) + math.log2(1.0) + math.log2(2 / 3)) / 3, 6)
+    assert got == {1: (1, e1), 2: (3, e2)}  # doc 3: no bigrams, dropped
