@@ -399,6 +399,7 @@ def unigram_logprob_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_xent_bits: float = 12.0,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-trained unigram LM quality score — the CCNet/KenLM filter
     shape (Wenzek et al. 2020) with the LM trained ON the corpus itself:
@@ -410,6 +411,13 @@ def unigram_logprob_score(
 
     Returns (id, n_tokens, xent_bits, keep) with xent rounded to 6.
 
+    ``model``: a frozen frequency table from ``unigram_model`` (profile
+    once on a reference corpus, score any later frame or micro-batch —
+    the ``mixture_rates``/``mixture_filter`` split).  Default trains on
+    ``docs`` itself.  A scored token absent from the model is dropped
+    from the average (frozen-model semantics; the self-trained path
+    never hits this).
+
     Posture: tokens explode ONCE into slim (doc_id, xxhash64(token))
     rows; the frequency table aggregates map-side-combined on the 8-byte
     key (vocabulary is sublinear in corpus size), the scalar total rides
@@ -420,7 +428,9 @@ def unigram_logprob_score(
         F.col(id_col).alias("__id"),
         F.explode(ws_tokens(text_col)).alias("__tok"),
     ).select("__id", F.xxhash64("__tok").alias("__h"))
-    freq = toks.groupBy("__h").agg(F.count("*").alias("__c"))
+    freq = model if model is not None else toks.groupBy("__h").agg(
+        F.count("*").alias("__c")
+    )
     tot = freq.agg(F.sum("__c").alias("__T"))
     scored = (
         toks.join(freq, "__h")
@@ -503,4 +513,18 @@ def bigram_logprob_score(
         "n_bigrams",
         F.round("__x", 6).alias("xent2_bits"),
         (F.col("__x") <= max_xent_bits).cast("int").alias("keep"),
+    )
+
+
+def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The frozen corpus unigram model for ``unigram_logprob_score``'s
+    ``model`` param: (token-hash, count).  Profile once on a reference
+    corpus (persist or write it), then score later frames / streaming
+    micro-batches against it — scores stay comparable across batches
+    because the distribution no longer drifts with the batch."""
+    return (
+        docs.select(F.explode(ws_tokens(text_col)).alias("__tok"))
+        .select(F.xxhash64("__tok").alias("__h"))
+        .groupBy("__h")
+        .agg(F.count("*").alias("__c"))
     )

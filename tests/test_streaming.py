@@ -468,3 +468,52 @@ def test_streaming_ingest_dedups_against_persisted_index(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {r.doc_id for r in kept} == {101, 103, 105, 107, 109}
+
+
+def test_streaming_lm_score_with_frozen_model_matches_batch(spark, tmp_path):
+    """Ingest-time LM quality filter: the unigram model is profiled ONCE
+    on the reference corpus (unigram_model), then each micro-batch scores
+    against the frozen table inside foreachBatch — per-doc scores must
+    EQUAL the batch scores with the same model, independent of how docs
+    split across micro-batches (a self-trained per-batch score would
+    drift with batch composition)."""
+    from gofeed_spark.operators.textstats import unigram_logprob_score, unigram_model
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat near the hat") for i in range(20)]
+        + [(100, "rare words appear here once only")],
+        "doc_id long, text string",
+    )
+    model = unigram_model(ref)
+    model.persist().count()
+
+    ddl = "doc_id long, text string"
+    incoming = spark.createDataFrame(
+        [(200, "the cat sat on the mat"), (201, "rare words appear"),
+         (202, "the hat near the mat")],
+        ddl,
+    )
+    batch_scores = {
+        r.doc_id: (r.n_tokens, r.xent_bits, r.keep)
+        for r in unigram_logprob_score(incoming, model=model).collect()
+    }
+    assert len(batch_scores) == 3
+
+    src = str(tmp_path / "lm_in")
+    incoming.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    got = {}
+
+    def score_batch(df, bid):
+        for r in unigram_logprob_score(df, model=model).collect():
+            got[r.doc_id] = (r.n_tokens, r.xent_bits, r.keep)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_lm"))
+        .trigger(availableNow=True)
+        .foreachBatch(score_batch)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch_scores
