@@ -528,3 +528,48 @@ def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("__h")
         .agg(F.count("*").alias("__c"))
     )
+
+
+def keyword_classify(
+    docs: DataFrame,
+    taxonomy: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    default: str = "other",
+) -> DataFrame:
+    """Rule-based topic tagging — the cheap classifier-apply shape of a
+    curation pipeline (domain tagging before mixture weighting; a learned
+    classifier deploys as the same plan with a model UDF): per label,
+    count how many of its keywords appear as TOKENS in the doc; assign
+    the label with the most hits, ties broken lexicographically, no hits
+    → ``default``.
+
+    Returns (id, label, label_hits).  One projection pass: the token
+    array materializes once, each label's score is an unrolled
+    array_contains sum (taxonomies are tens of labels × tens of keywords
+    — comfortably codegen; a 10⁵-keyword taxonomy would switch to an
+    explode + broadcast keyword join with the same output contract).
+    """
+    toks_df = docs.select(
+        F.col(id_col).alias("__id"), ws_tokens(text_col).alias("__toks")
+    )
+    scores = {
+        label: sum(
+            F.when(F.array_contains("__toks", kw), 1).otherwise(0)
+            for kw in kws
+        ).cast("int")
+        for label, kws in sorted(taxonomy.items())
+    }
+    # best = max hits, lexicographic tiebreak: fold labels in REVERSE order
+    # so an equal-score earlier label overwrites a later one
+    best_label, best_hits = F.lit(default), F.lit(0)
+    for label in sorted(scores, reverse=True):
+        s = scores[label]
+        cond = s >= F.greatest(best_hits, F.lit(1))
+        best_label = F.when(cond, F.lit(label)).otherwise(best_label)
+        best_hits = F.when(cond, s).otherwise(best_hits)
+    return toks_df.select(
+        F.col("__id").alias(id_col),
+        best_label.alias("label"),
+        best_hits.alias("label_hits"),
+    )

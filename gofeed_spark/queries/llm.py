@@ -2345,3 +2345,54 @@ def q106(spark, sf_dir):
     return textstats.bigram_logprob_score(
         T(spark, sf_dir, "documents")
     ).orderBy("doc_id")
+
+
+# --- q107 rule-based topic tagging -------------------------------------------
+_Q107_TAXONOMY = {
+    "compute": ("spark", "hash", "join", "scan"),
+    "data": ("data", "stream", "key", "value"),
+    "storage": ("table", "row", "batch", "part"),
+}
+
+
+@query(
+    "q107_keyword_classify",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         (CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'hash')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'join')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'scan')  THEN 1 ELSE 0 END) AS s_compute,
+         (CASE WHEN list_contains(toks, 'data')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'key')    THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'value')  THEN 1 ELSE 0 END) AS s_data,
+         (CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'row')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'batch') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'part')  THEN 1 ELSE 0 END) AS s_storage
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_compute, s_data, s_storage) = 0 THEN 'other'
+            WHEN s_compute = GREATEST(s_compute, s_data, s_storage) THEN 'compute'
+            WHEN s_data = GREATEST(s_compute, s_data, s_storage) THEN 'data'
+            ELSE 'storage' END AS label,
+       CAST(GREATEST(s_compute, s_data, s_storage) AS INT) AS label_hits
+FROM s ORDER BY doc_id
+""",
+)
+def q107(spark, sf_dir):
+    """Rule-based topic tagging (textstats.keyword_classify) — domain
+    labels before mixture weighting, the cheap classifier-apply shape (a
+    learned model deploys as the same plan): per-label keyword-hit
+    counts, argmax with lexicographic ties, no hits → 'other'.  One
+    codegen projection, taxonomy keyed to the corpus vocabulary so all
+    labels (and the tie path) occur."""
+    return textstats.keyword_classify(
+        T(spark, sf_dir, "documents"), _Q107_TAXONOMY
+    ).orderBy("doc_id")

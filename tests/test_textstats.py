@@ -293,3 +293,18 @@ def test_bigram_logprob_exact_and_short_doc_dropped(spark):
     e1 = round(-math.log2(2 / 3), 6)
     e2 = round(-(math.log2(1 / 3) + math.log2(1.0) + math.log2(2 / 3)) / 3, 6)
     assert got == {1: (1, e1), 2: (3, e2)}  # doc 3: no bigrams, dropped
+
+
+def test_keyword_classify_argmax_ties_and_default(spark):
+    from gofeed_spark.operators.textstats import keyword_classify
+
+    tax = {"b_topic": ("cat", "dog"), "a_topic": ("fish", "bird")}
+    docs = spark.createDataFrame(
+        [(1, "cat dog here"),          # b_topic wins 2-0
+         (2, "fish and cat"),          # 1-1 tie -> lexicographic a_topic
+         (3, "nothing relevant")],     # no hits -> other
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.label, r.label_hits)
+           for r in keyword_classify(docs, tax).collect()}
+    assert got == {1: ("b_topic", 2), 2: ("a_topic", 1), 3: ("other", 0)}
