@@ -573,3 +573,46 @@ def keyword_classify(
         best_label.alias("label"),
         best_hits.alias("label_hits"),
     )
+
+
+def relative_length_filter(
+    docs: DataFrame,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    len_col: str = "n_chars",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ADAPTIVE length filtering — per-source percentile bounds instead of
+    one global threshold (the FineWeb lesson: absolute thresholds tuned on
+    one source mis-filter another; a code corpus and a news corpus have
+    different length norms).  Keeps docs inside [p_lo, p_hi] of their OWN
+    source's length distribution.
+
+    Returns (id, source, length, lo_bound, hi_bound, keep); bounds are
+    exact interpolated percentiles (rounded to 4 for output stability;
+    the keep comparison uses unrounded values).
+
+    Posture: one map-side-combinable percentile aggregate to a
+    |sources|-row bounds table that broadcasts back — the corpus pays a
+    scan + broadcast join, no shuffle of doc rows.  (Exact percentile
+    state is O(rows per source) on the agg side; at extreme per-source
+    volume swap in percentile_approx — same plan, sketch state.)
+    """
+    ln = F.col(len_col).cast("double")
+    bounds = docs.groupBy(source_col).agg(
+        F.expr(f"percentile({len_col}, {lo})").alias("__lo"),
+        F.expr(f"percentile({len_col}, {hi})").alias("__hi"),
+    )
+    keep = (ln >= F.col("__lo")) & (ln <= F.col("__hi"))
+    return (
+        docs.join(F.broadcast(bounds), source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col(len_col).cast("int").alias("length"),
+            F.round("__lo", 4).alias("lo_bound"),
+            F.round("__hi", 4).alias("hi_bound"),
+            keep.cast("int").alias("keep"),
+        )
+    )

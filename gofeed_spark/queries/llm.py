@@ -2396,3 +2396,32 @@ def q107(spark, sf_dir):
     return textstats.keyword_classify(
         T(spark, sf_dir, "documents"), _Q107_TAXONOMY
     ).orderBy("doc_id")
+
+
+# --- q108 adaptive per-source length filter ----------------------------------
+@query(
+    "q108_relative_length_filter",
+    oracle="""
+WITH b AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS lo_b,
+         quantile_cont(n_chars, 0.95) AS hi_b
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS INT) AS length,
+       ROUND(b.lo_b, 4) AS lo_bound, ROUND(b.hi_b, 4) AS hi_bound,
+       CAST(CASE WHEN d.n_chars >= b.lo_b AND d.n_chars <= b.hi_b
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d JOIN b USING (source)
+ORDER BY d.doc_id
+""",
+)
+def q108(spark, sf_dir):
+    """Adaptive per-source length filter (textstats.relative_length_filter)
+    — percentile bounds per source instead of a global threshold, so no
+    source's length norm mis-filters another's.  One percentile aggregate
+    to a tiny bounds table broadcast back over the scan; exact
+    interpolated percentiles match quantile_cont (q64's precedent)."""
+    return textstats.relative_length_filter(
+        T(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
