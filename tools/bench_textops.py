@@ -37,6 +37,11 @@ QS = [
     "q101_source_cap",
     "q102_shard_export",
     "q103_curation_export",
+    "q104_unigram_logprob",
+    "q105_url_canonicalize",
+    "q106_bigram_logprob",
+    "q107_keyword_classify",
+    "q108_relative_length_filter",
 ]
 
 
