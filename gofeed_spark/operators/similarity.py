@@ -716,6 +716,7 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: bool = False,
+    meta_cols: tuple = (),
 ) -> None:
     """Materialize the SRP-LSH layout ``lsh_bucket_topk``'s docstring
     promises: the corpus WRITTEN partitioned by sign-bucket, so a probe is
@@ -730,7 +731,14 @@ def build_ann_index(
     it each bucket's rows are clustered into one task → O(2^planes) files
     total."""
     planes = _hyperplanes(dim, n_planes)
-    e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
+    # ``meta_cols`` ride into the layout as plain parquet columns: a
+    # filtered probe (probe_ann_index ``where``) pushes its predicate into
+    # the pruned scan — filtered vector search without a second index.
+    e = emb.select(
+        F.col(id_col).alias("nid"),
+        as_double_array(vec_col).alias("v"),
+        *[F.col(c) for c in meta_cols],
+    )
     # The 'b' prefix keeps the partition value NON-NUMERIC: a bare bit
     # string ("0101") is re-inferred as INT on read, which drops leading
     # zeros — and under non-ANSI IN-list coercion the column's string form
@@ -782,6 +790,7 @@ def probe_ann_index(
     dim: int = 64,
     exclude_id: int | None = None,
     multiprobe: int = 0,
+    where=None,
 ) -> DataFrame:
     """Top-k cosine probe against a ``build_ann_index`` layout.  The query's
     bucket is computed on the driver with the SAME einsum call shape the
@@ -807,6 +816,11 @@ def probe_ann_index(
     else:
         bucket = "b" + _srp_bucket_strs(qv[None, :], planes_mat)[0]
         idx = spark.read.parquet(path).filter(F.col("bucket") == bucket)
+    if where is not None:
+        # metadata predicate (filtered vector search): applied before the
+        # dequantize projection so Catalyst pushes it into the pruned scan
+        # (PushedFilters on the meta column, beside the PartitionFilters)
+        idx = idx.filter(where)
     if "q" in idx.columns:  # int8-quantized layout: reconstruct v in-plan
         idx = _dequantized(idx)
     if exclude_id is not None:

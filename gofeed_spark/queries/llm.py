@@ -2425,3 +2425,51 @@ def q108(spark, sf_dir):
     return textstats.relative_length_filter(
         T(spark, sf_dir, "documents")
     ).orderBy("doc_id")
+
+
+# --- q109 filtered ANN: metadata predicate inside the pruned probe -----------
+@query(
+    "q109_filtered_ann",
+    oracle="""
+SELECT 1 AS rank, MAX(vec_id) + 10000000 AS neighbor_id FROM embeddings
+""",
+)
+def q109(spark, sf_dir):
+    """FILTERED vector search — the metadata-predicate probe every vector
+    store ships (search only rows with label = X): q79's partition-pruned
+    SRP layout built with `meta_cols=('label',)`, probed with a `where`
+    on the metadata column.  The predicate lands in the scan's
+    PushedFilters BESIDE the bucket PartitionFilters (plan-asserted in
+    tests/test_plans.py), so the filter costs row-group pruning, not a
+    post-scan pass.  The query's clone carries a label no corpus row has
+    (99) — the filtered probe must return exactly it, while unfiltered
+    it would tie with the query's own bucket cohort."""
+    import shutil
+    import tempfile
+
+    emb = T(spark, sf_dir, "embeddings")
+    agg = emb.agg(
+        F.max("vec_id").alias("max_id"),
+        F.first(
+            F.when(F.col("vec_id") == 1, F.col("embedding")), ignorenulls=True
+        ).alias("qv"),
+    ).collect()[0]
+    max_id, query_vec = int(agg["max_id"]), agg["qv"]
+    clone = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(max_id + 10_000_000).cast("long").alias("vec_id"),
+        "embedding",
+        F.lit(99).cast("int").alias("label"),
+    )
+    corpus = emb.unionByName(clone)
+    path = tempfile.mkdtemp(prefix="gofeed_q109_")
+    try:
+        similarity.build_ann_index(
+            corpus, path, n_planes=4, dim=64, meta_cols=("label",)
+        )
+        out = similarity.probe_ann_index(
+            spark, path, query_vec, k=3, n_planes=4, dim=64,
+            where=F.col("label") == 99,
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

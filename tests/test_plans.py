@@ -200,3 +200,32 @@ def test_minhash_probe_never_shuffles_the_index(spark, tmp_path):
     ]
     assert len(shuffles) <= 1, shuffles
     assert all("dup_of" in s and "new_id" in s for s in shuffles), shuffles
+
+
+def test_filtered_ann_probe_pushes_predicate_beside_pruning(spark, tmp_path):
+    """q109's posture, pinned: the metadata predicate of a filtered probe
+    lands in the parquet scan's PushedFilters while the bucket stays in
+    PartitionFilters — filter evaluation is row-group pruning inside the
+    pruned directory, never a post-scan pass over other buckets."""
+    from gofeed_spark.operators.similarity import build_ann_index, probe_ann_index
+    from pyspark.sql import functions as F
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (i, rng.randn(8).tolist(), i % 3) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    path = str(tmp_path / "fann")
+    build_ann_index(emb, path, n_planes=3, dim=8, meta_cols=("label",))
+    out = probe_ann_index(
+        spark, path, rows[0][1], k=3, n_planes=3, dim=8, where=F.col("label") == 1
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    assert "PartitionFilters" in scan and "bucket" in scan.split("PartitionFilters")[1][:200]
+    assert "PushedFilters" in scan
+    pushed = scan.split("PushedFilters:")[1][:200]
+    assert "label" in pushed, pushed
+    labels = {r.neighbor_id % 3 for r in out.collect()}
+    assert labels == {1}  # only label-1 rows survive
