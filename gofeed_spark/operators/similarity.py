@@ -845,6 +845,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_iters: int = 2,
     quantize: bool = False,
+    meta_cols: tuple = (),
 ) -> np.ndarray:
     """Materialize the IVF layout (corpus partitioned by coarse cell) and
     return the codebook (n_cells × dim, Lloyd-refined via ``ivf_codebook``).
@@ -854,7 +855,11 @@ def build_ivf_index(
     n_cells).  ``quantize`` stores the int8 payload instead of the float
     vector (see ``_with_int8_quantization``) — cell assignment stays
     full-precision."""
-    e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
+    e = emb.select(
+        F.col(id_col).alias("nid"),
+        as_double_array(vec_col).alias("v"),
+        *[F.col(c) for c in meta_cols],
+    )
     cmat = ivf_codebook(e, n_cells, n_iters=n_iters)
     cnorm = np.linalg.norm(cmat, axis=1)
     cells = e.withColumn("cell", _ivf_cell_udf(cmat, cnorm)(F.col("v")))
@@ -874,6 +879,7 @@ def probe_ivf_index(
     k: int = 3,
     n_probe: int = 4,
     exclude_id: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Top-k cosine probe over the ``n_probe`` nearest cells of a
     ``build_ivf_index`` layout — a partition-pruned multi-directory read.
@@ -884,6 +890,10 @@ def probe_ivf_index(
     qsims = _ivf_sims(qv[None, :], cmat, np.linalg.norm(cmat, axis=1))[0]
     probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    if where is not None:
+        # filtered vector search (see probe_ann_index): pushed into the
+        # pruned scan beside the cell PartitionFilters
+        idx = idx.filter(where)
     if "q" in idx.columns:  # int8-quantized layout: reconstruct v in-plan
         idx = _dequantized(idx)
     if exclude_id is not None:

@@ -636,3 +636,21 @@ def test_quantized_ivf_index_recall_and_size(spark, tmp_path):
         vals.append(len(got & truth[qi]) / 10)
     recall = sum(vals) / len(vals)
     assert recall >= 0.9, f"quantized IVF recall@10 {recall}"
+
+
+def test_ivf_filtered_probe_respects_metadata_predicate(spark, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.similarity import build_ivf_index, probe_ivf_index
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(8).tolist(), i % 2) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    path = str(tmp_path / "ivf_filtered")
+    cb = build_ivf_index(emb, path, n_cells=4, meta_cols=("label",))
+    out = probe_ivf_index(
+        spark, path, cb, rows[0][1], k=5, n_probe=4, where=F.col("label") == 1
+    )
+    ids = [r.neighbor_id for r in out.collect()]
+    assert ids and all(i % 2 == 1 for i in ids)  # only label-1 rows
