@@ -95,6 +95,7 @@ class FeedRunner:
         ``run_available`` keeps draining until quiescent."""
         self.spark = spark
         self.base = base_path
+        self.runner_id = runner_id or "w0"
         self.prefix = table_prefix
         self.t_items = f"{table_prefix}items"
         self.t_parts = f"{table_prefix}partitions"
@@ -466,10 +467,13 @@ class FeedRunner:
         re-raises the last streaming error after ``max_rounds``; a feed
         that keeps generating work without quiescing raises RuntimeError.
         Exhaustion is never silent — the caller must know the run failed."""
+        import hashlib
+        import time
+
         from pyspark.errors.exceptions.captured import StreamingQueryException
 
         last_exc: Exception | None = None
-        for _ in range(max_rounds):
+        for attempt in range(max_rounds):
             before = self._committed()
             q = (
                 self._cdc_reader()
@@ -489,6 +493,22 @@ class FeedRunner:
                 # under concurrent runners as transient local-mode task
                 # failures).  Kept for the retry; re-raised on exhaustion.
                 last_exc = exc
+                # DECORRELATE the retry: two runners that fail the same
+                # round (the local-mode serialization race fires exactly
+                # when their queries start simultaneously) would otherwise
+                # restart in lockstep and re-collide every round until
+                # exhaustion.  Deterministic per-runner jitter (id hash)
+                # plus linear growth spreads the restarts apart.
+                jitter = (
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            self.runner_id.encode(), digest_size=2
+                        ).digest(),
+                        "big",
+                    )
+                    % 997
+                ) / 600.0
+                time.sleep(0.1 + jitter + attempt * 0.15)
                 continue
             if self._committed() == before:
                 return  # a clean round committed nothing new: converged
