@@ -293,4 +293,12 @@ class FeedCDCDataSource(DataSource):
 
 
 def register_feed_cdc(spark) -> None:
-    spark.dataSource.register(FeedCDCDataSource)
+    """Idempotent registration: the Python data-source registry is shared
+    across session clones (one per FeedRunner), and Spark 4 raises
+    DATA_SOURCE_ALREADY_EXISTS on a cross-session re-register instead of
+    replacing — an already-present feed_cdc is exactly what we want."""
+    try:
+        spark.dataSource.register(FeedCDCDataSource)
+    except Exception as exc:  # AnalysisException on Spark 4 clones
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise

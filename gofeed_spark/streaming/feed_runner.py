@@ -16,8 +16,10 @@ OCC version column arbitrates any concurrent batch writer.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import threading
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +28,38 @@ from gofeed_spark.feedstate.engine import feed_step
 from gofeed_spark.feedstate.model import ITEM_DDL, PARTITION_DDL
 from gofeed_spark.feedstate.processors import ProcessorFn
 from gofeed_spark.sources.feed_cdc import register_feed_cdc
+
+# AQE-off guard for streaming runs.  Streaming does not support AQE — every
+# query start then DISABLES it on a conf clone (ResolveWriteToStream), and
+# with TWO in-process runners that per-start mutation races the other
+# runner's task serialization over a shared live map: the closure bytes
+# truncate mid-write and every overlapping micro-batch dies with
+# java.io.OptionalDataException (reproduced ~1-in-8 in the two-runner race
+# test; 10/10 clean with AQE off).  Pre-disabling AQE for the DURATION of
+# a drain removes the mutation (the resolver sees it already off and
+# touches nothing).  Ref-counted so overlapping drains on one session
+# restore the caller's setting only after the LAST one finishes; batch
+# queries outside a drain keep AQE.
+_AQE_LOCK = threading.Lock()
+_AQE_DEPTH: dict[str, int] = {}
+_AQE_SAVED: dict[str, str] = {}
+
+
+@contextlib.contextmanager
+def _streaming_aqe_off(spark):
+    key = spark.sparkContext.applicationId
+    with _AQE_LOCK:
+        if _AQE_DEPTH.get(key, 0) == 0:
+            _AQE_SAVED[key] = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _AQE_DEPTH[key] = _AQE_DEPTH.get(key, 0) + 1
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            _AQE_DEPTH[key] -= 1
+            if _AQE_DEPTH[key] == 0:
+                spark.conf.set("spark.sql.adaptive.enabled", _AQE_SAVED.pop(key))
 
 
 class FeedRunner:
@@ -137,7 +171,7 @@ class FeedRunner:
         if poll_limit is not None and poll_limit < 1:
             raise ValueError("poll_limit must be >= 1 (None = unbounded)")
         self.poll_limit = poll_limit
-        register_feed_cdc(spark)
+        register_feed_cdc(self.spark)
 
     # -- state-table accessors -------------------------------------------
     def _read_fanout(self, n_rows: int) -> int:
@@ -447,7 +481,14 @@ class FeedRunner:
         StreamingQuery is stopped (or errors — surfaced through
         ``awaitTermination`` exactly as Spark surfaces streaming errors).
         Same checkpoint as the drain mode, so the two can be interleaved
-        across restarts with exactly-once effect."""
+        across restarts with exactly-once effect.
+
+        Sets AQE off on the session for the service's lifetime (streaming
+        does not support it, and pre-disabling avoids the per-start conf
+        mutation that races concurrent runners — see ``_streaming_aqe_off``;
+        a service-mode deployment owns its session, like the reference's
+        watcher process owns its DB handle)."""
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         return (
             self._cdc_reader()
             .load()
@@ -473,45 +514,45 @@ class FeedRunner:
         from pyspark.errors.exceptions.captured import StreamingQueryException
 
         last_exc: Exception | None = None
-        for attempt in range(max_rounds):
-            before = self._committed()
-            q = (
-                self._cdc_reader()
-                .load()
-                .writeStream.option("checkpointLocation", self.ckpt)
-                .trigger(availableNow=True)
-                .foreachBatch(self._step)
-                .start()
-            )
-            try:
-                q.awaitTermination(timeout_s)
-                last_exc = None
-            except StreamingQueryException as exc:
+        with _streaming_aqe_off(self.spark):
+            for attempt in range(max_rounds):
+                before = self._committed()
+                q = (
+                    self._cdc_reader()
+                    .load()
+                    .writeStream.option("checkpointLocation", self.ckpt)
+                    .trigger(availableNow=True)
+                    .foreachBatch(self._step)
+                    .start()
+                )
+                try:
+                    q.awaitTermination(timeout_s)
+                    last_exc = None
+                except StreamingQueryException as exc:
                 # A failed round is safe to retry wholesale: the streaming
                 # checkpoint re-delivers the batch and the batch-id manifest
                 # + OCC storage commit make re-processing idempotent (seen
                 # under concurrent runners as transient local-mode task
                 # failures).  Kept for the retry; re-raised on exhaustion.
-                last_exc = exc
-                # DECORRELATE the retry: two runners that fail the same
-                # round (the local-mode serialization race fires exactly
-                # when their queries start simultaneously) would otherwise
-                # restart in lockstep and re-collide every round until
-                # exhaustion.  Deterministic per-runner jitter (id hash)
-                # plus linear growth spreads the restarts apart.
-                jitter = (
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            self.runner_id.encode(), digest_size=2
-                        ).digest(),
-                        "big",
-                    )
-                    % 997
-                ) / 600.0
-                time.sleep(0.1 + jitter + attempt * 0.15)
-                continue
-            if self._committed() == before:
-                return  # a clean round committed nothing new: converged
+                    last_exc = exc
+                    # DECORRELATE the retry: runners that fail the same
+                    # round would otherwise restart in lockstep and can
+                    # re-collide on the same transient every round until
+                    # exhaustion.  Deterministic per-runner jitter (id
+                    # hash) plus linear growth spreads the restarts apart.
+                    jitter = (
+                        int.from_bytes(
+                            hashlib.blake2b(
+                                self.runner_id.encode(), digest_size=2
+                            ).digest(),
+                            "big",
+                        )
+                        % 997
+                    ) / 600.0
+                    time.sleep(0.1 + jitter + attempt * 0.15)
+                    continue
+                if self._committed() == before:
+                    return  # a clean round committed nothing new: converged
         if last_exc is not None:
             raise last_exc
         raise RuntimeError(

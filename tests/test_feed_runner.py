@@ -326,6 +326,9 @@ def test_run_forever_service_mode_processes_and_stops(spark, tmp_path):
         spark, base, json_times_processor, max_retries=3, auto_close=True
     )
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    # run_forever flips AQE off for the service lifetime (it owns its
+    # session in a real deployment); this shared test session restores it
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     q = runner.run_forever(poll_interval_s=1.0)
     try:
@@ -340,6 +343,7 @@ def test_run_forever_service_mode_processes_and_stops(spark, tmp_path):
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     # the service loop may stop mid-continuation (the sentinel items only
     # prove progress, not quiescence): drain the remainder on the SAME
     # checkpoint, then assert a second drain is a pure no-op — cross-mode
