@@ -333,8 +333,16 @@ def test_run_forever_service_mode_processes_and_stops(spark, tmp_path):
     q = runner.run_forever(poll_interval_s=1.0)
     try:
         deadline = time.time() + 180
+        items = {}
         while time.time() < deadline:
-            items = {r.id: r.status for r in runner.items().collect()}
+            try:
+                items = {r.id: r.status for r in runner.items().collect()}
+            except Exception:
+                # the parquet store is replaced per tick; a poll that lands
+                # mid-replace sees missing files — the live-concurrent
+                # store is txlog (tested elsewhere), this poll just retries
+                time.sleep(1)
+                continue
             if items.get("s1_ready") == COMPLETE and items.get("s14_gate") == COMPLETE:
                 break
             time.sleep(2)
