@@ -294,3 +294,66 @@ def test_mixture_sample_rate_invariants(spark, texts, weights):
     assert got == want
     for s, r in got.values():
         assert r <= 1.0
+
+
+url_seg = st.text(
+    alphabet="abcdefgABCDEFG019-._~", min_size=1, max_size=8
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    hosts=st.lists(url_seg, min_size=1, max_size=4),
+    paths=st.lists(url_seg, min_size=0, max_size=3),
+    utm=st.booleans(),
+    frag=st.booleans(),
+)
+def test_url_canonicalize_idempotent_property(spark, hosts, paths, utm, frag):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for generated URLs
+    with arbitrary hosts/paths and optional tracking params/fragments."""
+    from gofeed_spark.operators.urls import with_url_verdict
+
+    url = "HTTP://" + ".".join(hosts) + "/" + "/".join(paths)
+    if utm:
+        url += "?utm_x=1&keep=2"
+    if frag:
+        url += "#sec"
+    docs = spark.createDataFrame([(1, url)], "doc_id long, url string")
+    once = [r.url_canon for r in with_url_verdict(docs).collect()][0]
+    again = spark.createDataFrame([(1, once)], "doc_id long, url string")
+    twice = [r.url_canon for r in with_url_verdict(again).collect()][0]
+    assert once == twice
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=30),
+    cap=st.integers(min_value=1, max_value=12),
+    shards=st.integers(min_value=2, max_value=6),
+)
+def test_source_cap_and_shard_export_models(spark, n, cap, shards):
+    """source_cap keeps exactly min(cap, |source|) docs per source, and
+    shard_for_export's (shard, pos) is a bijection onto per-shard
+    contiguous ranges — both as pure functions of the ids (re-shard
+    invariant checked in the unit tests; here the counting model)."""
+    from gofeed_spark.operators.mixing import source_cap
+    from gofeed_spark.sources.io import shard_for_export
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3), "t") for i in range(n)],
+        "doc_id long, source string, text string",
+    )
+    kept = source_cap(docs, cap=cap).filter("keep = 1").groupBy("source").count()
+    sizes = {r.source: r["count"] for r in kept.collect()}
+    from collections import Counter
+
+    model = Counter("s" + str(i % 3) for i in range(n))
+    assert sizes == {s: min(cap, c) for s, c in model.items()}
+
+    out = shard_for_export(docs, n_shards=shards).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert sum(len(v) for v in by_shard.values()) == n
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
