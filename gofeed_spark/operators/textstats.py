@@ -616,3 +616,45 @@ def relative_length_filter(
             keep.cast("int").alias("keep"),
         )
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_ratio: float = 0.25,
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per doc — the classic templated/degenerate
+    text detector (highly repetitive text compresses far below natural
+    prose; used alongside the Gopher rules in web-corpus stacks): ratio =
+    deflate(utf8(text)) / len(utf8(text)), ``keep`` = ratio >= min_ratio
+    (empty docs ratio 0, dropped by keep).  Deterministic for a fixed
+    zlib level — stable across runs and re-shards, but NOT
+    SQL-expressible, so this ships with unit + property tests instead of
+    a DuckDB oracle (the one operator class where that trade is right).
+
+    One no-shuffle Arrow mapInPandas pass (zlib is C); ratio rounded to 6.
+    """
+    import zlib
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ratios = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                r = (len(zlib.compress(raw, level)) / len(raw)) if raw else 0.0
+                ids.append(did)
+                ratios.append(round(r, 6))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "ratio": ratios})
+
+    idt = docs.schema[id_col].dataType.simpleString()
+    out = docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {idt}, ratio double"
+    )
+    return out.select(
+        id_col, "ratio", (F.col("ratio") >= min_ratio).cast("int").alias("keep")
+    )

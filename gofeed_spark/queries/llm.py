@@ -2473,3 +2473,19 @@ def q109(spark, sf_dir):
         return out.localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- q110 zlib compression-ratio quality signal (rows-only: zlib has no
+# SQL twin; semantics carried by unit + determinism tests) --------------------
+@query("q110_compression_ratio")
+def q110(spark, sf_dir):
+    """zlib compression-ratio quality signal (textstats.compression_ratio)
+    — the templated/degenerate-text detector beside the Gopher rules:
+    ratio = deflate(text)/len(text), keep at >= 0.25.  One no-shuffle
+    Arrow pass; deterministic for the fixed zlib level (re-shard-invariant,
+    asserted in tests).  Registered rows-only: zlib is not SQL-expressible,
+    so the driver checks row count/schema and the unit tests carry the
+    semantics (the one operator class where that trade is right)."""
+    return textstats.compression_ratio(
+        T(spark, sf_dir, "documents")
+    ).orderBy("doc_id")

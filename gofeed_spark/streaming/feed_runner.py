@@ -451,6 +451,117 @@ class FeedRunner:
             return None
         return self.spark.read.parquet(root)
 
+    def requeue_dead_letters(self, ids=None) -> int:
+        """Ops-loop recovery, automated: flip dead-lettered FAILED items
+        back to Available with retry_count reset and a fresh ``updated_at``
+        tick (above the CDC high-water mark, so the next poll re-delivers
+        them), and re-open their FAILED partitions.  The reference
+        documents this as a manual step (README.md:104-110: "you can later
+        update the partition to make sure it is in the Available state");
+        here it is one OCC-guarded write.  ``ids`` restricts the requeue
+        to those item ids (None = every dead-lettered item).  The
+        dead-letter log keeps its rows — it is an audit log, not a queue.
+        Returns the number of items requeued."""
+        from gofeed_spark.feedstate.model import AVAILABLE, FAILED
+        from gofeed_spark.functions.lineage import release_local_checkpoint
+
+        dead = self.dead_letters()
+        if dead is None:
+            return 0
+        dids = dead.select("id").distinct()
+        if ids is not None:
+            dids = dids.filter(F.col("id").isin([*ids]))
+        with_ts = self._items_with_ts()
+        if self.storage == "dbapi":
+            tick = self.db.max_updated_at() + 1
+        else:
+            tick = (with_ts.agg(F.max("updated_at")).collect()[0][0] or 0) + 1
+        requeued = (
+            with_ts.join(dids, "id")
+            .filter(F.col("status") == FAILED)
+            .select(
+                "id",
+                (F.col("version") + 1).cast("int").alias("version"),
+                F.lit(0).cast("int").alias("retry_count"),
+                "partition_id",
+                "gate",
+                F.lit(AVAILABLE).cast("int").alias("status"),
+                F.lit("").alias("error_messages"),
+                "data",
+                F.lit(tick).cast("long").alias("updated_at"),
+            )
+            .localCheckpoint()
+        )
+        released = [requeued]
+        try:
+            n = requeued.count()
+            if n == 0:
+                return 0
+            part_ids = requeued.select(
+                F.col("partition_id").alias("id")
+            ).distinct()
+            reopened = (
+                self.partitions()
+                .join(part_ids, "id")
+                .filter(F.col("status") == FAILED)
+                .select(
+                    "id",
+                    (F.col("version") + 1).cast("int").alias("version"),
+                    "gate",
+                    F.lit(AVAILABLE).cast("int").alias("status"),
+                )
+                .localCheckpoint()
+            )
+            released.append(reopened)
+            if self.storage == "dbapi":
+                self.db.upsert_items(requeued)
+                self.db.upsert_partitions(reopened)
+            elif self.storage == "txlog":
+
+                def compute(version, tables):
+                    items_t = self.log.read(self.spark, self.t_items)
+                    parts_t = self.log.read(self.spark, self.t_parts)
+                    writes = {
+                        self.t_items: items_t.join(
+                            requeued.select("id"), "id", "left_anti"
+                        ).unionByName(requeued.select(*items_t.columns)),
+                        self.t_parts: parts_t.join(
+                            reopened.select("id"), "id", "left_anti"
+                        ).unionByName(reopened.select(*parts_t.columns)),
+                    }
+                    if self.t_dead in tables:
+                        writes[self.t_dead] = tables[self.t_dead]  # by name
+                    return writes
+
+                self.log.commit_retry(compute)
+            else:
+                from gofeed_spark.feedstate.admin import transactional_write
+
+                # checkpoint the merged frames BEFORE the write: their
+                # lineage reads the very parquet dirs the write replaces
+                items_t = self._items_with_ts()
+                parts_t = self.partitions()
+                merged_items = (
+                    items_t.join(requeued.select("id"), "id", "left_anti")
+                    .unionByName(requeued.select(*items_t.columns))
+                    .localCheckpoint()
+                )
+                merged_parts = (
+                    parts_t.join(reopened.select("id"), "id", "left_anti")
+                    .unionByName(reopened.select(*parts_t.columns))
+                    .localCheckpoint()
+                )
+                released.extend([merged_items, merged_parts])
+                transactional_write(
+                    self.spark,
+                    {self.t_items: merged_items, self.t_parts: merged_parts},
+                    self.base,
+                )
+            return n
+        finally:
+            for df in released:
+                release_local_checkpoint(df)
+
     # -- driver ----------------------------------------------------------
     def _cdc_reader(self):
         """The CDC readStream for this runner's storage backend — shared by

@@ -365,3 +365,81 @@ def test_run_forever_service_mode_processes_and_stops(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     after = {r.id: (r.status, r.version) for r in runner.items().collect()}
     assert after == before  # nothing re-processed across modes
+
+
+def test_requeue_dead_letters_recovers_after_fix(spark, tmp_path):
+    """The ops recovery loop on every storage backend: a dependency outage
+    dead-letters an item (retries exhausted, partition Failed); once the
+    dependency is back (marker file), requeue_dead_letters flips the item
+    to Available/retry 0, re-opens the partition, and the next drain
+    completes it — the reference's manual "update the partition to
+    Available" recovery (README.md:104-110) as one OCC-guarded call."""
+    import os
+
+    from gofeed_spark.feedstate.model import ITEM_DDL, PARTITION_DDL
+    from gofeed_spark.feedstate.processors import ProcResult, json_times_processor
+    from gofeed_spark.feedstate.txlog import TxLog
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for storage in ("parquet", "txlog", "dbapi"):
+            base = str(tmp_path / f"requeue_{storage}")
+            os.makedirs(base, exist_ok=True)
+            marker = os.path.join(base, "fixed.marker")
+
+            def proc(item_id, data, _m=marker):
+                import os as _os
+
+                if not _os.path.exists(_m):
+                    return ProcResult(error_msg="dependency down")
+                return json_times_processor(item_id, data)
+
+            item_row = ("i1", 0, 0, "p1", 0, AVAILABLE, "", '{"times": 1}')
+            if storage == "dbapi":
+                runner = FeedRunner(
+                    spark, base, proc, max_retries=2, auto_close=True,
+                    storage="dbapi",
+                )
+                runner.db.seed(
+                    items_rows=[item_row + (1,)],
+                    parts_rows=[("p1", 0, 0, AVAILABLE)],
+                )
+            else:
+                items = spark.createDataFrame([item_row], ITEM_DDL).withColumn(
+                    "updated_at", F.lit(0).cast("long")
+                )
+                parts = spark.createDataFrame(
+                    [("p1", 0, 0, AVAILABLE)], PARTITION_DDL
+                )
+                if storage == "txlog":
+                    TxLog(base).commit({"items": items, "partitions": parts})
+                else:
+                    items.write.mode("overwrite").parquet(
+                        os.path.join(base, "items")
+                    )
+                    parts.write.mode("overwrite").parquet(
+                        os.path.join(base, "partitions")
+                    )
+                runner = FeedRunner(
+                    spark, base, proc, max_retries=2, auto_close=True,
+                    storage=storage,
+                )
+            runner.run_available(timeout_s=180)
+            assert {r.id: r.status for r in runner.items().collect()}["i1"] == FAILED, storage
+            dead = runner.dead_letters()
+            assert dead is not None and dead.filter("id = 'i1'").count() >= 1, storage
+            # filtered to an unrelated id: a no-op
+            assert runner.requeue_dead_letters(ids=["other"]) == 0, storage
+            with open(marker, "w") as f:
+                f.write("ok")
+            assert runner.requeue_dead_letters() == 1, storage
+            st = {
+                r.id: (r.status, r.retry_count) for r in runner.items().collect()
+            }
+            assert st["i1"] == (AVAILABLE, 0), (storage, st)
+            runner.run_available(timeout_s=180)
+            assert {r.id: r.status for r in runner.items().collect()}["i1"] == COMPLETE, storage
+            assert {r.id: r.status for r in runner.partitions().collect()}["p1"] == COMPLETE, storage
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -308,3 +308,22 @@ def test_keyword_classify_argmax_ties_and_default(spark):
     got = {r.doc_id: (r.label, r.label_hits)
            for r in keyword_classify(docs, tax).collect()}
     assert got == {1: ("b_topic", 2), 2: ("a_topic", 1), 3: ("other", 0)}
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    from gofeed_spark.operators.textstats import compression_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "spam " * 400),                       # templated -> tiny ratio
+         (2, "x"),                                  # incompressible stub
+         (3, "")],                                  # empty -> ratio 0, dropped
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.ratio, r.keep) for r in compression_ratio(docs).collect()}
+    assert got[1][0] < 0.05 and got[1][1] == 0
+    assert got[2][0] > 1.0 and got[2][1] == 1  # header overhead > 1 on tiny docs
+    assert got[3] == (0.0, 0)
+    # deterministic across re-shards (pure function of the text)
+    again = {r.doc_id: (r.ratio, r.keep)
+             for r in compression_ratio(docs.repartition(5)).collect()}
+    assert again == got
