@@ -2489,3 +2489,68 @@ def q110(spark, sf_dir):
     return textstats.compression_ratio(
         T(spark, sf_dir, "documents")
     ).orderBy("doc_id")
+
+
+# --- q111 URL-level recrawl dedup --------------------------------------------
+@query(
+    "q111_url_recrawl_dedup",
+    oracle=r"""
+WITH raw AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/'
+         || CAST(doc_id % 100 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/?utm_ref=' || CAST(doc_id AS VARCHAR)
+                 ELSE '/' END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(url, '([?&])utm_[A-Za-z_]+=[^&]*', '\1', 'g'),
+                 '&&+', '&', 'g'),
+               '\?&', '?'),
+             '[?&]+$', ''),
+           '/+(\?|$)', '\1', 'g') AS url_canon
+  FROM raw
+)
+SELECT doc_id, url_canon,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY url_canon ORDER BY doc_id) = 1
+         THEN 1 ELSE 0 END AS INT) AS keep
+FROM canon ORDER BY doc_id
+""",
+)
+def q111(spark, sf_dir):
+    """URL-level recrawl dedup — the FIRST dedup stage of a web pipeline
+    (strictly cheaper than any content pass: recrawls and tracking-param
+    variants collapse on the canonical URL before a byte of text is
+    compared).  URLs synthesize so each canonical collides across ~5
+    recrawls (path = id mod 100 per source; odd/even ids differ only by a
+    utm param the canonicalizer strips); keep = first doc id per
+    canonical.  One projection + one hash-partitioned window — no joins,
+    no Python."""
+    from pyspark.sql import Window
+
+    from gofeed_spark.operators.urls import canonicalize_url
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("/?utm_ref="), sid)
+        ).otherwise(F.lit("/")),
+    )
+    canon = d.select("doc_id", canonicalize_url(url).alias("url_canon"))
+    w = Window.partitionBy("url_canon").orderBy("doc_id")
+    return canon.select(
+        "doc_id",
+        "url_canon",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    ).orderBy("doc_id")
