@@ -68,6 +68,12 @@ def main():
         n_matches = dedup.probe_minhash_index(spark, path, batch, threshold=1.0).count()
         probe_sec = time.monotonic() - t0
 
+        # the write half of the loop: append the (deduped) batch so the
+        # NEXT batch sees it — cost is O(batch), independent of corpus
+        t0 = time.monotonic()
+        dedup.append_minhash_index(spark, path, batch)
+        append_sec = time.monotonic() - t0
+
         # the non-incremental alternative: whole-corpus pair generation on
         # corpus+batch (what re-running dedup on every append costs)
         both = corpus.unionByName(batch)
@@ -85,6 +91,7 @@ def main():
         "n_batch": n_batch,
         "build_sec": round(build_sec, 3),
         "probe_sec": round(probe_sec, 3),
+        "append_sec": round(append_sec, 3),
         "full_pairs_sec": round(full_sec, 3),
         "n_matches": n_matches,
         "speedup_vs_full": round(full_sec / probe_sec, 1) if probe_sec else None,
