@@ -809,7 +809,14 @@ def build_minhash_index(
     to keep every row (exact member-level attribution).
 
     ``sigs/`` also stores the exact shingle-set fingerprint (``fp``) so
-    exact-duplicate probes verify instead of trusting the estimator.
+    exact-duplicate probes verify instead of trusting the estimator, and
+    ``fps/`` stores ONE representative per distinct fingerprint
+    (fp, dup_of = min doc_id) — the exact-probe relation.  It is complete
+    regardless of ``df_cap`` (star compression only thins ``bands/``, so
+    an exact clone of a hot bucket's non-hub member still matches here),
+    and bounded by DISTINCT content: a million-clone family is one row,
+    so a probing clone attributes to the family hub in O(1) rows — the
+    same anti-quadratic guarantee ``df_cap`` gives the band path.
     """
     sigs = minhash_signatures(
         docs, num_hashes, k, text_col, id_col, with_fp=True
@@ -827,6 +834,9 @@ def build_minhash_index(
         ).unionByName(hot.select(F.col("hub").alias("doc_id"), "bh"))
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
     band.write.mode("overwrite").parquet(f"{path}/bands")
+    sigs.groupBy("fp").agg(F.min("doc_id").alias("dup_of")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/fps")
     sigs.unpersist()
     from gofeed_spark.operators.similarity import _corpus_fingerprint, _write_index_meta
 
@@ -834,6 +844,7 @@ def build_minhash_index(
         path,
         {
             "kind": "minhash",
+            "layout": 2,  # v2: adds fps/ — pre-v2 indexes rebuild on ensure
             "num_hashes": num_hashes,
             "bands": bands,
             "k": k,
@@ -865,6 +876,7 @@ def ensure_minhash_index(
 
     meta = {
         "kind": "minhash",
+        "layout": 2,
         "num_hashes": num_hashes,
         "bands": bands,
         "k": k,
@@ -909,11 +921,25 @@ def probe_minhash_index(
     that turns out small).  Identical-id rows (re-ingesting docs already
     indexed) are excluded.
 
-    ``threshold >= 1.0`` requests EXACT-duplicate semantics and is
-    enforced on the stored shingle-set fingerprint, not the estimator:
-    natural jac-0.99 pairs pass all 64 minhashes with p ≈ 0.5 (measured),
-    so est_jac = 1.0 alone over-matches.  Below 1.0 the verdict is the
-    standard signature estimate."""
+    ``threshold >= 1.0`` requests EXACT-duplicate semantics and takes a
+    DIFFERENT plan: one fp-equality join of the batch fingerprints against
+    the index's ``fps/`` relation (one representative per distinct
+    fingerprint), skipping the bands entirely.  Two reasons: est_jac = 1.0
+    over-matches (natural jac-0.99 pairs pass all 64 minhashes with
+    p ≈ 0.5, measured), and the band path under-matches on a
+    ``df_cap``-compressed index — an exact clone of a NON-hub member of a
+    hot bucket only collides with the hub, whose fp differs, so the band
+    route would return no match at all.  ``fps/`` is complete regardless
+    of star compression, and a probing member of an m-clone family matches
+    its one representative row (the family hub), never m rows.
+
+    The batch signature pass is deliberately NOT cached: the probe frame
+    is lazy (callers compose/inspect its plan), and a ``persist`` here
+    leaked cached signature blocks into every micro-batch of a
+    streaming-ingest loop (foreachBatch probe per batch) — unbounded over
+    a long-running service.  The estimate path instead evaluates the
+    batch's Arrow signature pass at most twice (deterministic, batch ≪
+    corpus by the incremental contract); the exact path exactly once."""
     import json
     import os
 
@@ -924,9 +950,18 @@ def probe_minhash_index(
     def side(df):
         return F.broadcast(df) if broadcast_batch else df
 
-    bsigs = minhash_signatures(
-        batch, num_hashes, k, text_col, id_col, with_fp=True
-    ).persist()
+    bsigs = minhash_signatures(batch, num_hashes, k, text_col, id_col, with_fp=True)
+    idx_sigs = spark.read.parquet(f"{path}/sigs")
+    if threshold >= 1.0:
+        # appends may add duplicate (fp, rep) rows — dropDuplicates keeps
+        # the fan-out at one row per distinct fp regardless
+        return (
+            spark.read.parquet(f"{path}/fps")
+            .join(side(bsigs.select(F.col("doc_id").alias("new_id"), "fp")), "fp")
+            .filter(F.col("dup_of") != F.col("new_id"))
+            .select("new_id", "dup_of", F.lit(1.0).alias("est_jac"))
+            .dropDuplicates(["new_id", "dup_of"])
+        )
     bband = _band_rows(bsigs, num_hashes, bands).withColumnRenamed("doc_id", "new_id")
     idx_bands = spark.read.parquet(f"{path}/bands")
     cand = (
@@ -935,18 +970,15 @@ def probe_minhash_index(
         .filter(F.col("dup_of") != F.col("new_id"))
         .dropDuplicates(["dup_of", "new_id"])
     )
-    idx_sigs = spark.read.parquet(f"{path}/sigs")
     cand_sig = idx_sigs.select(
         F.col("doc_id").alias("dup_of"),
         F.col("sig").alias("sig_a"),
-        F.col("fp").alias("fp_a"),
     ).join(side(cand), "dup_of")
     scored = cand_sig.join(
         side(
             bsigs.select(
                 F.col("doc_id").alias("new_id"),
                 F.col("sig").alias("sig_b"),
-                F.col("fp").alias("fp_b"),
             )
         ),
         "new_id",
@@ -960,12 +992,7 @@ def probe_minhash_index(
     scored = scored.withColumn(
         "est_jac", agree.cast("double") / F.lit(float(num_hashes))
     )
-    verdict = (
-        (F.col("fp_a") == F.col("fp_b"))
-        if threshold >= 1.0
-        else (F.col("est_jac") >= threshold)
-    )
-    return scored.filter(verdict).select(
+    return scored.filter(F.col("est_jac") >= threshold).select(
         "new_id", "dup_of", F.round("est_jac", 6).alias("est_jac")
     )
 
@@ -1006,6 +1033,12 @@ def append_minhash_index(
     band = _band_rows(sigs, num_hashes, bands)
     sigs.write.mode("append").parquet(f"{path}/sigs")
     band.write.mode("append").parquet(f"{path}/bands")
+    # one representative per distinct fp WITHIN the batch; a fp already in
+    # fps/ gains a second row (probe dropDuplicates bounds the fan-out at
+    # one per distinct fp per append — compaction rebuilds collapse them)
+    sigs.groupBy("fp").agg(F.min("doc_id").alias("dup_of")).write.mode(
+        "append"
+    ).parquet(f"{path}/fps")
     sigs.unpersist()
     meta["fingerprint"] = "appended"
     _write_index_meta(path, meta)

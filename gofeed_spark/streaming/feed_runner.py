@@ -41,8 +41,15 @@ from gofeed_spark.sources.feed_cdc import register_feed_cdc
 # restore the caller's setting only after the LAST one finishes; batch
 # queries outside a drain keep AQE.
 _AQE_LOCK = threading.Lock()
-_AQE_DEPTH: dict[str, int] = {}
-_AQE_SAVED: dict[str, str] = {}
+_AQE_DEPTH: dict[int, int] = {}
+# session identity -> (the session itself, (saved aqe, saved shuffle parts)).
+# Keyed by the SESSION OBJECT, not applicationId: spark.conf is per-session,
+# and session CLONES (one runner per clone, the deployment shape
+# feed_cdc.register_feed_cdc describes) all share one applicationId — an
+# app-keyed guard would skip disabling AQE on the second clone and restore
+# the first clone's confs onto whichever session exited last.  Holding the
+# session in the value also keeps its id() from being reused while active.
+_AQE_SAVED: dict[int, tuple[object, tuple[str, str]]] = {}
 
 
 @contextlib.contextmanager
@@ -54,14 +61,18 @@ def _drain_confs(spark, shuffle_partitions=None):
     on modest per-batch state (measured at the 200k-item profile: AQE-on
     8.5k/13.5k/8.0k items/s parquet/txlog/dbapi, AQE-off 7.3k/11.9k/4.7k,
     AQE-off + fixed 8: 9.9k/17.2k/7.8k — better than AQE ever was).
-    Ref-counted per application: the first drain's settings win for
-    overlapping drains, and the caller's confs restore after the last."""
-    key = spark.sparkContext.applicationId
+    Ref-counted per session object: the first drain's settings win for
+    overlapping drains on that session, and that SAME session's confs are
+    restored after its last drain exits."""
+    key = id(spark)
     with _AQE_LOCK:
         if _AQE_DEPTH.get(key, 0) == 0:
             _AQE_SAVED[key] = (
-                spark.conf.get("spark.sql.adaptive.enabled", "true"),
-                spark.conf.get("spark.sql.shuffle.partitions"),
+                spark,
+                (
+                    spark.conf.get("spark.sql.adaptive.enabled", "true"),
+                    spark.conf.get("spark.sql.shuffle.partitions"),
+                ),
             )
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             if shuffle_partitions is not None:
@@ -75,9 +86,10 @@ def _drain_confs(spark, shuffle_partitions=None):
         with _AQE_LOCK:
             _AQE_DEPTH[key] -= 1
             if _AQE_DEPTH[key] == 0:
-                aqe, sp = _AQE_SAVED.pop(key)
-                spark.conf.set("spark.sql.adaptive.enabled", aqe)
-                spark.conf.set("spark.sql.shuffle.partitions", sp)
+                del _AQE_DEPTH[key]
+                sess, (aqe, sp) = _AQE_SAVED.pop(key)
+                sess.conf.set("spark.sql.adaptive.enabled", aqe)
+                sess.conf.set("spark.sql.shuffle.partitions", sp)
 
 
 class FeedRunner:
@@ -496,38 +508,30 @@ class FeedRunner:
         dids = dead.select("id").distinct()
         if ids is not None:
             dids = dids.filter(F.col("id").isin([*ids]))
-        with_ts = self._items_with_ts()
-        if self.storage == "dbapi":
-            tick = self.db.max_updated_at() + 1
-        else:
-            tick = (with_ts.agg(F.max("updated_at")).collect()[0][0] or 0) + 1
-        requeued = (
-            with_ts.join(dids, "id")
-            .filter(F.col("status") == FAILED)
-            .select(
-                "id",
-                (F.col("version") + 1).cast("int").alias("version"),
-                F.lit(0).cast("int").alias("retry_count"),
-                "partition_id",
-                "gate",
-                F.lit(AVAILABLE).cast("int").alias("status"),
-                F.lit("").alias("error_messages"),
-                "data",
-                F.lit(tick).cast("long").alias("updated_at"),
+
+        def build_requeued(items_t, tick):
+            return (
+                items_t.join(dids, "id")
+                .filter(F.col("status") == FAILED)
+                .select(
+                    "id",
+                    (F.col("version") + 1).cast("int").alias("version"),
+                    F.lit(0).cast("int").alias("retry_count"),
+                    "partition_id",
+                    "gate",
+                    F.lit(AVAILABLE).cast("int").alias("status"),
+                    F.lit("").alias("error_messages"),
+                    "data",
+                    F.lit(tick).cast("long").alias("updated_at"),
+                )
             )
-            .localCheckpoint()
-        )
-        released = [requeued]
-        try:
-            n = requeued.count()
-            if n == 0:
-                return 0
+
+        def build_reopened(parts_t, requeued):
             part_ids = requeued.select(
                 F.col("partition_id").alias("id")
             ).distinct()
-            reopened = (
-                self.partitions()
-                .join(part_ids, "id")
+            return (
+                parts_t.join(part_ids, "id")
                 .filter(F.col("status") == FAILED)
                 .select(
                     "id",
@@ -535,17 +539,35 @@ class FeedRunner:
                     "gate",
                     F.lit(AVAILABLE).cast("int").alias("status"),
                 )
-                .localCheckpoint()
             )
-            released.append(reopened)
-            if self.storage == "dbapi":
-                self.db.upsert_items(requeued)
-                self.db.upsert_partitions(reopened)
-            elif self.storage == "txlog":
+
+        released: list = []
+        try:
+            if self.storage == "txlog":
+                # Versions and the updated_at tick are derived INSIDE the
+                # compute closure from the snapshot commit_retry hands it:
+                # an OCC retry after a concurrent commit re-reads fresh
+                # state, so it can never write stale versions or a tick
+                # at/below the new CDC high-water mark (which would let the
+                # requeue be clobbered or never re-delivered).
+                counted = {"n": 0}
 
                 def compute(version, tables):
                     items_t = self.log.read(self.spark, self.t_items)
                     parts_t = self.log.read(self.spark, self.t_parts)
+                    tick = (
+                        items_t.agg(F.max("updated_at")).collect()[0][0] or 0
+                    ) + 1
+                    requeued = build_requeued(items_t, tick).localCheckpoint()
+                    released.append(requeued)
+                    counted["n"] = requeued.count()
+                    if counted["n"] == 0:
+                        # nothing left to requeue against THIS snapshot
+                        # (e.g. a concurrent requeue won): carry every
+                        # table forward by name — a no-rewrite commit.
+                        return dict(tables)
+                    reopened = build_reopened(parts_t, requeued).localCheckpoint()
+                    released.append(reopened)
                     writes = {
                         self.t_items: items_t.join(
                             requeued.select("id"), "id", "left_anti"
@@ -559,6 +581,24 @@ class FeedRunner:
                     return writes
 
                 self.log.commit_retry(compute)
+                return counted["n"]
+            with_ts = self._items_with_ts()
+            if self.storage == "dbapi":
+                tick = self.db.max_updated_at() + 1
+            else:
+                tick = (
+                    with_ts.agg(F.max("updated_at")).collect()[0][0] or 0
+                ) + 1
+            requeued = build_requeued(with_ts, tick).localCheckpoint()
+            released.append(requeued)
+            n = requeued.count()
+            if n == 0:
+                return 0
+            reopened = build_reopened(self.partitions(), requeued).localCheckpoint()
+            released.append(reopened)
+            if self.storage == "dbapi":
+                self.db.upsert_items(requeued)
+                self.db.upsert_partitions(reopened)
             else:
                 from gofeed_spark.feedstate.admin import transactional_write
 
@@ -621,7 +661,7 @@ class FeedRunner:
 
         Sets AQE off on the session for the service's lifetime (streaming
         does not support it, and pre-disabling avoids the per-start conf
-        mutation that races concurrent runners — see ``_streaming_aqe_off``;
+        mutation that races concurrent runners — see ``_drain_confs``;
         a service-mode deployment owns its session, like the reference's
         watcher process owns its DB handle)."""
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")

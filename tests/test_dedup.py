@@ -527,6 +527,32 @@ def test_build_df_cap_star_compresses_hot_buckets(spark, tmp_path):
     assert out == {(100, 1)}
 
 
+def test_exact_probe_survives_star_compression_of_neardup_family(spark, tmp_path):
+    """A hot bucket of NEAR-identical (distinct-fp) docs star-compresses to
+    its hub in bands/; an exact clone of a NON-hub member must still match
+    that member — the band route alone would only reach the hub, whose fp
+    differs, and silently return nothing (round-7 advice finding).  The
+    fps/ relation makes the exact verdict independent of df_cap."""
+    from gofeed_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    # 30 docs, identical except a trailing token → one LSH family with 30
+    # DISTINCT shingle-set fingerprints
+    corpus = spark.createDataFrame(
+        [(i, f"{base} v{i}") for i in range(1, 31)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_cap_fam")
+    build_minhash_index(corpus, path, df_cap=5)
+    # exact clone of doc 17 — a non-hub member of the compressed family
+    batch = spark.createDataFrame(
+        [(100, f"{base} v17")], "doc_id long, text string"
+    )
+    out = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out == {(100, 17)}
+
+
 def test_source_cap_exact_quota_and_stability(spark):
     from gofeed_spark.operators.mixing import source_cap
 
