@@ -99,7 +99,15 @@ def gate_stream(
     updates fold into the map, then the ladder re-evaluates.  State size is
     O(items per partition) — the same bound the reference carries in its
     DB; at 100 TB the state store (RocksDB provider) spills per key group.
-    """
+
+    TERMINAL EVICTION: a partition that reaches Complete — or Failed with
+    no Available items left to retry — has its state REMOVED after the
+    decision row is emitted, the twin of the reference dropping the
+    watcher on ``InActive()`` (watcher.go:170-173).  Without it the state
+    store grows monotonically with every partition ever seen; with it,
+    steady-state store size is O(in-flight partitions).  A late event for
+    an evicted partition re-creates it from scratch (gate 0, Available) —
+    exactly what a re-registered reference watcher would see."""
 
     def update(key, pdfs, state: GroupState):
         (partition_id,) = key
@@ -117,12 +125,16 @@ def gate_stream(
                 zip(pdf["id"].tolist(), zip(pdf["gate"].tolist(), pdf["status"].tolist()))
             )
         gate, status = _decide(items, gate, status, manual_checkpoint, auto_close)
-        ids = list(items.keys())
-        state.update((
-            gate, status, ids,
-            [items[i][0] for i in ids],
-            [items[i][1] for i in ids],
-        ))
+        avail_n = sum(1 for g, s in items.values() if s == AVAILABLE)
+        if status == COMPLETE or (status == FAILED and avail_n == 0):
+            state.remove()  # terminal: evict (watcher.go:170-173)
+        else:
+            ids = list(items.keys())
+            state.update((
+                gate, status, ids,
+                [items[i][0] for i in ids],
+                [items[i][1] for i in ids],
+            ))
         yield pd.DataFrame(
             {
                 "partition_id": [partition_id],
@@ -130,7 +142,7 @@ def gate_stream(
                 "status": [status],
                 "n_items": [len(items)],
                 "failed_n": [sum(1 for g, s in items.values() if s == FAILED)],
-                "avail_n": [sum(1 for g, s in items.values() if s == AVAILABLE)],
+                "avail_n": [avail_n],
             }
         )
 
@@ -222,7 +234,15 @@ def gate_stream_tws(
                     self._items.updateValue((iid,), (int(g), int(s)))
             items = {k[0]: (v[0], v[1]) for k, v in self._items.iterator()}
             gate, status = _decide(items, gate, status, mc, ac)
-            self._head.update((gate, status))
+            avail_n = sum(1 for g, s in items.values() if s == AVAILABLE)
+            if status == COMPLETE or (status == FAILED and avail_n == 0):
+                # terminal eviction (see gate_stream): clear BOTH state
+                # columns so the store's row count returns to zero once
+                # every partition drains
+                self._head.clear()
+                self._items.clear()
+            else:
+                self._head.update((gate, status))
             yield pd.DataFrame(
                 {
                     "partition_id": [partition_id],

@@ -159,6 +159,41 @@ def test_gate_stream_autoclose(spark, dirs, impl):
     assert state["p1"] == COMPLETE
 
 
+@pytest.mark.parametrize("impl", GATE_IMPLS, ids=lambda f: f.__name__)
+def test_gate_stream_evicts_terminal_partition_state(spark, dirs, impl):
+    """State-store row count returns to ZERO once every partition reaches
+    a terminal decision (Complete, or Failed with nothing left to retry) —
+    the reference drops its watcher on InActive() (watcher.go:170-173);
+    without eviction the store grows with every partition ever seen."""
+
+    def state_rows(q):
+        for p in reversed(q.recentProgress):
+            ops = p.get("stateOperators") or []
+            if ops:
+                return sum(op["numRowsTotal"] for op in ops)
+        return None
+
+    sink = ParquetUpsertSink(dirs["sink"], key="partition_id")
+    # two in-flight partitions -> two state rows
+    _stage(
+        spark, dirs["stage"],
+        [("i1", "p1", 0, AVAILABLE), ("i2", "p2", 0, AVAILABLE)],
+        "slice1",
+    )
+    q = _run_stream(spark, dirs["stage"], dirs["ckpt"], sink, impl)
+    assert state_rows(q) == 2
+    # p1 completes, p2 fails with no retryable items -> both evict
+    _stage(
+        spark, dirs["stage"],
+        [("i1", "p1", 0, COMPLETE), ("i2", "p2", 0, FAILED)],
+        "slice2",
+    )
+    q = _run_stream(spark, dirs["stage"], dirs["ckpt"], sink, impl)
+    state = {r.partition_id: r.status for r in sink.read(spark).collect()}
+    assert state == {"p1": COMPLETE, "p2": FAILED}  # decisions still emitted
+    assert state_rows(q) == 0
+
+
 def _tws_api_present() -> bool:
     try:
         from pyspark.sql import GroupedData
