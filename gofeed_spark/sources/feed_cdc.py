@@ -59,15 +59,35 @@ def _cap_at_boundary(rows: list[tuple], limit: int | None) -> list[tuple]:
 
 
 def _scan_parquet(
-    path: str, after: int, table: str = "items", limit: int | None = None
+    path: "str | list[str]",
+    after: int,
+    table: str = "items",
+    limit: int | None = None,
 ) -> list[tuple]:
-    """Poll a parquet directory for rows with updated_at > after — the
+    """Poll a parquet directory (or a LIST of directories — e.g. the
+    bucket snapshots of one txlog table, scanned as ONE dataset rather
+    than one open per dir) for rows with updated_at > after — the
     predicate-pushdown twin of the reference's poll (repo.go:118)."""
     import pyarrow.dataset as ds
 
-    if not os.path.exists(path):
+    paths = [path] if isinstance(path, str) else list(path)
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
         return []
-    dataset = ds.dataset(path, format="parquet")
+    if len(paths) == 1:
+        dataset = ds.dataset(paths[0], format="parquet")
+    else:
+        # pyarrow accepts a list of FILES, not directories — expand
+        files = [
+            os.path.join(root, f)
+            for p in paths
+            for root, _dirs, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return []
+        dataset = ds.dataset(files, format="parquet")
     tbl = dataset.to_table(filter=ds.field("updated_at") > after)
     rows = sorted(
         zip(*[tbl.column(c).to_pylist() for c in _COLS]),
@@ -228,10 +248,20 @@ def _scan_txlog(
                 manifest = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue  # burned version
-        rel = manifest["tables"].get(table)
-        if rel is None:
+        tables = manifest["tables"]
+        # the table may be committed as ONE plain snapshot (legacy) or as
+        # hash-bucketed `{table}@bNNNN` snapshots (FeedRunner state_buckets)
+        # — poll the union; the boundary cap applies to the MERGED rows
+        rels = [
+            tables[k]
+            for k in sorted(tables)
+            if k == table or k.startswith(table + "@b")
+        ]
+        if not rels:
             return []
-        return _scan_parquet(os.path.join(path, rel), after, table, limit)
+        return _scan_parquet(
+            [os.path.join(path, rel) for rel in rels], after, table, limit
+        )
     return []
 
 

@@ -133,6 +133,7 @@ class FeedRunner:
         fanout_rows: int = 200_000,
         poll_limit: int | None = None,
         drain_shuffle_partitions: int | None = 8,
+        state_buckets: int = 16,
     ):
         """``runner_id``: distinct per concurrent runner sharing one store
         (txlog mode) — each runner keeps its OWN streaming checkpoint and
@@ -157,7 +158,17 @@ class FeedRunner:
         ``poll_limit``: caps each CDC poll's backlog (the reference's poll
         LIMIT, repo.go:114-120) so a hot producer can't balloon one
         micro-batch; undelivered rows re-poll next round and
-        ``run_available`` keeps draining until quiescent."""
+        ``run_available`` keeps draining until quiescent.
+
+        ``state_buckets`` (parquet/txlog): the items/partitions tables are
+        laid out hash-bucketed (bucket = pmod(xxhash64(id), n); directory
+        values prefixed ``b0007``-style, non-numeric by construction) and
+        each micro-batch rewrites ONLY buckets containing touched rows —
+        write volume scales with work done, not table size, the snapshot-
+        store twin of the dbapi backend's per-row upserts.  A legacy
+        (unbucketed) table converts inside the first batch commit.  Size it
+        so one bucket ≈ one comfortable write task at your state size;
+        more buckets = finer write granularity + more files."""
         self.spark = spark
         self.base = base_path
         self.runner_id = runner_id or "w0"
@@ -208,9 +219,59 @@ class FeedRunner:
         # coalescing and measures FASTER than AQE ever did at the 200k
         # profile.  Size it up only for very large active state.
         self.drain_shuffle_partitions = drain_shuffle_partitions
+        if state_buckets < 1:
+            raise ValueError("state_buckets must be >= 1")
+        self.state_buckets = state_buckets
+        # write-volume accounting (bytes staged per table, last batch and
+        # cumulative, plus a bounded per-batch history) — the bench_feed
+        # metric proving writes track work done, not table size
+        import collections
+
+        self.last_write_bytes: dict[str, int] = {}
+        self.total_write_bytes: int = 0
+        self.write_history: collections.deque = collections.deque(maxlen=64)
         register_feed_cdc(self.spark)
 
     # -- state-table accessors -------------------------------------------
+    def _bucket_col(self):
+        """Deterministic bucket value for an id: 'b' + zero-padded
+        pmod(xxhash64(id), state_buckets).  The prefix keeps the partition
+        directory value non-numeric by construction (a numeric-looking
+        string would re-infer as INT on read and silently break isin
+        probes on values with leading zeros)."""
+        return F.concat(
+            F.lit("b"),
+            F.lpad(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(self.state_buckets)).cast(
+                    "string"
+                ),
+                4,
+                "0",
+            ),
+        )
+
+    def _parquet_legacy(self, path: str) -> bool:
+        """True when ``path`` is not yet in bucketed layout (missing, empty,
+        or root-level part files) — the next write converts wholesale."""
+        if not os.path.isdir(path):
+            return True
+        return not any(e.startswith("b=") for e in os.listdir(path))
+
+    def _txlog_rels(self, tables: dict, table: str) -> list[str]:
+        keys = [k for k in tables if k == table or k.startswith(table + "@b")]
+        return [tables[k] for k in sorted(keys)]
+
+    def _txlog_read(self, table):
+        """Read a possibly-bucketed txlog table: the union of the plain
+        entry (legacy / pre-conversion) and every ``{table}@bNNNN`` bucket
+        snapshot named by the latest manifest."""
+        _, tables = self.log.latest()
+        rels = self._txlog_rels(tables, table)
+        if not rels:
+            raise ValueError(f"table {table!r} not in commit: {sorted(tables)}")
+        return self.spark.read.parquet(
+            *[os.path.join(self.base, r) for r in rels]
+        )
     def _read_fanout(self, n_rows: int) -> int:
         """Read partitions for an n_rows read: 1 (plain driver SELECT) up
         to 32 executor-side ranges, one per `fanout_rows` of volume."""
@@ -218,7 +279,7 @@ class FeedRunner:
 
     def _items_with_ts(self):
         if self.storage == "txlog":
-            return self.log.read(self.spark, self.t_items)
+            return self._txlog_read(self.t_items).drop("b")
         if self.storage == "dbapi":
             # full-table accessor: size the read from a pushed-down COUNT
             # so even user-facing reads never funnel big state through the
@@ -226,17 +287,23 @@ class FeedRunner:
             return self.db.read_items(
                 self.spark, num_partitions=self._read_fanout(self.db.count_items())
             )
-        return self.spark.read.parquet(self.items_path)
+        from gofeed_spark.feedstate.admin import recover_bucketed
+
+        recover_bucketed(self.base, [self.t_items])
+        return self.spark.read.parquet(self.items_path).drop("b")
 
     def items(self):
         return self._items_with_ts().drop("updated_at")
 
     def partitions(self):
         if self.storage == "txlog":
-            return self.log.read(self.spark, self.t_parts)
+            return self._txlog_read(self.t_parts).drop("b")
         if self.storage == "dbapi":
             return self.db.read_partitions(self.spark)
-        return self.spark.read.parquet(self.parts_path)
+        from gofeed_spark.feedstate.admin import recover_bucketed
+
+        recover_bucketed(self.base, [self.t_parts])
+        return self.spark.read.parquet(self.parts_path).drop("b")
 
     def _committed(self) -> list[int]:
         if not os.path.exists(self.manifest):
@@ -397,30 +464,108 @@ class FeedRunner:
             # EXACTLY-once dead letters: the dead_letter table rides in the
             # SAME atomic manifest commit as the state tables — a crash can
             # never separate a Failed transition from its dead-letter row,
-            # and a conflict retry recomputes both together.  Unchanged
-            # commits carry the previous snapshot forward by name (no
-            # rewrite).  (At warehouse scale dead letters would go to an
+            # and a conflict retry recomputes both together.  State tables
+            # commit BUCKETED: only buckets containing touched rows are
+            # staged as fresh snapshot dirs; every untouched bucket is
+            # carried into the new manifest by NAME — zero bytes written,
+            # so commit volume scales with work done, not table size.  A
+            # legacy plain-table manifest converts inside this same commit
+            # (all buckets staged, the plain entry dropped) at no extra
+            # version.  (At warehouse scale dead letters would go to an
             # append sink keyed by (writer, batch) instead of a snapshot.)
+            import shutil as _shutil
+            import uuid as _uuid
+
+            from gofeed_spark.feedstate.admin import _dir_bytes
             from gofeed_spark.feedstate.txlog import CommitConflict
 
-            tables = {
-                self.t_items: ckpt(out_items.drop("__changed")),
-                self.t_parts: new_parts,
-            }
             _, prev_tables = self.log.latest()
+            token = _uuid.uuid4().hex[:8]
+            writes: dict = {
+                k: v
+                for k, v in prev_tables.items()
+                if k.startswith(self.t_items + "@b")
+                or k.startswith(self.t_parts + "@b")
+            }
+            fresh_rels: list[str] = []
+            stats: dict[str, int] = {}
+
+            def stage_buckets(table, sel, full):
+                # ONE partitionBy write job (``sel`` is already filtered to
+                # touched buckets unless ``full``; repartition ON b = one
+                # file per bucket), then rename each produced bucket dir to
+                # a top-level snapshot name (vacuum's __v convention) —
+                # never one Spark job per bucket
+                staging = os.path.join(self.base, f"{table}__vstage_{token}")
+                _shutil.rmtree(staging, ignore_errors=True)
+                sel.repartition(F.col("b")).write.partitionBy("b").mode(
+                    "overwrite"
+                ).parquet(staging)
+                for entry in os.listdir(staging):
+                    if not entry.startswith("b="):
+                        continue
+                    rel = f"{table}@{entry[2:]}__v_{token}"
+                    os.replace(
+                        os.path.join(staging, entry), os.path.join(self.base, rel)
+                    )
+                    writes[f"{table}@{entry[2:]}"] = rel
+                    fresh_rels.append(rel)
+                    stats[table] = stats.get(table, 0) + _dir_bytes(
+                        os.path.join(self.base, rel)
+                    )
+                _shutil.rmtree(staging, ignore_errors=True)
+
+            items_b = ckpt(out_items.withColumn("b", self._bucket_col()))
+            if self.t_items in prev_tables:
+                # legacy plain entry: convert wholesale this commit
+                stage_buckets(self.t_items, items_b.drop("__changed"), True)
+            else:
+                tb = [
+                    r.b
+                    for r in items_b.filter("__changed")
+                    .select("b")
+                    .distinct()
+                    .collect()
+                ]
+                if tb:
+                    stage_buckets(
+                        self.t_items,
+                        items_b.filter(F.col("b").isin(tb)).drop("__changed"),
+                        False,
+                    )
+            parts_b = new_parts.withColumn("b", self._bucket_col())
+            if self.t_parts in prev_tables:
+                stage_buckets(self.t_parts, parts_b, True)
+            else:
+                ch = self._changed_part_ids(parts, new_parts)
+                pb = [
+                    r.b
+                    for r in parts_b.join(ch, "id").select("b").distinct().collect()
+                ]
+                if pb:
+                    stage_buckets(
+                        self.t_parts, parts_b.filter(F.col("b").isin(pb)), False
+                    )
             if not dead.isEmpty():
                 if self.t_dead in prev_tables:
-                    tables[self.t_dead] = self.log.read(
+                    writes[self.t_dead] = self.log.read(
                         self.spark, self.t_dead
                     ).unionByName(dead)
                 else:
-                    tables[self.t_dead] = dead
+                    writes[self.t_dead] = dead
             elif self.t_dead in prev_tables:
-                tables[self.t_dead] = prev_tables[self.t_dead]  # by name
+                writes[self.t_dead] = prev_tables[self.t_dead]  # by name
             try:
-                self.log.commit(tables, expected_version=expected)
+                self.log.commit(writes, expected_version=expected)
             except CommitConflict:
+                # losers clean their own pre-staged bucket snapshots (the
+                # same courtesy commit() extends to DataFrame stagings)
+                for rel in fresh_rels:
+                    _shutil.rmtree(
+                        os.path.join(self.base, rel), ignore_errors=True
+                    )
                 return False  # recompute against the fresh snapshot
+            self._record_write(batch_id, stats)
         elif self.storage == "dbapi":
             # Dead letters first (same at-least-once ordering as parquet
             # mode), then per-row CAS upserts of ONLY the rows this step
@@ -436,23 +581,13 @@ class FeedRunner:
             # gate_decision carries the partition version through unchanged;
             # bump it here for partitions whose decision actually moved so
             # the CAS accepts exactly those rows, and skip the rest entirely
-            old_p = parts.select(
+            changed_parts = new_parts.join(
+                self._changed_part_ids(parts, new_parts), "id"
+            ).select(
                 "id",
-                F.col("gate").alias("__og"),
-                F.col("status").alias("__os"),
-            )
-            changed_parts = (
-                new_parts.join(old_p, "id")
-                .filter(
-                    (F.col("gate") != F.col("__og"))
-                    | (F.col("status") != F.col("__os"))
-                )
-                .select(
-                    "id",
-                    (F.col("version") + 1).alias("version"),
-                    "gate",
-                    "status",
-                )
+                (F.col("version") + 1).alias("version"),
+                "gate",
+                "status",
             )
             self.db.upsert_partitions(changed_parts)
         else:
@@ -460,21 +595,77 @@ class FeedRunner:
             # state flip so a crash between the two can only DUPLICATE a
             # dead letter on batch replay (at-least-once, the reference's
             # posture), never lose one — the post-crash recompute sees the
-            # item already Failed and would skip it.
+            # item already Failed and would skip it.  State lands through
+            # bucketed_write: only buckets containing touched rows are
+            # rewritten (write volume tracks work done); a legacy
+            # unbucketed table converts wholesale on its first write.
             if not dead.isEmpty():
                 dead.write.mode("append").parquet(self.dead_dir)
-            from gofeed_spark.feedstate.admin import transactional_write
+            from gofeed_spark.feedstate.admin import bucketed_write
 
-            transactional_write(
-                self.spark,
-                {
-                    self.t_items: ckpt(out_items.drop("__changed")),
-                    self.t_parts: new_parts,
-                },
-                self.base,
+            items_b = ckpt(out_items.withColumn("b", self._bucket_col()))
+            writes = {}
+            if self._parquet_legacy(self.items_path):
+                writes[self.t_items] = (items_b.drop("__changed"), None)
+            else:
+                # touched buckets collected from the CHECKPOINTED frame
+                # (an in-memory scan, not a recompute) so an untouched
+                # table skips its write job entirely — the common case for
+                # a mostly-settled feed
+                tb = [
+                    r.b
+                    for r in items_b.filter("__changed")
+                    .select("b")
+                    .distinct()
+                    .collect()
+                ]
+                if tb:
+                    writes[self.t_items] = (
+                        items_b.filter(F.col("b").isin(tb)).drop("__changed"),
+                        "auto",
+                    )
+            parts_b = new_parts.withColumn("b", self._bucket_col())
+            if self._parquet_legacy(self.parts_path):
+                writes[self.t_parts] = (parts_b, None)
+            else:
+                ch = self._changed_part_ids(parts, new_parts)
+                pb = [
+                    r.b
+                    for r in parts_b.join(ch, "id").select("b").distinct().collect()
+                ]
+                if pb:
+                    writes[self.t_parts] = (
+                        parts_b.filter(F.col("b").isin(pb)),
+                        "auto",
+                    )
+            stats = bucketed_write(
+                self.spark, writes, self.base, self.state_buckets
             )
+            self._record_write(batch_id, stats)
         self._commit(batch_id)
         return True
+
+    def _record_write(self, batch_id: int, stats: dict[str, int]) -> None:
+        self.last_write_bytes = stats
+        self.total_write_bytes += sum(stats.values())
+        self.write_history.append({"batch_id": batch_id, **stats})
+
+    def _changed_part_ids(self, parts, new_parts):
+        """ids of partitions whose decision (gate or status) moved this
+        step — the write set for every backend's partition upsert."""
+        old_p = parts.select(
+            "id",
+            F.col("gate").alias("__og"),
+            F.col("status").alias("__os"),
+        )
+        return (
+            new_parts.join(old_p, "id")
+            .filter(
+                (F.col("gate") != F.col("__og"))
+                | (F.col("status") != F.col("__os"))
+            )
+            .select("id")
+        )
 
     def dead_letters(self):
         """The dead-letter log as a DataFrame (None when nothing failed)."""
@@ -553,8 +744,12 @@ class FeedRunner:
                 counted = {"n": 0}
 
                 def compute(version, tables):
-                    items_t = self.log.read(self.spark, self.t_items)
-                    parts_t = self.log.read(self.spark, self.t_parts)
+                    # reads span plain + bucket entries; the write below is
+                    # a plain full-table snapshot (requeue is a rare ops
+                    # action) whose manifest drops the bucket entries — the
+                    # next micro-batch commit re-buckets it
+                    items_t = self._txlog_read(self.t_items).drop("b")
+                    parts_t = self._txlog_read(self.t_parts).drop("b")
                     tick = (
                         items_t.agg(F.max("updated_at")).collect()[0][0] or 0
                     ) + 1

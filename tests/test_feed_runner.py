@@ -102,10 +102,17 @@ def test_feed_runner_on_txlog_storage(spark, tmp_path):
     assert parts_out["p1_gate"] == (COMPLETE, 1)
     assert parts_out["p2_gate"] == (FAILED, 0)
     # one manifest version per committed micro-batch, atop the seed commit
+    # (the legacy→bucketed layout conversion folds into the first batch
+    # commit — it costs no extra version)
     version, tables = log.latest()
     assert version == 1 + len(runner._committed())
-    # dead letters ride in the SAME atomic commit as the state tables
-    assert set(tables) == {"items", "partitions", "dead_letter"}
+    # dead letters ride in the SAME atomic commit as the state tables; the
+    # state tables themselves are committed as hash-bucketed snapshots
+    # (plain entries dropped by the conversion)
+    assert "dead_letter" in tables
+    assert "items" not in tables and "partitions" not in tables
+    assert any(k.startswith("items@b") for k in tables)
+    assert any(k.startswith("partitions@b") for k in tables)
     dl = sorted(r.id for r in runner.dead_letters().collect())
     assert dl == ["s10_ready_should_fail", "s13_gate_fail", "s6_owned_should_fail"]
     # a stale-expected commit from "another writer" conflicts cleanly
@@ -192,6 +199,106 @@ def test_two_feed_runners_race_on_shared_txlog(spark, tmp_path):
     dead = runners[0].dead_letters()
     dl = sorted(r.id for r in dead.collect())
     assert dl == ["s10_ready_should_fail", "s13_gate_fail", "s6_owned_should_fail"]
+
+
+def _two_phase_fixture(spark, n_done=1900, n_work=10):
+    """Mostly-settled state: ``n_done`` Complete items across Complete
+    partitions (never touched again), plus ``n_work`` two-pass items in one
+    Available partition — so the drain's post-conversion batches touch a
+    tiny fraction of the table."""
+    from pyspark.sql import Row
+
+    parts = [Row(id=f"p{i}", version=0, gate=0, status=COMPLETE) for i in range(19)]
+    parts.append(Row(id="pw", version=0, gate=0, status=AVAILABLE))
+    items = [
+        Row(
+            id=f"d{i}", version=0, retry_count=0, partition_id=f"p{i % 19}",
+            gate=0, status=COMPLETE, error_messages="", data='{"times": 1}',
+            updated_at=0,
+        )
+        for i in range(n_done)
+    ]
+    items += [
+        Row(
+            id=f"w{i}", version=0, retry_count=0, partition_id="pw",
+            gate=0, status=AVAILABLE, error_messages="", data='{"times": 2}',
+            updated_at=0,
+        )
+        for i in range(n_work)
+    ]
+    pdf = spark.createDataFrame(parts, "id string, version int, gate int, status int")
+    idf = spark.createDataFrame(
+        items,
+        "id string, version int, retry_count int, partition_id string, "
+        "gate int, status int, error_messages string, data string, updated_at long",
+    )
+    return pdf, idf
+
+
+def test_parquet_writes_scale_with_work_done(spark, tmp_path):
+    """The scale posture of the bucketed parquet store: the first batch
+    converts the legacy table wholesale (full write), but every later
+    batch rewrites ONLY buckets containing touched rows — bytes written
+    per batch track the touched-row count, not the table size."""
+    base = str(tmp_path / "feed_bw")
+    os.makedirs(base)
+    pdf, idf = _two_phase_fixture(spark)
+    idf.write.mode("overwrite").parquet(os.path.join(base, "items"))
+    pdf.drop("updated_at", "b").write.mode("overwrite").parquet(
+        os.path.join(base, "partitions")
+    )
+    runner = FeedRunner(
+        spark, base, json_times_processor, max_retries=3, state_buckets=64
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        runner.run_available()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    items = {r.id: r for r in runner.items().collect()}
+    assert all(items[f"w{i}"].status == COMPLETE for i in range(10))
+    hist = list(runner.write_history)
+    assert len(hist) >= 2  # conversion batch + at least one delta batch
+    full = hist[0]["items"]  # conversion: whole 1910-row table
+    deltas = [h.get("items", 0) for h in hist[1:]]
+    # later batches rewrite only the touched buckets (10 ids hash into at
+    # most 10 of 64 buckets; the conversion wrote all of them)
+    assert max(deltas) < full * 0.4, hist
+    assert runner.last_write_bytes is not None
+
+
+def test_txlog_carries_untouched_buckets_by_name(spark, tmp_path):
+    """TxLog bucketed commits: buckets without touched rows ride into the
+    next manifest as the SAME snapshot-dir names — zero bytes rewritten —
+    while touched buckets get fresh dirs."""
+    from gofeed_spark.feedstate.txlog import TxLog
+
+    base = str(tmp_path / "feed_bwtx")
+    pdf, idf = _two_phase_fixture(spark)
+    log = TxLog(base)
+    log.commit({"items": idf, "partitions": pdf})
+    runner = FeedRunner(
+        spark, base, json_times_processor, max_retries=3, storage="txlog",
+        state_buckets=64,
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        runner.run_available()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    items = {r.id: r for r in runner.items().collect()}
+    assert all(items[f"w{i}"].status == COMPLETE for i in range(10))
+    # conversion manifest (v2 = seed + first batch) vs the final one: most
+    # item buckets hold only never-touched Complete rows and must be the
+    # IDENTICAL dir names in both
+    conv = log._load(2)["tables"]
+    _, final = log.latest()
+    conv_items = {k: v for k, v in conv.items() if k.startswith("items@b")}
+    shared = [k for k, v in conv_items.items() if final.get(k) == v]
+    assert len(conv_items) >= 8
+    assert len(shared) >= len(conv_items) // 2, (conv_items, final)
 
 
 def test_run_available_surfaces_persistent_failure(spark, tmp_path):

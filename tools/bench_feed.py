@@ -12,7 +12,14 @@ round, so items/sec ~= n_items / wall(run_available).
 
 Prints ONE JSON line:
     {"metric": "feed_throughput", "n_items": N, "n_parts": P,
-     "items_per_sec": {store: rate}, "wall_sec": {store: s}}
+     "items_per_sec": {store: rate}, "wall_sec": {store: s},
+     "write_bytes_per_batch": {store: [b0, b1, ...]}}
+
+``write_bytes_per_batch`` (parquet/txlog only) is the bucketed state
+store's staged bytes per committed micro-batch: the first batch converts +
+writes the full state, later batches write only buckets containing touched
+rows — the per-batch trail is the evidence that write volume tracks work
+done, not table size.
 """
 
 from __future__ import annotations
@@ -69,7 +76,9 @@ def _seed(spark, runner: FeedRunner, store: str, n_items: int, n_parts: int):
         )
 
 
-def bench_store(spark, store: str, n_items: int, n_parts: int) -> float:
+def bench_store(
+    spark, store: str, n_items: int, n_parts: int
+) -> tuple[float, list[int]]:
     base = tempfile.mkdtemp(prefix=f"feed_bench_{store}_")
     try:
         runner = FeedRunner(
@@ -83,7 +92,11 @@ def bench_store(spark, store: str, n_items: int, n_parts: int) -> float:
         n_done = runner.items().filter(F.col("status") == 2).count()
         if n_done != n_items:
             raise RuntimeError(f"{store}: {n_done}/{n_items} items completed")
-        return wall
+        per_batch = [
+            sum(v for k, v in h.items() if k != "batch_id")
+            for h in runner.write_history
+        ]
+        return wall, per_batch
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -95,11 +108,13 @@ def main():
     stores = args[2:] or ["parquet", "txlog", "dbapi"]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("feed-bench", master=f"local[{cpus}]")
-    walls, rates = {}, {}
+    walls, rates, write_bytes = {}, {}, {}
     for store in stores:
-        wall = bench_store(spark, store, n_items, n_parts)
+        wall, per_batch = bench_store(spark, store, n_items, n_parts)
         walls[store] = round(wall, 2)
         rates[store] = round(n_items / wall)
+        if per_batch:
+            write_bytes[store] = per_batch
     print(
         json.dumps(
             {
@@ -108,6 +123,7 @@ def main():
                 "n_parts": n_parts,
                 "items_per_sec": rates,
                 "wall_sec": walls,
+                "write_bytes_per_batch": write_bytes,
             }
         )
     )
