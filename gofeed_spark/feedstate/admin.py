@@ -260,6 +260,7 @@ def serve_healthcheck(
     spark: SparkSession,
     port: int = 0,
     processor_check: Callable[[], None] | None = None,
+    host: str = "127.0.0.1",
 ):
     """Serve ``GET /healthcheck`` over HTTP — the reference's served
     endpoint (main.go:99-104: 200 when Watcher.Healthcheck returns no
@@ -268,6 +269,7 @@ def serve_healthcheck(
     Returns the started ``http.server.ThreadingHTTPServer`` (daemon
     thread); ``server.server_address[1]`` is the bound port (pass
     ``port=0`` for an ephemeral one), ``server.shutdown()`` stops it.
+    ``host=""`` binds all interfaces (the CLI's ``:8080`` form).
     """
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -288,7 +290,7 @@ def serve_healthcheck(
         def log_message(self, *args):  # quiet test output
             pass
 
-    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server
 

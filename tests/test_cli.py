@@ -1,0 +1,134 @@
+"""CLI entry point e2e — ``python -m gofeed_spark`` (the reference's
+runnable binary, examples/state_processor/main.go:22-112): launch the
+service as a real subprocess against a seeded SQLite state store, poll the
+served /healthcheck, watch the feed drain the seeded work through the
+service loop, then SIGTERM and expect a clean exit."""
+
+from __future__ import annotations
+
+import os
+import signal
+import sqlite3
+import subprocess
+import sys
+import time
+import urllib.request
+
+import pytest
+
+from gofeed_spark.__main__ import _parse_hc_address, build_parser
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_parse_hc_address():
+    assert _parse_hc_address(":8080") == ("", 8080)
+    assert _parse_hc_address("127.0.0.1:0") == ("127.0.0.1", 0)
+    with pytest.raises(ValueError):
+        _parse_hc_address("nope")
+
+
+def test_parser_reference_flag_parity():
+    """Every main.go flag (main.go:23-30) has a CLI twin."""
+    args = build_parser().parse_args(
+        [
+            "--target", "http://x/process",
+            "--sql-connection", "dsn",
+            "--local",
+            "--poll-interval", "2.5",
+            "--batch-size", "50",
+            "--table-prefix", "blue_",
+            "--healthcheck-address", ":9090",
+        ]
+    )
+    assert args.target == "http://x/process"
+    assert args.local and args.sql_connection == "dsn"
+    assert args.poll_interval == 2.5 and args.batch_size == 50
+    assert args.table_prefix == "blue_"
+    assert args.healthcheck_address == ":9090"
+
+
+def test_service_subprocess_drains_and_stops_cleanly(tmp_path):
+    from gofeed_spark.feedstate.dbstore import DbApiStore
+    from gofeed_spark.feedstate.model import AVAILABLE
+
+    base = str(tmp_path / "svc")
+    os.makedirs(base)
+    db_path = os.path.join(base, "test.db")  # the --local path (main.go:77)
+    store = DbApiStore(db_path, "sqlite3")
+    n = 20
+    store.seed(
+        items_rows=[
+            (f"i{k}", 0, 0, f"p{k % 4}", 0, AVAILABLE, "", '{"times": 1}', 0)
+            for k in range(n)
+        ],
+        parts_rows=[(f"p{k}", 0, 0, AVAILABLE) for k in range(4)],
+    )
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "gofeed_spark",
+            "--local",
+            "--base-path", base,
+            "--poll-interval", "0.5",
+            "--healthcheck-address", "127.0.0.1:0",
+        ],
+        cwd=REPO,
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        # parse the bound ephemeral port from the service banner
+        port, deadline = None, time.time() + 120
+        lines = []
+        while time.time() < deadline and port is None:
+            line = proc.stdout.readline()
+            if not line:
+                assert proc.poll() is None, "".join(lines)
+                continue
+            lines.append(line)
+            if line.startswith("healthcheck serving on "):
+                port = int(line.rsplit(":", 1)[1])
+        assert port, "".join(lines)
+
+        # healthcheck answers 200 once the engine is up (main.go:99-104)
+        deadline = time.time() + 120
+        status = None
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthcheck", timeout=5
+                ) as resp:
+                    status = resp.status
+                    break
+            except Exception:
+                time.sleep(1.0)
+        assert status == 200
+
+        # the service loop drains the seeded work (status 2 = Complete)
+        deadline = time.time() + 180
+        done = 0
+        while time.time() < deadline:
+            con = sqlite3.connect(db_path)
+            try:
+                done = con.execute(
+                    "SELECT COUNT(*) FROM items WHERE status = 2"
+                ).fetchone()[0]
+            finally:
+                con.close()
+            if done == n:
+                break
+            time.sleep(1.0)
+        assert done == n
+
+        # SIGTERM -> clean stop (query stopped, exit 0)
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=60)
+        assert rc == 0, "".join(lines) + (proc.stdout.read() or "")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)

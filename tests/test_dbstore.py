@@ -476,3 +476,46 @@ def test_merge_dialect_ddl_probe_creates_then_noops(fake_mssql):
     store.ensure_schema()
     n_after = len([s for s, _ in fake_mssql.statements if s.startswith("CREATE TABLE")])
     assert n_after == n_before
+
+
+# -- optional live-server validation ------------------------------------------
+# The dialect MERGE/paramstyle path is proven through sqlite3 and fake-driver
+# shims above; this sandbox ships no database server, so the reference's
+# headline store (main.go:74-80, Gorm over SQL Server) can additionally be
+# exercised against a REAL server the day an environment provides one:
+# set GOFEED_PG_DSN (psycopg2) or GOFEED_MSSQL_DSN (pyodbc) and the full
+# FeedRunner round-trip below runs against it; skipped otherwise.
+_LIVE_SERVERS = [
+    ("GOFEED_PG_DSN", "psycopg2"),
+    ("GOFEED_MSSQL_DSN", "pyodbc"),
+]
+
+
+@pytest.mark.parametrize("env_var,module", _LIVE_SERVERS)
+def test_live_server_feed_roundtrip(spark, tmp_path, env_var, module):
+    import os as _os
+
+    dsn = _os.environ.get(env_var)
+    if not dsn:
+        pytest.skip(f"{env_var} not set (no live server in this environment)")
+    pytest.importorskip(module)
+    from gofeed_spark.feedstate.model import AVAILABLE as _AV
+    from gofeed_spark.feedstate.processors import json_times_processor
+    from gofeed_spark.streaming.feed_runner import FeedRunner
+
+    prefix = "livetest_"
+    runner = FeedRunner(
+        spark, str(tmp_path / "live"), json_times_processor, max_retries=3,
+        storage="dbapi", dbapi_module=module, db_path=dsn,
+        table_prefix=prefix,
+    )
+    runner.db.seed(
+        items_rows=[
+            (f"i{k}", 0, 0, f"p{k % 3}", 0, _AV, "", '{"times": 2}', 0)
+            for k in range(50)
+        ],
+        parts_rows=[(f"p{k}", 0, 0, _AV) for k in range(3)],
+    )
+    runner.run_available(timeout_s=300)
+    done = runner.items().filter("status = 2").count()
+    assert done == 50
