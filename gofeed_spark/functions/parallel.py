@@ -1,0 +1,60 @@
+"""Local-parallelism floor for compute-heavy per-row passes.
+
+A parquet file is splittable only at ROW-GROUP boundaries: a table written
+as one row group scans as one task no matter how many cores the session
+has (``spark.sql.files.maxPartitionBytes`` cannot split inside a row
+group), and a per-byte-expensive pass — regex rules, Arrow signature
+batches, tf extraction — then runs serial while the rest of the cluster
+idles.  Columnar engines that parallelize WITHIN a row group (DuckDB) do
+not have this cliff, which is exactly where the round-7 textops gap came
+from.
+
+``parallel_floor`` repartitions such a starved input up to the session's
+default parallelism.  On a real warehouse table (many files / many row
+groups — the 100 TB shape) the guard no-ops: no shuffle is ever added to
+a well-split scan.  When it fires, the cost is one round-robin shuffle of
+exactly the rows the pass reads — by construction cheaper than running
+the pass on one core.
+
+Apply it ONLY at the head of compute-heavy per-row operators (the regex /
+Arrow passes), never to cheap scan-project queries where the shuffle
+would dominate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+# Below this much compressed scan input the pass is small enough that the
+# repartition's task-launch overhead exceeds what parallelism buys back
+# (measured: flooring ~0.5 MB sf0.1 inputs INFLATED the headline queries
+# ~2×, while ~3-6 MB sf1.0 inputs got 4-6× faster).
+MIN_INPUT_BYTES = 1 << 20
+
+
+def parallel_floor(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` up to the session's default parallelism when its
+    scan is split-starved AND carries enough input bytes for the widening
+    to pay for itself; identity otherwise (and on any planning/metadata
+    error — the floor is an optimization, never a correctness
+    dependency).  Non-local storage skips the floor entirely: warehouse
+    tables are well-split, and sizing them needs a remote call."""
+    import os
+
+    try:
+        spark = df.sparkSession
+        p = spark.sparkContext.defaultParallelism
+        files = df.inputFiles()
+        if not files:
+            return df
+        total = 0
+        for f in files:
+            total += os.path.getsize(f[5:] if f.startswith("file:") else f)
+        if total < MIN_INPUT_BYTES:
+            return df
+        if df.rdd.getNumPartitions() * 2 <= p:
+            return df.repartition(p)
+    except Exception:
+        pass
+    return df

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gofeed_spark.functions.parallel import parallel_floor
+
 from gofeed_spark.functions.lineage import release_local_checkpoint
 from gofeed_spark.functions.text import normalized_text, shingles, ws_tokens
 
@@ -320,6 +322,7 @@ def minhash_signatures(
     so exact-duplicate verdicts must verify on fp, never on est_jac = 1.0
     (measured on the test corpus — natural jac-0.99 pairs collide).
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial Arrow/regex pass
     import hashlib
 
     import numpy as np
@@ -439,6 +442,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     extraction per token per bit — measurably slower); the fingerprint is
     returned as two 32-bit halves to avoid BIGINT sign traps downstream.
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial Arrow/regex pass
     import hashlib
     import re
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gofeed_spark.functions.parallel import parallel_floor
+
 from gofeed_spark.functions.text import ws_tokens
 
 
@@ -38,6 +40,7 @@ def bm25_scores(
 
     Returns (id, score), one row per matching doc.
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial Arrow/regex pass
     base = docs.select(
         F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("__toks")
     ).withColumn("len_d", F.size("__toks"))

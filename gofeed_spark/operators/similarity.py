@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gofeed_spark.functions.parallel import parallel_floor
+
 from gofeed_spark.functions.ranking import with_rank
 from gofeed_spark.functions.vector import as_double_array, cosine, dot, l2_norm
 
@@ -39,6 +41,7 @@ def brute_topk(
     Returns (rank INT, neighbor_id) — rank 1 = most similar; ties broken by
     id.  The query vector joins in via broadcast cross-join (1 row).
     """
+    emb = parallel_floor(emb)  # split-starved scans → serial Arrow pass
     e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
     q = e.filter(F.col("nid") == query_id).select(F.col("v").alias("qv"))
     scored = (
@@ -63,6 +66,7 @@ def topk_similar_pairs(
 
     O(n²) dot products — the small-corpus oracle twin of the LSH path.
     """
+    emb = parallel_floor(emb)  # split-starved scans → serial Arrow pass
     e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
@@ -263,6 +267,7 @@ def topk_pairs_lsh(
     uncapped behavior; a known ``n_hint <= bucket_cap`` proves no bucket
     can saturate and skips the guard entirely.
     """
+    emb = parallel_floor(emb)  # split-starved scans → serial Arrow pass
     if k == -1 and min_cos is None:
         # threshold mode without a threshold would otherwise surface as a
         # TypeError deep inside an executor's pandas UDF — fail at the API
@@ -530,6 +535,7 @@ def embedding_neardup_pairs(
     vectors are found with certainty (identical projections in every
     table).
     """
+    emb = parallel_floor(emb)  # split-starved scans → serial Arrow pass
     all_pairs = topk_pairs_lsh(
         emb,
         k=-1,  # sentinel: no global limit (threshold filter instead)
@@ -730,6 +736,7 @@ def build_ann_index(
     files — the small-file storm that kills object-store listings); with
     it each bucket's rows are clustered into one task → O(2^planes) files
     total."""
+    emb = parallel_floor(emb)  # split-starved scans → serial Arrow pass
     planes = _hyperplanes(dim, n_planes)
     # ``meta_cols`` ride into the layout as plain parquet columns: a
     # filtered probe (probe_ann_index ``where``) pushes its predicate into
@@ -855,6 +862,7 @@ def build_ivf_index(
     n_cells).  ``quantize`` stores the int8 payload instead of the float
     vector (see ``_with_int8_quantization``) — cell assignment stays
     full-precision."""
+    emb = parallel_floor(emb)  # split-starved scans → serial Arrow pass
     e = emb.select(
         F.col(id_col).alias("nid"),
         as_double_array(vec_col).alias("v"),
@@ -1068,6 +1076,7 @@ def semantic_contamination(
     join, no shuffle; the corpus never moves.  The verdict compares the
     UNROUNDED max (like the oracle); rounding is presentation only.
     """
+    emb = parallel_floor(emb)  # split-starved scans → serial Arrow pass
     b_rows = benchmark.select(as_double_array(vec_col).alias("v")).collect()
     bmat = np.array([r.v for r in b_rows], dtype=np.float64)
     sc = emb.sparkSession.sparkContext
@@ -1141,6 +1150,7 @@ def label_centroid_norms(
     posexplode → (label, pos) mean → re-aggregate Σm² — two skinny shuffles,
     never materializing centroids wider than the embedding dim.
     """
+    emb = parallel_floor(emb)  # split-starved scans → serial Arrow pass
     ex = emb.select(
         F.col(label_col).alias("label"),
         F.posexplode(as_double_array(vec_col)).alias("pos", "x"),

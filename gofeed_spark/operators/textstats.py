@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gofeed_spark.functions.parallel import parallel_floor
 from gofeed_spark.functions.text import TOKEN_RE, normalized_text, re_tokens, ws_tokens
 
 # Stopword marker sets for the portable language-ID heuristic.  Deliberately
@@ -87,6 +88,7 @@ def winnowing_fingerprints(
     distinct.  One narrow shuffle on doc_id for the window; md5 hex keeps
     the hash oracle-expressible (lexicographic MIN agrees across engines).
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial regex/Arrow pass
     from pyspark.sql import Window as W
 
     # Materialize the token array as a projection column FIRST: referencing
@@ -145,6 +147,7 @@ def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     in whole-stage codegen, the mandatory shape for an every-document pass
     at 100 TB (same rule as the rest of this module).
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial regex/Arrow pass
     t = F.col(text_col)
     counts = [
         F.regexp_count(t, F.lit(pat)).cast("int").alias(f"n_{name}")
@@ -191,22 +194,38 @@ def gopher_rules(
     stop_hits, gopher_ok) with ratios rounded to 6 for hash stability;
     rule comparisons use the UNROUNDED values.
 
-    Everything is whole-stage codegen: token/line arrays are materialized
-    as projection columns BEFORE the filter lambdas reference them (an
-    inlined split would re-evaluate per element), the stopword test is 8
-    unrolled array_contains terms (no HOF), and the char counts are
-    length-of-replace diffs — no Python, no shuffle, one corpus pass.
+    Everything is whole-stage codegen, and regex is almost gone (profiled
+    in round 7 as this operator's constant-factor gap vs its oracle): the
+    word count is ONE ``regexp_count(\S+)`` pass — no token-array
+    materialization at all — and everything else is literal string ops:
+    ``translate`` normalizes whitespace in one pass, non-space chars are
+    a length-of-replace diff on it, and the stopword test is 8 literal
+    ``contains`` probes of the space-padded normalized text (`` w ``
+    present ⟺ token ``w`` present — exact distinct-membership semantics
+    without building the token array).  Line arrays are materialized as
+    projection columns BEFORE the filter lambdas reference them (an
+    inlined split would re-evaluate per element).  No Python, no shuffle,
+    one corpus pass.
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial regex/Arrow pass
     t = F.col(text_col)
+    # Java \s = [ \t\n\x0B\f\r]; translate maps each to ' ' in one
+    # literal pass.  Materialized as projection columns so the multiple
+    # references below read, not re-evaluate.
     with_arrays = docs.select(
         F.col(id_col).alias("__id"),
         t.alias("__text"),
-        ws_tokens(text_col).alias("__toks"),
+        F.translate(F.lower(t), "\t\n\x0b\f\r", "     ").alias("__wsnorm"),
         F.split(t, r"\n").alias("__lines"),
     )
     txt = F.col("__text")
-    n_words = F.size("__toks").cast("double")
-    nonspace = F.length(F.regexp_replace(txt, r"\s", "")).cast("double")
+    ws_norm = F.col("__wsnorm")
+    # words = \S+ runs (greatest(...,1) keeps empty/all-ws docs at the
+    # old 0.0 mean); counting runs skips the split's per-token allocs
+    n_words = F.greatest(F.regexp_count(txt, F.lit(r"\S+")), F.lit(1)).cast(
+        "double"
+    )
+    nonspace = F.length(F.replace(ws_norm, F.lit(" "), F.lit(""))).cast("double")
     mean_wl = nonspace / n_words
     n_symbols = (
         (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit(""))))
@@ -232,14 +251,17 @@ def gopher_rules(
 
     bullet_frac = _frac(_bullet)
     ellipsis_frac = _frac(_ellipsis)
-    # single hashed-set pass (array_intersect dedups, so the size IS the
-    # count of distinct stopwords present — measured faster than 8
-    # unrolled array_contains scans of the token array)
-    stop_hits = F.size(
-        F.array_intersect(
-            "__toks", F.array(*[F.lit(s) for s in stopwords])
-        )
-    )
+    # distinct-stopword count as literal substring probes: token w is
+    # present ⟺ ' w ' occurs in the space-padded whitespace-normalized
+    # text (runs of spaces still contain ' w '); plain indexOf, no regex,
+    # no token array
+    padded = F.concat(F.lit(" "), ws_norm, F.lit(" "))
+    hits = [
+        F.contains(padded, F.lit(f" {s} ")).cast("int") for s in stopwords
+    ]
+    stop_hits = hits[0]
+    for h in hits[1:]:
+        stop_hits = stop_hits + h
     ok = (
         (mean_wl >= min_mean_wl)
         & (mean_wl <= max_mean_wl)
@@ -290,6 +312,7 @@ def remove_frequent_lines(
     threshold compares df >= ceil(min_frac * group_docs) in both this
     plan and the SQL oracle, so boundary groups agree exactly.
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial regex/Arrow pass
     import re as _re
 
     t = F.col(text_col)
@@ -362,6 +385,7 @@ def dup_ngram_char_fraction(
     integer ratio evaluated in ONE double division, so Spark and any
     oracle engine produce bit-identical values with no rounding step.
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial regex/Arrow pass
     import re
 
     id_type = docs.schema[id_col].dataType.simpleString()
@@ -424,6 +448,7 @@ def unigram_logprob_score(
     a broadcast, and the score join is an ordinary equi-join AQE
     broadcasts when the vocab is small.  No Python anywhere.
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial regex/Arrow pass
     toks = docs.select(
         F.col(id_col).alias("__id"),
         F.explode(ws_tokens(text_col)).alias("__tok"),
@@ -473,6 +498,7 @@ def bigram_logprob_score(
     the two count aggregates (8-byte hashed keys, map-side combinable)
     and the slim score joins.
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial regex/Arrow pass
     toks = docs.select(
         F.col(id_col).alias("__id"), ws_tokens(text_col).alias("__t")
     ).filter(F.size("__t") >= 2)
@@ -550,6 +576,7 @@ def keyword_classify(
     — comfortably codegen; a 10⁵-keyword taxonomy would switch to an
     explode + broadcast keyword join with the same output contract).
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial regex/Arrow pass
     toks_df = docs.select(
         F.col(id_col).alias("__id"), ws_tokens(text_col).alias("__toks")
     )
@@ -636,6 +663,7 @@ def compression_ratio(
 
     One no-shuffle Arrow mapInPandas pass (zlib is C); ratio rounded to 6.
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial regex/Arrow pass
     import zlib
 
     def run(batches):

@@ -1415,12 +1415,12 @@ WITH corpus AS (
 ),
 f AS (
   SELECT doc_id,
-         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS n_words,
          CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
          CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
               + (LENGTH(text) - LENGTH(REPLACE(text, '…', ''))) AS DOUBLE) AS n_sym,
          string_split(text, chr(10)) AS ls,
-         regexp_split_to_array(lower(text), '\s+') AS toks
+         ' ' || regexp_replace(lower(text), '\s', ' ', 'g') || ' ' AS padded
   FROM corpus
 ),
 g AS (
@@ -1434,14 +1434,14 @@ g AS (
          CAST(len(list_filter(ls, x -> ends_with(x, '...')
                                     OR ends_with(x, '…'))) AS DOUBLE)
            / len(ls) AS ellipsis_frac,
-         (CASE WHEN list_contains(toks, 'a')     THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'hash')  THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'join')  THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'value') THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'row')   THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
-        + CASE WHEN list_contains(toks, 'key')   THEN 1 ELSE 0 END) AS stop_hits
+         (CASE WHEN contains(padded, ' a ')     THEN 1 ELSE 0 END
+        + CASE WHEN contains(padded, ' hash ')  THEN 1 ELSE 0 END
+        + CASE WHEN contains(padded, ' join ')  THEN 1 ELSE 0 END
+        + CASE WHEN contains(padded, ' value ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(padded, ' row ')   THEN 1 ELSE 0 END
+        + CASE WHEN contains(padded, ' table ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(padded, ' spark ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(padded, ' key ')   THEN 1 ELSE 0 END) AS stop_hits
   FROM f
 )
 SELECT doc_id,
