@@ -481,6 +481,68 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def hash64_band_pairs(
+    fps: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    hi_col: str = "sim_hi",
+    lo_col: str = "sim_lo",
+    df_cap: int | None = 5_000,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint frame ``(id, hi, lo)``
+    (two 32-bit halves — the BIGINT-sign-safe convention): 4 bands of 16
+    bits for candidates (pigeonhole — any pair within Hamming distance 3
+    shares a band; wider distances are best-effort, standard practice),
+    exact distance via ``bit_count(xor)``.  The banded machinery behind
+    ``simhash_neardup_pairs``, reused verbatim by the perceptual-hash
+    media dedup (multimodal.media_neardup_pairs) — one scalable kernel,
+    many fingerprint families.  Returns (doc_a, doc_b, hamming).
+
+    ``df_cap``: band buckets above the cap emit a linear spanning star
+    instead of m²/2 pairs (see ``_group_pairs``, hot="star").
+    """
+    sh = fps.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(hi_col).alias("sim_hi"),
+        F.col(lo_col).alias("sim_lo"),
+    )
+    # Slim band relation (doc_id, hashed 16-bit band) — fingerprints are
+    # re-joined per candidate pair, not shuffled per band.
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.xxhash64(F.lit(0), F.col("sim_lo").bitwiseAND(F.lit(0xFFFF))),
+                F.xxhash64(F.lit(1), F.shiftright(F.col("sim_lo"), 16)),
+                F.xxhash64(F.lit(2), F.col("sim_hi").bitwiseAND(F.lit(0xFFFF))),
+                F.xxhash64(F.lit(3), F.shiftright(F.col("sim_hi"), 16)),
+            )
+        ).alias("bh"),
+    )
+    cand = _group_pairs(bands, "bh", df_cap=df_cap, hot="star").dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+    fa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"),
+    )
+    fb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"),
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     max_hamming: int = 8,
@@ -502,32 +564,8 @@ def simhash_neardup_pairs(
     if n_hint is not None and df_cap is not None and n_hint <= df_cap:
         df_cap = None
     sh = simhash64(docs, text_col, id_col).persist()
-    # Slim band relation (doc_id, hashed 16-bit band) — fingerprints are
-    # re-joined per candidate pair, not shuffled per band.
-    bands = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.xxhash64(F.lit(0), F.col("sim_lo").bitwiseAND(F.lit(0xFFFF))),
-                F.xxhash64(F.lit(1), F.shiftright(F.col("sim_lo"), 16)),
-                F.xxhash64(F.lit(2), F.col("sim_hi").bitwiseAND(F.lit(0xFFFF))),
-                F.xxhash64(F.lit(3), F.shiftright(F.col("sim_hi"), 16)),
-            )
-        ).alias("bh"),
-    )
-    cand = _group_pairs(bands, "bh", df_cap=df_cap, hot="star").dropDuplicates(
-        ["doc_a", "doc_b"]
-    )
-    fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sim_hi").alias("hi_a"), F.col("sim_lo").alias("lo_a"))
-    fb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sim_hi").alias("hi_b"), F.col("sim_lo").alias("lo_b"))
-    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
-    )
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    return hash64_band_pairs(
+        sh, max_hamming=max_hamming, id_col="doc_id", df_cap=df_cap
     )
 
 

@@ -609,6 +609,8 @@ def relative_length_filter(
     len_col: str = "n_chars",
     source_col: str = "source",
     id_col: str = "doc_id",
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """ADAPTIVE length filtering — per-source percentile bounds instead of
     one global threshold (the FineWeb lesson: absolute thresholds tuned on
@@ -622,14 +624,22 @@ def relative_length_filter(
 
     Posture: one map-side-combinable percentile aggregate to a
     |sources|-row bounds table that broadcasts back — the corpus pays a
-    scan + broadcast join, no shuffle of doc rows.  (Exact percentile
-    state is O(rows per source) on the agg side; at extreme per-source
-    volume swap in percentile_approx — same plan, sketch state.)
+    scan + broadcast join, no shuffle of doc rows.  Exact percentile
+    state is O(rows per source) on the agg side; ``approx=True`` swaps in
+    ``percentile_approx`` (Greenwald-Khanna sketch — state O(accuracy),
+    rank error ≤ 1/accuracy regardless of per-source volume), the setting
+    for extreme per-source row counts.  Same plan either way.
     """
     ln = F.col(len_col).cast("double")
+    if approx:
+        p_lo = f"percentile_approx({len_col}, {lo}, {int(accuracy)})"
+        p_hi = f"percentile_approx({len_col}, {hi}, {int(accuracy)})"
+    else:
+        p_lo = f"percentile({len_col}, {lo})"
+        p_hi = f"percentile({len_col}, {hi})"
     bounds = docs.groupBy(source_col).agg(
-        F.expr(f"percentile({len_col}, {lo})").alias("__lo"),
-        F.expr(f"percentile({len_col}, {hi})").alias("__hi"),
+        F.expr(p_lo).cast("double").alias("__lo"),
+        F.expr(p_hi).cast("double").alias("__hi"),
     )
     keep = (ln >= F.col("__lo")) & (ln <= F.col("__hi"))
     return (

@@ -2554,3 +2554,114 @@ def q111(spark, sf_dir):
         "url_canon",
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- q112/q113 perceptual-hash media dedup -----------------------------------
+# The oracle must REPRODUCE the stub dHash in SQL: strip byte i =
+# sha256-digest byte (i mod 32); bit r*8+c set iff strip[r*9+c] >
+# strip[r*9+c+1].  Byte values come from the hex string via a
+# position-in-'0123456789abcdef' lookup; the 32 byte columns and 64 bit
+# terms are GENERATED here so both q112 and q113 share one definition.
+def _phash_oracle_cte(corpus_sql: str) -> str:
+    hv = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+    bytes_sql = ",\n         ".join(
+        f"({hv.format(pos=2 * i + 1)} * 16 + {hv.format(pos=2 * i + 2)}) AS b{i}"
+        for i in range(32)
+    )
+    hi_terms, lo_terms = [], []
+    for r in range(8):
+        for c in range(8):
+            k = r * 8 + c
+            i1 = (r * 9 + c) % 32
+            i2 = (r * 9 + c + 1) % 32
+            term = (
+                f"(CASE WHEN b{i1} > b{i2} THEN CAST(1 AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END << {k if k < 32 else k - 32})"
+            )
+            (lo_terms if k < 32 else hi_terms).append(term)
+    return f"""
+h AS (SELECT media_id, sha256(text) AS hx FROM ({corpus_sql})),
+b AS (SELECT media_id,
+         {bytes_sql}
+      FROM h),
+p AS (SELECT media_id,
+         {" + ".join(hi_terms)} AS ph_hi,
+         {" + ".join(lo_terms)} AS ph_lo
+      FROM b)"""
+
+
+@query(
+    "q112_media_phash",
+    oracle="WITH "
+    + _phash_oracle_cte("SELECT doc_id AS media_id, text FROM documents")
+    + "\nSELECT media_id, ph_hi, ph_lo FROM p ORDER BY media_id",
+)
+def q112(spark, sf_dir):
+    """Perceptual media hash (multimodal.media_dhash): every document's
+    bytes as an opaque media blob → 64-bit dHash over the decoded pixel
+    strip, as (ph_hi, ph_lo) 32-bit halves.  In this container the decode
+    is the deterministic sha-derived stub strip — which the DuckDB oracle
+    reproduces bit-for-bit (hex-digit arithmetic + the same 64
+    adjacent-byte comparisons), so the whole hash path is value-checked,
+    not just row-counted.  One Arrow pass, no shuffle.
+    Reference parity: none (the reference has no media surface); public
+    technique (difference hash)."""
+    media = multimodal.docs_as_media(T(spark, sf_dir, "documents"))
+    return multimodal.media_dhash(media).orderBy("media_id")
+
+
+@query(
+    "q113_media_phash_dedup",
+    oracle="WITH corpus AS (\n"
+    "  SELECT d.doc_id AS media_id,\n"
+    "         CASE WHEN d.doc_id % 10 = 0 AND s.text IS NOT NULL\n"
+    "              THEN s.text ELSE d.text END AS text\n"
+    "  FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id - 1\n"
+    "),\n"
+    + _phash_oracle_cte("SELECT media_id, text FROM corpus")
+    + """
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.ph_hi, b.ph_hi))
+          + bit_count(xor(a.ph_lo, b.ph_lo)) AS BIGINT) AS hamming
+FROM p a JOIN p b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 4
+ORDER BY media_a, media_b
+""",
+)
+def q113(spark, sf_dir):
+    """Media near-dup dedup end-to-end: every 10th doc's media blob is an
+    EXACT clone of its predecessor's, and the banded perceptual-hash
+    kernel (multimodal.media_neardup_pairs → dedup.hash64_band_pairs, the
+    same 16-bit-band + star-guard machinery text SimHash uses) must
+    recover exactly those pairs.  The oracle computes the same stub
+    hashes in SQL and takes ALL pairs within Hamming 4 — so the check
+    also proves the banded candidate generation loses nothing the
+    brute-force all-pairs scan finds (with stub hashes only exact clones
+    land within the bound; real decoders put re-encoded images there
+    too).  100 TB posture: 8-byte fingerprints, band-collision
+    candidates only, hot meme families star-compressed."""
+    d = T(spark, sf_dir, "documents")
+    src = d.select(
+        (F.col("doc_id") + 1).alias("media_id"), F.col("text").alias("src_text")
+    )
+    corpus = (
+        d.select(F.col("doc_id").alias("media_id"), "text")
+        .join(src, "media_id", "left")
+        .select(
+            "media_id",
+            F.when(
+                (F.col("media_id") % 10 == 0) & F.col("src_text").isNotNull(),
+                F.col("src_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    media = corpus.select(
+        "media_id", F.encode("text", "utf-8").alias("content")
+    ).withColumn("media_type", F.lit("image"))
+    return (
+        multimodal.media_neardup_pairs(media, max_hamming=4)
+        .select("media_a", "media_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("media_a", "media_b")
+    )

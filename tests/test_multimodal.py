@@ -75,3 +75,62 @@ def test_media_byte_stats_jvm_side(media):
     r = {x.media_id: x for x in media_byte_stats(media).collect()}
     assert r[2].byte_len == len(b"spark engine")
     assert r[2].content_md5 == hashlib.md5(b"spark engine").hexdigest()
+
+
+def test_media_dhash_deterministic_and_clone_sensitive(spark):
+    """Stub dHash: identical blobs → identical fingerprints; different
+    blobs → different fingerprints (sha-derived strips)."""
+    from gofeed_spark.operators.multimodal import media_dhash
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"same bytes"),
+            (2, "image", b"same bytes"),
+            (3, "image", b"other bytes"),
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    got = {r.media_id: (r.ph_hi, r.ph_lo) for r in media_dhash(media).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert all(0 <= h < 2**32 and 0 <= l < 2**32 for h, l in got.values())
+
+
+def test_media_neardup_pairs_recovers_exact_clone_family(spark):
+    from gofeed_spark.operators.multimodal import media_neardup_pairs
+
+    rows_ = [(i, "image", b"meme template pixels") for i in range(1, 6)]
+    rows_ += [(10 + i, "image", f"unique {i}".encode()) for i in range(20)]
+    media = spark.createDataFrame(
+        rows_, "media_id long, media_type string, content binary"
+    )
+    pairs = {
+        (r.media_a, r.media_b)
+        for r in media_neardup_pairs(media, max_hamming=0).collect()
+    }
+    import itertools
+
+    assert pairs == set(itertools.combinations(range(1, 6), 2))
+
+
+def test_hash64_band_pairs_recovers_hamming_family(spark):
+    """The banded kernel's pigeonhole guarantee, pinned on synthetic
+    fingerprints: every pair within Hamming distance 3 of a base hash
+    MUST be recovered (any 3 flipped bits leave one of the 4 sixteen-bit
+    bands untouched), and far-away hashes must not pair."""
+    from gofeed_spark.operators.dedup import hash64_band_pairs
+
+    base = 0x5A5A3C3CA1B2C3D4
+    family = [base, base ^ 1, base ^ (1 << 20), base ^ ((1 << 40) | (1 << 63))]
+    far = 0xFFFFFFFF00000000 ^ base  # hamming 32 from base
+    fps = [(i, (h >> 32) & 0xFFFFFFFF, h & 0xFFFFFFFF) for i, h in enumerate(family)]
+    fps.append((99, (far >> 32) & 0xFFFFFFFF, far & 0xFFFFFFFF))
+    df = spark.createDataFrame(fps, "doc_id long, sim_hi long, sim_lo long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hash64_band_pairs(df, max_hamming=3).collect()
+    }
+    import itertools
+
+    assert set(got) == set(itertools.combinations(range(4), 2))
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 1 and got[(0, 3)] == 2

@@ -327,3 +327,53 @@ def test_compression_ratio_flags_repetitive_text(spark):
     again = {r.doc_id: (r.ratio, r.keep)
              for r in compression_ratio(docs.repartition(5)).collect()}
     assert again == got
+
+
+def test_relative_length_filter_approx_mode_tracks_exact(spark):
+    """approx=True (percentile_approx sketch) must track the exact mode:
+    per-source bounds within one percentile's worth of the length
+    distribution, and the keep set near-identical on sf0.01 volume."""
+    from gofeed_spark.operators.textstats import relative_length_filter
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+    )
+    exact = relative_length_filter(docs).collect()
+    approx = relative_length_filter(docs, approx=True).collect()
+    eb = {(r.source): (r.lo_bound, r.hi_bound) for r in exact}
+    ab = {(r.source): (r.lo_bound, r.hi_bound) for r in approx}
+    assert eb.keys() == ab.keys()
+    # one percentile of RANK slack per source (exact interpolates between
+    # data points, the sketch returns a data value — value-space gaps can
+    # be arbitrarily wide in sparse regions, rank is the sketch's actual
+    # guarantee)
+    import bisect
+
+    spans = {}
+    for r in exact:
+        spans.setdefault(r.source, []).append(r.length)
+    for src in eb:
+        lengths = sorted(spans[src])
+        n = len(lengths)
+        slack = max(2.0, n / 100.0)
+        for (ev, av), p in zip(zip(eb[src], ab[src]), (0.05, 0.95)):
+            rank = bisect.bisect_left(lengths, av)
+            assert abs(rank - p * n) <= slack, (src, p, av, rank, p * n)
+    # keep decisions: a flip is legitimate ONLY for a boundary doc — one
+    # whose rank within its source sits within a percentile (+1 rank for
+    # interpolation) of a bound; anything interior flipping means the
+    # sketch broke
+    ek = {r.doc_id: (r.keep, r.source, r.length) for r in exact}
+    ak = {r.doc_id: r.keep for r in approx}
+    for d, (keep, src, length) in ek.items():
+        if keep == ak[d]:
+            continue
+        lengths = sorted(spans[src])
+        n = len(lengths)
+        rank = bisect.bisect_left(lengths, length)
+        slack = n / 100.0 + 1.0
+        near_bound = (
+            abs(rank - 0.05 * n) <= slack or abs(rank - 0.95 * n) <= slack
+        )
+        assert near_bound, (d, src, length, rank, n)
