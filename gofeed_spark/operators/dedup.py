@@ -694,6 +694,7 @@ def strip_duplicate_spans(
     (starts per doc are few, so the nested exists is O(tokens·starts) with
     a small constant).  One slim shuffle + one per-doc join total.
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial k-gram pass
     with_toks = docs.select(
         F.col(id_col).alias("__id"), ws_tokens(text_col).alias("__toks")
     )
