@@ -6,7 +6,12 @@ decode real image bytes (grayscale feature row / true pixel resize); blobs
 PIL cannot parse — and every blob when PIL is absent, as in this container
 — fall back to the deterministic content-hash stubs, so the Spark-side
 plumbing (schema, batch shape, partitioning) is identical and
-oracle-checkable either way.  Audio/video (librosa/ffmpeg) remain stubbed.
+oracle-checkable either way.  Audio gets the same treatment
+(``extract_audio_features``: librosa-optional MFCC with a deterministic
+stub); video frame extraction (``sample_frames``) remains a pure stub
+(no ffmpeg in this container).  ``media_embedding`` bridges blobs into
+the vector stack (ANN/IVF indexes, brute top-k) and ``media_dhash`` /
+``media_neardup_pairs`` into the banded dedup kernel.
 """
 
 from __future__ import annotations
@@ -289,6 +294,88 @@ def media_neardup_pairs(
             "hamming",
         )
     )
+
+
+def media_embedding(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Media embedding column — (media_id, embedding array<double>) — the
+    bridge from binary blobs into the vector stack: the output feeds
+    ``similarity.brute_topk`` / ``build_ann_index`` / ``build_ivf_index``
+    unchanged (pass ``id_col="media_id"``), so media similarity search and
+    embedding-based media dedup ride the SAME indexes text vectors use.
+
+    The encoder here is the deterministic stub: ``dim`` doubles from the
+    blob's sha256 digest bytes, computed ENTIRELY JVM-side (sha2 +
+    substring + conv — whole-stage codegen, no Python, exact double
+    arithmetic the DuckDB oracle reproduces digit-for-digit).  A real
+    deployment swaps exactly this expression for an Arrow-batched model
+    call (CLIP/wav2vec) — everything downstream is encoder-agnostic."""
+    hx = F.lower(F.sha2(F.col("content"), 256))
+    emb = F.array(
+        *[
+            F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("double")
+            / F.lit(255.0)
+            for i in range(dim)
+        ]
+    )
+    return media.select("media_id", emb.alias("embedding"))
+
+
+def extract_audio_features(
+    media: DataFrame, n_mfcc: int = 13, n_frames: int = 4
+) -> DataFrame:
+    """Audio featurization: (media_id, frame, mfcc array<double>) — one row
+    per analysis frame, the MFCC-matrix shape audio pipelines feed
+    downstream.  With librosa importable the coefficients are real MFCCs
+    over the decoded waveform; otherwise (this container ships no audio
+    stack) a deterministic sha-derived stub keeps the Spark-side plumbing
+    — schema, per-frame fan-out, Arrow batch shape, partition-parallel
+    execution — real and oracle-checkable.  Same posture as the image
+    path's PIL fallback."""
+    use_librosa = False
+    try:  # pragma: no cover — librosa absent in this container
+        import librosa  # noqa: F401
+
+        use_librosa = True
+    except ImportError:
+        pass
+
+    def stub_mfcc(content: bytes) -> list[list[float]]:
+        d = hashlib.sha256(content).digest()
+        return [
+            [d[(f * n_mfcc + c) % 32] / 255.0 for c in range(n_mfcc)]
+            for f in range(n_frames)
+        ]
+
+    def real_mfcc(content: bytes) -> list[list[float]]:  # pragma: no cover
+        import io
+
+        import librosa
+        import numpy as np
+        import soundfile as sf
+
+        y, sr = sf.read(io.BytesIO(content))
+        m = librosa.feature.mfcc(y=np.asarray(y, dtype=float), sr=sr, n_mfcc=n_mfcc)
+        return m.T[:n_frames].tolist()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame": [], "mfcc": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                if use_librosa:
+                    try:  # pragma: no cover
+                        frames = real_mfcc(blob)
+                    except Exception:  # noqa: BLE001 — undecodable → stub
+                        frames = stub_mfcc(blob)
+                else:
+                    frames = stub_mfcc(blob)
+                for f, row in enumerate(frames):
+                    out["media_id"].append(mid)
+                    out["frame"].append(f)
+                    out["mfcc"].append(row)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, "media_id long, frame int, mfcc array<double>")
 
 
 def media_byte_stats(media: DataFrame) -> DataFrame:

@@ -2665,3 +2665,93 @@ def q113(spark, sf_dir):
         .select("media_a", "media_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("media_a", "media_b")
     )
+
+
+# --- q114/q115 media embeddings + audio features ------------------------------
+def _sha_vec_sql(dim: int) -> str:
+    """DuckDB list literal reproducing media_embedding's JVM stub exactly:
+    element i = digest byte i / 255.0 (exact double arithmetic both
+    sides — no float32 in the path)."""
+    hv = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+    elems = ", ".join(
+        f"CAST({hv.format(pos=2 * i + 1)} * 16 + {hv.format(pos=2 * i + 2)} AS DOUBLE) / 255.0"
+        for i in range(dim)
+    )
+    return f"[{elems}]"
+
+
+@query(
+    "q114_media_knn",
+    oracle=f"""
+WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+v AS (SELECT media_id, {_sha_vec_sql(8)} AS vec FROM h),
+q AS (SELECT vec AS qe FROM v WHERE media_id = 7),
+s AS (
+  SELECT v.media_id,
+         list_dot_product(v.vec, q.qe)
+           / (SQRT(list_dot_product(v.vec, v.vec))
+              * SQRT(list_dot_product(q.qe, q.qe))) AS cos
+  FROM v, q WHERE v.media_id <> 7)
+SELECT CAST(rn AS INTEGER) AS rank, media_id AS neighbor_id
+FROM (SELECT media_id, ROW_NUMBER() OVER (ORDER BY cos DESC, media_id) AS rn FROM s) t
+WHERE rn <= 10 ORDER BY rank
+""",
+)
+def q114(spark, sf_dir):
+    """Media similarity search end-to-end: blobs → media_embedding (the
+    JVM-side stub encoder — sha2/conv codegen, exact doubles the oracle
+    reproduces digit-for-digit) → the SAME brute top-k cosine kernel text
+    vectors use (similarity.brute_topk, q34's operator).  Proves the
+    multimodal column feeds the vector stack unchanged; the ANN-index
+    variant over the same embeddings is recall-gated in
+    tests/test_multimodal.py (approximate — outside the exact oracle).
+    Reference parity: none (no media surface in the reference)."""
+    media = multimodal.docs_as_media(T(spark, sf_dir, "documents"))
+    emb = multimodal.media_embedding(media, dim=8)
+    return similarity.brute_topk(
+        emb, query_id=7, k=10, id_col="media_id", vec_col="embedding"
+    )
+
+
+@query(
+    "q115_audio_features",
+    oracle="WITH "
+    + _phash_oracle_cte("SELECT doc_id AS media_id, text FROM documents").split(
+        ",\nb AS"
+    )[0]
+    + """,
+b AS (SELECT media_id,
+         """
+    + ",\n         ".join(
+        f"((strpos('0123456789abcdef', substr(hx, {2 * i + 1}, 1)) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substr(hx, {2 * i + 2}, 1)) - 1)) AS b{i}"
+        for i in range(32)
+    )
+    + """
+      FROM h)
+SELECT media_id, CAST(f.f AS INT) AS frame, CAST(c.c AS INT) AS coeff,
+       CAST(CASE (f.f * 13 + c.c) % 32
+"""
+    + "".join(f"         WHEN {i} THEN b{i}\n" for i in range(32))
+    + """       END AS DOUBLE) / 255.0 AS value
+FROM b,
+     (SELECT UNNEST(range(0, 4)) AS f) f,
+     (SELECT UNNEST(range(0, 13)) AS c) c
+ORDER BY media_id, frame, coeff
+""",
+)
+def q115(spark, sf_dir):
+    """Audio featurization plumbing (multimodal.extract_audio_features):
+    one MFCC-shaped row per analysis frame per blob, flattened to
+    (media_id, frame, coeff, value) so the DuckDB oracle can value-check
+    the WHOLE stub matrix (librosa is absent in this container; the stub
+    derives each coefficient from the digest byte (frame*13+coeff) mod 32
+    — the oracle reproduces it with hex arithmetic + a CASE over the 32
+    bytes).  Arrow-batched per-frame fan-out, no shuffle."""
+    media = multimodal.docs_as_media(T(spark, sf_dir, "documents"))
+    af = multimodal.extract_audio_features(media, n_mfcc=13, n_frames=4)
+    return af.select(
+        "media_id",
+        "frame",
+        F.posexplode("mfcc").alias("coeff", "value"),
+    ).orderBy("media_id", "frame", "coeff")

@@ -134,3 +134,55 @@ def test_hash64_band_pairs_recovers_hamming_family(spark):
 
     assert set(got) == set(itertools.combinations(range(4), 2))
     assert got[(0, 1)] == 1 and got[(0, 2)] == 1 and got[(0, 3)] == 2
+
+
+def test_media_embedding_feeds_ann_index(spark, tmp_path):
+    """The multimodal→vector bridge end-to-end: media blobs → stub
+    embeddings → the SAME SRP-LSH index/probe text vectors use.  With the
+    multiprobe radius opened to the full plane count the pruned probe is
+    exhaustive, so it must EQUAL the brute-force top-k — plumbing
+    correctness without approximation flakiness (recall at partial radius
+    is the similarity suite's measured gate, on organic vectors)."""
+    from gofeed_spark.operators.multimodal import docs_as_media, media_embedding
+    from gofeed_spark.operators.similarity import (
+        brute_topk,
+        build_ann_index,
+        probe_ann_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    emb = media_embedding(docs_as_media(docs), dim=8)
+    path = str(tmp_path / "media_ann")
+    build_ann_index(emb, path, n_planes=4, dim=8, id_col="media_id")
+    qv = emb.filter("media_id = 7").collect()[0].embedding
+    brute = [
+        r.neighbor_id
+        for r in brute_topk(
+            emb, query_id=7, k=10, id_col="media_id", vec_col="embedding"
+        ).collect()
+    ]
+    probed = [
+        r.neighbor_id
+        for r in probe_ann_index(
+            spark, path, qv, k=10, n_planes=4, dim=8, exclude_id=7, multiprobe=4
+        ).collect()
+    ]
+    assert probed == brute
+
+
+def test_extract_audio_features_shape_and_determinism(spark):
+    from gofeed_spark.operators.multimodal import extract_audio_features
+
+    media = spark.createDataFrame(
+        [(1, "audio", b"pcm bytes here"), (2, "audio", b"pcm bytes here"), (3, "audio", b"other")],
+        "media_id long, media_type string, content binary",
+    )
+    rows_ = extract_audio_features(media, n_mfcc=13, n_frames=4).collect()
+    by_id = {}
+    for r in rows_:
+        by_id.setdefault(r.media_id, {})[r.frame] = list(r.mfcc)
+    assert set(by_id[1]) == {0, 1, 2, 3}  # 4 frames per blob
+    assert all(len(v) == 13 for v in by_id[1].values())
+    assert by_id[1] == by_id[2]  # identical blobs → identical matrices
+    assert by_id[1] != by_id[3]
+    assert all(0.0 <= x <= 1.0 for fr in by_id[3].values() for x in fr)
