@@ -471,8 +471,9 @@ class FeedRunner:
             # so commit volume scales with work done, not table size.  A
             # legacy plain-table manifest converts inside this same commit
             # (all buckets staged, the plain entry dropped) at no extra
-            # version.  (At warehouse scale dead letters would go to an
-            # append sink keyed by (writer, batch) instead of a snapshot.)
+            # version.  Dead letters are exactly that append sink: one
+            # immutable delta snapshot per failing batch, carried forward
+            # by name ever after.
             import shutil as _shutil
             import uuid as _uuid
 
@@ -486,6 +487,8 @@ class FeedRunner:
                 for k, v in prev_tables.items()
                 if k.startswith(self.t_items + "@b")
                 or k.startswith(self.t_parts + "@b")
+                or k == self.t_dead  # legacy plain dead-letter snapshot
+                or k.startswith(self.t_dead + "@d")  # per-batch deltas
             }
             fresh_rels: list[str] = []
             stats: dict[str, int] = {}
@@ -546,15 +549,14 @@ class FeedRunner:
                     stage_buckets(
                         self.t_parts, parts_b.filter(F.col("b").isin(pb)), False
                     )
+            # Dead letters land as a PER-BATCH delta snapshot
+            # (``dead_letter@d_<token>``): prior deltas ride forward by
+            # name (zero rewrite — the append-sink shape the table-rewrite
+            # comment used to promise), and the new rows still share this
+            # manifest's atomicity with the state tables.  Readers union
+            # every delta (plus a legacy plain snapshot, carried above).
             if not dead.isEmpty():
-                if self.t_dead in prev_tables:
-                    writes[self.t_dead] = self.log.read(
-                        self.spark, self.t_dead
-                    ).unionByName(dead)
-                else:
-                    writes[self.t_dead] = dead
-            elif self.t_dead in prev_tables:
-                writes[self.t_dead] = prev_tables[self.t_dead]  # by name
+                writes[f"{self.t_dead}@d_{token}"] = dead
             try:
                 self.log.commit(writes, expected_version=expected)
             except CommitConflict:
@@ -671,9 +673,16 @@ class FeedRunner:
         """The dead-letter log as a DataFrame (None when nothing failed)."""
         if self.storage == "txlog":
             _, tables = self.log.latest()
-            if self.t_dead not in tables:
+            rels = [
+                tables[k]
+                for k in sorted(tables)
+                if k == self.t_dead or k.startswith(self.t_dead + "@d")
+            ]
+            if not rels:
                 return None
-            return self.log.read(self.spark, self.t_dead)
+            return self.spark.read.parquet(
+                *[os.path.join(self.base, r) for r in rels]
+            )
         root = os.path.join(self.base, self.t_dead)
         if not os.path.exists(root):
             return None
@@ -771,8 +780,9 @@ class FeedRunner:
                             reopened.select("id"), "id", "left_anti"
                         ).unionByName(reopened.select(*parts_t.columns)),
                     }
-                    if self.t_dead in tables:
-                        writes[self.t_dead] = tables[self.t_dead]  # by name
+                    for k, v in tables.items():  # dead-letter snapshots by name
+                        if k == self.t_dead or k.startswith(self.t_dead + "@d"):
+                            writes[k] = v
                     return writes
 
                 self.log.commit_retry(compute)

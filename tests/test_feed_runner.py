@@ -109,7 +109,7 @@ def test_feed_runner_on_txlog_storage(spark, tmp_path):
     # dead letters ride in the SAME atomic commit as the state tables; the
     # state tables themselves are committed as hash-bucketed snapshots
     # (plain entries dropped by the conversion)
-    assert "dead_letter" in tables
+    assert any(k == "dead_letter" or k.startswith("dead_letter@d") for k in tables)
     assert "items" not in tables and "partitions" not in tables
     assert any(k.startswith("items@b") for k in tables)
     assert any(k.startswith("partitions@b") for k in tables)
