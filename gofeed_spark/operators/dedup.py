@@ -271,6 +271,7 @@ def ngram_jaccard_pairs(
     output, two fewer jobs.  Must be an upper BOUND: guessing low re-opens
     the quadratic surface the cap exists to close.
     """
+    docs = parallel_floor(docs)  # split-starved scans → serial Arrow shingle pass
     if n_hint is not None and df_cap is not None and n_hint <= df_cap:
         df_cap = None
     # Shingling is the expensive subtree and feeds both the size relation
