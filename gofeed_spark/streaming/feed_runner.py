@@ -832,6 +832,50 @@ class FeedRunner:
             for df in released:
                 release_local_checkpoint(df)
 
+    def maintain(
+        self,
+        vacuum_keep: int = 2,
+        vacuum_min_age_s: float = 3600.0,
+        compact_target_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Storage maintenance — the table-lifecycle job that runs OFF the
+        hot path (cron/idle, like Delta's VACUUM + OPTIMIZE):
+
+        - txlog: drop snapshot dirs unreferenced by the last
+          ``vacuum_keep`` complete manifests (TxLog.vacuum — also reclaims
+          superseded state buckets and dead-letter deltas past the
+          retention window).
+        - parquet: compact the accreting dead-letter partition dirs
+          (per-batch appends → byte-targeted file counts; the state
+          buckets stay one-file-per-bucket by construction and need no
+          compaction).
+        - dbapi: nothing to do (the database manages its own storage).
+
+        Returns a summary dict.  Single-runner invariant for parquet
+        compaction (same as every staging flip); txlog vacuum is safe
+        beside live writers (retention window protects in-flight
+        stagings)."""
+        if self.storage == "txlog":
+            return {
+                "vacuumed": self.log.vacuum(
+                    keep=vacuum_keep, min_age_s=vacuum_min_age_s
+                )
+            }
+        if self.storage == "parquet":
+            from gofeed_spark.sources.io import compact
+
+            compacted: dict[str, int] = {}
+            root = os.path.join(self.base, self.t_dead)
+            if os.path.isdir(root):
+                for entry in sorted(os.listdir(root)):
+                    sub = os.path.join(root, entry)
+                    if entry.startswith("writer=") and os.path.isdir(sub):
+                        compacted[entry] = compact(
+                            self.spark, sub, target_file_bytes=compact_target_bytes
+                        )
+            return {"compacted": compacted}
+        return {}
+
     # -- driver ----------------------------------------------------------
     def _cdc_reader(self):
         """The CDC readStream for this runner's storage backend — shared by

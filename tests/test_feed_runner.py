@@ -550,3 +550,65 @@ def test_requeue_dead_letters_recovers_after_fix(spark, tmp_path):
             assert {r.id: r.status for r in runner.partitions().collect()}["p1"] == COMPLETE, storage
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def test_maintain_compacts_dead_letters_and_vacuums_txlog(spark, tmp_path):
+    """The off-hot-path maintenance job: parquet mode compacts the
+    accreting dead-letter appends without changing their contents; txlog
+    mode reclaims snapshot dirs superseded beyond the retention window."""
+
+    # parquet: the golden fixture's failing items produce dead-letter
+    # appends across batches (json_times_processor returns error results,
+    # the retry budget exhausts, transitions land per batch)
+    base = str(tmp_path / "mt")
+    _seed(spark, base)
+    runner = FeedRunner(spark, base, json_times_processor, max_retries=1)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        runner.run_available(timeout_s=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    dead_before = {tuple(r) for r in runner.dead_letters().drop("writer").collect()}
+    assert dead_before
+    root = os.path.join(base, "dead_letter")
+    n_files_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(root)
+    )
+    out = runner.maintain()
+    n_files_after = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(root)
+    )
+    assert out["compacted"]
+    assert n_files_after <= n_files_before
+    dead_after = {tuple(r) for r in runner.dead_letters().drop("writer").collect()}
+    assert dead_after == dead_before  # compaction never changes contents
+
+    # txlog: superseded state-bucket snapshots reclaim once aged out
+    from gofeed_spark.feedstate.model import seed_dataframes
+    from gofeed_spark.feedstate.txlog import TxLog
+
+    base2 = str(tmp_path / "mt_tx")
+    parts, items = seed_dataframes(spark)
+    log = TxLog(base2)
+    log.commit(
+        {
+            "items": items.withColumn("updated_at", F.lit(0).cast("long")),
+            "partitions": parts,
+        }
+    )
+    r2 = FeedRunner(
+        spark, base2, json_times_processor, max_retries=3, storage="txlog"
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        r2.run_available(timeout_s=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    before_state = {tuple(x) for x in r2.items().collect()}
+    removed = r2.maintain(vacuum_keep=1, vacuum_min_age_s=0.0)["vacuumed"]
+    assert removed  # superseded snapshots reclaimed
+    assert {tuple(x) for x in r2.items().collect()} == before_state
