@@ -400,9 +400,16 @@ def topk_pairs_lsh(
                         }
                     )
 
-        scored = keyed.repartition("bh").mapInPandas(
-            bucket_score, "id_a long, id_b long, cos double"
-        )
+        # EXPLICIT partition count: a bare repartition("bh") lets AQE
+        # coalesce the slim ~16-byte/row shuffle to 1-2 reducers by BYTE
+        # size — but the stage's cost is the per-bucket gram compute, not
+        # its bytes, and the whole scorer then ran on 2 of 32 cores
+        # (profiled: 7.9 s of 8.3 s at sf1.0).  A user-specified count is
+        # exempt from AQE coalescing; defaultParallelism = total cores.
+        scored = keyed.repartition(
+            max(emb.sparkSession.sparkContext.defaultParallelism, 1),
+            F.col("bh"),
+        ).mapInPandas(bucket_score, "id_a long, id_b long, cos double")
     else:
         # Pair generation = the dedup inverted-index machinery verbatim
         # (one pass, no self-join), including the saturated-bucket star
