@@ -58,3 +58,28 @@ def parallel_floor(df: DataFrame) -> DataFrame:
     except Exception:
         pass
     return df
+
+
+def compute_width(
+    df: DataFrame, *cols: str, n: "int | None" = None, min_rows: int = 20_000
+) -> DataFrame:
+    """Explicit-width repartition on ``cols`` — EXEMPT from AQE's
+    byte-based reducer coalescing.  For stages whose cost is per-row
+    COMPUTE (pair explosion, per-bucket gram scoring, wide dedup aggs)
+    over byte-slim rows: AQE sizes reducers by bytes and funnels such
+    stages onto 1-2 cores (profiled: q58 7.2→1.7 s, q40 6.7→2.3 s, q41
+    5.0→2.6 s at sf1.0 once widened).  Width = the session's default
+    parallelism — the cores actually available, on any cluster size.
+
+    ``n`` (when the caller knows its corpus size — hint or parquet-footer
+    estimate): below ``min_rows`` the widening is SKIPPED — at small
+    volume the extra shuffle + 32-task scheduling costs more than the
+    parallelism returns (measured ±0.2 s both ways at sf0.1), the same
+    size gate ``parallel_floor`` applies by bytes."""
+    from pyspark.sql import functions as F
+
+    if n is not None and n < min_rows:
+        return df
+    spark = df.sparkSession
+    p = max(spark.sparkContext.defaultParallelism, 1)
+    return df.repartition(p, *[F.col(c) for c in cols])

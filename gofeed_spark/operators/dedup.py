@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gofeed_spark.functions.parallel import parallel_floor
+from gofeed_spark.functions.parallel import compute_width, parallel_floor
 
 from gofeed_spark.functions.lineage import release_local_checkpoint
 from gofeed_spark.functions.text import normalized_text, shingles, ws_tokens
@@ -103,8 +103,25 @@ def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     return docs.select(id_col, text_col).mapInPandas(run, f"doc_id {id_type}, sh array<long>")
 
 
+
+
+def _corpus_n(docs: DataFrame, n_hint: int | None) -> int | None:
+    """Corpus row count for sizing decisions: the caller's hint, else the
+    parquet-footer estimate (metadata-only), else None (unknown — sizing
+    guards stay conservative/on)."""
+    if n_hint is not None:
+        return n_hint
+    from gofeed_spark.catalog import df_rowcount_estimate
+
+    return df_rowcount_estimate(docs)
+
+
 def _group_pairs(
-    keyed: DataFrame, key: str, df_cap: int | None, hot: str = "drop"
+    keyed: DataFrame,
+    key: str,
+    df_cap: int | None,
+    hot: str = "drop",
+    n: int | None = None,
 ) -> DataFrame:
     """Inverted-index pair generation in ONE pass: group doc ids per key,
     emit ordered in-group pairs via a nested explode.  Equivalent to the
@@ -130,6 +147,10 @@ def _group_pairs(
       recall within the family is intentionally sacrificed: a 10⁵-doc
       template family at 100 TB is a cluster decision, never 10¹⁰ pairs.)
     """
+    # pair EXPLOSION is compute-bound over byte-slim rows — AQE's byte
+    # coalescing would run it on 1-2 reducers (see compute_width; ``n`` =
+    # the caller's corpus size, gating the widening off at small volume)
+    keyed = compute_width(keyed, key, n=n)
     star = None
     if df_cap is not None:
         # Identify hot keys BEFORE the collect_set aggregation: a viral key
@@ -272,6 +293,7 @@ def ngram_jaccard_pairs(
     the quadratic surface the cap exists to close.
     """
     docs = parallel_floor(docs)  # split-starved scans → serial Arrow shingle pass
+    n_est = _corpus_n(docs, n_hint)
     if n_hint is not None and df_cap is not None and n_hint <= df_cap:
         df_cap = None
     # Shingling is the expensive subtree and feeds both the size relation
@@ -281,7 +303,7 @@ def ngram_jaccard_pairs(
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("h"))
     shared = (
-        _group_pairs(ex, "h", df_cap)
+        compute_width(_group_pairs(ex, "h", df_cap, n=n_est), "doc_a", "doc_b", n=n_est)
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
@@ -403,6 +425,7 @@ def minhash_lsh_pairs(
     (see ``ngram_jaccard_pairs``).
     """
     assert num_hashes % bands == 0
+    n_est = _corpus_n(docs, n_hint)
     if n_hint is not None and df_cap is not None and n_hint <= df_cap:
         df_cap = None
     # Signatures feed the band relation AND both sides of the candidate
@@ -413,7 +436,10 @@ def minhash_lsh_pairs(
     # they are re-joined exactly twice, once per side of each surviving
     # candidate pair.  Shared with the persisted index (`_band_rows`).
     band_rows = _band_rows(sigs, num_hashes, bands)
-    cand = _group_pairs(band_rows, "bh", df_cap=df_cap, hot="star").dropDuplicates(
+    cand = compute_width(
+        _group_pairs(band_rows, "bh", df_cap=df_cap, hot="star", n=n_est),
+        "doc_a", "doc_b", n=n_est,
+    ).dropDuplicates(
         ["doc_a", "doc_b"]
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -489,6 +515,7 @@ def hash64_band_pairs(
     hi_col: str = "sim_hi",
     lo_col: str = "sim_lo",
     df_cap: int | None = 5_000,
+    n: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint frame ``(id, hi, lo)``
     (two 32-bit halves — the BIGINT-sign-safe convention): 4 bands of 16
@@ -520,7 +547,10 @@ def hash64_band_pairs(
             )
         ).alias("bh"),
     )
-    cand = _group_pairs(bands, "bh", df_cap=df_cap, hot="star").dropDuplicates(
+    cand = compute_width(
+        _group_pairs(bands, "bh", df_cap=df_cap, hot="star", n=n),
+        "doc_a", "doc_b", n=n,
+    ).dropDuplicates(
         ["doc_a", "doc_b"]
     )
     fa = sh.select(
@@ -566,7 +596,8 @@ def simhash_neardup_pairs(
         df_cap = None
     sh = simhash64(docs, text_col, id_col).persist()
     return hash64_band_pairs(
-        sh, max_hamming=max_hamming, id_col="doc_id", df_cap=df_cap
+        sh, max_hamming=max_hamming, id_col="doc_id", df_cap=df_cap,
+        n=_corpus_n(docs, n_hint),
     )
 
 
@@ -776,7 +807,7 @@ def fuzzy_join_jaccard(
     sh = _doc_shingles(l.unionByName(r), text_col, id_col, k).persist()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("h"))
-    cross = _group_pairs(ex, "h", df_cap).filter(
+    cross = _group_pairs(ex, "h", df_cap, n=n_hint).filter(
         (F.col("doc_a") % 2) != (F.col("doc_b") % 2)
     )
     shared = cross.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))

@@ -420,7 +420,7 @@ def topk_pairs_lsh(
         # at its (far smaller) natural point instead.
         from gofeed_spark.operators.dedup import _group_pairs
 
-        cand = _group_pairs(keyed, "bh", df_cap=cap, hot="star").select(
+        cand = _group_pairs(keyed, "bh", df_cap=cap, hot="star", n=n).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         )
         en = e.select("id", "v", l2_norm(F.col("v")).alias("nrm")).persist()
