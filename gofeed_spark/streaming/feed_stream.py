@@ -160,13 +160,18 @@ def tws_supported() -> bool:
     (``transformWithStateInPandas``).  Gate for ``gate_stream_tws`` —
     callers fall back to ``gate_stream`` otherwise.
 
-    Two requirements, both checked: the API surface itself, and the
-    ``protobuf`` Python package — transformWithState's state access runs
-    over a protobuf-encoded driver↔worker protocol, and a missing protobuf
-    only surfaces at query start as an opaque "driver worker exited
+    Two requirements, both checked: the API surface itself, and a working
+    ``google.protobuf`` — transformWithState's state access runs over a
+    protobuf-encoded worker↔JVM protocol, and a missing protobuf only
+    surfaces at query start as an opaque "driver worker exited
     unexpectedly" crash; probing it here turns that into a clean
-    capability report."""
+    capability report.  When the real package is absent the vendored
+    minimal runtime (gofeed_spark/vendor/minipb) is installed instead —
+    ``gate_stream_tws`` additionally ships it to workers via addPyFile."""
     try:
+        from gofeed_spark.vendor.shim import ensure_protobuf
+
+        ensure_protobuf()  # real protobuf if present, vendored shim if not
         from google.protobuf import descriptor  # noqa: F401
         from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
             StatefulProcessor,
@@ -213,6 +218,12 @@ def gate_stream_tws(
         StatefulProcessor,
         StatefulProcessorHandle,
     )
+
+    from gofeed_spark.vendor.shim import ensure_worker_protobuf
+
+    # every worker needs google.protobuf for the state socket protocol;
+    # ship the vendored runtime when the real package is absent
+    ensure_worker_protobuf(item_events.sparkSession)
 
     mc, ac = manual_checkpoint, auto_close
 
