@@ -1030,10 +1030,30 @@ def probe_minhash_index(
     if threshold >= 1.0:
         # appends may add duplicate (fp, rep) rows — dropDuplicates keeps
         # the fan-out at one row per distinct fp regardless
+        bfp = bsigs.select(F.col("doc_id").alias("new_id"), "fp")
+        hits = spark.read.parquet(f"{path}/fps").join(side(bfp), "fp")
+        direct = hits.filter(F.col("dup_of") != F.col("new_id")).select(
+            "new_id", "dup_of"
+        )
+        # A probe whose id IS the stored representative (re-ingesting the
+        # rep itself) must still surface its clones: fps/ holds ONE row per
+        # fp, so the rep's own row is self-filtered above.  Resolve those
+        # few fps against sigs/ (min other member) — the extra sigs scan
+        # only produces rows for self-rep hits, and the join side it
+        # streams past is the (tiny) self-hit set.
+        self_hits = hits.filter(F.col("dup_of") == F.col("new_id")).select(
+            "fp", "new_id"
+        )
+        fallback = (
+            idx_sigs.select("fp", "doc_id")
+            .join(side(self_hits), "fp")
+            .filter(F.col("doc_id") != F.col("new_id"))
+            .groupBy("new_id", "fp")
+            .agg(F.min("doc_id").alias("dup_of"))
+            .select("new_id", "dup_of")
+        )
         return (
-            spark.read.parquet(f"{path}/fps")
-            .join(side(bsigs.select(F.col("doc_id").alias("new_id"), "fp")), "fp")
-            .filter(F.col("dup_of") != F.col("new_id"))
+            direct.unionByName(fallback)
             .select("new_id", "dup_of", F.lit(1.0).alias("est_jac"))
             .dropDuplicates(["new_id", "dup_of"])
         )
@@ -1092,8 +1112,10 @@ def append_minhash_index(
 
     NOTE: appends do NOT re-apply ``df_cap`` star compression to buckets
     that go hot only across appends — run ``build_minhash_index`` afresh
-    (a compaction, reference `io.compact`'s shape) when append volume
-    approaches the original corpus size."""
+    when append volume approaches the original corpus size.  For the
+    cheaper problem of per-append FILE accretion (probe latency growing
+    with footer opens), run ``compact_minhash_index`` — it preserves
+    probe results exactly."""
     import json
     import os
 
@@ -1102,6 +1124,21 @@ def append_minhash_index(
     with open(os.path.join(path, "_index_meta.json")) as f:
         meta = json.load(f)
     num_hashes, bands, k = meta["num_hashes"], meta["bands"], meta["k"]
+    if meta.get("layout", 1) < 2 or not os.path.isdir(os.path.join(path, "fps")):
+        # pre-layout-2 index (no fps/): appending only the batch's fps
+        # would make exact probes silently miss every originally-built
+        # document.  Backfill fps/ from the FULL standing sigs/ relation
+        # first, then stamp layout 2 so this runs once.
+        old_sigs = spark.read.parquet(f"{path}/sigs")
+        if "fp" not in old_sigs.columns:
+            raise ValueError(
+                f"index at {path} predates shingle fingerprints (no 'fp' in "
+                "sigs/); rebuild it with build_minhash_index before appending"
+            )
+        old_sigs.groupBy("fp").agg(F.min("doc_id").alias("dup_of")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/fps")
+        meta["layout"] = 2
     sigs = minhash_signatures(
         batch, num_hashes, k, text_col, id_col, with_fp=True
     ).persist()
@@ -1110,7 +1147,8 @@ def append_minhash_index(
     band.write.mode("append").parquet(f"{path}/bands")
     # one representative per distinct fp WITHIN the batch; a fp already in
     # fps/ gains a second row (probe dropDuplicates bounds the fan-out at
-    # one per distinct fp per append — compaction rebuilds collapse them)
+    # one per distinct fp per append — compact_minhash_index collapses
+    # exact-duplicate rows and the per-append file accretion)
     sigs.groupBy("fp").agg(F.min("doc_id").alias("dup_of")).write.mode(
         "append"
     ).parquet(f"{path}/fps")
@@ -1118,3 +1156,62 @@ def append_minhash_index(
     meta["fingerprint"] = "appended"
     _write_index_meta(path, meta)
     return path
+
+
+def compact_minhash_index(
+    spark,
+    path: str,
+    target_file_bytes: int = 64 * 1024 * 1024,
+) -> dict:
+    """Collapse the per-append file accretion of ``append_minhash_index``
+    back to a byte-targeted file count — the ``maintain()``-style upkeep
+    op for a long-lived index (each append lands new part-files in sigs/,
+    bands/ and fps/; after N appends every probe pays N× the parquet
+    footer/open overhead).
+
+    Probe-result preserving BY CONSTRUCTION: sigs/ and bands/ are
+    rewritten row-identically, and fps/ drops only exact duplicate
+    (fp, dup_of) rows — which ``probe_minhash_index``'s dropDuplicates
+    already made invisible.  Distinct representatives for the same fp
+    (one per append epoch) are kept, so the match set is byte-identical
+    before and after.
+
+    Offline maintenance: not safe concurrent with probes of the SAME
+    index path (relation dirs are swapped in place).  Returns per-relation
+    {files_before, files_after, bytes}."""
+    import math
+    import os
+    import shutil
+
+    def _dir_stats(d):
+        files = [
+            os.path.join(r, f)
+            for r, _dirs, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    stats = {}
+    for rel, dedup_rows in (("sigs", False), ("bands", False), ("fps", True)):
+        rel_path = os.path.join(path, rel)
+        n_before, nbytes = _dir_stats(rel_path)
+        n_target = max(1, math.ceil(nbytes / target_file_bytes))
+        df = spark.read.parquet(rel_path)
+        if dedup_rows:
+            df = df.dropDuplicates()
+        tmp = rel_path + "__compact"
+        df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+        old = rel_path + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(rel_path, old)
+        os.rename(tmp, rel_path)
+        shutil.rmtree(old)
+        n_after, _ = _dir_stats(rel_path)
+        stats[rel] = {
+            "files_before": n_before,
+            "files_after": n_after,
+            "bytes": nbytes,
+        }
+    return stats

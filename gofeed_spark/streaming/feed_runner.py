@@ -266,6 +266,15 @@ class FeedRunner:
         entry (legacy / pre-conversion) and every ``{table}@bNNNN`` bucket
         snapshot named by the latest manifest."""
         _, tables = self.log.latest()
+        return self._txlog_read_snapshot(tables, table)
+
+    def _txlog_read_snapshot(self, tables: dict, table: str):
+        """Same as ``_txlog_read`` but against an EXPLICIT manifest
+        snapshot.  ``commit_retry`` compute closures must use this with
+        the tables dict they were handed: re-reading ``latest()`` inside
+        the closure races a concurrent commit, building writes from a
+        newer snapshot than the OCC expected_version — a guaranteed
+        conflict that burns retry attempts."""
         rels = self._txlog_rels(tables, table)
         if not rels:
             raise ValueError(f"table {table!r} not in commit: {sorted(tables)}")
@@ -757,8 +766,8 @@ class FeedRunner:
                     # a plain full-table snapshot (requeue is a rare ops
                     # action) whose manifest drops the bucket entries — the
                     # next micro-batch commit re-buckets it
-                    items_t = self._txlog_read(self.t_items).drop("b")
-                    parts_t = self._txlog_read(self.t_parts).drop("b")
+                    items_t = self._txlog_read_snapshot(tables, self.t_items).drop("b")
+                    parts_t = self._txlog_read_snapshot(tables, self.t_parts).drop("b")
                     tick = (
                         items_t.agg(F.max("updated_at")).collect()[0][0] or 0
                     ) + 1

@@ -606,3 +606,123 @@ def test_append_minhash_index_grows_the_probe_target(spark, index_env):
         probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
     )
     assert out2 == {(201, 10)}  # doc 50 gone: rebuilt from the build corpus
+
+
+def test_exact_probe_self_representative_surfaces_other_clones(spark, tmp_path):
+    """Re-ingesting the doc that IS the fps/ representative must still
+    report its clones: fps/ holds one row per fingerprint, and that row's
+    dup_of equals the probing id, so the direct path self-filters it —
+    the sigs/ fallback surfaces another family member instead (round-8
+    advice finding)."""
+    from gofeed_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+    corpus = spark.createDataFrame(
+        [(10, A), (20, A), (12, C)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_selfrep")
+    build_minhash_index(corpus, path)
+    batch = spark.createDataFrame([(10, A)], "doc_id long, text string")
+    out = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out == {(10, 20)}
+    # and a corpus with NO other clone still returns nothing for the rep
+    lone = spark.createDataFrame([(12, C)], "doc_id long, text string")
+    out2 = rows(
+        probe_minhash_index(spark, path, lone, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out2 == set()
+
+
+def test_append_backfills_fps_on_pre_layout2_index(spark, tmp_path):
+    """Appending to a layout-1 index (no fps/) must backfill fps/ from the
+    FULL standing sigs/ first — otherwise exact probes silently miss every
+    originally-built document (round-8 advice finding)."""
+    import json
+    import os
+    import shutil
+
+    from gofeed_spark.operators.dedup import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    corpus = spark.createDataFrame([(10, A), (12, C)], "doc_id long, text string")
+    path = str(tmp_path / "mh_layout1")
+    build_minhash_index(corpus, path)
+    # simulate a pre-layout-2 index: drop fps/ and stamp layout 1
+    shutil.rmtree(os.path.join(path, "fps"))
+    meta_path = os.path.join(path, "_index_meta.json")
+    meta = json.load(open(meta_path))
+    meta["layout"] = 1
+    json.dump(meta, open(meta_path, "w"))
+
+    fresh = "entirely new subject matter arrives in the second ingest wave"
+    append_minhash_index(
+        spark, path, spark.createDataFrame([(50, fresh)], "doc_id long, text string")
+    )
+    meta2 = json.load(open(meta_path))
+    assert meta2["layout"] == 2
+    # exact probes see BOTH the originally-built docs and the appended one
+    batch = spark.createDataFrame(
+        [(100, A), (101, fresh)], "doc_id long, text string"
+    )
+    out = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out == {(100, 10), (101, 50)}
+
+
+def test_compact_minhash_index_preserves_probe_results(spark, tmp_path):
+    """Compaction collapses per-append file accretion without changing any
+    probe answer: exact and estimate probes return identical row sets
+    before and after, and the data file count drops."""
+    import glob
+
+    from gofeed_spark.operators.dedup import (
+        append_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        probe_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, A), (11, B), (12, C)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_compact")
+    build_minhash_index(corpus, path)
+    for i, txt in enumerate(
+        ["wave one fresh content arrives here", A, "wave three content lands now"]
+    ):
+        append_minhash_index(
+            spark,
+            path,
+            spark.createDataFrame([(50 + i, txt)], "doc_id long, text string"),
+        )
+    batch = spark.createDataFrame(
+        [(100, A), (101, "wave three content lands now")], "doc_id long, text string"
+    )
+
+    def probe_all():
+        exact = rows(
+            probe_minhash_index(spark, path, batch, threshold=1.0),
+            "new_id", "dup_of", "est_jac",
+        )
+        est = rows(
+            probe_minhash_index(spark, path, batch, threshold=0.5),
+            "new_id", "dup_of", "est_jac",
+        )
+        return exact, est
+
+    def n_files(rel):
+        return len(glob.glob(f"{path}/{rel}/*.parquet"))
+
+    before = probe_all()
+    files_before = {rel: n_files(rel) for rel in ("sigs", "bands", "fps")}
+    stats = compact_minhash_index(spark, path)
+    after = probe_all()
+    assert after == before
+    for rel in ("sigs", "bands", "fps"):
+        assert n_files(rel) < files_before[rel], rel
+        assert stats[rel]["files_after"] < stats[rel]["files_before"]
