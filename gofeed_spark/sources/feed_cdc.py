@@ -249,13 +249,17 @@ def _scan_txlog(
         except (OSError, json.JSONDecodeError):
             continue  # burned version
         tables = manifest["tables"]
-        # the table may be committed as ONE plain snapshot (legacy) or as
-        # hash-bucketed `{table}@bNNNN` snapshots (FeedRunner state_buckets)
-        # — poll the union; the boundary cap applies to the MERGED rows
+        # the table may be committed as ONE plain snapshot (legacy), as
+        # hash-bucketed `{table}@bNNNN` snapshots (pre-modulus-stamp), or
+        # as modulus-stamped `{table}@m{n}bNNNN` snapshots (FeedRunner
+        # state_buckets) — poll the union; the boundary cap applies to
+        # the MERGED rows
         rels = [
             tables[k]
             for k in sorted(tables)
-            if k == table or k.startswith(table + "@b")
+            if k == table
+            or k.startswith(table + "@b")
+            or k.startswith(table + "@m")
         ]
         if not rels:
             return []

@@ -134,6 +134,9 @@ class FeedRunner:
         poll_limit: int | None = None,
         drain_shuffle_partitions: int | None = 8,
         state_buckets: int = 16,
+        bucket_target_bytes: int = 16 * 1024 * 1024,
+        max_state_buckets: int = 4096,
+        small_delta_rows: int = 8192,
     ):
         """``runner_id``: distinct per concurrent runner sharing one store
         (txlog mode) — each runner keeps its OWN streaming checkpoint and
@@ -168,7 +171,34 @@ class FeedRunner:
         store twin of the dbapi backend's per-row upserts.  A legacy
         (unbucketed) table converts inside the first batch commit.  Size it
         so one bucket ≈ one comfortable write task at your state size;
-        more buckets = finer write granularity + more files."""
+        more buckets = finer write granularity + more files.
+
+        The LAYOUT owns the modulus: an existing bucketed table records
+        its bucket count in the layout itself (parquet: an ``_n_buckets``
+        marker inside the table dir, flipped atomically with conversions;
+        txlog: ``@m{n}b{NNNN}`` manifest keys, committed atomically with
+        the data), and ``__init__`` ADOPTS that value over a disagreeing
+        ``state_buckets`` argument — restarting with a different number
+        can never mix two moduli over one table (which would silently
+        duplicate or strand rows).  Pre-marker legacy layouts are claimed
+        with the configured value on first contact.
+
+        ``bucket_target_bytes`` / ``max_state_buckets``: size-tiered
+        growth.  When the items table's mean bucket size exceeds the
+        target, the next batch commit converts the state to the next
+        power-of-two bucket count that brings it back under (same
+        in-commit mechanism as the legacy conversion: no extra manifest
+        version, atomic) — so per-batch write volume stays
+        ~O(touched rows × bucket_target_bytes) as the table grows, the
+        reference contract of one row per save (repo.go:125-138)
+        approximated with a bounded constant instead of degrading
+        linearly with table size.
+
+        ``small_delta_rows``: staging writes at or below this row count
+        skip the ``repartition(b)`` shuffle (``coalesce(1)`` writes the
+        identical one-file-per-bucket layout from one task) — the shuffle
+        cost ~10-14% of feed throughput at the 200k-item profile for
+        typical few-KB deltas."""
         self.spark = spark
         self.base = base_path
         self.runner_id = runner_id or "w0"
@@ -222,6 +252,23 @@ class FeedRunner:
         if state_buckets < 1:
             raise ValueError("state_buckets must be >= 1")
         self.state_buckets = state_buckets
+        self.bucket_target_bytes = max(1, bucket_target_bytes)
+        self.max_state_buckets = max(state_buckets, max_state_buckets)
+        if self.max_state_buckets > 9999:
+            # bucket dir values are zero-padded to 4 digits ('b0000'…);
+            # lpad TRUNCATES longer strings, which would silently collide
+            # buckets — refuse rather than corrupt
+            raise ValueError("state_buckets/max_state_buckets must be <= 9999")
+        self.small_delta_rows = small_delta_rows
+        self._grow_to: int | None = None
+        self._rel_bytes: dict[str, int] = {}
+        # adopt the layout's modulus over a disagreeing ctor argument —
+        # see the docstring; self.bucket_count_adopted records it happened
+        self.bucket_count_adopted = False
+        layout_n = self._layout_bucket_count()
+        if layout_n is not None and layout_n != self.state_buckets:
+            self.state_buckets = layout_n
+            self.bucket_count_adopted = True
         # write-volume accounting (bytes staged per table, last batch and
         # cumulative, plus a bounded per-batch history) — the bench_feed
         # metric proving writes track work done, not table size
@@ -233,16 +280,17 @@ class FeedRunner:
         register_feed_cdc(self.spark)
 
     # -- state-table accessors -------------------------------------------
-    def _bucket_col(self):
+    def _bucket_col(self, n_buckets: int | None = None):
         """Deterministic bucket value for an id: 'b' + zero-padded
-        pmod(xxhash64(id), state_buckets).  The prefix keeps the partition
+        pmod(xxhash64(id), n_buckets).  The prefix keeps the partition
         directory value non-numeric by construction (a numeric-looking
         string would re-infer as INT on read and silently break isin
         probes on values with leading zeros)."""
+        n = self.state_buckets if n_buckets is None else n_buckets
         return F.concat(
             F.lit("b"),
             F.lpad(
-                F.pmod(F.xxhash64(F.col("id")), F.lit(self.state_buckets)).cast(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(n)).cast(
                     "string"
                 ),
                 4,
@@ -258,8 +306,83 @@ class FeedRunner:
         return not any(e.startswith("b=") for e in os.listdir(path))
 
     def _txlog_rels(self, tables: dict, table: str) -> list[str]:
-        keys = [k for k in tables if k == table or k.startswith(table + "@b")]
+        # "@b": legacy bucket keys; "@m": modulus-stamped keys (m{n}bNNNN)
+        keys = [
+            k
+            for k in tables
+            if k == table
+            or k.startswith(table + "@b")
+            or k.startswith(table + "@m")
+        ]
         return [tables[k] for k in sorted(keys)]
+
+    @staticmethod
+    def _manifest_modulus(tables: dict, table: str) -> int | None:
+        """Bucket modulus recorded in a manifest's ``{table}@m{n}bNNNN``
+        keys — committed atomically with the data, so concurrent runners
+        derive the SAME modulus as the snapshot they read (a racing
+        conversion makes their commit conflict and recompute).  None for
+        legacy ``@b`` keys / plain entries (modulus not recorded)."""
+        prefix = table + "@m"
+        for k in tables:
+            if k.startswith(prefix):
+                return int(k[len(prefix):].split("b", 1)[0])
+        return None
+
+    def _layout_bucket_count(self) -> int | None:
+        """The bucket modulus the EXISTING state layout was written under,
+        or None (no state yet / legacy pre-marker layout)."""
+        if self.storage == "parquet":
+            from gofeed_spark.feedstate.admin import read_bucket_marker
+
+            return read_bucket_marker(self.items_path)
+        if self.storage == "txlog":
+            try:
+                _, tables = self.log.latest()
+            except Exception:
+                return None
+            return self._manifest_modulus(tables, self.t_items)
+        return None
+
+    def _maybe_schedule_growth(self, items_table_bytes: int) -> None:
+        """Size-tiered buckets: when mean bucket size exceeds the target,
+        schedule the next power-of-two count that brings it back under.
+        The NEXT batch commit performs the conversion (full restage under
+        the new modulus, same in-commit mechanism as the legacy
+        conversion), keeping per-batch write volume ~O(touched rows ×
+        bucket_target_bytes) as state grows."""
+        n = self.state_buckets
+        while (
+            items_table_bytes / n > self.bucket_target_bytes
+            and n < self.max_state_buckets
+        ):
+            n *= 2
+        if n != self.state_buckets:
+            self._grow_to = min(n, self.max_state_buckets)
+
+    def _txlog_table_bytes(self, tables: dict, table: str) -> int:
+        """Total on-disk bytes of a txlog table across its manifest rels.
+        Rel snapshots are immutable, so per-rel sizes cache forever (the
+        cache is pruned to the manifest's live set each call — bounded by
+        rel count); an object-store deployment would read sizes straight
+        off the manifest instead of listing."""
+        rels = [
+            v
+            for k, v in tables.items()
+            if k == table or k.startswith(table + "@")
+        ]
+        from gofeed_spark.feedstate.admin import _dir_bytes
+
+        total = 0
+        fresh: dict[str, int] = {}
+        for rel in rels:
+            b = self._rel_bytes.get(rel)
+            if b is None:
+                b = _dir_bytes(os.path.join(self.base, rel))
+            fresh[rel] = b
+            total += b
+        self._rel_bytes = fresh
+        return total
 
     def _txlog_read(self, table):
         """Read a possibly-bucketed txlog table: the union of the plain
@@ -491,72 +614,137 @@ class FeedRunner:
 
             _, prev_tables = self.log.latest()
             token = _uuid.uuid4().hex[:8]
+            # The LAYOUT owns the modulus: adopt the snapshot's stamped
+            # bucket count (``@m{n}b...`` keys) — a concurrent runner may
+            # have converted the table since our __init__, and computing
+            # touched buckets under a different modulus than the layout
+            # would flip deltas against wrongly-shaped buckets.  A layout
+            # with only legacy un-stamped ``@b`` keys has an UNKNOWABLE
+            # modulus, so it converts wholesale this commit (claiming the
+            # configured value) — same in-commit mechanism as the plain
+            # legacy conversion, no extra manifest version.
+            m_items = self._manifest_modulus(prev_tables, self.t_items)
+            if m_items is not None and m_items != self.state_buckets:
+                self.state_buckets = m_items
+                self._grow_to = None  # re-derive against the adopted layout
+            grow = self._grow_to
+            n_buckets = grow if grow is not None else self.state_buckets
+
+            def _needs_convert(table, modulus):
+                if grow is not None or table in prev_tables:
+                    return True
+                if modulus is None:  # legacy @b keys, modulus unknown
+                    return any(
+                        k.startswith(table + "@b") for k in prev_tables
+                    )
+                return modulus != n_buckets
+
+            convert_items = _needs_convert(self.t_items, m_items)
+            convert_parts = _needs_convert(
+                self.t_parts, self._manifest_modulus(prev_tables, self.t_parts)
+            )
             writes: dict = {
                 k: v
                 for k, v in prev_tables.items()
-                if k.startswith(self.t_items + "@b")
-                or k.startswith(self.t_parts + "@b")
+                if (
+                    not convert_items
+                    and (
+                        k.startswith(self.t_items + "@b")
+                        or k.startswith(self.t_items + "@m")
+                    )
+                )
+                or (
+                    not convert_parts
+                    and (
+                        k.startswith(self.t_parts + "@b")
+                        or k.startswith(self.t_parts + "@m")
+                    )
+                )
                 or k == self.t_dead  # legacy plain dead-letter snapshot
                 or k.startswith(self.t_dead + "@d")  # per-batch deltas
             }
             fresh_rels: list[str] = []
             stats: dict[str, int] = {}
 
-            def stage_buckets(table, sel, full):
+            def stage_buckets(table, sel, full, delta_rows=None):
                 # ONE partitionBy write job (``sel`` is already filtered to
                 # touched buckets unless ``full``; repartition ON b = one
                 # file per bucket), then rename each produced bucket dir to
                 # a top-level snapshot name (vacuum's __v convention) —
-                # never one Spark job per bucket
+                # never one Spark job per bucket.  A KNOWN-small delta
+                # skips the repartition shuffle: coalesce(1) writes the
+                # identical one-file-per-bucket layout from one task over
+                # the checkpointed in-memory blocks.
                 staging = os.path.join(self.base, f"{table}__vstage_{token}")
                 _shutil.rmtree(staging, ignore_errors=True)
-                sel.repartition(F.col("b")).write.partitionBy("b").mode(
-                    "overwrite"
-                ).parquet(staging)
+                if delta_rows is not None and delta_rows <= self.small_delta_rows:
+                    sel = sel.coalesce(1)
+                else:
+                    sel = sel.repartition(F.col("b"))
+                sel.write.partitionBy("b").mode("overwrite").parquet(staging)
                 for entry in os.listdir(staging):
                     if not entry.startswith("b="):
                         continue
-                    rel = f"{table}@{entry[2:]}__v_{token}"
+                    # key carries the layout's modulus: {table}@m{n}b{NNNN}
+                    rel = f"{table}@m{n_buckets}{entry[2:]}__v_{token}"
                     os.replace(
                         os.path.join(staging, entry), os.path.join(self.base, rel)
                     )
-                    writes[f"{table}@{entry[2:]}"] = rel
+                    writes[f"{table}@m{n_buckets}{entry[2:]}"] = rel
                     fresh_rels.append(rel)
                     stats[table] = stats.get(table, 0) + _dir_bytes(
                         os.path.join(self.base, rel)
                     )
                 _shutil.rmtree(staging, ignore_errors=True)
 
-            items_b = ckpt(out_items.withColumn("b", self._bucket_col()))
-            if self.t_items in prev_tables:
-                # legacy plain entry: convert wholesale this commit
+            items_b = ckpt(out_items.withColumn("b", self._bucket_col(n_buckets)))
+            if convert_items:
+                # legacy plain entry / un-stamped layout / scheduled
+                # growth: convert wholesale this commit
                 stage_buckets(self.t_items, items_b.drop("__changed"), True)
             else:
-                tb = [
-                    r.b
-                    for r in items_b.filter("__changed")
-                    .select("b")
-                    .distinct()
+                # one collect yields touched buckets AND their full row
+                # counts (the delta is the whole content of each touched
+                # bucket) — same job count as a distinct() would be
+                brows = (
+                    items_b.groupBy("b")
+                    .agg(
+                        F.count("*").alias("c"),
+                        F.max(F.col("__changed").cast("int")).alias("t"),
+                    )
                     .collect()
-                ]
+                )
+                tb = [r.b for r in brows if r.t == 1]
                 if tb:
                     stage_buckets(
                         self.t_items,
                         items_b.filter(F.col("b").isin(tb)).drop("__changed"),
                         False,
+                        delta_rows=sum(r.c for r in brows if r.t == 1),
                     )
-            parts_b = new_parts.withColumn("b", self._bucket_col())
-            if self.t_parts in prev_tables:
+            parts_b = new_parts.withColumn("b", self._bucket_col(n_buckets))
+            if convert_parts:
                 stage_buckets(self.t_parts, parts_b, True)
             else:
                 ch = self._changed_part_ids(parts, new_parts)
-                pb = [
-                    r.b
-                    for r in parts_b.join(ch, "id").select("b").distinct().collect()
-                ]
+                prows = (
+                    parts_b.join(
+                        ch.withColumn("__t", F.lit(1)), "id", "left"
+                    )
+                    .groupBy("b")
+                    .agg(
+                        F.count("*").alias("c"),
+                        F.max("__t").alias("t"),
+                    )
+                    .collect()
+                )
+                pb = [r.b for r in prows if r.t == 1]
                 if pb:
                     stage_buckets(
-                        self.t_parts, parts_b.filter(F.col("b").isin(pb)), False
+                        self.t_parts,
+                        parts_b.filter(F.col("b").isin(pb)),
+                        False,
+                        delta_rows=sum(r.c for r in prows if r.t == 1),
                     )
             # Dead letters land as a PER-BATCH delta snapshot
             # (``dead_letter@d_<token>``): prior deltas ride forward by
@@ -576,7 +764,13 @@ class FeedRunner:
                         os.path.join(self.base, rel), ignore_errors=True
                     )
                 return False  # recompute against the fresh snapshot
+            if grow is not None:
+                self.state_buckets = grow
+                self._grow_to = None
             self._record_write(batch_id, stats)
+            self._maybe_schedule_growth(
+                self._txlog_table_bytes(writes, self.t_items)
+            )
         elif self.storage == "dbapi":
             # Dead letters first (same at-least-once ordering as parquet
             # mode), then per-row CAS upserts of ONLY the rows this step
@@ -612,47 +806,82 @@ class FeedRunner:
             # unbucketed table converts wholesale on its first write.
             if not dead.isEmpty():
                 dead.write.mode("append").parquet(self.dead_dir)
-            from gofeed_spark.feedstate.admin import bucketed_write
+            from gofeed_spark.feedstate.admin import (
+                _dir_bytes,
+                bucketed_write,
+                read_bucket_marker,
+            )
 
-            items_b = ckpt(out_items.withColumn("b", self._bucket_col()))
+            grow = self._grow_to
+            n_buckets = grow if grow is not None else self.state_buckets
+
+            def _full_rewrite(path):
+                # legacy plain layout, OR a bucketed layout that predates
+                # the ``_n_buckets`` marker (its modulus is unknowable —
+                # claim it under the configured value, stamping the
+                # marker), OR scheduled size-tiered growth
+                if grow is not None or self._parquet_legacy(path):
+                    return True
+                return (
+                    os.path.exists(path)
+                    and read_bucket_marker(path) is None
+                )
+
+            items_b = ckpt(out_items.withColumn("b", self._bucket_col(n_buckets)))
             writes = {}
-            if self._parquet_legacy(self.items_path):
+            if _full_rewrite(self.items_path):
                 writes[self.t_items] = (items_b.drop("__changed"), None)
             else:
-                # touched buckets collected from the CHECKPOINTED frame
-                # (an in-memory scan, not a recompute) so an untouched
-                # table skips its write job entirely — the common case for
-                # a mostly-settled feed
-                tb = [
-                    r.b
-                    for r in items_b.filter("__changed")
-                    .select("b")
-                    .distinct()
+                # touched buckets + their full row counts in ONE collect
+                # over the CHECKPOINTED frame (an in-memory scan, not a
+                # recompute) so an untouched table skips its write job
+                # entirely — the common case for a mostly-settled feed —
+                # and a known-small delta skips the repartition shuffle
+                brows = (
+                    items_b.groupBy("b")
+                    .agg(
+                        F.count("*").alias("c"),
+                        F.max(F.col("__changed").cast("int")).alias("t"),
+                    )
                     .collect()
-                ]
+                )
+                tb = [r.b for r in brows if r.t == 1]
                 if tb:
                     writes[self.t_items] = (
                         items_b.filter(F.col("b").isin(tb)).drop("__changed"),
                         "auto",
+                        sum(r.c for r in brows if r.t == 1),
                     )
-            parts_b = new_parts.withColumn("b", self._bucket_col())
-            if self._parquet_legacy(self.parts_path):
+            parts_b = new_parts.withColumn("b", self._bucket_col(n_buckets))
+            if _full_rewrite(self.parts_path):
                 writes[self.t_parts] = (parts_b, None)
             else:
                 ch = self._changed_part_ids(parts, new_parts)
-                pb = [
-                    r.b
-                    for r in parts_b.join(ch, "id").select("b").distinct().collect()
-                ]
+                prows = (
+                    parts_b.join(ch.withColumn("__t", F.lit(1)), "id", "left")
+                    .groupBy("b")
+                    .agg(F.count("*").alias("c"), F.max("__t").alias("t"))
+                    .collect()
+                )
+                pb = [r.b for r in prows if r.t == 1]
                 if pb:
                     writes[self.t_parts] = (
                         parts_b.filter(F.col("b").isin(pb)),
                         "auto",
+                        sum(r.c for r in prows if r.t == 1),
                     )
             stats = bucketed_write(
-                self.spark, writes, self.base, self.state_buckets
+                self.spark,
+                writes,
+                self.base,
+                n_buckets,
+                small_delta_rows=self.small_delta_rows,
             )
+            if grow is not None:
+                self.state_buckets = grow
+                self._grow_to = None
             self._record_write(batch_id, stats)
+            self._maybe_schedule_growth(_dir_bytes(self.items_path))
         self._commit(batch_id)
         return True
 

@@ -111,8 +111,10 @@ def test_feed_runner_on_txlog_storage(spark, tmp_path):
     # (plain entries dropped by the conversion)
     assert any(k == "dead_letter" or k.startswith("dead_letter@d") for k in tables)
     assert "items" not in tables and "partitions" not in tables
-    assert any(k.startswith("items@b") for k in tables)
-    assert any(k.startswith("partitions@b") for k in tables)
+    # bucket keys are modulus-stamped (@m{n}b{NNNN}) so a restart can
+    # never misread the layout's bucket count
+    assert any(k.startswith("items@m16b") for k in tables)
+    assert any(k.startswith("partitions@m16b") for k in tables)
     dl = sorted(r.id for r in runner.dead_letters().collect())
     assert dl == ["s10_ready_should_fail", "s13_gate_fail", "s6_owned_should_fail"]
     # a stale-expected commit from "another writer" conflicts cleanly
@@ -295,10 +297,108 @@ def test_txlog_carries_untouched_buckets_by_name(spark, tmp_path):
     # IDENTICAL dir names in both
     conv = log._load(2)["tables"]
     _, final = log.latest()
-    conv_items = {k: v for k, v in conv.items() if k.startswith("items@b")}
+    conv_items = {k: v for k, v in conv.items() if k.startswith("items@m64b")}
     shared = [k for k, v in conv_items.items() if final.get(k) == v]
     assert len(conv_items) >= 8
     assert len(shared) >= len(conv_items) // 2, (conv_items, final)
+
+
+def test_parquet_bucket_growth_and_modulus_adoption(spark, tmp_path):
+    """Size-tiered buckets + the layout owning its modulus (parquet): a
+    tiny bucket_target_bytes forces growth to max_state_buckets mid-drain
+    (in-commit conversion, marker stamped atomically with the data), and a
+    restart with a DIFFERENT state_buckets argument ADOPTS the layout's
+    recorded modulus instead of mixing two moduli over one table."""
+    from gofeed_spark.feedstate.admin import read_bucket_marker
+
+    base = str(tmp_path / "feed_grow")
+    os.makedirs(base)
+    pdf, idf = _two_phase_fixture(spark)
+    idf.write.mode("overwrite").parquet(os.path.join(base, "items"))
+    pdf.write.mode("overwrite").parquet(os.path.join(base, "partitions"))
+    runner = FeedRunner(
+        spark, base, json_times_processor, max_retries=3,
+        state_buckets=8, bucket_target_bytes=1, max_state_buckets=32,
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        runner.run_available()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # growth ran: the layout is now 32 buckets and says so in its marker
+    assert runner.state_buckets == 32
+    assert read_bucket_marker(os.path.join(base, "items")) == 32
+    buckets = [
+        int(e[len("b=b"):]) for e in os.listdir(os.path.join(base, "items"))
+        if e.startswith("b=b")
+    ]
+    assert buckets and all(v < 32 for v in buckets)
+    # no duplication or stranding across the conversions
+    items = runner.items()
+    assert items.count() == 1910 == items.select("id").distinct().count()
+    st = {r.id: r.status for r in items.collect()}
+    assert all(st[f"w{i}"] == COMPLETE for i in range(10))
+    # restart with a disagreeing ctor argument: the layout wins
+    runner2 = FeedRunner(
+        spark, base, json_times_processor, max_retries=3, state_buckets=8
+    )
+    assert runner2.state_buckets == 32 and runner2.bucket_count_adopted
+    assert runner2.items().count() == 1910
+
+
+def test_txlog_bucket_growth_and_modulus_adoption(spark, tmp_path):
+    """Txlog twin: bucket keys carry their modulus (``@m{n}bNNNN``), a
+    restarted runner adopts the stamped modulus over its ctor argument,
+    and size-tiered growth re-buckets in-commit — the final manifest holds
+    exactly ONE modulus, never a mix."""
+    from gofeed_spark.feedstate.txlog import TxLog
+
+    base = str(tmp_path / "feed_growtx")
+    parts, items = seed_dataframes(spark)
+    log = TxLog(base)
+    log.commit(
+        {
+            "items": items.withColumn("updated_at", F.lit(0).cast("long")),
+            "partitions": parts,
+        }
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        runner = FeedRunner(
+            spark, base, json_times_processor, max_retries=3, auto_close=True,
+            storage="txlog",
+        )
+        runner.run_available()
+        _, tables = log.latest()
+        assert any(k.startswith("items@m16b") for k in tables)
+        # restart asking for 64: the stamped layout (16) wins
+        runner2 = FeedRunner(
+            spark, base, json_times_processor, max_retries=3, auto_close=True,
+            storage="txlog", state_buckets=64, bucket_target_bytes=1,
+            max_state_buckets=64,
+        )
+        assert runner2.state_buckets == 16 and runner2.bucket_count_adopted
+        # requeue (plain-snapshot rewrite) + drain: the re-bucketing batch
+        # plus the tiny target forces growth 16 -> 64 mid-drain
+        assert runner2.requeue_dead_letters() == 3
+        runner2.run_available()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    _, final = log.latest()
+    item_keys = [k for k in final if k.startswith("items@")]
+    assert item_keys and all(k.startswith("items@m64b") for k in item_keys), (
+        sorted(item_keys)
+    )
+    items_out = runner2.items()
+    n = items.count()
+    assert items_out.count() == n == items_out.select("id").distinct().count()
+    st = {r.id: r.status for r in items_out.collect()}
+    # the requeued items exhaust retries and fail again — goldens hold
+    assert st["s10_ready_should_fail"] == FAILED
+    assert st["s6_owned_should_fail"] == FAILED
+    assert st["s1_ready"] == COMPLETE
 
 
 def test_run_available_surfaces_persistent_failure(spark, tmp_path):
