@@ -38,10 +38,15 @@ completely-written snapshot dirs.  Multi-table atomicity holds because
 one manifest names every table of the commit.  (Readers still skip any
 unparseable manifest defensively — e.g. one hand-corrupted on disk.)
 
-Deployment mapping for the arbitration primitive (``_claim``): POSIX
-filesystems use hard-link-exclusive as above; S3 maps to a conditional
+Deployment mapping for the arbitration primitive: POSIX filesystems use
+hard-link-exclusive (``LinkClaim``, the default); S3 maps to a conditional
 PUT (``If-None-Match: *``), GCS to ``x-goog-if-generation-match: 0`` —
-same protocol, same guarantees.  ``_claim`` is the single seam to swap.
+same protocol, same guarantees.  The primitive is an injectable
+``ClaimBackend`` (``TxLog(base, claim_backend=...)``);
+``ConditionalPutClaim`` exercises the object-store semantics — content
+upload instead of a link, plus the retry ambiguity unique to conditional
+PUTs (success response lost in transit) — so the mapping is tested code,
+not a comment.
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,13 +64,89 @@ class CommitConflict(Exception):
     """Another committer claimed this version first — re-read and retry."""
 
 
+class ClaimBackend:
+    """The arbitration primitive behind ``TxLog`` commits: atomically
+    publish a fully-written manifest at ``claim``, raising
+    ``FileExistsError`` when another committer already published this
+    version.  Everything else in the protocol is already
+    object-store-safe (immutable snapshot dirs, manifest-only
+    visibility), so this one method is the entire deployment seam."""
+
+    def claim(self, tmp: str, claim: str) -> None:
+        raise NotImplementedError
+
+
+class LinkClaim(ClaimBackend):
+    """POSIX backend: hard link — atomic and create-exclusive on every
+    local/posix filesystem, including across processes."""
+
+    def claim(self, tmp: str, claim: str) -> None:
+        os.link(tmp, claim)
+
+
+class ConditionalPutClaim(ClaimBackend):
+    """Object-store backend semantics, runnable locally: the manifest
+    BYTES are uploaded with create-if-absent (S3 ``PUT`` +
+    ``If-None-Match: *``; GCS ``x-goog-if-generation-match: 0``; Azure
+    ``If-None-Match: *``) — no hard links exist there.
+
+    Also models the failure mode unique to remote conditional PUTs that
+    ``os.link`` never has: the PUT can SUCCEED while the success response
+    is lost in transit (timeout, dropped connection).  The client must
+    retry, the retry gets 412/precondition-failed, and idempotency is
+    recovered by reading the object back and comparing it to the payload
+    — which is writer-unique because the manifest carries the committer's
+    token.  ``lose_responses=N`` injects that fault for the first N PUTs.
+
+    The store's server-side serialization of conditional PUTs is modeled
+    with an in-process lock + atomic rename (objects appear whole or not
+    at all, like a real store); the fake therefore arbitrates THREADS, not
+    separate processes — it exists to prove the protocol, production use
+    would bind a real store client here."""
+
+    def __init__(self, lose_responses: int = 0):
+        self.lose_responses = lose_responses
+        self._lock = threading.Lock()
+        self.puts = 0  # PUTs that landed server-side
+        self.recovered = 0  # retries recognizing their own earlier PUT
+
+    def claim(self, tmp: str, claim: str) -> None:
+        with open(tmp, "rb") as f:
+            payload = f.read()
+        while True:
+            with self._lock:
+                if os.path.exists(claim):
+                    with open(claim, "rb") as f:
+                        existing = f.read()
+                    if existing == payload:
+                        # our earlier PUT landed; only its response was
+                        # lost — the retry is an idempotent success
+                        self.recovered += 1
+                        return
+                    raise FileExistsError(claim)
+                # atomic publish: the object is never readable half-written
+                # (the .putting ext keeps it invisible to manifest listing)
+                part = claim + ".putting"
+                with open(part, "wb") as f:
+                    f.write(payload)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(part, claim)
+                self.puts += 1
+                if self.lose_responses > 0:
+                    self.lose_responses -= 1
+                    continue  # response lost → client retries the PUT
+                return
+
+
 class TxLog:
     """Versioned multi-table parquet store with optimistic multi-writer
     commits (see module docstring for the protocol)."""
 
-    def __init__(self, base: str):
+    def __init__(self, base: str, claim_backend: ClaimBackend | None = None):
         self.base = base
         self.logdir = os.path.join(base, "_txlog")
+        self.claim_backend = claim_backend or LinkClaim()
         os.makedirs(self.logdir, exist_ok=True)
 
     # -- resolution ------------------------------------------------------
@@ -155,7 +237,11 @@ class TxLog:
         # this one's changes.
         tmp = os.path.join(self.logdir, f".tmp_{target:08d}_{token}.json")
         with open(tmp, "w") as f:
-            json.dump({"version": target, "tables": staged}, f)
+            # the writer token makes the payload unique per committer:
+            # ConditionalPutClaim's lost-response retry distinguishes "my
+            # earlier PUT landed" from a competitor's byte-identical
+            # manifest (possible for carry-forward-only commits)
+            json.dump({"version": target, "tables": staged, "writer": token}, f)
             f.flush()
             os.fsync(f.fileno())
         claim = os.path.join(self.logdir, f"{target:08d}.json")
@@ -169,19 +255,11 @@ class TxLog:
         os.unlink(tmp)  # the published link keeps the inode alive
         return target
 
-    @staticmethod
-    def _claim(tmp: str, claim: str) -> None:
-        """The arbitration primitive: atomically publish a fully-written
-        manifest, failing with ``FileExistsError`` if another committer
-        already published this version.
-
-        POSIX: hard link (atomic, create-exclusive).  Object-store
-        deployments replace exactly this method: S3 → ``PUT`` with
-        ``If-None-Match: *``; GCS → ``x-goog-if-generation-match: 0``;
-        Azure → ``If-None-Match: *`` on Put Blob.  Everything else in the
-        protocol is already object-store-safe (immutable snapshot dirs,
-        manifest-only visibility)."""
-        os.link(tmp, claim)
+    def _claim(self, tmp: str, claim: str) -> None:
+        """Publish via the injected arbitration primitive (see
+        ``ClaimBackend``): ``LinkClaim`` on POSIX, a conditional-PUT
+        backend against an object store."""
+        self.claim_backend.claim(tmp, claim)
 
     def commit_retry(
         self,
@@ -220,9 +298,10 @@ class TxLog:
         removed = []
         now = time.time()
         # Stale manifest temp files (crash between manifest write and
-        # publish) — invisible to readers, reclaimed after the window.
+        # publish; crash mid-PUT for the object-store fake) — invisible to
+        # readers, reclaimed after the window.
         for name in os.listdir(self.logdir):
-            if not name.startswith(".tmp_"):
+            if not (name.startswith(".tmp_") or name.endswith(".putting")):
                 continue
             full = os.path.join(self.logdir, name)
             try:

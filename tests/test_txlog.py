@@ -11,7 +11,16 @@ import threading
 
 import pytest
 
-from gofeed_spark.feedstate.txlog import CommitConflict, TxLog
+from gofeed_spark.feedstate.txlog import (
+    CommitConflict,
+    ConditionalPutClaim,
+    LinkClaim,
+    TxLog,
+)
+
+
+def _backend(name):
+    return LinkClaim() if name == "posix" else ConditionalPutClaim()
 
 
 def df(spark, *pairs):
@@ -98,13 +107,15 @@ def test_commit_carries_table_forward_by_name(spark, tmp_path):
     assert rows(log.read(spark, "b")) == [(1, "y")]  # survived the vacuum
 
 
-def test_two_committers_race_no_lost_updates(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["posix", "condput"])
+def test_two_committers_race_no_lost_updates(spark, tmp_path, backend):
     """Two writers each append their tag N times through commit_retry.
     Every attempt re-reads the latest snapshot and adds one row, so ANY
     lost update (a commit overwriting a concurrent commit's row) is
-    visible in the final table.  The O_EXCL claim must serialize them into
-    2N clean commits with all 2N rows present."""
-    log = TxLog(str(tmp_path))
+    visible in the final table.  The claim primitive must serialize them
+    into 2N clean commits with all 2N rows present — on BOTH backends:
+    posix hard-link-exclusive and the object-store conditional PUT."""
+    log = TxLog(str(tmp_path), claim_backend=_backend(backend))
     log.commit({"t": df(spark, (0, "seed"))})
     N = 4
     errors: list[Exception] = []
@@ -140,6 +151,49 @@ def test_two_committers_race_no_lost_updates(spark, tmp_path):
         m = json.load(open(os.path.join(log.logdir, f)))
         for rel in m["tables"].values():
             assert os.path.isdir(os.path.join(str(tmp_path), rel))
+
+
+def test_condput_lost_response_is_idempotent(spark, tmp_path):
+    """The failure mode unique to object-store conditional PUTs: the PUT
+    succeeds but the success response is lost, the client retries, and the
+    retry sees precondition-failed.  The backend must recognize its own
+    earlier PUT (writer-unique manifest payload) and report success — one
+    commit, one manifest, no conflict, no duplicate version."""
+    be = ConditionalPutClaim(lose_responses=1)
+    log = TxLog(str(tmp_path), claim_backend=be)
+    v = log.commit({"t": df(spark, (1, "x"))})
+    assert v == 1
+    assert be.puts == 1 and be.recovered == 1
+    assert log.latest()[0] == 1
+    assert rows(log.read(spark, "t")) == [(1, "x")]
+    # a GENUINE competitor still conflicts cleanly on the same backend
+    with pytest.raises(CommitConflict):
+        log.commit({"t": df(spark, (2, "y"))}, expected_version=0)
+    v2 = log.commit({"t": df(spark, (2, "y"))})
+    assert v2 == 2 and rows(log.read(spark, "t")) == [(2, "y")]
+    # no .putting litter and only complete manifests in the log dir
+    assert sorted(os.listdir(log.logdir)) == ["00000001.json", "00000002.json"]
+
+
+def test_condput_crash_recovery_burned_version(spark, tmp_path):
+    """Crash recovery on the object-store backend: a competitor's torn
+    artifact (unparseable manifest object) is skipped exactly like the
+    posix path — next commit claims the next number, reads never see torn
+    state."""
+    log = TxLog(str(tmp_path), claim_backend=ConditionalPutClaim())
+    log.commit({"t": df(spark, (1, "x"))})
+    open(os.path.join(log.logdir, "00000002.json"), "w").close()  # crash artifact
+    assert log.latest()[0] == 1
+    v = log.commit({"t": df(spark, (2, "y"))})
+    assert v == 3
+    assert rows(log.read(spark, "t")) == [(2, "y")]
+    # a crash mid-PUT leaves a .putting partial: invisible to readers,
+    # reclaimed by vacuum after the retention window
+    stale = os.path.join(log.logdir, "00000004.json.putting")
+    open(stale, "w").close()
+    assert log.latest()[0] == 3
+    log.vacuum(keep=2, min_age_s=0)
+    assert not os.path.exists(stale)
 
 
 def test_commit_leaves_no_temp_manifests(spark, tmp_path):
