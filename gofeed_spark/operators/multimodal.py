@@ -93,10 +93,22 @@ def _pil_decode(content: bytes, n_feat: int = 8) -> list[float]:
 
 
 def _decode_or_fallback(content: bytes, n_feat: int, use_pil: bool) -> list[float]:
+    """Three decode tiers: PIL (all formats, when importable) → the
+    pure-stdlib PNG codec (REAL pixel decode for PNG blobs in any
+    environment — operators/pngcodec.py) → the deterministic sha stub for
+    undecodable bytes.  The real-decode branch is therefore executable
+    and tested even in containers without an image library."""
     if use_pil:
         try:
             return _pil_decode(content, n_feat)
-        except Exception:  # noqa: BLE001 — undecodable blob → deterministic stub
+        except Exception:  # noqa: BLE001 — undecodable blob → next tier
+            pass
+    from gofeed_spark.operators import pngcodec
+
+    if pngcodec.is_png(content):
+        try:
+            return pngcodec.gray_strip(content, n_feat)
+        except pngcodec.PngError:
             pass
     return _fake_decode(content, n_feat)
 
@@ -105,8 +117,10 @@ def extract_features(media: DataFrame, n_feat: int = 8) -> DataFrame:
     """mapInPandas featurizer: (media_id, media_type, content BINARY) →
     FEATURE_SCHEMA rows.  Arrow-batched; one Python worker per task —
     scales with executor cores, never a driver loop.  Real PIL decode when
-    available; per-blob fallback to the deterministic stub otherwise (the
-    metadata columns the oracle checks are decode-independent)."""
+    available, real pure-stdlib PNG decode for PNG blobs otherwise
+    (operators/pngcodec.py); per-blob fallback to the deterministic stub
+    only for undecodable bytes (the metadata columns the oracle checks
+    are decode-independent)."""
     use_pil = _pil_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,11 +145,12 @@ def extract_features(media: DataFrame, n_feat: int = 8) -> DataFrame:
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Image resize as Arrow-batched mapInPandas.  With PIL importable the
-    transform is a true pixel resize (re-encoded PNG); blobs PIL cannot
-    parse — and all blobs when PIL is absent, as in this container — get a
-    deterministic stand-in derived from (input sha256, target dims), so the
-    plumbing (schema, batch shape, partition-parallel execution) is
-    identical and testable either way."""
+    transform is a true pixel resize (re-encoded PNG); without PIL, PNG
+    blobs still get a REAL decode → nearest-neighbor resample → re-encode
+    through the pure-stdlib codec (operators/pngcodec.py); only genuinely
+    undecodable blobs fall back to a deterministic stand-in derived from
+    (input sha256, target dims), so the plumbing (schema, batch shape,
+    partition-parallel execution) is identical in every tier."""
     use_pil = _pil_available()
 
     def _stub_resize(content: bytes) -> bytes:
@@ -153,7 +168,20 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     out = BytesIO()
                     im.resize((width, height)).save(out, format="PNG")
                     return out.getvalue()
-            except Exception:  # noqa: BLE001 — undecodable blob → stub
+            except Exception:  # noqa: BLE001 — undecodable blob → next tier
+                pass
+        from gofeed_spark.operators import pngcodec
+
+        if pngcodec.is_png(content):
+            try:  # real pixel resize without PIL: decode → resample → encode
+                w, h, ch, px = pngcodec.decode_png(content)
+                return pngcodec.encode_png(
+                    width,
+                    height,
+                    ch,
+                    pngcodec.resample_nearest(w, h, ch, px, width, height),
+                )
+            except pngcodec.PngError:
                 pass
         return _stub_resize(content)
 
@@ -232,10 +260,12 @@ def media_dhash(media: DataFrame) -> DataFrame:
 
     One Arrow mapInPandas pass (the per-pixel loop is exactly the
     vectorized-Python case — never a Catalyst HOF).  With PIL importable
-    the strip is a real grayscale 9×8 resize, so re-encoded/near-identical
-    images land within small Hamming distance; otherwise (and for blobs
-    PIL cannot parse) the deterministic sha-derived stub strip keeps the
-    plumbing and exact-clone semantics intact and oracle-checkable."""
+    the strip is a real grayscale 9×8 resize; without PIL, PNG blobs
+    still decode to real pixels via the pure-stdlib codec
+    (operators/pngcodec.py) so re-encoded/near-identical images land
+    within small Hamming distance; only genuinely undecodable blobs use
+    the deterministic sha-derived stub strip, which keeps the plumbing
+    and exact-clone semantics intact and oracle-checkable."""
     use_pil = _pil_available()
 
     def strip_of(content: bytes) -> list[int]:
@@ -249,7 +279,20 @@ def media_dhash(media: DataFrame) -> DataFrame:
                     return list(
                         im.convert("L").resize((DHASH_W, DHASH_H)).getdata()
                     )
-            except Exception:  # noqa: BLE001 — undecodable blob → stub
+            except Exception:  # noqa: BLE001 — undecodable blob → next tier
+                pass
+        from gofeed_spark.operators import pngcodec
+
+        if pngcodec.is_png(content):
+            try:  # real pixels for PNGs even without PIL
+                w, h, ch, px = pngcodec.decode_png(content)
+                gray = pngcodec.to_gray(w, h, ch, px)
+                return list(
+                    pngcodec.resample_nearest(
+                        w, h, 1, gray, DHASH_W, DHASH_H
+                    )
+                )
+            except pngcodec.PngError:
                 pass
         return _stub_strip(content)
 

@@ -186,3 +186,70 @@ def test_extract_audio_features_shape_and_determinism(spark):
     assert by_id[1] == by_id[2]  # identical blobs → identical matrices
     assert by_id[1] != by_id[3]
     assert all(0.0 <= x <= 1.0 for fr in by_id[3].values() for x in fr)
+
+
+def test_real_png_decode_branch_in_spark(spark):
+    """The real-decode branch executes END-TO-END in this container: PNG
+    blobs flow through extract_features / media_dhash / resize_images as
+    actual decoded pixels (pure-stdlib codec tier, operators/pngcodec.py),
+    while non-PNG blobs keep the deterministic sha stub — both tiers in
+    one Spark job, asserted against out-of-Spark recomputation."""
+    from gofeed_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        media_dhash,
+        resize_images,
+    )
+    from gofeed_spark.operators.pngcodec import (
+        decode_png,
+        encode_png,
+        gray_strip,
+        is_png,
+    )
+
+    # horizontal gradient (dhash-meaningful), a one-pixel tweak of it, a
+    # reversed gradient, and a non-PNG blob
+    w, h = 16, 16
+    grad = bytes((x * 255) // (w - 1) for _ in range(h) for x in range(w))
+    tweaked = bytearray(grad)
+    tweaked[5] = min(255, tweaked[5] + 3)
+    rev = bytes(reversed(grad))
+    blobs = [
+        (1, "image", encode_png(w, h, 1, grad)),
+        (2, "image", encode_png(w, h, 1, bytes(tweaked))),
+        (3, "image", encode_png(w, h, 1, rev)),
+        (4, "image", b"definitely not an image"),
+    ]
+    media = spark.createDataFrame(
+        blobs, "media_id long, media_type string, content binary"
+    )
+
+    # extract_features: PNG rows carry REAL pixel features
+    feats = {r.media_id: list(r.feature) for r in extract_features(media).collect()}
+    approx = pytest.approx  # feature column is array<float> (float32)
+    assert feats[1] == approx(gray_strip(blobs[0][2], 8), abs=1e-6)
+    assert feats[1][0] < feats[1][-1]  # the gradient shows in the strip
+    assert feats[3] == approx(gray_strip(blobs[2][2], 8), abs=1e-6)
+    d = hashlib.sha256(b"definitely not an image").digest()
+    assert feats[4] == approx([b / 255.0 for b in d[:8]], abs=1e-6)  # stub tier
+
+    # media_dhash: near-identical pixels → tiny Hamming; reversed → huge
+    fps = {
+        r.media_id: (r.ph_hi << 32) | r.ph_lo for r in media_dhash(media).collect()
+    }
+    ham_near = bin(fps[1] ^ fps[2]).count("1")
+    ham_far = bin(fps[1] ^ fps[3]).count("1")
+    assert ham_near <= 4, (ham_near, ham_far)
+    assert ham_far >= 32, (ham_near, ham_far)
+
+    # resize_images: output is a REAL decodable PNG at the target dims
+    resized = {
+        r.media_id: bytes(r.content)
+        for r in resize_images(media, 4, 4).collect()
+    }
+    assert is_png(resized[1])
+    rw, rh, rch, rpx = decode_png(resized[1])
+    assert (rw, rh, rch) == (4, 4, 1)
+    assert rpx[0] < rpx[3]  # gradient survives the resample
+    assert not is_png(resized[4])  # undecodable blob → deterministic stub
+    assert DHASH_W * DHASH_H == 72
