@@ -368,12 +368,13 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio featurization: (media_id, frame, mfcc array<double>) — one row
     per analysis frame, the MFCC-matrix shape audio pipelines feed
-    downstream.  With librosa importable the coefficients are real MFCCs
-    over the decoded waveform; otherwise (this container ships no audio
-    stack) a deterministic sha-derived stub keeps the Spark-side plumbing
-    — schema, per-frame fan-out, Arrow batch shape, partition-parallel
-    execution — real and oracle-checkable.  Same posture as the image
-    path's PIL fallback."""
+    downstream.  Three tiers, mirroring the image path: librosa when
+    importable (all formats) → a pure stdlib+numpy WAV decode + textbook
+    MFCC pipeline for RIFF/WAVE PCM blobs (operators/audiocodec.py —
+    REAL spectral coefficients in any environment) → a deterministic
+    sha-derived stub for undecodable bytes, keeping the Spark-side
+    plumbing — schema, per-frame fan-out, Arrow batch shape,
+    partition-parallel execution — identical in every tier."""
     use_librosa = False
     try:  # pragma: no cover — librosa absent in this container
         import librosa  # noqa: F401
@@ -405,12 +406,24 @@ def extract_audio_features(
             out = {"media_id": [], "frame": [], "mfcc": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content)
+                frames = None
                 if use_librosa:
                     try:  # pragma: no cover
                         frames = real_mfcc(blob)
-                    except Exception:  # noqa: BLE001 — undecodable → stub
-                        frames = stub_mfcc(blob)
-                else:
+                    except Exception:  # noqa: BLE001 — undecodable → next tier
+                        pass
+                if frames is None:
+                    from gofeed_spark.operators import audiocodec
+
+                    if audiocodec.is_wav(blob):
+                        try:  # real WAV decode + numpy MFCC, no audio stack
+                            sr, y = audiocodec.decode_wav(blob)
+                            frames = audiocodec.mfcc_frames(
+                                y, sr, n_mfcc=n_mfcc, n_frames=n_frames
+                            )
+                        except audiocodec.WavError:
+                            pass
+                if frames is None:
                     frames = stub_mfcc(blob)
                 for f, row in enumerate(frames):
                     out["media_id"].append(mid)
