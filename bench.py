@@ -2,7 +2,14 @@
 
 Prints ONE JSON line:
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "queries": {"q06_groupby_multiagg": <sec>, ...}, "sf": <float>}
+     "queries": {"q06_groupby_multiagg": <sec>, ...}, "sf": <float>,
+     "oracle_total": <sec>, "ratio": <value/oracle_total>}
+
+``oracle_total``/``ratio`` carry the DuckDB-oracle comparison directly in
+the per-round line (same process, same minute, same page cache — the
+bench_paired.py methodology): every headline query that has an oracle is
+also run through DuckDB (one warm-up, then the same median-of-N), and
+``ratio`` is the paired-subset Spark total over the oracle total.
 
 Each query executes end-to-end (parquet scan -> plan -> noop sink) so the
 timing covers the real distributed execution path without driver-side
@@ -135,23 +142,53 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in colds.values() if t >= 0), 3)
     best_total = round(sum(t for t in bests.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-                "runs": args.runs,
-                "cold_total": cold_total,
-                # best-of-N, the pre-round-7 headline semantics: kept so
-                # cross-round deltas stay apples-to-apples
-                "best_total": best_total,
-            }
-        ),
-        flush=True,
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "runs": args.runs,
+        "cold_total": cold_total,
+        # best-of-N, the pre-round-7 headline semantics: kept so
+        # cross-round deltas stay apples-to-apples
+        "best_total": best_total,
+    }
+    # Paired DuckDB-oracle leg: same process/minute/page cache, same
+    # warm-up + median-of-N. Fail-safe — a broken oracle leg must never
+    # take down the Spark bench line.
+    try:
+        import statistics
+
+        import duckdb
+
+        from gofeed_spark.catalog import TABLES
+        from gofeed_spark.queries import ORACLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        oracle_total = paired_total = 0.0
+        for name in HEADLINE:
+            if name not in ORACLES or timings.get(name, -1.0) < 0:
+                continue
+            sql = ORACLES[name]
+            con.execute(sql).fetchall()  # warm-up (plan cache, page cache)
+            vals = []
+            for _ in range(args.runs):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                vals.append(time.time() - t0)
+            oracle_total += statistics.median(vals)
+            paired_total += timings[name]
+        if oracle_total > 0:
+            out["oracle_total"] = round(oracle_total, 3)
+            out["ratio"] = round(paired_total / oracle_total, 3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: oracle leg skipped: {exc!r}", file=sys.stderr)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
