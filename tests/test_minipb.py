@@ -129,3 +129,116 @@ def test_utils_request_parse_string_schema(sm):
     )
     back = _roundtrip(req, sm.StateRequest)
     assert back.utilsRequest.parseStringSchema.schema == "a int, b string"
+
+
+def test_oneof_read_is_side_effect_free(sm):
+    # reading one oneof member while a sibling is set must not clear the
+    # sibling or flip WhichOneof (upstream reads are side-effect-free)
+    call = sm.StatefulProcessorCall(getValueState=sm.StateCallCommand(stateName="v"))
+    _ = call.deleteIfExists.stateName  # pure read of an unset sibling
+    assert call.WhichOneof("method") == "getValueState"
+    assert call.getValueState.stateName == "v"
+    assert not call.HasField("deleteIfExists")
+    back = _roundtrip(call, sm.StatefulProcessorCall)
+    assert back.WhichOneof("method") == "getValueState"
+    # first MUTATION through the vivified member installs it (and only then
+    # clears the sibling) — including down a chained vivify
+    call.deleteIfExists.stateName = "d"
+    assert call.WhichOneof("method") == "deleteIfExists"
+    req = sm.StateRequest()
+    req.statefulProcessorCall.getValueState.stateName = "chained"
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    assert (
+        _roundtrip(req, sm.StateRequest).statefulProcessorCall.getValueState.stateName
+        == "chained"
+    )
+
+
+def test_truncated_length_delimited_raises(sm):
+    from google.protobuf.message import DecodeError
+
+    good = sm.StateCallCommand(stateName="abcdefgh").SerializeToString()
+    with pytest.raises(DecodeError):
+        sm.StateCallCommand().ParseFromString(good[:-3])  # torn string field
+    nested = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            getValueState=sm.StateCallCommand(stateName="abcdefgh")
+        )
+    ).SerializeToString()
+    with pytest.raises(DecodeError):
+        sm.StateRequest().ParseFromString(nested[:-3])  # torn sub-message
+
+
+def test_vendored_google_is_namespace_portion(tmp_path):
+    # minipb's google/ must coexist with OTHER google.* namespace portions
+    # (google.cloud etc.): a regular package would win `import google` and
+    # hide every other portion.  Simulate in a subprocess.
+    import os
+    import subprocess
+    import sys
+
+    other = tmp_path / "other" / "google" / "cloudish"
+    other.mkdir(parents=True)
+    (other / "__init__.py").write_text("MARKER = 'cloudish-ok'\n")
+    minipb_dir = os.path.join(
+        os.path.dirname(os.path.abspath(shim.__file__)), "minipb"
+    )
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(tmp_path / 'other')!r})\n"
+        f"sys.path.insert(0, {minipb_dir!r})\n"
+        "from google.protobuf import descriptor\n"
+        "from google.cloudish import MARKER\n"
+        "print(MARKER)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=60
+    )
+    assert out.returncode == 0, out.stderr
+    assert "cloudish-ok" in out.stdout
+
+
+@pytest.mark.skipif(
+    not shim._real_protobuf_importable(),
+    reason="native protobuf not installed (minipb goldens cover the wire format)",
+)
+def test_minipb_native_parity(sm, tmp_path):
+    # when the REAL protobuf runtime is available, the vendored runtime
+    # must produce byte-identical encodings for the state protocol's
+    # message shapes.  Native leg runs here; minipb leg in a subprocess
+    # with sys.path preferring the vendored runtime.
+    import os
+    import subprocess
+    import sys
+
+    minipb_dir = os.path.join(
+        os.path.dirname(os.path.abspath(shim.__file__)), "minipb"
+    )
+    builder = (
+        "import pyspark.sql.streaming.proto.StateMessage_pb2 as sm\n"
+        "msgs = [\n"
+        "  sm.StateRequest(statefulProcessorCall=sm.StatefulProcessorCall(\n"
+        "      getValueState=sm.StateCallCommand(stateName='head',\n"
+        "          schema='gate int, status int'))),\n"
+        "  sm.StateRequest(implicitGroupingKeyRequest=\n"
+        "      sm.ImplicitGroupingKeyRequest(removeImplicitKey=sm.RemoveImplicitKey())),\n"
+        "  sm.StateResponseWithLongTypeVal(statusCode=-7, value=-2**62),\n"
+        "  sm.StateResponseWithMapIterator(\n"
+        "      kvPair=[sm.KeyAndValuePair(key=b'k', value=b'\\x00v')],\n"
+        "      requireNextFetch=True),\n"
+        "  sm.StateRequest(utilsRequest=sm.UtilsRequest(\n"
+        "      parseStringSchema=sm.ParseStringSchema(schema='a int'))),\n"
+        "]\n"
+        "print('\\n'.join(m.SerializeToString().hex() for m in msgs))\n"
+    )
+    native = subprocess.run(
+        [sys.executable, "-c", builder], capture_output=True, text=True, timeout=120
+    )
+    assert native.returncode == 0, native.stderr
+    vendored = subprocess.run(
+        [sys.executable, "-c", f"import sys\nsys.path.insert(0, {minipb_dir!r})\n" + builder],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "PYTHONNOUSERSITE": "1"},
+    )
+    assert vendored.returncode == 0, vendored.stderr
+    assert native.stdout.strip().splitlines() == vendored.stdout.strip().splitlines()
