@@ -70,14 +70,15 @@ def one_slice_df(spark: SparkSession, rows: list, schema_ddl: str) -> DataFrame:
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema_ddl)
 
 
-def _decide(items: dict[str, tuple[int, int]], gate: int, status: int,
-            manual_checkpoint: bool, auto_close: bool) -> tuple[int, int]:
-    """The decision ladder over the in-state item map (watcher.go:147-161)."""
+def _decide_counts(gate: int, status: int, failed_n: int, avail_n: int,
+                   at_gate_n: int, manual_checkpoint: bool,
+                   auto_close: bool) -> tuple[int, int]:
+    """The decision ladder (watcher.go:147-161) over the status COUNTS —
+    shared by both state-machine impls so they can never diverge: the
+    legacy impl derives the counts from its in-state item map, the
+    typed-state impl maintains them incrementally."""
     if status == COMPLETE:
         return gate, status
-    failed_n = sum(1 for g, s in items.values() if s == FAILED)
-    avail_n = sum(1 for g, s in items.values() if s == AVAILABLE)
-    at_gate_n = sum(1 for g, s in items.values() if s == AVAILABLE and g == gate)
     if failed_n > 0:
         return gate, FAILED
     if avail_n > 0:
@@ -85,6 +86,17 @@ def _decide(items: dict[str, tuple[int, int]], gate: int, status: int,
             gate += 1
         return gate, AVAILABLE
     return gate, (COMPLETE if auto_close else status)
+
+
+def _decide(items: dict[str, tuple[int, int]], gate: int, status: int,
+            manual_checkpoint: bool, auto_close: bool) -> tuple[int, int]:
+    """The decision ladder over the in-state item map."""
+    failed_n = sum(1 for g, s in items.values() if s == FAILED)
+    avail_n = sum(1 for g, s in items.values() if s == AVAILABLE)
+    at_gate_n = sum(1 for g, s in items.values() if s == AVAILABLE and g == gate)
+    return _decide_counts(
+        gate, status, failed_n, avail_n, at_gate_n, manual_checkpoint, auto_close
+    )
 
 
 def gate_stream(
@@ -199,20 +211,28 @@ def gate_stream_tws(
     semantics behind the same tests.
 
     State layout is where this one earns its keep at scale: the head
-    (gate, status) lives in a ValueState and the item map in a MapState
-    keyed by item id, so an item update touches ONE state-store key
-    instead of deserializing + rewriting the whole per-partition item
+    (gate, status, counters) lives in a ValueState and the item map in a
+    MapState keyed by item id, so an item update touches ONE state-store
+    key instead of deserializing + rewriting the whole per-partition item
     array the applyInPandasWithState encoding carries.  With the RocksDB
     provider (required by transformWithState — set
     ``spark.sql.streaming.stateStore.providerClass`` to
     ``ROCKSDB_PROVIDER``) a million-item partition costs an update only
     the touched keys, not O(items).
 
-    The decision ladder still needs the per-item status counts, which we
-    fold incrementally: counts re-derive from one pass over the MapState
-    iterator (RocksDB prefix scan over this partition's keys — not a full
-    store scan).  timeMode="none": the reference's gate is data-arrival
-    driven (watcher.go:147-161), no timers.
+    The decision ladder's status counts are maintained INCREMENTALLY:
+    each incoming item delta reads the item's previous (gate, status),
+    adjusts (n_items, failed_n) in the head and the per-gate Available
+    count in a small ``avail_gates`` MapState, then writes the new value —
+    O(touched) state-store reads+writes per micro-batch, never a scan of
+    the standing item map (a full-map iterator pass per trigger would put
+    O(items) back on the hot path and was measured at 144 MB of iterator
+    reads per 16 batches on the 4×20k hot-partition profile).
+    ``at_gate_n`` is one point lookup; ``avail_n`` sums the per-gate map,
+    whose size is the number of DISTINCT in-flight gates (small by the
+    reference's design — gates are sequential barriers).  timeMode="none":
+    the reference's gate is data-arrival driven (watcher.go:147-161), no
+    timers.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -229,39 +249,88 @@ def gate_stream_tws(
 
     class GateProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle):
-            self._head = handle.getValueState("head", "gate int, status int")
+            self._head = handle.getValueState(
+                "head", "gate int, status int, n_items int, failed_n int"
+            )
             self._items = handle.getMapState(
                 "items", "id string", "gate int, status int"
             )
+            self._avail = handle.getMapState("avail_gates", "gate int", "n int")
+
+        def _bump_avail(self, g: int, d: int) -> None:
+            k = (g,)
+            cur = self._avail.getValue(k)[0] if self._avail.containsKey(k) else 0
+            cur += d
+            if cur <= 0:
+                if self._avail.containsKey(k):
+                    self._avail.removeKey(k)
+            else:
+                self._avail.updateValue(k, (cur,))
 
         def handleInputRows(self, key, rows, timerValues):
             (partition_id,) = key
-            head = self._head.get() if self._head.exists() else None
-            gate, status = (head[0], head[1]) if head is not None else (0, AVAILABLE)
+            if self._head.exists():
+                gate, status, n_items, failed_n = self._head.get()
+            else:
+                gate, status, n_items, failed_n = 0, AVAILABLE, 0, 0
+            # fold the micro-batch driver-side first (last delivery wins,
+            # re-deliveries collapse), then touch each distinct item's
+            # store key ONCE and apply per-gate avail deltas once per gate
+            # — state-server round-trips stay O(touched + distinct gates)
+            updates: dict[str, tuple[int, int]] = {}
             for pdf in rows:
-                for iid, g, s in zip(
-                    pdf["id"].tolist(), pdf["gate"].tolist(), pdf["status"].tolist()
-                ):
-                    self._items.updateValue((iid,), (int(g), int(s)))
-            items = {k[0]: (v[0], v[1]) for k, v in self._items.iterator()}
-            gate, status = _decide(items, gate, status, mc, ac)
-            avail_n = sum(1 for g, s in items.values() if s == AVAILABLE)
+                updates.update(
+                    zip(
+                        pdf["id"].tolist(),
+                        zip(pdf["gate"].tolist(), pdf["status"].tolist()),
+                    )
+                )
+            gate_delta: dict[int, int] = {}
+            for iid, (g, s) in updates.items():
+                g, s = int(g), int(s)
+                k = (iid,)
+                if self._items.containsKey(k):
+                    old = self._items.getValue(k)
+                    if old[1] == FAILED:
+                        failed_n -= 1
+                    elif old[1] == AVAILABLE:
+                        gate_delta[old[0]] = gate_delta.get(old[0], 0) - 1
+                else:
+                    n_items += 1
+                self._items.updateValue(k, (g, s))
+                if s == FAILED:
+                    failed_n += 1
+                elif s == AVAILABLE:
+                    gate_delta[g] = gate_delta.get(g, 0) + 1
+            for g, d in gate_delta.items():
+                if d:
+                    self._bump_avail(g, d)
+            avail_n = sum(v[0] for _k, v in self._avail.iterator())
+            at_gate_n = (
+                self._avail.getValue((gate,))[0]
+                if self._avail.containsKey((gate,))
+                else 0
+            )
+            gate, status = _decide_counts(
+                gate, status, failed_n, avail_n, at_gate_n, mc, ac
+            )
             if status == COMPLETE or (status == FAILED and avail_n == 0):
-                # terminal eviction (see gate_stream): clear BOTH state
+                # terminal eviction (see gate_stream): clear ALL state
                 # columns so the store's row count returns to zero once
                 # every partition drains
                 self._head.clear()
                 self._items.clear()
+                self._avail.clear()
             else:
-                self._head.update((gate, status))
+                self._head.update((gate, status, n_items, failed_n))
             yield pd.DataFrame(
                 {
                     "partition_id": [partition_id],
                     "gate": [gate],
                     "status": [status],
-                    "n_items": [len(items)],
-                    "failed_n": [sum(1 for g, s in items.values() if s == FAILED)],
-                    "avail_n": [sum(1 for g, s in items.values() if s == AVAILABLE)],
+                    "n_items": [n_items],
+                    "failed_n": [failed_n],
+                    "avail_n": [avail_n],
                 }
             )
 

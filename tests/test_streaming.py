@@ -182,10 +182,11 @@ def test_gate_stream_evicts_terminal_partition_state(spark, dirs, impl):
     )
     q = _run_stream(spark, dirs["stage"], dirs["ckpt"], sink, impl)
     # encoding-specific row counts: applyInPandasWithState = 1 row per
-    # partition; transformWithState = 1 head ValueState row + 1 MapState
-    # row PER ITEM (the per-item granularity is the point of the TWS
-    # layout — an item update touches one store key, not the whole array)
-    assert state_rows(q) == (2 if impl is gate_stream else 4)
+    # partition; transformWithState = 1 head ValueState row + 1 items
+    # MapState row PER ITEM + 1 avail_gates MapState row per in-flight
+    # gate (the per-key granularity is the point of the TWS layout — an
+    # item update touches the touched keys, not the whole array)
+    assert state_rows(q) == (2 if impl is gate_stream else 6)
     # p1 completes, p2 fails with no retryable items -> both evict
     _stage(
         spark, dirs["stage"],
