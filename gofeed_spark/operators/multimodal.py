@@ -339,28 +339,149 @@ def media_neardup_pairs(
     )
 
 
-def media_embedding(media: DataFrame, dim: int = 8) -> DataFrame:
+def _sha_embedding(content: bytes, dim: int) -> list[float]:
+    """The undecodable-blob tier: digest byte i / 255.0 — bit-identical to
+    the JVM sha2/conv expression ``media_embedding(encoder='sha')`` emits
+    (both are exact small-int / 255.0 double divisions), so the DuckDB
+    oracle for sha-tier rows holds digit-for-digit regardless of which
+    code path produced them."""
+    d = hashlib.sha256(content).digest()
+    return [b / 255.0 for b in d[:dim]]
+
+
+def _image_embedding(gray: "list[int] | bytes", w: int, h: int, dim: int) -> list[float]:
+    """Content-derived image feature: mean luma over a g×g block grid
+    (g = ceil(sqrt(dim)), first ``dim`` cells), L2-normalized.  A
+    one-pixel tweak moves one cell mean by ~1/(cell_area·255), so
+    near-identical images land at cosine ≈ 1 while differently-structured
+    images diverge — the locality property the sha stub could never have."""
+    import math
+
+    import numpy as np
+
+    g = math.ceil(math.sqrt(dim))
+    px = np.frombuffer(bytes(gray), dtype=np.uint8).reshape(h, w).astype(np.float64)
+    rows = np.linspace(0, h, g + 1).astype(int)
+    cols = np.linspace(0, w, g + 1).astype(int)
+    feats = []
+    for r in range(g):
+        for c in range(g):
+            block = px[rows[r]: max(rows[r + 1], rows[r] + 1),
+                       cols[c]: max(cols[c + 1], cols[c] + 1)]
+            feats.append(float(block.mean()) / 255.0)
+    return _unit(feats[:dim])
+
+
+def _audio_embedding(y, sr: int, dim: int) -> list[float]:
+    """Content-derived audio feature: MFCC matrix over the waveform
+    (operators/audiocodec.py — real spectra), mean-pooled over frames,
+    padded/truncated to ``dim`` and L2-normalized."""
+    import numpy as np
+
+    from gofeed_spark.operators import audiocodec
+
+    n_mfcc = min(dim, 13)
+    frames = audiocodec.mfcc_frames(y, sr, n_mfcc=n_mfcc, n_frames=8)
+    pooled = np.asarray(frames, dtype=np.float64).mean(axis=0)
+    v = np.zeros(dim)
+    v[: pooled.size] = pooled
+    return _unit(v.tolist())
+
+
+def _unit(v: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in v))
+    if n < 1e-12:
+        # degenerate (e.g. all-black image): a fixed unit vector — identical
+        # content still maps to identical embeddings
+        out = [0.0] * len(v)
+        out[0] = 1.0
+        return out
+    return [x / n for x in v]
+
+
+def media_embedding(
+    media: DataFrame, dim: int = 8, encoder: str = "content"
+) -> DataFrame:
     """Media embedding column — (media_id, embedding array<double>) — the
     bridge from binary blobs into the vector stack: the output feeds
     ``similarity.brute_topk`` / ``build_ann_index`` / ``build_ivf_index``
     unchanged (pass ``id_col="media_id"``), so media similarity search and
     embedding-based media dedup ride the SAME indexes text vectors use.
 
-    The encoder here is the deterministic stub: ``dim`` doubles from the
-    blob's sha256 digest bytes, computed ENTIRELY JVM-side (sha2 +
-    substring + conv — whole-stage codegen, no Python, exact double
-    arithmetic the DuckDB oracle reproduces digit-for-digit).  A real
-    deployment swaps exactly this expression for an Arrow-batched model
-    call (CLIP/wav2vec) — everything downstream is encoder-agnostic."""
-    hx = F.lower(F.sha2(F.col("content"), 256))
-    emb = F.array(
-        *[
-            F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("double")
-            / F.lit(255.0)
-            for i in range(dim)
-        ]
-    )
-    return media.select("media_id", emb.alias("embedding"))
+    ``encoder="content"`` (default): one Arrow mapInPandas pass with the
+    same tier ladder the other media ops use —
+
+    - image blobs (PIL when importable, else the pure-stdlib PNG codec)
+      → grid-pooled luma features, unit-normalized: near-identical images
+      get cosine ≈ 1, unrelated ones don't (tested);
+    - RIFF/WAVE blobs → frame-pooled MFCC features (real spectra via
+      operators/audiocodec.py), unit-normalized;
+    - undecodable bytes → the deterministic sha tier, whose doubles are
+      bit-identical to the JVM expression below (oracles over non-media
+      corpora hold unchanged).
+
+    A real deployment swaps the two content tiers for an Arrow-batched
+    model call (CLIP/wav2vec) — everything downstream is encoder-agnostic.
+
+    ``encoder="sha"``: the legacy all-sha stub, computed ENTIRELY JVM-side
+    (sha2 + substring + conv — whole-stage codegen, no Python) for
+    pipelines that want a pure-codegen plan over non-media blobs."""
+    if encoder == "sha":
+        hx = F.lower(F.sha2(F.col("content"), 256))
+        emb = F.array(
+            *[
+                F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("double")
+                / F.lit(255.0)
+                for i in range(dim)
+            ]
+        )
+        return media.select("media_id", emb.alias("embedding"))
+    if encoder != "content":
+        raise ValueError(f"unknown encoder {encoder!r} (use 'content' or 'sha')")
+    use_pil = _pil_available()
+
+    def encode_one(content: bytes) -> list[float]:
+        if use_pil:
+            try:
+                from io import BytesIO
+
+                from PIL import Image
+
+                with Image.open(BytesIO(content)) as im:
+                    g = im.convert("L")
+                    return _image_embedding(g.tobytes(), g.width, g.height, dim)
+            except Exception:  # noqa: BLE001 — undecodable blob → next tier
+                pass
+        from gofeed_spark.operators import audiocodec, pngcodec
+
+        if pngcodec.is_png(content):
+            try:
+                w, h, ch, px = pngcodec.decode_png(content)
+                return _image_embedding(pngcodec.to_gray(w, h, ch, px), w, h, dim)
+            except pngcodec.PngError:
+                pass
+        if audiocodec.is_wav(content):
+            try:
+                sr, y = audiocodec.decode_wav(content)
+                return _audio_embedding(y, sr, dim)
+            except audiocodec.WavError:
+                pass
+        return _sha_embedding(content, dim)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "embedding": pdf["content"].map(
+                        lambda b: encode_one(bytes(b))
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, "media_id long, embedding array<double>")
 
 
 def extract_audio_features(

@@ -2699,8 +2699,11 @@ WHERE rn <= 10 ORDER BY rank
 )
 def q114(spark, sf_dir):
     """Media similarity search end-to-end: blobs → media_embedding (the
-    JVM-side stub encoder — sha2/conv codegen, exact doubles the oracle
-    reproduces digit-for-digit) → the SAME brute top-k cosine kernel text
+    content-tier encoder; these text-byte blobs are neither PNG nor WAV,
+    so every row takes the deterministic sha tier, whose doubles the
+    oracle reproduces digit-for-digit — real image/audio blobs get
+    grid-luma / pooled-MFCC content features instead, locality-tested in
+    tests/test_multimodal.py) → the SAME brute top-k cosine kernel text
     vectors use (similarity.brute_topk, q34's operator).  Proves the
     multimodal column feeds the vector stack unchanged; the ANN-index
     variant over the same embeddings is recall-gated in

@@ -253,3 +253,150 @@ def test_real_png_decode_branch_in_spark(spark):
     assert rpx[0] < rpx[3]  # gradient survives the resample
     assert not is_png(resized[4])  # undecodable blob → deterministic stub
     assert DHASH_W * DHASH_H == 72
+
+
+def _cos(a, b):
+    import math
+
+    num = sum(x * y for x, y in zip(a, b))
+    return num / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    )
+
+
+def test_media_embedding_content_locality(spark):
+    """The content-tier encoder is locality-preserving where the sha stub
+    was content-blind: near-identical PNGs land at cosine ≈ 1, structurally
+    different images don't; near-identical WAVs likewise; undecodable
+    blobs keep the sha tier's exact doubles (oracles over non-media
+    corpora hold unchanged)."""
+    from gofeed_spark.operators.multimodal import media_embedding
+    from gofeed_spark.operators.pngcodec import encode_png
+    from tests.test_audiocodec import _riff, _sine
+
+    w, h = 16, 16
+    grad = bytes((x * 255) // (w - 1) for _ in range(h) for x in range(w))
+    tweaked = bytearray(grad)
+    tweaked[5] = min(255, tweaked[5] + 3)  # one-pixel edit
+    rev = bytes(reversed(grad))
+    sr, n = 8000, 4000
+    wav_a = _riff(sr, 16, 1, _sine(440.0, sr, n))
+    tone = bytearray(_sine(440.0, sr, n))
+    tone[100] ^= 1  # one-sample LSB tweak
+    wav_b = _riff(sr, 16, 1, bytes(tone))
+    wav_c = _riff(sr, 16, 1, _sine(1760.0, sr, n))
+    text = b"definitely not decodable media"
+    media = spark.createDataFrame(
+        [
+            (1, "image", encode_png(w, h, 1, grad)),
+            (2, "image", encode_png(w, h, 1, bytes(tweaked))),
+            (3, "image", encode_png(w, h, 1, rev)),
+            (4, "audio", wav_a),
+            (5, "audio", wav_b),
+            (6, "audio", wav_c),
+            (7, "text", text),
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    emb = {
+        r.media_id: list(r.embedding)
+        for r in media_embedding(media, dim=8).collect()
+    }
+    assert set(emb) == {1, 2, 3, 4, 5, 6, 7}
+    assert all(len(v) == 8 for v in emb.values())
+    # image locality: one-pixel tweak ≈ identical, reversed gradient far
+    assert _cos(emb[1], emb[2]) > 0.999
+    assert _cos(emb[1], emb[3]) < 0.9
+    # audio locality: LSB tweak ≈ identical; a different pitch is farther
+    assert _cos(emb[4], emb[5]) > 0.999
+    assert _cos(emb[4], emb[6]) < _cos(emb[4], emb[5])
+    # content tiers are unit-normalized
+    import math
+
+    for mid in (1, 2, 3, 4, 5, 6):
+        assert math.isclose(
+            math.sqrt(sum(x * x for x in emb[mid])), 1.0, rel_tol=1e-9
+        )
+    # undecodable blob: the sha tier, digit-for-digit (q114 oracle contract)
+    d = hashlib.sha256(text).digest()
+    assert emb[7] == [b / 255.0 for b in d[:8]]
+    # determinism across executions
+    emb2 = {
+        r.media_id: list(r.embedding)
+        for r in media_embedding(media, dim=8).collect()
+    }
+    assert emb2 == emb
+
+
+def test_media_embedding_sha_encoder_is_jvm_side(spark):
+    """encoder='sha' keeps the legacy pure-codegen path: values identical
+    to the python sha tier, and the plan carries no Python evaluation."""
+    from gofeed_spark.operators.multimodal import media_embedding
+
+    media = spark.createDataFrame(
+        [(1, "text", b"alpha"), (2, "text", b"beta")],
+        "media_id long, media_type string, content binary",
+    )
+    jvm = media_embedding(media, dim=8, encoder="sha")
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    got = {r.media_id: list(r.embedding) for r in jvm.collect()}
+    for mid, blob in ((1, b"alpha"), (2, b"beta")):
+        d = hashlib.sha256(blob).digest()
+        assert got[mid] == [b / 255.0 for b in d[:8]]
+    with pytest.raises(ValueError):
+        media_embedding(media, encoder="clip")
+
+
+def test_jpeg_decode_ladder_contract(spark):
+    """The web's dominant image format exercises the decode ladder's
+    swap-point with an EXECUTED assertion in every environment: with PIL
+    importable the blob is a real JPEG and extract_features / media_dhash
+    see real pixels (a JPEG and a PNG of the SAME image land nearby);
+    without PIL, JPEG bytes are undecodable here (the stdlib codec is
+    PNG-only) and the deterministic sha stub engages — with the identical
+    output schema either way."""
+    from gofeed_spark.operators.multimodal import (
+        _pil_available,
+        extract_features,
+        media_dhash,
+    )
+    from gofeed_spark.operators.pngcodec import encode_png
+
+    w, h = 16, 16
+    grad = bytes((x * 255) // (w - 1) for _ in range(h) for x in range(w))
+    if _pil_available():
+        from io import BytesIO
+
+        from PIL import Image
+
+        buf = BytesIO()
+        Image.frombytes("L", (w, h), grad).save(buf, format="JPEG", quality=95)
+        jpeg = buf.getvalue()
+    else:
+        # JPEG magic + payload the ladder must reject cleanly (PIL absent,
+        # pngcodec is PNG-only) — the stub tier's contract leg
+        jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + grad
+    media = spark.createDataFrame(
+        [(1, "image", jpeg), (2, "image", encode_png(w, h, 1, grad))],
+        "media_id long, media_type string, content binary",
+    )
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    # identical schema contract across tiers
+    assert set(feats) == {1, 2}
+    for r in feats.values():
+        assert len(r.feature) == 8 and r.byte_len > 0 and len(r.sha_prefix) == 16
+    fps = {
+        r.media_id: (r.ph_hi << 32) | r.ph_lo for r in media_dhash(media).collect()
+    }
+    ham = bin(fps[1] ^ fps[2]).count("1")
+    if _pil_available():
+        # real JPEG pixels ≈ the PNG of the same image (lossy but close)
+        assert ham <= 6, ham
+        grad_feature = list(feats[2].feature)
+        assert feats[1].feature == pytest.approx(grad_feature, abs=0.05)
+    else:
+        # stub tier: content-blind fingerprint, just deterministic + well-formed
+        assert feats[1].feature == pytest.approx(
+            [b / 255.0 for b in hashlib.sha256(jpeg).digest()[:8]], abs=1e-6
+        )
