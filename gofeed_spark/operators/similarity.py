@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -107,13 +108,15 @@ def _srp_bucket_udf(planes: list[list[float]]):
     ``srp_bucket`` column expression, whose zip_with/aggregate lambdas
     Catalyst interprets PER ELEMENT (~n_planes × dim evals per row — the
     dominant cost of index builds at any scale)."""
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     planes_mat = np.asarray(planes, dtype=np.float64)
 
-    @pandas_udf("string", PandasUDFType.SCALAR)
-    def bucket(v):
+    # type-hint registration (the PandasUDFType form is deprecated and
+    # slated for removal in Spark 4); the stringified hints resolve via
+    # the module-global `pd`
+    @pandas_udf("string")
+    def bucket(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
         vecs = np.array(v.tolist(), dtype=np.float64)
@@ -135,11 +138,10 @@ def _ivf_cell_udf(cmat: np.ndarray, cnorm: np.ndarray):
     """Arrow scalar pandas UDF: nearest-centroid cell id for an
     array<double> column (one einsum per batch against the tiny broadcast
     codebook)."""
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int", PandasUDFType.SCALAR)
-    def cell(v):
+    @pandas_udf("int")
+    def cell(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int32")
         vecs = np.array(v.tolist(), dtype=np.float64)
@@ -1130,13 +1132,13 @@ def label_centroid_norms_udaf(
     formulation remains the preferred plan for very wide groups (it never
     materializes a group's vectors in one worker), while this one is a
     single shuffle with Arrow-batched numpy per group."""
-    # explicit functionType: this module uses `from __future__ import
-    # annotations`, which stringifies hints and defeats pandas_udf's
-    # annotation-based type inference
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    # Series -> scalar hints select the grouped-agg type; the stringified
+    # hints (`from __future__ import annotations`) resolve via the
+    # module-global `pd`
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def centroid_norm(vecs):
+    @pandas_udf("double")
+    def centroid_norm(vecs: pd.Series) -> float:
         mat = np.array(vecs.tolist(), dtype=np.float64)
         return float(np.sqrt((mat.mean(axis=0) ** 2).sum()))
 
