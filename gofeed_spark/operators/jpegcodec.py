@@ -1,0 +1,601 @@
+"""Pure Python+numpy baseline JPEG codec (decode + encode).
+
+Implements the baseline sequential DCT process of the public JPEG
+specification (ITU-T T.81 / ISO 10918-1) with JFIF framing: Huffman
+entropy coding, 8x8 DCT blocks, quantization tables read from / written
+to the stream, YCbCr <-> RGB per JFIF (BT.601), arbitrary h/v chroma
+sampling factors on decode (4:4:4 and 4:2:0 on encode), and restart
+markers.  No image library involved — this is the tier that makes the
+media operators' real-decode branch execute for the web's dominant image
+format in ANY environment, the JPEG sibling of ``operators/pngcodec.py``
+(reference parity: none — the reference has no media surface; this
+serves the engine's multimodal columns).
+
+Sized for correctness and portability, not throughput: the entropy loop
+is Python-per-bit (fine for the Arrow-batched per-blob media operators;
+swap PIL in via the decode ladder when it is importable for bulk work).
+Huffman/quantization tables are carried IN the stream (DHT/DQT), so
+decoding never depends on the encoder having used the Annex K defaults.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    pass
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) >= 3 and data[:3] == b"\xff\xd8\xff"
+
+
+# zigzag scan order, generated from the definition (diagonal traversal,
+# alternating direction) rather than transcribed
+def _zigzag_order() -> list[int]:
+    out = []
+    for d in range(15):
+        rng = range(min(d, 7), max(d - 7, 0) - 1, -1) if d % 2 == 0 else range(
+            max(d - 7, 0), min(d, 7) + 1
+        )
+        for r in rng:
+            out.append(r * 8 + (d - r))
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+# 8-point DCT-II basis: A[k, n] = c(k)/2 * cos((2n+1) k pi / 16)
+_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if k == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * n + 1) * k * np.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _A @ block @ _A.T
+
+
+def _idct(coef: np.ndarray) -> np.ndarray:
+    return _A.T @ coef @ _A
+
+
+# ---------------------------------------------------------------------------
+# Annex K default tables (used by the ENCODER only; both sides of a
+# round-trip read whatever the stream carries)
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical per T.81 Annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length)."""
+    out = {}
+    for (length, code), sym in _build_decode_table(bits, vals).items():
+        out[sym] = (code, length)
+    return out
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 byte stuffing removed, RSTn
+    markers surfaced via ``sync_restart``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        while True:
+            if self.pos >= len(d):
+                raise JpegError("truncated entropy-coded data")
+            b = d[self.pos]
+            self.pos += 1
+            if b != 0xFF:
+                return b
+            marker = d[self.pos] if self.pos < len(d) else None
+            if marker == 0x00:
+                self.pos += 1
+                return 0xFF
+            # a real marker: rewind so the caller sees it
+            self.pos -= 1
+            raise _MarkerReached()
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.bitbuf = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code")
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise JpegError("missing restart marker")
+
+
+class _MarkerReached(Exception):
+    pass
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, pixels) — channels 1 (gray) or 3 (RGB),
+    row-major interleaved bytes, same convention as pngcodec.decode_png."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, struct.error) as exc:
+        # malformed segment tables / truncated headers surface as the
+        # codec's own error, never a raw container exception
+        raise JpegError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    if not is_jpeg(data):
+        raise JpegError("not a JPEG stream")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            continue
+        (seglen,) = struct.unpack(">H", data[pos: pos + 2])
+        seg = data[pos + 2: pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg[p: p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p: p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = vals  # stream order is zigzag
+                qt[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1: p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17: p + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline / ext. sequential)
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise JpegError(f"unsupported sample precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xC2:
+            raise JpegError("progressive JPEG not supported (baseline only)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            return _decode_scan(
+                data, pos + seglen, frame, sel, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seglen
+    raise JpegError("no scan found")
+
+
+def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        )
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    reader.sync_restart()
+                    pred = [0] * len(comps)
+                for ci, c in enumerate(comps):
+                    dct, act = sel[c["id"]]
+                    qtbl = qt[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = _decode_block(
+                                reader, huff_dc[dct], huff_ac[act], pred, ci
+                            )
+                            spatial = _idct(blk * qtbl) + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0: y0 + 8, x0: x0 + 8] = spatial
+                mcu_count += 1
+    except _MarkerReached:
+        raise JpegError("truncated scan (marker inside entropy data)") from None
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        px = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px.tobytes()
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+def _decode_block(reader, dc_table, ac_table, pred, ci) -> np.ndarray:
+    out = np.zeros(64, dtype=np.int64)
+    s = reader.decode_huff(dc_table)
+    diff = _extend(reader.receive(s), s) if s else 0
+    pred[ci] += diff
+    out[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = reader.decode_huff(ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run past block end")
+        out[ZIGZAG[k]] = _extend(reader.receive(s), s)
+        k += 1
+    blk = np.zeros(64, dtype=np.int64)
+    blk[:] = out
+    return blk.reshape(8, 8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(bw, blk, qtbl, dc_tab, ac_tab, pred, ci) -> None:
+    coef = np.rint(_fdct(blk - 128.0) / qtbl).astype(np.int64)
+    zz = coef.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    s = _category(diff)
+    code, length = dc_tab[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, length = ac_tab[0x00]  # EOB
+                bw.write(code, length)
+                return
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+
+
+def _pad_to_blocks(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, bh - h), (0, bw_ - w)), mode="edge")
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encode of row-major interleaved 8-bit pixels
+    (channels 1 = gray, 3 = RGB).  ``subsampling`` '444' or '420';
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    if channels not in (1, 3):
+        raise JpegError(f"unsupported channel count {channels}")
+    if subsampling not in ("444", "420"):
+        raise JpegError(f"unsupported subsampling {subsampling!r}")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise JpegError("pixel buffer size mismatch")
+    arr = arr.reshape(height, width, channels).astype(np.float64)
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    if channels == 1:
+        planes = [arr[:, :, 0]]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # box-average 2x2 (pad odd dims by edge first)
+            cbp = _pad_to_blocks(cb, (height + 1) // 2 * 2, (width + 1) // 2 * 2)
+            crp = _pad_to_blocks(cr, (height + 1) // 2 * 2, (width + 1) // 2 * 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    padded = [
+        _pad_to_blocks(p, mcuy * 8 * samp[i][1], mcux * 8 * samp[i][0])
+        for i, p in enumerate(planes)
+    ]
+
+    dc_tabs = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+               _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tabs = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+               _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    tsel = [0] + [1] * (channels - 1)
+
+    bw = _BitWriter()
+    pred = [0] * channels
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * channels
+            for ci in range(channels):
+                sh, sv = samp[ci]
+                qtbl = ql if qsel[ci] == 0 else qc
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        _encode_block(
+                            bw, padded[ci][y0: y0 + 8, x0: x0 + 8], qtbl,
+                            dc_tabs[tsel[ci]], ac_tabs[tsel[ci]], pred, ci,
+                        )
+            mcu_count += 1
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def _dqt(tid, tbl):
+        return (
+            b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+            + bytes(int(tbl.reshape(-1)[i]) for i in ZIGZAG)
+        )
+
+    out += _dqt(0, ql)
+    if channels == 3:
+        out += _dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def _dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if channels == 3:
+        out += _dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def gray_strip(data: bytes, n: int) -> list[float]:
+    """Decode → grayscale → resample to an (n × 1) strip of [0, 1] floats —
+    the same feature contract pngcodec.gray_strip serves."""
+    from gofeed_spark.operators import pngcodec
+
+    w, h, ch, px = decode_jpeg(data)
+    gray = pngcodec.to_gray(w, h, ch, px) if ch != 1 else px
+    strip = pngcodec.resample_nearest(w, h, 1, gray, n, 1)
+    return [b / 255.0 for b in strip]

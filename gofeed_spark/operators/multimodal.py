@@ -1,17 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed by Arrow-batched pandas UDFs via mapInPandas.
 
-Decoding: when PIL is importable, ``extract_features`` / ``resize_images``
-decode real image bytes (grayscale feature row / true pixel resize); blobs
-PIL cannot parse — and every blob when PIL is absent, as in this container
-— fall back to the deterministic content-hash stubs, so the Spark-side
-plumbing (schema, batch shape, partitioning) is identical and
-oracle-checkable either way.  Audio gets the same treatment
-(``extract_audio_features``: librosa-optional MFCC with a deterministic
-stub); video frame extraction (``sample_frames``) remains a pure stub
-(no ffmpeg in this container).  ``media_embedding`` bridges blobs into
-the vector stack (ANN/IVF indexes, brute top-k) and ``media_dhash`` /
-``media_neardup_pairs`` into the banded dedup kernel.
+Decoding rides a tier ladder that ends in REAL pixels in any
+environment: PIL when importable (all formats) → the pure-stdlib PNG
+codec (operators/pngcodec.py) → the pure-Python baseline JPEG codec
+(operators/jpegcodec.py) → a deterministic content-hash stub only for
+genuinely undecodable bytes, with identical Spark-side plumbing (schema,
+batch shape, partitioning) at every tier.  Audio gets the same treatment
+(``extract_audio_features``: librosa → stdlib+numpy WAV/MFCC → stub);
+video frame extraction (``sample_frames``) remains a pure stub (no
+ffmpeg in this container).  ``media_embedding`` bridges blobs into the
+vector stack (ANN/IVF indexes, brute top-k) with content-derived
+features, and ``media_dhash`` / ``media_neardup_pairs`` feed the banded
+dedup kernel.
 """
 
 from __future__ import annotations
@@ -93,22 +94,28 @@ def _pil_decode(content: bytes, n_feat: int = 8) -> list[float]:
 
 
 def _decode_or_fallback(content: bytes, n_feat: int, use_pil: bool) -> list[float]:
-    """Three decode tiers: PIL (all formats, when importable) → the
-    pure-stdlib PNG codec (REAL pixel decode for PNG blobs in any
-    environment — operators/pngcodec.py) → the deterministic sha stub for
-    undecodable bytes.  The real-decode branch is therefore executable
-    and tested even in containers without an image library."""
+    """Decode tiers: PIL (all formats, when importable) → the pure-stdlib
+    PNG codec → the pure-Python baseline JPEG codec (REAL pixel decode
+    for the web's two dominant image formats in any environment —
+    operators/pngcodec.py, operators/jpegcodec.py) → the deterministic
+    sha stub for undecodable bytes.  The real-decode branch is therefore
+    executable and tested even in containers without an image library."""
     if use_pil:
         try:
             return _pil_decode(content, n_feat)
         except Exception:  # noqa: BLE001 — undecodable blob → next tier
             pass
-    from gofeed_spark.operators import pngcodec
+    from gofeed_spark.operators import jpegcodec, pngcodec
 
     if pngcodec.is_png(content):
         try:
             return pngcodec.gray_strip(content, n_feat)
         except pngcodec.PngError:
+            pass
+    if jpegcodec.is_jpeg(content):
+        try:
+            return jpegcodec.gray_strip(content, n_feat)
+        except jpegcodec.JpegError:
             pass
     return _fake_decode(content, n_feat)
 
@@ -170,7 +177,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     return out.getvalue()
             except Exception:  # noqa: BLE001 — undecodable blob → next tier
                 pass
-        from gofeed_spark.operators import pngcodec
+        from gofeed_spark.operators import jpegcodec, pngcodec
 
         if pngcodec.is_png(content):
             try:  # real pixel resize without PIL: decode → resample → encode
@@ -182,6 +189,17 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     pngcodec.resample_nearest(w, h, ch, px, width, height),
                 )
             except pngcodec.PngError:
+                pass
+        if jpegcodec.is_jpeg(content):
+            try:  # JPEG in → resized JPEG out, still without an image lib
+                w, h, ch, px = jpegcodec.decode_jpeg(content)
+                return jpegcodec.encode_jpeg(
+                    width,
+                    height,
+                    ch,
+                    pngcodec.resample_nearest(w, h, ch, px, width, height),
+                )
+            except jpegcodec.JpegError:
                 pass
         return _stub_resize(content)
 
@@ -281,7 +299,7 @@ def media_dhash(media: DataFrame) -> DataFrame:
                     )
             except Exception:  # noqa: BLE001 — undecodable blob → next tier
                 pass
-        from gofeed_spark.operators import pngcodec
+        from gofeed_spark.operators import jpegcodec, pngcodec
 
         if pngcodec.is_png(content):
             try:  # real pixels for PNGs even without PIL
@@ -293,6 +311,17 @@ def media_dhash(media: DataFrame) -> DataFrame:
                     )
                 )
             except pngcodec.PngError:
+                pass
+        if jpegcodec.is_jpeg(content):
+            try:  # real pixels for JPEGs even without PIL
+                w, h, ch, px = jpegcodec.decode_jpeg(content)
+                gray = pngcodec.to_gray(w, h, ch, px) if ch != 1 else px
+                return list(
+                    pngcodec.resample_nearest(
+                        w, h, 1, gray, DHASH_W, DHASH_H
+                    )
+                )
+            except jpegcodec.JpegError:
                 pass
         return _stub_strip(content)
 
@@ -454,13 +483,20 @@ def media_embedding(
                     return _image_embedding(g.tobytes(), g.width, g.height, dim)
             except Exception:  # noqa: BLE001 — undecodable blob → next tier
                 pass
-        from gofeed_spark.operators import audiocodec, pngcodec
+        from gofeed_spark.operators import audiocodec, jpegcodec, pngcodec
 
         if pngcodec.is_png(content):
             try:
                 w, h, ch, px = pngcodec.decode_png(content)
                 return _image_embedding(pngcodec.to_gray(w, h, ch, px), w, h, dim)
             except pngcodec.PngError:
+                pass
+        if jpegcodec.is_jpeg(content):
+            try:
+                w, h, ch, px = jpegcodec.decode_jpeg(content)
+                gray = pngcodec.to_gray(w, h, ch, px) if ch != 1 else px
+                return _image_embedding(gray, w, h, dim)
+            except jpegcodec.JpegError:
                 pass
         if audiocodec.is_wav(content):
             try:

@@ -349,17 +349,19 @@ def test_media_embedding_sha_encoder_is_jvm_side(spark):
 
 
 def test_jpeg_decode_ladder_contract(spark):
-    """The web's dominant image format exercises the decode ladder's
-    swap-point with an EXECUTED assertion in every environment: with PIL
-    importable the blob is a real JPEG and extract_features / media_dhash
-    see real pixels (a JPEG and a PNG of the SAME image land nearby);
-    without PIL, JPEG bytes are undecodable here (the stdlib codec is
-    PNG-only) and the deterministic sha stub engages — with the identical
-    output schema either way."""
+    """The web's dominant image format decodes to REAL pixels in every
+    environment: PIL when importable, else the pure-Python baseline
+    codec (operators/jpegcodec.py).  A JPEG and a PNG of the SAME image
+    must land nearby in dHash and feature space — cross-format
+    consistency only real decoding can produce — and a corrupt
+    JPEG-magic blob degrades to the sha stub with the identical output
+    schema."""
+    from gofeed_spark.operators.jpegcodec import encode_jpeg
     from gofeed_spark.operators.multimodal import (
         _pil_available,
         extract_features,
         media_dhash,
+        media_embedding,
     )
     from gofeed_spark.operators.pngcodec import encode_png
 
@@ -374,29 +376,34 @@ def test_jpeg_decode_ladder_contract(spark):
         Image.frombytes("L", (w, h), grad).save(buf, format="JPEG", quality=95)
         jpeg = buf.getvalue()
     else:
-        # JPEG magic + payload the ladder must reject cleanly (PIL absent,
-        # pngcodec is PNG-only) — the stub tier's contract leg
-        jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + grad
+        jpeg = encode_jpeg(w, h, 1, grad, quality=95)
+    corrupt = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + grad  # JPEG magic, torn body
     media = spark.createDataFrame(
-        [(1, "image", jpeg), (2, "image", encode_png(w, h, 1, grad))],
+        [
+            (1, "image", jpeg),
+            (2, "image", encode_png(w, h, 1, grad)),
+            (3, "image", corrupt),
+        ],
         "media_id long, media_type string, content binary",
     )
     feats = {r.media_id: r for r in extract_features(media).collect()}
     # identical schema contract across tiers
-    assert set(feats) == {1, 2}
+    assert set(feats) == {1, 2, 3}
     for r in feats.values():
         assert len(r.feature) == 8 and r.byte_len > 0 and len(r.sha_prefix) == 16
+    # real JPEG pixels ≈ the PNG of the same image (lossy but close)
     fps = {
         r.media_id: (r.ph_hi << 32) | r.ph_lo for r in media_dhash(media).collect()
     }
-    ham = bin(fps[1] ^ fps[2]).count("1")
-    if _pil_available():
-        # real JPEG pixels ≈ the PNG of the same image (lossy but close)
-        assert ham <= 6, ham
-        grad_feature = list(feats[2].feature)
-        assert feats[1].feature == pytest.approx(grad_feature, abs=0.05)
-    else:
-        # stub tier: content-blind fingerprint, just deterministic + well-formed
-        assert feats[1].feature == pytest.approx(
-            [b / 255.0 for b in hashlib.sha256(jpeg).digest()[:8]], abs=1e-6
-        )
+    assert bin(fps[1] ^ fps[2]).count("1") <= 6
+    assert feats[1].feature == pytest.approx(list(feats[2].feature), abs=0.05)
+    # content embedding: JPEG and PNG of one image are near-identical
+    emb = {
+        r.media_id: list(r.embedding)
+        for r in media_embedding(media, dim=8).collect()
+    }
+    assert _cos(emb[1], emb[2]) > 0.995
+    # corrupt blob: deterministic sha stub tier, well-formed output
+    assert feats[3].feature == pytest.approx(
+        [b / 255.0 for b in hashlib.sha256(corrupt).digest()[:8]], abs=1e-6
+    )
