@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from gofeed_spark.catalog import load_table
 from gofeed_spark.functions.ranking import with_rank
 from gofeed_spark.functions.text import ws_tokens
-from gofeed_spark.operators import dedup, multimodal, similarity, textstats
+from gofeed_spark.operators import bpe, dedup, multimodal, similarity, textstats
 from gofeed_spark.queries.registry import query
 
 
@@ -2758,3 +2758,50 @@ def q115(spark, sf_dir):
         "frame",
         F.posexplode("mfcc").alias("coeff", "value"),
     ).orderBy("media_id", "frame", "coeff")
+
+
+# --- q116/q117 real BPE tokenization -----------------------------------------
+@query(
+    "q116_bpe_word_freqs",
+    oracle="""
+WITH words AS (
+  SELECT w AS word FROM documents,
+         UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t(w)
+  WHERE w <> ''
+)
+SELECT word, COUNT(*) AS n FROM words
+GROUP BY word ORDER BY n DESC, word LIMIT 2000
+""",
+)
+def q116(spark, sf_dir):
+    """The distributed stage of BPE training (operators/bpe.py): exact
+    corpus word frequencies — explode + one map-side-combinable wide
+    aggregate, capped deterministically (count desc, word) so the
+    driver-side merge trainer sees a bounded table at ANY corpus size.
+    This is the only part of tokenizer training that touches the corpus;
+    it is SQL-exact, so it carries the oracle for the BPE stack.
+    Reference parity: none (no tokenizer surface in the reference)."""
+    return bpe.word_frequencies(
+        T(spark, sf_dir, "documents"), max_words=2000
+    ).orderBy(F.desc("n"), "word")
+
+
+@query("q117_bpe_tokens")
+def q117(spark, sf_dir):
+    """Distributed BPE encode under a corpus-trained merge list
+    (operators/bpe.py, Sennrich et al. 2016): train on the exact
+    frequency table (driver-side, deterministic — ties lexicographic),
+    then one Arrow mapInPandas pass encodes every doc; the merges ride
+    as a closure constant, zero shuffles.  Registered rows-only — the
+    per-word merge reduction is iterative, not SQL-expressible; the
+    semantics are pinned by unit tests (hand-computed merges,
+    reversibility: a word's tokens concatenate back to the word) and a
+    re-shard determinism twin, the q110 trade."""
+    docs = T(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, num_merges=200, max_words=2000)
+    seg = bpe.bpe_segments(docs, merges)
+    return seg.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("tokens")).alias("n_unique"),
+    ).orderBy("doc_id")
