@@ -8,8 +8,9 @@ codec (operators/pngcodec.py) → the pure-Python baseline JPEG codec
 genuinely undecodable bytes, with identical Spark-side plumbing (schema,
 batch shape, partitioning) at every tier.  Audio gets the same treatment
 (``extract_audio_features``: librosa → stdlib+numpy WAV/MFCC → stub);
-video frame extraction (``sample_frames``) remains a pure stub (no
-ffmpeg in this container).  ``media_embedding`` bridges blobs into the
+frame extraction (``sample_frames``) decodes REAL frames from animated
+GIFs (operators/gifcodec.py) and keeps the stub for containers that
+need ffmpeg.  ``media_embedding`` bridges blobs into the
 vector stack (ANN/IVF indexes, brute top-k) with content-derived
 features, and ``media_dhash`` / ``media_neardup_pairs`` feed the banded
 dedup kernel.
@@ -220,19 +221,43 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
 
 
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
-    """Video frame sampling: one input blob → up to ``max_frames`` rows
-    (media_id, frame_idx, frame BINARY) — a flatMap-shaped mapInPandas (the
-    output rows-per-input are data-dependent, which is why this is not a
-    1:1 pandas UDF).  Frame extraction is a STUB deriving deterministic
-    frame bytes from (blob sha256, frame index); swap for ffmpeg/pyav
-    decode in a real deployment.  Scales per-blob across executor cores;
-    no driver involvement."""
+    """Video/animation frame sampling: one input blob → up to
+    ``max_frames`` rows (media_id, frame_idx, frame BINARY) — a
+    flatMap-shaped mapInPandas (the output rows-per-input are
+    data-dependent, which is why this is not a 1:1 pandas UDF).
+
+    ANIMATED GIF blobs extract REAL frames in any environment (the
+    pure-Python codec in operators/gifcodec.py: LZW, disposal methods,
+    local palettes), taking every ``every_n``-th composed frame and
+    re-encoding it as a PNG blob (operators/pngcodec.py) — so sampled
+    frames feed extract_features / media_dhash / media_embedding as
+    first-class image media.  Other containers (mp4 etc.) keep the
+    deterministic stub (no ffmpeg here); swap pyav in at this exact seam
+    for a full deployment.  Scales per-blob across executor cores; no
+    driver involvement."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gofeed_spark.operators import gifcodec, pngcodec
+
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content)
+                if gifcodec.is_gif(blob):
+                    try:
+                        w, h, frames = gifcodec.decode_gif(blob)
+                        step = max(every_n, 1)
+                        for k, fi in enumerate(range(0, len(frames), step)):
+                            if k >= max_frames:
+                                break
+                            out["media_id"].append(mid)
+                            out["frame_idx"].append(fi)
+                            out["frame"].append(
+                                pngcodec.encode_png(w, h, 3, frames[fi])
+                            )
+                        continue
+                    except gifcodec.GifError:
+                        pass  # corrupt animation → stub tier
                 # stub: pretend the blob has len(blob)//every_n frames
                 n = min(max_frames, max(len(blob) // max(every_n, 1), 1))
                 for i in range(n):
