@@ -2805,3 +2805,54 @@ def q117(spark, sf_dir):
         "n_tokens",
         F.size(F.array_distinct("tokens")).alias("n_unique"),
     ).orderBy("doc_id")
+
+
+# --- q118 WARC ingest round trip ---------------------------------------------
+@query(
+    "q118_warc_ingest",
+    oracle="""
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       'response' AS rec_type,
+       CAST(200 AS INTEGER) AS http_status,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS body_len
+FROM documents
+ORDER BY url
+""",
+)
+def q118(spark, sf_dir):
+    """WARC container round trip (sources/warc.py — ISO 28500, the
+    format web corpora arrive in): the documents table exports as
+    gzip-member WARC archives DISTRIBUTED (one archive per partition,
+    response records with HTTP envelopes), then reads back through the
+    binaryFile + Arrow parse path; the oracle reproduces the surviving
+    metadata (url, status, byte length) straight from the table, so the
+    whole container encode→decode→HTTP-strip chain is value-checked.
+    Reference parity: none (the reference ingests from SQL, not crawls)."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import warc as W
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode("text", "utf-8").alias("body"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="gofeed_q118_")
+    try:
+        W.export_warc(docs, out_dir, n_archives=4).collect()  # materialize
+        back = W.read_warc(spark, out_dir + "/*.warc.gz")
+        return (
+            back.select(
+                "url",
+                "rec_type",
+                "http_status",
+                F.octet_length("body").cast("long").alias("body_len"),
+            )
+            .orderBy("url")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

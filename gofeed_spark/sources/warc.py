@@ -1,0 +1,267 @@
+"""WARC (ISO 28500 / WARC 1.0-1.1) ingestion — the container format
+web-scale corpora actually arrive in (Common Crawl's .warc/.wet files).
+
+- ``read_warc``: distributed reader.  Each archive file becomes one
+  input row via Spark's ``binaryFile`` source and parses INSIDE an Arrow
+  ``mapInPandas`` worker (records in a WARC are not line-splittable —
+  payloads carry arbitrary bytes and gzip members span them — so
+  file-granular parallelism is the correct unit, exactly how Common
+  Crawl shards parallelize: many ~1 GB files, one task each).  Handles
+  plain and gzip archives (per-record multi-member gzip, the standard
+  layout, via stdlib zlib), warcinfo/request/response/conversion record
+  types, and strips HTTP envelopes off response payloads (status code
+  and Content-Type surface as columns, the body as bytes).
+- ``warc_bytes`` / ``write_warc``: deterministic writer for the same
+  format — fixture building and corpus re-export without any external
+  tooling.
+
+The reference has no ingestion surface (its feed rows arrive via SQL);
+this serves the engine's LLM-pipeline north star: a pipeline whose
+dedup/quality/tokenize stages are Spark-native needs the crawl container
+read Spark-natively too.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "archive string, rec_idx int, rec_type string, url string, "
+    "warc_date string, http_status int, content_type string, body binary"
+)
+
+
+class WarcError(ValueError):
+    pass
+
+
+def _gunzip_multistream(data: bytes) -> bytes:
+    """Concatenated gzip members (the standard WARC layout: one member
+    per record) → the full decompressed stream."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out += d.decompress(data[pos:])
+            out += d.flush()
+        except zlib.error as exc:
+            raise WarcError(f"corrupt gzip member: {exc}") from exc
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise WarcError("corrupt gzip member")
+        pos += consumed
+    return bytes(out)
+
+
+def _parse_records(raw: bytes):
+    """Yield (headers dict, payload bytes) per WARC record."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and raw[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n:
+            break
+        if not raw[pos: pos + 5] == b"WARC/":
+            raise WarcError(f"expected WARC version header at byte {pos}")
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        sep = 4
+        if hdr_end < 0:
+            hdr_end = raw.find(b"\n\n", pos)
+            sep = 2
+        if hdr_end < 0:
+            raise WarcError("unterminated WARC header block")
+        headers: dict[str, str] = {}
+        lines = raw[pos:hdr_end].decode("utf-8", "replace").splitlines()
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise WarcError("missing/invalid Content-Length") from exc
+        body_start = hdr_end + sep
+        payload = raw[body_start: body_start + clen]
+        if len(payload) < clen:
+            raise WarcError("truncated record payload")
+        yield headers, payload
+        pos = body_start + clen
+
+
+def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """HTTP envelope of a response record → (status, content-type, body)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    end = payload.find(b"\r\n\r\n")
+    sep = 4
+    if end < 0:
+        end = payload.find(b"\n\n")
+        sep = 2
+    if end < 0:
+        return None, None, payload
+    head = payload[:end].decode("latin-1", "replace").splitlines()
+    status = None
+    ctype = None
+    parts = head[0].split()
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    for line in head[1:]:
+        if line.lower().startswith("content-type:"):
+            ctype = line.split(":", 1)[1].strip()
+    return status, ctype, payload[end + sep:]
+
+
+def parse_warc(name: str, data: bytes) -> list[tuple]:
+    """One archive's bytes → WARC_SCHEMA tuples (pure function — the
+    worker-side kernel of ``read_warc``, unit-testable without Spark)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_multistream(data)
+    rows = []
+    for i, (headers, payload) in enumerate(_parse_records(data)):
+        rec_type = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri", "")
+        date = headers.get("warc-date", "")
+        ctype = headers.get("content-type", "")
+        status = None
+        body = payload
+        if rec_type == "response" and "msgtype=response" in ctype.replace(" ", ""):
+            status, http_ctype, body = _split_http(payload)
+            if http_ctype is not None:
+                ctype = http_ctype
+        rows.append((name, i, rec_type, url, date, status, ctype, body))
+    return rows
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    rec_types: tuple[str, ...] = ("response", "conversion"),
+) -> DataFrame:
+    """Distributed WARC read: ``binaryFile`` scan (one task per archive —
+    the Common Crawl parallelism unit) → Arrow-batched parse.  Keeps only
+    ``rec_types`` records (responses + WET conversions by default;
+    pass () for everything, warcinfo/request included)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+    keep = tuple(rec_types)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "archive", "rec_idx", "rec_type", "url", "warc_date",
+            "http_status", "content_type", "body",
+        ]
+        for pdf in batches:
+            rows = []
+            for name, blob in zip(pdf["path"], pdf["content"]):
+                rows.extend(
+                    r for r in parse_warc(str(name), bytes(blob))
+                    if not keep or r[2] in keep
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)
+
+
+def warc_bytes(records: list[dict], compress: bool = True) -> bytes:
+    """Serialize records ({'rec_type', 'url', 'date', 'content_type',
+    'body', optional 'http_status'}) as a WARC stream — one gzip member
+    per record when ``compress`` (the standard layout).  Deterministic:
+    record ids derive from (url, index), no clocks."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        body = bytes(rec.get("body", b""))
+        rec_type = rec.get("rec_type", "response")
+        ctype = rec.get("content_type", "text/plain")
+        if rec_type == "response":
+            status = int(rec.get("http_status", 200))
+            env_ct = ctype
+            payload = (
+                f"HTTP/1.1 {status} OK\r\nContent-Type: {env_ct}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            ctype = "application/http; msgtype=response"
+        else:
+            payload = body
+        rid = f"<urn:gofeed:{i}:{rec.get('url', '')}>"
+        hdr = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {rec_type}\r\n"
+            f"WARC-Record-ID: {rid}\r\n"
+            f"WARC-Date: {rec.get('date', '2000-01-01T00:00:00Z')}\r\n"
+            + (f"WARC-Target-URI: {rec['url']}\r\n" if rec.get("url") else "")
+            + f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        member = hdr + payload + b"\r\n\r\n"
+        if compress:
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            out += co.compress(member) + co.flush()
+        else:
+            out += member
+    return bytes(out)
+
+
+def write_warc(records: list[dict], path: str, compress: bool = True) -> str:
+    with open(path, "wb") as f:
+        f.write(warc_bytes(records, compress))
+    return path
+
+
+def export_warc(
+    docs: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    body_col: str = "body",
+    n_archives: int = 8,
+    content_type: str = "text/plain",
+    compress: bool = True,
+) -> DataFrame:
+    """Distributed corpus → WARC export (the write half of ingestion):
+    each of ``n_archives`` partitions serializes its rows as one archive
+    file inside ``out_dir`` — parallelism by archive, the same unit the
+    reader scans.  Returns (archive, n_records) per written file; the
+    caller materializes (``.collect()``/count) to run the export.  Rows
+    become response records (HTTP 200 envelope, ``content_type``)."""
+    import os
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = docs.select(url_col, body_col).repartition(max(1, n_archives))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for pdf in batches:
+            for url, body in zip(pdf[url_col], pdf[body_col]):
+                b = bytes(body) if not isinstance(body, str) else body.encode()
+                recs.append(
+                    {
+                        "rec_type": "response",
+                        "url": str(url),
+                        "content_type": content_type,
+                        "body": b,
+                        "http_status": 200,
+                    }
+                )
+        if not recs:
+            yield pd.DataFrame({"archive": [], "n_records": []})
+            return
+        ext = ".warc.gz" if compress else ".warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        write_warc(recs, path, compress)
+        yield pd.DataFrame({"archive": [path], "n_records": [len(recs)]})
+
+    return df.mapInPandas(run, "archive string, n_records long")
