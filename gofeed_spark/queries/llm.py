@@ -2856,3 +2856,103 @@ def q118(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# --- q119 composed crawl-ingest pipeline -------------------------------------
+@query(
+    "q119_crawl_pipeline",
+    oracle=r"""
+WITH raw AS (
+  SELECT doc_id, text,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           || '?utm_src=recrawl' AS url
+  FROM documents WHERE doc_id % 5 = 0
+),
+canon AS (
+  SELECT text, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(url, '([?&])utm_[A-Za-z_]+=[^&]*', '\1', 'g'),
+                 '&&+', '&', 'g'),
+               '\?&', '?'),
+             '[?&]+$', ''),
+           '/+(\?|$)', '\1', 'g') AS url_canon
+  FROM raw
+),
+kept AS (
+  SELECT url_canon, text,
+         ROW_NUMBER() OVER (PARTITION BY url_canon ORDER BY url) AS rn
+  FROM canon
+)
+SELECT url_canon,
+       CAST(length(string_split_regex(trim(text), '\s+')) AS INT) AS n_words
+FROM kept WHERE rn = 1 ORDER BY url_canon
+""",
+)
+def q119(spark, sf_dir):
+    """The composed CRAWL-INGEST pipeline as one declarative chain — the
+    ingestion-side sibling of q103's curation-export: WARC archives
+    (sources/warc.py; the corpus exported WITH recrawl records — every
+    5th doc appears again under a tracking-param URL variant) → read back
+    distributed → URL canonicalization (q105 operator) → recrawl
+    keep-first per canonical URL (q111 shape; the variant rows vanish
+    here, non-vacuously) → token-count quality signal.  Catalyst plans
+    everything after the archive scan as one job graph; the oracle
+    reproduces the canonical-URL chain, the dedup window and the counts
+    straight from the documents table, value-checking the WHOLE path
+    including the container round trip."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gofeed_spark.operators.urls import canonicalize_url
+    from gofeed_spark.sources import warc as W
+
+    docs = T(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode("text", "utf-8").alias("body"),
+    )
+    recrawls = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"), F.lit("?utm_src=recrawl"),
+        ).alias("url"),
+        F.encode("text", "utf-8").alias("body"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="gofeed_q119_")
+    try:
+        W.export_warc(base.unionByName(recrawls), out_dir, n_archives=4).collect()
+        back = W.read_warc(spark, out_dir + "/*.warc.gz").select(
+            "url", F.decode("body", "utf-8").alias("text")
+        )
+        canon = back.withColumn("url_canon", canonicalize_url(F.col("url")))
+        kept = (
+            canon.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("url_canon").orderBy("url")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        return (
+            kept.select(
+                "url_canon",
+                F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+            )
+            .orderBy("url_canon")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
