@@ -557,3 +557,48 @@ def test_streaming_lm_score_with_frozen_model_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == batch_scores
+
+
+def test_streaming_bpe_with_frozen_merges_matches_batch(spark, tmp_path):
+    """Ingest-time tokenization: BPE merges train ONCE on the reference
+    corpus, then each arriving micro-batch encodes against the frozen
+    ranking inside foreachBatch — token streams must EQUAL the batch
+    encode regardless of how docs split across micro-batches (the same
+    frozen-artifact contract as the LM filter and mixture rates)."""
+    from gofeed_spark.operators.bpe import bpe_segments, train_bpe
+
+    ref = spark.createDataFrame(
+        [(i, "subword units compress repeated subword units") for i in range(10)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(ref, num_merges=32)
+    assert merges  # the corpus repeats → training actually learned merges
+
+    ddl = "doc_id long, text string"
+    incoming = spark.createDataFrame(
+        [(300, "subword units arrive streaming"), (301, "repeated units"),
+         (302, "entirely novel vocabulary words")],
+        ddl,
+    )
+    batch_out = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in bpe_segments(incoming, merges).collect()
+    }
+    src = str(tmp_path / "bpe_in")
+    incoming.repartition(3).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    got = {}
+
+    def encode_batch(df, bid):
+        for r in bpe_segments(df, merges).collect():
+            got[r.doc_id] = (list(r.tokens), r.n_tokens)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_bpe"))
+        .trigger(availableNow=True)
+        .foreachBatch(encode_batch)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch_out
