@@ -146,6 +146,9 @@ def bpe_segments(
     import re
 
     split = re.compile(WORD_SPLIT)
+    # carry the caller's id column through by ITS name and type (a
+    # hard-coded "doc_id long" would break any other id column at runtime)
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def run(batches):
         import pandas as pd
@@ -166,9 +169,9 @@ def bpe_segments(
                 toks.append(out)
                 counts.append(len(out))
             yield pd.DataFrame(
-                {"doc_id": ids, "tokens": toks, "n_tokens": counts}
+                {id_col: ids, "tokens": toks, "n_tokens": counts}
             )
 
     return docs.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(run, f"{id_col} long, tokens array<string>, n_tokens int")
+    ).mapInPandas(run, f"{id_col} {id_type}, tokens array<string>, n_tokens int")

@@ -1233,7 +1233,9 @@ def recover_minhash_index(path: str) -> bool:
         with open(meta_path) as f:
             meta = json.load(f)
         referenced = {meta.get("rels", {}).get(r, r) for r in rels}
-        pat = re.compile(r"^(sigs|bands|fps)(_v\d{4})?$")
+        # \d+ not \d{4}: {epoch:04d} widens past 9999 compactions and
+        # those dirs must stay reclaimable
+        pat = re.compile(r"^(sigs|bands|fps)(_v\d+)?$")
         for name in sorted(os.listdir(path)):
             full = os.path.join(path, name)
             if (
@@ -1272,9 +1274,11 @@ def compact_minhash_index(
     A crash at ANY point leaves either unreferenced new dirs (pre-flip)
     or unreferenced old dirs (post-flip), both reclaimed by
     ``recover_minhash_index`` (run on entry here and by probe/append).
-    Concurrent probes of the SAME path race only the old-dir delete at
-    the very end — still an offline-maintenance op, but the unsafe window
-    is the cleanup, not the publish.  Returns per-relation
+    Still an OFFLINE maintenance op: a probe running concurrently with a
+    LIVE compaction may reclaim the compactor's not-yet-published staging
+    dirs (they are unreferenced by construction until the flip) — the
+    crash-safety guarantee is about interrupted compactions, not
+    concurrent ones.  Returns per-relation
     {files_before, files_after, bytes}."""
     import json
     import math

@@ -224,6 +224,7 @@ def _decode_gif(data: bytes):
             if disposal == 3:
                 prev_canvas = bytes(canvas)
             before = bytes(canvas) if disposal == 2 else None
+            n_colors = len(palette) // 3
             for y in range(fh):
                 cy = fy + y
                 if cy >= h:
@@ -235,6 +236,13 @@ def _decode_gif(data: bytes):
                     ci = idx[y * fw + x]
                     if transparent is not None and ci == transparent:
                         continue
+                    if ci >= n_colors:
+                        # a short palette slice would silently SHRINK the
+                        # canvas bytearray via slice assignment — fail
+                        # loudly so callers take their fallback tier
+                        raise GifError(
+                            f"pixel index {ci} outside {n_colors}-color table"
+                        )
                     o = (cy * w + cx) * 3
                     p = 3 * ci
                     canvas[o: o + 3] = palette[p: p + 3]
@@ -290,9 +298,16 @@ def encode_gif(
     # netscape looping extension (animated)
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     min_code = max(2, size_exp)
+    max_sym = (1 << min_code) - 1
     for fr in frames:
         if len(fr) != width * height:
             raise GifError("frame index buffer size mismatch")
+        if max(fr) > max_sym:
+            # would otherwise surface as a bare KeyError inside the LZW
+            # symbol table
+            raise GifError(
+                f"pixel index {max(fr)} exceeds the {max_sym + 1}-slot table"
+            )
         out += b"\x21\xf9\x04\x00\x02\x00\x00\x00"  # GCE: no disposal, 2cs delay
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
         out += bytes([min_code])

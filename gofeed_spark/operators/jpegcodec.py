@@ -239,9 +239,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     row-major interleaved bytes, same convention as pngcodec.decode_png."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, KeyError, struct.error) as exc:
+    except JpegError:
+        raise
+    except (IndexError, KeyError, struct.error, ValueError, TypeError) as exc:
         # malformed segment tables / truncated headers surface as the
-        # codec's own error, never a raw container exception
+        # codec's own error, never a raw container/numpy exception — the
+        # media decode ladders catch JpegError to take the stub tier, so
+        # a corrupt blob must never crash a Spark task (a truncated DQT,
+        # for instance, otherwise leaks numpy's broadcast ValueError)
         raise JpegError(f"malformed JPEG stream: {exc!r}") from exc
 
 

@@ -494,6 +494,9 @@ def media_embedding(
         return media.select("media_id", emb.alias("embedding"))
     if encoder != "content":
         raise ValueError(f"unknown encoder {encoder!r} (use 'content' or 'sha')")
+    from gofeed_spark.functions.parallel import parallel_floor
+
+    media = parallel_floor(media)  # split-starved scans → serial decode pass
     use_pil = _pil_available()
 
     def encode_one(content: bytes) -> list[float]:

@@ -41,11 +41,12 @@ def _gunzip_multistream(data: bytes) -> bytes:
     """Concatenated gzip members (the standard WARC layout: one member
     per record) → the full decompressed stream."""
     out = bytearray()
-    pos = 0
+    view = memoryview(data)  # per-member slices must not copy the tail:
+    pos = 0                  # one copy per member is O(records × bytes)
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            out += d.decompress(data[pos:])
+            out += d.decompress(view[pos:])
             out += d.flush()
         except zlib.error as exc:
             raise WarcError(f"corrupt gzip member: {exc}") from exc
@@ -68,11 +69,7 @@ def _parse_records(raw: bytes):
             break
         if not raw[pos: pos + 5] == b"WARC/":
             raise WarcError(f"expected WARC version header at byte {pos}")
-        hdr_end = raw.find(b"\r\n\r\n", pos)
-        sep = 4
-        if hdr_end < 0:
-            hdr_end = raw.find(b"\n\n", pos)
-            sep = 2
+        hdr_end, sep = _first_blank_line(raw, pos)
         if hdr_end < 0:
             raise WarcError("unterminated WARC header block")
         headers: dict[str, str] = {}
@@ -93,15 +90,25 @@ def _parse_records(raw: bytes):
         pos = body_start + clen
 
 
+def _first_blank_line(raw: bytes, pos: int = 0) -> tuple[int, int]:
+    """(offset, separator length) of the EARLIEST blank-line terminator —
+    CRLFCRLF or LFLF, whichever occurs first.  Preferring CRLF
+    unconditionally would let a CRLFCRLF later in a payload win over an
+    earlier LF header terminator, mis-framing LF-header archives."""
+    a = raw.find(b"\r\n\r\n", pos)
+    b = raw.find(b"\n\n", pos)
+    if a < 0:
+        return b, 2
+    if b < 0 or a <= b:
+        return a, 4
+    return b, 2
+
+
 def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     """HTTP envelope of a response record → (status, content-type, body)."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
-    end = payload.find(b"\r\n\r\n")
-    sep = 4
-    if end < 0:
-        end = payload.find(b"\n\n")
-        sep = 2
+    end, sep = _first_blank_line(payload)
     if end < 0:
         return None, None, payload
     head = payload[:end].decode("latin-1", "replace").splitlines()

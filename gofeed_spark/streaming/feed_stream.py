@@ -233,6 +233,13 @@ def gate_stream_tws(
     reference's design — gates are sequential barriers).  timeMode="none":
     the reference's gate is data-arrival driven (watcher.go:147-161), no
     timers.
+
+    CHECKPOINT COMPATIBILITY: the head ValueState widened from
+    (gate, status) to (gate, status, n_items, failed_n) when the counts
+    moved into state — transformWithState's schema check rejects resuming
+    a pre-widening checkpoint with this build; drain the old query (the
+    gate machine is terminal-evicting, so a drained stream holds no
+    state) or start a fresh checkpoint.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

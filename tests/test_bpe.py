@@ -95,3 +95,16 @@ def test_more_merges_never_increase_token_count(spark):
     n_short = sum(r.n_tokens for r in bpe_segments(docs, short).collect())
     n_long = sum(r.n_tokens for r in bpe_segments(docs, long_).collect())
     assert n_long <= n_short
+
+
+def test_segments_respects_custom_id_column_name_and_type(spark):
+    docs = spark.createDataFrame(
+        [("m1", "subword units"), ("m2", "units units")],
+        "media_id string, body string",
+    )
+    merges = train_bpe(docs, num_merges=8, text_col="body")
+    out = bpe_segments(docs, merges, text_col="body", id_col="media_id")
+    assert [f.name for f in out.schema.fields] == ["media_id", "tokens", "n_tokens"]
+    assert dict(out.dtypes)["media_id"] == "string"
+    got = {r.media_id: r.n_tokens for r in out.collect()}
+    assert set(got) == {"m1", "m2"} and all(n > 0 for n in got.values())

@@ -123,3 +123,30 @@ def test_sample_frames_extracts_real_gif_frames_in_spark(spark):
     )
     fps = {r.media_id: (r.ph_hi << 32) | r.ph_lo for r in media_dhash(fm).collect()}
     assert bin(fps[10] ^ fps[11]).count("1") > 16
+
+
+def test_out_of_palette_index_raises_gif_error_not_shrinking_canvas():
+    """A pixel index past the color table must fail loudly (GifError →
+    callers take their stub tier), never silently SHRINK the canvas via a
+    short palette-slice assignment (round-10 review finding)."""
+    import struct
+
+    from gofeed_spark.operators.gifcodec import _lzw_encode
+
+    w, h = 4, 4
+    # 4-slot global color table, but LZW indices use an 8-bit symbol space
+    # (min_code=7) so index 5 is a VALID code and an INVALID color
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0) + bytes(12)
+    idx = bytes([5] * (w * h))
+    lzw = _lzw_encode(7, idx)
+    img = (
+        b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([7])
+        + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b"
+    )
+    with pytest.raises(GifError):
+        decode_gif(hdr + img)
+    # encoder-side sibling: index past the emitted table is a GifError,
+    # not a bare KeyError from inside the LZW symbol table
+    with pytest.raises(GifError):
+        encode_gif(W, H, [bytes([5]) * (W * H)],
+                   palette=bytes(12))  # 4-color table, index 5

@@ -144,3 +144,19 @@ def test_pil_interop():  # pragma: no cover — env-gated
     w, h, ch, px = decode_jpeg(buf.getvalue())
     got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(int)
     assert np.abs(got - rgb.astype(int)).mean() < 4.0
+
+
+def test_corrupt_streams_always_raise_jpegerror_not_numpy_errors():
+    """The media ladders catch JpegError to take the stub tier — a corrupt
+    blob must NEVER leak a raw numpy/struct exception into a Spark task
+    (round-10 review finding: a truncated DQT leaked a broadcast
+    ValueError)."""
+    cases = [
+        b"\xff\xd8\xff\xdb\x00\x43\x00" + bytes(10),  # truncated DQT
+        b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x02",  # truncated DHT
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00",  # truncated SOF
+        b"\xff\xd8\xff\xda\x00\x03\x01",  # SOS before SOF, torn
+    ]
+    for blob in cases:
+        with pytest.raises(JpegError):
+            decode_jpeg(blob)

@@ -242,3 +242,27 @@ def test_minipb_native_parity(sm, tmp_path):
     )
     assert vendored.returncode == 0, vendored.stderr
     assert native.stdout.strip().splitlines() == vendored.stdout.strip().splitlines()
+
+
+def test_stale_pending_handle_cannot_clobber_parsed_state(sm):
+    """A read-vivified sub-message handle taken BEFORE ParseFromString or
+    Clear is detached by them: mutating it later must not install stale
+    state over the new contents (upstream protobuf disconnects such
+    handles the same way)."""
+    req = sm.StateRequest()
+    stale = req.statefulProcessorCall  # pure read → pending handle
+    fresh = sm.StateRequest(
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            removeImplicitKey=sm.RemoveImplicitKey()
+        )
+    ).SerializeToString()
+    req.ParseFromString(fresh)
+    stale.getValueState.stateName = "x"  # mutation through the stale handle
+    assert req.WhichOneof("method") == "implicitGroupingKeyRequest"
+    assert not req.HasField("statefulProcessorCall")
+    # Clear() detaches too
+    req2 = sm.StateRequest()
+    stale2 = req2.utilsRequest
+    req2.Clear()
+    stale2.parseStringSchema.schema = "a int"
+    assert req2.WhichOneof("method") is None

@@ -95,3 +95,30 @@ def test_write_warc_file_roundtrip(tmp_path):
     assert [r[2] for r in parse_warc(p, data)] == [
         "warcinfo", "request", "response", "conversion",
     ]
+
+
+def test_lf_header_records_with_crlf_in_payload():
+    """LF-terminated WARC headers (the fallback the parser supports) must
+    not lose framing to a CRLFCRLF that appears LATER inside a payload
+    (round-10 review finding: the CRLF terminator was preferred even when
+    the LF one came first)."""
+    body = b"pre\r\n\r\npost"
+    rec = (
+        b"WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: http://u/\n"
+        b"Content-Type: text/plain\nContent-Length: %d\n\n" % len(body)
+    ) + body + b"\n\n"
+    rows_ = parse_warc("f", rec)
+    assert len(rows_) == 1
+    assert rows_[0][2] == "conversion" and rows_[0][7] == body
+
+    # LF WARC headers around a CRLF HTTP envelope: status must survive
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<b>x</b>"
+    rec2 = (
+        b"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://u/\n"
+        b"Content-Type: application/http; msgtype=response\n"
+        b"Content-Length: %d\n\n" % len(payload)
+    ) + payload + b"\n\n"
+    rows2 = parse_warc("f", rec2)
+    assert len(rows2) == 1
+    _a, _i, t, url, _d, status, ctype, body2 = rows2[0]
+    assert (t, status, ctype, body2) == ("response", 200, "text/html", b"<b>x</b>")
