@@ -175,3 +175,29 @@ def bpe_segments(
     return docs.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
     ).mapInPandas(run, f"{id_col} {id_type}, tokens array<string>, n_tokens int")
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> str:
+    """Persist a ranked merge list as the classic one-pair-per-line text
+    artifact (rank = line order) — the frozen-tokenizer file a pipeline
+    ships so streaming ingest and later batches encode identically.
+    Symbols are tab-separated (BPE symbols can contain spaces only via
+    merged EOW forms, never tabs)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for a, b in merges:
+            f.write(f"{a}\t{b}\n")
+    return path
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            a, sep, b = line.partition("\t")
+            if not sep:
+                raise ValueError(f"malformed merge line: {line!r}")
+            out.append((a, b))
+    return out

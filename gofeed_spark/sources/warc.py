@@ -230,13 +230,16 @@ def export_warc(
     n_archives: int = 8,
     content_type: str = "text/plain",
     compress: bool = True,
+    rec_type: str = "response",
 ) -> DataFrame:
     """Distributed corpus → WARC export (the write half of ingestion):
     each of ``n_archives`` partitions serializes its rows as one archive
     file inside ``out_dir`` — parallelism by archive, the same unit the
     reader scans.  Returns (archive, n_records) per written file; the
-    caller materializes (``.collect()``/count) to run the export.  Rows
-    become response records (HTTP 200 envelope, ``content_type``)."""
+    caller materializes (``.collect()``/count) to run the export.
+    ``rec_type="response"`` wraps rows in HTTP 200 envelopes (.warc);
+    ``rec_type="conversion"`` writes bare extracted-text records — the
+    WET layout Common Crawl ships alongside its archives."""
     import os
 
     from collections.abc import Iterator
@@ -254,15 +257,15 @@ def export_warc(
         for pdf in batches:
             for url, body in zip(pdf[url_col], pdf[body_col]):
                 b = bytes(body) if not isinstance(body, str) else body.encode()
-                recs.append(
-                    {
-                        "rec_type": "response",
-                        "url": str(url),
-                        "content_type": content_type,
-                        "body": b,
-                        "http_status": 200,
-                    }
-                )
+                rec = {
+                    "rec_type": rec_type,
+                    "url": str(url),
+                    "content_type": content_type,
+                    "body": b,
+                }
+                if rec_type == "response":
+                    rec["http_status"] = 200
+                recs.append(rec)
         if not recs:
             yield pd.DataFrame({"archive": [], "n_records": []})
             return

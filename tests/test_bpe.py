@@ -108,3 +108,21 @@ def test_segments_respects_custom_id_column_name_and_type(spark):
     assert dict(out.dtypes)["media_id"] == "string"
     got = {r.media_id: r.n_tokens for r in out.collect()}
     assert set(got) == {"m1", "m2"} and all(n > 0 for n in got.values())
+
+
+def test_merge_artifact_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "subword units compress repeated subword units") for i in range(5)],
+        "doc_id long, text string",
+    )
+    from gofeed_spark.operators.bpe import load_merges, save_merges
+
+    merges = train_bpe(docs, num_merges=32)
+    p = save_merges(merges, str(tmp_path / "merges.txt"))
+    assert load_merges(p) == merges
+    # encoding under the loaded artifact is identical
+    a = rows(bpe_segments(docs, merges).select("doc_id", "n_tokens"),
+             "doc_id", "n_tokens")
+    b = rows(bpe_segments(docs, load_merges(p)).select("doc_id", "n_tokens"),
+             "doc_id", "n_tokens")
+    assert a == b

@@ -122,3 +122,23 @@ def test_lf_header_records_with_crlf_in_payload():
     assert len(rows2) == 1
     _a, _i, t, url, _d, status, ctype, body2 = rows2[0]
     assert (t, status, ctype, body2) == ("response", 200, "text/html", b"<b>x</b>")
+
+
+def test_wet_export_roundtrip(spark, tmp_path):
+    """rec_type='conversion' writes the WET layout: bare extracted-text
+    records, no HTTP envelope — and they read back as conversions."""
+    docs = spark.range(30).selectExpr(
+        "concat('https://w.example/', id) AS url",
+        "encode(concat('wet text ', id), 'utf-8') AS body",
+    )
+    out_dir = str(tmp_path / "wet_out")
+    export_warc(docs, out_dir, n_archives=2, rec_type="conversion").collect()
+    back = read_warc(spark, out_dir + "/*.warc.gz")
+    got = rows(
+        back.selectExpr("url", "rec_type", "http_status", "decode(body,'utf-8') AS t"),
+        "url", "rec_type", "http_status", "t",
+    )
+    assert got == {
+        (f"https://w.example/{i}", "conversion", None, f"wet text {i}")
+        for i in range(30)
+    }
