@@ -893,6 +893,9 @@ def build_minhash_index(
     so a probing clone attributes to the family hub in O(1) rows — the
     same anti-quadratic guarantee ``df_cap`` gives the band path.
     """
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
     sigs = minhash_signatures(
         docs, num_hashes, k, text_col, id_col, with_fp=True
     ).persist()
@@ -907,11 +910,11 @@ def build_minhash_index(
         band = band.join(
             F.broadcast(hot.select("bh")), "bh", "left_anti"
         ).unionByName(hot.select(F.col("hub").alias("doc_id"), "bh"))
-    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
-    band.write.mode("overwrite").parquet(f"{path}/bands")
+    sigs.write.mode("overwrite").parquet(fs.spark_path(fs.join(path, "sigs")))
+    band.write.mode("overwrite").parquet(fs.spark_path(fs.join(path, "bands")))
     sigs.groupBy("fp").agg(F.min("doc_id").alias("dup_of")).write.mode(
         "overwrite"
-    ).parquet(f"{path}/fps")
+    ).parquet(fs.spark_path(fs.join(path, "fps")))
     sigs.unpersist()
     from gofeed_spark.operators.similarity import _corpus_fingerprint, _write_index_meta
 
@@ -966,13 +969,24 @@ def ensure_minhash_index(
 
 
 def _rel_path(path: str, meta: dict, rel: str) -> str:
-    """Resolve a relation's directory through the meta's pointer table.
-    Legacy indexes (no "rels" key) use the unversioned default names;
-    compaction republished relations live at version-named dirs the meta
-    points to (the object-store-safe single-pointer layout)."""
-    import os
+    """Resolve a relation's LOGICAL directory through the meta's pointer
+    table.  Legacy indexes (no "rels" key) use the unversioned default
+    names; compaction republished relations live at version-named dirs the
+    meta points to (the object-store-safe single-pointer layout).  Pass
+    the result through the path's FileSystem ``spark_path`` for data-plane
+    reads/writes."""
+    import posixpath
 
-    return os.path.join(path, meta.get("rels", {}).get(rel, rel))
+    return posixpath.join(path, meta.get("rels", {}).get(rel, rel))
+
+
+def _read_index_meta(path: str) -> dict:
+    import json
+
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
+    return json.loads(fs.read_bytes(fs.join(path, "_index_meta.json")))
 
 
 def probe_minhash_index(
@@ -1028,24 +1042,25 @@ def probe_minhash_index(
     materialize the (tiny) self-rep hit set so the rare sigs/ fallback leg
     is skipped — or row-group-pruned via a pushed `fp IN` literal — rather
     than taxing every probe with a full second corpus scan."""
-    import json
-    import os
+    from gofeed_spark.fs import get_filesystem
 
+    fs = get_filesystem(path)
     recover_minhash_index(path)  # restore a crashed compaction swap first
-    with open(os.path.join(path, "_index_meta.json")) as f:
-        meta = json.load(f)
+    meta = _read_index_meta(path)
     num_hashes, bands, k = meta["num_hashes"], meta["bands"], meta["k"]
 
     def side(df):
         return F.broadcast(df) if broadcast_batch else df
 
     bsigs = minhash_signatures(batch, num_hashes, k, text_col, id_col, with_fp=True)
-    idx_sigs = spark.read.parquet(_rel_path(path, meta, "sigs"))
+    idx_sigs = spark.read.parquet(fs.spark_path(_rel_path(path, meta, "sigs")))
     if threshold >= 1.0:
         # appends may add duplicate (fp, rep) rows — dropDuplicates keeps
         # the fan-out at one row per distinct fp regardless
         bfp = bsigs.select(F.col("doc_id").alias("new_id"), "fp")
-        hits = spark.read.parquet(_rel_path(path, meta, "fps")).join(side(bfp), "fp")
+        hits = spark.read.parquet(
+            fs.spark_path(_rel_path(path, meta, "fps"))
+        ).join(side(bfp), "fp")
         direct = hits.filter(F.col("dup_of") != F.col("new_id")).select(
             "new_id", "dup_of"
         )
@@ -1087,7 +1102,7 @@ def probe_minhash_index(
             .dropDuplicates(["new_id", "dup_of"])
         )
     bband = _band_rows(bsigs, num_hashes, bands).withColumnRenamed("doc_id", "new_id")
-    idx_bands = spark.read.parquet(_rel_path(path, meta, "bands"))
+    idx_bands = spark.read.parquet(fs.spark_path(_rel_path(path, meta, "bands")))
     cand = (
         idx_bands.join(side(bband), "bh")
         .select(F.col("doc_id").alias("dup_of"), "new_id")
@@ -1145,21 +1160,19 @@ def append_minhash_index(
     cheaper problem of per-append FILE accretion (probe latency growing
     with footer opens), run ``compact_minhash_index`` — it preserves
     probe results exactly."""
-    import json
-    import os
-
+    from gofeed_spark.fs import get_filesystem
     from gofeed_spark.operators.similarity import _write_index_meta
 
+    fs = get_filesystem(path)
     recover_minhash_index(path)  # restore a crashed compaction swap first
-    with open(os.path.join(path, "_index_meta.json")) as f:
-        meta = json.load(f)
+    meta = _read_index_meta(path)
     num_hashes, bands, k = meta["num_hashes"], meta["bands"], meta["k"]
-    if meta.get("layout", 1) < 2 or not os.path.isdir(_rel_path(path, meta, "fps")):
+    if meta.get("layout", 1) < 2 or not fs.isdir(_rel_path(path, meta, "fps")):
         # pre-layout-2 index (no fps/): appending only the batch's fps
         # would make exact probes silently miss every originally-built
         # document.  Backfill fps/ from the FULL standing sigs/ relation
         # first, then stamp layout 2 so this runs once.
-        old_sigs = spark.read.parquet(_rel_path(path, meta, "sigs"))
+        old_sigs = spark.read.parquet(fs.spark_path(_rel_path(path, meta, "sigs")))
         if "fp" not in old_sigs.columns:
             raise ValueError(
                 f"index at {path} predates shingle fingerprints (no 'fp' in "
@@ -1167,28 +1180,28 @@ def append_minhash_index(
             )
         old_sigs.groupBy("fp").agg(F.min("doc_id").alias("dup_of")).write.mode(
             "overwrite"
-        ).parquet(_rel_path(path, meta, "fps"))
+        ).parquet(fs.spark_path(_rel_path(path, meta, "fps")))
         meta["layout"] = 2
     sigs = minhash_signatures(
         batch, num_hashes, k, text_col, id_col, with_fp=True
     ).persist()
     band = _band_rows(sigs, num_hashes, bands)
-    sigs.write.mode("append").parquet(_rel_path(path, meta, "sigs"))
-    band.write.mode("append").parquet(_rel_path(path, meta, "bands"))
+    sigs.write.mode("append").parquet(fs.spark_path(_rel_path(path, meta, "sigs")))
+    band.write.mode("append").parquet(fs.spark_path(_rel_path(path, meta, "bands")))
     # one representative per distinct fp WITHIN the batch; a fp already in
     # fps/ gains a second row (probe dropDuplicates bounds the fan-out at
     # one per distinct fp per append — compact_minhash_index collapses
     # exact-duplicate rows and the per-append file accretion)
     sigs.groupBy("fp").agg(F.min("doc_id").alias("dup_of")).write.mode(
         "append"
-    ).parquet(_rel_path(path, meta, "fps"))
+    ).parquet(fs.spark_path(_rel_path(path, meta, "fps")))
     sigs.unpersist()
     meta["fingerprint"] = "appended"
     _write_index_meta(path, meta)
     return path
 
 
-def recover_minhash_index(path: str) -> bool:
+def recover_minhash_index(path: str, staging_ttl_sec: float = 1800.0) -> bool:
     """Crash-restore for the index relation lifecycle — the twin of the
     feed state store's ``recover_bucketed``, run by probe/append/compact
     on entry so no crash point ever needs manual surgery.
@@ -1206,44 +1219,70 @@ def recover_minhash_index(path: str) -> bool:
     - legacy in-place-swap states (``rel__old`` / ``rel__compact`` from
       the pre-pointer compactor): ``rel`` missing + ``rel__old`` present
       → rename back; swap finished but cleanup lost → delete ``rel__old``;
-      stray ``rel__compact`` staging → delete.
+      stray ``rel__compact`` staging → delete.  (POSIX backends only —
+      these states predate the pointer-flip layout and cannot exist on a
+      rename-less object store.)
+
+    LIVE-compaction guard: the compactor drops a ``_staging.json`` marker
+    (naming its in-progress version dirs) BEFORE writing them, and deletes
+    it after the flip + cleanup.  Recovery honors a FRESH marker
+    (mtime younger than ``staging_ttl_sec``, default 30 min) by leaving
+    the named dirs alone — so a probe racing a live compaction no longer
+    deletes the compactor's staging work.  A STALE marker is a crashed
+    compaction: the marker is removed and its dirs reclaim normally.
 
     Idempotent; returns True if anything was repaired."""
     import json
-    import os
     import re
-    import shutil
+    import time
 
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
     repaired = False
     rels = ("sigs", "bands", "fps")
-    for rel in rels:
-        rel_dir = os.path.join(path, rel)
-        old, tmp = rel_dir + "__old", rel_dir + "__compact"
-        if not os.path.exists(rel_dir) and os.path.exists(old):
-            os.rename(old, rel_dir)
+    if fs.supports_rename():
+        for rel in rels:
+            rel_dir = fs.join(path, rel)
+            old, tmp = rel_dir + "__old", rel_dir + "__compact"
+            if not fs.exists(rel_dir) and fs.exists(old):
+                fs.rename(old, rel_dir)
+                repaired = True
+            elif fs.exists(old):
+                fs.delete_tree(old)
+                repaired = True
+            if fs.exists(tmp):
+                fs.delete_tree(tmp)
+                repaired = True
+    protected: set[str] = set()
+    marker = fs.join(path, "_staging.json")
+    mstat = fs.stat(marker)
+    if mstat is not None:
+        age_sec = (time.time_ns() - mstat[1]) / 1e9
+        if age_sec < staging_ttl_sec:
+            try:
+                protected = set(json.loads(fs.read_bytes(marker)).get("dirs", []))
+            except (OSError, json.JSONDecodeError):
+                protected = set()
+        else:  # crashed compaction: reclaim marker + dirs normally
+            fs.delete(marker)
             repaired = True
-        elif os.path.exists(old):
-            shutil.rmtree(old)
-            repaired = True
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-            repaired = True
-    meta_path = os.path.join(path, "_index_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    meta_path = fs.join(path, "_index_meta.json")
+    if fs.exists(meta_path):
+        meta = json.loads(fs.read_bytes(meta_path))
         referenced = {meta.get("rels", {}).get(r, r) for r in rels}
         # \d+ not \d{4}: {epoch:04d} widens past 9999 compactions and
         # those dirs must stay reclaimable
         pat = re.compile(r"^(sigs|bands|fps)(_v\d+)?$")
-        for name in sorted(os.listdir(path)):
-            full = os.path.join(path, name)
+        for name in fs.listdir(path):
+            full = fs.join(path, name)
             if (
                 pat.match(name)
                 and name not in referenced
-                and os.path.isdir(full)
+                and name not in protected
+                and fs.isdir(full)
             ):
-                shutil.rmtree(full)
+                fs.delete_tree(full)
                 repaired = True
     return repaired
 
@@ -1274,46 +1313,48 @@ def compact_minhash_index(
     A crash at ANY point leaves either unreferenced new dirs (pre-flip)
     or unreferenced old dirs (post-flip), both reclaimed by
     ``recover_minhash_index`` (run on entry here and by probe/append).
-    Still an OFFLINE maintenance op: a probe running concurrently with a
-    LIVE compaction may reclaim the compactor's not-yet-published staging
-    dirs (they are unreferenced by construction until the flip) — the
-    crash-safety guarantee is about interrupted compactions, not
-    concurrent ones.  Returns per-relation
+    CONCURRENT probes are tolerated too: a ``_staging.json`` marker naming
+    the in-progress version dirs lands BEFORE they are written, and
+    entry-point recovery leaves marker-named dirs alone while the marker
+    is fresh (< its TTL) — so a probe racing a live compaction can no
+    longer reclaim the compactor's staging work.  The marker is deleted
+    after the flip; a crash leaves it to expire, after which the
+    unpublished dirs reclaim normally.  Returns per-relation
     {files_before, files_after, bytes}."""
     import json
     import math
-    import os
-    import shutil
 
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.operators.similarity import _write_index_meta
+
+    fs = get_filesystem(path)
     recover_minhash_index(path)
-    with open(os.path.join(path, "_index_meta.json")) as f:
-        meta = json.load(f)
-
-    def _dir_stats(d):
-        files = [
-            os.path.join(r, f)
-            for r, _dirs, fs in os.walk(d)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
-        return len(files), sum(os.path.getsize(f) for f in files)
+    meta = _read_index_meta(path)
 
     epoch = int(meta.get("rel_epoch", 0)) + 1
+    plan = (("sigs", False), ("bands", False), ("fps", True))
+    marker = fs.join(path, "_staging.json")
+    fs.put_bytes(
+        marker,
+        json.dumps(
+            {"dirs": [f"{rel}_v{epoch:04d}" for rel, _ in plan], "epoch": epoch}
+        ).encode(),
+    )
     stats, new_rels, old_dirs = {}, {}, []
-    for rel, dedup_rows in (("sigs", False), ("bands", False), ("fps", True)):
+    for rel, dedup_rows in plan:
         rel_path = _rel_path(path, meta, rel)
         old_dirs.append(rel_path)
-        n_before, nbytes = _dir_stats(rel_path)
+        n_before, nbytes = fs.tree_stats(rel_path)
         n_target = max(1, math.ceil(nbytes / target_file_bytes))
-        df = spark.read.parquet(rel_path)
+        df = spark.read.parquet(fs.spark_path(rel_path))
         if dedup_rows:
             df = df.dropDuplicates()
         new_name = f"{rel}_v{epoch:04d}"
         df.repartition(n_target).write.mode("overwrite").parquet(
-            os.path.join(path, new_name)
+            fs.spark_path(fs.join(path, new_name))
         )
         new_rels[rel] = new_name
-        n_after, _ = _dir_stats(os.path.join(path, new_name))
+        n_after, _ = fs.tree_stats(fs.join(path, new_name))
         stats[rel] = {
             "files_before": n_before,
             "files_after": n_after,
@@ -1321,9 +1362,8 @@ def compact_minhash_index(
         }
     meta["rels"] = new_rels
     meta["rel_epoch"] = epoch
-    from gofeed_spark.operators.similarity import _write_index_meta
-
     _write_index_meta(path, meta)  # THE atomic publish point
     for d in old_dirs:
-        shutil.rmtree(d, ignore_errors=True)
+        fs.delete_tree(d)
+    fs.delete(marker)
     return stats

@@ -769,9 +769,14 @@ def build_ann_index(
         # near a hyperplane must match the probe's driver-side projection);
         # only the stored payload narrows to int8
         e = _with_int8_quantization(e)
+    from gofeed_spark.fs import get_filesystem
     from gofeed_spark.sources.io import write_partitioned
 
-    write_partitioned(e.repartition("bucket"), path, partition_by=["bucket"])
+    write_partitioned(
+        e.repartition("bucket"),
+        get_filesystem(path).spark_path(path),
+        partition_by=["bucket"],
+    )
 
 
 def _multiprobe_buckets(
@@ -821,17 +826,22 @@ def probe_ann_index(
     bucket suffices; on unstructured ones radius r scans ~Σ C(planes,i)/2^planes
     of the corpus — see test_similarity.py's recall@10 gate for measured
     points."""
+    from gofeed_spark.fs import get_filesystem
+
     planes = _hyperplanes(dim, n_planes)
     qv = np.asarray(query_vec, dtype=np.float64)
     planes_mat = np.asarray(planes, dtype=np.float64)
+    data_path = get_filesystem(path).spark_path(path)
     if multiprobe > 0:
         probe_buckets = [
             "b" + b for b in _multiprobe_buckets(qv, planes_mat, multiprobe)
         ]
-        idx = spark.read.parquet(path).filter(F.col("bucket").isin(probe_buckets))
+        idx = spark.read.parquet(data_path).filter(
+            F.col("bucket").isin(probe_buckets)
+        )
     else:
         bucket = "b" + _srp_bucket_strs(qv[None, :], planes_mat)[0]
-        idx = spark.read.parquet(path).filter(F.col("bucket") == bucket)
+        idx = spark.read.parquet(data_path).filter(F.col("bucket") == bucket)
     if where is not None:
         # metadata predicate (filtered vector search): applied before the
         # dequantize projection so Catalyst pushes it into the pruned scan
@@ -882,9 +892,14 @@ def build_ivf_index(
     cells = e.withColumn("cell", _ivf_cell_udf(cmat, cnorm)(F.col("v")))
     if quantize:
         cells = _with_int8_quantization(cells)
+    from gofeed_spark.fs import get_filesystem
     from gofeed_spark.sources.io import write_partitioned
 
-    write_partitioned(cells.repartition("cell"), path, partition_by=["cell"])
+    write_partitioned(
+        cells.repartition("cell"),
+        get_filesystem(path).spark_path(path),
+        partition_by=["cell"],
+    )
     return cmat
 
 
@@ -902,11 +917,15 @@ def probe_ivf_index(
     ``build_ivf_index`` layout — a partition-pruned multi-directory read.
     Probe cells come from the same ``_ivf_sims`` einsum the writer's cell
     assignment used, so the query's nearest cell is always probed."""
+    from gofeed_spark.fs import get_filesystem
+
     qv = np.asarray(query_vec, dtype=np.float64)
     cmat = np.asarray(codebook, dtype=np.float64)
     qsims = _ivf_sims(qv[None, :], cmat, np.linalg.norm(cmat, axis=1))[0]
     probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    idx = spark.read.parquet(get_filesystem(path).spark_path(path)).filter(
+        F.col("cell").isin(probe)
+    )
     if where is not None:
         # filtered vector search (see probe_ann_index): pushed into the
         # pruned scan beside the cell PartitionFilters
@@ -967,24 +986,27 @@ def _index_matches(path: str, meta: dict) -> dict | None:
     """Stored meta when ``path`` holds a completed index built with exactly
     ``meta``'s parameters, else None (absent, incomplete, or stale)."""
     import json
-    import os
 
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
     try:
-        with open(os.path.join(path, _INDEX_META)) as f:
-            stored = json.load(f)
+        stored = json.loads(fs.read_bytes(fs.join(path, _INDEX_META)))
     except (OSError, json.JSONDecodeError):
         return None
     return stored if all(stored.get(k) == v for k, v in meta.items()) else None
 
 
 def _write_index_meta(path: str, meta: dict) -> None:
+    """Atomic meta publish through the filesystem seam — POSIX gets
+    write-temp + replace, object stores a single PUT; either way this is
+    THE commit point for every pointer-flip index lifecycle."""
     import json
-    import os
 
-    tmp = os.path.join(path, _INDEX_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _INDEX_META))
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
+    fs.put_bytes(fs.join(path, _INDEX_META), json.dumps(meta).encode())
 
 
 def ensure_ann_index(
@@ -1008,7 +1030,7 @@ def ensure_ann_index(
     matching meta short-circuits without reading ``emb``'s data, anything
     else (absent, interrupted build, different params, regenerated corpus
     files) rebuilds from scratch."""
-    import shutil
+    from gofeed_spark.fs import get_filesystem
 
     meta = {
         "kind": "srp",
@@ -1022,7 +1044,7 @@ def ensure_ann_index(
     }
     if _index_matches(path, meta) is not None:
         return path
-    shutil.rmtree(path, ignore_errors=True)
+    get_filesystem(path).delete_tree(path)
     build_ann_index(
         emb, path, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col,
         quantize=quantize,
@@ -1043,7 +1065,7 @@ def ensure_ivf_index(
     """Idempotent ``build_ivf_index``: the codebook rides in the meta file,
     so a warm call returns it (and probes partition-prune the existing
     layout) with ZERO Spark jobs — probe cost only."""
-    import shutil
+    from gofeed_spark.fs import get_filesystem
 
     meta = {
         "kind": "ivf",
@@ -1055,7 +1077,7 @@ def ensure_ivf_index(
     stored = _index_matches(path, meta)
     if stored is not None:
         return np.asarray(stored["codebook"], dtype=np.float64)
-    shutil.rmtree(path, ignore_errors=True)
+    get_filesystem(path).delete_tree(path)
     cmat = build_ivf_index(
         emb, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         n_iters=n_iters, quantize=quantize,

@@ -153,11 +153,27 @@ def read_warc(
     the Common Crawl parallelism unit) → Arrow-batched parse.  Keeps only
     ``rec_types`` records (responses + WET conversions by default;
     pass () for everything, warcinfo/request included)."""
+    import posixpath
+
     from collections.abc import Iterator
 
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path)
+    from gofeed_spark.fs import get_filesystem
+
+    sp = get_filesystem(path).spark_path(path)
+    reader = spark.read.format("binaryFile")
+    base, leaf = posixpath.split(sp)
+    if base and any(c in leaf for c in "*?["):
+        # A trailing-component glob goes through pathGlobFilter over the
+        # parent DIRECTORY: loading the raw glob string makes Spark's
+        # FileStreamSink metadata probe getFileStatus() the literal glob
+        # path, which logs a full FileNotFoundException stack at WARN on
+        # every read.  The directory form probes cleanly and lists the
+        # same files.
+        reader = reader.option("pathGlobFilter", leaf)
+        sp = base
+    files = reader.load(sp)
     keep = tuple(rec_types)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -217,8 +233,11 @@ def warc_bytes(records: list[dict], compress: bool = True) -> bytes:
 
 
 def write_warc(records: list[dict], path: str, compress: bool = True) -> str:
-    with open(path, "wb") as f:
-        f.write(warc_bytes(records, compress))
+    """Serialize + publish one archive through the filesystem seam (atomic
+    whole-object PUT — POSIX or object-store path alike)."""
+    from gofeed_spark.fs import get_filesystem
+
+    get_filesystem(path).put_bytes(path, warc_bytes(records, compress))
     return path
 
 
@@ -234,19 +253,29 @@ def export_warc(
 ) -> DataFrame:
     """Distributed corpus → WARC export (the write half of ingestion):
     each of ``n_archives`` partitions serializes its rows as one archive
-    file inside ``out_dir`` — parallelism by archive, the same unit the
+    object inside ``out_dir`` — parallelism by archive, the same unit the
     reader scans.  Returns (archive, n_records) per written file; the
     caller materializes (``.collect()``/count) to run the export.
     ``rec_type="response"`` wraps rows in HTTP 200 envelopes (.warc);
     ``rec_type="conversion"`` writes bare extracted-text records — the
-    WET layout Common Crawl ships alongside its archives."""
-    import os
+    WET layout Common Crawl ships alongside its archives.
 
+    Cluster posture: the archive bytes travel through the filesystem seam
+    (``gofeed_spark.fs``) — the backend is resolved DRIVER-side from
+    ``out_dir``'s scheme and closed over into the task, so each executor
+    PUTs its archive to the shared store (object store / shared mount),
+    never to a disk only it can see.  On a schemeless POSIX path the
+    behavior is the historical one (local files), which is correct on
+    ``local[N]`` and on any cluster whose ``out_dir`` is a shared mount;
+    for anything else, register an object-store backend for the scheme."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    os.makedirs(out_dir, exist_ok=True)
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(out_dir)  # resolved on the DRIVER, pickled to tasks
+    fs.makedirs(out_dir)
     df = docs.select(url_col, body_col).repartition(max(1, n_archives))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -270,8 +299,8 @@ def export_warc(
             yield pd.DataFrame({"archive": [], "n_records": []})
             return
         ext = ".warc.gz" if compress else ".warc"
-        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
-        write_warc(recs, path, compress)
+        path = fs.join(out_dir, f"part-{pid:05d}{ext}")
+        fs.put_bytes(path, warc_bytes(recs, compress))
         yield pd.DataFrame({"archive": [path], "n_records": [len(recs)]})
 
     return df.mapInPandas(run, "archive string, n_records long")

@@ -755,7 +755,10 @@ def test_compact_minhash_index_preserves_probe_results(spark, tmp_path):
     )
     assert got == {(300, 200)}
     stats2 = compact_minhash_index(spark, path)
-    assert stats2["sigs"]["files_before"] > stats2["sigs"]["files_after"] or True
+    # the append added at least one part-file; the second compaction folds
+    # it back (a single-file relation legitimately can't shrink further)
+    assert stats2["sigs"]["files_before"] >= stats2["sigs"]["files_after"]
+    assert stats2["sigs"]["files_after"] >= 1
     import json
 
     meta = json.load(open(f"{path}/_index_meta.json"))

@@ -1,0 +1,222 @@
+"""Filesystem-seam tests: the artifact lifecycle (index metas, pointer
+flips, staging reclamation, WARC archives) must run entirely through
+``gofeed_spark.fs`` — proven by running it against a fake REMOTE scheme
+(``fakefs://``) whose logical paths do not exist on the local filesystem,
+so any residual raw ``os.*`` / ``open()`` on an index/archive path fails
+loudly (FileNotFoundError) instead of passing by accident.
+
+The fake backend is ``DirObjectStoreFileSystem``: object-store semantics
+enforced (whole-object PUT only, virtual directories, NO rename) over a
+local backing directory that Spark's data plane reads via ``spark_path``
+— the same split a real S3/GCS deployment has (SDK for artifacts, s3a://
+for parquet)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from gofeed_spark.fs import (
+    DirObjectStoreFileSystem,
+    FsUnsupported,
+    LocalFileSystem,
+    get_filesystem,
+    register_filesystem,
+    unregister_filesystem,
+)
+
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def fakefs(tmp_path):
+    fs = DirObjectStoreFileSystem("fakefs", str(tmp_path / "backing"))
+    register_filesystem("fakefs", fs)
+    yield fs
+    unregister_filesystem("fakefs")
+
+
+# --- backend semantics -------------------------------------------------------
+
+
+def test_local_fs_roundtrip_and_atomic_put(tmp_path):
+    fs = LocalFileSystem()
+    p = str(tmp_path / "a" / "b.json")
+    fs.put_bytes(p, b'{"x": 1}')
+    assert fs.read_bytes(p) == b'{"x": 1}'
+    assert not os.path.exists(p + ".tmp")  # temp cleaned by the replace
+    assert fs.stat(p)[0] == len(b'{"x": 1}')
+    assert fs.listdir(str(tmp_path)) == ["a"]
+    assert fs.listdir(str(tmp_path / "missing")) == []
+    fs.rename(p, str(tmp_path / "a" / "c.json"))
+    assert fs.supports_rename()
+    fs.delete_tree(str(tmp_path / "a"))
+    assert not fs.exists(str(tmp_path / "a"))
+
+
+def test_object_store_semantics(fakefs):
+    fs = fakefs
+    fs.put_bytes("fakefs://bucket/idx/_meta.json", b"{}")
+    fs.put_bytes("fakefs://bucket/idx/sigs/part-0.parquet", b"pq" * 100)
+    fs.put_bytes("fakefs://bucket/idx/sigs/part-1.parquet", b"pq" * 50)
+    # virtual directories: exists/isdir/listdir from prefix listings
+    assert fs.isdir("fakefs://bucket/idx")
+    assert fs.isdir("fakefs://bucket/idx/sigs")
+    assert not fs.isdir("fakefs://bucket/idx/_meta.json")
+    assert fs.exists("fakefs://bucket/idx/_meta.json")
+    assert fs.listdir("fakefs://bucket/idx") == ["_meta.json", "sigs"]
+    # object stats + parquet tree stats
+    assert fs.stat("fakefs://bucket/idx/_meta.json") == fs.stat(
+        "fakefs://bucket/idx/_meta.json"
+    )
+    n, nbytes = fs.tree_stats("fakefs://bucket/idx")
+    assert (n, nbytes) == (2, 300)
+    # rename is a hard error — the pointer-flip publish exists because of this
+    with pytest.raises(FsUnsupported):
+        fs.rename("fakefs://bucket/idx/sigs", "fakefs://bucket/idx/sigs2")
+    assert not fs.supports_rename()
+    fs.delete_tree("fakefs://bucket/idx/sigs")
+    assert not fs.isdir("fakefs://bucket/idx/sigs")
+    assert fs.listdir("fakefs://bucket/idx") == ["_meta.json"]
+    # the LOGICAL path never exists locally: raw os.* access would fail
+    assert not os.path.exists("fakefs://bucket/idx/_meta.json")
+
+
+def test_scheme_resolution(fakefs):
+    assert isinstance(get_filesystem("/tmp/x"), LocalFileSystem)
+    assert isinstance(get_filesystem("file:/tmp/x"), LocalFileSystem)
+    assert get_filesystem("fakefs://b/k") is fakefs
+    with pytest.raises(ValueError, match="no filesystem registered"):
+        get_filesystem("s3missing://b/k")
+
+
+# --- MinHash index lifecycle on the fake remote ------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "the quick brown fox jumps over the lazy dog tonight"),
+    (3, "an entirely different document about spark shuffle partitions"),
+    (4, "yet another unrelated text concerning parquet row groups"),
+]
+
+
+def test_minhash_index_lifecycle_on_object_store(spark, fakefs):
+    """build → probe → append → probe → compact → probe, all at a
+    fakefs:// path: every meta read/write, dir listing, and reclamation
+    goes through the seam (a single surviving os.* call on the logical
+    path would raise), while parquet relations land in the backing store
+    via spark_path."""
+    from gofeed_spark.operators.dedup import (
+        append_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        probe_minhash_index,
+        recover_minhash_index,
+    )
+
+    path = "fakefs://bucket/minhash_idx"
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_minhash_index(docs, path, df_cap=None)
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    got = rows(probe_minhash_index(spark, path, probe, threshold=1.0),
+               "new_id", "dup_of")
+    assert got == {(100, 1)}
+    append_minhash_index(
+        spark, path,
+        spark.createDataFrame(
+            [(200, "freshly appended corpus material rides the same lifecycle")],
+            "doc_id long, text string",
+        ),
+    )
+    probe2 = spark.createDataFrame(
+        [(300, "freshly appended corpus material rides the same lifecycle")],
+        "doc_id long, text string",
+    )
+    got2 = rows(probe_minhash_index(spark, path, probe2, threshold=1.0),
+                "new_id", "dup_of")
+    assert got2 == {(300, 200)}
+    stats = compact_minhash_index(spark, path)
+    assert set(stats) == {"sigs", "bands", "fps"}
+    # pointer flip published: meta names version dirs, old dirs reclaimed
+    meta = json.loads(fakefs.read_bytes(f"{path}/_index_meta.json"))
+    assert meta["rels"]["sigs"] == "sigs_v0001"
+    assert not fakefs.isdir(f"{path}/sigs")
+    assert rows(probe_minhash_index(spark, path, probe, threshold=1.0),
+                "new_id", "dup_of") == {(100, 1)}
+    # recovery reclaims an unreferenced (crashed) version dir objectwise
+    fakefs.put_bytes(f"{path}/sigs_v0099/part-0.parquet", b"junk")
+    assert recover_minhash_index(path) is True
+    assert not fakefs.isdir(f"{path}/sigs_v0099")
+
+
+def test_staging_marker_protects_live_compaction(spark, fakefs, tmp_path):
+    """A FRESH _staging.json marker (a live compactor's) protects its
+    named dirs from entry-point reclamation; a STALE one is a crashed
+    compaction and reclaims normally — the race ADVICE r10 flagged."""
+    from gofeed_spark.operators.dedup import (
+        build_minhash_index,
+        recover_minhash_index,
+    )
+
+    path = "fakefs://bucket/race_idx"
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_minhash_index(docs, path, df_cap=None)
+    # simulate a live compactor: marker down, staging dir being written
+    fakefs.put_bytes(
+        f"{path}/_staging.json", json.dumps({"dirs": ["sigs_v0001"]}).encode()
+    )
+    fakefs.put_bytes(f"{path}/sigs_v0001/part-0.parquet", b"inprogress")
+    recover_minhash_index(path)  # a concurrent probe's entry recovery
+    assert fakefs.isdir(f"{path}/sigs_v0001"), "live staging dir was reclaimed"
+    assert fakefs.stat(f"{path}/_staging.json") is not None
+    # now the marker goes stale (crashed compactor): TTL 0 ⇒ reclaim
+    assert recover_minhash_index(path, staging_ttl_sec=0.0) is True
+    assert not fakefs.isdir(f"{path}/sigs_v0001")
+    assert fakefs.stat(f"{path}/_staging.json") is None
+
+
+# --- ANN index + WARC export on the fake remote ------------------------------
+
+
+def test_ann_index_lifecycle_on_object_store(spark, fakefs):
+    from gofeed_spark.operators.similarity import (
+        ensure_ann_index,
+        probe_ann_index,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=8).tolist()) for i in range(50)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = "fakefs://bucket/ann_idx"
+    ensure_ann_index(emb, path, n_planes=3, dim=8)
+    meta = json.loads(fakefs.read_bytes(f"{path}/_index_meta.json"))
+    assert meta["kind"] == "srp"
+    got = probe_ann_index(spark, path, vecs[5][1], k=3, n_planes=3, dim=8)
+    hit = [r["neighbor_id"] for r in got.collect()]
+    assert hit and hit[0] == 5  # the vector finds itself first
+    # warm call short-circuits (meta matches) without error
+    ensure_ann_index(emb, path, n_planes=3, dim=8)
+
+
+def test_warc_export_read_roundtrip_on_object_store(spark, fakefs):
+    from gofeed_spark.sources.warc import export_warc, read_warc
+
+    docs = spark.createDataFrame(
+        [(f"http://ex.com/{i}", f"document body {i}") for i in range(20)],
+        "url string, body string",
+    )
+    out = "fakefs://bucket/warc_out"
+    manifest = export_warc(docs, out, n_archives=3).collect()
+    written = {r["archive"] for r in manifest if r["archive"] is not None}
+    assert written and all(a.startswith("fakefs://") for a in written)
+    assert sum(r["n_records"] for r in manifest if r["archive"]) == 20
+    back = read_warc(spark, out + "/*")
+    got = {(r["url"], bytes(r["body"]).decode()) for r in back.collect()}
+    assert got == {(f"http://ex.com/{i}", f"document body {i}") for i in range(20)}

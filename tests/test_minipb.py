@@ -154,6 +154,28 @@ def test_oneof_read_is_side_effect_free(sm):
     )
 
 
+def test_repeated_vivify_append_installs_chain(sm):
+    # appending to a repeated field of a READ-vivified sub-message must
+    # install the whole chain into the parent (upstream's repeated
+    # containers mark presence on first mutation) — the vivify-append
+    # idiom, the repeated twin of test_oneof_read_is_side_effect_free
+    req = sm.StateRequest()
+    req.stateVariableRequest.listStateCall.listStatePut.value.append(b"x1")
+    req.stateVariableRequest.listStateCall.listStatePut.value.extend([b"x2"])
+    assert req.WhichOneof("method") == "stateVariableRequest"
+    back = _roundtrip(req, sm.StateRequest)
+    assert list(back.stateVariableRequest.listStateCall.listStatePut.value) == [
+        b"x1",
+        b"x2",
+    ]
+    # a PURE read of a repeated leaf stays side-effect-free: nothing
+    # installs, nothing serializes
+    req2 = sm.StateRequest()
+    _ = list(req2.stateVariableRequest.listStateCall.listStatePut.value)
+    assert req2.WhichOneof("method") is None
+    assert req2.SerializeToString() == b""
+
+
 def test_truncated_length_delimited_raises(sm):
     from google.protobuf.message import DecodeError
 
