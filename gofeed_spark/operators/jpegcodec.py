@@ -1,15 +1,24 @@
-"""Pure Python+numpy baseline JPEG codec (decode + encode).
+"""Pure Python+numpy JPEG codec (decode + encode).
 
-Implements the baseline sequential DCT process of the public JPEG
-specification (ITU-T T.81 / ISO 10918-1) with JFIF framing: Huffman
-entropy coding, 8x8 DCT blocks, quantization tables read from / written
-to the stream, YCbCr <-> RGB per JFIF (BT.601), arbitrary h/v chroma
-sampling factors on decode (4:4:4 and 4:2:0 on encode), and restart
-markers.  No image library involved — this is the tier that makes the
-media operators' real-decode branch execute for the web's dominant image
-format in ANY environment, the JPEG sibling of ``operators/pngcodec.py``
-(reference parity: none — the reference has no media surface; this
-serves the engine's multimodal columns).
+Implements the DCT processes of the public JPEG specification (ITU-T
+T.81 / ISO 10918-1) with JFIF framing: baseline sequential (SOF0/SOF1)
+AND progressive (SOF2 — spectral selection + successive approximation,
+the web's dominant large-image layout) on decode, baseline and
+progressive on encode.  Huffman entropy coding, 8x8 DCT blocks,
+quantization tables read from / written to the stream, YCbCr <-> RGB per
+JFIF (BT.601), arbitrary h/v chroma sampling factors on decode (4:4:4
+and 4:2:0 on encode), and restart markers.  No image library involved —
+this is the tier that makes the media operators' real-decode branch
+execute for the web's dominant image format in ANY environment, the JPEG
+sibling of ``operators/pngcodec.py`` (reference parity: none — the
+reference has no media surface; this serves the engine's multimodal
+columns).
+
+Progressive decode accumulates per-scan coefficient updates (DC first /
+DC refine / AC first with EOB runs / AC refine with correction bits,
+T.81 G.2, the same successive-approximation algorithm libjpeg's public
+decoder documents) into per-component zigzag coefficient stores and
+reconstructs once at EOI.
 
 Sized for correctness and portability, not throughput: the entropy loop
 is Python-per-bit (fine for the Arrow-batched per-blob media operators;
@@ -257,6 +266,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    coefs = None  # progressive: per-component zigzag coefficient stores
     restart_interval = 0
     pos = 2
     n = len(data)
@@ -294,33 +305,80 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17: p + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline / ext. sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise JpegError(f"unsupported sample precision {prec}")
+            if w == 0 or h == 0 or nc == 0:
+                raise JpegError(f"invalid frame dimensions {w}x{h}x{nc}")
+            if w * h > (1 << 27):  # 134M px: refuse corrupt-header giga-allocs
+                raise JpegError(f"frame too large for this codec tier ({w}x{h})")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                ch_, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch_ <= 4 and 1 <= cv <= 4):
+                    raise JpegError(f"invalid sampling factors {ch_}x{cv}")
+                comps.append({"id": cid, "h": ch_, "v": cv, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG not supported (baseline only)")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                f"unsupported JPEG process (SOF marker 0x{marker:02X}); "
+                "baseline sequential and progressive Huffman only"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
-            sel = {}
+            if not progressive:
+                sel = {}
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    sel[cs] = (tt >> 4, tt & 0xF)
+                return _decode_scan(
+                    data, pos + seglen, frame, sel, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            scan_comps = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                sel[cs] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                data, pos + seglen, frame, sel, qt, huff_dc, huff_ac,
+                ci = next(
+                    (j for j, c in enumerate(frame["comps"]) if c["id"] == cs),
+                    None,
+                )
+                if ci is None:
+                    raise JpegError(f"scan references unknown component {cs}")
+                scan_comps.append((ci, tt >> 4, tt & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            scan_end = _decode_progressive_scan(
+                data, pos + seglen, frame, scan_comps, ss, se,
+                ahal >> 4, ahal & 0xF, huff_dc, huff_ac, coefs,
                 restart_interval,
             )
+            pos = _next_marker_pos(data, scan_end)
+            continue
         pos += seglen
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qt)
     raise JpegError("no scan found")
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Position of the next real marker (0xFF + non-fill, non-stuffing
+    byte) at or after ``pos`` — scans past pad bits and 0xFF fill bytes
+    that legally follow a scan's entropy data."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return n
 
 
 def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
@@ -358,6 +416,12 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
                 mcu_count += 1
     except _MarkerReached:
         raise JpegError("truncated scan (marker inside entropy data)") from None
+    return _finish_planes(w, h, comps, hmax, vmax, planes)
+
+
+def _finish_planes(w, h, comps, hmax, vmax, planes):
+    """Padded full-resolution component planes → (w, h, channels, pixels):
+    chroma upsample, crop to true dims, YCbCr→RGB per JFIF."""
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -378,6 +442,8 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
 def _decode_block(reader, dc_table, ac_table, pred, ci) -> np.ndarray:
     out = np.zeros(64, dtype=np.int64)
     s = reader.decode_huff(dc_table)
+    if s > 15:  # DHT symbol values are attacker-controlled bytes
+        raise JpegError(f"invalid DC category {s}")
     diff = _extend(reader.receive(s), s) if s else 0
     pred[ci] += diff
     out[0] = pred[ci]
@@ -398,6 +464,224 @@ def _decode_block(reader, dc_table, ac_table, pred, ci) -> np.ndarray:
     blk = np.zeros(64, dtype=np.int64)
     blk[:] = out
     return blk.reshape(8, 8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (T.81 G.2): coefficients accumulate across scans in
+# zigzag order, reconstruction happens once at EOI.
+
+
+def _frame_geometry(frame):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    return w, h, comps, hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _comp_blocks(frame, c) -> tuple[int, int]:
+    """(rows, cols) of the component's OWN block grid — the data-unit
+    raster a NON-interleaved scan covers (ceil of true component dims,
+    NOT padded to the MCU grid)."""
+    w, h, comps, hmax, vmax, _mx, _my = _frame_geometry(frame)
+    cw = -(-(w * c["h"]) // hmax)
+    ch_ = -(-(h * c["v"]) // vmax)
+    return -(-ch_ // 8), -(-cw // 8)
+
+
+def _alloc_coefs(frame):
+    _w, _h, comps, _hm, _vm, mcux, mcuy = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
+    ]
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan_comps, ss, se, ah, al, huff_dc, huff_ac, coefs,
+    restart_interval,
+):
+    """One progressive SOS → accumulate into ``coefs``; returns the stream
+    position after the scan's entropy data.  DC scans (ss == 0) may be
+    MCU-interleaved; AC scans are single-component data-unit rasters per
+    the spec."""
+    if se > 63 or ss > se:
+        raise JpegError(f"invalid spectral band {ss}..{se}")
+    if ss == 0 and se != 0:
+        raise JpegError("progressive DC scan must have Se = 0")
+    if ss > 0 and len(scan_comps) != 1:
+        raise JpegError("progressive AC scan must be single-component")
+    _w, _h, comps, _hm, _vm, mcux, mcuy = _frame_geometry(frame)
+    reader = _BitReader(data, pos)
+    st = {"eobrun": 0}
+    try:
+        if ss == 0:
+            pred = [0] * len(scan_comps)
+            mcu_count = 0
+            if len(scan_comps) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if (
+                            restart_interval
+                            and mcu_count
+                            and mcu_count % restart_interval == 0
+                        ):
+                            reader.sync_restart()
+                            pred = [0] * len(scan_comps)
+                        for si, (ci, dct, _act) in enumerate(scan_comps):
+                            c = comps[ci]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    blk = coefs[ci][
+                                        my * c["v"] + by, mx * c["h"] + bx
+                                    ]
+                                    _dc_pass(reader, huff_dc, dct, blk, ah, al, pred, si)
+                        mcu_count += 1
+            else:
+                ci, dct, _act = scan_comps[0]
+                bh_, bw_ = _comp_blocks(frame, comps[ci])
+                for by in range(bh_):
+                    for bx in range(bw_):
+                        if (
+                            restart_interval
+                            and mcu_count
+                            and mcu_count % restart_interval == 0
+                        ):
+                            reader.sync_restart()
+                            pred = [0]
+                        _dc_pass(
+                            reader, huff_dc, dct, coefs[ci][by, bx], ah, al,
+                            pred, 0,
+                        )
+                        mcu_count += 1
+        else:
+            ci, _dct, act = scan_comps[0]
+            tab = huff_ac.get(act)
+            if tab is None:
+                raise JpegError(f"scan uses undefined AC table {act}")
+            bh_, bw_ = _comp_blocks(frame, comps[ci])
+            mcu_count = 0
+            for by in range(bh_):
+                for bx in range(bw_):
+                    if (
+                        restart_interval
+                        and mcu_count
+                        and mcu_count % restart_interval == 0
+                    ):
+                        reader.sync_restart()
+                        st["eobrun"] = 0
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        _ac_first_pass(reader, tab, blk, ss, se, al, st)
+                    else:
+                        _ac_refine_pass(reader, tab, blk, ss, se, al, st)
+                    mcu_count += 1
+    except _MarkerReached:
+        raise JpegError("truncated scan (marker inside entropy data)") from None
+    return reader.pos
+
+
+def _dc_pass(reader, huff_dc, dct, blk, ah, al, pred, si) -> None:
+    if ah == 0:  # first pass: diff-coded, point-transformed values
+        tab = huff_dc.get(dct)
+        if tab is None:
+            raise JpegError(f"scan uses undefined DC table {dct}")
+        s = reader.decode_huff(tab)
+        if s > 15:  # DHT symbol values are attacker-controlled bytes
+            raise JpegError(f"invalid DC category {s}")
+        diff = _extend(reader.receive(s), s) if s else 0
+        pred[si] += diff
+        blk[0] = pred[si] << al
+    else:  # refinement: one bit per block at position al
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first_pass(reader, tab, blk, ss, se, al, st) -> None:
+    if st["eobrun"] > 0:
+        st["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits end-of-band blocks
+                st["eobrun"] = (1 << r) - 1
+                if r:
+                    st["eobrun"] += reader.receive(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise JpegError("AC run past band end")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine_pass(reader, tab, blk, ss, se, al, st) -> None:
+    """Successive-approximation AC refinement (T.81 G.7.2.3): correction
+    bits for history-nonzero coefficients, newly-nonzero insertions of
+    ±2^al, EOB runs carrying correction bits."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if st["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_huff(tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    st["eobrun"] = 1 << r
+                    if r:
+                        st["eobrun"] += reader.receive(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("invalid AC refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if st["eobrun"] > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and reader.read_bit() and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        st["eobrun"] -= 1
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    w, h, comps, hmax, vmax, _mx, _my = _frame_geometry(frame)
+    out_planes = []
+    for ci, c in enumerate(comps):
+        qtbl = qt.get(c["tq"])
+        if qtbl is None:
+            raise JpegError(f"component uses undefined quant table {c['tq']}")
+        bh_, bw_ = coefs[ci].shape[:2]
+        plane = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = coefs[ci][by, bx]
+                plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = (
+                    _idct(nat.reshape(8, 8) * qtbl) + 128.0
+                )
+        out_planes.append(plane)
+    return _finish_planes(w, h, comps, hmax, vmax, out_planes)
 
 
 # ---------------------------------------------------------------------------
@@ -475,18 +759,10 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     return np.pad(plane, ((0, bh - h), (0, bw_ - w)), mode="edge")
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    channels: int,
-    pixels: bytes,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF encode of row-major interleaved 8-bit pixels
-    (channels 1 = gray, 3 = RGB).  ``subsampling`` '444' or '420';
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+def _prep_encode(width, height, channels, pixels, quality, subsampling):
+    """Shared encoder front half: validate, color-convert, subsample, pad
+    to the MCU grid.  → (ql, qc, samp, qsel, padded, hmax, vmax, mcux,
+    mcuy)."""
     if channels not in (1, 3):
         raise JpegError(f"unsupported channel count {channels}")
     if subsampling not in ("444", "420"):
@@ -525,6 +801,24 @@ def encode_jpeg(
         _pad_to_blocks(p, mcuy * 8 * samp[i][1], mcux * 8 * samp[i][0])
         for i, p in enumerate(planes)
     ]
+    return ql, qc, samp, qsel, padded, hmax, vmax, mcux, mcuy
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encode of row-major interleaved 8-bit pixels
+    (channels 1 = gray, 3 = RGB).  ``subsampling`` '444' or '420';
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    ql, qc, samp, qsel, padded, hmax, vmax, mcux, mcuy = _prep_encode(
+        width, height, channels, pixels, quality, subsampling
+    )
 
     dc_tabs = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
                _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
@@ -591,6 +885,233 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 G.1.2): one DC-first scan (interleaved),
+# per-component AC-first scans at Al=1, a DC refinement scan, then
+# per-component AC refinement scans at Al=0 — exercising every decoder
+# path (spectral selection + successive approximation on both bands).
+# EOB runs are capped at 1 so the Annex-K tables (no EOBn>0 symbols)
+# stay sufficient.
+
+
+def _ac_first_block(bw, zzt, tab) -> None:
+    """One block of an AC-first scan: run-length code the point-
+    transformed band 1..63 (baseline RLE; EOB whenever the band ends
+    before k=63)."""
+    last = 0
+    for k in range(63, 0, -1):
+        if zzt[k]:
+            last = k
+            break
+    run = 0
+    for k in range(1, last + 1):
+        v = int(zzt[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = tab[0x00]  # EOB (run of exactly 1)
+        bw.write(code, ln)
+
+
+def _ac_refine_block(bw, zz, tab, al) -> None:
+    """One block of an AC refinement scan (T.81 G.1.2.3 / fig. G.7):
+    correction bits for history-nonzero coefficients buffered in
+    positional order and flushed after each symbol, ZRLs emitted eagerly
+    (so every buffered bit's position precedes the ZRL walk's 16th zero
+    — the alignment invariant the decoder's inline-bit walk relies on),
+    trailing zeros folded into the block's EOB."""
+    absv = [abs(int(zz[k])) >> al for k in range(64)]
+    eobpos = 0
+    for k in range(1, 64):
+        if absv[k] == 1:
+            eobpos = k
+    run = 0
+    pending: list[int] = []
+    for k in range(1, 64):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eobpos:
+            code, ln = tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:  # history-nonzero: one correction bit, buffered
+            pending.append(t & 1)
+            continue
+        code, ln = tab[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        code, ln = tab[0x00]  # EOB covers the rest of the band
+        bw.write(code, ln)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 85,
+    subsampling: str = "444",
+) -> bytes:
+    """Progressive (SOF2) JFIF encode of row-major interleaved 8-bit
+    pixels — same pixel contract as :func:`encode_jpeg`, spectral
+    selection + one successive-approximation level on both DC and AC."""
+    ql, qc, samp, qsel, padded, hmax, vmax, mcux, mcuy = _prep_encode(
+        width, height, channels, pixels, quality, subsampling
+    )
+    AL = 1  # first passes send v >> 1, refinement scans send bit 0
+
+    coefs = []
+    for ci, plane in enumerate(padded):
+        qtbl = ql if qsel[ci] == 0 else qc
+        bh_, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        store = np.zeros((bh_, bw_, 64), dtype=np.int64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                c = np.rint(
+                    _fdct(plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] - 128.0) / qtbl
+                ).astype(np.int64)
+                store[by, bx] = c.reshape(-1)[ZIGZAG]
+        coefs.append(store)
+
+    dc_tabs = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+               _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tabs = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+               _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    tsel = [0] + [1] * (channels - 1)
+
+    def _sos(comp_ids, tds, tas, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # non-interleaved AC scans cover the component's OWN block raster
+    # (ceil of true component dims), not the MCU-padded grid
+    def _ac_raster(ci):
+        sh_, sv_ = samp[ci]
+        cw = -(-(width * sh_) // hmax)
+        ch_ = -(-(height * sv_) // vmax)
+        return -(-ch_ // 8), -(-cw // 8)
+
+    scans = bytearray()
+
+    # scan 1: DC first (interleaved across components, Al=1)
+    bw = _BitWriter()
+    pred = [0] * channels
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(channels):
+                sh_, sv_ = samp[ci]
+                for by in range(sv_):
+                    for bx in range(sh_):
+                        v = int(coefs[ci][my * sv_ + by, mx * sh_ + bx, 0]) >> AL
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = _category(diff)
+                        code, ln = dc_tabs[tsel[ci]][s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    scans += _sos(list(range(1, channels + 1)), tsel, [0] * channels, 0, 0, 0, AL)
+    scans += bw.out
+
+    # scans 2..: AC first per component (Al=1)
+    for ci in range(channels):
+        brows, bcols = _ac_raster(ci)
+        bw = _BitWriter()
+        tab = ac_tabs[tsel[ci]]
+        for by in range(brows):
+            for bx in range(bcols):
+                zz = coefs[ci][by, bx]
+                zzt = [
+                    (abs(int(zz[k])) >> AL) * (1 if zz[k] >= 0 else -1)
+                    for k in range(64)
+                ]
+                _ac_first_block(bw, zzt, tab)
+        bw.flush()
+        scans += _sos([ci + 1], [0], [tsel[ci]], 1, 63, 0, AL)
+        scans += bw.out
+
+    # DC refinement: one raw bit per block, interleaved MCU order
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(channels):
+                sh_, sv_ = samp[ci]
+                for by in range(sv_):
+                    for bx in range(sh_):
+                        bw.write(int(coefs[ci][my * sv_ + by, mx * sh_ + bx, 0]) & 1, 1)
+    bw.flush()
+    scans += _sos(list(range(1, channels + 1)), [0] * channels, [0] * channels, 0, 0, AL, 0)
+    scans += bw.out
+
+    # AC refinement per component (Ah=1, Al=0)
+    for ci in range(channels):
+        brows, bcols = _ac_raster(ci)
+        bw = _BitWriter()
+        tab = ac_tabs[tsel[ci]]
+        for by in range(brows):
+            for bx in range(bcols):
+                _ac_refine_block(bw, coefs[ci][by, bx], tab, 0)
+        bw.flush()
+        scans += _sos([ci + 1], [0], [tsel[ci]], 1, 63, AL, 0)
+        scans += bw.out
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def _dqt(tid, tbl):
+        return (
+            b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+            + bytes(int(tbl.reshape(-1)[i]) for i in ZIGZAG)
+        )
+
+    out += _dqt(0, ql)
+    if channels == 3:
+        out += _dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def _dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if channels == 3:
+        out += _dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    out += scans
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

@@ -13,6 +13,7 @@ from gofeed_spark.operators.jpegcodec import (
     JpegError,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     gray_strip,
     is_jpeg,
 )
@@ -117,6 +118,80 @@ def test_error_paths():
         encode_jpeg(4, 4, 1, b"\x00" * 15)  # buffer size mismatch
 
 
+def test_progressive_decodes_bit_identical_to_baseline():
+    """SOF2 transmits the SAME quantized coefficients as SOF0, just
+    reordered across scans (DC first/refine, per-component AC
+    first/refine) — so the two round trips must agree to the bit, for
+    every sampling mode, edge-padding shape, and quality tier."""
+    rng = np.random.default_rng(11)
+    for (w, h, ch, sub) in [
+        (16, 16, 1, "444"),
+        (20, 12, 3, "444"),
+        (24, 24, 3, "420"),   # luma MCU grid wider than its scan raster
+        (37, 23, 3, "420"),   # odd dims: crop + chroma box-average
+        (8, 8, 1, "444"),
+    ]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 3 + yy * 2) % 256
+        img = np.stack(
+            [(base + 40 * c + rng.integers(0, 30, (h, w))) % 256 for c in range(ch)],
+            axis=-1,
+        ).astype(np.uint8)
+        for q in (30, 85, 95):
+            blob_b = encode_jpeg(w, h, ch, img.tobytes(), quality=q, subsampling=sub)
+            blob_p = encode_jpeg_progressive(
+                w, h, ch, img.tobytes(), quality=q, subsampling=sub
+            )
+            assert is_jpeg(blob_p)
+            assert decode_jpeg(blob_p) == decode_jpeg(blob_b), (w, h, ch, sub, q)
+            # deterministic encode
+            assert (
+                encode_jpeg_progressive(w, h, ch, img.tobytes(), quality=q, subsampling=sub)
+                == blob_p
+            )
+
+
+def test_progressive_stream_structure():
+    grad = _gray_gradient(16, 16)
+    gray = encode_jpeg_progressive(16, 16, 1, grad)
+    rgb = encode_jpeg_progressive(20, 24, 3, _rgb_fixture(20, 24).tobytes())
+    assert b"\xff\xc2" in gray and b"\xff\xc0" not in gray  # SOF2, no SOF0
+    # gray: DC first + AC first + DC refine + AC refine = 4 scans
+    assert gray.count(b"\xff\xda") == 4
+    # rgb: DC scans interleave; AC scans are per-component = 2 + 2*3
+    assert rgb.count(b"\xff\xda") == 8
+    # it is smaller than a spectral no-op would be and still a full image
+    w, h, ch, px = decode_jpeg(gray)
+    assert (w, h, ch) == (16, 16, 1) and len(px) == 256
+
+
+def test_progressive_error_paths_raise_jpegerror_only():
+    grad = _gray_gradient(16, 16)
+    blob = encode_jpeg_progressive(16, 16, 1, grad)
+    # torn at any scan boundary or mid-entropy: JpegError, never a leak
+    for cut in (len(blob) // 4, len(blob) // 2, 3 * len(blob) // 4, len(blob) - 3):
+        try:
+            decode_jpeg(blob[:cut])
+        except JpegError:
+            pass  # the only permitted failure type
+    # byte-flip fuzz across the whole stream: decode or JpegError, nothing else
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        i = int(rng.integers(2, len(blob)))
+        mutated = bytearray(blob)
+        mutated[i] ^= int(rng.integers(1, 256))
+        try:
+            decode_jpeg(bytes(mutated))
+        except JpegError:
+            pass
+
+
+def test_progressive_gray_strip_contract():
+    grad = _gray_gradient(16, 16)
+    strip = gray_strip(encode_jpeg_progressive(16, 16, 1, grad, quality=92), 8)
+    assert len(strip) == 8 and strip[0] < strip[-1]
+
+
 def _pil():
     try:
         import PIL.Image  # noqa: F401
@@ -141,6 +216,16 @@ def test_pil_interop():  # pragma: no cover — env-gated
     # we decode PIL's stream
     buf = BytesIO()
     Image.fromarray(rgb, "RGB").save(buf, format="JPEG", quality=92)
+    w, h, ch, px = decode_jpeg(buf.getvalue())
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(int)
+    assert np.abs(got - rgb.astype(int)).mean() < 4.0
+    # progressive both ways: PIL decodes our SOF2; we decode PIL's
+    ours_p = encode_jpeg_progressive(20, 24, 3, rgb.tobytes(), quality=92)
+    with Image.open(BytesIO(ours_p)) as im:
+        theirs_p = np.asarray(im.convert("RGB")).astype(int)
+    assert np.abs(theirs_p - rgb.astype(int)).mean() < 4.0
+    buf = BytesIO()
+    Image.fromarray(rgb, "RGB").save(buf, format="JPEG", quality=92, progressive=True)
     w, h, ch, px = decode_jpeg(buf.getvalue())
     got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(int)
     assert np.abs(got - rgb.astype(int)).mean() < 4.0

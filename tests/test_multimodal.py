@@ -356,7 +356,7 @@ def test_jpeg_decode_ladder_contract(spark):
     consistency only real decoding can produce — and a corrupt
     JPEG-magic blob degrades to the sha stub with the identical output
     schema."""
-    from gofeed_spark.operators.jpegcodec import encode_jpeg
+    from gofeed_spark.operators.jpegcodec import encode_jpeg, encode_jpeg_progressive
     from gofeed_spark.operators.multimodal import (
         _pil_available,
         extract_features,
@@ -378,17 +378,19 @@ def test_jpeg_decode_ladder_contract(spark):
     else:
         jpeg = encode_jpeg(w, h, 1, grad, quality=95)
     corrupt = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + grad  # JPEG magic, torn body
+    prog = encode_jpeg_progressive(w, h, 1, grad, quality=95)  # SOF2
     media = spark.createDataFrame(
         [
             (1, "image", jpeg),
             (2, "image", encode_png(w, h, 1, grad)),
             (3, "image", corrupt),
+            (4, "image", prog),
         ],
         "media_id long, media_type string, content binary",
     )
     feats = {r.media_id: r for r in extract_features(media).collect()}
     # identical schema contract across tiers
-    assert set(feats) == {1, 2, 3}
+    assert set(feats) == {1, 2, 3, 4}
     for r in feats.values():
         assert len(r.feature) == 8 and r.byte_len > 0 and len(r.sha_prefix) == 16
     # real JPEG pixels ≈ the PNG of the same image (lossy but close)
@@ -406,4 +408,11 @@ def test_jpeg_decode_ladder_contract(spark):
     # corrupt blob: deterministic sha stub tier, well-formed output
     assert feats[3].feature == pytest.approx(
         [b / 255.0 for b in hashlib.sha256(corrupt).digest()[:8]], abs=1e-6
+    )
+    # PROGRESSIVE jpeg (the web's dominant large-image layout) engages
+    # the real-decode tier too — near the PNG of the same image, and
+    # nowhere near what the sha stub would produce for these bytes
+    assert feats[4].feature == pytest.approx(list(feats[2].feature), abs=0.05)
+    assert feats[4].feature != pytest.approx(
+        [b / 255.0 for b in hashlib.sha256(prog).digest()[:8]], abs=1e-6
     )
