@@ -86,11 +86,24 @@ def get_spark(
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = builder.master(master)
     for k, v in BUILDER_CONFS.items():
         builder = builder.config(k, v)
+    if master.startswith("local-cluster"):
+        # Separate executor JVMs with their own working dirs: executor
+        # Python workers don't inherit the driver's sys.path, so the repo
+        # root (gofeed_spark + vendored deps) must ride in explicitly —
+        # the same thing a real cluster does with --py-files/PYTHONPATH.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}{os.pathsep}{extra}" if extra else repo_root,
+        )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in RUNTIME_CONFS.items():

@@ -19,7 +19,11 @@ from gofeed_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("gofeed-tests", master="local[4]", shuffle_partitions=4)
+    # SPARK_GRAFT_TEST_MASTER lets the suite run under e.g.
+    # local-cluster[2,2,4096] (separate executor JVMs + working dirs) to
+    # prove there are no driver-local sys.path/FS assumptions.
+    master = os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]")
+    s = get_spark("gofeed-tests", master=master, shuffle_partitions=4)
     yield s
 
 
