@@ -1224,17 +1224,23 @@ def recover_minhash_index(path: str, staging_ttl_sec: float = 1800.0) -> bool:
       rename-less object store.)
 
     LIVE-compaction guard: the compactor drops a ``_staging.json`` marker
-    (naming its in-progress version dirs) BEFORE writing them, and deletes
-    it after the flip + cleanup.  Recovery honors a FRESH marker
-    (mtime younger than ``staging_ttl_sec``, default 30 min) by leaving
-    the named dirs alone — so a probe racing a live compaction no longer
-    deletes the compactor's staging work.  A STALE marker is a crashed
-    compaction: the marker is removed and its dirs reclaim normally.
+    (naming its in-progress version dirs) BEFORE writing them, RENEWS it
+    between per-relation rewrites (a lease, so a compaction longer than
+    one TTL stays protected), and deletes it after the flip + cleanup.
+    Recovery honors a FRESH marker (mtime younger than ``staging_ttl_sec``,
+    default 30 min) by leaving the named dirs alone — so a probe racing a
+    live compaction no longer deletes the compactor's staging work.  A
+    STALE marker is a crashed compaction: the marker is removed and its
+    dirs reclaim normally.  Staleness is measured in the STORE's clock
+    (a probe object is PUT and its observed mtime diffed against local
+    now) so backend/driver clock skew can neither reclaim a live lease
+    nor immortalize a crashed one.  The marker is also re-statted
+    immediately before each version-dir delete, narrowing the window in
+    which a compactor's renewal can lose to an in-flight reclaim pass.
 
     Idempotent; returns True if anything was repaired."""
     import json
     import re
-    import time
 
     from gofeed_spark.fs import get_filesystem
 
@@ -1254,19 +1260,11 @@ def recover_minhash_index(path: str, staging_ttl_sec: float = 1800.0) -> bool:
             if fs.exists(tmp):
                 fs.delete_tree(tmp)
                 repaired = True
-    protected: set[str] = set()
     marker = fs.join(path, "_staging.json")
-    mstat = fs.stat(marker)
-    if mstat is not None:
-        age_sec = (time.time_ns() - mstat[1]) / 1e9
-        if age_sec < staging_ttl_sec:
-            try:
-                protected = set(json.loads(fs.read_bytes(marker)).get("dirs", []))
-            except (OSError, json.JSONDecodeError):
-                protected = set()
-        else:  # crashed compaction: reclaim marker + dirs normally
-            fs.delete(marker)
-            repaired = True
+    protected, stale = _staging_protected(fs, path, marker, staging_ttl_sec)
+    if stale:  # crashed compaction: reclaim marker + dirs normally
+        fs.delete(marker)
+        repaired = True
     meta_path = fs.join(path, "_index_meta.json")
     if fs.exists(meta_path):
         meta = json.loads(fs.read_bytes(meta_path))
@@ -1282,9 +1280,62 @@ def recover_minhash_index(path: str, staging_ttl_sec: float = 1800.0) -> bool:
                 and name not in protected
                 and fs.isdir(full)
             ):
+                if "_v" in name:
+                    # TOCTOU narrowing (ADVICE r11): a compactor may have
+                    # started (and leased) between the stat above and this
+                    # delete — re-check the marker right before reclaiming
+                    # a version dir.  Plain rel dirs predate the lease
+                    # protocol and stay on the single up-front check.
+                    protected, _ = _staging_protected(
+                        fs, path, marker, staging_ttl_sec
+                    )
+                    if name in protected:
+                        continue
                 fs.delete_tree(full)
                 repaired = True
     return repaired
+
+
+def _staging_protected(
+    fs, path: str, marker: str, staging_ttl_sec: float
+) -> tuple[set[str], bool]:
+    """Read the compaction lease: returns (protected dir names, marker is
+    stale).  (set(), False) when no marker exists.
+
+    Age is measured against the STORE's clock, not the driver's: a raw
+    ``time.time_ns() - marker_mtime`` misjudges freshness when the
+    backend stamps objects with its own (skewed) clock — a live lease
+    could look stale (premature reclamation of in-progress staging) or a
+    crashed one perpetually fresh.  The skew is observed by PUTting a
+    tiny probe object and statting it back; the probe write is paid only
+    when the naive age already exceeds the TTL (the common fresh case
+    stays one stat)."""
+    import json
+    import time
+
+    mstat = fs.stat(marker)
+    if mstat is None:
+        return set(), False
+    age_sec = (time.time_ns() - mstat[1]) / 1e9
+    if age_sec >= staging_ttl_sec:
+        probe = fs.join(path, "_clockprobe")
+        try:
+            fs.put_bytes(probe, b"")
+            pstat = fs.stat(probe)
+            fs.delete(probe)
+            if pstat is not None:
+                # clamp at 0: the probe is younger than the marker, so a
+                # just-written marker's corrected age can only jitter
+                # slightly negative — never let that defeat a 0-TTL reclaim
+                age_sec = max(age_sec - (time.time_ns() - pstat[1]) / 1e9, 0.0)
+        except OSError:  # unprobeable backend: keep the naive age
+            pass
+    if age_sec >= staging_ttl_sec:
+        return set(), True
+    try:
+        return set(json.loads(fs.read_bytes(marker)).get("dirs", [])), False
+    except (OSError, json.JSONDecodeError):
+        return set(), False
 
 
 def compact_minhash_index(
@@ -1314,11 +1365,16 @@ def compact_minhash_index(
     or unreferenced old dirs (post-flip), both reclaimed by
     ``recover_minhash_index`` (run on entry here and by probe/append).
     CONCURRENT probes are tolerated too: a ``_staging.json`` marker naming
-    the in-progress version dirs lands BEFORE they are written, and
+    the in-progress version dirs lands BEFORE they are written, is RENEWED
+    before each relation rewrite (a lease — compactions longer than one
+    TTL stay protected as long as no single rewrite exceeds it), and
     entry-point recovery leaves marker-named dirs alone while the marker
     is fresh (< its TTL) — so a probe racing a live compaction can no
-    longer reclaim the compactor's staging work.  The marker is deleted
-    after the flip; a crash leaves it to expire, after which the
+    longer reclaim the compactor's staging work.  Before the flip the
+    lease is re-read: if it was reclaimed (a rewrite DID outlive the TTL)
+    the publish ABORTS with the old relations still live, rather than
+    pointing the meta at dirs a recovery may have deleted.  The marker is
+    deleted after the flip; a crash leaves it to expire, after which the
     unpublished dirs reclaim normally.  Returns per-relation
     {files_before, files_after, bytes}."""
     import json
@@ -1334,14 +1390,17 @@ def compact_minhash_index(
     epoch = int(meta.get("rel_epoch", 0)) + 1
     plan = (("sigs", False), ("bands", False), ("fps", True))
     marker = fs.join(path, "_staging.json")
-    fs.put_bytes(
-        marker,
-        json.dumps(
-            {"dirs": [f"{rel}_v{epoch:04d}" for rel, _ in plan], "epoch": epoch}
-        ).encode(),
-    )
+    lease = json.dumps(
+        {"dirs": [f"{rel}_v{epoch:04d}" for rel, _ in plan], "epoch": epoch}
+    ).encode()
+    fs.put_bytes(marker, lease)
     stats, new_rels, old_dirs = {}, {}, []
     for rel, dedup_rows in plan:
+        # renew the lease before each relation rewrite: a compaction whose
+        # TOTAL runtime exceeds staging_ttl_sec stays protected as long as
+        # no SINGLE rewrite does (ADVICE r11 — the marker was previously
+        # PUT once and never refreshed)
+        fs.put_bytes(marker, lease)
         rel_path = _rel_path(path, meta, rel)
         old_dirs.append(rel_path)
         n_before, nbytes = fs.tree_stats(rel_path)
@@ -1360,6 +1419,25 @@ def compact_minhash_index(
             "files_after": n_after,
             "bytes": nbytes,
         }
+    # verify the lease survived before publishing: if a recovery pass
+    # reclaimed an expired marker (and possibly the staging dirs) while we
+    # were rewriting, publishing would point the meta at deleted dirs and
+    # brick the index.  Abort instead — the old rels are still live and
+    # the orphaned staging reclaims on the next entry-point recovery.
+    try:
+        held = json.loads(fs.read_bytes(marker)).get("epoch") == epoch
+    except (OSError, json.JSONDecodeError):
+        held = False
+    if not held:
+        for rel in new_rels.values():
+            d = fs.join(path, rel)
+            if fs.exists(d):
+                fs.delete_tree(d)
+        raise RuntimeError(
+            f"compact_minhash_index: staging lease for epoch {epoch} was "
+            "reclaimed mid-compaction (runtime exceeded staging_ttl_sec); "
+            "publish aborted, previous relations remain live"
+        )
     meta["rels"] = new_rels
     meta["rel_epoch"] = epoch
     _write_index_meta(path, meta)  # THE atomic publish point

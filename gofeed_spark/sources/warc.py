@@ -170,7 +170,11 @@ def read_warc(
         # FileStreamSink metadata probe getFileStatus() the literal glob
         # path, which logs a full FileNotFoundException stack at WARN on
         # every read.  The directory form probes cleanly and lists the
-        # same files.
+        # same files — PROVIDED the WARC directory is FLAT (the directory
+        # form discovers files recursively, so a nested subdirectory
+        # could contribute leaf-matching files the raw one-level glob
+        # would not have listed).  export_warc's layout is flat by
+        # construction; external archive dirs must be too (ADVICE r11).
         reader = reader.option("pathGlobFilter", leaf)
         sp = base
     files = reader.load(sp)

@@ -180,6 +180,119 @@ def test_staging_marker_protects_live_compaction(spark, fakefs, tmp_path):
     assert fakefs.stat(f"{path}/_staging.json") is None
 
 
+def test_compaction_lease_renewed_and_publish_verified(spark, tmp_path):
+    """The _staging.json marker is a LEASE: renewed before each relation
+    rewrite (so a long compaction stays protected past one TTL), and
+    re-read before the meta flip — if a recovery reclaimed it mid-run,
+    the publish ABORTS with the old relations still live instead of
+    pointing the meta at deleted dirs (ADVICE r11, medium)."""
+    from gofeed_spark.fs import register_filesystem, unregister_filesystem
+    from gofeed_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        probe_minhash_index,
+    )
+
+    class LossyFS(DirObjectStoreFileSystem):
+        """Drops the staging marker after ``drop_after`` marker PUTs —
+        simulating a concurrent recovery reclaiming an expired lease
+        while the compactor is mid-rewrite."""
+
+        drop_after = None
+        marker_puts = 0
+
+        def put_bytes(self, path, data):
+            if path.endswith("_staging.json"):
+                type(self).marker_puts += 1
+                if (
+                    self.drop_after is not None
+                    and type(self).marker_puts > self.drop_after
+                ):
+                    return  # swallowed: marker looks reclaimed from here on
+            super().put_bytes(path, data)
+
+        def read_bytes(self, path):
+            if (
+                path.endswith("_staging.json")
+                and self.drop_after is not None
+                and type(self).marker_puts > self.drop_after
+            ):
+                raise FileNotFoundError(path)
+            return super().read_bytes(path)
+
+    fs = LossyFS("lossyfs", str(tmp_path / "backing"))
+    register_filesystem("lossyfs", fs)
+    try:
+        path = "lossyfs://bucket/lease_idx"
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        build_minhash_index(docs, path, df_cap=None)
+        meta_before = json.loads(fs.read_bytes(f"{path}/_index_meta.json"))
+        # healthy run: initial PUT + one renewal per relation (3) = 4
+        compact_minhash_index(spark, path)
+        assert LossyFS.marker_puts >= 4, "lease was not renewed per relation"
+        # reclaimed-lease run: marker vanishes after the initial PUT
+        LossyFS.marker_puts, LossyFS.drop_after = 0, 1
+        meta_live = json.loads(fs.read_bytes(f"{path}/_index_meta.json"))
+        with pytest.raises(RuntimeError, match="lease.*reclaimed"):
+            compact_minhash_index(spark, path)
+        meta_after = json.loads(fs.read_bytes(f"{path}/_index_meta.json"))
+        assert meta_after["rels"] == meta_live["rels"], "meta flipped on abort"
+        # the index still probes correctly through the surviving rels
+        LossyFS.drop_after = None
+        probe = spark.createDataFrame([DOCS[0]], "doc_id long, text string")
+        assert probe_minhash_index(spark, path, probe, threshold=0.5).count() >= 1
+        assert meta_before is not None
+    finally:
+        unregister_filesystem("lossyfs")
+
+
+def test_staging_staleness_uses_store_clock(tmp_path):
+    """Marker freshness is judged in the STORE's clock: a backend whose
+    stat timestamps run behind the driver's clock must not make a live
+    lease look expired (ADVICE r11, low).  Skew is observed via a probe
+    PUT and subtracted from the naive age."""
+    import time
+
+    from gofeed_spark.fs import register_filesystem, unregister_filesystem
+    from gofeed_spark.operators.dedup import _staging_protected
+
+    SKEW_NS = int(3600 * 1e9)  # store clock 1h behind the driver
+
+    class SkewFS(DirObjectStoreFileSystem):
+        def stat(self, path):
+            st = super().stat(path)
+            return None if st is None else (st[0], st[1] - SKEW_NS)
+
+    fs = SkewFS("skewfs", str(tmp_path / "backing"))
+    register_filesystem("skewfs", fs)
+    try:
+        marker = "skewfs://bucket/idx/_staging.json"
+        fs.put_bytes(marker, json.dumps({"dirs": ["sigs_v0001"]}).encode())
+        # naive age ≈ 1h > ttl 60s, but the probe reveals the skew
+        protected, stale = _staging_protected(
+            fs, "skewfs://bucket/idx", marker, staging_ttl_sec=60.0
+        )
+        assert not stale and protected == {"sigs_v0001"}
+        # a genuinely stale marker is still reclaimed under the same skew
+        real_mtime = time.time_ns() - int(120 * 1e9)
+
+        class OldMarkerFS(SkewFS):
+            def stat(self, path):
+                st = super().stat(path)
+                if st is not None and path.endswith("_staging.json"):
+                    return (st[0], real_mtime - SKEW_NS)
+                return st
+
+        fs2 = OldMarkerFS("skewfs", str(tmp_path / "backing"))
+        register_filesystem("skewfs", fs2)
+        protected, stale = _staging_protected(
+            fs2, "skewfs://bucket/idx", marker, staging_ttl_sec=60.0
+        )
+        assert stale and protected == set()
+    finally:
+        unregister_filesystem("skewfs")
+
+
 # --- ANN index + WARC export on the fake remote ------------------------------
 
 

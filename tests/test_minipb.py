@@ -176,6 +176,29 @@ def test_repeated_vivify_append_installs_chain(sm):
     assert req2.SerializeToString() == b""
 
 
+def test_message_with_repeated_field_pickles(sm):
+    # pickling a message holding a repeated field must round-trip: list
+    # subclasses restore under protocol 2 by appending items BEFORE
+    # __init__/state runs, so the container's mutation hook cannot assume
+    # its owner slot is already bound (ADVICE r11 — previously raised
+    # AttributeError on loads)
+    import pickle
+
+    req = sm.StateRequest()
+    req.stateVariableRequest.listStateCall.listStatePut.value.append(b"x1")
+    req.stateVariableRequest.listStateCall.listStatePut.value.append(b"x2")
+    back = pickle.loads(pickle.dumps(req))
+    assert list(back.stateVariableRequest.listStateCall.listStatePut.value) == [
+        b"x1",
+        b"x2",
+    ]
+    assert back.SerializeToString() == req.SerializeToString()
+    # the restored container still installs presence on mutation
+    back.stateVariableRequest.listStateCall.listStatePut.value.append(b"x3")
+    assert len(_roundtrip(back, sm.StateRequest)
+               .stateVariableRequest.listStateCall.listStatePut.value) == 3
+
+
 def test_truncated_length_delimited_raises(sm):
     from google.protobuf.message import DecodeError
 
