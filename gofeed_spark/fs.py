@@ -117,6 +117,13 @@ class FileSystem:
         recursively — the compactor's sizing input."""
         raise NotImplementedError
 
+    def walk_files(self, path: str) -> list[tuple[str, int]]:
+        """(relative_key, size_bytes) for every file under ``path``
+        recursively, '/'-separated relative keys, sorted — the copy-publish
+        and sizing primitive (hidden ``_``/``.`` entries included; callers
+        filter)."""
+        raise NotImplementedError
+
 
 class LocalFileSystem(FileSystem):
     """POSIX backend — schemeless and ``file:`` paths."""
@@ -191,6 +198,16 @@ class LocalFileSystem(FileSystem):
                     n += 1
                     total += os.path.getsize(os.path.join(r, f))
         return n, total
+
+    def walk_files(self, path: str) -> list[tuple[str, int]]:
+        local = self._local(path)
+        out = []
+        for r, _dirs, files in os.walk(local):
+            for f in files:
+                full = os.path.join(r, f)
+                rel = os.path.relpath(full, local).replace(os.sep, "/")
+                out.append((rel, os.path.getsize(full)))
+        return sorted(out)
 
 
 class ObjectStoreFileSystem(FileSystem):
@@ -274,6 +291,14 @@ class ObjectStoreFileSystem(FileSystem):
                 n += 1
                 total += size
         return n, total
+
+    def walk_files(self, path: str) -> list[tuple[str, int]]:
+        prefix = self._key(path) + "/"
+        return sorted(
+            (key[len(prefix):], size)
+            for key, size, _mt in self._list(prefix)
+            if key[len(prefix):]
+        )
 
 
 class DirObjectStoreFileSystem(ObjectStoreFileSystem):

@@ -90,6 +90,67 @@ def write_partitioned(
     writer.save(path)
 
 
+def recover_compact(path: str) -> bool:
+    """Crash-restore for ``compact``'s publish window — run on entry there
+    (and safe to run any time; idempotent, returns True if repaired).
+
+    POSIX (rename swap) states: live missing + ``*_compact_old`` present →
+    rename back; finished swap with lost cleanup → delete ``_old``; stray
+    ``*_compact_staging`` → delete (pre-publish, live dir intact).
+
+    Object-store (copy publish) states, keyed on the
+    ``*_compact_commit.json`` marker (whose PUT is the commit point):
+    marker + staging present → the copy may be partial, REDO it
+    (idempotent: delete live objects, re-copy staging, delete staging,
+    delete marker); marker without staging → copy completed, only the
+    marker removal was lost → delete marker; staging without marker →
+    incomplete staging write → delete staging."""
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
+    base = path.rstrip("/")
+    old, staging = base + "_compact_old", base + "_compact_staging"
+    marker = base + "_compact_commit.json"
+    if fs.supports_rename():
+        if not fs.exists(path) and fs.exists(old):
+            fs.rename(old, base)
+            return True
+        repaired = False
+        for stray in (old, staging):
+            if fs.exists(stray):
+                fs.delete_tree(stray)
+                repaired = True
+        return repaired
+    if fs.exists(marker):
+        if fs.isdir(staging):
+            _copy_publish(fs, staging, base, marker)
+        else:
+            fs.delete(marker)
+        return True
+    if fs.isdir(staging):
+        fs.delete_tree(staging)
+        return True
+    return False
+
+
+def _copy_publish(fs, staging: str, live: str, marker: str) -> None:
+    """Rename-less publish: replace the live table's objects with the
+    staging tree's, driver-side (GET+PUT per object).  Idempotent given
+    the marker (redo-safe from any crash point); the byte volume is the
+    COMPACTED output — acceptable for the maintenance tables this serves
+    (dead-letter partitions), not a path for 100 TB fact tables, which
+    live under Spark's own s3a:// data plane and compact by
+    pointer-addressed layouts (see the MinHash index) instead."""
+    fs.delete_tree(live)
+    for rel, _size in fs.walk_files(staging):
+        name = rel.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            continue  # _SUCCESS / hidden markers don't publish
+        fs.put_bytes(fs.join(live, rel), fs.read_bytes(fs.join(staging, rel)))
+    fs.delete_tree(staging)
+    fs.delete(marker)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -106,44 +167,50 @@ def compact(
     the table lifecycle (Delta/Iceberg call it OPTIMIZE / rewriteFiles —
     this is the plain-parquet equivalent, single-writer like the other
     staging flips; run it from the maintenance job, not the hot path).
-    """
-    import math
-    import shutil
 
-    # Crash recovery: the swap below has a window between moving the live
-    # dir aside and moving the staging dir in.  A crash there leaves the
-    # data stranded in *_compact_old with no live path — restore it before
-    # doing anything else (same stale-dir recovery posture as
-    # transactional_write).
-    old = path.rstrip("/") + "_compact_old"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.replace(old, path)
+    All artifact ops go through ``gofeed_spark.fs``.  Publish is
+    backend-shaped: POSIX swaps directories by rename (parking the live
+    dir at ``*_compact_old`` for crash recovery); a rename-less object
+    store commits by PUTting a ``*_compact_commit.json`` marker and
+    copy-publishing the staging objects over the live prefix —
+    ``recover_compact`` redoes the copy from any crash point, so readers
+    see either the old files or the new files plus a redo, never a
+    half-published table without a recovery path."""
+    import json
+    import math
+
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
+    recover_compact(path)
+    base = path.rstrip("/")
+    old, staging = base + "_compact_old", base + "_compact_staging"
+    marker = base + "_compact_commit.json"
 
     out_fmt = fmt or infer_format(path)
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
+    total = sum(
+        size
+        for rel, size in fs.walk_files(base)
+        if not rel.rsplit("/", 1)[-1].startswith(("_", "."))
+    )
     n_files = max(1, math.ceil(total / target_file_bytes))
     # Preserve a partitioned layout: discover the Hive-style key=value
     # directory chain and re-apply it — compacting an ANN/partitioned table
     # must never flatten the layout its pruned probes depend on.
     part_cols: list[str] = []
-    probe = path
+    probe = base
     while True:
         subs = [
             d
-            for d in os.listdir(probe)
-            if "=" in d and os.path.isdir(os.path.join(probe, d))
+            for d in fs.listdir(probe)
+            if "=" in d and fs.isdir(fs.join(probe, d))
         ]
         if not subs:
             break
         part_cols.append(subs[0].split("=", 1)[0])
-        probe = os.path.join(probe, subs[0])
-    df = read_table(spark, path, fmt=out_fmt)
-    staging = path.rstrip("/") + "_compact_staging"
-    shutil.rmtree(staging, ignore_errors=True)
+        probe = fs.join(probe, subs[0])
+    df = read_table(spark, fs.spark_path(base), fmt=out_fmt)
+    fs.delete_tree(staging)
     if part_cols:
         # repartition BY the partition keys: one shuffled write produces
         # ≤ n_files files per partition directory without a global sort
@@ -155,11 +222,15 @@ def compact(
         writer = writer.partitionBy(*part_cols)
     if out_fmt == "csv":
         writer = writer.option("header", "true")
-    writer.save(staging)
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(path, old)
-    os.replace(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    writer.save(fs.spark_path(staging))
+    if fs.supports_rename():
+        fs.delete_tree(old)
+        fs.rename(base, old)
+        fs.rename(staging, base)
+        fs.delete_tree(old)
+    else:
+        fs.put_bytes(marker, json.dumps({"staging": staging}).encode())
+        _copy_publish(fs, staging, base, marker)
     return n_files
 
 

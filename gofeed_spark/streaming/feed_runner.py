@@ -1100,17 +1100,18 @@ class FeedRunner:
                 )
             }
         if self.storage == "parquet":
+            from gofeed_spark.fs import get_filesystem
             from gofeed_spark.sources.io import compact
 
+            fs = get_filesystem(self.base)
             compacted: dict[str, int] = {}
-            root = os.path.join(self.base, self.t_dead)
-            if os.path.isdir(root):
-                for entry in sorted(os.listdir(root)):
-                    sub = os.path.join(root, entry)
-                    if entry.startswith("writer=") and os.path.isdir(sub):
-                        compacted[entry] = compact(
-                            self.spark, sub, target_file_bytes=compact_target_bytes
-                        )
+            root = fs.join(self.base, self.t_dead)
+            for entry in fs.listdir(root):
+                sub = fs.join(root, entry)
+                if entry.startswith("writer=") and fs.isdir(sub):
+                    compacted[entry] = compact(
+                        self.spark, sub, target_file_bytes=compact_target_bytes
+                    )
             return {"compacted": compacted}
         return {}
 

@@ -293,6 +293,85 @@ def test_staging_staleness_uses_store_clock(tmp_path):
         unregister_filesystem("skewfs")
 
 
+def test_compact_on_object_store_with_kill_windows(spark, fakefs):
+    """io.compact on a rename-less backend publishes by marker +
+    copy-publish (the dead-letter maintenance path through the fs seam):
+    partitioned layout preserved, and every crash window in the publish
+    redoes or rolls back cleanly via recover_compact."""
+    from gofeed_spark.sources.io import compact, recover_compact
+
+    fs = fakefs
+    path = "fakefs://bucket/dead/writer=w1"
+    rows_in = [(i, f"payload {i}", "w1") for i in range(40)]
+    df = spark.createDataFrame(rows_in, "id long, payload string, writer string")
+    # accrete small files the way per-batch appends do
+    for lo in range(0, 40, 10):
+        part = df.filter((df.id >= lo) & (df.id < lo + 10)).coalesce(1)
+        part.write.mode("append").parquet(fs.spark_path(path))
+    n_before, _ = fs.tree_stats(path)
+    assert n_before >= 4
+    n_files = compact(spark, path)
+    assert n_files == 1
+    n_after, _ = fs.tree_stats(path)
+    assert n_after == 1
+    back = spark.read.parquet(fs.spark_path(path))
+    assert sorted(r["id"] for r in back.collect()) == list(range(40))
+    assert not fs.exists(path + "_compact_staging")
+    assert not fs.exists(path + "_compact_commit.json")
+
+    # kill window 1: staging written, NO marker yet → recover deletes
+    # staging, live table untouched
+    fs.put_bytes(path + "_compact_staging/part-0.parquet", b"half")
+    assert recover_compact(path) is True
+    assert not fs.exists(path + "_compact_staging")
+    assert spark.read.parquet(fs.spark_path(path)).count() == 40
+
+    # kill window 2: marker PUT + live deleted mid-copy → recover REDOES
+    # the copy from staging (idempotent)
+    staging = path + "_compact_staging"
+    for rel, _size in fs.walk_files(path):
+        fs.put_bytes(fs.join(staging, rel), fs.read_bytes(fs.join(path, rel)))
+    fs.put_bytes(
+        path + "_compact_commit.json", json.dumps({"staging": staging}).encode()
+    )
+    fs.delete_tree(path)  # the crash point: live gone, copy not started
+    assert recover_compact(path) is True
+    assert sorted(
+        r["id"] for r in spark.read.parquet(fs.spark_path(path)).collect()
+    ) == list(range(40))
+    assert not fs.exists(staging) and not fs.exists(path + "_compact_commit.json")
+
+    # kill window 3: copy finished, staging gone, marker removal lost
+    fs.put_bytes(
+        path + "_compact_commit.json", json.dumps({"staging": staging}).encode()
+    )
+    assert recover_compact(path) is True
+    assert not fs.exists(path + "_compact_commit.json")
+    assert spark.read.parquet(fs.spark_path(path)).count() == 40
+
+
+def test_compact_partitioned_layout_preserved_on_object_store(spark, fakefs):
+    """Partition-directory discovery and re-application work through the
+    seam: a writer=-partitioned dead-letter root compacts without
+    flattening its pruning layout."""
+    from gofeed_spark.sources.io import compact
+
+    fs = fakefs
+    path = "fakefs://bucket/dead_all"
+    df = spark.createDataFrame(
+        [(i, f"p{i}", f"w{i % 3}") for i in range(30)],
+        "id long, payload string, writer string",
+    )
+    df.write.mode("overwrite").partitionBy("writer").parquet(fs.spark_path(path))
+    compact(spark, path)
+    assert {d for d in fs.listdir(path) if d.startswith("writer=")} == {
+        "writer=w0", "writer=w1", "writer=w2"
+    }
+    back = spark.read.parquet(fs.spark_path(path))
+    assert back.count() == 30
+    assert {r["writer"] for r in back.collect()} == {"w0", "w1", "w2"}
+
+
 # --- ANN index + WARC export on the fake remote ------------------------------
 
 
