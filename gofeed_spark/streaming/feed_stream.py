@@ -205,6 +205,7 @@ def gate_stream_tws(
     item_events: DataFrame,
     manual_checkpoint: bool = False,
     auto_close: bool = True,
+    initial_state: DataFrame | None = None,
 ) -> DataFrame:
     """``transformWithStateInPandas`` implementation of the gate machine —
     the Spark 4 typed-state migration path for ``gate_stream``, same
@@ -240,6 +241,21 @@ def gate_stream_tws(
     a pre-widening checkpoint with this build; drain the old query (the
     gate machine is terminal-evicting, so a drained stream holds no
     state) or start a fresh checkpoint.
+
+    BULK INITIAL STATE: ``initial_state`` (a batch DataFrame with the
+    item-event columns ``id, partition_id, gate, status``) bulk-loads the
+    STANDING item map at query start — the restart-against-existing-state
+    path, where replaying every registration through ``handleInputRows``
+    pays one state-server round-trip per key (142 s/1M keys,
+    BENCH_SCALE.md r10).  ``handleInitialState`` folds each partition's
+    snapshot in one pandas pass, derives the head counters and per-gate
+    Available counts, and writes the item map through
+    ``state_bulk.bulk_map_update`` (pipelined windows + lean
+    serialization).  The head starts at (gate 0, AVAILABLE) over the
+    loaded counters; no decision runs and no output row is emitted until
+    the first live item event arrives — exactly a standing feed awaiting
+    its next delta.  Initial state applies only to a FRESH checkpoint
+    (Spark invokes ``handleInitialState`` on the first batch only).
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -341,12 +357,46 @@ def gate_stream_tws(
                 }
             )
 
+        def handleInitialState(self, key, initialState, timerValues):
+            from gofeed_spark.streaming.state_bulk import bulk_map_update
+
+            # fold the snapshot (last delivery wins, like handleInputRows)
+            items: dict[str, tuple[int, int]] = {}
+            items.update(
+                zip(
+                    initialState["id"].tolist(),
+                    zip(
+                        (int(g) for g in initialState["gate"].tolist()),
+                        (int(s) for s in initialState["status"].tolist()),
+                    ),
+                )
+            )
+            failed_n = 0
+            avail: dict[int, int] = {}
+            for g, s in items.values():
+                if s == FAILED:
+                    failed_n += 1
+                elif s == AVAILABLE:
+                    avail[g] = avail.get(g, 0) + 1
+            bulk_map_update(
+                self._items, (((iid,), gs) for iid, gs in items.items())
+            )
+            bulk_map_update(
+                self._avail, (((g,), (n,)) for g, n in avail.items())
+            )
+            self._head.update((0, AVAILABLE, len(items), failed_n))
+
         def close(self):
             pass
 
-    return item_events.groupBy("partition_id").transformWithStateInPandas(
+    grouped = item_events.groupBy("partition_id")
+    kwargs = {}
+    if initial_state is not None:
+        kwargs["initialState"] = initial_state.groupBy("partition_id")
+    return grouped.transformWithStateInPandas(
         GateProcessor(),
         outputStructType=GATE_OUT_DDL,
         outputMode="update",
         timeMode="none",
+        **kwargs,
     )

@@ -220,6 +220,60 @@ def test_gate_stream_tws_plan_builds(spark, dirs):
     assert a.schema == b.schema
 
 
+@pytest.mark.skipif(not tws_supported(), reason="no typed-state runtime")
+def test_gate_stream_tws_initial_state_matches_streamed_registration(
+    spark, dirs, tmp_path
+):
+    """Bulk-loading a standing item snapshot via ``initial_state`` must
+    leave the machine in the same state as streaming the identical items
+    through handleInputRows: run the same update batch against both and
+    compare the full sink rows.  600 items in one partition pushes
+    ``bulk_map_update`` across multiple pipeline windows."""
+    from gofeed_spark.streaming.feed_stream import one_slice_df
+
+    snapshot = [(f"i{j}", "p1", 0, AVAILABLE) for j in range(600)] + [
+        (f"j{j}", "p2", 0, AVAILABLE) for j in range(10)
+    ] + [("j10", "p2", 0, FAILED)]
+    updates = [
+        ("i0", "p1", 0, COMPLETE),
+        ("i1", "p1", 0, FAILED),
+        ("j10", "p2", 0, AVAILABLE),
+    ]
+
+    def run(stage, ckpt, sink_dir, slices, initial_state):
+        sink = ParquetUpsertSink(sink_dir, key="partition_id")
+        os.makedirs(stage, exist_ok=True)
+        for s in slices:
+            _stage(spark, stage, s, "s")
+        src = replay_stream(spark, stage, ITEM_EVENT_DDL)
+        with _state_provider(spark, gate_stream_tws):
+            q = (
+                gate_stream_tws(src, initial_state=initial_state)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(sink)
+                .start()
+            )
+            q.awaitTermination(120)
+        return {
+            r.partition_id: (r.gate, r.status, r.n_items, r.failed_n, r.avail_n)
+            for r in sink.read(spark).collect()
+        }
+
+    streamed = run(
+        str(tmp_path / "st1"), str(tmp_path / "ck1"), str(tmp_path / "sk1"),
+        [snapshot, updates], None,
+    )
+    bulk = run(
+        str(tmp_path / "st2"), str(tmp_path / "ck2"), str(tmp_path / "sk2"),
+        [updates], one_slice_df(spark, snapshot, ITEM_EVENT_DDL),
+    )
+    assert bulk == streamed
+    assert streamed["p1"] == (0, FAILED, 600, 1, 598)
+    assert streamed["p2"] == (0, AVAILABLE, 11, 0, 11)
+
+
 def _write_events(spark, tmp_path):
     src = str(tmp_path / "events_src")
     load_table(spark, SF, "events").write.mode("overwrite").parquet(src)

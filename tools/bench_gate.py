@@ -123,23 +123,30 @@ def _progress_stats(q) -> tuple[int, int, dict]:
 
 
 def bench_impl(spark, impl, stage_register: str, stage_updates: list[str],
-               update_rows: int) -> dict:
+               update_rows: int, initial_state=None) -> dict:
     base = tempfile.mkdtemp(prefix=f"gate_bench_{impl.__name__}_")
     try:
         ckpt = os.path.join(base, "ckpt")
         stage = os.path.join(base, "stage")
         os.makedirs(stage)
-        # phase 1: registration only
-        shutil.copy(stage_register, os.path.join(stage, "b000.parquet"))
+        # phase 1: registration — streamed through handleInputRows, or
+        # (initial_state mode) bulk-loaded by handleInitialState on the
+        # first (empty) micro-batch
+        if initial_state is not None:
+            _stage_one_file(initial_state.limit(0), stage)
+            run_impl = lambda src: impl(src, initial_state=initial_state)  # noqa: E731
+        else:
+            shutil.copy(stage_register, os.path.join(stage, "b000.parquet"))
+            run_impl = impl
         t0 = time.perf_counter()
-        q = _drain(spark, stage, ckpt, impl)
+        q = _drain(spark, stage, ckpt, run_impl)
         wall_register = time.perf_counter() - t0
         reg_updated, _, reg_bytes = _progress_stats(q)
         # phase 2: the K update slices, one file -> one micro-batch each
         for i, f in enumerate(stage_updates):
             shutil.copy(f, os.path.join(stage, f"u{i:03d}.parquet"))
         t0 = time.perf_counter()
-        q = _drain(spark, stage, ckpt, impl)
+        q = _drain(spark, stage, ckpt, run_impl)
         wall_updates = time.perf_counter() - t0
         rows_updated, state_rows, byte_totals = _progress_stats(q)
         return {
@@ -200,6 +207,13 @@ def main():
         for impl in impls:
             out_impls[impl.__name__] = bench_impl(
                 spark, impl, reg_file, update_files, update_rows
+            )
+        if tws_supported():
+            # third leg: identical standing map, but registered through
+            # the bulk initial-state path instead of handleInputRows
+            out_impls["gate_stream_tws_initial_state"] = bench_impl(
+                spark, gate_stream_tws, reg_file, update_files, update_rows,
+                initial_state=_register_frame(spark, n_parts, items_per_part),
             )
         print(
             json.dumps(
