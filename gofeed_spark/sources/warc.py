@@ -178,6 +178,19 @@ def read_warc(
         reader = reader.option("pathGlobFilter", leaf)
         sp = base
     files = reader.load(sp)
+    return _parse_stage(files, rec_types)
+
+
+def _parse_stage(
+    files: DataFrame, rec_types: tuple[str, ...]
+) -> DataFrame:
+    """The shared Arrow-batched parse over a ``binaryFile`` relation
+    (batch or streaming — the stage is stateless, so the plan is
+    identical either way)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
     keep = tuple(rec_types)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -195,6 +208,43 @@ def read_warc(
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    rec_types: tuple[str, ...] = ("response", "conversion"),
+    glob: str = "*.warc.gz",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WARC ingestion: a ``readStream(binaryFile)`` watch over a
+    landing directory — each archive dropped there becomes (part of) one
+    micro-batch of parsed records, through the SAME Arrow parse stage as
+    the batch ``read_warc``, so a pipeline composed downstream
+    (canonicalize → dedup → quality gates → sink) runs at ingest time.
+    This is the crawl-side twin of the reference's poll-loop watcher
+    (watcher.go:89-122): the file source's checkpoint tracks which
+    archives are consumed, so a restart resumes exactly where it stopped
+    — archives are the Common Crawl delivery unit, one gzip object each.
+
+    ``max_files_per_trigger`` bounds per-batch archive count (ingest
+    pacing); the landing dir must be FLAT (see ``read_warc``)."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is FIXED, but the streaming source refuses
+        # to infer — spell it out
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    from gofeed_spark.fs import get_filesystem
+
+    files = reader.load(get_filesystem(landing_dir).spark_path(landing_dir))
+    return _parse_stage(files, rec_types)
 
 
 def warc_bytes(records: list[dict], compress: bool = True) -> bytes:

@@ -513,6 +513,71 @@ def test_streaming_mixture_filter_matches_batch_sample(spark, tmp_path):
     assert batch_kept  # non-vacuous
 
 
+def test_streaming_warc_crawl_chain_matches_batch(spark, tmp_path):
+    """Live crawl ingestion: archives dropped into a landing dir stream
+    through readStream(binaryFile) → the SAME parse stage as read_warc →
+    URL canonicalization → recrawl keep-first → token-count signal (the
+    q119 chain), and the drained result must EQUAL the batch chain over
+    the same archives.  Archives land one per micro-batch
+    (maxFilesPerTrigger=1) to prove cross-batch dedup state carries."""
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.urls import canonicalize_url
+    from gofeed_spark.sources.warc import export_warc, read_warc, read_warc_stream
+
+    docs = [(f"http://ex.com/page/{i}", f"crawl body text {i} " * 3)
+            for i in range(30)]
+    # every 5th doc recrawled under a tracking-param variant of its URL
+    docs += [(f"http://ex.com/page/{i}?utm_source=feed", f"recrawl body {i}")
+             for i in range(0, 30, 5)]
+    landing = str(tmp_path / "landing")
+    export_warc(
+        spark.createDataFrame(docs, "url string, body string"),
+        landing,
+        n_archives=4,
+    ).collect()
+
+    def chain(records):
+        recs = records.withColumn(
+            "canonical_url", canonicalize_url(F.col("url"))
+        ).withColumn("text", F.col("body").cast("string"))
+        # keep-first per canonical URL; deterministic pick = min archive
+        # position so batch and stream agree regardless of arrival order
+        return (
+            recs.withColumn(
+                "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+            ).select("canonical_url", "url", "n_tokens")
+        )
+
+    batch = chain(read_warc(spark, landing + "/*"))
+    batch_rows = batch.collect()
+    candidates = {}
+    for r in batch_rows:
+        candidates.setdefault(r.canonical_url, set()).add((r.url, r.n_tokens))
+
+    stream = chain(read_warc_stream(spark, landing, max_files_per_trigger=1))
+    # streaming keep-first: dropDuplicates carries dedup state across
+    # micro-batches (unbounded here; a watermarked variant bounds it)
+    got = []
+    q = (
+        stream.dropDuplicates(["canonical_url"])
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_warc"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(got) == 30  # variants deduped, one row per canonical URL
+    assert {r.canonical_url for r in got} == set(candidates)
+    # which duplicate survives is arrival-order-defined, but every kept
+    # row must be one of the canonical group's real members
+    for r in got:
+        assert (r.url, r.n_tokens) in candidates[r.canonical_url]
+    # the recrawl variants actually collided (non-vacuous dedup)
+    assert len(batch_rows) == 36 and len(candidates) == 30
+
+
 def test_streaming_ingest_dedups_against_persisted_index(spark, tmp_path):
     """Ingest-time incremental dedup — the reference's change-feed model
     applied to corpus curation: new docs stream in, each micro-batch
