@@ -79,6 +79,8 @@ _DIALECT_BY_MODULE = {
     "duckdb": "on_conflict",
     "pyodbc": "merge",
     "pymssql": "merge",
+    # the vendored pure-stdlib PostgreSQL driver (no installs needed)
+    "gofeed_spark.vendor.minipg": "on_conflict",
 }
 
 

@@ -164,7 +164,7 @@ def _make_scan_dbapi(module_name: str):
     # deployments on such drivers should use a server-side cursor.
     limit_in_sql = module_name in {
         "sqlite3", "psycopg2", "psycopg", "duckdb", "pymysql", "MySQLdb",
-        "mariadb",
+        "mariadb", "gofeed_spark.vendor.minipg",
     }
 
     def scan(

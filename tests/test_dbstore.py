@@ -478,13 +478,134 @@ def test_merge_dialect_ddl_probe_creates_then_noops(fake_mssql):
     assert n_after == n_before
 
 
-# -- optional live-server validation ------------------------------------------
+# -- live-server validation ----------------------------------------------------
 # The dialect MERGE/paramstyle path is proven through sqlite3 and fake-driver
-# shims above; this sandbox ships no database server, so the reference's
-# headline store (main.go:74-80, Gorm over SQL Server) can additionally be
-# exercised against a REAL server the day an environment provides one:
-# set GOFEED_PG_DSN (psycopg2) or GOFEED_MSSQL_DSN (pyodbc) and the full
-# FeedRunner round-trip below runs against it; skipped otherwise.
+# shims above.  This sandbox ships PostgreSQL SERVER binaries but no Python
+# driver — so a scratch cluster (initdb -A trust, su postgres when root) plus
+# the vendored pure-stdlib driver (gofeed_spark.vendor.minipg) exercise the
+# real-server path end-to-end below.  The reference's headline store
+# (main.go:74-80, Gorm over SQL Server) can additionally be driven against an
+# external server: set GOFEED_PG_DSN (psycopg2) or GOFEED_MSSQL_DSN (pyodbc)
+# and the env-gated round-trips run against it; skipped otherwise.
+
+
+def _su_postgres(cmd: str) -> "subprocess.CompletedProcess":
+    import os as _os
+    import subprocess
+
+    if _os.geteuid() == 0:
+        return subprocess.run(
+            ["su", "postgres", "-c", cmd],
+            capture_output=True, text=True, cwd="/tmp",
+        )
+    return subprocess.run(
+        cmd, shell=True, capture_output=True, text=True, cwd="/tmp"
+    )
+
+
+@pytest.fixture(scope="module")
+def embedded_pg():
+    """A throwaway real PostgreSQL cluster: initdb + pg_ctl on a free
+    port, trust auth, torn down after the module.  Skips when the server
+    binaries are absent."""
+    import os as _os
+    import shutil as _sh
+    import socket as _sock
+    import tempfile
+
+    if not (_sh.which("initdb") and _sh.which("pg_ctl")):
+        pytest.skip("no postgres server binaries in this environment")
+    if _os.geteuid() == 0:
+        try:
+            import pwd
+
+            pwd.getpwnam("postgres")
+        except KeyError:
+            pytest.skip("running as root and no postgres user to su to")
+    base = tempfile.mkdtemp(prefix="gofeed_pg_")
+    _os.chmod(base, 0o777)
+    with _sock.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    data = f"{base}/data"
+    started = False
+    try:
+        r = _su_postgres(f"initdb -D {data} -A trust")
+        assert r.returncode == 0, r.stderr
+        r = _su_postgres(
+            f"pg_ctl -D {data} -l {base}/log -o '-p {port} "
+            f"-c listen_addresses=127.0.0.1 -k {base}' start"
+        )
+        assert r.returncode == 0, r.stderr
+        started = True
+        r = _su_postgres(f"createdb -h 127.0.0.1 -p {port} feedtest")
+        assert r.returncode == 0, r.stderr
+        yield f"host=127.0.0.1 port={port} dbname=feedtest user=postgres"
+    finally:
+        if started:
+            _su_postgres(f"pg_ctl -D {data} -m immediate stop")
+        _sh.rmtree(base, ignore_errors=True)
+
+
+MINIPG = "gofeed_spark.vendor.minipg"
+
+
+def test_embedded_pg_store_cas_and_reads(embedded_pg):
+    """DbApiStore against a REAL PostgreSQL server through the vendored
+    wire-protocol driver: schema creation, the strict version-CAS upsert
+    (repo.go:125-138 — a stale writer must lose), and the pushed
+    aggregate reads."""
+    store = DbApiStore(embedded_pg, MINIPG, table_prefix="cas_")
+    store.ensure_schema()
+    store.ensure_schema()  # idempotent re-probe
+    store.seed(
+        items_rows=[_item("i1", "p1", AVAILABLE, version=3, ts=5)],
+        parts_rows=[("p1", 0, 0, AVAILABLE)],
+    )
+    # seed runs the same CAS upsert SQL: stale version 2 must not land,
+    # fresh version 4 must
+    store.seed(items_rows=[_item("i1", "p1", COMPLETE, version=2, ts=6)],
+               parts_rows=[])
+    store.seed(items_rows=[_item("i2", "p1", COMPLETE, version=4, ts=7)],
+               parts_rows=[])
+    import gofeed_spark.vendor.minipg as minipg
+
+    con = minipg.connect(embedded_pg)
+    try:
+        cur = con.cursor()
+        cur.execute(
+            "SELECT id, version, status FROM cas_items ORDER BY id"
+        )
+        got = cur.fetchall()
+    finally:
+        con.close()
+    assert got == [("i1", 3, AVAILABLE), ("i2", 4, COMPLETE)]
+    assert store.max_updated_at() == 7
+    assert store.count_items(statuses=[COMPLETE]) == 1
+
+
+def test_embedded_pg_feed_roundtrip(spark, tmp_path, embedded_pg):
+    """The FULL FeedRunner drain against the real server via minipg —
+    the reference's headline deployment shape (a live SQL database as the
+    feed state store) with zero installed drivers."""
+    runner = FeedRunner(
+        spark, str(tmp_path / "live_pg"), json_times_processor, max_retries=3,
+        storage="dbapi", dbapi_module=MINIPG, db_path=embedded_pg,
+        table_prefix="live_",
+    )
+    runner.db.seed(
+        items_rows=[
+            (f"i{k}", 0, 0, f"p{k % 3}", 0, AVAILABLE, "", '{"times": 2}', 0)
+            for k in range(50)
+        ],
+        parts_rows=[(f"p{k}", 0, 0, AVAILABLE) for k in range(3)],
+    )
+    runner.run_available(timeout_s=300)
+    done = runner.items().filter("status = 2").count()
+    assert done == 50
+
+
+# Env-gated external-server legs (unchanged contract):
 _LIVE_SERVERS = [
     ("GOFEED_PG_DSN", "psycopg2"),
     ("GOFEED_MSSQL_DSN", "pyodbc"),
