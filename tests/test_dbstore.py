@@ -584,6 +584,64 @@ def test_embedded_pg_store_cas_and_reads(embedded_pg):
     assert store.count_items(statuses=[COMPLETE]) == 1
 
 
+def test_embedded_pg_two_writers_cas_race(embedded_pg):
+    """The reference's flagship concurrency guarantee against a REAL
+    database (watcher_test.go:233-266): two writers race the SAME CAS
+    upsert batch over separate live connections — PostgreSQL's row locks
+    plus the strict version predicate arbitrate, every item lands exactly
+    ONE version bump, and the loser's statements change nothing."""
+    import threading
+
+    store = DbApiStore(embedded_pg, MINIPG, table_prefix="race_")
+    store.ensure_schema()
+    store.seed(
+        items_rows=[_item(f"i{k}", "p1", AVAILABLE, version=0, ts=1)
+                    for k in range(20)],
+        parts_rows=[("p1", 0, 0, AVAILABLE)],
+    )
+    sql = store._items_upsert_sql()
+    rows = [_item(f"i{k}", "p1", COMPLETE, version=1, ts=2)
+            for k in range(20)]
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer():
+        import gofeed_spark.vendor.minipg as minipg
+
+        try:
+            con = minipg.connect(embedded_pg)
+            try:
+                barrier.wait(timeout=60)
+                cur = con.cursor()
+                cur.executemany(sql, rows)
+                con.commit()
+            finally:
+                con.close()
+        except Exception as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    import gofeed_spark.vendor.minipg as minipg
+
+    con = minipg.connect(embedded_pg)
+    try:
+        cur = con.cursor()
+        cur.execute(
+            "SELECT version, status, COUNT(*) FROM race_items "
+            "GROUP BY version, status"
+        )
+        got = cur.fetchall()
+    finally:
+        con.close()
+    # exactly one bump per item: all 20 rows at version 1, COMPLETE
+    assert got == [(1, COMPLETE, 20)]
+
+
 def test_embedded_pg_feed_roundtrip(spark, tmp_path, embedded_pg):
     """The FULL FeedRunner drain against the real server via minipg —
     the reference's headline deployment shape (a live SQL database as the
