@@ -516,37 +516,51 @@ def hash64_band_pairs(
     lo_col: str = "sim_lo",
     df_cap: int | None = 5_000,
     n: int | None = None,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint frame ``(id, hi, lo)``
-    (two 32-bit halves — the BIGINT-sign-safe convention): 4 bands of 16
-    bits for candidates (pigeonhole — any pair within Hamming distance 3
-    shares a band; wider distances are best-effort, standard practice),
-    exact distance via ``bit_count(xor)``.  The banded machinery behind
-    ``simhash_neardup_pairs``, reused verbatim by the perceptual-hash
-    media dedup (multimodal.media_neardup_pairs) — one scalable kernel,
-    many fingerprint families.  Returns (doc_a, doc_b, hamming).
+    (two 32-bit halves — the BIGINT-sign-safe convention): ``n_bands``
+    equal-width bit bands for candidates, exact distance via
+    ``bit_count(xor)``.  PIGEONHOLE: any pair within Hamming distance
+    ``n_bands - 1`` is GUARANTEED to share a band; beyond that recall is
+    best-effort (standard SimHash practice — the default 4×16 bands
+    guarantee distance 3).  A caller needing exhaustive recall at
+    ``max_hamming`` passes ``n_bands = max_hamming + 1`` (narrower bands
+    admit more spurious candidates — the band value space shrinks 2×
+    per bit — so the exact xor verdict does proportionally more work;
+    fine to ~8 bands, reconsider the plan past that).  The banded
+    machinery behind ``simhash_neardup_pairs``, reused verbatim by the
+    perceptual-hash media dedup (multimodal.media_neardup_pairs) — one
+    scalable kernel, many fingerprint families.  Returns
+    (doc_a, doc_b, hamming).
 
     ``df_cap``: band buckets above the cap emit a linear spanning star
     instead of m²/2 pairs (see ``_group_pairs``, hot="star").
     """
+    if not 1 <= n_bands <= 64:
+        raise ValueError("n_bands must be in [1, 64]")
     sh = fps.select(
         F.col(id_col).alias("doc_id"),
         F.col(hi_col).alias("sim_hi"),
         F.col(lo_col).alias("sim_lo"),
     )
-    # Slim band relation (doc_id, hashed 16-bit band) — fingerprints are
-    # re-joined per candidate pair, not shuffled per band.
-    bands = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.xxhash64(F.lit(0), F.col("sim_lo").bitwiseAND(F.lit(0xFFFF))),
-                F.xxhash64(F.lit(1), F.shiftright(F.col("sim_lo"), 16)),
-                F.xxhash64(F.lit(2), F.col("sim_hi").bitwiseAND(F.lit(0xFFFF))),
-                F.xxhash64(F.lit(3), F.shiftright(F.col("sim_hi"), 16)),
-            )
-        ).alias("bh"),
+    # Slim band relation (doc_id, hashed band value) — fingerprints are
+    # re-joined per candidate pair, not shuffled per band.  Bands slice
+    # the recombined 64-bit fingerprint low-to-high with the remainder
+    # bits spread over the lowest bands; for the default 4 bands this
+    # reproduces the original 16-bit layout exactly.
+    full = F.shiftleft(F.col("sim_hi").bitwiseAND(F.lit(0xFFFFFFFF)), 32).bitwiseOR(
+        F.col("sim_lo").bitwiseAND(F.lit(0xFFFFFFFF))
     )
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    band_cols, start = [], 0
+    for i, w in enumerate(widths):
+        band = F.shiftrightunsigned(full, start)
+        if start + w < 64:  # top band: the shift already cleared the rest
+            band = band.bitwiseAND(F.lit((1 << w) - 1))
+        band_cols.append(F.xxhash64(F.lit(i), band))
+        start += w
+    bands = sh.select("doc_id", F.explode(F.array(*band_cols)).alias("bh"))
     cand = compute_width(
         _group_pairs(bands, "bh", df_cap=df_cap, hot="star", n=n),
         "doc_a", "doc_b", n=n,

@@ -369,9 +369,13 @@ def media_neardup_pairs(
     df_cap: int | None = 5_000,
 ) -> DataFrame:
     """Near-duplicate media pairs: dHash fingerprints through the SAME
-    banded-LSH kernel text SimHash uses (dedup.hash64_band_pairs — 16-bit
-    bands, hot-bucket star guard, bit_count(xor) verdict).  Returns
-    (media_a, media_b, hamming).  This is the scalable media-dedup shape:
+    banded-LSH kernel text SimHash uses (dedup.hash64_band_pairs —
+    hot-bucket star guard, bit_count(xor) verdict).  Returns
+    (media_a, media_b, hamming).  Recall is EXHAUSTIVE at the requested
+    distance: ``max_hamming + 1`` bands, so by pigeonhole every pair
+    within the bound shares a band (4-band best-effort missed a natural
+    Hamming-4 pair whose four differing bits hit all four bands — the
+    round-12 sf0.1 gate catch).  This is the scalable media-dedup shape:
     fingerprints are 8 bytes, candidates only form on band collisions,
     and a 10⁵-copy meme family costs O(m) star rows, never m² pairs."""
     from gofeed_spark.operators.dedup import hash64_band_pairs
@@ -384,6 +388,7 @@ def media_neardup_pairs(
             hi_col="ph_hi",
             lo_col="ph_lo",
             df_cap=df_cap,
+            n_bands=max_hamming + 1,
         )
         .select(
             F.col("doc_a").alias("media_a"),

@@ -1966,8 +1966,9 @@ cfp AS (
         FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM corpus))
   GROUP BY doc_id
 )
-SELECT b.doc_id AS new_id, c.doc_id AS dup_of
+SELECT b.doc_id AS new_id, MIN(c.doc_id) AS dup_of
 FROM bfp b JOIN cfp c ON b.fp = c.fp
+GROUP BY b.doc_id
 ORDER BY new_id, dup_of
 """,
 )
@@ -1984,9 +1985,15 @@ def q100(spark, sf_dir):
     — estimator-only "exact" over-matches, measured on this corpus) —
     precisely the oracle's shingle-set-fingerprint equality join, so BOTH
     recall (every planted clone recovered) and precision (no spurious
-    matches) are hash-checked.  Rebuilds per run because the gate
-    demands self-contained queries; production callers use
-    ensure_minhash_index (fingerprint-guarded build-once).
+    matches) are hash-checked.  The verdict is ONE witness per batch doc:
+    fps/ keeps the MIN doc_id per distinct fingerprint (the clone-family
+    representative — r8's fan-out cap), so the oracle groups its join to
+    MIN(c.doc_id) too; at sf0.1 the corpus contains natural multi-member
+    clone families (e.g. docs 669 and 1641 share a shingle set) where
+    the enumerate-all form and the one-witness form genuinely differ.
+    Rebuilds per run because the gate demands self-contained queries;
+    production callers use ensure_minhash_index (fingerprint-guarded
+    build-once).
     Reference parity: the change-feed model (watcher.go:89-122, new rows
     streaming past standing state) applied to corpus curation."""
     import shutil

@@ -79,5 +79,11 @@ def test_module_declares_pep249_surface():
     assert minipg.apilevel == "2.0"
     assert minipg.paramstyle == "pyformat"
     for name in ("Error", "InterfaceError", "DatabaseError", "OperationalError",
-                 "ProgrammingError", "IntegrityError", "connect"):
+                 "ProgrammingError", "IntegrityError", "connect",
+                 "Date", "Time", "Timestamp", "Binary", "DateFromTicks",
+                 "TimeFromTicks", "TimestampFromTicks"):
         assert hasattr(minipg, name)
+    # type objects compare equal to the member OIDs description carries
+    assert minipg.STRING == 25 and minipg.STRING == 1043
+    assert minipg.NUMBER == 23 and minipg.NUMBER != 25
+    assert minipg.BINARY == 17 and minipg.DATETIME == 1114

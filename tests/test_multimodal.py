@@ -136,6 +136,31 @@ def test_hash64_band_pairs_recovers_hamming_family(spark):
     assert got[(0, 1)] == 1 and got[(0, 2)] == 1 and got[(0, 3)] == 2
 
 
+def test_hash64_band_pairs_n_bands_guarantees_max_hamming(spark):
+    """The round-12 sf0.1 gate catch, pinned: a Hamming-4 pair whose four
+    differing bits hit all four default bands is INVISIBLE to 4-band
+    candidate generation, and ``n_bands = max_hamming + 1`` (what
+    media_neardup_pairs now passes) recovers it by pigeonhole.  Also
+    pins that the generalized band slicing at n_bands=4 reproduces the
+    original 16-bit layout (same pairs on the distance-3 family)."""
+    from gofeed_spark.operators.dedup import hash64_band_pairs
+
+    base = 0x123456789ABCDEF0
+    # one flipped bit in EACH 16-bit band: 0, 16, 32, 48
+    evil = base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+    fps = [(i, (h >> 32) & 0xFFFFFFFF, h & 0xFFFFFFFF)
+           for i, h in enumerate((base, evil))]
+    df = spark.createDataFrame(fps, "doc_id long, sim_hi long, sim_lo long")
+
+    four = hash64_band_pairs(df, max_hamming=4, n_bands=4).collect()
+    assert four == []  # the documented best-effort gap
+    five = {(r.doc_a, r.doc_b): r.hamming
+            for r in hash64_band_pairs(df, max_hamming=4, n_bands=5).collect()}
+    assert five == {(0, 1): 4}
+    with pytest.raises(ValueError):
+        hash64_band_pairs(df, n_bands=0)
+
+
 def test_media_embedding_feeds_ann_index(spark, tmp_path):
     """The multimodal→vector bridge end-to-end: media blobs → stub
     embeddings → the SAME SRP-LSH index/probe text vectors use.  With the
