@@ -595,11 +595,18 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     df_cap: int | None = 5_000,
     n_hint: int | None = None,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming between SimHash
-    fingerprints.  Candidate generation: 4 bands of 16 bits (pigeonhole — any
-    pair within distance 3 shares a band; wider distances are best-effort,
-    standard SimHash practice).  Exact distance check via bit_count(xor).
+    fingerprints.  Candidate generation: ``n_bands`` bit bands (default
+    4×16: pigeonhole guarantees any pair within distance 3 shares a band;
+    wider distances are best-effort, standard SimHash practice — the
+    recall floor is MEASURED in tests).  A caller needing exhaustive
+    recall passes ``n_bands = max_hamming + 1`` (see
+    ``hash64_band_pairs`` for the candidate-volume trade-off; at the
+    SimHash default h=8 that means 7-bit bands, which collide heavily —
+    prefer the measured best-effort default there).  Exact distance
+    check via bit_count(xor).
 
     ``df_cap``: band buckets above the cap emit a linear spanning star
     instead of m²/2 pairs (see ``minhash_lsh_pairs`` / ``_group_pairs`` —
@@ -611,7 +618,7 @@ def simhash_neardup_pairs(
     sh = simhash64(docs, text_col, id_col).persist()
     return hash64_band_pairs(
         sh, max_hamming=max_hamming, id_col="doc_id", df_cap=df_cap,
-        n=_corpus_n(docs, n_hint),
+        n=_corpus_n(docs, n_hint), n_bands=n_bands,
     )
 
 
