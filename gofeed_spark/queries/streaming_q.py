@@ -65,3 +65,112 @@ def q52(spark, sf_dir):
     return sink.read(spark).select(
         "partition_id", "gate", "status", "n_items"
     ).orderBy("partition_id")
+
+
+@query(
+    "q120_streaming_crawl_ingest",
+    oracle=r"""
+WITH raw AS (
+  SELECT doc_id, text,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           || '?utm_src=recrawl' AS url
+  FROM documents WHERE doc_id % 5 = 0
+),
+canon AS (
+  SELECT text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(url, '([?&])utm_[A-Za-z_]+=[^&]*', '\1', 'g'),
+                 '&&+', '&', 'g'),
+               '\?&', '?'),
+             '[?&]+$', ''),
+           '/+(\?|$)', '\1', 'g') AS url_canon
+  FROM raw
+)
+SELECT url_canon,
+       COUNT(*) AS n_crawls,
+       CAST(SUM(length(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS total_words
+FROM canon GROUP BY url_canon ORDER BY url_canon
+""",
+)
+def q120(spark, sf_dir):
+    """LIVE crawl ingestion with a hash-checked oracle — the streaming
+    twin of q119's batch chain, and the first ORACLE-PAIRED streaming
+    query: the corpus (plus tracking-param recrawl variants for every
+    5th doc) is exported as WARC archives into a landing directory, then
+    consumed by ``read_warc_stream`` ONE ARCHIVE PER MICRO-BATCH →
+    URL canonicalization → a STREAMING aggregation per canonical URL
+    (crawl count + total words), update-mode through the idempotent
+    upsert sink.  The aggregation state carries across the four
+    micro-batches, and — unlike keep-first dedup, whose winner is
+    arrival-order-defined — the per-group totals are arrival-INVARIANT,
+    so the drained result is value-comparable against a batch SQL oracle
+    over the documents table: the whole container round trip + streaming
+    state machinery is hash-checked, not just row-counted.
+    Reference parity: the poll-loop watcher shape (watcher.go:89-122)
+    applied to crawl ingest."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.catalog import load_table
+    from gofeed_spark.operators.urls import canonicalize_url
+    from gofeed_spark.sources import warc as W
+    from gofeed_spark.sources.warc import read_warc_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def urls(frame, extra):
+        return frame.select(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                F.col("doc_id").cast("string"), F.lit(extra),
+            ).alias("url"),
+            F.encode("text", "utf-8").alias("body"),
+        )
+
+    base = urls(docs, "")
+    recrawls = urls(docs.filter(F.col("doc_id") % 5 == 0), "?utm_src=recrawl")
+    work = tempfile.mkdtemp(prefix="gofeed_q120_")
+    landing, ckpt, out = f"{work}/landing", f"{work}/ckpt", f"{work}/sink"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        W.export_warc(base.unionByName(recrawls), landing, n_archives=4).collect()
+        from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+        sink = ParquetUpsertSink(out, key="url_canon")
+        records = read_warc_stream(spark, landing, max_files_per_trigger=1)
+        agg = (
+            records.withColumn("url_canon", canonicalize_url(F.col("url")))
+            .withColumn("text", F.decode("body", "utf-8"))
+            .withColumn("n_words", F.size(F.split(F.trim("text"), r"\s+")))
+            .groupBy("url_canon")
+            .agg(
+                F.count(F.lit(1)).alias("n_crawls"),
+                F.sum("n_words").cast("long").alias("total_words"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination(180)
+        return (
+            sink.read(spark)
+            .select("url_canon", "n_crawls", "total_words")
+            .orderBy("url_canon")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(work, ignore_errors=True)
