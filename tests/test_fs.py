@@ -372,6 +372,62 @@ def test_compact_partitioned_layout_preserved_on_object_store(spark, fakefs):
     assert {r["writer"] for r in back.collect()} == {"w0", "w1", "w2"}
 
 
+def test_upsert_sink_on_object_store_with_crash_windows(spark, fakefs):
+    """ParquetUpsertSink publishes by ONE atomic manifest PUT (batch ids +
+    data pointer together) — so the streaming sink lands on a rename-less
+    backend, re-delivered batches skip idempotently, a crash between the
+    data write and the PUT leaves only an unreferenced versioned dir
+    (reclaimed by the next commit's sweep), and legacy list-manifest
+    tables upgrade in place."""
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    fs = fakefs
+    path = "fakefs://bucket/sink"
+    sink = ParquetUpsertSink(path, key="k")
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    sink(b0, 0)
+    b1 = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
+    sink(b1, 1)
+    got = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert got == {("a", 1), ("b", 20), ("c", 3)}
+    assert sink.committed() == [0, 1]
+    # idempotent re-delivery: same batch id, different rows -> skipped
+    sink(spark.createDataFrame([("a", 999)], "k string, v int"), 1)
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == got
+    # crash window: versioned dir written but manifest PUT lost -> the
+    # next commit reclaims it and the table stays consistent
+    fs.put_bytes(f"{path}/data_v000007/part-0.parquet", b"garbage")
+    sink(spark.createDataFrame([("d", 4)], "k string, v int"), 2)
+    assert not fs.isdir(f"{path}/data_v000007")
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == got | {("d", 4)}
+    # exactly one live data dir remains
+    live = [n for n in fs.listdir(path) if n.startswith("data_v")]
+    assert len(live) == 1
+
+
+def test_upsert_sink_reads_legacy_layout(spark, tmp_path):
+    """A pre-pointer sink table (bare-list manifest + fixed data/ dir)
+    stays readable and upgrades on its first new commit."""
+    import json as _json
+    import os as _os
+
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    base = str(tmp_path / "legacy_sink")
+    _os.makedirs(base)
+    spark.createDataFrame([("a", 1)], "k string, v int").write.parquet(
+        _os.path.join(base, "data")
+    )
+    with open(_os.path.join(base, "_committed_batches.json"), "w") as f:
+        _json.dump([0], f)
+    sink = ParquetUpsertSink(base, key="k")
+    assert sink.committed() == [0]
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == {("a", 1)}
+    sink(spark.createDataFrame([("b", 2)], "k string, v int"), 1)
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == {("a", 1), ("b", 2)}
+    assert not _os.path.exists(_os.path.join(base, "data"))  # upgraded
+
+
 # --- ANN index + WARC export on the fake remote ------------------------------
 
 
