@@ -100,10 +100,17 @@ def _build_frame_factory(state_name: str):
 def bulk_map_update(map_state, entries: Iterable[tuple[tuple, tuple]],
                     window: int = 256) -> int:
     """Write ``(key_tuple, value_tuple)`` entries into a TWS MapState,
-    pipelined ``window`` requests per socket flush.  Returns the number of
-    entries written.  Falls back to the per-key ``updateValue`` loop if
-    the client internals don't match (a pyspark upgrade) or the first
-    frame fails the byte-equality self-check."""
+    fully pipelined: the calling thread streams requests (flushing every
+    ``window``) while a READER THREAD concurrently drains and validates
+    responses — the writer never stalls on a round trip, and because the
+    reader keeps the response stream empty the JVM never blocks on its
+    send buffer, so there is no in-flight window to size against socket
+    buffers.  Returns the number of entries written.  Falls back to the
+    per-key ``updateValue`` loop if the client internals don't match
+    (a pyspark upgrade) or the first frame fails the byte-equality
+    self-check."""
+    import threading
+
     try:
         client = map_state._mapStateClient
         api = client._stateful_processor_api_client
@@ -119,51 +126,92 @@ def bulk_map_update(map_state, entries: Iterable[tuple[tuple, tuple]],
     except (AttributeError, ImportError):
         return _fallback(map_state, entries)
 
-    def drain(n: int) -> None:
-        for _ in range(n):
-            length = read_int(sockfile)
-            if length == 0:
-                continue  # all-defaults StateResponse = statusCode 0
-            payload = sockfile.read(length)
-            resp = sm.StateResponse()
-            resp.ParseFromString(payload)
-            if resp.statusCode != 0:
-                raise RuntimeError(
-                    f"bulk_map_update: state server error "
-                    f"{resp.statusCode}: {resp.errorMessage}"
-                )
+    def drain(n: int, errors: list) -> None:
+        try:
+            for _ in range(n):
+                length = read_int(sockfile)
+                if length == 0:
+                    continue  # all-defaults StateResponse = statusCode 0
+                payload = sockfile.read(length)
+                resp = sm.StateResponse()
+                resp.ParseFromString(payload)
+                if resp.statusCode != 0:
+                    errors.append(
+                        RuntimeError(
+                            f"bulk_map_update: state server error "
+                            f"{resp.statusCode}: {resp.errorMessage}"
+                        )
+                    )
+                    return  # stop reading; writer aborts on next check
+        except Exception as e:  # noqa: BLE001 - surfaced to the writer
+            errors.append(e)
 
-    checked = False
-    in_flight = 0
-    total = 0
-    for key, value in entries:
-        kb = dumps(key_internal(key))
-        vb = dumps(value_internal(value))
-        frame = build(kb, vb)
-        if not checked:
-            ref = reference(kb, vb)
-            if frame != ref:
-                # protocol drift: finish this entry + the rest stock-path
-                drainable = in_flight
+    # -- first entry: synchronous, with the byte-equality self-check -------
+    it = iter(entries)
+    try:
+        first = next(it)
+    except StopIteration:
+        return 0
+    kb = dumps(key_internal(first[0]))
+    vb = dumps(value_internal(first[1]))
+    frame = build(kb, vb)
+    if frame != reference(kb, vb):
+        # protocol drift: this entry + the rest through the stock path
+        map_state.updateValue(first[0], first[1])
+        return 1 + _fallback(map_state, it)
+    write_int(0, sockfile)  # message version, mirrors the stock client
+    write_int(len(frame), sockfile)
+    sockfile.write(frame)
+    sockfile.flush()
+    errors: list = []
+    drain(1, errors)
+    if errors:
+        raise errors[0]
+
+    # -- the rest: writer streams, reader thread drains concurrently -------
+    sent = 0
+    done_writing = threading.Event()
+
+    def reader() -> None:
+        # drain exactly as many responses as were ultimately written;
+        # `sent` only grows, and after done_writing is set it is final
+        got = 0
+        while True:
+            target = sent
+            while got < target:
+                drain(1, errors)
+                if errors:
+                    return
+                got += 1
+            if done_writing.is_set() and got == sent:
+                return
+            done_writing.wait(0.001)  # writer ahead of us: brief idle
+
+    t = threading.Thread(target=reader, name="bulk_map_drain", daemon=True)
+    t.start()
+    total = 1
+    try:
+        for key, value in it:
+            if errors:
+                break
+            kb = dumps(key_internal(key))
+            vb = dumps(value_internal(value))
+            frame = build(kb, vb)
+            write_int(0, sockfile)
+            write_int(len(frame), sockfile)
+            sockfile.write(frame)
+            sent += 1
+            total += 1
+            if sent % window == 0:
                 sockfile.flush()
-                drain(drainable)
-                map_state.updateValue(key, value)
-                return 1 + total + _fallback(
-                    map_state, entries  # continues the SAME iterator
-                )
-            checked = True
-        write_int(0, sockfile)  # message version, mirrors the stock client
-        write_int(len(frame), sockfile)
-        sockfile.write(frame)
-        in_flight += 1
-        total += 1
-        if in_flight >= window:
-            sockfile.flush()
-            drain(in_flight)
-            in_flight = 0
-    if in_flight:
         sockfile.flush()
-        drain(in_flight)
+    finally:
+        done_writing.set()
+        t.join(timeout=600)
+    if errors:
+        raise errors[0]
+    if t.is_alive():
+        raise RuntimeError("bulk_map_update: response drain timed out")
     return total
 
 
