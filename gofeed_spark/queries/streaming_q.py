@@ -142,11 +142,19 @@ def q120(spark, sf_dir):
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        W.export_warc(base.unionByName(recrawls), landing, n_archives=4).collect()
+        crawl = base.unionByName(recrawls)
+        # archive count scales with the corpus (~5k records each, the
+        # q118 rule); micro-batch count stays ~4 regardless — the upsert
+        # sink rewrites the merged table per batch, so batches must not
+        # grow with the corpus (archives per trigger grows instead)
+        n_arch = max(4, -(-crawl.count() // 5000))
+        W.export_warc(crawl, landing, n_archives=n_arch).collect()
         from gofeed_spark.streaming.sinks import ParquetUpsertSink
 
         sink = ParquetUpsertSink(out, key="url_canon")
-        records = read_warc_stream(spark, landing, max_files_per_trigger=1)
+        records = read_warc_stream(
+            spark, landing, max_files_per_trigger=-(-n_arch // 4)
+        )
         agg = (
             records.withColumn("url_canon", canonicalize_url(F.col("url")))
             .withColumn("text", F.decode("body", "utf-8"))
