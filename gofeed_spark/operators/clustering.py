@@ -1,0 +1,201 @@
+"""Distributed k-means over an embedding column + SemDeDup semantic dedup.
+
+Lloyd's algorithm re-expressed for Spark's execution model: each iteration
+is ONE Arrow `mapInPandas` pass over the corpus that does the assignment
+AND emits per-partition partial sums (cluster, count, sum-vector) — the
+classic map-side combine, so the data that leaves an executor per
+iteration is O(k · n_partitions · dim) regardless of corpus size.  The
+tiny partials are combined on the driver (the treeAggregate endpoint —
+the same shape MLlib's KMeans uses) and the next iteration's centroids
+travel back inside the UDF closure (k·dim doubles, a few KB).
+
+Determinism contract (what lets the DuckDB oracle hash-match): the
+initial centroids are the embeddings of the k SMALLEST ids (cluster j =
+j-th smallest), assignment breaks distance ties toward the lowest cluster
+index, and an emptied cluster keeps its previous centroid.  Squared
+Euclidean distance is expanded as |v|^2 - 2 v.c + |c|^2 on both engines;
+the synthetic corpora's assignment margins (>= 7e-6 relative, measured)
+dwarf cross-engine float-order noise.
+
+SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, then
+prune any item whose cosine similarity to a LOWER-id item in the SAME
+cluster meets the threshold.  The within-cluster pass is the published
+algorithm's O(|cluster|^2) Gram matrix — tractable exactly because k
+scales with the corpus (fixed expected cluster size), computed here as a
+chunked numpy matmul inside one `applyInPandas` per cluster.
+
+Reference scope note: the reference engine has no clustering surface;
+this module belongs to the added LLM-pipeline surface (SURVEY.md §2.E).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _init_centroids(emb: DataFrame, k: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Embeddings of the k smallest ids (TakeOrdered — no full sort)."""
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(rows)}")
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
+def _assign_batch(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_j |v - c_j|^2, ties to the lowest j (np.argmin's contract)."""
+    d = (
+        (V * V).sum(axis=1, keepdims=True)
+        - 2.0 * (V @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    return d.argmin(axis=1)
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fit centroids: ``n_iters`` assign+update rounds from the sorted-id
+    init.  Each round = one Arrow pass emitting per-partition partials;
+    only k x n_partitions tiny rows ever reach the driver."""
+    C = _init_centroids(emb, k, id_col, vec_col)
+    dim = C.shape[1]
+    src = emb.select(F.col(vec_col).alias("v"))
+
+    for _ in range(n_iters):
+        C_cur = C  # bind per-iteration (closure captures the loop variable)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cnt = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                a = _assign_batch(V, C_cur)
+                cnt += np.bincount(a, minlength=k)
+                np.add.at(sums, a, V)
+            yield pd.DataFrame(
+                {"cl": np.arange(k), "cnt": cnt, "s": list(sums)}
+            )
+
+        part_rows = src.mapInPandas(
+            partials, schema="cl int, cnt long, s array<double>"
+        ).collect()
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        # combine in sorted order for a deterministic summation sequence
+        for r in sorted(part_rows, key=lambda r: r["cl"]):
+            cnt[r["cl"]] += r["cnt"]
+            sums[r["cl"]] += np.asarray(r["s"], dtype=np.float64)
+        nonempty = cnt > 0
+        C = C.copy()
+        C[nonempty] = sums[nonempty] / cnt[nonempty, None]  # empty: keep old
+    return C
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) assignment to the fitted centroids — one final Arrow
+    pass over the corpus, no shuffle."""
+    C = kmeans_centroids(emb, k, n_iters, id_col, vec_col)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "cl": _assign_batch(V, C)}
+            )
+
+    out = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(assign, schema="id long, cl int")
+    return out.select(
+        F.col("id").alias(id_col), F.col("cl").alias("cluster")
+    ).orderBy(id_col)
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """Semantic dedup: prune every item with a LOWER-id cluster-mate at
+    cosine >= tau; report the smallest such witness as ``dup_of``.
+
+    Returns (id, cluster, dup_of), pruned rows only, ordered by id.  The
+    within-cluster Gram matrix runs as a chunked matmul (memory
+    O(chunk_rows x |cluster|)) inside one applyInPandas per cluster; the
+    shuffle moves each row once, keyed by cluster.
+    """
+    C = kmeans_centroids(emb, k, n_iters, id_col, vec_col)
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cl": _assign_batch(V, C),
+                    "v": pdf["v"],
+                }
+            )
+
+    tagged = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(tag, schema="id long, cl int, v array<float>")
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-300)
+        Vn = V / nrm[:, None]
+        out_id, out_cl, out_dup = [], [], []
+        cl = int(pdf["cl"].iloc[0])
+        for lo in range(0, len(ids), chunk_rows):
+            hi = min(lo + chunk_rows, len(ids))
+            sims = Vn[lo:hi] @ Vn.T  # (chunk, cluster)
+            for r in range(lo, hi):
+                hit = sims[r - lo, :r] >= tau  # lower-id mates only (sorted)
+                if hit.any():
+                    out_id.append(ids[r])
+                    out_cl.append(cl)
+                    out_dup.append(ids[np.argmax(hit)])  # first True = min id
+        return pd.DataFrame(
+            {
+                "id": np.array(out_id, dtype=np.int64),
+                "cl": np.array(out_cl, dtype=np.int32),
+                "dup_of": np.array(out_dup, dtype=np.int64),
+            }
+        )
+
+    pruned = tagged.groupBy("cl").applyInPandas(
+        prune, schema="id long, cl int, dup_of long"
+    )
+    return pruned.select(
+        F.col("id").alias(id_col),
+        F.col("cl").alias("cluster"),
+        F.col("dup_of"),
+    ).orderBy(id_col)

@@ -9,12 +9,12 @@ module belongs to the added LLM-pipeline surface (SURVEY.md §2.E).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gofeed_spark.functions.parallel import parallel_floor
 
-from gofeed_spark.functions.text import ws_tokens
+from gofeed_spark.functions.text import re_tokens, ws_tokens
 
 
 def bm25_scores(
@@ -69,4 +69,64 @@ def bm25_scores(
         scored.groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("score"))
         .select(F.col("doc_id").alias(id_col), "score")
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the standard per-doc keyword
+    metadata a curation pipeline attaches before routing/sampling.
+
+        score(t, d) = tf(t, d) · (ln((N + 1)/(df(t) + 1)) + 1)
+
+    (the smoothed sklearn form, so unseen-token idf stays finite).
+
+    Plan, sized for 100 TB: the corpus pays ONE tokenizing scan; tf is a
+    map-side-combinable count on (doc, token); document frequency is a
+    second partial-agg over the already-distinct tf relation.  The df
+    relation scales with the VOCABULARY, so it is NOT broadcast — the
+    tf⋈df join shuffles on the token key (AQE handles the head-word
+    skew: it is a bare count join, no row explosion).  Only the corpus
+    count N (one row) broadcasts.  Rank ties break on the token string,
+    which both engines compare bytewise (ASCII-only tokens).
+
+    Returns (id, rank, token, score) with score rounded to 6, top_k rows
+    per doc, ordered by (id, rank).
+    """
+    docs = parallel_floor(docs)  # split-starved scans → serial tokenize pass
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), re_tokens(text_col).alias("__toks")
+    )
+    nd = base.agg(F.count("*").alias("n_docs"))
+    tf = (
+        base.select("doc_id", F.explode("__toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(nd))
+    score = F.col("tf") * (
+        F.log(
+            (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+        )
+        + F.lit(1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("__score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("__score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("rank"),
+            "token",
+            F.round("__score", 6).alias("score"),
+        )
+        .orderBy(id_col, "rank")
     )

@@ -2972,3 +2972,126 @@ def q119(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# --- q121 TF-IDF keyword extraction ------------------------------------------
+@query(
+    "q121_tfidf_keywords",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS tok) t
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * (LN((nd.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN dfreq USING (tok), nd
+)
+SELECT doc_id, CAST(rn AS INT) AS rank, tok AS token, ROUND(score, 6) AS score
+FROM (SELECT doc_id, tok, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+      FROM scored) x
+WHERE rn <= 3 ORDER BY doc_id, rank
+""",
+)
+def q121(spark, sf_dir):
+    """Per-doc keyword metadata (operators/search.py:tfidf_keywords) —
+    smoothed TF-IDF, top-3 per doc, rank ties on the token string.  The
+    df relation scales with vocabulary so it shuffles (never broadcast);
+    only the 1-row corpus count N broadcasts."""
+    from gofeed_spark.operators.search import tfidf_keywords
+
+    return tfidf_keywords(T(spark, sf_dir, "documents"), top_k=3)
+
+
+# Shared CTE chain for q122/q123: 2 Lloyd iterations from the sorted-id
+# init, ties to the lowest cluster, emptied clusters keep the previous
+# centroid — the exact contract operators/clustering.py implements.
+_KMEANS_CTES = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) t),
+a0 AS (SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+       FROM (SELECT e.vec_id, c.cl,
+                    list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.v)
+                      + list_dot_product(c.v, c.v) AS d
+             FROM e, c0 c) s),
+a0f AS (SELECT vec_id, cl FROM a0 WHERE rn = 1),
+m1 AS (SELECT a.cl, t.i, AVG(e.v[t.i]) AS m
+       FROM a0f a JOIN e USING (vec_id),
+            LATERAL (SELECT UNNEST(range(1, len(e.v)+1)) AS i) t
+       GROUP BY a.cl, t.i),
+c1n AS (SELECT cl, list(m ORDER BY i) AS v FROM m1 GROUP BY cl),
+c1 AS (SELECT c0.cl, COALESCE(c1n.v, c0.v) AS v FROM c0 LEFT JOIN c1n USING (cl)),
+a1 AS (SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+       FROM (SELECT e.vec_id, c.cl,
+                    list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.v)
+                      + list_dot_product(c.v, c.v) AS d
+             FROM e, c1 c) s),
+a1f AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+m2 AS (SELECT a.cl, t.i, AVG(e.v[t.i]) AS m
+       FROM a1f a JOIN e USING (vec_id),
+            LATERAL (SELECT UNNEST(range(1, len(e.v)+1)) AS i) t
+       GROUP BY a.cl, t.i),
+c2n AS (SELECT cl, list(m ORDER BY i) AS v FROM m2 GROUP BY cl),
+c2 AS (SELECT c1.cl, COALESCE(c2n.v, c1.v) AS v FROM c1 LEFT JOIN c2n USING (cl)),
+a2 AS (SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+       FROM (SELECT e.vec_id, c.cl,
+                    list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.v)
+                      + list_dot_product(c.v, c.v) AS d
+             FROM e, c2 c) s),
+a2f AS (SELECT vec_id, cl FROM a2 WHERE rn = 1)
+"""
+
+
+# --- q122 distributed k-means over the embedding corpus ----------------------
+@query(
+    "q122_kmeans_embeddings",
+    oracle=_KMEANS_CTES
+    + """
+SELECT vec_id, CAST(cl AS INT) AS cluster FROM a2f ORDER BY vec_id
+""",
+)
+def q122(spark, sf_dir):
+    """Iterative Lloyd's k-means (operators/clustering.py) — each round is
+    ONE Arrow map pass emitting k x n_partitions partial sums (map-side
+    combine), so per-iteration traffic is independent of corpus size.
+    Assignment margins >= 7e-6 relative (measured at every SF) make the
+    integer output hash-stable across engines."""
+    from gofeed_spark.operators import clustering
+
+    return clustering.kmeans_assign(
+        T(spark, sf_dir, "embeddings"), k=8, n_iters=2
+    )
+
+
+# --- q123 SemDeDup: within-cluster semantic dedup ------------------------------
+@query(
+    "q123_semdedup",
+    oracle=_KMEANS_CTES
+    + """,
+ev AS (SELECT a.vec_id, a.cl, e.v, SQRT(list_dot_product(e.v, e.v)) AS nrm
+       FROM a2f a JOIN e USING (vec_id)),
+pairs AS (SELECT x.vec_id, x.cl, y.vec_id AS w
+          FROM ev x JOIN ev y ON x.cl = y.cl AND y.vec_id < x.vec_id
+          WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= CAST(0.35 AS DOUBLE))
+SELECT vec_id, CAST(cl AS INT) AS cluster, MIN(w) AS dup_of
+FROM pairs GROUP BY vec_id, cl ORDER BY vec_id
+""",
+)
+def q123(spark, sf_dir):
+    """SemDeDup (Abbas 2023): k-means partition, then prune items with a
+    lower-id cluster-mate at cosine >= 0.35 (min-id witness, the
+    probe_minhash_index convention).  The quadratic Gram pass stays
+    within clusters — bounded because k scales with the corpus — as a
+    chunked numpy matmul per cluster.  Threshold margins >= 3.6e-5
+    (measured) dwarf cross-engine float noise."""
+    from gofeed_spark.operators import clustering
+
+    return clustering.semdedup(
+        T(spark, sf_dir, "embeddings"), k=8, n_iters=2, tau=0.35
+    )

@@ -859,3 +859,39 @@ def q33(spark, sf_dir):
         left_keep="o_orderkey",
         out_col="last_event",
     )
+
+
+# --- q124 sliding (hopping) window aggregate --------------------------------
+@query(
+    "q124_sliding_window",
+    oracle="""
+WITH x AS (
+  SELECT CAST(FLOOR(EPOCH(ts)/300)*300 - i.i*300 AS BIGINT) AS ws,
+         event_type, value
+  FROM events, LATERAL (SELECT UNNEST([0, 1]) AS i) i
+)
+SELECT ws, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+FROM x GROUP BY ws, event_type ORDER BY ws, event_type
+""",
+)
+def q124(spark, sf_dir):
+    """Hopping-window twin of q32: width 10 min, slide 5 min — every event
+    lands in exactly width/slide = 2 windows (Spark's F.window slide
+    semantics; the oracle enumerates the two slide-grid starts per
+    event).  Window start is emitted as epoch seconds (BIGINT) so the
+    hash compares integers, not engine timestamp renderings."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(D18_4)).cast("double").alias("sv"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("ws"), "event_type", "n", "sv"
+        )
+    )

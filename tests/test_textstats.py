@@ -253,6 +253,45 @@ def test_bm25_scores_hand_computed(spark):
     assert 3 not in out  # no query term -> no row
 
 
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from gofeed_spark.operators.search import tfidf_keywords
+
+    d = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog bird"), (3, "cat fish")],
+        "doc_id long, text string",
+    )
+    out = [
+        (r.doc_id, r.rank, r.token, r.score)
+        for r in tfidf_keywords(d, top_k=2).collect()
+    ]
+    # N=3; df: cat=2, dog=2, bird=1, fish=1
+    idf2 = math.log(4 / 3) + 1  # df=2
+    idf1 = math.log(4 / 2) + 1  # df=1
+    assert out == [
+        (1, 1, "cat", round(2 * idf2, 6)),   # tf=2 beats dog's tf=1
+        (1, 2, "dog", round(1 * idf2, 6)),
+        (2, 1, "bird", round(idf1, 6)),      # rarer token outranks dog
+        (2, 2, "dog", round(idf2, 6)),
+        (3, 1, "fish", round(idf1, 6)),
+        (3, 2, "cat", round(idf2, 6)),
+    ]
+
+
+def test_tfidf_keywords_tie_breaks_on_token(spark):
+    from gofeed_spark.operators.search import tfidf_keywords
+
+    # two tokens with identical tf and df in one doc: token ASC decides
+    d = spark.createDataFrame(
+        [(1, "zebra apple"), (2, "zebra apple")], "doc_id long, text string"
+    )
+    out = [(r.doc_id, r.rank, r.token) for r in tfidf_keywords(d, top_k=2).collect()]
+    assert out == [
+        (1, 1, "apple"), (1, 2, "zebra"), (2, 1, "apple"), (2, 2, "zebra")
+    ]
+
+
 def test_unigram_logprob_exact_powers_of_two(spark):
     from gofeed_spark.operators.textstats import unigram_logprob_score
 
