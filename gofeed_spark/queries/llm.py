@@ -3095,3 +3095,30 @@ def q123(spark, sf_dir):
     return clustering.semdedup(
         T(spark, sf_dir, "embeddings"), k=8, n_iters=2, tau=0.35
     )
+
+
+# --- q125 heavy hitters: exact top-k tokens via two-pass Misra-Gries ----------
+@query(
+    "q125_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT t.tok
+  FROM documents,
+       LATERAL (SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS tok) t
+),
+cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+SELECT CAST(rn AS INT) AS rank, tok AS token, n
+FROM (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM cnt) x
+WHERE rn <= 20 ORDER BY rank
+""",
+)
+def q125(spark, sf_dir):
+    """EXACT top-20 corpus tokens through the sketch path
+    (operators/sketch.py): pass 1 = capacity-bounded Misra-Gries per
+    partition (only <= capacity candidate rows/partition shuffle, memory
+    independent of vocabulary size); pass 2 = exact recount restricted
+    to the provably-sufficient candidate set.  The oracle is the naive
+    full-vocabulary GROUP BY the sketch avoids shuffling."""
+    from gofeed_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(T(spark, sf_dir, "documents"), k=20, capacity=4096)
