@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gofeed_spark.functions.parallel import parallel_floor
+
 
 def _init_centroids(emb: DataFrame, k: int, id_col: str, vec_col: str) -> np.ndarray:
     """Embeddings of the k smallest ids (TakeOrdered — no full sort)."""
@@ -66,6 +68,7 @@ def kmeans_centroids(
     """Fit centroids: ``n_iters`` assign+update rounds from the sorted-id
     init.  Each round = one Arrow pass emitting per-partition partials;
     only k x n_partitions tiny rows ever reach the driver."""
+    emb = parallel_floor(emb)  # single-row-group scans → serial Arrow pass
     C = _init_centroids(emb, k, id_col, vec_col)
     dim = C.shape[1]
     src = emb.select(F.col(vec_col).alias("v"))
@@ -111,6 +114,7 @@ def kmeans_assign(
 ) -> DataFrame:
     """(id, cluster) assignment to the fitted centroids — one final Arrow
     pass over the corpus, no shuffle."""
+    emb = parallel_floor(emb)
     C = kmeans_centroids(emb, k, n_iters, id_col, vec_col)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,6 +151,7 @@ def semdedup(
     O(chunk_rows x |cluster|)) inside one applyInPandas per cluster; the
     shuffle moves each row once, keyed by cluster.
     """
+    emb = parallel_floor(emb)
     C = kmeans_centroids(emb, k, n_iters, id_col, vec_col)
 
     def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
