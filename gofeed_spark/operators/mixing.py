@@ -166,3 +166,84 @@ def source_cap(
     return docs.withColumn(
         "keep", (F.row_number().over(w) <= cap).cast("int")
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    quantile: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how much more likely its tokens are under a
+    TARGET language model than under the full-corpus source model, then
+    keep the top ``1 - quantile`` fraction.
+
+        lr(d) = avg_tokens log2( p_t(w) / p_s(w) )
+        p_x(w) = (c_x(w) + 1) / (T_x + V)        (add-one over joint vocab)
+
+    ``target`` is a boolean Column selecting the target sub-corpus (e.g.
+    ``F.col("lang") == "en"``).  DSIR's hashed-ngram features reduce to
+    unigrams here so the score is fully engine-checkable; the paper's
+    Gumbel resampling is replaced by a deterministic exact-quantile cut
+    (both rounded to 6 before comparing, so the keep bit is
+    hash-stable).
+
+    Posture: the same slim plan as unigram_logprob_score — tokens
+    explode ONCE into 8-byte hashed keys, both count relations aggregate
+    map-side-combined, the three scalars (T_t, T_s, V) ride one
+    broadcast row, and the score joins are ordinary equi-joins.  The
+    exact ``percentile`` cut buffers the per-doc scores on one reducer —
+    engine-checkable here; at 100 TB swap ``percentile`` for
+    ``approx_percentile`` (same plan otherwise).
+
+    Returns (id, n_tokens, log_ratio_bits, keep) ordered by id.
+    """
+    from gofeed_spark.functions.parallel import parallel_floor
+
+    docs = parallel_floor(docs)
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        target.alias("__tgt"),
+        F.explode(ws_tokens(text_col)).alias("__tok"),
+    ).select("__id", "__tgt", F.xxhash64("__tok").alias("__h"))
+    cs = toks.groupBy("__h").agg(F.count("*").alias("__cs"))
+    ct = (
+        toks.filter(F.col("__tgt"))
+        .groupBy("__h")
+        .agg(F.count("*").alias("__ct"))
+    )
+    scalars = (
+        cs.agg(
+            F.sum("__cs").cast("double").alias("__Ts"),
+            F.count("*").cast("double").alias("__V"),
+        )
+        .crossJoin(
+            F.broadcast(ct.agg(F.sum("__ct").cast("double").alias("__Tt")))
+        )
+    )
+    lr = F.log2(
+        ((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) / (F.col("__Tt") + F.col("__V")))
+        / ((F.col("__cs") + F.lit(1.0)) / (F.col("__Ts") + F.col("__V")))
+    )
+    scored = (
+        toks.join(cs, "__h")
+        .join(ct, "__h", "left")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("__id")
+        .agg(F.count("*").cast("int").alias("n_tokens"), F.avg(lr).alias("__lr"))
+    )
+    cut = scored.agg(
+        F.round(F.expr(f"percentile(__lr, {quantile!r})"), 6).alias("__q")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.round("__lr", 6).alias("log_ratio_bits"),
+            (F.round("__lr", 6) >= F.col("__q")).cast("int").alias("keep"),
+        )
+        .orderBy(id_col)
+    )

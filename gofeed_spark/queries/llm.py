@@ -3122,3 +3122,44 @@ def q125(spark, sf_dir):
     from gofeed_spark.operators.sketch import heavy_hitters
 
     return heavy_hitters(T(spark, sf_dir, "documents"), k=20, capacity=4096)
+
+
+# --- q126 DSIR importance selection -------------------------------------------
+@query(
+    "q126_dsir_select",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS tok
+  FROM documents
+),
+ct AS (SELECT tok, COUNT(*) AS c FROM toks WHERE lang = 'en' GROUP BY tok),
+cs AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM cs),
+tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM ct),
+ts AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cs),
+scored AS (
+  SELECT k.doc_id, COUNT(*) AS n_tokens,
+         AVG(LOG2(((COALESCE(ct.c, 0) + 1.0) / (tt.t + v.vocab))
+                  / ((cs.c + 1.0) / (ts.t + v.vocab)))) AS lr
+  FROM toks k JOIN cs ON k.tok = cs.tok
+       LEFT JOIN ct ON k.tok = ct.tok, tt, ts, v
+  GROUP BY k.doc_id
+),
+q AS (SELECT ROUND(quantile_cont(lr, 0.8), 6) AS q80 FROM scored)
+SELECT s.doc_id, CAST(s.n_tokens AS INT) AS n_tokens,
+       ROUND(s.lr, 6) AS log_ratio_bits,
+       CAST(CASE WHEN ROUND(s.lr, 6) >= q.q80 THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored s, q ORDER BY s.doc_id
+""",
+)
+def q126(spark, sf_dir):
+    """DSIR-shaped data selection (mixing.dsir_select): per-doc average
+    log2 likelihood ratio of an add-one-smoothed target unigram LM
+    (lang='en' docs) over the full-corpus source LM, deterministic
+    exact-quantile top-20% keep.  Same slim plan family as q104: one
+    hashed-token explode, map-side-combined counts, broadcast scalars."""
+    from gofeed_spark.operators.mixing import dsir_select
+
+    return dsir_select(
+        T(spark, sf_dir, "documents"), target=F.col("lang") == "en"
+    )

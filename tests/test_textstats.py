@@ -416,3 +416,62 @@ def test_relative_length_filter_approx_mode_tracks_exact(spark):
             abs(rank - 0.05 * n) <= slack or abs(rank - 0.95 * n) <= slack
         )
         assert near_bound, (d, src, length, rank, n)
+
+
+def test_dsir_select_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.mixing import dsir_select
+
+    d = spark.createDataFrame(
+        [(1, "a a b", 1), (2, "a b", 1), (3, "c c", 0), (4, "a c", 0)],
+        "doc_id long, text string, tgt int",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.log_ratio_bits, r.keep)
+        for r in dsir_select(d, target=F.col("tgt") == 1).collect()
+    }
+    # vocab {a,b,c}: cs a=4 b=2 c=3 (Ts=9); ct a=3 b=2 (Tt=5); V=3
+    r = {
+        "a": math.log2(((3 + 1) / 8) / ((4 + 1) / 12)),
+        "b": math.log2(((2 + 1) / 8) / ((2 + 1) / 12)),
+        "c": math.log2(((0 + 1) / 8) / ((3 + 1) / 12)),
+    }
+    lrs = {
+        1: (r["a"] + r["a"] + r["b"]) / 3,
+        2: (r["a"] + r["b"]) / 2,
+        3: r["c"],
+        4: (r["a"] + r["c"]) / 2,
+    }
+    s = sorted(lrs.values())
+    q80 = round(s[2] + 0.4 * (s[3] - s[2]), 6)  # (n-1)*0.8 = 2.4
+    for did, lr in lrs.items():
+        n, got_lr, keep = out[did]
+        assert got_lr == round(lr, 6)
+        assert keep == int(round(lr, 6) >= q80)
+    assert sum(v[2] for v in out.values()) == 1  # only the top doc survives
+    assert out[1][0] == 3 and out[3][0] == 2  # n_tokens
+
+
+def test_dsir_select_keep_fraction_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.mixing import dsir_select
+
+    rows = [
+        (i, " ".join(f"w{(i * j) % 17}" for j in range(1, 12)), i % 3 == 0)
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = dsir_select(d.repartition(5), target=F.col("tgt"))
+    got = [tuple(r) for r in out.collect()]
+    kept = sum(r[3] for r in got)
+    assert 0 < kept <= 0.25 * 60 + 1  # ~top 20%, quantile ties may widen
+    # partition-invariant
+    got2 = [
+        tuple(r)
+        for r in dsir_select(d.repartition(1), target=F.col("tgt")).collect()
+    ]
+    assert got == got2
