@@ -168,6 +168,97 @@ def source_cap(
     )
 
 
+def dsir_model(
+    docs: DataFrame, target: Column, text_col: str = "text"
+) -> DataFrame:
+    """The frozen DSIR importance model: one row per token hash with its
+    full-corpus count and its target-sub-corpus count — (__h, __cs,
+    __ct nullable).  Profile ONCE on a reference corpus (persist or
+    write it), then ``dsir_score`` any later frame or streaming
+    micro-batch against it: frozen weights keep scores comparable
+    across batches (the ``unigram_model`` convention).
+
+    ``target`` is a boolean Column over ``docs`` selecting the target
+    sub-corpus (e.g. ``F.col("lang") == "en"``).
+    """
+    from gofeed_spark.functions.parallel import parallel_floor
+
+    docs = parallel_floor(docs)
+    toks = docs.select(
+        target.alias("__tgt"),
+        F.explode(ws_tokens(text_col)).alias("__tok"),
+    ).select("__tgt", F.xxhash64("__tok").alias("__h"))
+    cs = toks.groupBy("__h").agg(F.count("*").alias("__cs"))
+    ct = (
+        toks.filter(F.col("__tgt"))
+        .groupBy("__h")
+        .agg(F.count("*").alias("__ct"))
+    )
+    return cs.join(ct, "__h", "left")
+
+
+def dsir_score(
+    docs: DataFrame,
+    model: DataFrame,
+    cut: float | None = None,
+    quantile: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score ``docs`` against a frozen ``dsir_model``:
+
+        lr(d) = avg_tokens log2( p_t(w) / p_s(w) )
+        p_x(w) = (c_x(w) + 1) / (T_x + V)      (add-one over joint vocab)
+
+    Tokens absent from the model score with both counts 0 — exactly what
+    the add-one smoothing is for (frozen-model semantics; a self-trained
+    model never hits this).  The three scalars (T_t, T_s, V) are read
+    off the vocab-sized model up front (one tiny job at construction)
+    and travel as literals, so the scorer works unchanged inside a
+    foreachBatch micro-batch.
+
+    ``cut``: an explicit keep threshold (the frozen, arrival-invariant
+    streaming form — freeze it from the training corpus's quantile); or
+    None to cut at this frame's own exact ``quantile`` (batch form).
+    Both sides of the comparison round to 6 so the keep bit is
+    hash-stable.  The exact ``percentile`` buffers per-doc scores on one
+    reducer — engine-checkable here; at 100 TB use approx_percentile or
+    a frozen ``cut``.
+
+    Returns (id, n_tokens, log_ratio_bits, keep) ordered by id.
+    """
+    srow = model.agg(
+        F.sum("__cs").alias("s"), F.sum("__ct").alias("t"), F.count("*").alias("v")
+    ).collect()[0]
+    Ts, Tt, V = float(srow["s"] or 0), float(srow["t"] or 0), float(srow["v"])
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(ws_tokens(text_col)).alias("__tok"),
+    ).select("__id", F.xxhash64("__tok").alias("__h"))
+    lr = F.log2(
+        ((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) / F.lit(Tt + V))
+        / ((F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(1.0)) / F.lit(Ts + V))
+    )
+    scored = (
+        toks.join(model, "__h", "left")
+        .groupBy("__id")
+        .agg(F.count("*").cast("int").alias("n_tokens"), F.avg(lr).alias("__lr"))
+    )
+    if cut is None:
+        cut_df = scored.agg(
+            F.round(F.expr(f"percentile(__lr, {quantile!r})"), 6).alias("__q")
+        )
+        scored = scored.crossJoin(F.broadcast(cut_df))
+    else:
+        scored = scored.withColumn("__q", F.lit(round(cut, 6)))
+    return scored.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.round("__lr", 6).alias("log_ratio_bits"),
+        (F.round("__lr", 6) >= F.col("__q")).cast("int").alias("keep"),
+    ).orderBy(id_col)
+
+
 def dsir_select(
     docs: DataFrame,
     target: Column,
@@ -175,75 +266,28 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169):
-    score every document by how much more likely its tokens are under a
-    TARGET language model than under the full-corpus source model, then
-    keep the top ``1 - quantile`` fraction.
-
-        lr(d) = avg_tokens log2( p_t(w) / p_s(w) )
-        p_x(w) = (c_x(w) + 1) / (T_x + V)        (add-one over joint vocab)
-
-    ``target`` is a boolean Column selecting the target sub-corpus (e.g.
-    ``F.col("lang") == "en"``).  DSIR's hashed-ngram features reduce to
-    unigrams here so the score is fully engine-checkable; the paper's
-    Gumbel resampling is replaced by a deterministic exact-quantile cut
-    (both rounded to 6 before comparing, so the keep bit is
-    hash-stable).
+    """DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169),
+    self-trained: score every document by how much more likely its
+    tokens are under the TARGET language model than under the
+    full-corpus source model, keep the top ``1 - quantile`` fraction.
+    DSIR's hashed-ngram features reduce to unigrams here so the score is
+    fully engine-checkable; the paper's Gumbel resampling is replaced by
+    a deterministic exact-quantile cut.  ``dsir_model`` + ``dsir_score``
+    are the split (train-once / score-streams) form.
 
     Posture: the same slim plan as unigram_logprob_score — tokens
     explode ONCE into 8-byte hashed keys, both count relations aggregate
-    map-side-combined, the three scalars (T_t, T_s, V) ride one
-    broadcast row, and the score joins are ordinary equi-joins.  The
-    exact ``percentile`` cut buffers the per-doc scores on one reducer —
-    engine-checkable here; at 100 TB swap ``percentile`` for
-    ``approx_percentile`` (same plan otherwise).
-
-    Returns (id, n_tokens, log_ratio_bits, keep) ordered by id.
+    map-side-combined, the scalars travel as literals, the score join is
+    an ordinary equi-join.
     """
     from gofeed_spark.functions.parallel import parallel_floor
 
     docs = parallel_floor(docs)
-    toks = docs.select(
-        F.col(id_col).alias("__id"),
-        target.alias("__tgt"),
-        F.explode(ws_tokens(text_col)).alias("__tok"),
-    ).select("__id", "__tgt", F.xxhash64("__tok").alias("__h"))
-    cs = toks.groupBy("__h").agg(F.count("*").alias("__cs"))
-    ct = (
-        toks.filter(F.col("__tgt"))
-        .groupBy("__h")
-        .agg(F.count("*").alias("__ct"))
-    )
-    scalars = (
-        cs.agg(
-            F.sum("__cs").cast("double").alias("__Ts"),
-            F.count("*").cast("double").alias("__V"),
-        )
-        .crossJoin(
-            F.broadcast(ct.agg(F.sum("__ct").cast("double").alias("__Tt")))
-        )
-    )
-    lr = F.log2(
-        ((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) / (F.col("__Tt") + F.col("__V")))
-        / ((F.col("__cs") + F.lit(1.0)) / (F.col("__Ts") + F.col("__V")))
-    )
-    scored = (
-        toks.join(cs, "__h")
-        .join(ct, "__h", "left")
-        .crossJoin(F.broadcast(scalars))
-        .groupBy("__id")
-        .agg(F.count("*").cast("int").alias("n_tokens"), F.avg(lr).alias("__lr"))
-    )
-    cut = scored.agg(
-        F.round(F.expr(f"percentile(__lr, {quantile!r})"), 6).alias("__q")
-    )
-    return (
-        scored.crossJoin(F.broadcast(cut))
-        .select(
-            F.col("__id").alias(id_col),
-            "n_tokens",
-            F.round("__lr", 6).alias("log_ratio_bits"),
-            (F.round("__lr", 6) >= F.col("__q")).cast("int").alias("keep"),
-        )
-        .orderBy(id_col)
+    return dsir_score(
+        docs,
+        dsir_model(docs, target, text_col),
+        cut=None,
+        quantile=quantile,
+        text_col=text_col,
+        id_col=id_col,
     )

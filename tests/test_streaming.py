@@ -721,3 +721,63 @@ def test_streaming_bpe_with_frozen_merges_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == batch_out
+
+
+def test_streaming_dsir_with_frozen_model_matches_batch(spark, tmp_path):
+    """Ingest-time DSIR filter: the importance model AND the keep cut are
+    frozen on the reference corpus (dsir_model + the training frame's own
+    quantile), then each micro-batch scores against them inside
+    foreachBatch — per-doc scores and keep bits must EQUAL the batch run
+    with the same artifacts, independent of micro-batch composition (a
+    per-batch quantile would make keep depend on arrival order)."""
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.mixing import dsir_model, dsir_score
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat", i % 2 == 0) for i in range(20)]
+        + [(100, "unos gatos en la casa", False),
+           (101, "mas gatos y mas casas", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    model = dsir_model(ref, target=F.col("tgt"))
+    model.persist().count()
+    # freeze the cut from the TRAINING corpus's 0.8-quantile
+    train_scores = dsir_score(ref, model)
+    cut = float(
+        train_scores.agg(F.expr("percentile(log_ratio_bits, 0.8)")).collect()[0][0]
+    )
+
+    ddl = "doc_id long, text string"
+    incoming = spark.createDataFrame(
+        [(200, "the cat sat"), (201, "unos gatos"), (202, "the mat on the mat"),
+         (203, "never seen tokens xyzzy")],
+        ddl,
+    )
+    batch = {
+        r.doc_id: (r.n_tokens, r.log_ratio_bits, r.keep)
+        for r in dsir_score(incoming, model, cut=cut).collect()
+    }
+    assert len(batch) == 4
+    assert batch[203][0] == 4  # unseen tokens still score (smoothed)
+
+    src = str(tmp_path / "dsir_in")
+    incoming.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = {}
+
+    def score_batch(df, bid):
+        for r in dsir_score(df, model, cut=cut).collect():
+            got[r.doc_id] = (r.n_tokens, r.log_ratio_bits, r.keep)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dsir"))
+        .trigger(availableNow=True)
+        .foreachBatch(score_batch)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch
