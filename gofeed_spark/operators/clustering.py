@@ -204,3 +204,175 @@ def semdedup(
         F.col("cl").alias("cluster"),
         F.col("dup_of"),
     ).orderBy(id_col)
+
+
+# --- persisted semantic-dedup index ------------------------------------------
+# The embedding-space sibling of the MinHash index lifecycle: frozen
+# k-means centroids in the meta (the commit point, written LAST through
+# the fs seam) + the corpus laid out partitioned BY CLUSTER, so a probe
+# is a partition-PRUNED read of only the clusters the batch touches.
+
+_SEM_KIND = "semdedup_v1"
+
+
+def _cluster_dir(cl_col):
+    # non-numeric partition value by construction (the round-7 rule:
+    # numeric-looking strings re-infer as INT on read)
+    return F.format_string("c%04d", cl_col)
+
+
+def _tag_clusters(
+    emb: DataFrame, C: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cluster-dir, v): one Arrow assignment pass against frozen
+    centroids."""
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["id_v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cl": _assign_batch(V, C),
+                    "v": pdf["id_v"],
+                }
+            )
+
+    out = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("id_v")
+    ).mapInPandas(tag, schema="id long, cl int, v array<float>")
+    return out.select("id", _cluster_dir(F.col("cl")).alias("cluster"), "v")
+
+
+def build_semdedup_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fit centroids on ``emb`` and materialize the cluster-partitioned
+    layout at ``path``.  ``repartition("cluster")`` before partitionBy =
+    one file per cluster (the build_ann_index small-file rule); the meta
+    JSON (centroids + params) publishes LAST — an interrupted build
+    leaves no meta, so probes refuse it."""
+    emb = parallel_floor(emb)
+    C = kmeans_centroids(emb, k, n_iters, id_col, vec_col)
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.operators.similarity import _write_index_meta
+    from gofeed_spark.sources.io import write_partitioned
+
+    tagged = _tag_clusters(emb, C, id_col, vec_col)
+    write_partitioned(
+        tagged.repartition("cluster"),
+        get_filesystem(path).spark_path(path),
+        partition_by=["cluster"],
+    )
+    _write_index_meta(
+        path,
+        {
+            "kind": _SEM_KIND,
+            "k": k,
+            "n_iters": n_iters,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "centroids": [[float(x) for x in row] for row in C],
+        },
+    )
+
+
+def probe_semdedup_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    tau: float = 0.35,
+    append: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """Semantic-dup verdicts for a NEW batch against the persisted corpus:
+    (id, cluster, dup_of) for every batch item with a witness at cosine
+    >= tau — witnesses are the cluster's PERSISTED members plus lower-id
+    batch mates (the incremental contract: the index holds the kept
+    corpus; batch-internal dups resolve exactly like ``semdedup``).
+    ``dup_of`` is the smallest witness id (probe_minhash convention).
+
+    The member read is partition-pruned to the clusters the batch
+    actually touches (PartitionFilters on the cluster directory key —
+    asserted in tests), so probe cost is O(batch + touched clusters),
+    independent of corpus size.  ``append=True`` adds the batch's
+    SURVIVORS to the layout afterwards (one appending write into the
+    same cluster dirs).
+    """
+    import json
+
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.operators.similarity import _index_matches
+    from gofeed_spark.sources.io import write_partitioned
+
+    meta = _index_matches(path, {"kind": _SEM_KIND})
+    if meta is None:
+        raise ValueError(f"no completed semdedup index at {path}")
+    C = np.array(meta["centroids"], dtype=np.float64)
+    fs = get_filesystem(path)
+
+    tagged = _tag_clusters(batch, C, id_col, vec_col).localCheckpoint()
+    touched = sorted(r["cluster"] for r in tagged.select("cluster").distinct().collect())
+    members = (
+        spark.read.parquet(fs.spark_path(path))
+        .filter(F.col("cluster").isin(touched))
+        .select("id", "cluster", "v", F.lit(False).alias("is_new"))
+    )
+    unioned = members.unionByName(
+        tagged.select("id", "cluster", "v", F.lit(True).alias("is_new"))
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        # members first (all witnesses), then news ascending id: a new row
+        # at combined position m+j may match any column < m+j
+        pdf = pdf.sort_values(["is_new", "id"]).reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        is_new = pdf["is_new"].to_numpy()
+        m = int((~is_new).sum())
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-300)
+        Vn = V / nrm[:, None]
+        cluster = pdf["cluster"].iloc[0]
+        out_id, out_dup = [], []
+        for lo in range(m, len(ids), chunk_rows):
+            hi = min(lo + chunk_rows, len(ids))
+            sims = Vn[lo:hi] @ Vn.T
+            for r in range(lo, hi):
+                hit = sims[r - lo, :r] >= tau
+                if hit.any():
+                    out_id.append(ids[r])
+                    out_dup.append(ids[:r][hit].min())  # min WITNESS ID
+        return pd.DataFrame(
+            {
+                "id": np.array(out_id, dtype=np.int64),
+                "cluster": np.repeat(cluster, len(out_id)),
+                "dup_of": np.array(out_dup, dtype=np.int64),
+            }
+        )
+
+    verdicts = unioned.groupBy("cluster").applyInPandas(
+        prune, schema="id long, cluster string, dup_of long"
+    )
+    verdicts = verdicts.select(
+        F.col("id").alias(id_col), "cluster", "dup_of"
+    ).orderBy(id_col).localCheckpoint()
+    if append:
+        survivors = tagged.join(
+            verdicts.select(F.col(id_col).alias("id")), "id", "left_anti"
+        )
+        write_partitioned(
+            survivors.repartition("cluster"),
+            fs.spark_path(path),
+            partition_by=["cluster"],
+            mode="append",
+        )
+    return verdicts

@@ -83,7 +83,10 @@ def heavy_hitters(
                 continue
             # batch-vectorized: one C-level value_counts per Arrow batch,
             # not a Python loop over rows (measured 3x on 500k docs)
-            flat = np.concatenate(pdf["__toks"].to_list() or [[]])
+            arrs = [a for a in pdf["__toks"].to_list() if a is not None]
+            if not arrs:
+                continue
+            flat = np.concatenate(arrs)
             if len(flat):
                 vc = pd.Series(flat).value_counts()
                 state.update(dict(zip(vc.index, vc.to_numpy())))

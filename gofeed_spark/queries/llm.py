@@ -3011,8 +3011,10 @@ def q121(spark, sf_dir):
 # Shared CTE chain for q122/q123: 2 Lloyd iterations from the sorted-id
 # init, ties to the lowest cluster, emptied clusters keep the previous
 # centroid — the exact contract operators/clustering.py implements.
+_KMEANS_SRC = "embeddings"  # q127 substitutes a filtered sub-corpus
+
 _KMEANS_CTES = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
 c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v
        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) t),
 a0 AS (SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
@@ -3051,7 +3053,7 @@ a2f AS (SELECT vec_id, cl FROM a2 WHERE rn = 1)
 # --- q122 distributed k-means over the embedding corpus ----------------------
 @query(
     "q122_kmeans_embeddings",
-    oracle=_KMEANS_CTES
+    oracle=_KMEANS_CTES.format(src=_KMEANS_SRC)
     + """
 SELECT vec_id, CAST(cl AS INT) AS cluster FROM a2f ORDER BY vec_id
 """,
@@ -3072,7 +3074,7 @@ def q122(spark, sf_dir):
 # --- q123 SemDeDup: within-cluster semantic dedup ------------------------------
 @query(
     "q123_semdedup",
-    oracle=_KMEANS_CTES
+    oracle=_KMEANS_CTES.format(src=_KMEANS_SRC)
     + """,
 ev AS (SELECT a.vec_id, a.cl, e.v, SQRT(list_dot_product(e.v, e.v)) AS nrm
        FROM a2f a JOIN e USING (vec_id)),
@@ -3163,3 +3165,71 @@ def q126(spark, sf_dir):
     return dsir_select(
         T(spark, sf_dir, "documents"), target=F.col("lang") == "en"
     )
+
+
+# --- q127 incremental semantic dedup: persisted-index probe --------------------
+_Q127_SPLIT = (
+    "(SELECT CAST(FLOOR((MAX(vec_id) + 1) * 0.8) AS BIGINT) FROM embeddings)"
+)
+
+@query(
+    "q127_semdedup_probe",
+    oracle=_KMEANS_CTES.format(
+        src=f"(SELECT * FROM embeddings WHERE vec_id < {_Q127_SPLIT}) corp"
+    )
+    + f""",
+bt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       WHERE vec_id >= {_Q127_SPLIT}),
+ba AS (SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+       FROM (SELECT b.vec_id, c.cl,
+                    list_dot_product(b.v, b.v) - 2*list_dot_product(b.v, c.v)
+                      + list_dot_product(c.v, c.v) AS d
+             FROM bt b, c2 c) s),
+baf AS (SELECT vec_id, cl FROM ba WHERE rn = 1),
+corpm AS (SELECT a.vec_id, a.cl, e.v, SQRT(list_dot_product(e.v, e.v)) AS nrm
+          FROM a2f a JOIN e USING (vec_id)),
+bm AS (SELECT b.vec_id, f.cl, b.v, SQRT(list_dot_product(b.v, b.v)) AS nrm
+       FROM bt b JOIN baf f USING (vec_id)),
+wits AS (
+  SELECT x.vec_id, x.cl, y.vec_id AS w
+  FROM bm x JOIN corpm y ON x.cl = y.cl
+  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= CAST(0.35 AS DOUBLE)
+  UNION ALL
+  SELECT x.vec_id, x.cl, y.vec_id AS w
+  FROM bm x JOIN bm y ON x.cl = y.cl AND y.vec_id < x.vec_id
+  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= CAST(0.35 AS DOUBLE))
+SELECT vec_id, printf('c%04d', cl) AS cluster, MIN(w) AS dup_of
+FROM wits GROUP BY vec_id, cl ORDER BY vec_id
+""",
+)
+def q127(spark, sf_dir):
+    """Incremental semantic dedup through the PERSISTED index
+    (clustering.build_semdedup_index / probe_semdedup_index — the
+    embedding-space sibling of q100's MinHash index): centroids frozen on
+    the first 80% of the corpus, the remaining 20% probed as an arriving
+    batch.  The member read partition-prunes to the clusters the batch
+    touches, so probe cost is O(batch + touched clusters), corpus-size
+    independent.  Eager at construction (builds the tmp index), the
+    q100/q118 convention."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.operators.clustering import (
+        build_semdedup_index,
+        probe_semdedup_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    split = int(
+        (emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"] + 1) * 0.8
+    )
+    idx = tempfile.mkdtemp(prefix="gofeed_q127_")
+    try:
+        build_semdedup_index(
+            emb.filter(F.col("vec_id") < split), idx, k=8, n_iters=2
+        )
+        return probe_semdedup_index(
+            spark, idx, emb.filter(F.col("vec_id") >= split), tau=0.35
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
