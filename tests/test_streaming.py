@@ -781,3 +781,68 @@ def test_streaming_dsir_with_frozen_model_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == batch
+
+
+def test_streaming_ingest_semantic_dedup_with_append(spark, tmp_path):
+    """Ingest-time SEMANTIC dedup: micro-batches probe the persisted
+    k-means index inside foreachBatch with append=True, so later batches
+    dedup against EARLIER batches' survivors as well as the standing
+    corpus — the cross-batch state lives in the index layout itself, not
+    in streaming state.  Kept set must equal the sequential batch
+    decisions."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.clustering import (
+        build_semdedup_index,
+        probe_semdedup_index,
+    )
+
+    rng = np.random.default_rng(13)
+    A = rng.normal(size=(30, 8))
+    ddl = (
+        "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(A)], ddl
+    )
+    idx = str(tmp_path / "sem_stream_idx")
+    build_semdedup_index(corpus, idx, k=3, n_iters=2)
+
+    uniq = rng.normal(size=8)
+    incoming = [
+        (100, A[4] + rng.normal(scale=0.01, size=8)),   # dup of corpus 4
+        (101, uniq),                                     # fresh -> appended
+        (102, uniq + rng.normal(scale=0.01, size=8)),    # dup of 101 (cross-batch)
+        (103, rng.normal(size=8)),                       # fresh
+    ]
+    new_docs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in incoming], ddl
+    )
+    src = str(tmp_path / "sem_ingest_in")
+    # two files -> two micro-batches; 102 must dedup against 101's append
+    new_docs.filter(F.col("vec_id") <= 101).write.mode("append").parquet(src)
+    new_docs.filter(F.col("vec_id") >= 102).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    verdicts = {}
+
+    def dedup_batch(df, bid):
+        for r in probe_semdedup_index(
+            spark, idx, df, tau=0.8, append=True
+        ).collect():
+            verdicts[r.vec_id] = r.dup_of
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sem"))
+        .trigger(availableNow=True)
+        .foreachBatch(dedup_batch)
+        .start()
+    )
+    q.awaitTermination(120)
+    # micro-batch order: files split at vec_id 101/102, but either arrival
+    # order yields the same verdicts (102's witness 101 is appended first
+    # because maxFilesPerTrigger=1 preserves file order)
+    assert verdicts == {100: 4, 102: 101}
