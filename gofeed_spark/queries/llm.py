@@ -3233,3 +3233,57 @@ def q127(spark, sf_dir):
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+# --- q128 PageRank centrality over the nation trade graph ----------------------
+@query(
+    "q128_pagerank_trade",
+    oracle="""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges) u),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ncnt FROM nodes),
+ow AS (SELECT src, SUM(w) AS W FROM edges GROUP BY src),
+r0 AS (SELECT n, 1.0 / nn.ncnt AS r FROM nodes, nn),
+c1 AS (SELECT e.dst AS n, SUM(r0.r * e.w / ow.W) AS contrib
+       FROM edges e JOIN r0 ON e.src = r0.n JOIN ow ON e.src = ow.src GROUP BY e.dst),
+d1 AS (SELECT COALESCE(SUM(r0.r), 0.0) AS dm FROM r0 LEFT JOIN ow ON r0.n = ow.src
+       WHERE ow.src IS NULL),
+r1 AS (SELECT nodes.n, (1.0 - 0.85) / nn.ncnt + 0.85 * (COALESCE(c1.contrib, 0.0) + d1.dm / nn.ncnt) AS r
+       FROM nodes LEFT JOIN c1 ON nodes.n = c1.n, nn, d1),
+c2 AS (SELECT e.dst AS n, SUM(r1.r * e.w / ow.W) AS contrib
+       FROM edges e JOIN r1 ON e.src = r1.n JOIN ow ON e.src = ow.src GROUP BY e.dst),
+d2 AS (SELECT COALESCE(SUM(r1.r), 0.0) AS dm FROM r1 LEFT JOIN ow ON r1.n = ow.src
+       WHERE ow.src IS NULL),
+r2 AS (SELECT nodes.n, (1.0 - 0.85) / nn.ncnt + 0.85 * (COALESCE(c2.contrib, 0.0) + d2.dm / nn.ncnt) AS r
+       FROM nodes LEFT JOIN c2 ON nodes.n = c2.n, nn, d2)
+SELECT CAST(n AS INT) AS node, ROUND(r, 6) AS pagerank FROM r2 ORDER BY node
+""",
+)
+def q128(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py) over the customer-nation →
+    supplier-nation trade graph (edge weight = lineitem count) — the
+    crawl-graph centrality class: each iteration is one edges⋈ranks
+    shuffle on the source key + a map-side-combinable destination sum,
+    ranks checkpointed per round so the iterative plan stays flat."""
+    from gofeed_spark.operators.graph import pagerank
+
+    o, c = T(spark, sf_dir, "orders"), T(spark, sf_dir, "customer")
+    l, s = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "supplier")
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    pr = pagerank(edges, n_iters=2, damping=0.85, weight="w")
+    return pr.select(F.col("node").cast("int").alias("node"), "pagerank")
