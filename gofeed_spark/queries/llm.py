@@ -3287,3 +3287,17 @@ def q128(spark, sf_dir):
     )
     pr = pagerank(edges, n_iters=2, damping=0.85, weight="w")
     return pr.select(F.col("node").cast("int").alias("node"), "pagerank")
+
+
+# --- q129 PCA projection (rows-only: eigendecomposition is not SQL) -------------
+@query("q129_pca_project")
+def q129(spark, sf_dir):
+    """Distributed PCA (operators/pca.py): covariance from ONE Arrow pass
+    of per-partition (count, sum, outer-product) partials, driver-side
+    eigh, svd_flip sign convention, projection as a second Arrow pass.
+    Registered rows-only — eigendecomposition has no SQL twin; the
+    numpy-equality, partition-invariance and frozen-model tests in
+    tests/test_pca.py carry the value check."""
+    from gofeed_spark.operators.pca import pca_project
+
+    return pca_project(T(spark, sf_dir, "embeddings"), n_components=8)

@@ -92,3 +92,28 @@ def streaming_session_counts(
             "first_event",
         )
     )
+
+
+def streaming_sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) count+sum per event_type — the streaming twin of
+    batch q124.  Every event lands in width/slide windows; the watermark
+    bounds how long each open window's state is retained.  Window start
+    is emitted as epoch seconds, matching q124's hash-stable form."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sv"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("ws"), "event_type", "n", "sv"
+        )
+    )

@@ -846,3 +846,31 @@ def test_streaming_ingest_semantic_dedup_with_append(spark, tmp_path):
     # order yields the same verdicts (102's witness 101 is appended first
     # because maxFilesPerTrigger=1 preserves file order)
     assert verdicts == {100: 4, 102: 101}
+
+
+def test_streaming_sliding_matches_batch_q124(spark, tmp_path):
+    """The hopping-window twin: every event contributes to exactly
+    width/slide = 2 window rows, and the drained streaming result equals
+    batch q124 on the same events."""
+    from gofeed_spark.streaming.windows import streaming_sliding_counts
+
+    src = _write_events(spark, tmp_path)
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    out_rows = []
+    q = (
+        streaming_sliding_counts(events)
+        .writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck124"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.ws, r.event_type): (r.n, r.sv) for r in out_rows}
+    batch = QUERIES["q124_sliding_window"](spark, SF).collect()
+    want = {(r.ws, r.event_type): (r.n, round(r.sv, 4)) for r in batch}
+    assert got == want
+    assert sum(n for n, _ in got.values()) == 2 * spark.read.parquet(src).count()
