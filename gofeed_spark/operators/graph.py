@@ -50,6 +50,8 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = float(nodes.count())
+    if n_nodes == 0:
+        raise ValueError("pagerank over an empty edge set")
     outw = e.groupBy("__s").agg(F.sum("__w").alias("__ow")).localCheckpoint()
 
     ranks = nodes.select("__n", F.lit(1.0 / n_nodes).alias("__r"))

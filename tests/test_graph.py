@@ -73,3 +73,9 @@ def test_pagerank_weight_shifts_rank(spark):
                 _edf(spark, [(s, t, 1.0) for s, t, _ in EDGES]),
                 n_iters=2, weight="w").collect()}
     assert heavy[2] > flat[2]
+
+
+def test_pagerank_empty_edges_raises(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty edge set"):
+        pagerank(e, n_iters=1)
