@@ -56,18 +56,11 @@ def bm25_scores(
     scored = tf.alias("t").join(F.broadcast(dfreq.alias("d")), "tok").crossJoin(
         F.broadcast(stats.alias("g"))
     )
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("len_d") / F.col("avgdl")
-    )
-    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    # the contribution expression is shared with probe_bm25_index so the
+    # full-scan and index-probe float chains cannot drift apart
     return (
         scored.groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .agg(F.round(F.sum(_bm25_contrib(k1, b)), 6).alias("score"))
         .select(F.col("doc_id").alias(id_col), "score")
     )
 
@@ -129,4 +122,138 @@ def tfidf_keywords(
             F.round("__score", 6).alias("score"),
         )
         .orderBy(id_col, "rank")
+    )
+
+
+# --- persisted BM25 index -----------------------------------------------------
+# The lexical-retrieval member of the persisted-index family (MinHash =
+# near-dup, SRP/IVF = vectors, k-means = semantic): pay one corpus scan
+# at build time, then every keyword probe reads only the term buckets it
+# touches instead of re-scanning the corpus.
+
+_BM25_KIND = "bm25_v1"
+
+
+def _term_bucket_py(token: str, n_hex: int = 2) -> str:
+    """Driver-side twin of the build's bucket expression (md5 prefix —
+    computable identically in Python and Spark SQL, the _keep_hash
+    convention)."""
+    import hashlib
+
+    return "t" + hashlib.md5(token.encode()).hexdigest()[:n_hex]
+
+
+def _term_bucket_col(tok_col, n_hex: int = 2):
+    return F.concat(F.lit("t"), F.substring(F.md5(tok_col), 1, n_hex))
+
+
+def _bm25_contrib(k1: float, b: float):
+    """The BM25 per-(doc, term) contribution as a Column over columns
+    (tf, df, len_d, n_docs, avgdl) — ONE definition shared by the
+    full-scan scorer and the index probe, so their float chains cannot
+    drift apart."""
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("len_d") / F.col("avgdl")
+    )
+    return idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the BM25 posting layout: the (token, doc, tf, len_d)
+    relation and the (token, df) relation, both partitioned by a 256-way
+    md5 term bucket so a probe's term set prunes to its buckets at plan
+    time; corpus stats (N, avgdl — exact JSON round-trip) live in the
+    meta, written LAST (the index-family commit point)."""
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.operators.similarity import _write_index_meta
+    from gofeed_spark.sources.io import write_partitioned
+
+    docs = parallel_floor(docs)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("__toks")
+    ).withColumn("len_d", F.size("__toks"))
+    srow = base.agg(
+        F.count("*").alias("n"), F.avg(F.col("len_d").cast("double")).alias("a")
+    ).collect()[0]
+    tf = (
+        base.select("doc_id", "len_d", F.explode("__toks").alias("tok"))
+        .groupBy("doc_id", "len_d", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("tb", _term_bucket_col(F.col("tok")))
+    )
+    dfreq = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .withColumn("tb", _term_bucket_col(F.col("tok")))
+    )
+    fs = get_filesystem(path)
+    write_partitioned(
+        tf.repartition("tb"), fs.spark_path(fs.join(path, "tf")),
+        partition_by=["tb"],
+    )
+    write_partitioned(
+        dfreq.repartition("tb"), fs.spark_path(fs.join(path, "df")),
+        partition_by=["tb"],
+    )
+    _write_index_meta(
+        path,
+        {
+            "kind": _BM25_KIND,
+            "n_docs": int(srow["n"]),
+            "avgdl": float(srow["a"]),
+            "id_col": id_col,
+        },
+    )
+
+
+def probe_bm25_index(
+    spark,
+    path: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scores for ``terms`` off the persisted layout — NO corpus
+    scan: the tf/df reads partition-prune to the terms' md5 buckets
+    (PartitionFilters) and push the term equality into the pruned scan
+    (PushedFilters); corpus stats ride as literals from the meta.  Score
+    doubles equal the full-scan ``bm25_scores`` bit-for-bit (shared
+    contribution expression, exact-round-trip stats)."""
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.operators.similarity import _index_matches
+
+    meta = _index_matches(path, {"kind": _BM25_KIND})
+    if meta is None:
+        raise ValueError(f"no completed bm25 index at {path}")
+    fs = get_filesystem(path)
+    terms = sorted(set(terms))
+    buckets = sorted({_term_bucket_py(t) for t in terms})
+    tf = (
+        spark.read.parquet(fs.spark_path(fs.join(path, "tf")))
+        .filter(F.col("tb").isin(buckets) & F.col("tok").isin(terms))
+    )
+    dfreq = (
+        spark.read.parquet(fs.spark_path(fs.join(path, "df")))
+        .filter(F.col("tb").isin(buckets) & F.col("tok").isin(terms))
+        .select("tok", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .withColumn("n_docs", F.lit(meta["n_docs"]))
+        .withColumn("avgdl", F.lit(meta["avgdl"]))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum(_bm25_contrib(k1, b)), 6).alias("score"))
+        .select(F.col("doc_id").alias(meta["id_col"]), "score")
     )

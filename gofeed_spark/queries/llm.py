@@ -3301,3 +3301,50 @@ def q129(spark, sf_dir):
     from gofeed_spark.operators.pca import pca_project
 
     return pca_project(T(spark, sf_dir, "embeddings"), n_components=8)
+
+
+# --- q130 BM25 probe off the persisted posting index ---------------------------
+@query(
+    "q130_bm25_index_probe",
+    oracle=r"""
+WITH base AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+lens AS (SELECT doc_id, len(tk) AS len_d FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(len_d AS DOUBLE)) AS avgdl FROM lens),
+hits AS (SELECT b.doc_id, t.tok FROM base b, LATERAL UNNEST(b.tk) AS t(tok)
+         WHERE t.tok IN ('hash', 'join', 'spark')),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln((CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+            / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)
+         * (tf.tf * CAST(2.2 AS DOUBLE))
+         / (tf.tf + CAST(1.2 AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.len_d / s.avgdl))
+       ), 6) AS score
+FROM tf JOIN dfreq USING (tok) JOIN lens l ON l.doc_id = tf.doc_id, stats s
+GROUP BY tf.doc_id ORDER BY tf.doc_id
+""",
+)
+def q130(spark, sf_dir):
+    """q97's retrieval through the PERSISTED posting index
+    (search.build_bm25_index / probe_bm25_index — the lexical member of
+    the persisted-index family): the probe never rescans the corpus, it
+    reads only the query terms' md5 buckets (PartitionFilters) with the
+    term equality pushed into the pruned scan, and reproduces the
+    full-scan scores bit-for-bit (shared contribution expression, exact
+    round-trip corpus stats).  Eager at construction (builds the tmp
+    index), the q100/q127 convention."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.operators.search import build_bm25_index, probe_bm25_index
+
+    idx = tempfile.mkdtemp(prefix="gofeed_q130_")
+    try:
+        build_bm25_index(T(spark, sf_dir, "documents"), idx)
+        return probe_bm25_index(
+            spark, idx, ["hash", "join", "spark"]
+        ).orderBy("doc_id").localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

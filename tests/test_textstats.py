@@ -475,3 +475,42 @@ def test_dsir_select_keep_fraction_and_determinism(spark):
         for r in dsir_select(d.repartition(1), target=F.col("tgt")).collect()
     ]
     assert got == got2
+
+
+def test_bm25_index_probe_equals_full_scan(spark, tmp_path):
+    """The persisted posting index must reproduce bm25_scores
+    BIT-FOR-BIT (shared contribution expression, exact round-trip corpus
+    stats), and the probe's tf read must partition-prune to the query
+    terms' md5 buckets."""
+    from gofeed_spark.operators.search import (
+        _term_bucket_py,
+        bm25_scores,
+        build_bm25_index,
+        probe_bm25_index,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "cat dog cat mouse"), (2, "dog bird"), (3, "fish pond weed"),
+         (4, "cat fish dog cat cat")],
+        "doc_id long, text string",
+    ).repartition(3)
+    idx = str(tmp_path / "bm25idx")
+    build_bm25_index(d, idx)
+    terms = ["cat", "fish", "zebra"]  # zebra: absent from the corpus
+    probe = probe_bm25_index(spark, idx, terms)
+    got = {r.doc_id: r.score for r in probe.collect()}
+    want = {r.doc_id: r.score for r in bm25_scores(d, terms).collect()}
+    assert got == want and len(got) == 3  # docs 1, 3, 4
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "tb" in pf and _term_bucket_py("cat") in pf
+    assert "PushedFilters" in plan  # term equality reaches the pruned scan
+
+
+def test_bm25_index_probe_refuses_missing_meta(spark, tmp_path):
+    import pytest as _pytest
+
+    from gofeed_spark.operators.search import probe_bm25_index
+
+    with _pytest.raises(ValueError, match="no completed bm25 index"):
+        probe_bm25_index(spark, str(tmp_path / "nope"), ["cat"])
