@@ -185,6 +185,8 @@ def build_bm25_index(
     srow = base.agg(
         F.count("*").alias("n"), F.avg(F.col("len_d").cast("double")).alias("a")
     ).collect()[0]
+    if not srow["n"]:
+        raise ValueError("cannot build a bm25 index over an empty corpus")
     tf = (
         base.select("doc_id", "len_d", F.explode("__toks").alias("tok"))
         .groupBy("doc_id", "len_d", "tok")

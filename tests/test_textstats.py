@@ -514,3 +514,13 @@ def test_bm25_index_probe_refuses_missing_meta(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no completed bm25 index"):
         probe_bm25_index(spark, str(tmp_path / "nope"), ["cat"])
+
+
+def test_bm25_index_build_refuses_empty_corpus(spark, tmp_path):
+    import pytest as _pytest
+
+    from gofeed_spark.operators.search import build_bm25_index
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        build_bm25_index(empty, str(tmp_path / "e"))
