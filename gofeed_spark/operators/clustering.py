@@ -308,7 +308,6 @@ def probe_semdedup_index(
     SURVIVORS to the layout afterwards (one appending write into the
     same cluster dirs).
     """
-    import json
 
     from gofeed_spark.fs import get_filesystem
     from gofeed_spark.operators.similarity import _index_matches
