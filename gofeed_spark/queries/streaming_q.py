@@ -144,9 +144,11 @@ def q120(spark, sf_dir):
     try:
         crawl = base.unionByName(recrawls)
         # archive count scales with the corpus (~5k records each, the
-        # q118 rule); micro-batch count stays ~4 regardless — the upsert
-        # sink rewrites the merged table per batch, so batches must not
-        # grow with the corpus (archives per trigger grows instead)
+        # q118 rule); micro-batch count stays ~4 regardless (archives per
+        # trigger grows instead) — batching work keeps per-trigger
+        # overhead flat; the bucketed sink itself now rewrites only the
+        # buckets a batch touches, so batch count is a pacing choice,
+        # not a scale constraint
         n_arch = max(4, -(-crawl.count() // 5000))
         W.export_warc(crawl, landing, n_archives=n_arch).collect()
         from gofeed_spark.streaming.sinks import ParquetUpsertSink

@@ -12,7 +12,8 @@
   run it, and the shared test suite parameterizes over both.
 - ``sinks.ParquetUpsertSink``: idempotent keyed MERGE sink for
   foreachBatch — checkpoint + batch-id manifest gives exactly-once effect
-  on restart (the OCC-save replacement, repo.go:125-138).
+  on restart (the OCC-save replacement, repo.go:125-138); hash-bucketed
+  layout, so a micro-batch rewrites only the buckets holding its keys.
 - ``windows``: watermarked tumbling/session window twins of Q31/Q32.
 """
 

@@ -1,4 +1,4 @@
-"""Idempotent keyed upsert sink for foreachBatch.
+"""Idempotent keyed upsert sink for foreachBatch — touched-buckets layout.
 
 Exactly-once effect = streaming checkpoint (which batch is next) + this
 sink's manifest (which batches already landed).  A re-delivered
@@ -7,17 +7,32 @@ recognized by its batchId and skipped — the same idempotency contract Delta
 gets from txnAppId/txnVersion, implemented over plain parquet because this
 container carries no Delta; the swap is one line in a real deployment.
 
+Scale contract (the reference's own is one row per OCC save,
+repo.go:125-138): state is HASH-BUCKETED on the merge key and a
+micro-batch reads and rewrites ONLY the buckets containing its keys, so
+per-batch I/O tracks the batch's keys, not total state — the streaming
+twin of the feed store's bucketed layout (feedstate/admin.py
+``bucketed_write``), re-expressed in the object-store commit shape:
+
 Write protocol (single streaming writer per query — Spark guarantees
-foreachBatch calls are serial): the merged table is written to a fresh
-VERSIONED directory (``data_v{batch_id}``) and published by ONE atomic
-manifest PUT that carries BOTH the committed batch ids and the live data
-pointer — the object-store commit shape (no directory renames anywhere),
-through the ``gofeed_spark.fs`` seam, so the sink lands on a rename-less
-backend unchanged.  A crash before the PUT leaves an unreferenced
-versioned dir (reclaimed on the next commit); after the PUT the batch is
-fully visible.  There is no torn state at any crash point.  Legacy
-tables (list-manifest + ``data/`` dir from the pre-pointer sink) are
-read transparently and upgrade on their first new commit.
+foreachBatch calls are serial): the touched buckets' merged contents are
+written under a fresh VERSIONED directory (``data_v{batch_id}/pbkt=bNNNN``)
+and published by ONE atomic manifest PUT that carries the committed batch
+ids plus a bucket→directory pointer table — untouched buckets keep their
+old pointers BY NAME (the manifest-by-name carry from feedstate/txlog.py),
+so no directory is ever renamed and no untouched byte is ever rewritten.
+A crash before the PUT leaves unreferenced staging subdirs (reclaimed on
+the next commit's sweep); after the PUT the batch is fully visible.  There
+is no torn state at any crash point.  Legacy tables (bare-list manifest +
+``data/``, or the round-11 single-pointer manifest) read transparently and
+convert to the bucketed layout inside their first new commit — no extra
+manifest version, the feedstate conversion convention.
+
+Bucket values are prefixed non-numeric by construction (``bNNNN``) and the
+manifest addresses leaf dirs directly, so partition re-inference can never
+bite (the round-7 ANN lesson); the bucket column itself never survives the
+read (leaf paths are below the scan roots, so Spark discovers no partition
+column).
 """
 
 from __future__ import annotations
@@ -25,76 +40,173 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from gofeed_spark.fs import get_filesystem
 
+# partition dir name for the bucket column; deliberately NOT "b" (a data
+# column named b would collide) and NOT underscore-prefixed (Spark treats
+# _-prefixed paths as hidden and would skip the bucket dirs on read)
+_BCOL = "pbkt"
+
 
 class ParquetUpsertSink:
-    """foreachBatch callable: keyed last-writer-wins MERGE into a parquet
-    table at ``path`` (the streaming OCC-save twin, repo.go:125-138)."""
+    """foreachBatch callable: keyed last-writer-wins MERGE into a
+    hash-bucketed parquet table at ``path`` (the streaming OCC-save twin,
+    repo.go:125-138).  ``n_buckets`` fixes the layout modulus at table
+    creation; existing tables keep the modulus recorded in their manifest
+    (mixing moduli would split keys across buckets)."""
 
-    def __init__(self, path: str, key: str = "partition_id"):
+    def __init__(self, path: str, key: str = "partition_id", n_buckets: int = 32):
         self.path = path
         self.key = key
+        self.n_buckets = n_buckets
         # resolve the backend ONCE, driver-side (fs.py: executor/closure
         # code must carry the resolved instance, not re-hit the registry)
         self.fs = get_filesystem(path)
         self.manifest = self.fs.join(path, "_committed_batches.json")
+        # observability: bytes + buckets written by the most recent commit
+        # (the write-volume metric — tools/bench_sink.py reads these)
+        self.last_write_bytes: int | None = None
+        self.last_buckets_written: int | None = None
 
     # -- manifest ----------------------------------------------------------
     def _state(self) -> dict:
-        """{"batches": [...], "data": rel_dir_name | None} — accepts the
-        legacy bare-list manifest (data lived at the fixed ``data/``)."""
+        """Normalized ``{"batches": [...], "buckets": {name: rel} | None,
+        "data": rel | None, "n_buckets": int | None}`` — accepts the legacy
+        bare-list manifest (data at the fixed ``data/``) and the round-11
+        single-pointer manifest (``{"batches", "data"}``)."""
         if self.fs.stat(self.manifest) is None:
-            return {"batches": [], "data": None}
+            return {"batches": [], "buckets": None, "data": None, "n_buckets": None}
         raw = json.loads(self.fs.read_bytes(self.manifest))
-        if isinstance(raw, list):  # legacy layout
-            return {"batches": raw, "data": "data"}
+        if isinstance(raw, list):  # legacy bare-list layout
+            return {"batches": raw, "buckets": None, "data": "data", "n_buckets": None}
+        if "buckets" not in raw:  # round-11 single-pointer layout
+            return {
+                "batches": raw["batches"],
+                "buckets": None,
+                "data": raw.get("data"),
+                "n_buckets": None,
+            }
         return raw
 
     def committed(self) -> list[int]:
         return self._state()["batches"]
 
-    def read(self, spark) -> DataFrame | None:
-        rel = self._state()["data"]
-        if rel is None:
+    def _read_rels(self, spark, rels: list[str]) -> DataFrame | None:
+        if not rels:
             return None
-        return spark.read.parquet(self.fs.spark_path(self.fs.join(self.path, rel)))
+        return spark.read.parquet(
+            *[self.fs.spark_path(self.fs.join(self.path, r)) for r in sorted(rels)]
+        )
+
+    def read(self, spark) -> DataFrame | None:
+        state = self._state()
+        if state["buckets"] is not None:
+            return self._read_rels(spark, list(state["buckets"].values()))
+        if state["data"] is not None:
+            return self._read_rels(spark, [state["data"]])
+        return None
 
     # -- the sink ----------------------------------------------------------
+    def _bucket_expr(self, nb: int):
+        # key cast to string first so the layout is stable across key types
+        return F.concat(
+            F.lit("b"),
+            F.lpad(
+                F.pmod(F.xxhash64(F.col(self.key).cast("string")), F.lit(nb))
+                .cast("string"),
+                4,
+                "0",
+            ),
+        ).alias(_BCOL)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         state = self._state()
         if batch_id in state["batches"]:
             return  # re-delivered batch: idempotent skip
         spark = batch_df.sparkSession
+        nb = state["n_buckets"] or self.n_buckets
         # Latest row per key within the batch wins (a key can appear once
-        # per trigger from the stateful op, but be defensive).
-        batch = batch_df.dropDuplicates([self.key])
-        current = self.read(spark)
-        if current is None:
-            merged = batch
-        else:
-            merged = current.join(
-                batch.select(self.key), self.key, "left_anti"
-            ).unionByName(batch)
-        new_rel = f"data_v{batch_id:06d}"
-        merged.write.mode("overwrite").parquet(
-            self.fs.spark_path(self.fs.join(self.path, new_rel))
-        )
-        old_rel = state["data"]
-        state = {"batches": state["batches"] + [batch_id], "data": new_rel}
-        # THE commit point: one atomic whole-object PUT publishes the data
-        # pointer and the batch id together — no window where one is
-        # visible without the other
-        self.fs.put_bytes(self.manifest, json.dumps(state).encode())
-        # post-commit cleanup; a crash here leaves a garbage dir that the
-        # next commit's sweep reclaims
-        if old_rel is not None:
-            self.fs.delete_tree(self.fs.join(self.path, old_rel))
+        # per trigger from the stateful op, but be defensive).  Persist:
+        # the batch feeds two jobs (touched-bucket discovery + the write)
+        # and must not recompute through the source.
+        batch = batch_df.dropDuplicates([self.key]).persist()
+        try:
+            old_buckets = state["buckets"] if state["buckets"] is not None else {}
+            if state["buckets"] is None and state["data"] is not None:
+                # legacy unbucketed table: fold the layout conversion into
+                # this commit — the whole table is "touched" exactly once
+                cur = self._read_rels(spark, [state["data"]])
+            else:
+                # one tiny job over the deduped batch: which buckets does
+                # this batch touch?  (≤ n_buckets rows come back)
+                touched = {
+                    r[_BCOL]
+                    for r in batch.select(self._bucket_expr(nb)).distinct().collect()
+                }
+                cur_rels = [old_buckets[b] for b in touched if b in old_buckets]
+                cur = self._read_rels(spark, cur_rels)
+            if cur is None:
+                merged = batch
+            else:
+                merged = cur.join(
+                    batch.select(self.key), self.key, "left_anti"
+                ).unionByName(batch)
+            new_rel = f"data_v{batch_id:06d}"
+            new_dir = self.fs.join(self.path, new_rel)
+            # repartition ON the bucket puts each bucket's rows wholly in
+            # one task -> exactly one file per bucket (partitionBy alone
+            # writes files-per-task-per-bucket; footer overhead then
+            # dominates small deltas — the round-8 feedstate measurement)
+            merged.withColumn(_BCOL, self._bucket_expr(nb)).repartition(
+                F.col(_BCOL)
+            ).write.partitionBy(_BCOL).mode("overwrite").parquet(
+                self.fs.spark_path(new_dir)
+            )
+            written = {
+                name[len(_BCOL) + 1 :]: f"{new_rel}/{name}"
+                for name in self.fs.listdir(new_dir)
+                if name.startswith(_BCOL + "=")
+            }
+            self.last_write_bytes = self.fs.tree_stats(new_dir)[1]
+            self.last_buckets_written = len(written)
+            buckets = dict(old_buckets)  # untouched buckets carry BY NAME
+            buckets.update(written)
+            new_state = {
+                "batches": state["batches"] + [batch_id],
+                "buckets": buckets,
+                "n_buckets": nb,
+            }
+            # THE commit point: one atomic whole-object PUT publishes the
+            # bucket pointer table and the batch id together — no window
+            # where one is visible without the other
+            self.fs.put_bytes(self.manifest, json.dumps(new_state).encode())
+            # post-commit cleanup; a crash here leaves garbage that the
+            # next commit's sweep reclaims
+            self._sweep(buckets)
+        finally:
+            batch.unpersist()
+
+    def _sweep(self, buckets: dict[str, str]) -> None:
+        """Reclaim everything the manifest no longer references: whole
+        version dirs with no live bucket, superseded bucket subdirs inside
+        still-live version dirs, and the legacy ``data/`` dir after its
+        conversion commit."""
+        live_rels = set(buckets.values())
+        live_tops = {rel.split("/")[0] for rel in live_rels}
         for name in self.fs.listdir(self.path):
-            if (
-                name.startswith(("data_v", "_staging_", "_old_"))
-                and name != new_rel
-                and self.fs.isdir(self.fs.join(self.path, name))
-            ):
-                self.fs.delete_tree(self.fs.join(self.path, name))
+            full = self.fs.join(self.path, name)
+            if not (
+                name.startswith(("data_v", "_staging_", "_old_")) or name == "data"
+            ) or not self.fs.isdir(full):
+                continue
+            if name not in live_tops:
+                self.fs.delete_tree(full)
+                continue
+            for sub in self.fs.listdir(full):
+                if (
+                    sub.startswith(_BCOL + "=")
+                    and f"{name}/{sub}" not in live_rels
+                ):
+                    self.fs.delete_tree(self.fs.join(full, sub))

@@ -374,11 +374,13 @@ def test_compact_partitioned_layout_preserved_on_object_store(spark, fakefs):
 
 def test_upsert_sink_on_object_store_with_crash_windows(spark, fakefs):
     """ParquetUpsertSink publishes by ONE atomic manifest PUT (batch ids +
-    data pointer together) — so the streaming sink lands on a rename-less
-    backend, re-delivered batches skip idempotently, a crash between the
-    data write and the PUT leaves only an unreferenced versioned dir
-    (reclaimed by the next commit's sweep), and legacy list-manifest
-    tables upgrade in place."""
+    the bucket pointer table together) — so the streaming sink lands on a
+    rename-less backend, re-delivered batches skip idempotently, a crash
+    between the data write and the PUT leaves only unreferenced versioned
+    subdirs (reclaimed by the next commit's sweep), and untouched buckets
+    carry by NAME across commits (no rewrite)."""
+    import json as _json
+
     from gofeed_spark.streaming.sinks import ParquetUpsertSink
 
     fs = fakefs
@@ -400,9 +402,72 @@ def test_upsert_sink_on_object_store_with_crash_windows(spark, fakefs):
     sink(spark.createDataFrame([("d", 4)], "k string, v int"), 2)
     assert not fs.isdir(f"{path}/data_v000007")
     assert {(r.k, r.v) for r in sink.read(spark).collect()} == got | {("d", 4)}
-    # exactly one live data dir remains
-    live = [n for n in fs.listdir(path) if n.startswith("data_v")]
-    assert len(live) == 1
+    # every manifest-referenced bucket dir exists, and nothing else lives
+    # under the table (untouched buckets legitimately point at OLD
+    # versioned dirs — the manifest-by-name carry)
+    state = _json.loads(fs.read_bytes(f"{path}/_committed_batches.json"))
+    assert state["n_buckets"] == 32 and state["batches"] == [0, 1, 2]
+    live = set(state["buckets"].values())
+    assert all(fs.isdir(f"{path}/{rel}") for rel in live)
+    for top in fs.listdir(path):
+        if not top.startswith("data_v"):
+            continue
+        for sub in fs.listdir(f"{path}/{top}"):
+            if sub.startswith("pbkt="):
+                assert f"{top}/{sub}" in live
+
+
+def test_upsert_sink_touched_buckets_write_volume(spark, tmp_path):
+    """The scale contract: after settling a large state table, a 2-key
+    micro-batch rewrites ONLY the ≤2 buckets holding those keys — write
+    bytes per batch track the batch, not total state (the streaming twin
+    of the round-8 feedstate measurement, 1.47 MB → 25 KB)."""
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    base = str(tmp_path / "bucketed_sink")
+    sink = ParquetUpsertSink(base, key="k", n_buckets=16)
+    settle = spark.createDataFrame(
+        [(f"key{i:05d}", i) for i in range(5000)], "k string, v int"
+    )
+    sink(settle, 0)
+    settled_bytes = sink.last_write_bytes
+    assert sink.last_buckets_written == 16
+    sink(spark.createDataFrame([("key00001", -1), ("key00002", -2)],
+                               "k string, v int"), 1)
+    assert sink.last_buckets_written <= 2
+    assert sink.last_write_bytes < settled_bytes / 4
+    # the merge is still correct and complete
+    got = {r.k: r.v for r in sink.read(spark).collect()}
+    assert len(got) == 5000
+    assert got["key00001"] == -1 and got["key00002"] == -2 and got["key00003"] == 3
+
+
+def test_upsert_sink_reads_round11_pointer_layout(spark, tmp_path):
+    """A round-11/12 single-pointer sink table ({"batches","data"} manifest)
+    stays readable and converts to the bucketed layout on its first new
+    commit, with the old versioned dir reclaimed."""
+    import json as _json
+    import os as _os
+
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    base = str(tmp_path / "pointer_sink")
+    _os.makedirs(base)
+    spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int").write.parquet(
+        _os.path.join(base, "data_v000003")
+    )
+    with open(_os.path.join(base, "_committed_batches.json"), "w") as f:
+        _json.dump({"batches": [0, 3], "data": "data_v000003"}, f)
+    sink = ParquetUpsertSink(base, key="k")
+    assert sink.committed() == [0, 3]
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == {("a", 1), ("b", 2)}
+    sink(spark.createDataFrame([("b", 20)], "k string, v int"), 4)
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == {("a", 1), ("b", 20)}
+    state = _json.loads(open(_os.path.join(base, "_committed_batches.json")).read())
+    assert state["buckets"]  # converted
+    # the pre-conversion pointer dir held no live bucket -> swept; its
+    # replacement (data_v000004) holds every bucket
+    assert not any(v.startswith("data_v000003/") for v in state["buckets"].values())
 
 
 def test_upsert_sink_reads_legacy_layout(spark, tmp_path):
