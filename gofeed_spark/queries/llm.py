@@ -3289,18 +3289,47 @@ def q128(spark, sf_dir):
     return pr.select(F.col("node").cast("int").alias("node"), "pagerank")
 
 
-# --- q129 PCA projection (rows-only: eigendecomposition is not SQL) -------------
-@query("q129_pca_project")
+# --- q129 PCA projection, ORACLE-PAIRED via the power method --------------------
+@query(
+    "q129_pca_project",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+d AS (SELECT UNNEST(range(1, 65)) AS i),
+mu AS (SELECT d.i, SUM(e.v[d.i]) / (SELECT n FROM nn) AS m FROM e, d GROUP BY d.i),
+s2 AS (SELECT di.i AS i, dj.i AS j, SUM(e.v[di.i] * e.v[dj.i]) AS s
+       FROM e, d di, d dj GROUP BY di.i, dj.i),
+cv AS (SELECT s2.i, s2.j,
+              (s2.s - (SELECT n FROM nn) * mi.m * mj.m)
+                / ((SELECT n FROM nn) - 1) AS c
+       FROM s2 JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j),
+w1 AS (SELECT i, SUM(c) AS w FROM cv GROUP BY i),
+n1 AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w1),
+v1 AS (SELECT i, w / (SELECT nrm FROM n1) AS x FROM w1),
+w2 AS (SELECT cv.i, SUM(cv.c * v1.x) AS w
+       FROM cv JOIN v1 ON v1.i = cv.j GROUP BY cv.i),
+n2 AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w2),
+v2 AS (SELECT i, w / (SELECT nrm FROM n2) AS x FROM w2),
+proj AS (SELECT e.vec_id, SUM((e.v[v2.i] - mu.m) * v2.x) AS p
+         FROM e, v2 JOIN mu ON mu.i = v2.i GROUP BY e.vec_id)
+SELECT vec_id, ROUND(p, 4) + 0.0 AS pc1 FROM proj ORDER BY vec_id
+""",
+)
 def q129(spark, sf_dir):
-    """Distributed PCA (operators/pca.py): covariance from ONE Arrow pass
-    of per-partition (count, sum, outer-product) partials, driver-side
-    eigh, svd_flip sign convention, projection as a second Arrow pass.
-    Registered rows-only — eigendecomposition has no SQL twin; the
-    numpy-equality, partition-invariance and frozen-model tests in
-    tests/test_pca.py carry the value check."""
-    from gofeed_spark.operators.pca import pca_project
+    """Distributed PCA, hash-checked (operators/pca.py
+    ``pca_power_project``): covariance from ONE Arrow pass of
+    per-partition (count, sum, outer-product) partials, then a FIXED
+    2-iteration power method from the all-ones start — a deterministic
+    arithmetic function of the covariance, which DuckDB replays as a CTE
+    chain over the (i, j, c) covariance relation (the q122 k-means
+    precedent applied to linear algebra; eigen-CONVERGENCE is irrelevant
+    to parity).  Projections round to 4 decimals with MEASURED boundary
+    margins (tests/test_pca.py) dwarfing cross-engine float noise; the
+    full-rank eigh form stays available as ``pca_fit``/``pca_project``
+    with numpy-equality tests."""
+    from gofeed_spark.operators.pca import pca_power_project
 
-    return pca_project(T(spark, sf_dir, "embeddings"), n_components=8)
+    return pca_power_project(T(spark, sf_dir, "embeddings"), n_iters=2)
 
 
 # --- q130 BM25 probe off the persisted posting index ---------------------------

@@ -73,3 +73,51 @@ def test_pca_frozen_model_projects_new_frame(spark):
 def test_pca_empty_corpus_raises(spark):
     with pytest.raises(ValueError, match="empty corpus"):
         pca_fit(spark.createDataFrame([], SCHEMA))
+
+
+def test_pca_power_project_matches_numpy_and_margins(spark):
+    """The oracle-paired form: 2-iteration power method from the all-ones
+    start must equal the straight numpy replay, projections must be
+    partitioning-invariant, and every gate-SF projection must sit far
+    enough from a round-4 boundary that cross-engine float noise
+    (measured 8.9e-16) can never flip a rounded value."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.pca import _moment_stats, pca_power_project
+
+    rng = np.random.default_rng(41)
+    A = rng.normal(size=(120, 6))
+    df = _df(spark, A)
+    got = {r.vec_id: r.pc1 for r in pca_power_project(df, n_iters=2).collect()}
+    # numpy replay of the exact contract
+    mean = A.mean(axis=0)
+    cov = (A.T @ A - len(A) * np.outer(mean, mean)) / (len(A) - 1)
+    v = np.ones(6)
+    for _ in range(2):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    ref = np.round((A - mean) @ v, 4) + 0.0
+    assert got == {i: ref[i] for i in range(len(A))}
+    # partitioning invariance (bit-exact: driver combine is ordered)
+    got12 = {
+        r.vec_id: r.pc1
+        for r in pca_power_project(df.repartition(12), n_iters=2).collect()
+    }
+    assert got12 == got
+
+    # measured margin floor on the real gate corpus
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n, mu, C = _moment_stats(emb, "embedding")
+    v = np.ones(C.shape[0])
+    for _ in range(2):
+        w = C @ v
+        v = w / np.linalg.norm(w)
+    V = np.stack(
+        [r.embedding for r in emb.select("embedding").collect()]
+    ).astype(np.float64)
+    p = (V - mu) @ v
+    margin = np.abs((np.abs(p) * 1e4 % 1.0) - 0.5).min() * 1e-4
+    assert margin > 1e-10  # >= 1e5 x the measured cross-engine noise
