@@ -40,6 +40,51 @@ from pyspark.sql import functions as F
 from gofeed_spark.functions.parallel import parallel_floor
 
 
+def corpus_k(
+    emb: DataFrame, target_cluster_rows: int = 250, k_min: int = 8
+) -> int:
+    """Corpus-scaled cluster count: SemDeDup's tractability argument (the
+    module docstring) requires k ∝ corpus so the expected cluster size —
+    and therefore the within-cluster O(|c|^2) Gram pass — stays bounded
+    as the corpus grows.  Sized from the parquet footer row-count
+    estimate (catalog.df_rowcount_estimate — zero extra Spark jobs; an
+    upper bound under filters, which only makes clusters smaller),
+    floored at ``k_min``.  The gate corpora land exactly on the floor
+    (sf0.01: 500 rows, sf0.1: 2000 rows → k=8 both), pinning the oracle
+    CTEs' LIMIT 8; sf1.0's 20k rows get k=80."""
+    from gofeed_spark.catalog import df_rowcount_estimate
+
+    n = df_rowcount_estimate(emb)
+    if n is None:
+        n = emb.count()
+    return max(k_min, int(n // target_cluster_rows))
+
+
+def _vec_ddl(emb: DataFrame, vec_col: str) -> str:
+    """DDL for the vector column CARRYING the input's element type —
+    declaring array<float> for an array<double> input would silently
+    truncate stored/shuffled vectors to float32 while assignment math
+    runs in float64 (build-vs-probe drift on double-typed corpora)."""
+    return emb.schema[vec_col].dataType.simpleString()
+
+
+def _min_witness(
+    sims: np.ndarray, ids: np.ndarray, lo: int, hi: int, tau: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized witness detection for one Gram chunk: for each row r in
+    [lo, hi), the MIN id among columns j < r with sims >= tau.  Returns
+    (row_indices_with_a_witness, min_witness_ids) — no Python loop over
+    rows (the HOF-lambda rule applied to numpy)."""
+    n = sims.shape[1]
+    mask = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
+    hits = (sims >= tau) & mask
+    any_hit = hits.any(axis=1)
+    big = np.iinfo(np.int64).max
+    wit = np.where(hits, ids[None, :], big).min(axis=1)
+    rows = np.nonzero(any_hit)[0]
+    return rows + lo, wit[rows]
+
+
 def _init_centroids(emb: DataFrame, k: int, id_col: str, vec_col: str) -> np.ndarray:
     """Embeddings of the k smallest ids (TakeOrdered — no full sort)."""
     rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
@@ -153,6 +198,7 @@ def semdedup(
     """
     emb = parallel_floor(emb)
     C = kmeans_centroids(emb, k, n_iters, id_col, vec_col)
+    vec_ddl = _vec_ddl(emb, vec_col)
 
     def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -169,7 +215,7 @@ def semdedup(
 
     tagged = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).mapInPandas(tag, schema="id long, cl int, v array<float>")
+    ).mapInPandas(tag, schema=f"id long, cl int, v {vec_ddl}")
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
@@ -177,22 +223,22 @@ def semdedup(
         V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-300)
         Vn = V / nrm[:, None]
-        out_id, out_cl, out_dup = [], [], []
+        out_id, out_dup = [], []
         cl = int(pdf["cl"].iloc[0])
         for lo in range(0, len(ids), chunk_rows):
             hi = min(lo + chunk_rows, len(ids))
             sims = Vn[lo:hi] @ Vn.T  # (chunk, cluster)
-            for r in range(lo, hi):
-                hit = sims[r - lo, :r] >= tau  # lower-id mates only (sorted)
-                if hit.any():
-                    out_id.append(ids[r])
-                    out_cl.append(cl)
-                    out_dup.append(ids[np.argmax(hit)])  # first True = min id
+            # lower-id mates only (ids sorted): min witness, vectorized
+            rows, wit = _min_witness(sims, ids, lo, hi, tau)
+            out_id.append(ids[rows])
+            out_dup.append(wit)
+        out_ids = np.concatenate(out_id) if out_id else np.array([], dtype=np.int64)
+        out_dups = np.concatenate(out_dup) if out_dup else np.array([], dtype=np.int64)
         return pd.DataFrame(
             {
-                "id": np.array(out_id, dtype=np.int64),
-                "cl": np.array(out_cl, dtype=np.int32),
-                "dup_of": np.array(out_dup, dtype=np.int64),
+                "id": out_ids.astype(np.int64),
+                "cl": np.full(len(out_ids), cl, dtype=np.int32),
+                "dup_of": out_dups.astype(np.int64),
             }
         )
 
@@ -225,7 +271,9 @@ def _tag_clusters(
     emb: DataFrame, C: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
     """(id, cluster-dir, v): one Arrow assignment pass against frozen
-    centroids."""
+    centroids.  The vector column keeps the INPUT's element type — no
+    silent float32 truncation on double-typed corpora."""
+    vec_ddl = _vec_ddl(emb, vec_col)
 
     def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -242,7 +290,7 @@ def _tag_clusters(
 
     out = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("id_v")
-    ).mapInPandas(tag, schema="id long, cl int, v array<float>")
+    ).mapInPandas(tag, schema=f"id long, cl int, v {vec_ddl}")
     return out.select("id", _cluster_dir(F.col("cl")).alias("cluster"), "v")
 
 
@@ -345,16 +393,19 @@ def probe_semdedup_index(
         for lo in range(m, len(ids), chunk_rows):
             hi = min(lo + chunk_rows, len(ids))
             sims = Vn[lo:hi] @ Vn.T
-            for r in range(lo, hi):
-                hit = sims[r - lo, :r] >= tau
-                if hit.any():
-                    out_id.append(ids[r])
-                    out_dup.append(ids[:r][hit].min())  # min WITNESS ID
+            # min WITNESS ID among columns < r (members block + earlier
+            # news — ids are NOT globally sorted across the two blocks,
+            # so _min_witness's where-min, not a first-hit argmax)
+            rows, wit = _min_witness(sims, ids, lo, hi, tau)
+            out_id.append(ids[rows])
+            out_dup.append(wit)
+        out_ids = np.concatenate(out_id) if out_id else np.array([], dtype=np.int64)
+        out_dups = np.concatenate(out_dup) if out_dup else np.array([], dtype=np.int64)
         return pd.DataFrame(
             {
-                "id": np.array(out_id, dtype=np.int64),
-                "cluster": np.repeat(cluster, len(out_id)),
-                "dup_of": np.array(out_dup, dtype=np.int64),
+                "id": out_ids.astype(np.int64),
+                "cluster": np.repeat(cluster, len(out_ids)),
+                "dup_of": out_dups.astype(np.int64),
             }
         )
 

@@ -3063,12 +3063,14 @@ def q122(spark, sf_dir):
     ONE Arrow map pass emitting k x n_partitions partial sums (map-side
     combine), so per-iteration traffic is independent of corpus size.
     Assignment margins >= 7e-6 relative (measured at every SF) make the
-    integer output hash-stable across engines."""
+    integer output hash-stable across engines.  k is CORPUS-SCALED
+    (clustering.corpus_k, footer row estimate / 250-row target) so
+    per-cluster work stays bounded at 100x; the gate SFs land exactly on
+    the k_min=8 floor, pinning the oracle CTE's LIMIT 8."""
     from gofeed_spark.operators import clustering
 
-    return clustering.kmeans_assign(
-        T(spark, sf_dir, "embeddings"), k=8, n_iters=2
-    )
+    emb = T(spark, sf_dir, "embeddings")
+    return clustering.kmeans_assign(emb, k=clustering.corpus_k(emb), n_iters=2)
 
 
 # --- q123 SemDeDup: within-cluster semantic dedup ------------------------------
@@ -3089,13 +3091,15 @@ def q123(spark, sf_dir):
     """SemDeDup (Abbas 2023): k-means partition, then prune items with a
     lower-id cluster-mate at cosine >= 0.35 (min-id witness, the
     probe_minhash_index convention).  The quadratic Gram pass stays
-    within clusters — bounded because k scales with the corpus — as a
+    within clusters — bounded because k scales with the corpus
+    (clustering.corpus_k; gate SFs pin the oracle's k=8 floor) — as a
     chunked numpy matmul per cluster.  Threshold margins >= 3.6e-5
     (measured) dwarf cross-engine float noise."""
     from gofeed_spark.operators import clustering
 
+    emb = T(spark, sf_dir, "embeddings")
     return clustering.semdedup(
-        T(spark, sf_dir, "embeddings"), k=8, n_iters=2, tau=0.35
+        emb, k=clustering.corpus_k(emb), n_iters=2, tau=0.35
     )
 
 
@@ -3219,14 +3223,18 @@ def q127(spark, sf_dir):
         probe_semdedup_index,
     )
 
+    from gofeed_spark.operators.clustering import corpus_k
+
     emb = T(spark, sf_dir, "embeddings")
     split = int(
         (emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"] + 1) * 0.8
     )
     idx = tempfile.mkdtemp(prefix="gofeed_q127_")
     try:
+        # corpus_k sizes from the FULL table's footers (the filtered 80%
+        # shares the files) — an upper bound, which only shrinks clusters
         build_semdedup_index(
-            emb.filter(F.col("vec_id") < split), idx, k=8, n_iters=2
+            emb.filter(F.col("vec_id") < split), idx, k=corpus_k(emb), n_iters=2
         )
         return probe_semdedup_index(
             spark, idx, emb.filter(F.col("vec_id") >= split), tau=0.35
