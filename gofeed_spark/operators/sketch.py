@@ -137,12 +137,16 @@ def heavy_hitters(
     else:
         filtered = exploded
     hits = filtered.groupBy("token").agg(F.count("*").alias("n"))
-    from pyspark.sql import Window
+    # top-k via TakeOrderedAndProject (orderBy+limit), NOT an
+    # unpartitioned window: on the fallback path `hits` is the FULL
+    # vocabulary, and an empty-partition window would drag it all into
+    # one task.  The <= k survivors then rank through the constant-key
+    # pattern (functions/ranking.py).
+    from gofeed_spark.functions.ranking import with_rank
 
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    order = [F.desc("n"), F.asc("token")]
     return (
-        hits.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        with_rank(hits.orderBy(*order).limit(k), order)
         .select("rank", "token", "n")
         .orderBy("rank")
     )

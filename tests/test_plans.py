@@ -102,31 +102,6 @@ def test_token_packing_window_is_partitioned(spark):
     assert "windowspecdefinition(__pid" in plan
 
 
-def test_no_empty_window_partition_spec(spark):
-    """Every window here must carry a partition spec: an EMPTY spec makes
-    WindowExec move ALL rows to one partition (and log its warning — noise
-    that would camouflage a real unbounded global window).  Bounded
-    post-limit rankings state intent with a constant partition key
-    (functions/ranking.rank_window)."""
-    import re
-
-    for name in (
-        "q16_window_rank",
-        "q34_knn_brute",
-        "q43_topk_similar_pairs",
-        "q58_topk_pairs_lsh",
-        "q76_token_packing",
-        "q82_token_heavy_hitters",
-    ):
-        plan = plan_of(spark, name)
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
-            first_arg = m.group(1).split(",")[0]
-            # no partition expressions => the first argument is already an
-            # ORDER spec (prints with a sort direction)
-            assert " ASC" not in first_arg and " DESC" not in first_arg, (
-                name,
-                m.group(0),
-            )
 
 
 def test_decontamination_plans_have_no_shuffle(spark):
@@ -159,8 +134,14 @@ def test_plan_lint_sweep_every_registered_query(spark):
     (BatchEvalPython) — Python is allowed only behind Arrow (mapInPandas /
     pandas UDF nodes).  One declared exception: q78 is a Python UDTF by
     design (the SQL LATERAL table-function surface), whose exec node is
-    BatchEvalPythonUDTF.  New queries are linted automatically the moment
-    they register."""
+    BatchEvalPythonUDTF.  Also engine-wide (was a hand-picked list the
+    round-12 queries slipped past): no EMPTY window partition spec —
+    WindowExec moves ALL rows to one partition on an empty spec, the
+    classic global-window scale-killer; bounded post-limit rankings go
+    through functions/ranking instead.  New queries are linted
+    automatically the moment they register."""
+    import re
+
     allow_batch_python = {"q78_udtf_sentences"}
     offenders = {}
     for name in QUERIES:
@@ -170,6 +151,12 @@ def test_plan_lint_sweep_every_registered_query(spark):
             hits.append("CartesianProduct")
         if "BatchEvalPython" in plan and name not in allow_batch_python:
             hits.append("BatchEvalPython")
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+            first_arg = m.group(1).split(",")[0]
+            # no partition expressions => the first argument is already an
+            # ORDER spec (prints with a sort direction)
+            if " ASC" in first_arg or " DESC" in first_arg:
+                hits.append(f"empty window spec: {m.group(0)[:80]}")
         if hits:
             offenders[name] = hits
     assert not offenders, f"plan lint offenders: {offenders}"
