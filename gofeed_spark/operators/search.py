@@ -259,3 +259,131 @@ def probe_bm25_index(
         .agg(F.round(F.sum(_bm25_contrib(k1, b)), 6).alias("score"))
         .select(F.col("doc_id").alias(meta["id_col"]), "score")
     )
+
+
+# --- ingest-time scoring against frozen stats ---------------------------------
+# The dsir_model/dsir_score convention applied to lexical retrieval:
+# freeze the corpus statistics once (the persisted index's meta + df
+# relation), then score arriving frames / foreachBatch micro-batches with
+# those stats as constants — per-doc tf is batch-local, so the drained
+# union over any batching equals the one-shot batch scorer exactly.
+
+
+def bm25_score_docs(
+    spark,
+    docs: DataFrame,
+    path: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 scores for the documents IN ``docs`` (an arriving frame or a
+    foreachBatch micro-batch) against the FROZEN stats of the persisted
+    index at ``path``: n_docs/avgdl ride as literals from the meta, df
+    for the probe terms comes from one partition-pruned read of the df
+    relation (<= len(terms) rows, broadcast), and tf is computed from the
+    batch itself.  Shares ``_bm25_contrib`` with the batch scorers, so
+    when the frozen stats were built on the same corpus the drained
+    per-doc scores equal ``bm25_scores`` bit-for-bit regardless of how
+    the stream was batched (streaming-equals-batch test).  A term absent
+    from the frozen df scores with df=0 (the smoothed idf's job —
+    frozen-model semantics, the dsir_score convention)."""
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.operators.similarity import _index_matches
+
+    meta = _index_matches(path, {"kind": _BM25_KIND})
+    if meta is None:
+        raise ValueError(f"no completed bm25 index at {path}")
+    fs = get_filesystem(path)
+    terms = sorted(set(terms))
+    buckets = sorted({_term_bucket_py(t) for t in terms})
+    dfreq = (
+        spark.read.parquet(fs.spark_path(fs.join(path, "df")))
+        .filter(F.col("tb").isin(buckets) & F.col("tok").isin(terms))
+        .select("tok", "df")
+    )
+    base = docs.select(
+        F.col(meta["id_col"]).alias("doc_id"), ws_tokens(text_col).alias("__toks")
+    ).withColumn("len_d", F.size("__toks"))
+    hits = base.select(
+        "doc_id", "len_d", F.explode("__toks").alias("tok")
+    ).filter(F.col("tok").isin(terms))
+    tf = hits.groupBy("doc_id", "len_d", "tok").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .withColumn("n_docs", F.lit(meta["n_docs"]))
+        .withColumn("avgdl", F.lit(meta["avgdl"]))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum(_bm25_contrib(k1, b)), 6).alias("score"))
+        .select(F.col("doc_id").alias(meta["id_col"]), "score")
+    )
+
+
+def tfidf_model(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, int]:
+    """The frozen TF-IDF statistics: (df relation (token, df), n_docs) —
+    profile once on a reference corpus (persist or write the relation),
+    then ``tfidf_keywords_score`` any later frame or micro-batch against
+    it.  The df relation is VOCABULARY-scaled, so it stays a DataFrame
+    (shuffle-joined by the scorer), never a collected literal — the
+    dsir_model convention."""
+    docs = parallel_floor(docs)
+    base = docs.select(re_tokens(text_col).alias("__toks"))
+    n_docs = base.count()
+    dfreq = (
+        base.select(F.explode(F.array_distinct("__toks")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    return dfreq, n_docs
+
+
+def tfidf_keywords_score(
+    docs: DataFrame,
+    model: tuple[DataFrame, int],
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF keywords for the documents IN ``docs`` against a
+    FROZEN ``tfidf_model``: per-doc tf is batch-local, df/N come from the
+    model, so scores are arrival-invariant and the drained union over any
+    batching equals ``tfidf_keywords`` on the same corpus when the model
+    was frozen on it (streaming-equals-batch test).  Unseen tokens take
+    df=0 — the smoothed idf keeps them finite (frozen-model
+    semantics)."""
+    dfreq, n_docs = model
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(re_tokens(text_col)).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    score = F.col("tf") * (
+        F.log(
+            (F.lit(float(n_docs)) + F.lit(1.0))
+            / (F.coalesce(F.col("df"), F.lit(0)) + F.lit(1.0))
+        )
+        + F.lit(1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__score"), F.asc("token"))
+    return (
+        tf.join(dfreq, "token", "left")
+        .withColumn("__score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("rank"),
+            "token",
+            F.round("__score", 6).alias("score"),
+        )
+        .orderBy(id_col, "rank")
+    )

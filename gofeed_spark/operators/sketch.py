@@ -62,17 +62,11 @@ def _compress(state: Counter, capacity: int) -> int:
     return d
 
 
-def heavy_hitters(
-    docs: DataFrame,
-    k: int = 20,
-    capacity: int = 4096,
-    text_col: str = "text",
-) -> DataFrame:
-    """Exact global top-k tokens as (rank, token, n), rank ties broken on
-    the token string.  Memory per task is O(capacity); correctness does
-    NOT depend on capacity (a small capacity only widens the candidate
-    set pass 2 recounts)."""
-    docs = parallel_floor(docs)
+def _mg_pass(docs: DataFrame, capacity: int, text_col: str) -> tuple[Counter, int]:
+    """Pass 1: per-partition Misra-Gries summaries over the tokenized
+    corpus, merged on the driver.  Returns (L, E): summed lower bounds per
+    surviving token and the total compress error — the mergeable-summary
+    pair every consumer (batch top-k, streaming accumulator) builds on."""
     toks = docs.select(re_tokens(text_col).alias("__toks"))
 
     def mg_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,6 +103,16 @@ def heavy_hitters(
     for r in partials:
         if r["token"] is not None:
             L[r["token"]] += r["lb"]
+    return L, int(E)
+
+
+def _topk_from_summary(
+    corpus: DataFrame, L: Counter, E: int, k: int, text_col: str
+) -> DataFrame:
+    """Pass 2: exact top-k over ``corpus`` given a pass-1 summary (L, E)
+    valid for that corpus — recount restricted to the candidate set when
+    the exactness certificate holds, full GROUP BY otherwise."""
+    toks = corpus.select(re_tokens(text_col).alias("__toks"))
     if len(L) == 0:
         return (
             toks.sparkSession.createDataFrame(
@@ -150,3 +154,59 @@ def heavy_hitters(
         .select("rank", "token", "n")
         .orderBy("rank")
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int = 20,
+    capacity: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact global top-k tokens as (rank, token, n), rank ties broken on
+    the token string.  Memory per task is O(capacity); correctness does
+    NOT depend on capacity (a small capacity only widens the candidate
+    set pass 2 recounts)."""
+    docs = parallel_floor(docs)
+    L, E = _mg_pass(docs, capacity, text_col)
+    return _topk_from_summary(docs, L, E, k, text_col)
+
+
+class HeavyHittersAccumulator:
+    """Ingest-time Misra-Gries accumulator — the streaming form of
+    ``heavy_hitters`` (the sketch is MERGEABLE by construction, Agarwal
+    et al. PODS'12): each foreachBatch micro-batch contributes one
+    bounded pass-1 summary, merged into driver state capped at
+    ``capacity`` counters; ``finalize`` applies the same certificate +
+    pass-2 recount over the landed corpus, so the drained result EQUALS
+    the batch operator on the same data (streaming-equals-batch test in
+    tests/test_streaming.py).
+
+    Merge error accounting: summing two summaries' lower bounds keeps
+    per-token undercount <= E1 + E2; the driver-side compress decrement d
+    adds to every survivor, so E := E1 + E2 + d stays a valid global
+    bound — exactly the per-partition merge pass 1 already performs.
+    """
+
+    def __init__(self, k: int = 20, capacity: int = 4096, text_col: str = "text"):
+        self.k = k
+        self.capacity = capacity
+        self.text_col = text_col
+        self.L: Counter = Counter()
+        self.E = 0
+
+    def update(self, batch_df: DataFrame, batch_id: int = -1) -> None:
+        """foreachBatch body: fold one micro-batch's summary in.  Memory
+        stays O(capacity) on the driver no matter how many batches."""
+        L_b, E_b = _mg_pass(batch_df, self.capacity, self.text_col)
+        self.L.update(L_b)
+        self.E += E_b
+        if len(self.L) > self.capacity:
+            self.E += _compress(self.L, self.capacity)
+
+    def finalize(self, corpus: DataFrame) -> DataFrame:
+        """Exact top-k over the LANDED corpus (the sink's table / landing
+        dir — the union of every batch seen): certificate-gated candidate
+        recount, full GROUP BY fallback, exact either way."""
+        return _topk_from_summary(
+            parallel_floor(corpus), self.L, self.E, self.k, self.text_col
+        )

@@ -19,13 +19,16 @@ def streaming_tumbling_counts(
     """Hourly tumbling count+sum per event_type (streaming Q32).
 
     groupBy(window) shuffles on (window, event_type) with partial
-    aggregation map-side; the watermark bounds state retention."""
+    aggregation map-side; the watermark bounds state retention.  ``sv``
+    is the exact decimal(18,4) sum cast to double — IDENTICAL in form to
+    batch q32's, so the streaming-equals-batch test compares raw values
+    (no compensating rounds on either side)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sv"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sv"),
         )
         .select(F.col("w.start").alias("h"), "event_type", "n", "sv")
     )
@@ -103,15 +106,15 @@ def streaming_sliding_counts(
     """Sliding (hopping) count+sum per event_type — the streaming twin of
     batch q124.  Every event lands in width/slide windows; the watermark
     bounds how long each open window's state is retained.  Window start
-    is emitted as epoch seconds, matching q124's hash-stable form."""
+    is emitted as epoch seconds, and ``sv`` is the exact decimal(18,4)
+    sum cast to double — both IDENTICAL in form to q124's output, so the
+    twins compare raw (no compensating rounds)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
-            ).alias("sv"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sv"),
         )
         .select(
             F.col("w.start").cast("long").alias("ws"), "event_type", "n", "sv"

@@ -298,7 +298,7 @@ def test_streaming_tumbling_matches_batch_q32(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.h, r.event_type): (r.n, r.sv) for r in out_rows}
     batch = QUERIES["q32_tumbling_window"](spark, SF).collect()
-    want = {(r.h, r.event_type): (r.n, round(r.sv, 4)) for r in batch}
+    want = {(r.h, r.event_type): (r.n, r.sv) for r in batch}
     assert got == want
 
 
@@ -871,6 +871,117 @@ def test_streaming_sliding_matches_batch_q124(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.ws, r.event_type): (r.n, r.sv) for r in out_rows}
     batch = QUERIES["q124_sliding_window"](spark, SF).collect()
-    want = {(r.ws, r.event_type): (r.n, round(r.sv, 4)) for r in batch}
+    want = {(r.ws, r.event_type): (r.n, r.sv) for r in batch}
     assert got == want
     assert sum(n for n, _ in got.values()) == 2 * spark.read.parquet(src).count()
+
+
+DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, tmp_path, n_files=4):
+    """Stage the documents table as n_files part-files so availableNow +
+    maxFilesPerTrigger=1 delivers a multi-batch stream."""
+    src = str(tmp_path / "docs_src")
+    load_table(spark, SF, "documents").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return src
+
+
+def _drain_docs(spark, src, ckpt, body):
+    stream = spark.readStream.schema(DOCS_DDL).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(body)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_streaming_heavy_hitters_matches_batch_q125(spark, tmp_path):
+    """Ingest-time Misra-Gries: per-micro-batch summaries merge into the
+    bounded driver accumulator (the sketch is mergeable), and finalize
+    over the landed corpus EQUALS the batch operator — at a roomy
+    capacity (certificate path) AND at a tiny one that forces merge
+    compresses and the full-GROUP-BY fallback (exact either way)."""
+    from gofeed_spark.operators.sketch import HeavyHittersAccumulator, heavy_hitters
+
+    src = _write_docs(spark, tmp_path)
+    docs = spark.read.parquet(src)
+    want = [(r.rank, r.token, r.n) for r in heavy_hitters(docs, k=10).collect()]
+    assert len(want) == 10
+    for cap in (4096, 8):
+        acc = HeavyHittersAccumulator(k=10, capacity=cap)
+        n_batches = []
+        _drain_docs(
+            spark, src, str(tmp_path / f"ck_hh{cap}"),
+            lambda df, bid: (acc.update(df), n_batches.append(bid)),
+        )
+        assert len(n_batches) >= 4  # genuinely multi-batch
+        assert len(acc.L) <= cap  # driver state stays bounded
+        got = [(r.rank, r.token, r.n) for r in acc.finalize(docs).collect()]
+        assert got == want, f"capacity={cap}"
+
+
+def test_streaming_bm25_frozen_index_stats_matches_batch(spark, tmp_path):
+    """Ingest-time BM25: arriving micro-batches score against the
+    persisted index's FROZEN stats (meta n_docs/avgdl + pruned df rows),
+    tf batch-local — the drained union equals the one-shot full-scan
+    scorer bit-for-bit, independent of batching."""
+    from gofeed_spark.operators.search import (
+        bm25_score_docs,
+        bm25_scores,
+        build_bm25_index,
+    )
+
+    src = _write_docs(spark, tmp_path)
+    docs = spark.read.parquet(src)
+    terms = ["hash", "join", "spark"]
+    idx = str(tmp_path / "bm25_idx")
+    build_bm25_index(docs, idx)
+    want = {(r.doc_id, r.score) for r in bm25_scores(docs, terms).collect()}
+    assert want  # the corpus does contain the probe terms
+    got = set()
+    _drain_docs(
+        spark, src, str(tmp_path / "ck_bm25"),
+        lambda df, bid: got.update(
+            (r.doc_id, r.score)
+            for r in bm25_score_docs(spark, df, idx, terms).collect()
+        ),
+    )
+    assert got == want
+
+
+def test_streaming_tfidf_frozen_model_matches_batch(spark, tmp_path):
+    """Ingest-time TF-IDF keywords: the df relation + N freeze once
+    (tfidf_model), each micro-batch ranks its own docs against them —
+    drained union equals the batch tfidf_keywords on the same corpus."""
+    from gofeed_spark.operators.search import (
+        tfidf_keywords,
+        tfidf_keywords_score,
+        tfidf_model,
+    )
+
+    src = _write_docs(spark, tmp_path)
+    docs = spark.read.parquet(src)
+    model = tfidf_model(docs)
+    model[0].persist().count()
+    want = {
+        (r.doc_id, r.rank, r.token, r.score)
+        for r in tfidf_keywords(docs, top_k=3).collect()
+    }
+    got = set()
+    _drain_docs(
+        spark, src, str(tmp_path / "ck_tfidf"),
+        lambda df, bid: got.update(
+            (r.doc_id, r.rank, r.token, r.score)
+            for r in tfidf_keywords_score(df, model, top_k=3).collect()
+        ),
+    )
+    assert got == want
+    model[0].unpersist()
