@@ -38,17 +38,24 @@ def pagerank(
 ) -> DataFrame:
     """(node, pagerank) after ``n_iters`` synchronous iterations from the
     uniform start, pagerank rounded to 6.  ``weight=None`` treats every
-    edge as weight 1.  Eager per-iteration (localCheckpoint)."""
+    edge as weight 1.  Edges with non-positive weight carry no mass:
+    they are dropped from propagation (their endpoints still count as
+    nodes), so a source whose edges are ALL non-positive is treated as
+    DANGLING — without the filter its out-weight would be 0, the 0/0
+    contribution would go null, and F.sum would silently drop its rank
+    mass (total rank no longer summing to 1).  Eager per-iteration
+    (localCheckpoint)."""
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = edges.select(
+    all_edges = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
     ).localCheckpoint()
     nodes = (
-        e.select(F.col("__s").alias("__n"))
-        .unionAll(e.select(F.col("__d").alias("__n")))
+        all_edges.select(F.col("__s").alias("__n"))
+        .unionAll(all_edges.select(F.col("__d").alias("__n")))
         .distinct()
         .localCheckpoint()
     )
+    e = all_edges.filter(F.col("__w") > 0)
     n_nodes = float(nodes.count())
     if n_nodes == 0:
         raise ValueError("pagerank over an empty edge set")

@@ -79,3 +79,31 @@ def test_pagerank_empty_edges_raises(spark):
     e = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="empty edge set"):
         pagerank(e, n_iters=1)
+
+
+def test_pagerank_zero_weight_edges_become_dangling(spark):
+    """A source whose out-edges are all weight 0 must shed its mass as
+    DANGLING (uniform redistribution), not lose it to a 0/0 null — total
+    rank stays 1.  Its endpoints still count as nodes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0), ("c", "a", 0.0), ("c", "b", 0.0)],
+        "src string, dst string, w double",
+    )
+    got = {r.node: r.pagerank for r in pagerank(edges, n_iters=2, weight="w").collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    # numpy reference with c dangling
+    d, n = 0.85, 3.0
+    r = {v: 1 / n for v in "abc"}
+    for _ in range(2):
+        dm = r["c"]
+        r = {
+            "a": (1 - d) / n + d * (r["b"] + dm / n),
+            "b": (1 - d) / n + d * (r["a"] + dm / n),
+            "c": (1 - d) / n + d * (dm / n),
+        }
+    for v in "abc":
+        assert got[v] == round(r[v], 6), v
