@@ -3402,3 +3402,71 @@ def q130(spark, sf_dir):
         ).orderBy("doc_id").localCheckpoint()
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+# --- q131 ingest-time BM25 scoring against frozen index stats -------------------
+_Q131_SPLIT = (
+    "(SELECT CAST(FLOOR((MAX(doc_id) + 1) * 0.8) AS BIGINT) FROM documents)"
+)
+
+@query(
+    "q131_bm25_ingest_score",
+    oracle=rf"""
+WITH base AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+corp AS (SELECT * FROM base WHERE doc_id < {_Q131_SPLIT}),
+arr AS (SELECT * FROM base WHERE doc_id >= {_Q131_SPLIT}),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(len(tk) AS DOUBLE)) AS avgdl FROM corp),
+dfreq AS (SELECT t.tok, COUNT(DISTINCT c.doc_id) AS df
+          FROM corp c, LATERAL UNNEST(c.tk) AS t(tok)
+          WHERE t.tok IN ('hash', 'join', 'spark') GROUP BY t.tok),
+hits AS (SELECT a.doc_id, len(a.tk) AS len_d, t.tok
+         FROM arr a, LATERAL UNNEST(a.tk) AS t(tok)
+         WHERE t.tok IN ('hash', 'join', 'spark')),
+tf AS (SELECT doc_id, len_d, tok, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln((CAST(s.n_docs AS DOUBLE) - COALESCE(CAST(d.df AS DOUBLE), 0.0) + 0.5)
+            / (COALESCE(CAST(d.df AS DOUBLE), 0.0) + 0.5) + 1.0)
+         * (tf.tf * CAST(2.2 AS DOUBLE))
+         / (tf.tf + CAST(1.2 AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf.len_d / s.avgdl))
+       ), 6) AS score
+FROM tf LEFT JOIN dfreq d USING (tok), stats s
+GROUP BY tf.doc_id ORDER BY tf.doc_id
+""",
+)
+def q131(spark, sf_dir):
+    """INGEST-TIME BM25: the frozen-stats scoring path (search.
+    bm25_score_docs — the dsir_score shape applied to retrieval).  The
+    index freezes n_docs/avgdl/df on the first 80% of the corpus; the
+    remaining 20% arrives as a batch and scores with tf computed locally
+    and every corpus statistic taken from the frozen meta + one
+    partition-pruned df read — the exact operation a foreachBatch
+    micro-batch runs (streaming-equals-batch proof in
+    tests/test_streaming.py).  A term unseen in the frozen corpus takes
+    df=0 (smoothed idf).  Eager at construction, the q127/q130
+    convention."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.operators.search import bm25_score_docs, build_bm25_index
+
+    docs = T(spark, sf_dir, "documents")
+    split = int(
+        (docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] + 1) * 0.8
+    )
+    idx = tempfile.mkdtemp(prefix="gofeed_q131_")
+    try:
+        build_bm25_index(docs.filter(F.col("doc_id") < split), idx)
+        return (
+            bm25_score_docs(
+                spark,
+                docs.filter(F.col("doc_id") >= split),
+                idx,
+                ["hash", "join", "spark"],
+            )
+            .orderBy("doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

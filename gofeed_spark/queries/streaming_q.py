@@ -184,3 +184,55 @@ def q120(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q132_streaming_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT t.tok
+  FROM documents,
+       LATERAL (SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS tok) t
+),
+cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+SELECT CAST(rn AS INT) AS rank, tok AS token, n
+FROM (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM cnt) x
+WHERE rn <= 20 ORDER BY rank
+""",
+)
+def q132(spark, sf_dir):
+    """STREAMING exact heavy hitters, oracle-paired: the corpus lands as
+    part-files in a directory and streams through one-file micro-batches;
+    each batch folds a bounded Misra-Gries summary into the driver-side
+    accumulator (operators/sketch.HeavyHittersAccumulator — the sketch is
+    mergeable, so ingest-time state is O(capacity) no matter the stream
+    length), and the drain finalizes with the same certificate-gated
+    EXACT recount as batch q125 over the landed corpus.  The result is
+    value-identical to the naive full-vocabulary GROUP BY oracle — exact
+    top-k through streaming machinery, not rows-only."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.catalog import load_table
+    from gofeed_spark.operators.sketch import HeavyHittersAccumulator
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="gofeed_q132_")
+    landing, ckpt = f"{work}/landing", f"{work}/ckpt"
+    try:
+        docs.repartition(4).write.parquet(landing)
+        acc = HeavyHittersAccumulator(k=20)
+        stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(landing)
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: acc.update(df))
+            .start()
+        )
+        q.awaitTermination(180)
+        return acc.finalize(spark.read.parquet(landing)).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
