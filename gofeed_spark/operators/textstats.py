@@ -181,7 +181,7 @@ def gopher_rules(
     min_stopwords: int = 2,
     stopwords: tuple = GOPHER_STOPWORDS,
 ) -> DataFrame:
-    """Gopher-style repetition/format quality rules — the document-shape
+    r"""Gopher-style repetition/format quality rules — the document-shape
     filters (distinct from q38's length gate) a web-scale pipeline applies
     before training: mean word length in [3,10], '#'/'…' symbol-to-word
     ratio <= 0.1, <= 90% of lines bullet-led, <= 30% of lines
