@@ -507,6 +507,39 @@ def test_bm25_index_probe_equals_full_scan(spark, tmp_path):
     assert "PushedFilters" in plan  # term equality reaches the pruned scan
 
 
+def test_bm25_ingest_scorer_frozen_stats_and_pruning(spark, tmp_path):
+    """bm25_score_docs (the ingest-time scorer): arriving docs score with
+    tf local and EVERY corpus stat frozen — same corpus => equals the
+    full-scan scorer bit-for-bit; a frozen-corpus-unseen term takes df=0;
+    and its df read partition-prunes to the terms' buckets."""
+    from gofeed_spark.operators.search import (
+        _term_bucket_py,
+        bm25_score_docs,
+        bm25_scores,
+        build_bm25_index,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "cat dog cat mouse"), (2, "dog bird"), (3, "fish pond weed"),
+         (4, "cat fish dog cat cat")],
+        "doc_id long, text string",
+    ).repartition(3)
+    idx = str(tmp_path / "bm25idx_ing")
+    build_bm25_index(d, idx)
+    terms = ["cat", "fish"]
+    out = bm25_score_docs(spark, d, idx, terms)
+    got = {r.doc_id: r.score for r in out.collect()}
+    want = {r.doc_id: r.score for r in bm25_scores(d, terms).collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "tb" in pf and _term_bucket_py("cat") in pf
+    # a NEW doc with a frozen-unseen term still scores (df=0 idf path)
+    new = spark.createDataFrame([(9, "zebra zebra cat")], "doc_id long, text string")
+    srow = bm25_score_docs(spark, new, idx, ["zebra", "cat"]).collect()
+    assert len(srow) == 1 and srow[0].doc_id == 9 and srow[0].score > 0
+
+
 def test_bm25_index_probe_refuses_missing_meta(spark, tmp_path):
     import pytest as _pytest
 
