@@ -126,6 +126,11 @@ class ParquetUpsertSink:
         if batch_id in state["batches"]:
             return  # re-delivered batch: idempotent skip
         spark = batch_df.sparkSession
+        if _BCOL in batch_df.columns:
+            raise ValueError(
+                f"column name {_BCOL!r} is reserved for the sink's bucket "
+                "partition key; rename the data column"
+            )
         nb = state["n_buckets"] or self.n_buckets
         # Latest row per key within the batch wins (a key can appear once
         # per trigger from the stateful op, but be defensive).  Persist:

@@ -533,3 +533,16 @@ def test_warc_export_read_roundtrip_on_object_store(spark, fakefs):
     back = read_warc(spark, out + "/*")
     got = {(r["url"], bytes(r["body"]).decode()) for r in back.collect()}
     assert got == {(f"http://ex.com/{i}", f"document body {i}") for i in range(20)}
+
+
+def test_upsert_sink_rejects_reserved_bucket_column(spark, tmp_path):
+    """A data column named like the sink's bucket partition key would be
+    silently overwritten by the bucketing expression — refuse it loudly."""
+    import pytest as _pytest
+
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(str(tmp_path / "clash"), key="k")
+    df = spark.createDataFrame([("a", 1)], "k string, pbkt int")
+    with _pytest.raises(ValueError, match="reserved"):
+        sink(df, 0)
