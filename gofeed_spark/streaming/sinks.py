@@ -57,6 +57,14 @@ class ParquetUpsertSink:
     creation; existing tables keep the modulus recorded in their manifest
     (mixing moduli would split keys across buckets)."""
 
+    # committed-id retention: the manifest keeps a FLOOR plus the newest
+    # ids only, so its size is O(n_buckets + retain_batches) no matter how
+    # long the stream runs (a month of triggers must not mean re-PUTting
+    # millions of ids per commit).  Safe because batch ids from the single
+    # writer are monotone and only the newest uncommitted batch is ever
+    # re-delivered: anything at or below the floor is long-committed.
+    retain_batches = 100
+
     def __init__(self, path: str, key: str = "partition_id", n_buckets: int = 32):
         self.path = path
         self.key = key
@@ -77,17 +85,24 @@ class ParquetUpsertSink:
         bare-list manifest (data at the fixed ``data/``) and the round-11
         single-pointer manifest (``{"batches", "data"}``)."""
         if self.fs.stat(self.manifest) is None:
-            return {"batches": [], "buckets": None, "data": None, "n_buckets": None}
+            return {
+                "batches": [], "floor": -1,
+                "buckets": None, "data": None, "n_buckets": None,
+            }
         raw = json.loads(self.fs.read_bytes(self.manifest))
         if isinstance(raw, list):  # legacy bare-list layout
-            return {"batches": raw, "buckets": None, "data": "data", "n_buckets": None}
+            return {
+                "batches": raw, "floor": -1,
+                "buckets": None, "data": "data", "n_buckets": None,
+            }
         if "buckets" not in raw:  # round-11 single-pointer layout
             return {
-                "batches": raw["batches"],
+                "batches": raw["batches"], "floor": -1,
                 "buckets": None,
                 "data": raw.get("data"),
                 "n_buckets": None,
             }
+        raw.setdefault("floor", -1)
         return raw
 
     def committed(self) -> list[int]:
@@ -123,7 +138,7 @@ class ParquetUpsertSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         state = self._state()
-        if batch_id in state["batches"]:
+        if batch_id <= state["floor"] or batch_id in state["batches"]:
             return  # re-delivered batch: idempotent skip
         spark = batch_df.sparkSession
         if _BCOL in batch_df.columns:
@@ -178,8 +193,14 @@ class ParquetUpsertSink:
             self.last_buckets_written = len(written)
             buckets = dict(old_buckets)  # untouched buckets carry BY NAME
             buckets.update(written)
+            committed = sorted(state["batches"] + [batch_id])
+            floor = state["floor"]
+            if len(committed) > self.retain_batches:
+                floor = max(floor, committed[-self.retain_batches])
+                committed = [b for b in committed if b > floor]
             new_state = {
-                "batches": state["batches"] + [batch_id],
+                "batches": committed,
+                "floor": floor,
                 "buckets": buckets,
                 "n_buckets": nb,
             }

@@ -546,3 +546,31 @@ def test_upsert_sink_rejects_reserved_bucket_column(spark, tmp_path):
     df = spark.createDataFrame([("a", 1)], "k string, pbkt int")
     with _pytest.raises(ValueError, match="reserved"):
         sink(df, 0)
+
+
+def test_upsert_sink_bounds_committed_id_retention(spark, tmp_path):
+    """The manifest must stay O(n_buckets + retain_batches) on an
+    arbitrarily long stream: old committed ids collapse into a FLOOR
+    (monotone single-writer ids ⇒ anything at or below it is committed),
+    and idempotent skip still holds for ancient, recent, and fresh ids."""
+    import json as _json
+
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    base = str(tmp_path / "long_stream")
+    sink = ParquetUpsertSink(base, key="k", n_buckets=4)
+    sink.retain_batches = 5
+    for b in range(12):
+        sink(spark.createDataFrame([(f"k{b}", b)], "k string, v int"), b)
+    state = _json.loads(open(f"{base}/_committed_batches.json").read())
+    assert len(state["batches"]) < 12 and state["floor"] >= 0
+    assert max(state["batches"]) == 11
+    rows_before = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert len(rows_before) == 12
+    # ancient id (below floor), recent id (in tail): both skip
+    sink(spark.createDataFrame([("poison", 999)], "k string, v int"), 0)
+    sink(spark.createDataFrame([("poison", 999)], "k string, v int"), 11)
+    assert {(r.k, r.v) for r in sink.read(spark).collect()} == rows_before
+    # a fresh id still commits
+    sink(spark.createDataFrame([("k12", 12)], "k string, v int"), 12)
+    assert len({(r.k, r.v) for r in sink.read(spark).collect()}) == 13
