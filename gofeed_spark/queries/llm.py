@@ -3260,6 +3260,64 @@ def q127(spark, sf_dir):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+# --- q133 ingest-time TF-IDF keywords against a frozen model --------------------
+# (same 80% doc_id split as q131; spelled out here because q131's constant
+# is defined further down the module)
+_Q133_SPLIT = (
+    "(SELECT CAST(FLOOR((MAX(doc_id) + 1) * 0.8) AS BIGINT) FROM documents)"
+)
+
+@query(
+    "q133_tfidf_ingest_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS tok) t
+),
+ctf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE doc_id < {_Q133_SPLIT} GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM ctf GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < {_Q133_SPLIT}),
+atf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE doc_id >= {_Q133_SPLIT} GROUP BY doc_id, tok),
+scored AS (
+  SELECT atf.doc_id, atf.tok,
+         atf.tf * (LN((nd.n_docs + 1.0) / (COALESCE(dfreq.df, 0) + 1.0)) + 1.0)
+           AS score
+  FROM atf LEFT JOIN dfreq USING (tok), nd
+)
+SELECT doc_id, CAST(rn AS INT) AS rank, tok AS token, ROUND(score, 6) AS score
+FROM (SELECT doc_id, tok, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+      FROM scored) x
+WHERE rn <= 3 ORDER BY doc_id, rank
+""",
+)
+def q133(spark, sf_dir):
+    """INGEST-TIME TF-IDF keywords: the frozen-model scoring path
+    (search.tfidf_model / tfidf_keywords_score — the dsir shape).  The
+    vocabulary-scaled df relation and N freeze on the first 80% of the
+    corpus; the remaining 20% arrives as a batch and ranks its own
+    tokens against them (tf batch-local, frozen-unseen tokens df=0 under
+    the smoothed idf) — the exact foreachBatch operation, oracle-paired
+    with a LEFT JOIN df CTE (streaming-equals-batch proof in
+    tests/test_streaming.py).  Margins MEASURED (the q121 discipline):
+    min nonzero rank-3/4 score gap 3.3e-3 sf0.01 / 3.2e-4 sf0.1 (exact
+    ties break bytewise on the token), min round-6 boundary distance
+    3.2e-9 — both >= 1e5x the ~7e-15 one-ulp cross-engine ln noise."""
+    from gofeed_spark.operators.search import tfidf_keywords_score, tfidf_model
+
+    docs = T(spark, sf_dir, "documents")
+    split = int(
+        (docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] + 1) * 0.8
+    )
+    model = tfidf_model(docs.filter(F.col("doc_id") < split))
+    return tfidf_keywords_score(
+        docs.filter(F.col("doc_id") >= split), model, top_k=3
+    )
+
+
 # --- q128 PageRank centrality over the nation trade graph ----------------------
 @query(
     "q128_pagerank_trade",
