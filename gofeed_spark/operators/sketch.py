@@ -193,10 +193,26 @@ class HeavyHittersAccumulator:
         self.text_col = text_col
         self.L: Counter = Counter()
         self.E = 0
+        # highest batch id already folded — the replay guard.  Batch ids
+        # from the single streaming writer are monotone, so a re-delivered
+        # micro-batch (checkpoint restart between sink effect and
+        # checkpoint commit) arrives with an id <= this watermark; folding
+        # it twice would inflate L above the true counts and the exactness
+        # certificate could then pass with a falsely-narrow candidate set
+        # (same hazard ParquetUpsertSink dedupes via its manifest).
+        self.max_batch_id: int | None = None
 
-    def update(self, batch_df: DataFrame, batch_id: int = -1) -> None:
+    def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         """foreachBatch body: fold one micro-batch's summary in.  Memory
-        stays O(capacity) on the driver no matter how many batches."""
+        stays O(capacity) on the driver no matter how many batches.
+        Pass the foreachBatch ``batch_id`` through (``acc.update`` IS a
+        valid foreachBatch callable): already-folded ids are skipped, so
+        a checkpoint-restart replay cannot double-count.  ``None`` (a
+        non-streaming caller) folds unconditionally."""
+        if batch_id is not None:
+            if self.max_batch_id is not None and batch_id <= self.max_batch_id:
+                return  # re-delivered batch: idempotent skip
+            self.max_batch_id = batch_id
         L_b, E_b = _mg_pass(batch_df, self.capacity, self.text_col)
         self.L.update(L_b)
         self.E += E_b

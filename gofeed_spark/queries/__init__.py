@@ -10,5 +10,6 @@ import gofeed_spark.queries.relational  # noqa: F401  (Q01-Q26, Q62-Q66, Q70/Q71
 import gofeed_spark.queries.llm  # noqa: F401  (Q27-Q46, Q53-Q61, Q68/Q69, Q72/Q73, Q75/Q76)
 import gofeed_spark.queries.feed  # noqa: F401  (Q47-Q51, Q67 feed-state layer)
 import gofeed_spark.queries.streaming_q  # noqa: F401  (Q52 streaming gate)
+import gofeed_spark.queries.web  # noqa: F401  (Q134/Q135 HTML extraction)
 
 __all__ = ["QUERIES", "ORACLES", "query", "get_query"]

@@ -486,7 +486,14 @@ def q43(spark, sf_dir):
     query at sf1.0, 164 s of declared O(n^2)) the corpus bounds itself by
     a content-addressed sample (_keep_hash, the q81 convention —
     deterministic, arrival/partitioning-invariant); both gate SFs
-    (500/2000 rows) sit under the cap, so the oracle pair is untouched."""
+    (500/2000 rows) sit under the cap, so the oracle pair is untouched.
+
+    When the sample DOES engage, the Spark result diverges from the
+    exact all-pairs oracle BY DESIGN — so the result carries an extra
+    ``sampled`` marker column in that case, making any value comparison
+    beyond gate SFs fail loudly as a self-describing COLS_MISMATCH
+    (and letting gate tooling skip the value check outright) instead of
+    a hash mismatch that looks like a real bug (ADVICE r13)."""
     from gofeed_spark.catalog import df_rowcount_estimate
     from gofeed_spark.operators.mixing import _keep_hash
 
@@ -495,11 +502,15 @@ def q43(spark, sf_dir):
     n = df_rowcount_estimate(emb)
     if n is None:
         n = emb.count()
-    if n > cap:
-        emb = emb.filter(
+    out = similarity.topk_similar_pairs(
+        emb.filter(
             _keep_hash("vec_id", "q43").cast("double") < cap / n * 1_000_000
-        )
-    return similarity.topk_similar_pairs(emb, k=10)
+        ) if n > cap else emb,
+        k=10,
+    )
+    if n > cap:
+        out = out.withColumn("sampled", F.lit(True))
+    return out
 
 
 # --- PRIMARY top-k pair search: multi-table LSH candidates + exact re-rank ---

@@ -19,6 +19,19 @@ from gofeed_spark.streaming.feed_stream import (
 from gofeed_spark.streaming.sinks import ParquetUpsertSink
 
 
+def _await_drained(q, timeout: int) -> None:
+    """availableNow drains must COMPLETE: a partial drain silently yields
+    partial state (and, for the sketch query, a certificate computed over
+    fewer batches than the corpus finalize reads — a wrong 'exact' answer
+    with no error).  Fail loudly instead of returning partial results."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not complete within {timeout}s; "
+            "partial state would be silently wrong"
+        )
+
+
 @query("q52_streaming_gate_feed")
 def q52(spark, sf_dir):
     """End-to-end streaming gate machine: two staged micro-batches of item
@@ -59,7 +72,7 @@ def q52(spark, sf_dir):
             .foreachBatch(sink)
             .start()
         )
-        q.awaitTermination(120)
+        _await_drained(q, 120)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return sink.read(spark).select(
@@ -174,7 +187,7 @@ def q120(spark, sf_dir):
             .foreachBatch(sink)
             .start()
         )
-        q.awaitTermination(180)
+        _await_drained(q, 180)
         return (
             sink.read(spark)
             .select("url_canon", "n_crawls", "total_words")
@@ -229,10 +242,10 @@ def q132(spark, sf_dir):
             stream.writeStream.outputMode("append")
             .trigger(availableNow=True)
             .option("checkpointLocation", ckpt)
-            .foreachBatch(lambda df, bid: acc.update(df))
+            .foreachBatch(acc.update)
             .start()
         )
-        q.awaitTermination(180)
+        _await_drained(q, 180)
         return acc.finalize(spark.read.parquet(landing)).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -55,7 +55,27 @@ class ParquetUpsertSink:
     hash-bucketed parquet table at ``path`` (the streaming OCC-save twin,
     repo.go:125-138).  ``n_buckets`` fixes the layout modulus at table
     creation; existing tables keep the modulus recorded in their manifest
-    (mixing moduli would split keys across buckets)."""
+    (mixing moduli would split keys across buckets).
+
+    Within-batch winner: when ``seq_col`` is given, the row with the
+    LARGEST seq value per key wins the within-batch merge (ties break on
+    the remaining columns, deterministically) — the real
+    last-writer-wins contract for producers that emit several rows per
+    key per trigger.  Without ``seq_col`` the sink ASSERTS one row per
+    key per batch (the stateful-op producer shape) instead of silently
+    picking an arbitrary within-batch winner.
+
+    Fresh-checkpoint hazard: batch ids are scoped to ONE checkpoint
+    (Spark restarts them at 0 for a new checkpoint), while this manifest
+    — unlike Delta's per-``txnAppId`` versions — has no app identity.
+    Re-pointing a NEW stream (fresh checkpoint) at an EXISTING table
+    would make its early batches collide with long-committed ids and be
+    silently discarded as re-deliveries.  The sink therefore raises when
+    the first batch a NEW sink instance sees carries a stale id that is
+    not the newest committed one (a legitimate restart only ever
+    re-delivers the newest committed batch); resuming a stream with its
+    original checkpoint constructs the sink before that newest batch, so
+    real restarts are unaffected."""
 
     # committed-id retention: the manifest keeps a FLOOR plus the newest
     # ids only, so its size is O(n_buckets + retain_batches) no matter how
@@ -65,10 +85,19 @@ class ParquetUpsertSink:
     # re-delivered: anything at or below the floor is long-committed.
     retain_batches = 100
 
-    def __init__(self, path: str, key: str = "partition_id", n_buckets: int = 32):
+    def __init__(
+        self,
+        path: str,
+        key: str = "partition_id",
+        n_buckets: int = 32,
+        seq_col: str | None = None,
+    ):
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
+        self.seq_col = seq_col
+        # first-call flag for the fresh-checkpoint detector (see class doc)
+        self._saw_batch = False
         # resolve the backend ONCE, driver-side (fs.py: executor/closure
         # code must carry the resolved instance, not re-hit the registry)
         self.fs = get_filesystem(path)
@@ -136,10 +165,50 @@ class ParquetUpsertSink:
             ),
         ).alias(_BCOL)
 
+    def _merge_batch(self, batch_df: DataFrame) -> DataFrame:
+        """Within-batch reduction to one row per key: ``max_by`` on
+        ``seq_col`` (ties broken lexicographically on the remaining
+        columns via the struct ordering — deterministic) when configured;
+        identity otherwise (one-row-per-key is then ASSERTED inside the
+        touched-buckets job, not silently repaired)."""
+        if self.seq_col is None:
+            return batch_df
+        if self.seq_col not in batch_df.columns:
+            raise ValueError(f"seq_col {self.seq_col!r} missing from batch")
+        others = [
+            c for c in batch_df.columns if c not in (self.key, self.seq_col)
+        ]
+        return (
+            batch_df.groupBy(self.key)
+            .agg(F.max(F.struct(self.seq_col, *others)).alias("__w"))
+            .select(self.key, f"__w.{self.seq_col}", *[f"__w.{c}" for c in others])
+            .select(*batch_df.columns)
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         state = self._state()
         if batch_id <= state["floor"] or batch_id in state["batches"]:
+            # Stale id.  Legitimate only as a re-delivery of the NEWEST
+            # committed batch (restart between sink commit and checkpoint
+            # commit — the single-writer contract).  A NEW sink instance
+            # seeing any OTHER stale id first is the fresh-checkpoint
+            # signature (batch ids restarted at 0 against an existing
+            # table): silently skipping would DROP legitimate new data,
+            # so refuse loudly (see class doc).
+            newest = max(state["batches"]) if state["batches"] else state["floor"]
+            if not self._saw_batch and batch_id != newest:
+                raise ValueError(
+                    f"batch id {batch_id} is already committed in "
+                    f"{self.manifest} (newest={newest}) but this sink "
+                    "instance has seen no batch yet: this looks like a "
+                    "NEW stream (fresh checkpoint, ids restarted at 0) "
+                    "pointed at an existing table — its batches would be "
+                    "silently discarded as re-deliveries. Use a new table "
+                    "path, or resume with the original checkpoint."
+                )
+            self._saw_batch = True
             return  # re-delivered batch: idempotent skip
+        self._saw_batch = True
         spark = batch_df.sparkSession
         if _BCOL in batch_df.columns:
             raise ValueError(
@@ -147,24 +216,39 @@ class ParquetUpsertSink:
                 "partition key; rename the data column"
             )
         nb = state["n_buckets"] or self.n_buckets
-        # Latest row per key within the batch wins (a key can appear once
-        # per trigger from the stateful op, but be defensive).  Persist:
-        # the batch feeds two jobs (touched-bucket discovery + the write)
-        # and must not recompute through the source.
-        batch = batch_df.dropDuplicates([self.key]).persist()
+        # Within-batch winner (seq_col) or identity; persist: the batch
+        # feeds two jobs (touched-bucket discovery + the write) and must
+        # not recompute through the source.
+        batch = self._merge_batch(batch_df).persist()
         try:
             old_buckets = state["buckets"] if state["buckets"] is not None else {}
+            # One tiny job over the batch (≤ n_buckets rows back): which
+            # buckets does it touch, and — when no seq_col declares a
+            # winner — does any key appear more than once?  (n == nk per
+            # bucket ⇔ one row per key; asserting here costs nothing
+            # extra since the discovery pass already scans the batch.)
+            stats = (
+                batch.groupBy(self._bucket_expr(nb))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(F.col(self.key)).alias("nk"),
+                )
+                .collect()
+            )
+            if self.seq_col is None and any(r["n"] != r["nk"] for r in stats):
+                raise ValueError(
+                    "batch contains multiple rows per key but no seq_col "
+                    "is configured to pick the within-batch winner; pass "
+                    "seq_col= to ParquetUpsertSink for last-writer-wins "
+                    "semantics (an arbitrary winner would be "
+                    "nondeterministic)"
+                )
             if state["buckets"] is None and state["data"] is not None:
                 # legacy unbucketed table: fold the layout conversion into
                 # this commit — the whole table is "touched" exactly once
                 cur = self._read_rels(spark, [state["data"]])
             else:
-                # one tiny job over the deduped batch: which buckets does
-                # this batch touch?  (≤ n_buckets rows come back)
-                touched = {
-                    r[_BCOL]
-                    for r in batch.select(self._bucket_expr(nb)).distinct().collect()
-                }
+                touched = {r[_BCOL] for r in stats}
                 cur_rels = [old_buckets[b] for b in touched if b in old_buckets]
                 cur = self._read_rels(spark, cur_rels)
             if cur is None:

@@ -574,3 +574,71 @@ def test_upsert_sink_bounds_committed_id_retention(spark, tmp_path):
     # a fresh id still commits
     sink(spark.createDataFrame([("k12", 12)], "k string, v int"), 12)
     assert len({(r.k, r.v) for r in sink.read(spark).collect()}) == 13
+
+
+def test_upsert_sink_seq_col_pins_within_batch_winner(spark, tmp_path):
+    """Multi-row-per-key batches: with seq_col the LARGEST seq wins
+    (deterministic last-writer-wins, ADVICE r13); without seq_col the
+    sink refuses the ambiguous batch loudly instead of picking an
+    arbitrary winner."""
+    import pytest as _pytest
+
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    base = str(tmp_path / "seq_sink")
+    sink = ParquetUpsertSink(base, key="k", seq_col="seq")
+    b0 = spark.createDataFrame(
+        [("a", 1, "v1"), ("a", 3, "v3"), ("a", 2, "v2"), ("b", 1, "w1")],
+        "k string, seq int, v string",
+    )
+    sink(b0, 0)
+    got = {(r.k, r.seq, r.v) for r in sink.read(spark).collect()}
+    assert got == {("a", 3, "v3"), ("b", 1, "w1")}
+    # seq ties break deterministically on the remaining columns (struct
+    # ordering): the lexicographically largest payload wins
+    sink(spark.createDataFrame(
+        [("c", 5, "x1"), ("c", 5, "x9")], "k string, seq int, v string"), 1)
+    got = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert ("c", "x9") in got
+    # no seq_col + ambiguous batch -> loud refusal, not silent dedup
+    strict = ParquetUpsertSink(str(tmp_path / "strict_sink"), key="k")
+    dup = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "k string, v int")
+    with _pytest.raises(ValueError, match="seq_col"):
+        strict(dup, 0)
+
+
+def test_upsert_sink_detects_fresh_checkpoint_restart(spark, tmp_path):
+    """A NEW stream (fresh checkpoint, batch ids restarted at 0) pointed
+    at an EXISTING table must fail loudly — its batches would otherwise
+    be silently discarded as re-deliveries (ADVICE r13).  A legitimate
+    restart (new sink instance re-delivering the NEWEST committed id)
+    still skips idempotently."""
+    import pytest as _pytest
+
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    base = str(tmp_path / "fresh_ckpt")
+    sink = ParquetUpsertSink(base, key="k")
+    for b in range(3):
+        sink(spark.createDataFrame([(f"k{b}", b)], "k string, v int"), b)
+    # legitimate restart: a NEW instance re-delivers the newest batch (2)
+    resumed = ParquetUpsertSink(base, key="k")
+    resumed(spark.createDataFrame([("k2", 99)], "k string, v int"), 2)
+    assert {(r.k, r.v) for r in resumed.read(spark).collect()} == {
+        ("k0", 0), ("k1", 1), ("k2", 2)}
+    # and continues committing fresh ids afterwards
+    resumed(spark.createDataFrame([("k3", 3)], "k string, v int"), 3)
+    # fresh checkpoint: a NEW instance starts over at batch 0 -> refuse
+    repointed = ParquetUpsertSink(base, key="k")
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        repointed(spark.createDataFrame([("new", 1)], "k string, v int"), 0)
+    # the floor case too: ancient id below the retention floor
+    deep = ParquetUpsertSink(str(tmp_path / "deep"), key="k")
+    deep.retain_batches = 2
+    for b in range(6):
+        deep(spark.createDataFrame([(f"k{b}", b)], "k string, v int"), b)
+    repointed2 = ParquetUpsertSink(str(tmp_path / "deep"), key="k")
+    repointed2.retain_batches = 2
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        repointed2(spark.createDataFrame([("new", 1)], "k string, v int"), 1)

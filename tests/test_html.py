@@ -1,0 +1,116 @@
+"""HTML → text extraction (operators/html.py): semantics pinned on
+hand-built fixtures (torn/nested markup, entity edges, drop-content
+containers) plus the cross-engine dialect contract — Spark (Java regex)
+and DuckDB (RE2) must produce byte-identical output for every fixture,
+since the oracle runs the generated twin SQL (q134/q135)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from gofeed_spark.operators.html import (
+    html_blocks_sql,
+    html_text_blocks,
+    html_to_text,
+    html_to_text_sql,
+)
+
+# (html, expected_text) — expected is the block-segmented, trimmed form
+CASES = [
+    # keep vs drop: title/heading/body survive; style/script/comment die
+    (
+        '<!DOCTYPE html><html><head><title>T</title><style>p{x:1}</style>'
+        '</head><body><!-- note --><h1>H</h1><p>body  text</p>'
+        '<script>var x = "<p>fake</p>";</script></body></html>',
+        "T\nH\nbody text",
+    ),
+    # nested markup: inline tags inside a block merge with spaces
+    ("<div><p>a <b>bold</b> word</p><p>next</p></div>", "a bold word\nnext"),
+    # block segmentation: list items, rows, <br>
+    ("<ul><li>one</li><li>two</li></ul><br>tail", "one\ntwo\ntail"),
+    ("<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>", "a b\nc"),
+    # torn markup: unterminated tag keeps its text; bare < survives
+    ("<p unclosed and a < b stray", "<p unclosed and a < b stray"),
+    ("before <p", "before <p"),
+    # unclosed script drops only the tag (bounded, documented leak)
+    ("<script>no close\nbody leaks", "no close\nbody leaks"),
+    # comment swallows markup inside it; commented-out script vanishes
+    ("<!-- <script>evil()</script> -->kept", "kept"),
+    # entities: one decode level, &amp; last, numeric &#39; supported
+    (
+        "1 &lt; 2 &gt; 0 &quot;q&quot; &#39;a&#39; &apos;b&apos; "
+        "x&nbsp;y &amp; z &amp;lt;",
+        "1 < 2 > 0 \"q\" 'a' 'b' x y & z &lt;",
+    ),
+    # whitespace: horizontal runs -> one space, vertical runs -> one \n
+    ("a\t \tb\r\n\r\n\n   c", "a b\nc"),
+    # case-insensitive tags, self-closing br
+    ('<P CLASS="x">UPPER</P><BR/>after', "UPPER\nafter"),
+    # plain text passes through (modulo whitespace normalization)
+    ("no markup  at\nall", "no markup at\nall"),
+    ("", ""),
+    # script with attributes; style with newlines inside
+    ('<script type="text/javascript">\nvar a=1;\n</script>ok', "ok"),
+    ("<style>\nbody { margin: 0; }\n</style>ok", "ok"),
+]
+
+
+def test_extraction_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(CASES)], "i int, h string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", html_to_text("h").alias("t")).collect()
+    }
+    for i, (h, want) in enumerate(CASES):
+        assert got[i] == want, f"case {i}: {h!r} -> {got[i]!r} != {want!r}"
+
+
+def test_cross_engine_dialect_parity(spark):
+    """Every fixture must extract BYTE-IDENTICALLY in DuckDB through the
+    generated twin SQL — the q134/q135 oracle contract (Java ∩ RE2)."""
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(CASES)], "i int, h string"
+    )
+    got = {
+        r.i: (r.t, r.b)
+        for r in df.select(
+            "i",
+            html_to_text("h").alias("t"),
+            html_text_blocks("h").alias("b"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql_t = html_to_text_sql("?::VARCHAR")
+    for i, (h, _) in enumerate(CASES):
+        want_t, want_b = con.execute(
+            f"WITH x AS (SELECT {sql_t} AS t) "
+            f"SELECT t, {html_blocks_sql('t')} FROM x",
+            [h],
+        ).fetchone()
+        assert got[i][0] == want_t, f"case {i} text: {got[i][0]!r} != {want_t!r}"
+        assert got[i][1] == want_b, f"case {i} blocks"
+
+
+def test_blocks_are_nonempty_and_ordered(spark):
+    df = spark.createDataFrame(
+        [("<p>a</p><p></p><p>b</p>",), ("",)], "h string"
+    )
+    got = [r.b for r in df.select(html_text_blocks("h").alias("b")).collect()]
+    assert got[0] == ["a", "b"]  # empty block dropped, order kept
+    assert got[1] == []
+
+
+def test_extraction_is_pure_codegen(spark):
+    """The chain must stay JVM-side: no BatchEvalPython / Python UDF in
+    the plan (the hot-path rule) — it is regexp_replace all the way."""
+    df = spark.createDataFrame([("<p>x</p>",)], "h string")
+    plan = (
+        df.select(html_to_text("h").alias("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -928,6 +928,32 @@ def test_streaming_heavy_hitters_matches_batch_q125(spark, tmp_path):
         assert got == want, f"capacity={cap}"
 
 
+def test_heavy_hitters_accumulator_skips_replayed_batch(spark):
+    """Checkpoint-restart replay: a re-delivered micro-batch (same or
+    lower batch id) must NOT fold its summary twice — double-counting
+    inflates L above true counts and the exactness certificate could
+    pass with a falsely-narrow candidate set (ADVICE r13).  Ids are
+    monotone from the single streaming writer, so a monotone max-folded
+    watermark suffices; id-less callers still fold unconditionally."""
+    from gofeed_spark.operators.sketch import HeavyHittersAccumulator
+
+    df = spark.createDataFrame([("a b c",), ("a b",)], "text string")
+    acc = HeavyHittersAccumulator(k=3)
+    acc.update(df, 0)
+    once = dict(acc.L)
+    acc.update(df, 0)   # exact re-delivery
+    assert dict(acc.L) == once
+    acc.update(df, 1)
+    twice = dict(acc.L)
+    assert twice == {t: 2 * n for t, n in once.items()}
+    acc.update(df, 1)   # replay of the newest batch
+    acc.update(df, 0)   # ancient replay
+    assert dict(acc.L) == twice
+    # id-less (non-streaming) callers keep the unconditional fold
+    acc.update(df)
+    assert dict(acc.L) == {t: 3 * n for t, n in once.items()}
+
+
 def test_streaming_bm25_frozen_index_stats_matches_batch(spark, tmp_path):
     """Ingest-time BM25: arriving micro-batches score against the
     persisted index's FROZEN stats (meta n_docs/avgdl + pruned df rows),

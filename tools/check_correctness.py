@@ -44,6 +44,12 @@ def rows_to_multiset(cols, rows):
 
 
 def compare(name, spark_df, con):
+    if "sampled" in spark_df.columns:
+        # the query declares it self-bounded by a deterministic sample at
+        # this SF (q43 above its cap): the exact oracle is not comparable
+        # BY DESIGN — skip the value check loudly instead of reporting a
+        # mismatch that looks like a real bug (gate SFs never sample)
+        return ("SAMPLED_SKIP", spark_df.count(), None)
     sp_rows = [tuple(r) for r in spark_df.collect()]
     sp_cols = spark_df.columns
     oracle = ORACLES.get(name)
@@ -82,8 +88,8 @@ def main():
         except Exception as e:  # noqa: BLE001
             status, n, detail = "ERROR", None, repr(e)[:300]
         dt = time.time() - t0
-        flag = "" if status in ("OK", "ROWS_ONLY") else "  <<< FAIL"
-        if status not in ("OK", "ROWS_ONLY"):
+        flag = "" if status in ("OK", "ROWS_ONLY", "SAMPLED_SKIP") else "  <<< FAIL"
+        if status not in ("OK", "ROWS_ONLY", "SAMPLED_SKIP"):
             failures += 1
         print(f"{name:32s} {status:16s} rows={n} {dt:5.1f}s {detail if flag else ''}{flag}")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
