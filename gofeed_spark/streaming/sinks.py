@@ -65,6 +65,28 @@ class ParquetUpsertSink:
     key per batch (the stateful-op producer shape) instead of silently
     picking an arbitrary within-batch winner.
 
+    Modes (the layout is recorded in the manifest; mixing is refused):
+
+    - ``mode="merge"`` (default, merge-on-WRITE): a micro-batch reads and
+      rewrites the buckets containing its keys.  Per-trigger I/O is
+      O(touched buckets' state); reads are plain scans.  Right when a
+      trigger touches few buckets (point upserts, low-cardinality keys).
+    - ``mode="lsm"`` (merge-on-READ): the manifest holds a pointer LIST
+      per bucket; each trigger appends its per-bucket DELTA as a new
+      relation — per-trigger write I/O is O(batch) REGARDLESS of key
+      spread (the q120 profile: a quarter of the keyspace per trigger
+      touches ~all buckets, which in merge mode rewrites ~O(total state)
+      every trigger).  Reads merge with last-writer-wins, ordered by the
+      batch id parsed from each relation's versioned directory name (no
+      schema pollution); when every bucket's list has settled to one
+      relation the read degrades to the plain scan.  A bucket whose list
+      exceeds ``compact_threshold`` is folded into one relation inside
+      the SAME commit (one job for all over-threshold buckets), so list
+      depth — and read amplification — stays bounded.  An existing merge
+      table converts transparently on its first lsm commit (pointers
+      become one-element lists; their version names already order them);
+      opening an lsm table in merge mode raises.
+
     Fresh-checkpoint hazard: batch ids are scoped to ONE checkpoint
     (Spark restarts them at 0 for a new checkpoint), while this manifest
     — unlike Delta's per-``txnAppId`` versions — has no app identity.
@@ -91,11 +113,17 @@ class ParquetUpsertSink:
         key: str = "partition_id",
         n_buckets: int = 32,
         seq_col: str | None = None,
+        mode: str = "merge",
+        compact_threshold: int = 8,
     ):
+        if mode not in ("merge", "lsm"):
+            raise ValueError(f"mode must be 'merge' or 'lsm', got {mode!r}")
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
         self.seq_col = seq_col
+        self.mode = mode
+        self.compact_threshold = compact_threshold
         # first-call flag for the fresh-checkpoint detector (see class doc)
         self._saw_batch = False
         # resolve the backend ONCE, driver-side (fs.py: executor/closure
@@ -106,6 +134,7 @@ class ParquetUpsertSink:
         # (the write-volume metric — tools/bench_sink.py reads these)
         self.last_write_bytes: int | None = None
         self.last_buckets_written: int | None = None
+        self.last_compact_bytes: int | None = None
 
     # -- manifest ----------------------------------------------------------
     def _state(self) -> dict:
@@ -132,7 +161,23 @@ class ParquetUpsertSink:
                 "n_buckets": None,
             }
         raw.setdefault("floor", -1)
+        raw.setdefault("mode", "merge")  # pre-LSM bucketed manifests
         return raw
+
+    def _effective_mode(self, state: dict) -> str:
+        """The mode this commit runs in: the manifest's recorded mode wins
+        for an existing lsm table (opening it in merge mode raises — a
+        merge commit would read bucket lists as single pointers and lose
+        state); a merge/legacy table opened in lsm mode CONVERTS (its
+        pointers are valid one-element lists)."""
+        recorded = state["mode"] if state["buckets"] is not None else None
+        if recorded == "lsm" and self.mode == "merge":
+            raise ValueError(
+                f"{self.path} is an LSM sink table; open it with "
+                "mode='lsm' (a merge-mode commit over bucket lists would "
+                "lose state)"
+            )
+        return "lsm" if (self.mode == "lsm" or recorded == "lsm") else "merge"
 
     def committed(self) -> list[int]:
         return self._state()["batches"]
@@ -146,11 +191,39 @@ class ParquetUpsertSink:
 
     def read(self, spark) -> DataFrame | None:
         state = self._state()
-        if state["buckets"] is not None:
-            return self._read_rels(spark, list(state["buckets"].values()))
-        if state["data"] is not None:
-            return self._read_rels(spark, [state["data"]])
-        return None
+        if state["buckets"] is None:
+            if state["data"] is not None:
+                return self._read_rels(spark, [state["data"]])
+            return None
+        if state["mode"] == "lsm":
+            lists = state["buckets"]
+            df = self._read_rels(
+                spark, [r for lst in lists.values() for r in lst]
+            )
+            if all(len(lst) == 1 for lst in lists.values()):
+                return df  # settled table: plain scan, no shuffle
+            return self._lww(df)
+        return self._read_rels(spark, list(state["buckets"].values()))
+
+    def _lww(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read last-writer-wins reduce: a relation's recency is
+        the batch id in its versioned directory name (``data_v``/
+        ``compact_v``), parsed from the scan's file path — no schema
+        pollution; legacy/unversioned relations order as -1.  Ids are
+        unique per bucket list (one delta per batch, compaction replaces
+        the whole list), so the max is tie-free."""
+        seq_s = F.regexp_extract(
+            F.input_file_name(), r"(?:data|compact)_v(\d+)", 1
+        )
+        seq = F.when(seq_s == "", F.lit(-1)).otherwise(seq_s.cast("long"))
+        others = [c for c in df.columns if c != self.key]
+        return (
+            df.withColumn("__seq", seq)
+            .groupBy(self.key)
+            .agg(F.max_by(F.struct(*others), F.col("__seq")).alias("__w"))
+            .select(self.key, *[F.col(f"__w.{c}").alias(c) for c in others])
+            .select(*df.columns)
+        )
 
     # -- the sink ----------------------------------------------------------
     def _bucket_expr(self, nb: int):
@@ -243,40 +316,11 @@ class ParquetUpsertSink:
                     "semantics (an arbitrary winner would be "
                     "nondeterministic)"
                 )
-            if state["buckets"] is None and state["data"] is not None:
-                # legacy unbucketed table: fold the layout conversion into
-                # this commit — the whole table is "touched" exactly once
-                cur = self._read_rels(spark, [state["data"]])
+            mode = self._effective_mode(state)
+            if mode == "lsm":
+                buckets = self._commit_lsm(spark, batch, batch_id, state, nb)
             else:
-                touched = {r[_BCOL] for r in stats}
-                cur_rels = [old_buckets[b] for b in touched if b in old_buckets]
-                cur = self._read_rels(spark, cur_rels)
-            if cur is None:
-                merged = batch
-            else:
-                merged = cur.join(
-                    batch.select(self.key), self.key, "left_anti"
-                ).unionByName(batch)
-            new_rel = f"data_v{batch_id:06d}"
-            new_dir = self.fs.join(self.path, new_rel)
-            # repartition ON the bucket puts each bucket's rows wholly in
-            # one task -> exactly one file per bucket (partitionBy alone
-            # writes files-per-task-per-bucket; footer overhead then
-            # dominates small deltas — the round-8 feedstate measurement)
-            merged.withColumn(_BCOL, self._bucket_expr(nb)).repartition(
-                F.col(_BCOL)
-            ).write.partitionBy(_BCOL).mode("overwrite").parquet(
-                self.fs.spark_path(new_dir)
-            )
-            written = {
-                name[len(_BCOL) + 1 :]: f"{new_rel}/{name}"
-                for name in self.fs.listdir(new_dir)
-                if name.startswith(_BCOL + "=")
-            }
-            self.last_write_bytes = self.fs.tree_stats(new_dir)[1]
-            self.last_buckets_written = len(written)
-            buckets = dict(old_buckets)  # untouched buckets carry BY NAME
-            buckets.update(written)
+                buckets = self._commit_merge(spark, batch, batch_id, state, nb, stats)
             committed = sorted(state["batches"] + [batch_id])
             floor = state["floor"]
             if len(committed) > self.retain_batches:
@@ -287,6 +331,7 @@ class ParquetUpsertSink:
                 "floor": floor,
                 "buckets": buckets,
                 "n_buckets": nb,
+                "mode": mode,
             }
             # THE commit point: one atomic whole-object PUT publishes the
             # bucket pointer table and the batch id together — no window
@@ -298,17 +343,126 @@ class ParquetUpsertSink:
         finally:
             batch.unpersist()
 
-    def _sweep(self, buckets: dict[str, str]) -> None:
+    def _write_bucketed(self, df: DataFrame, rel: str, nb: int) -> dict[str, str]:
+        """Write ``df`` bucket-partitioned under versioned dir ``rel``;
+        returns {bucket: relation} for every bucket present.  Repartition
+        ON the bucket puts each bucket's rows wholly in one task ->
+        exactly one file per bucket (partitionBy alone writes
+        files-per-task-per-bucket; footer overhead then dominates small
+        deltas — the round-8 feedstate measurement)."""
+        new_dir = self.fs.join(self.path, rel)
+        df.withColumn(_BCOL, self._bucket_expr(nb)).repartition(
+            F.col(_BCOL)
+        ).write.partitionBy(_BCOL).mode("overwrite").parquet(
+            self.fs.spark_path(new_dir)
+        )
+        return {
+            name[len(_BCOL) + 1 :]: f"{rel}/{name}"
+            for name in self.fs.listdir(new_dir)
+            if name.startswith(_BCOL + "=")
+        }
+
+    def _commit_merge(
+        self, spark, batch: DataFrame, batch_id: int, state: dict, nb: int, stats
+    ) -> dict[str, str]:
+        """Merge-on-write commit: read the touched buckets, anti-join out
+        the batch's keys, rewrite those buckets whole."""
+        old_buckets = state["buckets"] if state["buckets"] is not None else {}
+        if state["buckets"] is None and state["data"] is not None:
+            # legacy unbucketed table: fold the layout conversion into
+            # this commit — the whole table is "touched" exactly once
+            cur = self._read_rels(spark, [state["data"]])
+        else:
+            touched = {r[_BCOL] for r in stats}
+            cur_rels = [old_buckets[b] for b in touched if b in old_buckets]
+            cur = self._read_rels(spark, cur_rels)
+        if cur is None:
+            merged = batch
+        else:
+            merged = cur.join(
+                batch.select(self.key), self.key, "left_anti"
+            ).unionByName(batch)
+        new_rel = f"data_v{batch_id:06d}"
+        written = self._write_bucketed(merged, new_rel, nb)
+        self.last_write_bytes = self.fs.tree_stats(
+            self.fs.join(self.path, new_rel)
+        )[1]
+        self.last_buckets_written = len(written)
+        self.last_compact_bytes = None
+        buckets = dict(old_buckets)  # untouched buckets carry BY NAME
+        buckets.update(written)
+        return buckets
+
+    def _commit_lsm(
+        self, spark, batch: DataFrame, batch_id: int, state: dict, nb: int
+    ) -> dict[str, list[str]]:
+        """Merge-on-read commit: append the batch's per-bucket DELTA (no
+        read of current state — write I/O is O(batch) regardless of key
+        spread), then fold any bucket whose pointer list exceeds
+        ``compact_threshold`` into one relation (one job for ALL
+        over-threshold buckets), inside the same atomic manifest PUT."""
+        old = state["buckets"]
+        if old is None and state["data"] is not None:
+            # legacy unbucketed table: one-time full conversion (same
+            # cost as the merge-mode conversion commit)
+            cur = self._read_rels(spark, [state["data"]])
+            merged = cur.join(
+                batch.select(self.key), self.key, "left_anti"
+            ).unionByName(batch)
+            written = self._write_bucketed(merged, f"data_v{batch_id:06d}", nb)
+            self.last_write_bytes = self.fs.tree_stats(
+                self.fs.join(self.path, f"data_v{batch_id:06d}")
+            )[1]
+            self.last_buckets_written = len(written)
+            self.last_compact_bytes = None
+            return {b: [rel] for b, rel in written.items()}
+        # a merge-layout table converts transparently: each pointer is a
+        # valid one-element list (its version name already orders it)
+        lists: dict[str, list[str]] = {
+            b: [r] if isinstance(r, str) else list(r)
+            for b, r in (old or {}).items()
+        }
+        delta_rel = f"data_v{batch_id:06d}"
+        written = self._write_bucketed(batch, delta_rel, nb)
+        self.last_write_bytes = self.fs.tree_stats(
+            self.fs.join(self.path, delta_rel)
+        )[1]
+        self.last_buckets_written = len(written)
+        for b, rel in written.items():
+            lists.setdefault(b, []).append(rel)
+        over = sorted(b for b, lst in lists.items() if len(lst) > self.compact_threshold)
+        self.last_compact_bytes = None
+        if over:
+            folded = self._lww(
+                self._read_rels(spark, [r for b in over for r in lists[b]])
+            )
+            compact_rel = f"compact_v{batch_id:06d}"
+            cwritten = self._write_bucketed(folded, compact_rel, nb)
+            self.last_compact_bytes = self.fs.tree_stats(
+                self.fs.join(self.path, compact_rel)
+            )[1]
+            for b in over:
+                if b in cwritten:
+                    lists[b] = [cwritten[b]]
+        return lists
+
+    def _sweep(self, buckets: dict) -> None:
         """Reclaim everything the manifest no longer references: whole
         version dirs with no live bucket, superseded bucket subdirs inside
         still-live version dirs, and the legacy ``data/`` dir after its
-        conversion commit."""
-        live_rels = set(buckets.values())
+        conversion commit.  Bucket values are a single relation (merge
+        mode) or a pointer list (lsm mode)."""
+        live_rels = {
+            r
+            for v in buckets.values()
+            for r in ([v] if isinstance(v, str) else v)
+        }
         live_tops = {rel.split("/")[0] for rel in live_rels}
         for name in self.fs.listdir(self.path):
             full = self.fs.join(self.path, name)
             if not (
-                name.startswith(("data_v", "_staging_", "_old_")) or name == "data"
+                name.startswith(("data_v", "compact_v", "_staging_", "_old_"))
+                or name == "data"
             ) or not self.fs.isdir(full):
                 continue
             if name not in live_tops:

@@ -642,3 +642,111 @@ def test_upsert_sink_detects_fresh_checkpoint_restart(spark, tmp_path):
     repointed2.retain_batches = 2
     with _pytest.raises(ValueError, match="fresh checkpoint"):
         repointed2(spark.createDataFrame([("new", 1)], "k string, v int"), 1)
+
+
+def test_upsert_sink_lsm_mode_delta_appends(spark, tmp_path):
+    """LSM mode (VERDICT r13 item 2): each trigger appends only its
+    per-bucket DELTA — write bytes track the BATCH even when the batch's
+    keys spread across every bucket (the q120 profile where merge mode
+    rewrites ~O(total state) per trigger); reads merge last-writer-wins;
+    compaction bounds every bucket's pointer-list depth."""
+    import json as _json
+
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    base = str(tmp_path / "lsm_sink")
+    sink = ParquetUpsertSink(base, key="k", n_buckets=8, mode="lsm",
+                             compact_threshold=3)
+    n = 40000
+    settle = spark.range(n).selectExpr(
+        "concat('key', lpad(cast(id as string), 5, '0')) as k",
+        "cast(id as int) as v",
+        "repeat('x', 64) as payload",
+    )
+    sink(settle, 0)
+    settled_bytes = sink.last_write_bytes
+    # spread-key batches: 32 keys hitting ALL 8 buckets
+    for b in range(1, 3):
+        delta = spark.createDataFrame(
+            [(f"key{i * 100:05d}", -b, "y" * 64) for i in range(32)],
+            "k string, v int, payload string",
+        )
+        sink(delta, b)
+        assert sink.last_buckets_written == 8          # all buckets touched
+        assert sink.last_write_bytes < settled_bytes / 10  # ...but O(batch)
+    got = {r.k: r.v for r in sink.read(spark).collect()}
+    assert len(got) == n
+    assert got["key00100"] == -2 and got["key00000"] == -2 and got["key00001"] == 1
+    # depth now 3 per touched bucket; one more spread batch crosses the
+    # threshold -> compaction folds those buckets back to ONE relation
+    sink(spark.createDataFrame([("key00100", 77, "z")],
+                               "k string, v int, payload string"), 3)
+    state = _json.loads(open(f"{base}/_committed_batches.json").read())
+    assert state["mode"] == "lsm"
+    assert all(len(lst) <= 3 for lst in state["buckets"].values())
+    assert any(rel.startswith("compact_v") for lst in state["buckets"].values()
+               for rel in lst)
+    got = {r.k: r.v for r in sink.read(spark).collect()}
+    assert len(got) == 40000 and got["key00100"] == 77 and got["key00200"] == -2
+    # nothing unreferenced survives the sweep
+    live = {r for lst in state["buckets"].values() for r in lst}
+    import os as _os
+    for top in _os.listdir(base):
+        if top.startswith(("data_v", "compact_v")):
+            for sub in _os.listdir(f"{base}/{top}"):
+                if sub.startswith("pbkt="):
+                    assert f"{top}/{sub}" in live
+
+
+def test_upsert_sink_lsm_settled_read_is_plain_scan(spark, tmp_path):
+    """After compaction settles every bucket to one relation, read()
+    degrades to the plain scan — no merge shuffle in the plan."""
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    base = str(tmp_path / "lsm_settled")
+    sink = ParquetUpsertSink(base, key="k", n_buckets=4, mode="lsm")
+    sink(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), 0)
+    plan = sink.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan and "Exchange" not in plan
+
+
+def test_upsert_sink_lsm_converts_merge_table_and_refuses_reverse(spark, tmp_path):
+    """A merge-layout table opened in lsm mode converts transparently
+    (pointers become one-element lists); opening an lsm table in merge
+    mode refuses loudly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    base = str(tmp_path / "convert")
+    m = ParquetUpsertSink(base, key="k")
+    m(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), 0)
+    lsm = ParquetUpsertSink(base, key="k", mode="lsm")
+    lsm(spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int"), 1)
+    state = _json.loads(open(f"{base}/_committed_batches.json").read())
+    assert state["mode"] == "lsm"
+    assert all(isinstance(lst, list) for lst in state["buckets"].values())
+    got = {(r.k, r.v) for r in lsm.read(spark).collect()}
+    assert got == {("a", 1), ("b", 20), ("c", 3)}
+    back = ParquetUpsertSink(base, key="k", mode="merge")
+    with _pytest.raises(ValueError, match="LSM"):
+        back(spark.createDataFrame([("d", 4)], "k string, v int"), 2)
+
+
+def test_upsert_sink_lsm_seq_col_and_idempotency(spark, tmp_path):
+    """LSM mode composes with seq_col (within-batch winner) and keeps the
+    idempotent re-delivery skip."""
+    from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+    base = str(tmp_path / "lsm_seq")
+    sink = ParquetUpsertSink(base, key="k", mode="lsm", seq_col="seq")
+    sink(spark.createDataFrame(
+        [("a", 1, "v1"), ("a", 2, "v2")], "k string, seq int, v string"), 0)
+    sink(spark.createDataFrame(
+        [("a", 9, "v9")], "k string, seq int, v string"), 1)
+    sink(spark.createDataFrame(  # re-delivery of batch 1: skipped
+        [("a", 99, "poison")], "k string, seq int, v string"), 1)
+    got = {(r.k, r.seq, r.v) for r in sink.read(spark).collect()}
+    assert got == {("a", 9, "v9")}
