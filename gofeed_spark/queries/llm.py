@@ -3539,3 +3539,63 @@ def q131(spark, sf_dir):
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+# --- q136/q137 deterministic text embeddings (operators/embedding.py) --------
+from gofeed_spark.operators.embedding import embedding_sql_ctes  # noqa: E402
+
+
+@query(
+    "q136_text_embedding",
+    oracle="WITH "
+    + embedding_sql_ctes(src="documents", dim=64).strip()
+    + "\nSELECT doc_id, j, val FROM emb_long ORDER BY doc_id, j",
+)
+def q136(spark, sf_dir):
+    """Hashed char-trigram random-projection embedding (frozen model,
+    operators/embedding.py) over every document, emitted LONG-FORM
+    (doc_id, j, val) so all 64 components hash-check against the
+    generated md5-hex-arithmetic oracle.  No rounding is needed: both
+    engines accumulate exactly-representable integer gram counts and
+    finish with the same single IEEE divide, so the doubles are
+    BIT-IDENTICAL (measured delta 0.0 at both gate SFs).  One Arrow scan
+    pass, no shuffle — embeddings leave the scan assembled."""
+    from gofeed_spark.operators.embedding import text_embedding
+
+    emb = text_embedding(T(spark, sf_dir, "documents"), dim=64)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("j", "val")
+    ).orderBy("doc_id", "j")
+
+
+@query(
+    "q137_text_clusters",
+    oracle="WITH "
+    + embedding_sql_ctes(src="documents", dim=64).strip()
+    + ","
+    + _KMEANS_CTES.format(
+        src="(SELECT doc_id AS vec_id, v AS embedding FROM emb_vec) esrc"
+    ).replace("WITH e AS", "e AS", 1)
+    + """
+SELECT vec_id, CAST(cl AS INT) AS cluster FROM a2f ORDER BY vec_id
+""",
+)
+def q137(spark, sf_dir):
+    """The documents-only semantic chain (VERDICT r13 item 3's
+    composition): text_embedding → corpus-scaled k-means, END TO END from
+    raw text — no precomputed embeddings table anywhere.  The oracle
+    rebuilds the frozen embedding model (generated md5 arithmetic) and
+    feeds it through the SAME 2-iteration Lloyd CTE chain as q122.
+    Margins measured before registration (CLAUDE.md rule): argmin
+    relative margin ≥ 2.9e-4 at sf0.01 and ≥ 4.1e-6 at sf0.1 vs ~1e-13
+    cross-engine float noise.  target_cluster_rows=625 lands BOTH gate
+    SFs (500/5000 docs) on the k_min=8 floor, pinning the oracle's
+    LIMIT 8; sf1.0's 50k docs scale to k=80 (oracle gate-SF-only by
+    design, the q122 convention)."""
+    from gofeed_spark.operators import clustering
+    from gofeed_spark.operators.embedding import text_embedding
+
+    docs = T(spark, sf_dir, "documents")
+    emb = text_embedding(docs, dim=64).withColumnRenamed("doc_id", "vec_id")
+    k = clustering.corpus_k(docs, target_cluster_rows=625)
+    return clustering.kmeans_assign(emb, k=k, n_iters=2)
