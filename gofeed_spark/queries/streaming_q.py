@@ -253,3 +253,88 @@ def q132(spark, sf_dir):
         return acc.finalize(spark.read.parquet(landing)).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q138_streaming_sessions",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+assigned AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events, MIN(event_id) AS first_event
+FROM assigned GROUP BY user_id, session_id ORDER BY user_id, session_start
+""",
+)
+def q138(spark, sf_dir):
+    """The THIRD oracle-paired streaming query (VERDICT r13 item 5) —
+    watermarked SESSION windows, the last unpaired window shape: events
+    stage as ts-RANGE-ordered files (monotone per-file event time, so no
+    record is ever watermark-late), stream through one-file micro-batches
+    into the built-in ``session_window`` aggregation (state MERGES
+    adjacent windows per user as later batches bridge gaps), and drain in
+    complete mode — the final trigger's emission is the full session set,
+    so the result is arrival-invariant and value-comparable against the
+    batch lag/sum sessionization oracle (q31's chain extended with the
+    session-start witness).  Session start = MIN event ts of the merged
+    window on both engines; gap-exactly-30min events merge on both
+    (Spark merges on newStart <= currentEnd; the oracle splits only on
+    strictly-greater gaps)."""
+    import os
+    import shutil
+    import tempfile
+
+    from gofeed_spark.catalog import load_table
+    from gofeed_spark.streaming.windows import streaming_session_counts
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="gofeed_q138_")
+    stage, ckpt, out = f"{work}/stage", f"{work}/ckpt", f"{work}/out"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # ts-range staging: file i holds the i-th time quartile, and the
+        # file source replays files in order (mtimes pinned monotone), so
+        # event time only moves forward across micro-batches
+        events.repartitionByRange(4, "ts").write.parquet(stage)
+        parts = sorted(
+            f for f in os.listdir(stage) if f.startswith("part-")
+        )
+        for i, f in enumerate(parts):
+            os.utime(f"{stage}/{f}", (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = spark.readStream.schema(events.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+        q = (
+            streaming_session_counts(stream)
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            # complete mode re-emits the WHOLE session state per trigger:
+            # overwrite keeps exactly the final (complete) emission
+            .foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(out)
+            )
+            .start()
+        )
+        _await_drained(q, 180)
+        return (
+            spark.read.parquet(out)
+            .select("user_id", "session_start", "n_events", "first_event")
+            .orderBy("user_id", "session_start")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(work, ignore_errors=True)

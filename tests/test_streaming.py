@@ -1011,3 +1011,50 @@ def test_streaming_tfidf_frozen_model_matches_batch(spark, tmp_path):
     )
     assert got == want
     model[0].unpersist()
+
+
+def test_streaming_sessions_merge_across_micro_batches(spark, tmp_path):
+    """The q138 mechanism: a later micro-batch's bridging event must MERGE
+    two previously-separate session windows for the same user (the state
+    shape complete-mode drains rely on), and the final emission equals the
+    batch lag/sum sessionization."""
+    import os
+
+    from datetime import datetime
+
+    from gofeed_spark.streaming.windows import streaming_session_counts
+
+    def ev(eid, user, minute):
+        return (eid, datetime(2024, 1, 1, 10, minute), user)
+
+    ddl = "event_id long, ts timestamp, user_id long"
+    # file 1: two events 50 min apart (two sessions); file 2: a bridge at
+    # +25 min that merges them into ONE session
+    f1 = [ev(1, 7, 0), ev(2, 7, 50)]
+    f2 = [ev(3, 7, 25)]
+    stage = str(tmp_path / "sess_stage")
+    for i, rows_ in enumerate([f1, f2]):
+        spark.createDataFrame(rows_, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    parts = sorted(f for f in os.listdir(stage) if f.startswith("part-"))
+    for i, f in enumerate(parts):
+        os.utime(f"{stage}/{f}", (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    emissions = []
+    q = (
+        streaming_session_counts(stream)
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sess_merge"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: emissions.append(df.collect()))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = {(r.user_id, r.n_events, r.first_event) for r in emissions[-1]}
+    assert final == {(7, 3, 1)}  # one merged session holding all 3 events
+    # an earlier emission saw the unmerged pair — the merge really
+    # happened ACROSS batches, not inside one
+    assert len(emissions) >= 2 and len(emissions[0]) == 2
