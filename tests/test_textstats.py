@@ -557,3 +557,100 @@ def test_bm25_index_build_refuses_empty_corpus(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with _pytest.raises(ValueError, match="empty corpus"):
         build_bm25_index(empty, str(tmp_path / "e"))
+
+
+def test_frozen_unseen_term_cross_engine_formula(spark, tmp_path):
+    """The q131/q133 df=0 COALESCE branch, pinned through BOTH engines'
+    formulas with a term GUARANTEED absent from the frozen corpus
+    (VERDICT r13 item 7: the gate split only covers this branch if the
+    20% split happens to contain unseen terms — this fixture does not
+    depend on that luck)."""
+    import duckdb
+
+    from gofeed_spark.operators.search import (
+        bm25_score_docs,
+        build_bm25_index,
+        tfidf_keywords_score,
+        tfidf_model,
+    )
+
+    frozen = [(1, "cat dog cat mouse"), (2, "dog bird cat"), (3, "fish pond")]
+    arriving = [(10, "zebra zebra cat pond")]  # 'zebra' unseen in frozen
+    d_frozen = spark.createDataFrame(frozen, "doc_id long, text string")
+    d_arr = spark.createDataFrame(arriving, "doc_id long, text string")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in frozen + arriving)
+        + ") v(doc_id, text)"
+    )
+
+    # --- BM25 (q131's oracle formula, split at doc_id 10) ---
+    idx = str(tmp_path / "unseen_bm25")
+    build_bm25_index(d_frozen, idx)
+    got = {
+        r.doc_id: r.score
+        for r in bm25_score_docs(spark, d_arr, idx, ["zebra", "cat"]).collect()
+    }
+    want = dict(con.execute(r"""
+WITH base AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM docs),
+corp AS (SELECT * FROM base WHERE doc_id < 10),
+arr AS (SELECT * FROM base WHERE doc_id >= 10),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(len(tk) AS DOUBLE)) AS avgdl FROM corp),
+dfreq AS (SELECT t.tok, COUNT(DISTINCT c.doc_id) AS df
+          FROM corp c, LATERAL UNNEST(c.tk) AS t(tok)
+          WHERE t.tok IN ('zebra', 'cat') GROUP BY t.tok),
+hits AS (SELECT a.doc_id, len(a.tk) AS len_d, t.tok
+         FROM arr a, LATERAL UNNEST(a.tk) AS t(tok)
+         WHERE t.tok IN ('zebra', 'cat')),
+tf AS (SELECT doc_id, len_d, tok, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln((CAST(s.n_docs AS DOUBLE) - COALESCE(CAST(d.df AS DOUBLE), 0.0) + 0.5)
+            / (COALESCE(CAST(d.df AS DOUBLE), 0.0) + 0.5) + 1.0)
+         * (tf.tf * CAST(2.2 AS DOUBLE))
+         / (tf.tf + CAST(1.2 AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf.len_d / s.avgdl))
+       ), 6) AS score
+FROM tf LEFT JOIN dfreq d USING (tok), stats s
+GROUP BY tf.doc_id
+""").fetchall())
+    assert got == want and 10 in got and got[10] > 0
+
+    # --- TF-IDF (q133's oracle formula) ---
+    model = tfidf_model(d_frozen)
+    got_kw = {
+        (r.doc_id, r.rank): (r.token, round(r.score, 6))
+        for r in tfidf_keywords_score(d_arr, model, top_k=2).collect()
+    }
+    want_kw = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute("""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM docs,
+       LATERAL (SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS tok) t
+),
+ctf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE doc_id < 10 GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM ctf GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n_docs FROM docs WHERE doc_id < 10),
+atf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE doc_id >= 10 GROUP BY doc_id, tok),
+scored AS (
+  SELECT atf.doc_id, atf.tok,
+         atf.tf * (LN((nd.n_docs + 1.0) / (COALESCE(dfreq.df, 0) + 1.0)) + 1.0)
+           AS score
+  FROM atf LEFT JOIN dfreq USING (tok), nd
+)
+SELECT doc_id, CAST(rn AS INT) AS rank, tok, ROUND(score, 6) AS score
+FROM (SELECT doc_id, tok, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+      FROM scored) x
+WHERE rn <= 2
+""").fetchall()
+    }
+    assert got_kw == want_kw
+    # the UNSEEN term must be the top keyword (tf=2, max idf)
+    assert got_kw[(10, 1)][0] == "zebra"
