@@ -3596,6 +3596,13 @@ def q137(spark, sf_dir):
     from gofeed_spark.operators.embedding import text_embedding
 
     docs = T(spark, sf_dir, "documents")
-    emb = text_embedding(docs, dim=64).withColumnRenamed("doc_id", "vec_id")
+    # localCheckpoint: k-means consumes the corpus once per pass (init +
+    # n_iters + assign); without it every pass re-runs the embedding
+    # kernel over the raw text
+    emb = (
+        text_embedding(docs, dim=64)
+        .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint()
+    )
     k = clustering.corpus_k(docs, target_cluster_rows=625)
     return clustering.kmeans_assign(emb, k=k, n_iters=2)
