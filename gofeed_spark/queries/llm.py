@@ -3606,3 +3606,39 @@ def q137(spark, sf_dir):
     )
     k = clustering.corpus_k(docs, target_cluster_rows=625)
     return clustering.kmeans_assign(emb, k=k, n_iters=2)
+
+
+@query(
+    "q139_text_semantic_search",
+    oracle="WITH "
+    + embedding_sql_ctes(src="documents", dim=64).strip()
+    + """,
+q AS (SELECT v AS qe FROM emb_vec WHERE doc_id = 1),
+s AS (SELECT e.doc_id,
+             list_dot_product(e.v, q.qe)
+               / (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(q.qe, q.qe))) AS cos
+      FROM emb_vec e, q WHERE e.doc_id <> 1)
+SELECT CAST(rn AS INTEGER) AS rank, doc_id AS neighbor_id
+FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rn FROM s) t
+WHERE rn <= 5 ORDER BY rank
+""",
+)
+def q139(spark, sf_dir):
+    """SEMANTIC SEARCH end-to-end from raw text — no precomputed
+    embeddings anywhere: text_embedding over the corpus, then exact
+    cosine top-5 for doc 1's vector through the same brute kernel as q34,
+    hash-checked against the generated embedding CTEs + ranking SQL.
+    Rank-boundary margins MEASURED before registration (the q43/q58
+    discipline): min nonzero adjacent cosine gap in the top-8 is 8.5e-4
+    (sf0.01) / 6.1e-4 (sf0.1) with zero exact ties — ~1e11× the
+    cross-engine dot-product noise (k=10 was REJECTED: sf0.1 has an
+    exact clone-family tie at that boundary).  localCheckpoint: the
+    brute kernel reads the corpus twice (query row + scan)."""
+    from gofeed_spark.operators.embedding import text_embedding
+
+    emb = (
+        text_embedding(T(spark, sf_dir, "documents"), dim=64)
+        .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint()
+    )
+    return similarity.brute_topk(emb, query_id=1, k=5)

@@ -223,3 +223,78 @@ def q135(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@query(
+    "q140_wet_export",
+    oracle=f"""
+WITH h AS (SELECT doc_id,
+                  'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                  {_html_sql()} AS html
+           FROM documents),
+x AS (SELECT url, {html_to_text_sql('html')} AS txt FROM h)
+SELECT url,
+       'conversion' AS rec_type,
+       {_metrics_sql('txt')}
+FROM x ORDER BY url
+""",
+)
+def q140(spark, sf_dir):
+    """WET GENERATION round trip — the job Common Crawl runs to produce
+    its .wet sidecars, end to end in this engine: raw-HTML response
+    archives → distributed ``read_warc`` → HTML → text extraction →
+    re-export as WARC CONVERSION records (the WET layout,
+    ``export_warc(rec_type='conversion')``) → read the WET archives back
+    → block/word/text-hash metrics.  The oracle rebuilds the template
+    HTML and the generated extraction SQL straight from the documents
+    table, so BOTH container round trips (HTML .warc in, .wet out and
+    back) plus the extraction are hash-checked — the engine can produce
+    and consume the WET format, not just read it."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import warc as W
+
+    docs = T(spark, sf_dir, "documents")
+    crawl = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(_html_col(), "utf-8").alias("body"),
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q140_")
+    raw_dir, wet_dir = f"{work}/raw", f"{work}/wet"
+    try:
+        n_arch = max(4, -(-crawl.count() // 5000))
+        W.export_warc(
+            crawl, raw_dir, n_archives=n_arch, content_type="text/html"
+        ).collect()
+        extracted = (
+            W.read_warc(spark, raw_dir + "/*.warc.gz")
+            .filter(
+                (F.col("http_status") == 200)
+                & F.col("content_type").startswith("text/html")
+            )
+            .select(
+                "url",
+                F.encode(
+                    html_to_text(F.decode("body", "utf-8")), "utf-8"
+                ).alias("body"),
+            )
+        )
+        W.export_warc(
+            extracted, wet_dir, n_archives=n_arch,
+            content_type="text/plain", rec_type="conversion",
+        ).collect()
+        back = W.read_warc(spark, wet_dir + "/*.warc.gz", rec_types=("conversion",))
+        txt = F.decode("body", "utf-8")
+        return (
+            back.select(
+                "url", "rec_type", *[c for c in _metrics_cols(txt)]
+            )
+            .orderBy("url")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
