@@ -125,3 +125,48 @@ def html_blocks_sql(expr: str) -> str:
     """DuckDB twin of ``html_text_blocks`` over an already-extracted
     text expression (list of non-empty chr(10)-separated blocks)."""
     return f"list_filter(string_split({expr}, chr(10)), x -> x <> '')"
+
+
+# --- link extraction (the crawl-frontier / link-graph step) -----------------
+
+# double-quoted href values of <a> tags; same Java ∩ RE2 dialect contract
+_HREF_RE = r'(?is)<a\b[^>]*?\bhref\s*=\s*"([^"]*)"'
+_HOST_RE = r"^(https?://[^/]+)"
+
+
+def extract_links(col: Column | str) -> Column:
+    """``array<string>`` of raw href values from an HTML column — the
+    frontier-generation step of a crawler and the edge source of the
+    link graph.  Pure codegen (regexp_extract_all)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_HREF_RE), F.lit(1))
+
+
+def resolve_link(page_url: Column | str, href: Column | str) -> Column:
+    """Resolve an href against its page URL: absolute hrefs pass through,
+    root-relative (``/path``) and bare-relative hrefs join the page's
+    scheme+host.  (Path-merging of ``../`` is out of scope — crawl
+    canonicalization runs downstream via operators/urls.py.)"""
+    p = F.col(page_url) if isinstance(page_url, str) else page_url
+    h = F.col(href) if isinstance(href, str) else href
+    host = F.regexp_extract(p, _HOST_RE, 1)
+    return (
+        F.when(h.startswith("http://") | h.startswith("https://"), h)
+        .when(h.startswith("/"), F.concat(host, h))
+        .otherwise(F.concat(host, F.lit("/"), h))
+    )
+
+
+def extract_links_sql(expr: str) -> str:
+    """DuckDB twin of ``extract_links`` over an HTML expression."""
+    return f"regexp_extract_all({expr}, {_sql_str(_HREF_RE)}, 1)"
+
+
+def resolve_link_sql(page_url: str, href: str) -> str:
+    """DuckDB twin of ``resolve_link``."""
+    host = f"regexp_extract({page_url}, {_sql_str(_HOST_RE)}, 1)"
+    return (
+        f"CASE WHEN {href} LIKE 'http://%' OR {href} LIKE 'https://%' THEN {href} "
+        f"WHEN {href} LIKE '/%' THEN {host} || {href} "
+        f"ELSE {host} || '/' || {href} END"
+    )

@@ -18,10 +18,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gofeed_spark.operators.html import (
+    extract_links_sql,
     html_blocks_sql,
     html_text_blocks,
     html_to_text,
     html_to_text_sql,
+    resolve_link_sql,
 )
 from gofeed_spark.queries.registry import query
 
@@ -34,9 +36,12 @@ def T(spark, sf_dir, name):
 
 # One template, two renderings.  ("lit", s) is a literal fragment;
 # ("int", col) an integer column (CAST AS VARCHAR in SQL, .cast string in
-# Spark); ("str", col) a string column.  Drop-content: style, comment,
-# script.  Keep-content: title, heading, the doc text, an entity-bearing
-# paragraph, a nested div.
+# Spark); ("inc", col) the column plus one; ("str", col) a string column.
+# Drop-content: style, comment, script.  Keep-content: title, heading,
+# the doc text, an entity-bearing paragraph, a nested div, anchor text.
+# The two <a href> fragments (a root-relative next-doc link and an
+# absolute hub link) feed the link-graph queries (q141/q142): the hub has
+# no outlinks (dangling mass) and each host's last next-link dangles too.
 _H_PARTS = [
     ("lit", "<!DOCTYPE html><html><head><title>Doc "),
     ("int", "doc_id"),
@@ -52,24 +57,39 @@ _H_PARTS = [
     ("lit", ";</script><p>Tom &amp; Jerry say 1 &lt; 2 &gt; 0</p>"
             "<div>source: <b>"),
     ("str", "source"),
-    ("lit", "</b></div></body></html>"),
+    ("lit", '</b></div><p>see <a href="/doc/'),
+    ("inc", "doc_id"),
+    ("lit", '">next doc</a> or the <a href="https://hub.example.com/">'
+            "crawl hub</a></p></body></html>"),
 ]
 
 
 def _html_col():
-    return F.concat(*[
-        F.lit(v) if kind == "lit"
-        else (F.col(v).cast("string") if kind == "int" else F.col(v))
-        for kind, v in _H_PARTS
-    ])
+    out = []
+    for kind, v in _H_PARTS:
+        if kind == "lit":
+            out.append(F.lit(v))
+        elif kind == "int":
+            out.append(F.col(v).cast("string"))
+        elif kind == "inc":
+            out.append((F.col(v) + 1).cast("string"))
+        else:
+            out.append(F.col(v))
+    return F.concat(*out)
 
 
 def _html_sql() -> str:
-    return " || ".join(
-        "'" + v.replace("'", "''") + "'" if kind == "lit"
-        else (f"CAST({v} AS VARCHAR)" if kind == "int" else v)
-        for kind, v in _H_PARTS
-    )
+    frags = []
+    for kind, v in _H_PARTS:
+        if kind == "lit":
+            frags.append("'" + v.replace("'", "''") + "'")
+        elif kind == "int":
+            frags.append(f"CAST({v} AS VARCHAR)")
+        elif kind == "inc":
+            frags.append(f"CAST({v} + 1 AS VARCHAR)")
+        else:
+            frags.append(v)
+    return " || ".join(frags)
 
 
 def _metrics_sql(txt: str) -> str:
@@ -298,3 +318,102 @@ def q140(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_URL_SQL = (
+    "'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)"
+)
+
+_EDGES_SQL = f"""
+h AS (SELECT doc_id, {_URL_SQL} AS src, {_html_sql()} AS html FROM documents),
+hrefs AS (SELECT src, UNNEST({extract_links_sql('html')}) AS href FROM h),
+edges_raw AS (SELECT src, {resolve_link_sql('src', 'href')} AS dst FROM hrefs)
+"""
+
+
+@query(
+    "q141_link_extract",
+    oracle=f"""
+WITH {_EDGES_SQL.strip()}
+SELECT src, dst FROM edges_raw ORDER BY src, dst
+""",
+)
+def q141(spark, sf_dir):
+    """Link extraction — the crawl-FRONTIER step (operators/html.py
+    ``extract_links``/``resolve_link``): every page's <a href> values,
+    resolved against the page URL (absolute pass-through, root-relative
+    join the scheme+host) into (src, dst) edge rows.  This is both the
+    frontier a crawler enqueues next and the edge list the link graph
+    (q142) ranks.  Pure codegen — regexp_extract_all + explode, no UDF;
+    hash-checked against the same extraction in DuckDB."""
+    d = T(spark, sf_dir, "documents")
+    from gofeed_spark.operators.html import extract_links, resolve_link
+
+    src = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    ).alias("src")
+    hrefs = d.select(src, F.explode(extract_links(_html_col())).alias("href"))
+    return hrefs.select(
+        "src", resolve_link(F.col("src"), F.col("href")).alias("dst")
+    ).orderBy("src", "dst")
+
+
+@query(
+    "q142_crawl_pagerank",
+    oracle=f"""
+WITH {_EDGES_SQL.strip()},
+edges AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM edges_raw GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges) u),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ncnt FROM nodes),
+ow AS (SELECT src, SUM(w) AS W FROM edges GROUP BY src),
+r0 AS (SELECT n, 1.0 / nn.ncnt AS r FROM nodes, nn),
+c1 AS (SELECT e.dst AS n, SUM(r0.r * e.w / ow.W) AS contrib
+       FROM edges e JOIN r0 ON e.src = r0.n JOIN ow ON e.src = ow.src GROUP BY e.dst),
+d1 AS (SELECT COALESCE(SUM(r0.r), 0.0) AS dm FROM r0 LEFT JOIN ow ON r0.n = ow.src
+       WHERE ow.src IS NULL),
+r1 AS (SELECT nodes.n, (1.0 - 0.85) / nn.ncnt + 0.85 * (COALESCE(c1.contrib, 0.0) + d1.dm / nn.ncnt) AS r
+       FROM nodes LEFT JOIN c1 ON nodes.n = c1.n, nn, d1),
+c2 AS (SELECT e.dst AS n, SUM(r1.r * e.w / ow.W) AS contrib
+       FROM edges e JOIN r1 ON e.src = r1.n JOIN ow ON e.src = ow.src GROUP BY e.dst),
+d2 AS (SELECT COALESCE(SUM(r1.r), 0.0) AS dm FROM r1 LEFT JOIN ow ON r1.n = ow.src
+       WHERE ow.src IS NULL),
+r2 AS (SELECT nodes.n, (1.0 - 0.85) / nn.ncnt + 0.85 * (COALESCE(c2.contrib, 0.0) + d2.dm / nn.ncnt) AS r
+       FROM nodes LEFT JOIN c2 ON nodes.n = c2.n, nn, d2)
+SELECT n AS node, ROUND(r, 6) + 0.0 AS pagerank FROM r2 ORDER BY node
+""",
+)
+def q142(spark, sf_dir):
+    """CRAWL-GRAPH PageRank — the full web-centrality chain from raw
+    HTML: link extraction (q141's edges) → per-(src,dst) weights →
+    2-iteration weighted PageRank (operators/graph.py) over STRING url
+    nodes.  The graph has real crawl structure by construction: the hub
+    page every doc links to is a dangling node (no outlinks — its mass
+    redistributes), and each host's final next-doc link dangles too.
+    The oracle composes the generated link-extraction SQL into the q128
+    PageRank CTE chain; ROUND(r,6)+0.0 normalizes the grid on both
+    sides.  Round-6 boundary margins MEASURED at registration (the q129
+    discipline): min distance to the rounding boundary 6.4e-10 absolute
+    at sf0.01 / 5.6e-8 at sf0.1, vs ~1e-15 cross-engine float noise —
+    ≥6e5× headroom."""
+    from gofeed_spark.operators.graph import pagerank
+    from gofeed_spark.operators.html import extract_links, resolve_link
+
+    d = T(spark, sf_dir, "documents")
+    src = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    ).alias("src")
+    hrefs = d.select(src, F.explode(extract_links(_html_col())).alias("href"))
+    edges = (
+        hrefs.select(
+            "src", resolve_link(F.col("src"), F.col("href")).alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    pr = pagerank(edges, n_iters=2, damping=0.85, weight="w")
+    return pr.select(
+        "node", (F.round("pagerank", 6) + 0.0).alias("pagerank")
+    ).orderBy("node")

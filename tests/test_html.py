@@ -114,3 +114,62 @@ def test_extraction_is_pure_codegen(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_link_extraction_and_resolution(spark):
+    """extract_links/resolve_link (the crawl-frontier step): hrefs come
+    out in document order; absolute links pass through, root-relative
+    and bare-relative join the page's scheme+host; pages without links
+    yield empty arrays; the DuckDB twins match byte-for-byte."""
+    from gofeed_spark.operators.html import (
+        extract_links,
+        extract_links_sql,
+        resolve_link,
+        resolve_link_sql,
+    )
+
+    pages = [
+        (1, "https://a.example.com/doc/1",
+         '<a href="/doc/2">n</a> <A HREF="https://hub.example.com/">h</A> '
+         '<a class="x" href="rel/page">r</a>'),
+        (2, "https://b.example.com/x", "<p>no links here</p>"),
+        (3, "http://c.example.com/y", '<a name="anchor">no href</a>'
+            '<a href="/only">one</a>'),
+    ]
+    df = spark.createDataFrame(pages, "i int, url string, html string")
+    got = {
+        r.i: r.links
+        for r in df.select(
+            "i", extract_links("html").alias("links")
+        ).collect()
+    }
+    assert got[1] == ["/doc/2", "https://hub.example.com/", "rel/page"]
+    assert got[2] == [] and got[3] == ["/only"]
+    resolved = {
+        (r.i, r.href): r.dst
+        for r in df.select(
+            "i", F.explode(extract_links("html")).alias("href"), "url"
+        ).select(
+            "i", "href", resolve_link(F.col("url"), F.col("href")).alias("dst")
+        ).collect()
+    }
+    assert resolved[(1, "/doc/2")] == "https://a.example.com/doc/2"
+    assert resolved[(1, "https://hub.example.com/")] == "https://hub.example.com/"
+    assert resolved[(1, "rel/page")] == "https://a.example.com/rel/page"
+    assert resolved[(3, "/only")] == "http://c.example.com/only"
+    # cross-engine parity of both twins
+    import duckdb
+
+    con = duckdb.connect()
+    for i, url, html in pages:
+        links, = con.execute(
+            f"SELECT {extract_links_sql('?::VARCHAR')}", [html]
+        ).fetchone()
+        assert links == got[i], i
+        for href in links:
+            dst, = con.execute(
+                "WITH p AS (SELECT ?::VARCHAR AS u, ?::VARCHAR AS h) "
+                f"SELECT {resolve_link_sql('u', 'h')} FROM p",
+                [url, href],
+            ).fetchone()
+            assert dst == resolved[(i, href)], (i, href)
