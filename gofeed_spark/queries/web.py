@@ -417,3 +417,79 @@ def q142(spark, sf_dir):
     return pr.select(
         "node", (F.round("pagerank", 6) + 0.0).alias("pagerank")
     ).orderBy("node")
+
+
+# robots fixture: per-host robots.txt derived from the source's numeric
+# suffix d = N % 10 — the gofeedbot group disallows /doc/{d} but re-allows
+# the longer /doc/{d}{d} (longest-match + tie exercise), while the * group
+# disallows everything (group-selection exercise: the specific group must
+# win).  src0 publishes NO robots at all (no-robots default = allowed).
+_ROBOTS_BODY_SQL = (
+    "'# robots' || chr(10) || 'User-agent: gofeedbot' || chr(10) || "
+    "'Disallow: /doc/' || d || chr(10) || 'Allow: /doc/' || d || d || chr(10) "
+    "|| chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)"
+)
+
+
+@query(
+    "q143_robots_gate",
+    oracle=f"""
+WITH hosts AS (
+  SELECT source || '.example.com' AS host,
+         CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 10 AS VARCHAR) AS d
+  FROM (SELECT DISTINCT source FROM documents) s
+  WHERE source <> 'src0'
+),
+robots_src AS (SELECT host, {_ROBOTS_BODY_SQL} AS body FROM hosts),
+{{parse}},
+urls_src AS (SELECT {_URL_SQL} AS url FROM documents),
+{{allowed}}
+SELECT url, allowed FROM robots_verdict ORDER BY url
+""".format(
+        parse=__import__(
+            "gofeed_spark.operators.robots", fromlist=["parse_robots_sql"]
+        ).parse_robots_sql("robots_src").strip().rstrip(","),
+        allowed=__import__(
+            "gofeed_spark.operators.robots", fromlist=["robots_allowed_sql"]
+        ).robots_allowed_sql("urls_src", "gofeedbot").strip(),
+    ),
+)
+def q143(spark, sf_dir):
+    """robots.txt admission gate (operators/robots.py, RFC 9309 subset) —
+    the crawl-POLITENESS step between the frontier (q141) and fetching:
+    per-host robots bodies parse through the codegen posexplode/window
+    chain into rule rows, and every page URL gets an ``allowed`` verdict
+    for agent ``gofeedbot``.  The fixture exercises every semantic the
+    subset defines: prefix matching (Disallow /doc/{{d}} blocks all ids
+    whose decimal string starts with d), LONGEST-match override (Allow
+    /doc/{{d}}{{d}} re-admits them), group selection (the * group
+    disallows ALL — picking it instead of the gofeedbot group would flip
+    every verdict), and the no-robots default (src0 publishes none →
+    allowed).  Oracle: the generated parse+admission SQL twins over the
+    same fixture."""
+    from gofeed_spark.operators.robots import parse_robots, robots_allowed
+
+    docs = T(spark, sf_dir, "documents")
+    d = F.pmod(
+        F.regexp_extract("source", r"([0-9]+)$", 1).cast("int"), F.lit(10)
+    ).cast("string")
+    robots_src = (
+        docs.select("source").distinct()
+        .filter(F.col("source") != "src0")
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.concat(
+                F.lit("# robots\nUser-agent: gofeedbot\nDisallow: /doc/"),
+                d, F.lit("\nAllow: /doc/"), d, d,
+                F.lit("\n\nUser-agent: *\nDisallow: /\n"),
+            ).alias("body"),
+        )
+    )
+    rules = parse_robots(robots_src)
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return robots_allowed(urls, rules, "gofeedbot").orderBy("url")
