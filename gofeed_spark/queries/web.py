@@ -493,3 +493,171 @@ def q143(spark, sf_dir):
         ).alias("url")
     )
     return robots_allowed(urls, rules, "gofeedbot").orderBy("url")
+
+
+from gofeed_spark.operators.robots import (  # noqa: E402
+    parse_robots_sql as _prs,
+    robots_allowed_sql as _ras,
+)
+
+_Q144_PARSE = _prs("robots_src").strip().rstrip(",")
+_Q144_ALLOWED = _ras("urls_src", "gofeedbot").strip()
+
+
+@query(
+    "q144_crawl_curation",
+    oracle=rf"""
+WITH raw AS (
+  SELECT doc_id, {_html_sql()} AS html,
+         {_URL_SQL} AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, {_html_sql()} AS html,
+         {_URL_SQL} || '?utm_src=recrawl' AS url
+  FROM documents WHERE doc_id % 5 = 0
+),
+hosts AS (
+  SELECT source || '.example.com' AS host,
+         CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 10 AS VARCHAR) AS d
+  FROM (SELECT DISTINCT source FROM documents) s
+  WHERE source <> 'src0'
+),
+robots_src AS (SELECT host, {_ROBOTS_BODY_SQL} AS body FROM hosts),
+{_Q144_PARSE},
+urls_src AS (SELECT url FROM raw),
+{_Q144_ALLOWED},
+admitted AS (SELECT r.url, r.html FROM raw r
+             JOIN robots_verdict v ON r.url = v.url WHERE v.allowed),
+canon AS (
+  SELECT html, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(url, '([?&])utm_[A-Za-z_]+=[^&]*', '\1', 'g'),
+                 '&&+', '&', 'g'),
+               '\?&', '?'),
+             '[?&]+$', ''),
+           '/+(\?|$)', '\1', 'g') AS url_canon
+  FROM admitted
+),
+kept AS (
+  SELECT url_canon, html,
+         ROW_NUMBER() OVER (PARTITION BY url_canon ORDER BY url) AS rn
+  FROM canon
+),
+x AS (SELECT url_canon, {html_to_text_sql('html')} AS txt
+      FROM kept WHERE rn = 1)
+SELECT url_canon,
+       {_metrics_sql('txt')},
+       CASE WHEN (LENGTH(txt) - LENGTH(REPLACE(txt, ' ', '')) + 1) >= 5
+              AND CAST(LENGTH(REPLACE(txt, ' ', '')) AS DOUBLE)
+                  / CAST(LENGTH(txt) - LENGTH(REPLACE(txt, ' ', '')) + 1 AS DOUBLE)
+                  BETWEEN 2.0 AND 12.0
+            THEN 'ok' ELSE 'low' END AS quality
+FROM x ORDER BY url_canon
+""",
+)
+def q144(spark, sf_dir):
+    """THE COMPLETE RAW-CRAWL CURATION CHAIN as one declarative job
+    graph — every crawl-side operator this round added, composed:
+    WARC archives of raw HTML responses (with tracking-param recrawl
+    variants) → distributed ``read_warc`` → HTTP-200/text-html dispatch
+    → robots.txt ADMISSION for gofeedbot (q143's per-host fixture;
+    disallowed fetches drop before any content work — the politeness
+    gate where it belongs, upstream of everything) → URL
+    canonicalization → keep-first recrawl dedup → HTML→text extraction
+    → quality gate features (q38's avg-word-length form over the
+    EXTRACTED text) + block/word/text-hash metrics.  Catalyst plans the
+    whole thing downstream of the archive scan as one job graph; the
+    oracle composes the generated robots + extraction SQL twins with
+    the canonical-URL chain, so the END-TO-END pipeline — container,
+    envelope, admission, dedup, extraction, quality — is hash-checked
+    as a single unit, exactly the job a real crawl-curation user runs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gofeed_spark.operators.robots import parse_robots, robots_allowed
+    from gofeed_spark.operators.urls import canonicalize_url
+    from gofeed_spark.sources import warc as W
+
+    docs = T(spark, sf_dir, "documents")
+
+    def urls(frame, extra):
+        return frame.select(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                F.col("doc_id").cast("string"), F.lit(extra),
+            ).alias("url"),
+            F.encode(_html_col(), "utf-8").alias("body"),
+        )
+
+    crawl = urls(docs, "").unionByName(
+        urls(docs.filter(F.col("doc_id") % 5 == 0), "?utm_src=recrawl")
+    )
+    d = F.pmod(
+        F.regexp_extract("source", r"([0-9]+)$", 1).cast("int"), F.lit(10)
+    ).cast("string")
+    robots_src = (
+        docs.select("source").distinct()
+        .filter(F.col("source") != "src0")
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.concat(
+                F.lit("# robots\nUser-agent: gofeedbot\nDisallow: /doc/"),
+                d, F.lit("\nAllow: /doc/"), d, d,
+                F.lit("\n\nUser-agent: *\nDisallow: /\n"),
+            ).alias("body"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="gofeed_q144_")
+    try:
+        n_arch = max(4, -(-crawl.count() // 5000))
+        W.export_warc(
+            crawl, out_dir, n_archives=n_arch, content_type="text/html"
+        ).collect()
+        back = (
+            W.read_warc(spark, out_dir + "/*.warc.gz")
+            .filter(
+                (F.col("http_status") == 200)
+                & F.col("content_type").startswith("text/html")
+            )
+            .select("url", F.decode("body", "utf-8").alias("html"))
+        )
+        admitted = (
+            robots_allowed(back, parse_robots(robots_src), "gofeedbot")
+            .filter(F.col("allowed"))
+            .drop("allowed")
+        )
+        kept = (
+            admitted.withColumn("url_canon", canonicalize_url(F.col("url")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("url_canon").orderBy("url")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        txt = html_to_text(F.col("html"))
+        nw = F.length(txt) - F.length(F.regexp_replace(txt, " ", "")) + 1
+        awl = (
+            F.length(F.regexp_replace(txt, " ", "")).cast("double")
+            / nw.cast("double")
+        )
+        quality = F.when(
+            (nw >= 5) & awl.between(2.0, 12.0), "ok"
+        ).otherwise("low")
+        return (
+            kept.select(
+                "url_canon",
+                *[c for c in _metrics_cols(txt)],
+                quality.alias("quality"),
+            )
+            .orderBy("url_canon")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -283,11 +283,13 @@ class ParquetUpsertSink:
             return  # re-delivered batch: idempotent skip
         self._saw_batch = True
         spark = batch_df.sparkSession
-        if _BCOL in batch_df.columns:
-            raise ValueError(
-                f"column name {_BCOL!r} is reserved for the sink's bucket "
-                "partition key; rename the data column"
-            )
+        for reserved in (_BCOL, "__seq", "__w"):
+            if reserved in batch_df.columns:
+                raise ValueError(
+                    f"column name {reserved!r} is reserved by the sink "
+                    "(bucket partition key / merge working columns); "
+                    "rename the data column"
+                )
         nb = state["n_buckets"] or self.n_buckets
         # Within-batch winner (seq_col) or identity; persist: the batch
         # feeds two jobs (touched-bucket discovery + the write) and must

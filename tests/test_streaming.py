@@ -1033,13 +1033,19 @@ def test_streaming_sessions_merge_across_micro_batches(spark, tmp_path):
     f1 = [ev(1, 7, 0), ev(2, 7, 50)]
     f2 = [ev(3, 7, 25)]
     stage = str(tmp_path / "sess_stage")
+    # pin mtimes in WRITE order (part-file UUID names sort randomly, so a
+    # name sort would assign replay order arbitrarily — flaked in-suite)
+    seen: set[str] = set()
     for i, rows_ in enumerate([f1, f2]):
         spark.createDataFrame(rows_, ddl).coalesce(1).write.mode(
             "append"
         ).parquet(stage)
-    parts = sorted(f for f in os.listdir(stage) if f.startswith("part-"))
-    for i, f in enumerate(parts):
-        os.utime(f"{stage}/{f}", (1_000_000_000 + i, 1_000_000_000 + i))
+        new = {
+            f for f in os.listdir(stage) if f.startswith("part-")
+        } - seen
+        seen |= new
+        for f in new:
+            os.utime(f"{stage}/{f}", (1_000_000_000 + i, 1_000_000_000 + i))
     stream = spark.readStream.schema(ddl).option(
         "maxFilesPerTrigger", 1
     ).parquet(stage)
