@@ -91,3 +91,55 @@ def global_running_sum(
         .withColumn(out_col, (F.sum(val_col).over(w) + F.col("__offset")).cast("long"))
         .drop("__pid", "__offset")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window preparation
+    step of a training/RAG pipeline: each document's whitespace-token
+    sequence splits into chunks of ``window`` tokens starting every
+    ``stride = window - overlap`` tokens (consecutive chunks share
+    ``overlap`` tokens so no span is ever cut without context; the final
+    chunk is the remaining tail, clamped).
+
+    Returns (id, chunk_idx, n_tokens, chunk_text), one row per chunk,
+    chunk_idx 0-based in document order.
+
+    Spark-first shape: pure codegen — split once, then a ``transform``
+    over the chunk-START sequence (a HOF lambda per CHUNK, a handful per
+    document — per-chunk work is one ``slice`` + ``array_join``, the q69
+    winnowing convention; per-TOKEN work would belong in Arrow) and one
+    posexplode.  No shuffle: chunks leave the scan assembled, and
+    downstream dedup/packing operates on chunk rows like any corpus."""
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window}")
+    stride = window - overlap
+    # materialize the token array BEFORE the transform lambda references
+    # it — an inlined split would re-tokenize once per chunk (CLAUDE rule)
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    n = F.size("__toks")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice("__toks", i * stride + 1, window).alias("ctoks"),
+        ),
+    )
+    ex = base.select(F.col(id_col), F.posexplode(chunks).alias("__p", "c"))
+    return ex.select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.ctoks").alias("n_tokens"),
+        F.array_join("c.ctoks", " ").alias("chunk_text"),
+    )

@@ -3642,3 +3642,42 @@ def q139(spark, sf_dir):
         .localCheckpoint()
     )
     return similarity.brute_topk(emb, query_id=1, k=5)
+
+
+@query(
+    "q145_doc_chunking",
+    oracle=r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             GREATEST(1, CAST(CEIL(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INT)) AS nc
+      FROM t),
+s AS (SELECT doc_id, toks, UNNEST(range(0, nc)) AS i FROM c),
+x AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             list_slice(toks, i * 24 + 1, i * 24 + 32) AS ctoks
+      FROM s)
+SELECT doc_id, chunk_idx, CAST(len(ctoks) AS INT) AS n_tokens,
+       md5(array_to_string(ctoks, ' ')) AS chunk_md5
+FROM x ORDER BY doc_id, chunk_idx
+""",
+)
+def q145(spark, sf_dir):
+    """Sliding-window document CHUNKING (operators/packing.py
+    ``chunk_documents``) — the context-window preparation step between
+    curation and training/RAG indexing: 32-token chunks every 24 tokens
+    (8-token overlap, tails clamped; sized to the synthetic docs'
+    10-100-token range so multi-chunk splitting, overlap and tails are
+    all NON-VACUOUS at the gate SFs — up to 4 chunks per doc).  Pure codegen (split once, a
+    per-CHUNK transform + posexplode, no shuffle — chunks leave the scan
+    assembled); the oracle replays the same start-sequence arithmetic
+    with list_slice, and chunk_md5 hashes each chunk's exact text, so
+    boundaries, overlap and tail clamping are value-checked
+    token-for-token."""
+    from gofeed_spark.operators.packing import chunk_documents
+
+    out = chunk_documents(
+        T(spark, sf_dir, "documents"), window=32, overlap=8
+    )
+    return out.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

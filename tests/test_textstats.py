@@ -654,3 +654,40 @@ WHERE rn <= 2
     assert got_kw == want_kw
     # the UNSEEN term must be the top keyword (tf=2, max idf)
     assert got_kw[(10, 1)][0] == "zebra"
+
+
+def test_chunk_documents_boundaries_overlap_and_tail(spark):
+    """chunk_documents (q145): chunk starts step by stride, consecutive
+    chunks share exactly `overlap` tokens, the union of chunks covers
+    every token in order, tails clamp, and short docs yield one chunk."""
+    import pytest as _pytest
+
+    from gofeed_spark.operators.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(23)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=10, overlap=4)  # stride 6
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text) for r in out.collect())
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # n=23, stride=6: ceil((23-4)/6) = 4 chunks
+    assert [r[1] for r in d1] == [0, 1, 2, 3]
+    chunks = [r[3].split(" ") for r in d1]
+    assert chunks[0] == toks[0:10] and chunks[1] == toks[6:16]
+    assert chunks[2] == toks[12:22] and chunks[3] == toks[18:23]  # tail clamps
+    assert d1[-1][2] == 5  # tail length
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-4:] == b[:4]  # exactly `overlap` shared tokens
+    covered = []
+    for i, c in enumerate(chunks):
+        covered.extend(c if i == 0 else c[4:])
+    assert covered == toks  # full in-order coverage, nothing lost
+    # short docs -> exactly one whole chunk
+    assert [r[3] for r in rows if r[0] == 2] == ["a b c"]
+    assert [r[3] for r in rows if r[0] == 3] == ["solo"]
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, window=8, overlap=8)
