@@ -173,3 +173,58 @@ def test_link_extraction_and_resolution(spark):
                 [url, href],
             ).fetchone()
             assert dst == resolved[(i, href)], (i, href)
+
+
+def test_fuzz_extraction_cross_engine_and_total(spark):
+    """Property fuzz (hypothesis): on arbitrary ASCII tag-soup — random
+    interleavings of tag fragments, entities, torn markup and text — the
+    extraction (a) never throws, (b) produces no well-formed tag in its
+    output, (c) normalizes whitespace to the block contract, and (d) is
+    BYTE-IDENTICAL in DuckDB through the generated twin SQL.  The dialect
+    contract is ASCII-scoped by design (the corpus templates are ASCII);
+    this pins it on inputs far nastier than the fixtures."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.one_of(
+        st.text(
+            alphabet="abcZ 19.<>/&;#\"'=\n\t-!",
+            min_size=0, max_size=12,
+        ),
+        st.sampled_from([
+            "<p>", "</p>", "<div class='x'>", "</div>", "<br>", "<BR/>",
+            "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+            "&amp;", "&lt;", "&nbsp;", "&#39;", "<a href=\"/x\">", "</a>",
+            "< notatag", "<p unclosed", "<li>", "</li>", "<h1>", "</h1>",
+        ]),
+    )
+    soup = st.lists(frag, min_size=0, max_size=12).map("".join)
+
+    collected: list[str] = []
+
+    @given(soup)
+    @settings(max_examples=120, deadline=None)
+    def gather(s):
+        collected.append(s)
+
+    gather()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(collected)], "i int, h string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", html_to_text("h").alias("t")).collect()
+    }
+    assert len(got) == len(collected)  # (a) total: no row threw
+    con = duckdb.connect()
+    sql_t = html_to_text_sql("?::VARCHAR")
+    tag_re = _re.compile(r"<[!/]?[A-Za-z][^>]*>")
+    for i, s in enumerate(collected):
+        t = got[i]
+        assert not tag_re.search(t), (s, t)        # (b) no surviving tags
+        assert "  " not in t and not t.startswith((" ", "\n")), (s, t)
+        assert not t.endswith((" ", "\n")), (s, t)  # (c) normalized
+        (want,) = con.execute(f"SELECT {sql_t}", [s]).fetchone()
+        assert t == want, (s, t, want)              # (d) twin parity
