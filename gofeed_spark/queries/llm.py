@@ -2881,7 +2881,7 @@ def q118(spark, sf_dir):
         # scale their count with the corpus (~5k records per archive,
         # Common Crawl keeps archives bounded the same way) — at the
         # sf0.01 gate this stays 4, so oracle outputs are unchanged
-        n_arch = max(4, -(-docs.count() // 5000))
+        n_arch = W.archive_count(docs.count(), spark.sparkContext.defaultParallelism)
         W.export_warc(docs, out_dir, n_archives=n_arch).collect()  # materialize
         back = W.read_warc(spark, out_dir + "/*.warc.gz")
         return (
@@ -2975,7 +2975,7 @@ def q119(spark, sf_dir):
         crawl = base.unionByName(recrawls)
         # ~5k records per archive (see q118): read-side parallelism
         # scales with the corpus; 4 at the sf0.01 gate (outputs unchanged)
-        n_arch = max(4, -(-crawl.count() // 5000))
+        n_arch = W.archive_count(crawl.count(), spark.sparkContext.defaultParallelism)
         W.export_warc(crawl, out_dir, n_archives=n_arch).collect()
         back = W.read_warc(spark, out_dir + "/*.warc.gz").select(
             "url", F.decode("body", "utf-8").alias("text")

@@ -162,7 +162,7 @@ def q120(spark, sf_dir):
         # overhead flat; the bucketed sink itself now rewrites only the
         # buckets a batch touches, so batch count is a pacing choice,
         # not a scale constraint
-        n_arch = max(4, -(-crawl.count() // 5000))
+        n_arch = W.archive_count(crawl.count(), spark.sparkContext.defaultParallelism)
         W.export_warc(crawl, landing, n_archives=n_arch).collect()
         from gofeed_spark.streaming.sinks import ParquetUpsertSink
 

@@ -213,7 +213,7 @@ def q135(spark, sf_dir):
     try:
         # ~5k records per archive (the q118 rule): read-side parallelism
         # scales with the corpus; 4 at the sf0.01 gate
-        n_arch = max(4, -(-crawl.count() // 5000))
+        n_arch = W.archive_count(crawl.count(), spark.sparkContext.defaultParallelism)
         W.export_warc(
             crawl, out_dir, n_archives=n_arch, content_type="text/html"
         ).collect()
@@ -286,7 +286,7 @@ def q140(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="gofeed_q140_")
     raw_dir, wet_dir = f"{work}/raw", f"{work}/wet"
     try:
-        n_arch = max(4, -(-crawl.count() // 5000))
+        n_arch = W.archive_count(crawl.count(), spark.sparkContext.defaultParallelism)
         W.export_warc(
             crawl, raw_dir, n_archives=n_arch, content_type="text/html"
         ).collect()
@@ -614,7 +614,7 @@ def q144(spark, sf_dir):
     )
     out_dir = tempfile.mkdtemp(prefix="gofeed_q144_")
     try:
-        n_arch = max(4, -(-crawl.count() // 5000))
+        n_arch = W.archive_count(crawl.count(), spark.sparkContext.defaultParallelism)
         W.export_warc(
             crawl, out_dir, n_archives=n_arch, content_type="text/html"
         ).collect()

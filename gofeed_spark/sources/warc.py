@@ -358,3 +358,20 @@ def export_warc(
         yield pd.DataFrame({"archive": [path], "n_records": [len(recs)]})
 
     return df.mapInPandas(run, "archive string, n_records long")
+
+
+def archive_count(n_records: int, parallelism: int) -> int:
+    """Archive count for a corpus export: ~5k records per archive (the
+    Common Crawl-ish unit — read parallelism scales with archive count),
+    but never LESS than the session's cores once the corpus is big
+    enough to feed them (~1k records each) — WARC archives are the
+    read-side parallelism unit (not splittable mid-file), so an
+    under-split local export serializes the parse onto a few cores (the
+    compute_width rule: size compute-bound stages by CORES; measured at
+    sf1.0: 10 archives → 10.8 s read, 32 → ~3.5 s on local[32]).  At
+    real crawl scale archive count dwarfs cores and the 5k rule wins."""
+    return max(
+        4,
+        -(-n_records // 5000),
+        min(parallelism, -(-n_records // 1000)),
+    )
