@@ -696,3 +696,54 @@ def compression_ratio(
     return out.select(
         id_col, "ratio", (F.col("ratio") >= min_ratio).cast("int").alias("keep")
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_buckets: int = 3,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
+    every document within its ``group_col`` group (CCNet: language; here:
+    source) by LM cross-entropy and cut the group into ``n_buckets``
+    equal-depth tiers — head (lowest perplexity, cleanest), middle, tail.
+    Training mixtures keep head+middle and drop or down-weight tail; the
+    tier label is the downstream mixture key (``mixing.mixture_sample``).
+
+    Determinism contract: the tier window orders by the ROUNDED score
+    (``xent_bits``, 6 decimals — the grid q104 already hash-matches
+    cross-engine) with id tiebreak, so boundaries are reproducible in any
+    engine; NTILE's earlier-buckets-take-the-remainder split is the
+    standard SQL semantics on both sides.
+
+    Posture: one unigram-score pass (see ``unigram_logprob_score``:
+    slim hashed-token explode, map-side-combined vocab, broadcast
+    total), then a single window shuffle partitioned by the group key.
+    Group count is small (languages/sources) but groups are corpus-sized,
+    so the per-group sort is the cost — the same sort CCNet itself pays
+    per language shard.  At extreme scale swap the exact NTILE for
+    approx-quantile cutoffs + a projection (loses exact equal-depth).
+    """
+    from pyspark.sql import Window as W
+
+    scored = unigram_logprob_score(
+        docs, text_col=text_col, id_col=id_col, model=model
+    ).select(id_col, "n_tokens", "xent_bits")
+    meta = docs.select(id_col, group_col)
+    w = W.partitionBy(group_col).orderBy("xent_bits", id_col)
+    bucket = F.ntile(n_buckets).over(w)
+    tier = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == n_buckets, "tail")
+        .otherwise("middle")
+        if n_buckets == 3
+        else F.concat(F.lit("q"), F.col("bucket").cast("string"))
+    )
+    return (
+        scored.join(meta, id_col)
+        .withColumn("bucket", bucket)
+        .select(id_col, group_col, "xent_bits", "bucket", tier.alias("tier"))
+    )

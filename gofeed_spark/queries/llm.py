@@ -3681,3 +3681,50 @@ def q145(spark, sf_dir):
         "doc_id", "chunk_idx", "n_tokens",
         F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --- q146 CCNet-style perplexity buckets --------------------------------------
+@query(
+    "q146_perplexity_buckets",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c) AS T FROM freq),
+scored AS (
+  SELECT t.doc_id, -AVG(log2(CAST(f.c AS DOUBLE) / tt.T)) AS xent
+  FROM toks t JOIN freq f USING (tok), tot tt
+  GROUP BY t.doc_id
+),
+r AS (
+  SELECT s.doc_id, d.source, ROUND(s.xent, 6) AS xent_bits
+  FROM scored s JOIN documents d USING (doc_id)
+),
+b AS (
+  SELECT doc_id, source, xent_bits,
+         NTILE(3) OVER (PARTITION BY source ORDER BY xent_bits, doc_id) AS bucket
+  FROM r
+)
+SELECT doc_id, source, xent_bits, CAST(bucket AS INT) AS bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS tier
+FROM b ORDER BY doc_id
+""",
+)
+def q146(spark, sf_dir):
+    """CCNet-style PERPLEXITY BUCKETS (textstats.perplexity_buckets,
+    Wenzek et al. 2020 §4.3): per-source equal-depth head/middle/tail
+    tiers over the corpus-trained unigram cross-entropy — the mixture
+    key a CCNet-shaped pipeline feeds into sampling.  Tier boundaries
+    order by the ROUNDED xent_bits (the 6-decimal grid q104 already
+    hash-matches cross-engine) with doc_id tiebreak, so NTILE is
+    value-deterministic on both engines; the whole plan is one scored
+    pass + one per-source window sort, no Python.  Grid margin MEASURED
+    before registration (the q129 discipline): min distance of raw xent
+    to a rounding midpoint is 5.7e-9 (sf0.01) / 4.4e-11 (sf0.1) absolute
+    vs ~1e-12 cross-engine AVG noise — and q104 has shipped this exact
+    grid hash-green on the same values since r9."""
+    return textstats.perplexity_buckets(
+        T(spark, sf_dir, "documents")
+    ).orderBy("doc_id")

@@ -691,3 +691,31 @@ def test_chunk_documents_boundaries_overlap_and_tail(spark):
     assert [r[3] for r in rows if r[0] == 3] == ["solo"]
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, window=8, overlap=8)
+
+
+def test_perplexity_buckets_equal_depth_and_tiers(spark):
+    from gofeed_spark.operators.textstats import perplexity_buckets
+
+    # two sources x 7 docs each: clean repeated-vocab docs score low xent,
+    # rare-token soup scores high; 7 rows -> NTILE(3) depths 3/2/2.
+    docs = []
+    common = "alpha beta gamma delta alpha beta"
+    for s in ("a", "b"):
+        base = 0 if s == "a" else 100
+        for i in range(6):
+            docs.append((base + i, s, common + f" tok{i % 2}"))
+        docs.append((base + 6, s, f"zzz{base} qqq{base} xxy{base} rare{base} uniq{base}"))
+    d = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = rows(perplexity_buckets(d), "doc_id", "source", "bucket", "tier")
+    by_src = {}
+    for doc_id, src, bucket, tier in out:
+        by_src.setdefault(src, []).append((doc_id, bucket, tier))
+        assert tier == {1: "head", 2: "middle", 3: "tail"}[bucket]
+    for src, members in by_src.items():
+        depths = {b: 0 for b in (1, 2, 3)}
+        for _, b, _ in members:
+            depths[b] += 1
+        assert depths == {1: 3, 2: 2, 3: 2}  # NTILE remainder to earlier tiers
+        # the rare-token doc has the highest xent -> tail
+        rare_id = max(m[0] for m in members)
+        assert [m for m in members if m[0] == rare_id][0][1] == 3
