@@ -1,0 +1,122 @@
+"""Distributed Bloom filter: sizing, zero-false-negative contract, measured
+false-positive rate, inline/relation probe equivalence, mergeability, and
+exactness of the bloom-pruned seen-gate composition (q147's kernel)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gofeed_spark.operators.bloom import (
+    BloomFilter,
+    bloom_hit_expr,
+    bloom_hit_join,
+    bloom_new_keys,
+    bloom_params,
+    build_bloom,
+    build_bloom_relation,
+    with_bloom_hit,
+)
+
+
+def test_bloom_params_sizing():
+    m1, k1 = bloom_params(1000, 0.01)
+    m2, k2 = bloom_params(10000, 0.01)
+    m3, _ = bloom_params(1000, 0.001)
+    assert m2 > m1 and m3 > m1  # grows with n and with shrinking fpp
+    assert 5 <= k1 <= 10  # ~ -log2(fpp)
+    assert bloom_params(0, 0.01)[0] >= 64  # floor
+
+
+def _seen_frontier(spark, n=2000):
+    seen = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(0, n, 2)], "k string"
+    )
+    frontier = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(n)], "id long, k string"
+    )
+    return seen, frontier
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    seen, frontier = _seen_frontier(spark)
+    bf = build_bloom(seen, "k", fpp=0.01)
+    res = {
+        r["id"]: r["hit"]
+        for r in with_bloom_hit(frontier, bf, "k", out_col="hit").collect()
+    }
+    members = [i for i in range(0, 2000, 2)]
+    non_members = [i for i in range(1, 2000, 2)]
+    assert all(res[i] for i in members)  # the hard contract: zero FN
+    fp = sum(1 for i in non_members if res[i])
+    assert fp / len(non_members) <= 0.03  # nominal 1%, 3x headroom
+
+
+def test_bloom_inline_equals_relation_probe(spark):
+    seen, frontier = _seen_frontier(spark, n=600)
+    bf = build_bloom(seen, "k", fpp=0.02)
+    inline = {
+        r["id"]: r["hit"]
+        for r in frontier.withColumn("hit", bloom_hit_expr(bf, F.col("k"))).collect()
+    }
+    words, m, k = build_bloom_relation(seen, "k", fpp=0.02, n_items=300)
+    assert (m, k) == (bf.m, bf.k)
+    joined = {
+        r["id"]: r["bloom_hit"]
+        for r in bloom_hit_join(frontier, "k", words, m, k).collect()
+    }
+    broadcast_form = {
+        r["id"]: r["hit"]
+        for r in with_bloom_hit(frontier, bf, "k", out_col="hit").collect()
+    }
+    assert inline == joined == broadcast_form
+
+
+def test_bloom_merge_two_builds_equals_one(spark):
+    """Two relations built from disjoint corpora at the SAME (m, k) union +
+    bit_or-regroup into exactly the single-build relation (mergeability —
+    the property that lets shards build independently)."""
+    a = spark.createDataFrame([(f"a{i}",) for i in range(100)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(100)], "k string")
+    both = a.unionByName(b)
+    n, fpp = 200, 0.01
+    wa, m, k = build_bloom_relation(a, "k", fpp=fpp, n_items=n)
+    wb, m2, k2 = build_bloom_relation(b, "k", fpp=fpp, n_items=n)
+    assert (m, k) == (m2, k2)
+    merged = (
+        wa.unionByName(wb).groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    )
+    single, _, _ = build_bloom_relation(both, "k", fpp=fpp, n_items=n)
+    lhs = {(r["word_idx"], r["word"]) for r in merged.collect()}
+    rhs = {(r["word_idx"], r["word"]) for r in single.collect()}
+    assert lhs == rhs
+
+
+def test_bloom_new_keys_exact_vs_anti_join(spark):
+    seen, frontier = _seen_frontier(spark)
+    got = sorted(r["id"] for r in bloom_new_keys(frontier, "k", seen).collect())
+    want = sorted(
+        r["id"] for r in frontier.join(seen, frontier["k"] == seen["k"], "left_anti").collect()
+    )
+    assert got == want == list(range(1, 2000, 2))
+
+
+def test_bloom_probe_is_codegen_projection(spark):
+    """The inline probe must stay a whole-stage-codegen projection: no
+    shuffle, no Python, no cartesian product in the plan."""
+    seen, frontier = _seen_frontier(spark, n=200)
+    bf = build_bloom(seen, "k", fpp=0.01)
+    probed = with_bloom_hit(frontier, bf, "k")
+    probed.collect()  # finalize AQE so the executed plan is the real one
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BatchEvalPython", "ShuffleExchange"):
+        assert bad not in plan
+    # the dense word array binds ONCE (a column reference per bit test,
+    # not k literal copies)
+    assert plan.count("__bloom_words#") >= bf.k  # referenced in every test
+    assert plan.count("[" + str(bf.words[0])) <= 1  # the array itself: once
+    # empty seen-set: nothing is a member, everything is new
+    empty = spark.createDataFrame([], "k string")
+    bf0 = build_bloom(empty, "k", fpp=0.01, n_items=0)
+    assert isinstance(bf0, BloomFilter)
+    out = with_bloom_hit(frontier, bf0, "k", out_col="hit")
+    assert all(not r["hit"] for r in out.collect())
