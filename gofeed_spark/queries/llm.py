@@ -3771,3 +3771,88 @@ def q147(spark, sf_dir):
     u = d.select("doc_id", url.alias("url"))
     seen = u.filter(F.col("doc_id") % 7 == 0).select("url")
     return bloom_new_keys(u, "url", seen, fpp=0.01).orderBy("doc_id")
+
+
+# --- q148 fixed-iteration logistic-regression quality classifier --------------
+def _logreg_sql(n_iters: int, lr: float) -> str:
+    """Generated DuckDB twin of classify.train_logreg + score_logreg: the
+    same gradient algebra as a CTE chain (the _KMEANS_CTES convention —
+    one template emits the oracle, so Spark and SQL can't drift)."""
+    L = repr(float(lr))
+    parts = [
+        r"""WITH f AS (
+  SELECT doc_id,
+         (LENGTH(text) - LENGTH(REPLACE(text,' ','')) + 1) AS n_tok,
+         CAST(LENGTH(REPLACE(text,' ','')) AS DOUBLE)
+            / (LENGTH(text) - LENGTH(REPLACE(text,' ','')) + 1) AS awl,
+         CAST(len(list_distinct(regexp_split_to_array(lower(text),'\s+'))) AS DOUBLE)
+            / len(regexp_split_to_array(lower(text),'\s+')) AS ttr
+  FROM documents),
+x AS (
+  SELECT doc_id, n_tok / 100.0 AS x1, awl / 6.0 AS x2, ttr AS x3,
+         CAST(1.0 AS DOUBLE) AS x0,
+         CASE WHEN ttr >= CAST(0.6 AS DOUBLE) THEN 1 ELSE 0 END AS y
+  FROM f)""",
+        f"""w1 AS (
+  SELECT {' , '.join(f'-{L}*AVG((0.5 - y)*x{j}) AS a{j}' for j in (1, 2, 3, 0))}
+  FROM x)""",
+    ]
+    for it in range(2, n_iters + 1):
+        parts.append(f"""s{it} AS (
+  SELECT x.*, {' , '.join(f'w.a{j} AS b{j}' for j in (1, 2, 3, 0))},
+         1.0/(1.0 + EXP(-(x1*w.a1 + x2*w.a2 + x3*w.a3 + x0*w.a0))) AS p
+  FROM x, w{it - 1} w)""")
+        parts.append(f"""w{it} AS (
+  SELECT {' , '.join(f'ANY_VALUE(b{j}) - {L}*AVG((p - y)*x{j}) AS a{j}' for j in (1, 2, 3, 0))}
+  FROM s{it})""")
+    return ",\n".join(parts) + f"""
+SELECT doc_id, y,
+       ROUND(1.0/(1.0 + EXP(-(x1*w.a1 + x2*w.a2 + x3*w.a3 + x0*w.a0))), 6) AS score,
+       CAST(CASE WHEN 1.0/(1.0 + EXP(-(x1*w.a1 + x2*w.a2 + x3*w.a3 + x0*w.a0)))
+                      >= 0.5 THEN 1 ELSE 0 END AS INT) AS pred
+FROM x, w{n_iters} w ORDER BY doc_id
+"""
+
+
+@query("q148_logreg_quality", oracle=_logreg_sql(n_iters=6, lr=8.0))
+def q148(spark, sf_dir):
+    """Fixed-iteration LOGISTIC-REGRESSION quality classifier
+    (operators/classify.py) — rule distillation, the CCNet/fastText
+    filter shape: cheap codegen features (token count, avg word length,
+    type-token ratio — each reusing a q86-proven SQL twin), a rule label
+    (ttr >= 0.6, ~26% positive at both gate SFs), 6 full-batch GD
+    iterations at lr=8 from zero weights, then one codegen scoring
+    projection.  Fixed iterations from a fixed start make the weights a
+    deterministic arithmetic function of the corpus (the q129
+    power-method precedent), so train+score oracle-pairs end-to-end.
+    Margins MEASURED at registration: cross-engine score delta ≤ 2.2e-16
+    (one ulp); min distance to the ROUND(·,6) grid midpoint 1.4e-9 /
+    1.2e-11 (sf0.01/sf0.1); min |score − 0.5| for pred 1.8e-3 / 1.5e-5 —
+    every boundary ≥ 10⁴× the noise.  Posture: each GD pass is ONE
+    map-side-combinable 4-scalar aggregate (the driver holds only the
+    weight vector); scoring never shuffles."""
+    from gofeed_spark.operators.classify import score_logreg, train_logreg
+
+    docs = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    awl = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok
+    toks = ws_tokens("text")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+    feats = docs.select(
+        "doc_id",
+        (n_tok / F.lit(100.0)).alias("x1"),
+        (awl / F.lit(6.0)).alias("x2"),
+        ttr.alias("x3"),
+        F.lit(1.0).alias("x0"),
+        (ttr >= F.lit(0.6)).cast("int").alias("y"),
+    ).localCheckpoint()  # training reads the frame once per iteration
+    cols = ["x1", "x2", "x3", "x0"]
+    w = train_logreg(feats, cols, "y", n_iters=6, lr=8.0)
+    scored = score_logreg(feats, cols, w, out_col="__raw")
+    return scored.select(
+        "doc_id",
+        "y",
+        F.round("__raw", 6).alias("score"),
+        (F.col("__raw") >= 0.5).cast("int").alias("pred"),
+    ).orderBy("doc_id")
