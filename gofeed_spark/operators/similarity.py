@@ -1191,3 +1191,199 @@ def label_centroid_norms(
         means.groupBy("label")
         .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
     )
+
+
+# --- Product quantization (PQ) -------------------------------------------------
+def pq_codebooks(
+    e: DataFrame,
+    n_sub: int = 8,
+    n_cents: int = 16,
+    n_iters: int = 2,
+    sample_cap: int = 100_000,
+) -> np.ndarray:
+    """Per-subspace PQ codebooks (n_sub × n_cents × sub_dim, float64),
+    deterministic — the Jégou et al. 2011 layout: split each vector into
+    ``n_sub`` contiguous sub-vectors and k-means each subspace
+    independently (L2, the standard PQ metric).
+
+    Same discipline as ``ivf_codebook``: lowest-id seeding (no RNG pass),
+    each Lloyd iteration is ONE distributed Arrow pass emitting per-
+    (subspace, cell) partial (sum, count) — n_sub·n_cents slim rows per
+    partition, never the vectors — reduced on the driver; argmin ties take
+    the lowest cell; an empty cell keeps its previous centroid;
+    ``sample_cap`` thins the refinement input by a deterministic xxhash64
+    filter above the cap.
+    """
+    seeds = e.orderBy("nid").limit(n_cents).collect()
+    smat = np.array([r.v for r in seeds], dtype=np.float64)
+    if len(smat) == 0:
+        return np.zeros((n_sub, 0, 0))
+    dim = smat.shape[1]
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+    n_cents = len(smat)  # corpus smaller than n_cents: clamp (ivf convention)
+    cbs = smat.reshape(len(smat), n_sub, sub_dim).transpose(1, 0, 2).copy()
+    if n_iters <= 0:
+        return cbs
+    sample = e.select("nid", "v")
+    from gofeed_spark.catalog import df_rowcount_estimate
+
+    n_est = df_rowcount_estimate(e)
+    if n_est is not None and n_est > sample_cap:
+        every = max(2, n_est // sample_cap)
+        sample = sample.filter(F.pmod(F.xxhash64("nid"), F.lit(every)) == 0)
+
+    def make_partials(codebooks: np.ndarray):
+        def partials(batches):
+            import pandas as pd
+
+            s = np.zeros((n_sub, n_cents, sub_dim), dtype=np.float64)
+            cnt = np.zeros((n_sub, n_cents), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+                subs = vecs.reshape(len(vecs), n_sub, sub_dim)
+                for si in range(n_sub):
+                    a = _pq_assign(subs[:, si, :], codebooks[si])
+                    np.add.at(cnt[si], a, 1)
+                    np.add.at(s[si], a, subs[:, si, :])
+            idx = np.indices((n_sub, n_cents)).reshape(2, -1)
+            yield pd.DataFrame(
+                {
+                    "sub": idx[0].astype(np.int32),
+                    "cell": idx[1].astype(np.int32),
+                    "cnt": cnt.reshape(-1),
+                    "s": list(s.reshape(-1, sub_dim)),
+                }
+            )
+
+        return partials
+
+    for _ in range(n_iters):
+        rows = sample.mapInPandas(
+            make_partials(cbs), "sub int, cell int, cnt long, s array<double>"
+        ).collect()
+        total = np.zeros((n_sub, n_cents, sub_dim), dtype=np.float64)
+        counts = np.zeros((n_sub, n_cents), dtype=np.int64)
+        for r in rows:
+            total[r.sub, r.cell] += np.asarray(r.s, dtype=np.float64)
+            counts[r.sub, r.cell] += r.cnt
+        nonempty = counts > 0
+        cbs = cbs.copy()
+        cbs[nonempty] = total[nonempty] / counts[nonempty][:, None]
+    return cbs
+
+
+def _pq_assign(subvecs: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """argmin L2 (ties → lowest cell): argmin |c|² − 2·x·c per sub-vector."""
+    d = (cb * cb).sum(axis=1)[None, :] - 2.0 * (subvecs @ cb.T)
+    return d.argmin(axis=1)
+
+
+def pq_bits(n_cents: int) -> int:
+    b = max(1, int(math.ceil(math.log2(max(2, n_cents)))))
+    return b
+
+
+def pq_codes(e: DataFrame, cbs: np.ndarray) -> DataFrame:
+    """Encode every vector to ONE packed int64 code (n_sub · log2(n_cents)
+    bits — 8 subspaces × 16 centroids = 32 bits, a 128× narrower scan
+    payload than the raw 64-dim float64 vector).  One Arrow pass."""
+    n_sub, n_cents, sub_dim = cbs.shape
+    bits = pq_bits(n_cents)
+    if n_sub * bits > 62:
+        raise ValueError("packed code exceeds int64")
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+            subs = vecs.reshape(len(vecs), n_sub, sub_dim)
+            code = np.zeros(len(vecs), dtype=np.int64)
+            for si in range(n_sub):
+                code |= _pq_assign(subs[:, si, :], cbs[si]).astype(np.int64) << (
+                    bits * si
+                )
+            yield pd.DataFrame({"nid": pdf["nid"], "code": code})
+
+    return e.select("nid", "v").mapInPandas(encode, "nid long, code long")
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 3,
+    n_sub: int = 8,
+    n_cents: int = 16,
+    n_iters: int = 2,
+    refine: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation (ADC) +
+    exact re-rank: the candidate scan touches ONLY the packed int64 codes
+    (the memory-bounded 100 TB serving shape — ~16 B/vector of scan
+    instead of 512 B), scoring each code against the query's per-subspace
+    lookup tables (dot and ‖ĉ‖² gathers, pure numpy per Arrow batch); the
+    top ``refine`` candidates by approximate cosine then pay an exact
+    JVM-side cosine re-rank against their true vectors, so the final
+    ranking is exact over the candidate set.  Returns (rank, neighbor_id),
+    ties by id — the brute_topk contract.
+
+    Recall floor is MEASURED in tests/test_similarity.py (organic 64-dim
+    sf0.1 vectors): refine=8k recall@10, plus the clone self-match
+    invariant q149 registers.  ``refine`` defaults to max(32, 8k).
+    """
+    refine = int(refine if refine is not None else max(32, 8 * k))
+    e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
+    cbs = pq_codebooks(e, n_sub=n_sub, n_cents=n_cents, n_iters=n_iters)
+    n_sub, n_cents, sub_dim = cbs.shape
+    bits = pq_bits(n_cents)
+    qv = np.array(
+        e.filter(F.col("nid") == query_id).collect()[0].v, dtype=np.float64
+    )
+    qsub = qv.reshape(n_sub, sub_dim)
+    dots = np.einsum("sd,scd->sc", qsub, cbs)  # q_s · c[s,j]
+    norm2 = (cbs * cbs).sum(axis=2)  # |c[s,j]|²
+    qn = float(np.linalg.norm(qv))
+    mask = (1 << bits) - 1
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            code = pdf["code"].to_numpy(dtype=np.int64)
+            dot = np.zeros(len(code))
+            vn2 = np.zeros(len(code))
+            for si in range(n_sub):
+                cells = (code >> (bits * si)) & mask
+                dot += dots[si][cells]
+                vn2 += norm2[si][cells]
+            denom = qn * np.sqrt(np.maximum(vn2, 1e-300))
+            yield pd.DataFrame({"nid": pdf["nid"], "acos": dot / denom})
+
+    codes = pq_codes(e, cbs)
+    cands = (
+        codes.filter(F.col("nid") != query_id)
+        .mapInPandas(adc, "nid long, acos double")
+        .orderBy(F.col("acos").desc(), F.col("nid").asc())
+        .limit(refine)
+    )
+    qdf = emb.sparkSession.createDataFrame([(qv.tolist(),)], "qv array<double>")
+    scored = (
+        cands.join(e, "nid")
+        .crossJoin(F.broadcast(qdf))
+        .select("nid", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("nid").asc())
+        .limit(k)
+    )
+    return with_rank(scored, [F.col("cos").desc(), F.col("nid").asc()]).select(
+        "rank", F.col("nid").alias("neighbor_id")
+    )

@@ -3856,3 +3856,32 @@ def q148(spark, sf_dir):
         F.round("__raw", 6).alias("score"),
         (F.col("__raw") >= 0.5).cast("int").alias("pred"),
     ).orderBy("doc_id")
+
+
+# --- q149 product-quantization ANN self-match ---------------------------------
+@query(
+    "q149_pq_self_match",
+    oracle="""
+SELECT 1 AS rank, MAX(vec_id) + 10000000 AS neighbor_id FROM embeddings
+""",
+)
+def q149(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_topk, Jégou et al. 2011):
+    per-subspace deterministic k-means codebooks, every vector packed to
+    ONE int64 code (8 subspaces × 16 centroids = 32 bits — the candidate
+    scan reads ~16 B/vector instead of 512 B, the memory-bounded serving
+    layout), ADC candidate scoring via per-subspace lookup-table gathers,
+    exact cosine re-rank of the top candidates.  A clone of the query
+    vector encodes to the query's own code, so it must survive the ADC
+    cut and the exact re-rank ranks it first — checks codebook training,
+    packing, ADC and refine end-to-end (the q60 IVF invariant, applied
+    to the PQ path).  Measured recall floors live in
+    tests/test_similarity.py."""
+    emb = T(spark, sf_dir, "embeddings")
+    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    clone = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(max_id + 10_000_000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clone)
+    out = similarity.pq_topk(corpus, query_id=1, k=3, n_sub=8, n_cents=16)
+    return out.filter(F.col("rank") == 1)

@@ -654,3 +654,79 @@ def test_ivf_filtered_probe_respects_metadata_predicate(spark, tmp_path):
     )
     ids = [r.neighbor_id for r in out.collect()]
     assert ids and all(i % 2 == 1 for i in ids)  # only label-1 rows
+
+
+def test_pq_codebooks_shapes_and_determinism(spark):
+    from gofeed_spark.operators.similarity import as_double_array, pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    e = emb.select(F.col("vec_id").alias("nid"), as_double_array("embedding").alias("v"))
+    cb1 = pq_codebooks(e, n_sub=8, n_cents=16, n_iters=2)
+    cb2 = pq_codebooks(e, n_sub=8, n_cents=16, n_iters=2)
+    assert cb1.shape == (8, 16, 8)
+    assert np.array_equal(cb1, cb2)  # deterministic end to end
+    # refinement moves the seeds (the Lloyd pass is real)
+    cb0 = pq_codebooks(e, n_sub=8, n_cents=16, n_iters=0)
+    assert not np.array_equal(cb0, cb1)
+
+
+def test_pq_codes_pack_and_reconstruct(spark):
+    from gofeed_spark.operators.similarity import (
+        as_double_array,
+        _pq_assign,
+        pq_codebooks,
+        pq_codes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    e = emb.select(F.col("vec_id").alias("nid"), as_double_array("embedding").alias("v"))
+    cbs = pq_codebooks(e, n_sub=8, n_cents=16, n_iters=1)
+    got = {r["nid"]: r["code"] for r in pq_codes(e, cbs).collect()}
+    pdf = e.toPandas()
+    vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    subs = vecs.reshape(len(vecs), 8, 8)
+    want = np.zeros(len(vecs), dtype=np.int64)
+    for si in range(8):
+        want |= _pq_assign(subs[:, si, :], cbs[si]).astype(np.int64) << (4 * si)
+    ref = dict(zip(pdf["nid"].tolist(), want.tolist()))
+    assert got == ref  # distributed encode == numpy reference
+    assert all(0 <= c < (1 << 32) for c in got.values())  # 32-bit packed
+
+
+def test_pq_recall_at_10_quality_gate(spark):
+    """PQ+refine recall@10 vs brute force on the organic sf0.1 64-dim
+    vectors (the hard no-structure regime): the measured quality floor for
+    the ADC path, plus the dial check — a starved refine must do strictly
+    worse than the wide one."""
+    from gofeed_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = mat / np.linalg.norm(mat, axis=1)[:, None]
+    qids = [int(ids[i]) for i in range(0, len(ids), max(1, len(ids) // 5))][:5]
+    truth = {}
+    for qid in qids:
+        qi = int(np.where(ids == qid)[0][0])
+        s = nrm @ nrm[qi]
+        s[qi] = -2.0
+        truth[qid] = set(ids[np.argsort(-s)[:10]].tolist())
+
+    def recall(n_cents, refine):
+        vals = []
+        for qid in qids:
+            got = {
+                r["neighbor_id"]
+                for r in pq_topk(
+                    emb, query_id=qid, k=10, n_cents=n_cents, refine=refine
+                ).collect()
+            }
+            vals.append(len(got & truth[qid]) / 10)
+        return sum(vals) / len(vals)
+
+    # measured r14: (64, 400) -> 0.96, (64, 200) -> 0.86, (16, 200) -> 0.78
+    wide = recall(64, 400)
+    cheap = recall(16, 12)
+    assert wide >= 0.9, f"PQ n_cents=64 refine=400 recall@10 {wide}"
+    assert cheap < wide, f"dial is dead: cheap {cheap} vs wide {wide}"
