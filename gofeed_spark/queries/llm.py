@@ -3885,3 +3885,75 @@ def q149(spark, sf_dir):
     corpus = emb.unionByName(clone)
     out = similarity.pq_topk(corpus, query_id=1, k=3, n_sub=8, n_cents=16)
     return out.filter(F.col("rank") == 1)
+
+
+# --- q150 chunked semantic retrieval (RAG chain) -------------------------------
+@query(
+    "q150_chunk_retrieval",
+    oracle=r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             GREATEST(1, CAST(CEIL(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INT)) AS nc
+      FROM t),
+s AS (SELECT doc_id, toks, UNNEST(range(0, nc)) AS i FROM c),
+chunks AS (SELECT doc_id * 1000 + CAST(i AS INT) AS chunk_id,
+                  array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+           FROM s),
+"""
+    + embedding_sql_ctes(src="chunks", dim=64, id_col="chunk_id", text_col="chunk_text").strip()
+    + r""",
+q AS (SELECT v AS qe FROM emb_vec WHERE doc_id = 1000),
+sc AS (SELECT e.doc_id AS chunk_id,
+              list_dot_product(e.v, q.qe)
+                / (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(q.qe, q.qe))) AS cos
+      FROM emb_vec e, q WHERE e.doc_id // 1000 <> 1)
+SELECT CAST(rn AS INTEGER) AS rank,
+       chunk_id // 1000 AS doc_id,
+       CAST(chunk_id % 1000 AS INT) AS chunk_idx
+FROM (SELECT chunk_id, ROW_NUMBER() OVER (ORDER BY cos DESC, chunk_id) AS rn FROM sc) z
+WHERE rn <= 5 ORDER BY rank
+""",
+)
+def q150(spark, sf_dir):
+    """Chunked SEMANTIC RETRIEVAL — the complete RAG indexing chain from
+    raw documents in one plan: sliding-window chunking (q145's operator,
+    32/8) → chunk ids packed as doc_id·1000 + idx → frozen text embedding
+    per CHUNK (q136's bit-identical kernel) → exact cosine top-5 for the
+    query chunk (doc 1, chunk 0) over every OTHER document's chunks, with
+    (doc_id, chunk_idx) provenance — what a retriever returns.  Rank
+    margins MEASURED at registration (the q139 discipline): min adjacent
+    top-12 gap 1.8e-3 (sf0.01) / 2.0e-3 (sf0.1) vs ~1e-15 noise; sf0.1's
+    one EXACT tie (clone chunks → bit-identical embeddings on both
+    engines) breaks on chunk_id identically by construction.
+    localCheckpoint: the embedded chunk frame is read twice (query row +
+    scan)."""
+    from gofeed_spark.operators.embedding import text_embedding
+    from gofeed_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(
+        T(spark, sf_dir, "documents"), window=32, overlap=8
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_text",
+    )
+    emb = text_embedding(
+        chunks, dim=64, id_col="chunk_id", text_col="chunk_text"
+    ).localCheckpoint()
+    q = emb.filter(F.col("chunk_id") == 1000).select(F.col("embedding").alias("qe"))
+    from gofeed_spark.functions.vector import cosine
+
+    scored = (
+        emb.filter(F.floor(F.col("chunk_id") / 1000) != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "chunk_id", cosine(F.col("embedding"), F.col("qe")).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), F.col("chunk_id").asc())
+        .limit(5)
+    )
+    ranked = with_rank(scored, [F.col("cos").desc(), F.col("chunk_id").asc()])
+    return ranked.select(
+        "rank",
+        F.floor(F.col("chunk_id") / 1000).cast("long").alias("doc_id"),
+        F.pmod(F.col("chunk_id"), F.lit(1000)).cast("int").alias("chunk_idx"),
+    ).orderBy("rank")
