@@ -25,8 +25,9 @@ Two probe shapes, both zero-Python:
 
 Hashing: double hashing (Kirsch & Mitzenmacher 2006) over Spark's
 ``xxhash64`` — position_i = (h1 + i*h2) mod m with h1 = xxhash64(key),
-h2 = xxhash64(key, 1).  Java long overflow in h1 + i*h2 wraps
-deterministically, so build and probe agree bit-for-bit by construction.
+h2 = xxhash64(key, 1), both reduced mod m BEFORE the combine so the
+arithmetic never overflows (exact under Spark 4's ANSI mode) and build
+and probe agree bit-for-bit by construction.
 
 Reference: the gofeed engine keeps no seen-set structure (its dedup is the
 OCC primary key, repo.go); this operator is part of the added LLM/crawl
@@ -198,3 +199,174 @@ def bloom_new_keys(
         seen.select(col).distinct(), col, "left_anti"
     )
     return definitely_new.unionByName(verified_new)
+
+
+# --- Persisted seen-set index ---------------------------------------------------
+# The cross-run shape (the MinHash/SemDeDup/BM25 index family, applied to
+# membership): a crawl run builds the seen-set ONCE, later runs append only
+# their new keys and probe without rebuilding.  Layout at `path`:
+#   keys_vNNNN/   the exact key set (parquet, one `key` column) — the verify side
+#   words_vNNNN/  the nonzero bloom words (word_idx, word)
+#   _index_meta.json  {m, k, fpp, design_n, n_keys, version, rels} — written
+#                     LAST through the fs seam: THE commit point (an
+#                     interrupted build/append leaves no meta flip; stale
+#                     version dirs are reclaimed by recover_bloom_index).
+# Appends keep (m, k) frozen — the merged words relation is BIT-IDENTICAL to
+# a one-shot build over the union (test-pinned), and the fp rate degrades
+# gracefully as n_keys outgrows design_n (meta records both so callers can
+# schedule a rebuild).
+
+_BLOOM_KIND = "bloom_seen_v1"
+
+
+def _bloom_meta(path: str) -> dict:
+    import json
+
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
+    raw = fs.read_bytes(fs.join(path, "_index_meta.json"))
+    meta = json.loads(raw)
+    if meta.get("kind") != _BLOOM_KIND:
+        raise ValueError(f"not a bloom seen-set index at {path}: {meta.get('kind')}")
+    return meta
+
+
+def _bloom_words_from_keys(keys: DataFrame, m: int, k: int) -> DataFrame:
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col("key"), m, k))).alias("__pos")
+    )
+    return (
+        pos.select(
+            F.shiftright("__pos", 6).alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod("__pos", F.lit(64)).cast("int")
+            ).alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def build_bloom_index(
+    df: DataFrame, col: str, path: str, fpp: float = 0.01, n_items: int | None = None
+) -> dict:
+    """Build the persisted seen-set at ``path`` (keys + bloom words), meta
+    last.  ``n_items`` sizes the filter (defaults to the distinct count —
+    one job); size it for the EXPECTED lifetime key count when appends are
+    planned."""
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.operators.similarity import _write_index_meta
+
+    fs = get_filesystem(path)
+    fs.makedirs(path)
+    keys = df.select(F.col(col).alias("key")).distinct()
+    if n_items is None:
+        n_items = keys.count()
+    m, k = bloom_params(n_items, fpp)
+    rels = {"keys": "keys_v0000", "words": "words_v0000"}
+    keys.write.mode("overwrite").parquet(fs.spark_path(fs.join(path, rels["keys"])))
+    stored_keys = df.sparkSession.read.parquet(
+        fs.spark_path(fs.join(path, rels["keys"]))
+    )
+    _bloom_words_from_keys(stored_keys, m, k).write.mode("overwrite").parquet(
+        fs.spark_path(fs.join(path, rels["words"]))
+    )
+    n_keys = stored_keys.count()
+    meta = {
+        "kind": _BLOOM_KIND,
+        "m": m,
+        "k": k,
+        "fpp": fpp,
+        "design_n": int(n_items),
+        "n_keys": int(n_keys),
+        "version": 0,
+        "rels": rels,
+    }
+    _write_index_meta(path, meta)
+    return meta
+
+
+def append_bloom_index(df: DataFrame, col: str, path: str) -> dict:
+    """Fold a batch's NEW keys into the index at the frozen (m, k): union
+    keys, bit_or-merge words, publish version+1 rels by one atomic meta
+    flip, then reclaim the old version dirs (a crash before the flip
+    leaves the old index intact; after it, stale dirs are garbage
+    recover_bloom_index sweeps)."""
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.operators.similarity import _write_index_meta
+
+    fs = get_filesystem(path)
+    meta = _bloom_meta(path)
+    m, k, ver = meta["m"], meta["k"], meta["version"] + 1
+    spark = df.sparkSession
+    old_keys = spark.read.parquet(
+        fs.spark_path(fs.join(path, meta["rels"]["keys"]))
+    )
+    batch = df.select(F.col(col).alias("key")).distinct()
+    new_keys = batch.join(old_keys, "key", "left_anti")
+    rels = {"keys": f"keys_v{ver:04d}", "words": f"words_v{ver:04d}"}
+    old_keys.unionByName(new_keys).write.mode("overwrite").parquet(
+        fs.spark_path(fs.join(path, rels["keys"]))
+    )
+    merged_keys = spark.read.parquet(fs.spark_path(fs.join(path, rels["keys"])))
+    _bloom_words_from_keys(merged_keys, m, k).write.mode("overwrite").parquet(
+        fs.spark_path(fs.join(path, rels["words"]))
+    )
+    n_keys = merged_keys.count()
+    new_meta = {**meta, "n_keys": int(n_keys), "version": ver, "rels": rels}
+    _write_index_meta(path, new_meta)  # the commit point
+    for rel in meta["rels"].values():  # post-commit cleanup
+        fs.delete_tree(fs.join(path, rel))
+    return new_meta
+
+
+def recover_bloom_index(path: str) -> list[str]:
+    """Reclaim version dirs the meta doesn't reference (crash debris from
+    an interrupted append — the minhash-index recovery discipline)."""
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
+    meta = _bloom_meta(path)
+    live = set(meta["rels"].values())
+    removed = []
+    for name in fs.listdir(path):
+        if name.startswith(("keys_v", "words_v")) and name not in live:
+            fs.delete_tree(fs.join(path, name))
+            removed.append(name)
+    return removed
+
+
+def load_bloom(spark, path: str) -> BloomFilter:
+    """Dense driver-side form of the stored filter (bounded: m/64 longs)."""
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
+    meta = _bloom_meta(path)
+    dense = [0] * ((meta["m"] + 63) // 64)
+    words = spark.read.parquet(fs.spark_path(fs.join(path, meta["rels"]["words"])))
+    for r in words.collect():
+        dense[r["word_idx"]] = r["word"]
+    return BloomFilter(m=meta["m"], k=meta["k"], words=tuple(dense))
+
+
+def probe_bloom_index(
+    spark, path: str, frontier: DataFrame, col: str
+) -> DataFrame:
+    """EXACT not-yet-seen rows of ``frontier`` against the persisted index:
+    codegen bloom prefilter (stored words ride once as a one-row
+    broadcast), exact anti-join verify of the positives against keys/ —
+    the bloom's zero false negatives make the union exact while the
+    verify join input shrinks from |frontier| to ~|seen|·(1+fpp)."""
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
+    meta = _bloom_meta(path)
+    bf = load_bloom(spark, path)
+    keys = spark.read.parquet(
+        fs.spark_path(fs.join(path, meta["rels"]["keys"]))
+    ).withColumnRenamed("key", col)
+    probed = with_bloom_hit(frontier, bf, col, out_col="__bloom_hit")
+    definitely_new = probed.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+    candidates = probed.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    return definitely_new.unionByName(candidates.join(keys, col, "left_anti"))

@@ -3957,3 +3957,60 @@ def q150(spark, sf_dir):
         F.floor(F.col("chunk_id") / 1000).cast("long").alias("doc_id"),
         F.pmod(F.col("chunk_id"), F.lit(1000)).cast("int").alias("chunk_idx"),
     ).orderBy("rank")
+
+
+# --- q151 persisted bloom seen-set index ---------------------------------------
+@query(
+    "q151_bloom_index_probe",
+    oracle=r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://www.' || source || '.example.com/docs/'
+         || CAST(doc_id % 97 AS VARCHAR) AS url
+  FROM documents
+),
+seen AS (SELECT DISTINCT url FROM u WHERE doc_id % 7 = 0 OR doc_id % 13 = 0)
+SELECT doc_id, url
+FROM u
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = u.url)
+ORDER BY doc_id
+""",
+)
+def q151(spark, sf_dir):
+    """PERSISTED bloom seen-set index (operators/bloom.py
+    build/append/probe_bloom_index) — the cross-RUN recrawl shape, the
+    membership member of the persisted-index family (MinHash q100 /
+    SemDeDup q127 / BM25 q130): run 1 builds the index from its crawl log
+    (doc_id % 7 urls), run 2 APPENDS only its new keys at the frozen
+    (m, k) — the merged words relation is bit-identical to a one-shot
+    build (test-pinned mergeability) and the flip is one atomic meta
+    publish — and the probe is exact: codegen bloom prefilter over the
+    stored words (one-row broadcast) + anti-join verify of the positives
+    against the stored key relation.  Eager at construction (the q100
+    convention: builds its tmp index when the callable runs, then
+    localCheckpoints and removes it)."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.operators.bloom import (
+        append_bloom_index,
+        build_bloom_index,
+        probe_bloom_index,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 97).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    run1 = u.filter(F.col("doc_id") % 7 == 0).select("url")
+    run2 = u.filter(F.col("doc_id") % 13 == 0).select("url")
+    path = tempfile.mkdtemp(prefix="gofeed_q151_")
+    try:
+        build_bloom_index(run1, "url", path, fpp=0.01)
+        append_bloom_index(run2, "url", path)
+        out = probe_bloom_index(spark, path, u, "url")
+        return out.orderBy("doc_id").localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -120,3 +120,97 @@ def test_bloom_probe_is_codegen_projection(spark):
     assert isinstance(bf0, BloomFilter)
     out = with_bloom_hit(frontier, bf0, "k", out_col="hit")
     assert all(not r["hit"] for r in out.collect())
+
+
+def test_bloom_index_build_append_probe_exact(spark, tmp_path):
+    from gofeed_spark.operators.bloom import (
+        append_bloom_index,
+        build_bloom_index,
+        probe_bloom_index,
+        recover_bloom_index,
+    )
+
+    run1 = spark.createDataFrame([(f"u{i}",) for i in range(0, 300, 3)], "url string")
+    run2 = spark.createDataFrame(
+        [(f"u{i}",) for i in range(0, 300, 5)], "url string"  # overlaps run1
+    )
+    frontier = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(300)], "id long, url string"
+    )
+    path = str(tmp_path / "seen")
+    m0 = build_bloom_index(run1, "url", path, fpp=0.01)
+    m1 = append_bloom_index(run2, "url", path)
+    assert m1["version"] == m0["version"] + 1
+    assert (m1["m"], m1["k"]) == (m0["m"], m0["k"])  # frozen across appends
+    seen_ids = {i for i in range(300) if i % 3 == 0 or i % 5 == 0}
+    assert m1["n_keys"] == len(seen_ids)
+    got = sorted(r["id"] for r in probe_bloom_index(spark, path, frontier, "url").collect())
+    assert got == sorted(set(range(300)) - seen_ids)
+    assert recover_bloom_index(path) == []  # append cleaned up after itself
+
+
+def test_bloom_index_append_equals_one_shot_words(spark, tmp_path):
+    """The persisted mergeability contract: appending run2 into run1's
+    index yields BIT-IDENTICAL words to a one-shot build over the union at
+    the same (m, k)."""
+    from gofeed_spark.operators.bloom import (
+        _bloom_words_from_keys,
+        _bloom_meta,
+        append_bloom_index,
+        build_bloom_index,
+    )
+    from gofeed_spark.fs import get_filesystem
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(150)], "url string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(150)], "url string")
+    path = str(tmp_path / "seen")
+    build_bloom_index(a, "url", path, fpp=0.01, n_items=300)
+    append_bloom_index(b, "url", path)
+    fs = get_filesystem(path)
+    meta = _bloom_meta(path)
+    stored = {
+        (r["word_idx"], r["word"])
+        for r in spark.read.parquet(
+            fs.spark_path(fs.join(path, meta["rels"]["words"]))
+        ).collect()
+    }
+    union_keys = a.unionByName(b).select(F.col("url").alias("key"))
+    oneshot = {
+        (r["word_idx"], r["word"])
+        for r in _bloom_words_from_keys(union_keys, meta["m"], meta["k"]).collect()
+    }
+    assert stored == oneshot
+
+
+def test_bloom_index_recovery_and_refusal(spark, tmp_path):
+    from gofeed_spark.operators.bloom import (
+        _bloom_meta,
+        build_bloom_index,
+        probe_bloom_index,
+        recover_bloom_index,
+    )
+
+    a = spark.createDataFrame([("x1",), ("x2",)], "url string")
+    path = str(tmp_path / "seen")
+    build_bloom_index(a, "url", path)
+    # crash debris: an unreferenced version dir gets swept
+    import os
+
+    os.makedirs(os.path.join(path, "words_v9999"))
+    assert recover_bloom_index(path) == ["words_v9999"]
+    # a non-bloom meta refuses
+    import json
+
+    bad = str(tmp_path / "other")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "_index_meta.json"), "w") as f:
+        json.dump({"kind": "something_else"}, f)
+    import pytest
+
+    with pytest.raises(ValueError, match="not a bloom"):
+        _bloom_meta(bad)
+    # missing meta (interrupted build) refuses too
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(Exception):
+        probe_bloom_index(spark, empty, a, "url")
