@@ -1340,6 +1340,7 @@ def pq_topk(
     invariant q149 registers.  ``refine`` defaults to max(32, 8k).
     """
     refine = int(refine if refine is not None else max(32, 8 * k))
+    emb = parallel_floor(emb)  # split-starved scans → serial Arrow passes
     e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
     cbs = pq_codebooks(e, n_sub=n_sub, n_cents=n_cents, n_iters=n_iters)
     n_sub, n_cents, sub_dim = cbs.shape

@@ -661,3 +661,107 @@ def q144(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# --- q152 WAT generation round trip --------------------------------------------
+@query(
+    "q152_wat_export",
+    oracle=f"""
+WITH h AS (SELECT doc_id, {_URL_SQL} AS url, {_html_sql()} AS html FROM documents)
+SELECT url,
+       'metadata' AS rec_type,
+       CAST(200 AS INT) AS http_status,
+       CAST(len({extract_links_sql('html')}) AS INT) AS n_links,
+       md5(array_to_string({extract_links_sql('html')}, ' ')) AS links_md5
+FROM h ORDER BY url
+""",
+)
+def q152(spark, sf_dir):
+    """WAT GENERATION round trip — the metadata sidecar of the Common
+    Crawl triple, completing it for this engine (WARC ingest q118/q120,
+    WET q140, WAT here): raw-HTML response archives → distributed
+    ``read_warc`` → per-page metadata record {url, status, ordered href
+    list} serialized as JSON → re-export as WARC METADATA records
+    (``export_warc(rec_type='metadata', content_type='application/
+    json')``) → read the .wat back → parse the JSON payload → flattened
+    verdict columns.  Hash-checking the PARSED payload (status, link
+    count, md5 of the ordered href list) rather than JSON bytes keeps
+    the oracle engine-neutral while still proving the full encode →
+    container → decode chain preserves every field; the oracle rebuilds
+    the template HTML and link list straight from documents via the
+    generated ``extract_links_sql`` twin."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T_
+
+    from gofeed_spark.operators.html import extract_links
+    from gofeed_spark.sources import warc as W
+
+    docs = T(spark, sf_dir, "documents")
+    crawl = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(_html_col(), "utf-8").alias("body"),
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q152_")
+    raw_dir, wat_dir = f"{work}/raw", f"{work}/wat"
+    try:
+        n_arch = W.archive_count(crawl.count(), spark.sparkContext.defaultParallelism)
+        W.export_warc(
+            crawl, raw_dir, n_archives=n_arch, content_type="text/html"
+        ).collect()
+        meta = (
+            W.read_warc(spark, raw_dir + "/*.warc.gz")
+            .filter(
+                (F.col("http_status") == 200)
+                & F.col("content_type").startswith("text/html")
+            )
+            .select(
+                "url",
+                F.encode(
+                    F.to_json(
+                        F.struct(
+                            F.col("url").alias("url"),
+                            F.col("http_status").alias("status"),
+                            extract_links(F.decode("body", "utf-8")).alias("links"),
+                        )
+                    ),
+                    "utf-8",
+                ).alias("body"),
+            )
+        )
+        W.export_warc(
+            meta, wat_dir, n_archives=n_arch,
+            content_type="application/json", rec_type="metadata",
+        ).collect()
+        back = W.read_warc(spark, wat_dir + "/*.warc.gz", rec_types=("metadata",))
+        schema = T_.StructType(
+            [
+                T_.StructField("url", T_.StringType()),
+                T_.StructField("status", T_.IntegerType()),
+                T_.StructField("links", T_.ArrayType(T_.StringType())),
+            ]
+        )
+        parsed = back.select(
+            "url",
+            "rec_type",
+            F.from_json(F.decode("body", "utf-8"), schema).alias("wat"),
+        )
+        return (
+            parsed.select(
+                "url",
+                "rec_type",
+                F.col("wat.status").alias("http_status"),
+                F.size("wat.links").alias("n_links"),
+                F.md5(F.array_join("wat.links", " ").cast("binary")).alias(
+                    "links_md5"
+                ),
+            )
+            .orderBy("url")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -214,3 +214,67 @@ def test_bloom_index_recovery_and_refusal(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(Exception):
         probe_bloom_index(spark, empty, a, "url")
+
+
+def test_bloom_index_streaming_ingest_e2e(spark, tmp_path):
+    """Crawl micro-batches append to the persisted seen-set inside
+    foreachBatch (the minhash ingest-with-append shape applied to
+    membership): build an empty index sized for the stream's lifetime,
+    drain three one-file micro-batches through availableNow, and the
+    final probe must equal the plain batch anti-join; re-delivering a
+    micro-batch is value-idempotent (set semantics — the anti-join makes
+    the re-append a no-op)."""
+    from gofeed_spark.operators.bloom import (
+        append_bloom_index,
+        _bloom_meta,
+        build_bloom_index,
+        probe_bloom_index,
+    )
+
+    stage = str(tmp_path / "stage")
+    path = str(tmp_path / "seen")
+    batches = [
+        [(f"u{i}",) for i in range(0, 100)],
+        [(f"u{i}",) for i in range(80, 180)],   # overlaps batch 0
+        [(f"u{i}",) for i in range(160, 260)],  # overlaps batch 1
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "url string").coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    empty = spark.createDataFrame([], "url string")
+    build_bloom_index(empty, "url", path, fpp=0.01, n_items=300)
+
+    src = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: append_bloom_index(df, "url", path))
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    meta = _bloom_meta(path)
+    assert meta["version"] == 3 and meta["n_keys"] == 260
+    frontier = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(400)], "id long, url string"
+    )
+    got = sorted(
+        r["id"] for r in probe_bloom_index(spark, path, frontier, "url").collect()
+    )
+    assert got == list(range(260, 400))
+    # re-delivered micro-batch: a no-op by value
+    append_bloom_index(
+        spark.createDataFrame(batches[0], "url string"), "url", path
+    )
+    meta2 = _bloom_meta(path)
+    assert meta2["n_keys"] == 260
+    got2 = sorted(
+        r["id"] for r in probe_bloom_index(spark, path, frontier, "url").collect()
+    )
+    assert got2 == got
