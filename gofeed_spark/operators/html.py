@@ -162,6 +162,37 @@ def extract_links_sql(expr: str) -> str:
     return f"regexp_extract_all({expr}, {_sql_str(_HREF_RE)}, 1)"
 
 
+_ANCHOR_RE = r'(?is)<a\b[^>]*?\bhref\s*=\s*"([^"]*)"[^>]*>([^<]*)</a'
+
+
+def extract_anchor_hrefs(col: Column | str) -> Column:
+    """href values of TEXT-ANCHORED links (``<a href="...">text</a>`` with
+    a markup-free anchor body — the [^<]* contract; nested-markup anchors
+    are out of scope, canonicalization handles the rest downstream).
+    Positionally zips with ``extract_anchor_texts`` — same regex, group 1
+    vs group 2, so the lists always align."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_ANCHOR_RE), F.lit(1))
+
+
+def extract_anchor_texts(col: Column | str) -> Column:
+    """The anchor TEXT of each text-anchored link — the classic web
+    training signal (anchor text describes the TARGET page; aggregated
+    per destination it is a free human-written summary corpus)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_ANCHOR_RE), F.lit(2))
+
+
+def extract_anchor_hrefs_sql(expr: str) -> str:
+    """DuckDB twin of ``extract_anchor_hrefs``."""
+    return f"regexp_extract_all({expr}, {_sql_str(_ANCHOR_RE)}, 1)"
+
+
+def extract_anchor_texts_sql(expr: str) -> str:
+    """DuckDB twin of ``extract_anchor_texts``."""
+    return f"regexp_extract_all({expr}, {_sql_str(_ANCHOR_RE)}, 2)"
+
+
 def resolve_link_sql(page_url: str, href: str) -> str:
     """DuckDB twin of ``resolve_link``."""
     host = f"regexp_extract({page_url}, {_sql_str(_HOST_RE)}, 1)"

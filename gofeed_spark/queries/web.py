@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gofeed_spark.operators.html import (
+    extract_anchor_hrefs_sql,
+    extract_anchor_texts_sql,
     extract_links_sql,
     html_blocks_sql,
     html_text_blocks,
@@ -765,3 +767,72 @@ def q152(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- q153 anchor-text aggregation per link target -------------------------------
+@query(
+    "q153_anchor_text",
+    oracle=f"""
+WITH h AS (SELECT doc_id, {_URL_SQL} AS src, {_html_sql()} AS html FROM documents),
+pairs AS (
+  SELECT src,
+         UNNEST({extract_anchor_hrefs_sql('html')}) AS href,
+         UNNEST({extract_anchor_texts_sql('html')}) AS anchor
+  FROM h
+),
+edges AS (SELECT {resolve_link_sql('src', 'href')} AS dst, anchor FROM pairs)
+SELECT dst,
+       CAST(COUNT(*) AS INT) AS n_anchors,
+       md5(string_agg(anchor, '|' ORDER BY anchor)) AS anchors_md5
+FROM edges GROUP BY dst ORDER BY dst
+""",
+)
+def q153(spark, sf_dir):
+    """ANCHOR-TEXT aggregation per link target — the classic web training
+    signal (anchor text is a human-written description of the TARGET
+    page; aggregated per destination it seeds queries/titles/summaries
+    for retrieval training): text-anchored links extract as positionally
+    zipped (href, anchor) lists from one shared regex (group 1 vs group
+    2, so alignment is structural), resolve against the page host, and
+    aggregate per destination — anchor count + md5 of the
+    '|'-joined SORTED anchor list (sorting makes the aggregate
+    order-free on both engines).  The template's two anchors make the
+    distribution non-vacuous: every next-doc target carries one
+    'next doc' anchor, the hub accumulates one 'crawl hub' anchor per
+    page.  Pure codegen extraction, one groupBy — no Python."""
+    from gofeed_spark.operators.html import (
+        extract_anchor_hrefs,
+        extract_anchor_texts,
+        resolve_link,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    h = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("src"),
+        _html_col().alias("html"),
+    )
+    pairs = h.select(
+        "src",
+        F.posexplode(extract_anchor_hrefs("html")).alias("pos", "href"),
+        extract_anchor_texts("html").alias("__anchors"),
+    ).select(
+        "src", "href", F.element_at("__anchors", F.col("pos") + 1).alias("anchor")
+    )
+    edges = pairs.select(
+        resolve_link(F.col("src"), F.col("href")).alias("dst"), "anchor"
+    )
+    return (
+        edges.groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_anchors"),
+            F.md5(
+                F.concat_ws("|", F.sort_array(F.collect_list("anchor"))).cast(
+                    "binary"
+                )
+            ).alias("anchors_md5"),
+        )
+        .orderBy("dst")
+    )

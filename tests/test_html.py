@@ -228,3 +228,26 @@ def test_fuzz_extraction_cross_engine_and_total(spark):
         assert not t.endswith((" ", "\n")), (s, t)  # (c) normalized
         (want,) = con.execute(f"SELECT {sql_t}", [s]).fetchone()
         assert t == want, (s, t, want)              # (d) twin parity
+
+
+def test_anchor_extraction_pairs_and_contract(spark):
+    from gofeed_spark.operators.html import (
+        extract_anchor_hrefs,
+        extract_anchor_texts,
+    )
+
+    html = (
+        '<p><a href="/a">first</a> text <A HREF="https://x.example/">SeCoNd</A>'
+        '<a href="/nested"><b>bold</b></a>'        # nested markup: excluded
+        "<a href='/single'>single-quoted</a>"      # single-quoted: excluded
+        '<a href="/empty"></a>'                    # empty anchor: kept, ""
+        "</p>"
+    )
+    d = spark.createDataFrame([(html,)], "h string")
+    row = d.select(
+        extract_anchor_hrefs("h").alias("hrefs"),
+        extract_anchor_texts("h").alias("anchors"),
+    ).collect()[0]
+    # positionally aligned; nested-markup and single-quoted anchors excluded
+    assert row["hrefs"] == ["/a", "https://x.example/", "/empty"]
+    assert row["anchors"] == ["first", "SeCoNd", ""]
