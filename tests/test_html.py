@@ -205,7 +205,7 @@ def test_fuzz_extraction_cross_engine_and_total(spark):
     collected: list[str] = []
 
     @given(soup)
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=120, deadline=None, derandomize=True)
     def gather(s):
         collected.append(s)
 
@@ -223,7 +223,14 @@ def test_fuzz_extraction_cross_engine_and_total(spark):
     tag_re = _re.compile(r"<[!/]?[A-Za-z][^>]*>")
     for i, s in enumerate(collected):
         t = got[i]
-        assert not tag_re.search(t), (s, t)        # (b) no surviving tags
+        # (b) no surviving tags — scoped to inputs without &lt;/&gt;: the
+        # entity stages run AFTER tag-strip by design (decoded entities
+        # are displayed text, never re-parsed as markup — the module-doc
+        # order), so &lt;ab ... &gt; in the INPUT legitimately assembles a
+        # tag-SHAPED substring in the OUTPUT.  Parity (d) still covers
+        # those inputs byte-for-byte.
+        if "&lt;" not in s and "&gt;" not in s:
+            assert not tag_re.search(t), (s, t)
         assert "  " not in t and not t.startswith((" ", "\n")), (s, t)
         assert not t.endswith((" ", "\n")), (s, t)  # (c) normalized
         (want,) = con.execute(f"SELECT {sql_t}", [s]).fetchone()
@@ -251,3 +258,23 @@ def test_anchor_extraction_pairs_and_contract(spark):
     # positionally aligned; nested-markup and single-quoted anchors excluded
     assert row["hrefs"] == ["/a", "https://x.example/", "/empty"]
     assert row["anchors"] == ["first", "SeCoNd", ""]
+
+
+def test_entity_decoded_text_may_look_like_markup_but_stays_text(spark):
+    """Regression for the r14s2 fuzz find: ``&lt;ab #9"&gt;`` decodes (one
+    level, AFTER tag-strip) into the tag-SHAPED text ``<ab #9">`` — which
+    must survive as TEXT (entities are displayed content, never re-parsed
+    as markup) and stay byte-identical to the DuckDB twin."""
+    import duckdb
+
+    from gofeed_spark.operators.html import html_to_text, html_to_text_sql
+
+    s = 'x &lt;ab #9"&gt; y<p>real tag</p>'
+    d = spark.createDataFrame([(s,)], "h string")
+    t = d.select(html_to_text("h").alias("t")).collect()[0]["t"]
+    assert '<ab #9">' in t          # decoded text kept verbatim
+    assert "<p>" not in t           # the real tag was stripped
+    (want,) = duckdb.connect().execute(
+        "SELECT " + html_to_text_sql("?::VARCHAR"), [s]
+    ).fetchone()
+    assert t == want
