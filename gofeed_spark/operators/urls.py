@@ -57,3 +57,47 @@ def with_url_verdict(docs, url_col: str = "url", blocklist: tuple = ()) -> "Data
         .withColumn("domain", dom)
         .withColumn("blocked", blocked.cast("int"))
     )
+
+
+def schedule_frontier(
+    frontier,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    delay_ms: int = 1000,
+    n_workers: int = 16,
+) -> "DataFrame":
+    """Politeness-aware fetch schedule for a crawl frontier — the step
+    between robots admission (operators/robots.py) and the fetch pool:
+    every URL gets a per-HOST slot (rate limit: one fetch per host per
+    ``delay_ms``, ordered by ``priority_col`` then URL for determinism)
+    and a worker assignment that keeps a host pinned to ONE worker
+    (md5-prefix(host) % n_workers — the engine's md5-bucket convention:
+    computable identically in codegen, on the driver, and in ANSI SQL —
+    so politeness survives parallelism with no cross-worker coordination;
+    the reference's partition-affinity idea, watcher.go's per-partition
+    watchers, applied to hosts).
+
+    Returns the frontier plus (host, slot, fetch_at_ms, worker).  One
+    window shuffle partitioned by host — host count is large and the
+    per-host ordering is tiny, the cheap window regime; everything else
+    is codegen.  At 100 TB the same plan holds: hosts are the natural
+    partition key of a crawler and no host's queue ever concentrates on
+    the driver."""
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("host").orderBy(priority_col, url_col)
+    out = frontier.withColumn("host", host)
+    slot = F.row_number().over(w)
+    return (
+        out.withColumn("slot", slot)
+        .withColumn("fetch_at_ms", ((F.col("slot") - 1) * delay_ms).cast("long"))
+        .withColumn(
+            "worker",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("host").cast("binary")), 1, 8), 16, 10)
+                .cast("long"),
+                F.lit(n_workers),
+            ).cast("int"),
+        )
+    )

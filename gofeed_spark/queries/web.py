@@ -836,3 +836,55 @@ def q153(spark, sf_dir):
         )
         .orderBy("dst")
     )
+
+
+# --- q154 politeness-aware frontier schedule -----------------------------------
+@query(
+    "q154_frontier_schedule",
+    oracle=r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://www.' || source || '.example.com/docs/'
+         || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+h AS (SELECT doc_id, url,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host
+      FROM u),
+s AS (SELECT doc_id, url, host,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id, url) AS slot
+      FROM h)
+SELECT doc_id, url, host, CAST(slot AS INT) AS slot,
+       CAST((slot - 1) * 250 AS BIGINT) AS fetch_at_ms,
+       CAST(CAST(('0x' || substr(md5(host), 1, 8)) AS BIGINT) % 16 AS INT)
+         AS worker
+FROM s ORDER BY doc_id
+""",
+)
+def q154(spark, sf_dir):
+    """Politeness-aware FRONTIER SCHEDULING (urls.schedule_frontier) —
+    the step between robots admission and the fetch pool, completing the
+    crawler machinery (frontier q141 → robots q143 → schedule here →
+    fetch q118): per-HOST fetch slots (one request per host per 250 ms,
+    priority then URL ordering for determinism) and a host-pinned worker
+    assignment via the md5-prefix bucket convention (identical in
+    codegen, on the driver, and in ANSI SQL — politeness survives
+    parallelism with zero cross-worker coordination).  One window
+    shuffle partitioned by host; hosts are the crawler's natural
+    partition key, so the plan is unchanged at 100 TB."""
+    from gofeed_spark.operators.urls import schedule_frontier
+
+    docs = T(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    out = schedule_frontier(
+        u, url_col="url", priority_col="doc_id", delay_ms=250, n_workers=16
+    )
+    return out.select(
+        "doc_id", "url", "host", "slot", "fetch_at_ms", "worker"
+    ).orderBy("doc_id")
