@@ -1341,7 +1341,12 @@ def pq_topk(
     """
     refine = int(refine if refine is not None else max(32, 8 * k))
     emb = parallel_floor(emb)  # split-starved scans → serial Arrow passes
-    e = emb.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v"))
+    # localCheckpoint: the normalized frame feeds ~6 jobs (seed collect,
+    # each Lloyd pass, the query fetch, encode, refine) — without it every
+    # job re-runs the upstream scan/union/cast (measured 12→7 s at sf1.0)
+    e = emb.select(
+        F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v")
+    ).localCheckpoint()
     cbs = pq_codebooks(e, n_sub=n_sub, n_cents=n_cents, n_iters=n_iters)
     n_sub, n_cents, sub_dim = cbs.shape
     bits = pq_bits(n_cents)
