@@ -1393,3 +1393,136 @@ def pq_topk(
     return with_rank(scored, [F.col("cos").desc(), F.col("nid").asc()]).select(
         "rank", F.col("nid").alias("neighbor_id")
     )
+
+
+def build_pq_index(
+    emb: DataFrame,
+    path: str,
+    n_sub: int = 8,
+    n_cents: int = 16,
+    n_iters: int = 2,
+    n_vec_buckets: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the PQ serving layout — where ``pq_topk``'s 128×
+    byte saving actually lands: the candidate-scan relation holds ONLY
+    (nid, packed int64 code), the full vectors live in a SEPARATE
+    relation partitioned by an id bucket so the exact re-rank reads only
+    the candidates' bucket directories (PartitionFilters), and the
+    codebooks travel IN the meta (exact JSON round-trip — the BM25
+    frozen-stats convention), so a probe needs zero training passes.
+    Meta is written LAST through the fs seam: the commit point.
+
+    Layout: ``codes/`` (nid, code), ``vecs/`` partitioned by
+    ``vbkt = 'v' + pmod(nid, n_vec_buckets)`` (prefixed NON-NUMERIC per
+    the partition-value rule), ``_index_meta.json``."""
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.sources.io import write_partitioned
+
+    emb = parallel_floor(emb)
+    e = emb.select(
+        F.col(id_col).alias("nid"), as_double_array(vec_col).alias("v")
+    ).localCheckpoint()
+    cbs = pq_codebooks(e, n_sub=n_sub, n_cents=n_cents, n_iters=n_iters)
+    fs = get_filesystem(path)
+    fs.makedirs(path)
+    pq_codes(e, cbs).write.mode("overwrite").parquet(
+        fs.spark_path(fs.join(path, "codes"))
+    )
+    vecs = e.withColumn(
+        "vbkt",
+        F.concat(F.lit("v"), F.pmod("nid", F.lit(n_vec_buckets)).cast("string")),
+    )
+    write_partitioned(
+        vecs.repartition("vbkt"),
+        fs.spark_path(fs.join(path, "vecs")),
+        partition_by=["vbkt"],
+    )
+    meta = {
+        "kind": "pq_v1",
+        "n_sub": int(cbs.shape[0]),
+        "n_cents": int(cbs.shape[1]),
+        "sub_dim": int(cbs.shape[2]),
+        "bits": pq_bits(int(cbs.shape[1])),
+        "n_vec_buckets": int(n_vec_buckets),
+        "codebooks": [[list(map(float, c)) for c in sub] for sub in cbs],
+        "rels": {"codes": "codes", "vecs": "vecs"},
+    }
+    _write_index_meta(path, meta)
+    return meta
+
+
+def probe_pq_index(
+    spark,
+    path: str,
+    qv: np.ndarray,
+    k: int = 10,
+    refine: int | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Serve a query from the persisted PQ layout: ADC over the slim
+    ``codes/`` relation (one Arrow pass over ~16 B/vector), collect the
+    top ``refine`` candidate ids (BOUNDED — this is the one driver
+    transfer), then an exact cosine re-rank that reads ONLY the
+    candidates' vector bucket directories (partition-pruned, plan-
+    asserted in tests) with the id filter pushed into the pruned scan.
+    Refuses a path without a committed meta (interrupted build)."""
+    import json
+
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
+    meta = json.loads(fs.read_bytes(fs.join(path, "_index_meta.json")))
+    if meta.get("kind") != "pq_v1":
+        raise ValueError(f"not a PQ index at {path}: {meta.get('kind')}")
+    cbs = np.array(meta["codebooks"], dtype=np.float64)
+    n_sub, n_cents, sub_dim = cbs.shape
+    bits, nvb = meta["bits"], meta["n_vec_buckets"]
+    refine = int(refine if refine is not None else max(32, 8 * k))
+    qv = np.asarray(qv, dtype=np.float64)
+    qsub = qv.reshape(n_sub, sub_dim)
+    dots = np.einsum("sd,scd->sc", qsub, cbs)
+    norm2 = (cbs * cbs).sum(axis=2)
+    qn = float(np.linalg.norm(qv))
+    mask = (1 << bits) - 1
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            code = pdf["code"].to_numpy(dtype=np.int64)
+            dot = np.zeros(len(code))
+            vn2 = np.zeros(len(code))
+            for si in range(n_sub):
+                cells = (code >> (bits * si)) & mask
+                dot += dots[si][cells]
+                vn2 += norm2[si][cells]
+            denom = qn * np.sqrt(np.maximum(vn2, 1e-300))
+            yield pd.DataFrame({"nid": pdf["nid"], "acos": dot / denom})
+
+    codes = spark.read.parquet(fs.spark_path(fs.join(path, meta["rels"]["codes"])))
+    if exclude_id is not None:
+        codes = codes.filter(F.col("nid") != int(exclude_id))
+    cand_ids = [
+        int(r["nid"])
+        for r in codes.mapInPandas(adc, "nid long, acos double")
+        .orderBy(F.col("acos").desc(), F.col("nid").asc())
+        .limit(refine)
+        .collect()
+    ]
+    buckets = sorted({f"v{i % nvb}" for i in cand_ids})
+    vecs = spark.read.parquet(fs.spark_path(fs.join(path, meta["rels"]["vecs"])))
+    qdf = spark.createDataFrame([(qv.tolist(),)], "qv array<double>")
+    scored = (
+        vecs.filter(F.col("vbkt").isin(buckets) & F.col("nid").isin(cand_ids))
+        .crossJoin(F.broadcast(qdf))
+        .select("nid", cosine(F.col("v"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("nid").asc())
+        .limit(k)
+    )
+    return with_rank(scored, [F.col("cos").desc(), F.col("nid").asc()]).select(
+        "rank", F.col("nid").alias("neighbor_id")
+    )

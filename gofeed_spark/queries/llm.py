@@ -4014,3 +4014,44 @@ def q151(spark, sf_dir):
         return out.orderBy("doc_id").localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- q155 persisted PQ index probe ---------------------------------------------
+@query(
+    "q155_pq_index_probe",
+    oracle="""
+SELECT 1 AS rank, MAX(vec_id) + 10000000 AS neighbor_id FROM embeddings
+""",
+)
+def q155(spark, sf_dir):
+    """PERSISTED product-quantization index (similarity.build_pq_index /
+    probe_pq_index) — the PQ serving layout joining the persisted-index
+    family (SRP q79, IVF q80, MinHash q100, SemDeDup q127, BM25 q130,
+    bloom q151): the candidate scan touches ONLY the packed-code relation
+    (~16 B/vector), the codebooks ride the meta (exact JSON round-trip,
+    zero training passes at probe time), and the exact re-rank reads ONLY
+    the candidates' vector bucket directories (PartitionFilters,
+    plan-asserted in tests/test_similarity.py).  The query-clone invariant
+    checks build + meta round-trip + ADC + pruned refine end to end.
+    Eager at construction (the q100 convention)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    emb = T(spark, sf_dir, "embeddings")
+    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    clone = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(max_id + 10_000_000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clone)
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"], dtype=np.float64
+    )
+    path = tempfile.mkdtemp(prefix="gofeed_q155_")
+    try:
+        similarity.build_pq_index(corpus, path, n_sub=8, n_cents=16)
+        out = similarity.probe_pq_index(spark, path, qv, k=3, exclude_id=1)
+        return out.filter(F.col("rank") == 1).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -730,3 +730,75 @@ def test_pq_recall_at_10_quality_gate(spark):
     cheap = recall(16, 12)
     assert wide >= 0.9, f"PQ n_cents=64 refine=400 recall@10 {wide}"
     assert cheap < wide, f"dial is dead: cheap {cheap} vs wide {wide}"
+
+
+def test_pq_index_probe_equals_fused_pq_topk(spark, tmp_path):
+    """The persisted layout must serve the SAME answers as the fused
+    operator at the same params: codebooks survive the meta's JSON round
+    trip bit-for-bit, so ADC scores and the refine cut are identical."""
+    from gofeed_spark.operators.similarity import (
+        build_pq_index,
+        pq_topk,
+        probe_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "pq")
+    meta = build_pq_index(emb, path, n_sub=8, n_cents=16, n_iters=2)
+    cbs = np.array(meta["codebooks"])
+    assert cbs.shape == (8, 16, 8) and cbs.dtype == np.float64
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    for qid in (1, 7, 42):
+        qv = np.array(
+            pdf.loc[pdf["vec_id"] == qid, "embedding"].iloc[0], dtype=np.float64
+        )
+        got = [
+            (r["rank"], r["neighbor_id"])
+            for r in probe_pq_index(
+                spark, path, qv, k=5, refine=64, exclude_id=qid
+            ).collect()
+        ]
+        want = [
+            (r["rank"], r["neighbor_id"])
+            for r in pq_topk(
+                emb, query_id=qid, k=5, n_sub=8, n_cents=16, refine=64
+            ).collect()
+        ]
+        assert got == want, (qid, got, want)
+
+
+def test_pq_index_probe_refine_is_partition_pruned(spark, tmp_path):
+    from gofeed_spark.operators.similarity import build_pq_index, probe_pq_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, n_sub=8, n_cents=16, n_vec_buckets=16)
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"], dtype=np.float64
+    )
+    out = probe_pq_index(spark, path, qv, k=3, refine=8, exclude_id=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "vbkt" in plan
+    # the codes relation never appears in the refine plan (ADC already ran)
+    assert "codes" not in plan
+
+
+def test_pq_index_refuses_wrong_or_missing_meta(spark, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from gofeed_spark.operators.similarity import probe_pq_index
+
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "_index_meta.json"), "w") as f:
+        json.dump({"kind": "something_else"}, f)
+    with pytest.raises(ValueError, match="not a PQ index"):
+        probe_pq_index(spark, bad, np.zeros(64), k=3)
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(Exception):
+        probe_pq_index(spark, empty, np.zeros(64), k=3)
