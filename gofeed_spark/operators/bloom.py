@@ -297,6 +297,7 @@ def append_bloom_index(df: DataFrame, col: str, path: str) -> dict:
     from gofeed_spark.operators.similarity import _write_index_meta
 
     fs = get_filesystem(path)
+    recover_bloom_index(path)  # sweep debris from a crash-interrupted append
     meta = _bloom_meta(path)
     m, k, ver = meta["m"], meta["k"], meta["version"] + 1
     spark = df.sparkSession
@@ -361,6 +362,7 @@ def probe_bloom_index(
     from gofeed_spark.fs import get_filesystem
 
     fs = get_filesystem(path)
+    recover_bloom_index(path)  # entry-point recovery, the minhash convention
     meta = _bloom_meta(path)
     bf = load_bloom(spark, path)
     keys = spark.read.parquet(

@@ -198,6 +198,14 @@ def test_bloom_index_recovery_and_refusal(spark, tmp_path):
 
     os.makedirs(os.path.join(path, "words_v9999"))
     assert recover_bloom_index(path) == ["words_v9999"]
+    # entry-point recovery: an append sweeps debris by itself
+    os.makedirs(os.path.join(path, "keys_v8888"))
+    from gofeed_spark.operators.bloom import append_bloom_index
+
+    append_bloom_index(
+        spark.createDataFrame([("x3",)], "url string"), "url", path
+    )
+    assert not os.path.exists(os.path.join(path, "keys_v8888"))
     # a non-bloom meta refuses
     import json
 
