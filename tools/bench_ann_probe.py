@@ -98,6 +98,21 @@ def main():
         ).collect()
     probe_ivf = (time.perf_counter() - t0) / n_probes
 
+    # PQ layout: ADC candidate scan reads ONLY the packed-code relation;
+    # pq_bytes is that scan payload vs the float layouts above
+    pq_path = os.path.join(base, "pq")
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(pq_path, "_index_meta.json")):
+        similarity.build_pq_index(emb, pq_path, n_sub=8, n_cents=64)
+    build_pq = time.perf_counter() - t0
+    similarity.probe_pq_index(spark, pq_path, qvecs[0][1], k=5).collect()
+    t0 = time.perf_counter()
+    for qid, qv in qvecs:
+        similarity.probe_pq_index(
+            spark, pq_path, qv, k=5, refine=40, exclude_id=qid
+        ).collect()
+    probe_pq = (time.perf_counter() - t0) / n_probes
+
     print(
         json.dumps(
             {
@@ -110,6 +125,9 @@ def main():
                 "srp_bytes": tree_bytes(srp_path),
                 "srp_q_bytes": tree_bytes(srpq_path),
                 "probe_ivf": round(probe_ivf, 3),
+                "build_pq": round(build_pq, 3),
+                "probe_pq": round(probe_pq, 3),
+                "pq_codes_bytes": tree_bytes(os.path.join(pq_path, "codes")),
                 "n_probes": n_probes,
                 "sf_dir": sf_dir,
             }
