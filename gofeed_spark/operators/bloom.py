@@ -292,7 +292,13 @@ def append_bloom_index(df: DataFrame, col: str, path: str) -> dict:
     keys, bit_or-merge words, publish version+1 rels by one atomic meta
     flip, then reclaim the old version dirs (a crash before the flip
     leaves the old index intact; after it, stale dirs are garbage
-    recover_bloom_index sweeps)."""
+    recover_bloom_index sweeps).
+
+    SINGLE-WRITER contract (the foreachBatch shape provides it by
+    construction): two concurrent appenders would write the same
+    version-named rel dirs.  A lost-update pre-flip check raises if the
+    meta moved while this append was running — detection, not
+    arbitration (use one writer, or serialize externally)."""
     from gofeed_spark.fs import get_filesystem
     from gofeed_spark.operators.similarity import _write_index_meta
 
@@ -315,6 +321,11 @@ def append_bloom_index(df: DataFrame, col: str, path: str) -> dict:
         fs.spark_path(fs.join(path, rels["words"]))
     )
     n_keys = merged_keys.count()
+    if _bloom_meta(path)["version"] != meta["version"]:  # lost-update check
+        raise ValueError(
+            f"concurrent append detected at {path}: meta moved past "
+            f"version {meta['version']} — append_bloom_index is single-writer"
+        )
     new_meta = {**meta, "n_keys": int(n_keys), "version": ver, "rels": rels}
     _write_index_meta(path, new_meta)  # the commit point
     for rel in meta["rels"].values():  # post-commit cleanup

@@ -286,3 +286,54 @@ def test_bloom_index_streaming_ingest_e2e(spark, tmp_path):
         r["id"] for r in probe_bloom_index(spark, path, frontier, "url").collect()
     )
     assert got2 == got
+
+
+def test_bloom_index_append_detects_lost_update(spark, tmp_path):
+    """Single-writer contract: if another writer flips the meta while an
+    append is in flight, the pre-flip check refuses instead of silently
+    publishing over the other writer's keys."""
+    import json
+    import os
+
+    import pytest
+
+    from gofeed_spark.operators.bloom import append_bloom_index, build_bloom_index
+
+    path = str(tmp_path / "seen")
+    build_bloom_index(
+        spark.createDataFrame([("a",)], "url string"), "url", path
+    )
+    meta_file = os.path.join(path, "_index_meta.json")
+
+    calls = {"n": 0}
+
+    # simulate the interleave: bump the stored version right after this
+    # append reads its BASE meta (call 1 = recovery sweep, call 2 = the
+    # base read, call 3 = the pre-flip check)
+    orig = open(meta_file).read()
+
+    def bump():
+        m = json.loads(orig)
+        m["version"] += 1
+        with open(meta_file, "w") as f:
+            json.dump(m, f)
+
+    import gofeed_spark.operators.bloom as B
+
+    real_meta = B._bloom_meta
+
+    def racy_meta(p):
+        m = real_meta(p)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            bump()
+        return m
+
+    B._bloom_meta = racy_meta
+    try:
+        with pytest.raises(ValueError, match="concurrent append"):
+            append_bloom_index(
+                spark.createDataFrame([("b",)], "url string"), "url", path
+            )
+    finally:
+        B._bloom_meta = real_meta
