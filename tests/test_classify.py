@@ -59,3 +59,11 @@ def test_sigmoid_matches_formula(spark):
     # same expression tree; libm exp may differ by an ulp between JVM and CPython
     assert np.allclose(got, want, rtol=0, atol=1e-15)
     assert got[2] == 0.5  # sigma(0) is exact in any IEEE libm
+
+
+def test_train_logreg_refuses_empty_frame(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "x1 double, x0 double, y int")
+    with pytest.raises(ValueError, match="empty feature frame"):
+        train_logreg(empty, ["x1", "x0"], "y", n_iters=1)
