@@ -63,7 +63,7 @@ def train_logreg(
                 for j, c in enumerate(feature_cols)
             ]
         ).collect()[0]
-        if row[f"__g0"] is None:
+        if row["__g0"] is None:
             raise ValueError("train_logreg: empty feature frame (no rows)")
         weights = [w - lr * row[f"__g{j}"] for j, w in enumerate(weights)]
     return weights
