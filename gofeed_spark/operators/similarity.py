@@ -1526,3 +1526,39 @@ def probe_pq_index(
     return with_rank(scored, [F.col("cos").desc(), F.col("nid").asc()]).select(
         "rank", F.col("nid").alias("neighbor_id")
     )
+
+
+def ensure_pq_index(
+    emb: DataFrame,
+    path: str,
+    n_sub: int = 8,
+    n_cents: int = 16,
+    n_iters: int = 2,
+    n_vec_buckets: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Idempotent ``build_pq_index`` (the ensure_ann_index convention):
+    reuse a completed layout whose parameters match exactly, else build.
+    Serving callers pay the training passes once per corpus."""
+    import json
+
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(path)
+    try:
+        stored = json.loads(fs.read_bytes(fs.join(path, _INDEX_META)))
+    except OSError:
+        stored = None
+    want = {
+        "kind": "pq_v1",
+        "n_sub": n_sub,
+        "n_cents": n_cents,
+        "n_vec_buckets": n_vec_buckets,
+    }
+    if stored is not None and all(stored.get(k) == v for k, v in want.items()):
+        return stored
+    return build_pq_index(
+        emb, path, n_sub=n_sub, n_cents=n_cents, n_iters=n_iters,
+        n_vec_buckets=n_vec_buckets, id_col=id_col, vec_col=vec_col,
+    )

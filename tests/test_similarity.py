@@ -802,3 +802,28 @@ def test_pq_index_refuses_wrong_or_missing_meta(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(Exception):
         probe_pq_index(spark, empty, np.zeros(64), k=3)
+
+
+def test_ensure_pq_index_idempotent(spark, tmp_path):
+    import os
+    import time
+
+    from gofeed_spark.operators.similarity import ensure_pq_index, probe_pq_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "pq")
+    m1 = ensure_pq_index(emb, path, n_sub=8, n_cents=16)
+    mtime = os.path.getmtime(os.path.join(path, "_index_meta.json"))
+    t0 = time.perf_counter()
+    m2 = ensure_pq_index(emb, path, n_sub=8, n_cents=16)
+    warm = time.perf_counter() - t0
+    assert m2 == m1  # reused, not rebuilt
+    assert os.path.getmtime(os.path.join(path, "_index_meta.json")) == mtime
+    assert warm < 1.0  # no training passes on the warm call
+    # parameter change rebuilds
+    m3 = ensure_pq_index(emb, path, n_sub=8, n_cents=32)
+    assert m3["n_cents"] == 32
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 2).collect()[0]["embedding"], dtype=np.float64
+    )
+    assert probe_pq_index(spark, path, qv, k=3, exclude_id=2).count() == 3

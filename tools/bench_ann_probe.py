@@ -102,8 +102,7 @@ def main():
     # pq_bytes is that scan payload vs the float layouts above
     pq_path = os.path.join(base, "pq")
     t0 = time.perf_counter()
-    if not os.path.exists(os.path.join(pq_path, "_index_meta.json")):
-        similarity.build_pq_index(emb, pq_path, n_sub=8, n_cents=64)
+    similarity.ensure_pq_index(emb, pq_path, n_sub=8, n_cents=64)
     build_pq = time.perf_counter() - t0
     similarity.probe_pq_index(spark, pq_path, qvecs[0][1], k=5).collect()
     t0 = time.perf_counter()
