@@ -11,5 +11,6 @@ import gofeed_spark.queries.llm  # noqa: F401  (Q27-Q46, Q53-Q61, Q68/Q69, Q72/Q
 import gofeed_spark.queries.feed  # noqa: F401  (Q47-Q51, Q67 feed-state layer)
 import gofeed_spark.queries.streaming_q  # noqa: F401  (Q52 streaming gate)
 import gofeed_spark.queries.web  # noqa: F401  (Q134/Q135 HTML extraction)
+import gofeed_spark.queries.tables  # noqa: F401  (Q156 Delta Lake interop)
 
 __all__ = ["QUERIES", "ORACLES", "query", "get_query"]

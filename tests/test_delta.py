@@ -1,0 +1,184 @@
+"""Delta Lake interop: log replay, time travel, checkpoints, vacuum.
+
+All log handling is pure-Python from the public delta.io protocol spec;
+these tests pin the lifecycle end-to-end through the fs seam with Spark as
+the data plane (no Delta jars in the sandbox, by design).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from gofeed_spark.sources import delta as D
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def work(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "concat('s', cast(id % 3 as string)) as source", "id * 2 as val"
+    )
+
+
+def test_round_trip_unpartitioned(spark, work):
+    df = _mk(spark, 0, 10).drop("source")
+    assert D.write_delta(df, work) == 0
+    got = D.read_delta(spark, work)
+    assert got.schema.simpleString() == df.schema.simpleString()
+    assert rows(got) == rows(df)
+
+
+def test_round_trip_partitioned_restores_types(spark, work):
+    # integer partition column: values travel as strings in the log's
+    # partitionValues and must come back as the declared LONG type.
+    df = spark.range(20).selectExpr("id", "id % 4 as bucket", "id * 3 as val")
+    D.write_delta(df, work, partition_by=["bucket"])
+    got = D.read_delta(spark, work)
+    assert got.schema.simpleString() == df.schema.simpleString()
+    assert rows(got) == rows(df)
+
+
+def test_append_and_time_travel(spark, work):
+    D.write_delta(_mk(spark, 0, 10), work, partition_by=["source"])
+    assert D.write_delta(_mk(spark, 10, 15), work) == 1
+    assert D.read_delta(spark, work).count() == 15
+    v0 = D.read_delta(spark, work, version=0)
+    assert rows(v0) == rows(_mk(spark, 0, 10))
+    assert D.latest_version(work) == 1
+
+
+def test_overwrite_tombstones_previous_files(spark, work):
+    D.write_delta(_mk(spark, 0, 10), work, partition_by=["source"])
+    D.write_delta(_mk(spark, 100, 103), work, mode="overwrite")
+    got = D.read_delta(spark, work)
+    assert rows(got) == rows(_mk(spark, 100, 103))
+    # the overwrite commit carries remove actions for every old file
+    log = os.path.join(work, "_delta_log", f"{1:020d}.json")
+    actions = [json.loads(x) for x in open(log).read().splitlines()]
+    assert any("remove" in a for a in actions)
+    # and time travel still reaches the pre-overwrite snapshot
+    assert D.read_delta(spark, work, version=0).count() == 10
+
+
+def test_schema_and_partition_drift_raise(spark, work):
+    D.write_delta(_mk(spark, 0, 5), work, partition_by=["source"])
+    with pytest.raises(D.DeltaSchemaMismatch):
+        D.write_delta(_mk(spark, 5, 8).withColumnRenamed("val", "other"), work)
+    with pytest.raises(D.DeltaSchemaMismatch):
+        D.write_delta(
+            _mk(spark, 5, 8).selectExpr("id", "source", "cast(val as int) as val"), work
+        )
+    with pytest.raises(D.DeltaSchemaMismatch):
+        D.write_delta(_mk(spark, 5, 8), work, partition_by=["val"])
+
+
+def test_checkpoint_equivalent_to_json_replay(spark, work, tmp_path):
+    twin = str(tmp_path / "twin")
+    for lo, hi in ((0, 10), (10, 15)):
+        D.write_delta(_mk(spark, lo, hi), work, partition_by=["source"])
+        D.write_delta(_mk(spark, lo, hi), twin, partition_by=["source"])
+    assert D.checkpoint_delta(work) == 1
+    D.write_delta(_mk(spark, 15, 17), work)
+    D.write_delta(_mk(spark, 15, 17), twin)
+    # checkpointed table == json-only twin, at HEAD and BELOW the checkpoint
+    assert rows(D.read_delta(spark, work)) == rows(D.read_delta(spark, twin))
+    assert rows(D.read_delta(spark, work, version=0)) == rows(
+        D.read_delta(spark, twin, version=0)
+    )
+
+
+def test_log_level_partition_pruning(spark, work):
+    D.write_delta(_mk(spark, 0, 30), work, partition_by=["source"])
+    pruned = D.read_delta(spark, work, where={"source": "s1"})
+    full = D.read_delta(spark, work)
+    assert rows(pruned) == rows(full.filter("source = 's1'"))
+    # pruning happens at the LOG: the pruned relation's file list is the
+    # s1 subset, no other partition's file is even referenced
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    assert all("source=s1" in f for f in pruned.inputFiles())
+    with pytest.raises(D.DeltaError):
+        D.read_delta(spark, work, where={"val": "6"})  # not a partition col
+
+
+def test_empty_prune_returns_typed_empty(spark, work):
+    D.write_delta(_mk(spark, 0, 6), work, partition_by=["source"])
+    got = D.read_delta(spark, work, where={"source": "nope"})
+    assert got.count() == 0
+    assert got.schema.simpleString() == _mk(spark, 0, 6).schema.simpleString()
+
+
+def test_null_and_special_partition_values(spark, work):
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, "a b/c", 2.0), (3, "k=v", 3.0)],
+        "id long, source string, val double",
+    )
+    D.write_delta(df, work, partition_by=["source"])
+    assert rows(D.read_delta(spark, work)) == rows(df)
+
+
+def test_concurrent_commit_raises(spark, work, monkeypatch):
+    # the race: another writer lands version 1 between THIS writer's
+    # snapshot resolution and its commit PUT — simulated by hiding the
+    # newest commit from the listing so the writer targets a taken slot.
+    D.write_delta(_mk(spark, 0, 5), work, partition_by=["source"])
+    D.write_delta(_mk(spark, 5, 8), work)
+    real = D._list_log
+    monkeypatch.setattr(
+        D, "_list_log", lambda fs, log: ([v for v in real(fs, log)[0] if v < 1], [])
+    )
+    with pytest.raises(D.DeltaConcurrentWrite):
+        D.write_delta(_mk(spark, 8, 11), work)
+
+
+def test_vacuum_reclaims_tombstones_only(spark, work):
+    D.write_delta(_mk(spark, 0, 10), work, partition_by=["source"])
+    D.write_delta(_mk(spark, 100, 103), work, mode="overwrite")
+    dry = D.vacuum_delta(work, dry_run=True)
+    assert dry and all(p.endswith(".parquet") for p in dry)
+    assert D.read_delta(spark, work).count() == 3  # dry run touched nothing
+    gone = D.vacuum_delta(work)
+    assert gone == dry
+    assert rows(D.read_delta(spark, work)) == rows(_mk(spark, 100, 103))
+    assert D.vacuum_delta(work, dry_run=True) == []
+
+
+def test_unsupported_reader_version_raises(spark, work):
+    D.write_delta(_mk(spark, 0, 3), work)
+    log = os.path.join(work, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().splitlines()
+    out = []
+    for line in lines:
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"]["minReaderVersion"] = 2
+        out.append(json.dumps(a))
+    with open(log, "w") as f:
+        f.write("\n".join(out) + "\n")
+    with pytest.raises(D.DeltaUnsupported):
+        D.read_delta(spark, work)
+
+
+def test_not_a_table_and_bad_version(spark, work, tmp_path):
+    with pytest.raises(D.DeltaError):
+        D.read_delta(spark, str(tmp_path / "missing"))
+    D.write_delta(_mk(spark, 0, 3), work)
+    with pytest.raises(D.DeltaError):
+        D.read_delta(spark, work, version=7)
+
+
+def test_history_lists_operations(spark, work):
+    D.write_delta(_mk(spark, 0, 3), work)
+    D.write_delta(_mk(spark, 3, 6), work)
+    D.write_delta(_mk(spark, 0, 2), work, mode="overwrite")
+    hist = D.delta_history(work)
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert hist[-1]["operation"] == "CREATE TABLE AS SELECT"
+    assert all(h["operation"] in ("WRITE", "CREATE TABLE AS SELECT") for h in hist)
