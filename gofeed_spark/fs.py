@@ -75,6 +75,13 @@ class FileSystem:
     def read_bytes(self, path: str) -> bytes:
         raise NotImplementedError
 
+    def read_bytes_range(self, path: str, offset: int, length: int) -> bytes:
+        """``length`` bytes starting at ``offset`` — the CDX/wayback fetch
+        primitive (HTTP ``Range: bytes=`` on an object store).  Default
+        reads the whole object and slices; backends with native ranged
+        reads override (LocalFileSystem seeks)."""
+        return self.read_bytes(path)[offset : offset + length]
+
     def put_bytes(self, path: str, data: bytes) -> None:
         """ATOMIC whole-object publish: readers observe the old bytes or
         the new bytes, never a torn write.  This is the commit primitive
@@ -139,6 +146,11 @@ class LocalFileSystem(FileSystem):
     def read_bytes(self, path: str) -> bytes:
         with open(self._local(path), "rb") as f:
             return f.read()
+
+    def read_bytes_range(self, path: str, offset: int, length: int) -> bytes:
+        with open(self._local(path), "rb") as f:
+            f.seek(offset)
+            return f.read(length)
 
     def put_bytes(self, path: str, data: bytes) -> None:
         local = self._local(path)

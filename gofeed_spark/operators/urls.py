@@ -36,6 +36,45 @@ def canonicalize_url(url: Column | str) -> Column:
     return F.concat(F.lower(head), u.substr(F.length(head) + 1, F.lit(1 << 30)))
 
 
+#: host extraction shared by the SURT twins: everything between `://`
+#: and the first of / ? #, with one leading `www.` and a `:port` dropped,
+#: lowercased.  Kept in the Java∩RE2 dialect so BOTH engines run it.
+_SURT_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_SURT_REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([/?].*)?$"
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT-form urlkey (Sort-friendly URI Reordering Transform) — the
+    CDX index sort key (`com,example,www2)/path?q=1`): host lowercased,
+    one leading ``www.`` stripped, port dropped, labels REVERSED and
+    comma-joined, then ``)`` + path+query verbatim.  Reversing the host
+    makes a lexicographic sort cluster every capture of a registrable
+    domain contiguously — the property CDX binary-search lookups and
+    per-domain range scans rely on.  Pure codegen; the DuckDB twin is
+    ``surt_key_sql`` (same regexes, RE2∩Java dialect)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(u, _SURT_HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    rest = F.regexp_extract(u, _SURT_REST_RE, 1)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), rest
+    )
+
+
+def surt_key_sql(expr: str) -> str:
+    """DuckDB twin of ``surt_key`` over SQL expression ``expr``."""
+    host = (
+        "regexp_replace(regexp_replace(lower(regexp_extract("
+        f"{expr}, '{_SURT_HOST_RE}', 1)), '^www\\.', ''), ':[0-9]+$', '')"
+    )
+    rest = f"regexp_extract({expr}, '{_SURT_REST_RE}', 1)"
+    return (
+        f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+        f" || ')' || {rest}"
+    )
+
+
 def url_domain(canonical: Column | str) -> Column:
     """Registrable-host shorthand from a CANONICAL url: the host with one
     leading ``www.`` stripped (full public-suffix parsing needs a suffix

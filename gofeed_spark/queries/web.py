@@ -888,3 +888,92 @@ def q154(spark, sf_dir):
     return out.select(
         "doc_id", "url", "host", "slot", "fetch_at_ms", "worker"
     ).orderBy("doc_id")
+
+
+# --- q157 CDX capture index: build, publish, ranged-read fetch ------------------
+def _q157_oracle():
+    from gofeed_spark.operators.urls import surt_key_sql
+
+    return f"""
+WITH h AS (SELECT doc_id, {_URL_SQL} AS url, {_html_sql()} AS html FROM documents)
+SELECT {surt_key_sql('url')} AS urlkey,
+       url,
+       CAST(200 AS INT) AS http_status,
+       'text/html' AS mime,
+       CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+       md5(html) AS digest,
+       md5(html) AS fetched_md5
+FROM h ORDER BY urlkey, url
+"""
+
+
+@query("q157_cdx_export", oracle=_q157_oracle())
+def q157(spark, sf_dir):
+    """CDX INDEX round trip — the LAST Common Crawl derivative this
+    engine lacked (WARC q118, WET q140, WAT q152, CDX here): raw-HTML
+    archives written with per-member offset tracking
+    (``export_warc_cdx`` — index rows are a by-product of the write,
+    no second scan) → SURT urlkeys (``operators/urls.surt_key``) →
+    published as range-partitioned, internally-sorted gzip CDXJ shards
+    (``write_cdx`` — Spark's sort machinery IS the index builder) →
+    parsed back (``read_cdx``) → every capture re-fetched via a RANGED
+    READ of exactly its own gzip member (``fetch_cdx_records`` over
+    ``FileSystem.read_bytes_range``, the wayback access pattern).  The
+    oracle recomputes urlkey (generated SQL twin), byte length, and the
+    body md5 straight from documents: ``fetched_md5 == digest`` being
+    hash-checked proves the (filename, offset, length) triples address
+    exactly the bytes the writer indexed — the offsets themselves are
+    container-dependent and stay out of the output."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.operators.urls import surt_key
+    from gofeed_spark.sources import warc as W
+    from gofeed_spark.sources.cdx import (
+        export_warc_cdx,
+        fetch_cdx_records,
+        read_cdx,
+        write_cdx,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    crawl = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(_html_col(), "utf-8").alias("body"),
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q157_")
+    raw_dir, cdx_dir = f"{work}/raw", f"{work}/cdx"
+    try:
+        n_arch = W.archive_count(crawl.count(), spark.sparkContext.defaultParallelism)
+        idx = (
+            export_warc_cdx(crawl, raw_dir, n_archives=n_arch)
+            .localCheckpoint()  # ONE evaluation: the write is a side effect
+        )
+        write_cdx(
+            idx.withColumn("urlkey", surt_key(F.col("url"))),
+            cdx_dir,
+            n_shards=4,
+        ).collect()
+        back = read_cdx(spark, cdx_dir + "/cdx-*.gz")
+        fetched = fetch_cdx_records(back)
+        out = back.select("urlkey", "url", "digest").join(
+            fetched, ["urlkey", "url"]
+        )
+        return (
+            out.select(
+                "urlkey",
+                "url",
+                F.col("status").alias("http_status"),
+                "mime",
+                "n_bytes",
+                "digest",
+                "fetched_md5",
+            )
+            .orderBy("urlkey", "url")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -247,43 +247,50 @@ def read_warc_stream(
     return _parse_stage(files, rec_types)
 
 
+def member_bytes(rec: dict, i: int, compress: bool = True) -> bytes:
+    """ONE record ({'rec_type', 'url', 'date', 'content_type', 'body',
+    optional 'http_status'}) → its serialized WARC member (its own gzip
+    member when ``compress``, the standard layout).  This is the unit a
+    CDX index addresses: a (offset, length) range covering exactly the
+    bytes this function returns is independently fetchable and
+    decompressible (sources/cdx.py).  Deterministic: record ids derive
+    from (url, index), no clocks."""
+    body = bytes(rec.get("body", b""))
+    rec_type = rec.get("rec_type", "response")
+    ctype = rec.get("content_type", "text/plain")
+    if rec_type == "response":
+        status = int(rec.get("http_status", 200))
+        env_ct = ctype
+        payload = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {env_ct}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        ctype = "application/http; msgtype=response"
+    else:
+        payload = body
+    rid = f"<urn:gofeed:{i}:{rec.get('url', '')}>"
+    hdr = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {rec_type}\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"WARC-Date: {rec.get('date', '2000-01-01T00:00:00Z')}\r\n"
+        + (f"WARC-Target-URI: {rec['url']}\r\n" if rec.get("url") else "")
+        + f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    member = hdr + payload + b"\r\n\r\n"
+    if compress:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        return co.compress(member) + co.flush()
+    return member
+
+
 def warc_bytes(records: list[dict], compress: bool = True) -> bytes:
-    """Serialize records ({'rec_type', 'url', 'date', 'content_type',
-    'body', optional 'http_status'}) as a WARC stream — one gzip member
-    per record when ``compress`` (the standard layout).  Deterministic:
-    record ids derive from (url, index), no clocks."""
-    out = bytearray()
-    for i, rec in enumerate(records):
-        body = bytes(rec.get("body", b""))
-        rec_type = rec.get("rec_type", "response")
-        ctype = rec.get("content_type", "text/plain")
-        if rec_type == "response":
-            status = int(rec.get("http_status", 200))
-            env_ct = ctype
-            payload = (
-                f"HTTP/1.1 {status} OK\r\nContent-Type: {env_ct}\r\n"
-                f"Content-Length: {len(body)}\r\n\r\n"
-            ).encode() + body
-            ctype = "application/http; msgtype=response"
-        else:
-            payload = body
-        rid = f"<urn:gofeed:{i}:{rec.get('url', '')}>"
-        hdr = (
-            "WARC/1.0\r\n"
-            f"WARC-Type: {rec_type}\r\n"
-            f"WARC-Record-ID: {rid}\r\n"
-            f"WARC-Date: {rec.get('date', '2000-01-01T00:00:00Z')}\r\n"
-            + (f"WARC-Target-URI: {rec['url']}\r\n" if rec.get("url") else "")
-            + f"Content-Type: {ctype}\r\n"
-            f"Content-Length: {len(payload)}\r\n\r\n"
-        ).encode()
-        member = hdr + payload + b"\r\n\r\n"
-        if compress:
-            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
-            out += co.compress(member) + co.flush()
-        else:
-            out += member
-    return bytes(out)
+    """Serialize records as a WARC stream — one gzip member per record
+    when ``compress`` (the standard layout); see ``member_bytes``."""
+    return b"".join(
+        member_bytes(rec, i, compress) for i, rec in enumerate(records)
+    )
 
 
 def write_warc(records: list[dict], path: str, compress: bool = True) -> str:
