@@ -1,13 +1,17 @@
-"""Open-table-format queries: the Delta Lake interop lifecycle (q156).
+"""Open-table-format queries: the Delta Lake (q156) and Apache Iceberg
+(q158) interop lifecycles.
 
 The engine's own upsert sink keeps a bespoke manifest (streaming/sinks.py);
-``sources/delta.py`` speaks the PUBLIC Delta protocol so the same engine
-reads and writes tables any Delta deployment produces.  q156 drives the
-whole lifecycle — multi-commit appends across a parquet checkpoint, a
-partitioned layout, log-level time travel — and hash-checks the result
-against an oracle that recomputes both snapshots from the source rows,
-proving every log-replay path (checkpoint + JSON tail, pre-checkpoint
-JSON-only) reconstructs exactly the rows each commit added.
+``sources/delta.py`` and ``sources/iceberg.py`` speak the PUBLIC protocols
+so the same engine reads and writes tables any Delta/Iceberg deployment
+produces.  q156 drives the Delta lifecycle — multi-commit appends across a
+parquet checkpoint, a partitioned layout, log-level time travel — and
+hash-checks the result against an oracle that recomputes both snapshots
+from the source rows, proving every log-replay path (checkpoint + JSON
+tail, pre-checkpoint JSON-only) reconstructs exactly the rows each commit
+added.  q158 does the same for Iceberg's metadata tree (manifest lists
+carrying prior manifests by pointer, Avro manifests via the pure-Python
+codec, snapshot time travel).
 
 Reference: no table format exists in the reference (one ORM store,
 repo.go); this is §2.E added surface closing VERDICT r13 missing item 3.
@@ -80,5 +84,65 @@ def q156(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n_v0"))
         )
         return head.join(v0, "source").orderBy("source").localCheckpoint()
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q158_iceberg_time_travel",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_latest,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_latest,
+       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_s1
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q158(spark, sf_dir):
+    """APACHE ICEBERG LIFECYCLE — the q156 discipline applied to the
+    second open table format: write the documents corpus into a
+    source-partitioned Iceberg table in three residue-class commits
+    (doc_id % 3 = 0/1/2; each manifest list carries the prior commits'
+    manifests BY POINTER, so commit metadata I/O is O(new files)), then
+    read BOTH snapshots back through the metadata tree: HEAD walks
+    metadata JSON → manifest list → Avro manifests (pure-Python codec) →
+    parquet file set, and snapshot 1 proves time travel replays the
+    first commit's manifest list alone.  Output: per-source row count +
+    char sum at HEAD joined with the snapshot-1 row count.  The oracle
+    recomputes both snapshots directly from documents — hash equality
+    means the manifest walk reconstructed the commit contents exactly
+    (eager at construction, like q156)."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q158_") + "/tbl"
+    try:
+        first = None
+        for residue in (0, 1, 2):
+            sid = I.write_iceberg(
+                docs.filter(F.col("doc_id") % 3 == residue),
+                work,
+                partition_by=["source"],
+            )
+            first = first if first is not None else sid
+        head = (
+            I.read_iceberg(spark, work)
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_latest"),
+                F.sum("n_chars").cast("long").alias("chars_latest"),
+            )
+        )
+        s1 = (
+            I.read_iceberg(spark, work, snapshot_id=first)
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_s1"))
+        )
+        return head.join(s1, "source").orderBy("source").localCheckpoint()
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)

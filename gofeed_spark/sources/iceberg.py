@@ -1,0 +1,869 @@
+"""Apache Iceberg table interop: metadata-level reader/writer from the
+public spec (iceberg.apache.org/spec, format-version 2), completing the
+open-table-format pair next to ``sources/delta.py``.
+
+An Iceberg table is parquet data files plus a METADATA TREE: a JSON
+table-metadata file (schemas, partition specs, snapshot list) whose
+snapshots each point at a MANIFEST LIST (Avro) whose rows each point at
+a MANIFEST (Avro) whose rows each describe one data file.  The sandbox
+carries no Iceberg jars and no avro library — ``sources/avrocodec.py``
+(pure Python, schema-driven) carries the manifest plane, so manifests
+written by real Iceberg writers parse generically from their embedded
+``avro.schema``.  Metadata is metadata-sized and handled driver-side
+through the ``gofeed_spark.fs`` seam; the DATA plane stays Spark parquet
+relations, so scans distribute exactly like every other table here.
+
+Layout follows the HadoopCatalog convention: ``metadata/vN.metadata.json``
+with a ``version-hint.text`` pointer (readers fall back to listing), data
+files under ``data/`` in Hive ``col=value`` directories.
+
+Scale posture (mirrors the Delta module):
+- A snapshot resolves from ONE metadata JSON + its manifest list + its
+  manifests — never an unbounded log replay; manifest lists carry prior
+  manifests forward by POINTER, so an append reads+writes O(new files).
+- ``read_iceberg(where=...)`` prunes manifest entries driver-side against
+  identity-transform partition values BEFORE any data file is referenced —
+  the manifest-level pruning real Iceberg readers perform (no directory
+  listing; at 100 TB listing is the enemy).
+- Partition columns are restored by ONE broadcast join from file basename
+  to the manifest's authoritative partition struct — a single parquet
+  relation regardless of partition count (identity transforms drop the
+  column from data files, per the staging writer).
+
+Concurrency: a commit publishes ``v{N+1}.metadata.json`` after an
+existence probe (the HadoopCatalog rename-arbitration analogue); the
+slower writer raises :class:`IcebergConcurrentWrite`, never silently
+clobbers.  ``version-hint.text`` is an advisory pointer updated after.
+
+Unsupported (declared, raised loudly): format-version 1 writes (reads
+are fine — the schema-driven Avro decode does not care), delete files /
+merge-on-read (``content != 0``), non-identity partition transforms,
+non-parquet data files.
+
+Reference: the gofeed reference has no table format at all (one ORM
+store, repo.go); §2.E added surface — VERDICT r13 missing item 3.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gofeed_spark.fs import FileSystem, get_filesystem
+from gofeed_spark.sources.avrocodec import AvroError, read_container, write_container
+
+
+class IcebergError(RuntimeError):
+    """Base for Iceberg interop failures."""
+
+
+class IcebergUnsupported(IcebergError):
+    """The table requires features this module does not implement."""
+
+
+class IcebergConcurrentWrite(IcebergError):
+    """Another writer committed this metadata version first."""
+
+
+class IcebergSchemaMismatch(IcebergError):
+    """Append schema or partitioning differs from the table's metadata."""
+
+
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+# --- type mapping -------------------------------------------------------------
+
+_TO_ICE = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+}
+_FROM_ICE = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+}
+
+
+class _IdGen:
+    def __init__(self, start: int = 0):
+        self.last = start
+
+    def next(self) -> int:
+        self.last += 1
+        return self.last
+
+
+def _type_to_iceberg(dt: T.DataType, ids: _IdGen):
+    for cls, name in _TO_ICE.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        eid = ids.next()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _type_to_iceberg(dt.elementType, ids),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = ids.next(), ids.next()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _type_to_iceberg(dt.keyType, ids),
+            "value-id": vid,
+            "value": _type_to_iceberg(dt.valueType, ids),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = ids.next()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _type_to_iceberg(f.dataType, ids),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    raise IcebergUnsupported(f"no Iceberg mapping for Spark type {dt}")
+
+
+def _type_from_iceberg(it) -> T.DataType:
+    if isinstance(it, str):
+        if it in _FROM_ICE:
+            return _FROM_ICE[it]
+        if it.startswith("decimal("):
+            p, s = it[len("decimal(") : -1].split(",")
+            return T.DecimalType(int(p), int(s))
+        raise IcebergUnsupported(f"Iceberg type {it!r}")
+    t = it.get("type")
+    if t == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    _type_from_iceberg(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in it["fields"]
+            ]
+        )
+    if t == "list":
+        return T.ArrayType(
+            _type_from_iceberg(it["element"]), not it.get("element-required", False)
+        )
+    if t == "map":
+        return T.MapType(
+            _type_from_iceberg(it["key"]),
+            _type_from_iceberg(it["value"]),
+            not it.get("value-required", False),
+        )
+    raise IcebergUnsupported(f"Iceberg type node {it!r}")
+
+
+def _schema_to_iceberg(schema: T.StructType) -> tuple[dict, int]:
+    """Spark schema → Iceberg schema dict with depth-first field ids;
+    returns (schema, last-column-id)."""
+    ids = _IdGen(0)
+    struct = _type_to_iceberg(schema, ids)
+    return {"type": "struct", "schema-id": 0, "fields": struct["fields"]}, ids.last
+
+
+def _schema_from_iceberg(sch: dict) -> T.StructType:
+    return _type_from_iceberg({"type": "struct", "fields": sch["fields"]})
+
+
+#: identity-partition value carriers in manifest Avro (per-source-type)
+_PARTITION_AVRO = {
+    "string": "string", "int": "int", "long": "long",
+    "boolean": "boolean", "double": "double", "date": "int",
+}
+
+
+# --- metadata tree ------------------------------------------------------------
+
+
+def _meta_dir(path: str) -> str:
+    return path.rstrip("/") + "/metadata"
+
+
+def _meta_name(version: int) -> str:
+    return f"v{version}.metadata.json"
+
+
+def _list_meta_versions(fs: FileSystem, md: str) -> list[tuple[int, str]]:
+    """(version, file name) pairs, version-sorted.  Both naming dialects:
+    this writer's HadoopCatalog ``vN.metadata.json`` and external
+    writers' ``{seq}-{uuid}.metadata.json``."""
+    out = []
+    for name in fs.listdir(md):
+        if not name.endswith(".metadata.json"):
+            continue
+        stem = name[: -len(".metadata.json")]
+        if stem.startswith("v") and stem[1:].isdigit():
+            out.append((int(stem[1:]), name))
+        else:
+            head = stem.split("-", 1)[0]
+            if head.isdigit():
+                out.append((int(head), name))
+    return sorted(out)
+
+
+def _load_metadata(fs: FileSystem, path: str) -> tuple[dict, int]:
+    """(table metadata, metadata version).  version-hint first (one GET),
+    listing fallback — the HadoopCatalog read protocol."""
+    md = _meta_dir(path)
+    hint = fs.join(md, "version-hint.text")
+    version, name = None, None
+    if fs.exists(hint):
+        raw = fs.read_bytes(hint).decode("utf-8", "replace").strip()
+        if raw.isdigit() and fs.exists(fs.join(md, _meta_name(int(raw)))):
+            version, name = int(raw), _meta_name(int(raw))
+    if version is None:
+        versions = _list_meta_versions(fs, md)
+        if not versions:
+            raise IcebergError(f"not an Iceberg table (no metadata json): {path}")
+        version, name = versions[-1]
+    try:
+        meta = json.loads(fs.read_bytes(fs.join(md, name)))
+    except json.JSONDecodeError as exc:
+        raise IcebergError(f"corrupt metadata v{version}: {exc}") from exc
+    return meta, version
+
+
+def _current_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id", 0) == sid:
+                return s
+        raise IcebergError(f"current-schema-id {sid} not in schemas")
+    if "schema" in meta:  # v1 form
+        return meta["schema"]
+    raise IcebergError("metadata carries no schema")
+
+
+def _current_spec(meta: dict) -> list[dict]:
+    if "partition-specs" in meta:
+        sid = meta.get("default-spec-id", 0)
+        for s in meta["partition-specs"]:
+            if s.get("spec-id", 0) == sid:
+                return list(s.get("fields", []))
+        raise IcebergError(f"default-spec-id {sid} not in partition-specs")
+    return list(meta.get("partition-spec", []))  # v1 form
+
+
+def _snapshot_of(meta: dict, snapshot_id: int | None) -> dict:
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        raise IcebergError("table has no snapshots")
+    if snapshot_id is None:
+        cur = meta.get("current-snapshot-id")
+        for s in snaps:
+            if s["snapshot-id"] == cur:
+                return s
+        raise IcebergError(f"current-snapshot-id {cur} not in snapshots")
+    for s in snaps:
+        if s["snapshot-id"] == snapshot_id:
+            return s
+    raise IcebergError(f"snapshot {snapshot_id} does not exist")
+
+
+def _read_avro(fs: FileSystem, path: str):
+    try:
+        return read_container(fs.read_bytes(path))
+    except AvroError as exc:
+        raise IcebergError(f"bad Avro at {path}: {exc}") from exc
+
+
+def _get(rec: dict, *names, default=None):
+    """Field across spec revisions (v1/v2 renamed several manifest-list
+    fields, e.g. added_data_files_count vs added_files_count)."""
+    for n in names:
+        if n in rec and rec[n] is not None:
+            return rec[n]
+    return default
+
+
+def _live_entries(fs: FileSystem, snapshot: dict) -> list[dict]:
+    """Manifest-list walk → live data-file entries ({file_path,
+    partition, record_count, file_size_in_bytes}) of one snapshot."""
+    _sch, _meta, manifests = _read_avro(fs, snapshot["manifest-list"])
+    out: list[dict] = []
+    for mf in manifests:
+        if _get(mf, "content", default=0) not in (0, None):
+            raise IcebergUnsupported("delete manifests (merge-on-read)")
+        _s, _m, entries = _read_avro(fs, mf["manifest_path"])
+        for e in entries:
+            if e.get("status") == 2:  # DELETED
+                continue
+            df_ = e.get("data_file") or {}
+            if _get(df_, "content", default=0) not in (0, None):
+                raise IcebergUnsupported("delete files (merge-on-read)")
+            fmt = str(df_.get("file_format", "")).upper()
+            if fmt != "PARQUET":
+                raise IcebergUnsupported(f"data format {fmt!r} (parquet only)")
+            out.append(df_)
+    return out
+
+
+# --- reader -------------------------------------------------------------------
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    where: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read an Iceberg table (optionally ``snapshot_id``-as-of) as a
+    DataFrame.  ``where`` maps identity-partition column → required string
+    value, applied to manifest partition structs BEFORE any data file is
+    referenced (manifest-level pruning: the file list shrinks at the
+    driver; nothing is listed or opened for pruned partitions)."""
+    fs = get_filesystem(path)
+    meta, _v = _load_metadata(fs, path)
+    schema = _schema_from_iceberg(_current_schema(meta))
+    spec = _current_spec(meta)
+    if any(f.get("transform") != "identity" for f in spec):
+        raise IcebergUnsupported(
+            f"non-identity partition transforms: {[f.get('transform') for f in spec]}"
+        )
+    by_id = {f["id"]: f["name"] for f in _current_schema(meta)["fields"]}
+    pcols = [by_id[f["source-id"]] for f in spec]
+    entries = _live_entries(fs, _snapshot_of(meta, snapshot_id))
+    if where:
+        unknown = set(where) - set(pcols)
+        if unknown:
+            raise IcebergError(
+                f"where keys {sorted(unknown)} are not partition columns {pcols}"
+            )
+        # manifest partition structs key by the SPEC FIELD name
+        entries = [
+            e
+            for e in entries
+            if all(
+                str((e.get("partition") or {}).get(k)) == v
+                for k, v in where.items()
+            )
+        ]
+    if not entries:
+        return spark.createDataFrame([], schema)
+    by_type = {f.name: f.dataType for f in schema.fields}
+    phys = T.StructType([f for f in schema.fields if f.name not in pcols])
+    files = [fs.spark_path(e["file_path"]) for e in entries]
+    df = spark.read.schema(phys).parquet(*files)
+    if pcols:
+        basenames = [posixpath.basename(e["file_path"]) for e in entries]
+        if len(set(basenames)) != len(basenames):
+            raise IcebergError("duplicate data-file basenames; cannot key partition map")
+        map_schema = T.StructType(
+            [T.StructField("__file", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+        )
+        rows = [
+            tuple(
+                [posixpath.basename(e["file_path"])]
+                + [
+                    None
+                    if (e.get("partition") or {}).get(c) is None
+                    else str((e.get("partition") or {}).get(c))
+                    for c in pcols
+                ]
+            )
+            for e in entries
+        ]
+        mdf = spark.createDataFrame(rows, map_schema)
+        df = (
+            df.withColumn(
+                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .join(F.broadcast(mdf), "__file")
+            .drop("__file")
+        )
+        for c in pcols:
+            df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(
+                f"__pv_{c}"
+            )
+    return df.select(*[F.col(f.name) for f in schema.fields])
+
+
+def iceberg_history(path: str) -> list[dict]:
+    """Snapshot history, newest first: (snapshot-id, sequence-number,
+    operation, n data files at that snapshot's manifest list)."""
+    fs = get_filesystem(path)
+    meta, _v = _load_metadata(fs, path)
+    out = []
+    for s in sorted(
+        meta.get("snapshots") or [], key=lambda x: x["snapshot-id"], reverse=True
+    ):
+        out.append(
+            {
+                "snapshot_id": s["snapshot-id"],
+                "sequence_number": s.get("sequence-number", 0),
+                "operation": (s.get("summary") or {}).get("operation", ""),
+                "parent": s.get("parent-snapshot-id"),
+            }
+        )
+    return out
+
+
+def latest_snapshot(path: str) -> int:
+    fs = get_filesystem(path)
+    meta, _v = _load_metadata(fs, path)
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur < 0:
+        raise IcebergError(f"no current snapshot at {path}")
+    return cur
+
+
+# --- writer -------------------------------------------------------------------
+
+
+def _schema_fingerprint(schema: T.StructType) -> list[tuple[str, str]]:
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def _manifest_entry_schema(partition_fields: list[tuple[str, str]]) -> dict:
+    """manifest_entry Avro schema for identity specs;
+    ``partition_fields`` = [(spec field name, iceberg source type)]."""
+    part_fields = []
+    for name, ice_t in partition_fields:
+        if ice_t not in _PARTITION_AVRO:
+            raise IcebergUnsupported(f"identity partition on type {ice_t!r}")
+        part_fields.append({"name": name, "type": ["null", _PARTITION_AVRO[ice_t]]})
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {
+                "name": "partition",
+                "type": {"type": "record", "name": "r102", "fields": part_fields},
+            },
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": data_file},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_data_files_count", "type": "int"},
+        {"name": "existing_data_files_count", "type": "int"},
+        {"name": "deleted_data_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ],
+}
+
+
+def _parquet_row_count(fs: FileSystem, path: str) -> int:
+    """Row count off one staged file's parquet footer (driver-side,
+    metadata-sized).  Local paths read the footer only; remote backends
+    fall back to a whole-object read (staged files are commit-sized)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sp = fs.spark_path(path)
+    if "://" not in sp:
+        return pq.read_metadata(sp).num_rows
+    return pq.read_table(pa.BufferReader(fs.read_bytes(path))).num_rows
+
+
+def _hive_partition_value(rel: str, col: str) -> str | None:
+    import urllib.parse
+
+    for seg in rel.split("/")[:-1]:
+        if seg.startswith(col + "="):
+            v = seg.split("=", 1)[1]
+            return None if v == _NULL_PARTITION else urllib.parse.unquote(v)
+    raise IcebergError(f"staged file {rel!r} lacks partition dir for {col!r}")
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit ``df`` to an Iceberg table at ``path``; returns the new
+    snapshot id.  ``mode='append'`` carries the prior snapshot's manifests
+    forward BY POINTER in the new manifest list and adds one manifest for
+    the new files (O(new files) metadata I/O); ``mode='overwrite'``'s
+    manifest list references only the new manifest, so the new snapshot's
+    live set is exactly ``df`` while older snapshots stay readable (time
+    travel).  First commit creates the table (identity partition spec);
+    later commits validate schema and partitioning and raise
+    :class:`IcebergSchemaMismatch` on drift (no implicit evolution).
+    Clock-free determinism: snapshot ids and timestamps are the sequence
+    number (the engine convention — uniqueness within the table is what
+    the spec requires)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    md = _meta_dir(path)
+
+    meta: dict | None = None
+    version = 0
+    if fs.exists(md) and _list_meta_versions(fs, md):
+        meta, version = _load_metadata(fs, path)
+        ice_schema = _current_schema(meta)
+        table_schema = _schema_from_iceberg(ice_schema)
+        spec = _current_spec(meta)
+        by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+        pcols = [by_id[f["source-id"]] for f in spec]
+        if any(f.get("transform") != "identity" for f in spec):
+            raise IcebergUnsupported("non-identity partition transforms")
+        if partition_by is not None and list(partition_by) != pcols:
+            raise IcebergSchemaMismatch(
+                f"partition_by {list(partition_by)} != table's {pcols}"
+            )
+        if _schema_fingerprint(df.schema) != _schema_fingerprint(table_schema):
+            raise IcebergSchemaMismatch(
+                f"schema {_schema_fingerprint(df.schema)} != table's "
+                f"{_schema_fingerprint(table_schema)}"
+            )
+        if meta.get("format-version", 2) not in (1, 2):
+            raise IcebergUnsupported(f"format-version {meta.get('format-version')}")
+        last_seq = int(meta.get("last-sequence-number", 0))
+        last_col = int(meta.get("last-column-id", 0))
+    else:
+        ice_schema, last_col = _schema_to_iceberg(df.schema)
+        pcols = list(partition_by or [])
+        unknown = [c for c in pcols if c not in df.columns]
+        if unknown:
+            raise IcebergError(f"partition_by {unknown} not in DataFrame columns")
+        spec = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": next(
+                    f["id"] for f in ice_schema["fields"] if f["name"] == c
+                ),
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(pcols)
+        ]
+        last_seq = 0
+
+    ice_by_name = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    part_types = []
+    for sf in spec:
+        name = sf["name"]
+        ice_t = ice_by_name[name]
+        if not isinstance(ice_t, str):
+            raise IcebergUnsupported(f"identity partition on nested type {name!r}")
+        part_types.append((name, ice_t))
+
+    seq = last_seq + 1
+    sid = seq  # deterministic snapshot id (== sequence number)
+
+    # Stage data with one distributed write; publish under writer-unique
+    # names inside data/ (the delta-module discipline).
+    token = uuid.uuid4().hex
+    staging = f"{path}_iceberg_staging_{token}"
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(fs.spark_path(staging))
+
+    entries: list[dict] = []
+    added_rows = 0
+    ordinal = 0
+    for rel, size in fs.walk_files(staging):
+        base = rel.rsplit("/", 1)[-1]
+        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+            continue
+        part_dir = rel.rsplit("/", 1)[0] + "/" if "/" in rel else ""
+        new_rel = f"data/{part_dir}part-{ordinal:05d}-{token}.parquet"
+        src, dst = fs.join(staging, rel), fs.join(path, new_rel)
+        if fs.supports_rename():
+            fs.makedirs(posixpath.dirname(dst))
+            fs.rename(src, dst)
+        else:
+            fs.put_bytes(dst, fs.read_bytes(src))
+        stat = fs.stat(dst)
+        n_rows = _parquet_row_count(fs, dst)
+        part_values: dict[str, object] = {}
+        for name, ice_t in part_types:
+            raw = _hive_partition_value(rel, name)
+            if raw is None:
+                part_values[name] = None
+            elif ice_t in ("int", "long", "date"):
+                part_values[name] = int(raw)
+            elif ice_t == "double":
+                part_values[name] = float(raw)
+            elif ice_t == "boolean":
+                part_values[name] = raw == "true"
+            else:
+                part_values[name] = raw
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": sid,
+                "sequence_number": None,  # inherited from the manifest list
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fs.join(path, new_rel),
+                    "file_format": "PARQUET",
+                    "partition": part_values,
+                    "record_count": n_rows,
+                    "file_size_in_bytes": stat[0] if stat else size,
+                },
+            }
+        )
+        added_rows += n_rows
+        ordinal += 1
+    fs.delete_tree(staging)
+
+    # manifest (one per commit), then the manifest list
+    fs.makedirs(md)
+    entry_schema = _manifest_entry_schema(part_types)
+    manifest_rel = f"m-{sid}-{token}.avro"
+    manifest_path = fs.join(md, manifest_rel)
+    manifest_bytes = write_container(
+        json.dumps(entry_schema),
+        entries,
+        meta={
+            "schema": json.dumps(ice_schema),
+            "partition-spec": json.dumps(spec),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    fs.put_bytes(manifest_path, manifest_bytes)
+
+    new_mf = {
+        "manifest_path": manifest_path,
+        "manifest_length": len(manifest_bytes),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": sid,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    carried: list[dict] = []
+    if mode == "append" and meta is not None and meta.get("snapshots"):
+        cur = meta.get("current-snapshot-id")
+        if cur is not None and cur >= 0:
+            prev = _snapshot_of(meta, cur)
+            _s, _m, prev_manifests = _read_avro(fs, prev["manifest-list"])
+            for mf in prev_manifests:  # normalize across writer dialects
+                carried.append(
+                    {
+                        "manifest_path": mf["manifest_path"],
+                        "manifest_length": _get(mf, "manifest_length", default=0),
+                        "partition_spec_id": _get(
+                            mf, "partition_spec_id", default=0
+                        ),
+                        "content": _get(mf, "content", default=0),
+                        "sequence_number": _get(mf, "sequence_number", default=0),
+                        "min_sequence_number": _get(
+                            mf, "min_sequence_number", default=0
+                        ),
+                        "added_snapshot_id": _get(
+                            mf, "added_snapshot_id", default=0
+                        ),
+                        "added_data_files_count": _get(
+                            mf, "added_data_files_count", "added_files_count",
+                            default=0,
+                        ),
+                        "existing_data_files_count": _get(
+                            mf, "existing_data_files_count",
+                            "existing_files_count", default=0,
+                        ),
+                        "deleted_data_files_count": _get(
+                            mf, "deleted_data_files_count",
+                            "deleted_files_count", default=0,
+                        ),
+                        "added_rows_count": _get(
+                            mf, "added_rows_count", default=0
+                        ),
+                        "existing_rows_count": _get(
+                            mf, "existing_rows_count", default=0
+                        ),
+                        "deleted_rows_count": _get(
+                            mf, "deleted_rows_count", default=0
+                        ),
+                    }
+                )
+    mlist_path = fs.join(md, f"snap-{sid}-{token}.avro")
+    fs.put_bytes(
+        mlist_path,
+        write_container(
+            json.dumps(_MANIFEST_FILE_SCHEMA),
+            [new_mf] + carried,
+            meta={"format-version": "2"},
+        ),
+    )
+
+    snapshot = {
+        "snapshot-id": sid,
+        **(
+            {"parent-snapshot-id": meta["current-snapshot-id"]}
+            if meta is not None and (meta.get("current-snapshot-id") or -1) >= 0
+            else {}
+        ),
+        "sequence-number": seq,
+        "timestamp-ms": seq,
+        "summary": {
+            "operation": "append" if mode == "append" else "overwrite",
+            "engine-info": "gofeed_spark-iceberg/0.1",
+        },
+        "manifest-list": mlist_path,
+        "schema-id": 0,
+    }
+    if meta is None:
+        new_meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": seq,
+            "last-updated-ms": seq,
+            "last-column-id": last_col,
+            "current-schema-id": 0,
+            "schemas": [ice_schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec}],
+            "last-partition-id": 1000 + len(spec) - 1 if spec else 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {},
+            "current-snapshot-id": sid,
+            "snapshots": [snapshot],
+            "snapshot-log": [{"timestamp-ms": seq, "snapshot-id": sid}],
+            "metadata-log": [],
+        }
+    else:
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = seq
+        new_meta["current-snapshot-id"] = sid
+        new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+            {"timestamp-ms": seq, "snapshot-id": sid}
+        ]
+
+    commit_path = fs.join(md, _meta_name(version + 1))
+    if fs.exists(commit_path):
+        raise IcebergConcurrentWrite(
+            f"metadata v{version + 1} already committed at {path}"
+        )
+    fs.put_bytes(commit_path, json.dumps(new_meta, indent=1).encode("utf-8"))
+    fs.put_bytes(fs.join(md, "version-hint.text"), str(version + 1).encode())
+    return sid
+
+
+# --- maintenance --------------------------------------------------------------
+
+
+def expire_iceberg(path: str, keep_last: int = 1, dry_run: bool = False) -> list[str]:
+    """Expire all but the newest ``keep_last`` snapshots: rewrite the
+    metadata without them and delete every data file, manifest, and
+    manifest list reachable ONLY from expired snapshots.  Like real
+    ``expireSnapshots``, time travel to expired ids stops working.
+    Returns the deleted paths (relative to the table root)."""
+    fs = get_filesystem(path)
+    path = path.rstrip("/")
+    meta, version = _load_metadata(fs, path)
+    snaps = sorted(meta.get("snapshots") or [], key=lambda s: s["snapshot-id"])
+    if keep_last < 1:
+        raise IcebergError("keep_last must be >= 1")
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    if not expired:
+        return []
+
+    def reachable(snapshots):
+        mlists, manifests, files = set(), set(), set()
+        for s in snapshots:
+            mlists.add(s["manifest-list"])
+            _s, _m, mfs = _read_avro(fs, s["manifest-list"])
+            for mf in mfs:
+                manifests.add(mf["manifest_path"])
+                _s2, _m2, entries = _read_avro(fs, mf["manifest_path"])
+                for e in entries:
+                    d = e.get("data_file") or {}
+                    if "file_path" in d:
+                        files.add(d["file_path"])
+        return mlists, manifests, files
+
+    keep_ml, keep_mf, keep_f = reachable(kept)
+    exp_ml, exp_mf, exp_f = reachable(expired)
+    victims = sorted((exp_ml - keep_ml) | (exp_mf - keep_mf) | (exp_f - keep_f))
+    if not dry_run:
+        new_meta = dict(meta)
+        new_meta["snapshots"] = kept
+        keep_ids = {s["snapshot-id"] for s in kept}
+        new_meta["snapshot-log"] = [
+            e
+            for e in meta.get("snapshot-log") or []
+            if e.get("snapshot-id") in keep_ids
+        ]
+        md = _meta_dir(path)
+        commit_path = fs.join(md, _meta_name(version + 1))
+        if fs.exists(commit_path):
+            raise IcebergConcurrentWrite(f"metadata v{version + 1} already exists")
+        fs.put_bytes(commit_path, json.dumps(new_meta, indent=1).encode("utf-8"))
+        fs.put_bytes(fs.join(md, "version-hint.text"), str(version + 1).encode())
+        for victim in victims:
+            fs.delete(victim)
+    root = path.rstrip("/") + "/"
+    return [v[len(root):] if v.startswith(root) else v for v in victims]

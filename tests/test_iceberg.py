@@ -1,0 +1,296 @@
+"""Iceberg interop (sources/iceberg.py) and the pure-Python Avro
+container codec beneath it (sources/avrocodec.py): spec-vector encode
+checks, generic schema-driven decode, and the table lifecycle —
+append/overwrite commits, manifest-pointer carry, snapshot time travel,
+manifest-level pruning, concurrency and schema guards, expiry."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gofeed_spark.sources import iceberg as I
+from gofeed_spark.sources.avrocodec import (
+    AvroError,
+    _write_long,
+    decode_value,
+    encode_value,
+    parse_schema,
+    read_container,
+    write_container,
+    _Cursor,
+)
+
+
+# --- avro codec ----------------------------------------------------------------
+
+
+def test_zigzag_spec_vectors():
+    # the worked examples from the Avro spec's binary-encoding table
+    for n, want in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (2, b"\x04"),
+                    (-64, b"\x7f"), (64, b"\x80\x01"), (-65, b"\x81\x01")]:
+        out = bytearray()
+        _write_long(out, n)
+        assert bytes(out) == want, (n, bytes(out), want)
+        back = decode_value("long", _Cursor(bytes(out)))
+        assert back == n
+
+
+FULL_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": {"type": "array", "items": "double"}},
+        {"name": "d", "type": {"type": "map", "values": "int"}},
+        {"name": "e", "type": {"type": "fixed", "name": "fx", "size": 3}},
+        {"name": "f", "type": {"type": "enum", "name": "en", "symbols": ["X", "Y"]}},
+        {"name": "g", "type": "boolean"},
+        {"name": "h", "type": "bytes"},
+        {"name": "i", "type": "float"},
+    ],
+}
+FULL_RECORDS = [
+    {"a": -(1 << 62), "b": None, "c": [1.5, -2.25], "d": {"k": 7, "m": -1},
+     "e": b"abc", "f": "Y", "g": True, "h": b"\x00\xff", "i": 0.5},
+    {"a": 9, "b": "héllo", "c": [], "d": {}, "e": b"xyz", "f": "X",
+     "g": False, "h": b"", "i": -4.0},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_all_types(codec):
+    data = write_container(FULL_SCHEMA, FULL_RECORDS, codec=codec)
+    _schema, meta, records = read_container(data)
+    assert records == FULL_RECORDS
+    assert meta["avro.codec"] == codec.encode()
+    # deterministic bytes (clock-free sync marker)
+    assert write_container(FULL_SCHEMA, FULL_RECORDS, codec=codec) == data
+
+
+def test_container_error_contract():
+    data = write_container(FULL_SCHEMA, FULL_RECORDS)
+    with pytest.raises(AvroError):
+        read_container(data[:-5])          # torn tail
+    with pytest.raises(AvroError):
+        read_container(b"NotAvro" + data)  # bad magic
+    # corrupt a deflate block byte — must surface as AvroError, never zlib
+    body = bytearray(data)
+    body[len(data) // 2] ^= 0xFF
+    with pytest.raises(AvroError):
+        read_container(bytes(body))
+    with pytest.raises(AvroError):
+        parse_schema('{"type": "record"}')  # named type without name
+
+
+def test_union_and_named_type_reference():
+    # a named type defined once and referenced by name later decodes
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "p", "type": {"type": "record", "name": "pt",
+                                   "fields": [{"name": "x", "type": "int"}]}},
+            {"name": "q", "type": ["null", "pt"]},
+        ],
+    }
+    recs = [{"p": {"x": 1}, "q": {"x": 2}}, {"p": {"x": 3}, "q": None}]
+    assert read_container(write_container(schema, recs))[2] == recs
+
+
+def test_decode_is_schema_driven_from_header():
+    # the reader never needs the writer's Python schema object — a fresh
+    # process reading the bytes alone reconstructs records (the property
+    # that makes real-writer manifests parseable)
+    data = write_container(json.dumps(FULL_SCHEMA), FULL_RECORDS)
+    schema, _m, records = read_container(data)
+    assert records == FULL_RECORDS
+    assert schema["name"] == "r" and len(schema["fields"]) == 9
+
+
+def test_record_default_and_missing_null_union():
+    schema = {
+        "type": "record", "name": "d",
+        "fields": [
+            {"name": "a", "type": "int", "default": 5},
+            {"name": "b", "type": ["null", "long"]},
+            {"name": "c", "type": "string"},
+        ],
+    }
+    out = bytearray()
+    encode_value(parse_schema(json.dumps(schema)), {"c": "z"}, out)
+    got = decode_value(parse_schema(json.dumps(schema)), _Cursor(bytes(out)))
+    assert got == {"a": 5, "b": None, "c": "z"}
+    with pytest.raises(AvroError):
+        encode_value(parse_schema(json.dumps(schema)), {"a": 1, "b": 2}, bytearray())
+
+
+# --- iceberg lifecycle -----------------------------------------------------------
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        (F.col("id") * 2).alias("n"),
+    )
+
+
+def test_append_carry_and_time_travel(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(corpus.filter("doc_id % 2 = 0"), tbl, partition_by=["source"])
+    s2 = I.write_iceberg(corpus.filter("doc_id % 2 = 1"), tbl, partition_by=["source"])
+    assert (s1, s2) == (1, 2) and I.latest_snapshot(tbl) == 2
+    head = I.read_iceberg(spark, tbl)
+    assert head.columns == ["doc_id", "source", "n"]
+    assert head.count() == 60
+    assert I.read_iceberg(spark, tbl, snapshot_id=s1).count() == 30
+    # the second manifest list carries the first manifest BY POINTER
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(tbl)
+    meta, _v = I._load_metadata(fs, tbl)
+    snap2 = I._snapshot_of(meta, s2)
+    _s, _m, manifests = I._read_avro(fs, snap2["manifest-list"])
+    assert len(manifests) == 2
+    assert {mf["added_snapshot_id"] for mf in manifests} == {1, 2}
+    # sequence-number inheritance: entries carry null, the list carries seq
+    assert sorted(mf["sequence_number"] for mf in manifests) == [1, 2]
+
+
+def test_overwrite_isolates_snapshots(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(corpus, tbl, partition_by=["source"])
+    s2 = I.write_iceberg(corpus.filter("doc_id < 7"), tbl, mode="overwrite")
+    assert I.read_iceberg(spark, tbl).count() == 7
+    assert I.read_iceberg(spark, tbl, snapshot_id=s1).count() == 60
+    ops = [h["operation"] for h in I.iceberg_history(tbl)]
+    assert ops == ["overwrite", "append"]
+
+
+def test_where_prunes_at_the_driver(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl, partition_by=["source"])
+    df = I.read_iceberg(spark, tbl, where={"source": "s1"})
+    rows = df.collect()
+    assert {r.source for r in rows} == {"s1"} and len(rows) == 20
+    # pruning happened BEFORE the plan: only s1's files are in the relation
+    assert all("source=s1" in f for f in df.inputFiles()), df.inputFiles()
+    with pytest.raises(I.IcebergError):
+        I.read_iceberg(spark, tbl, where={"n": "4"})  # not a partition col
+
+
+def test_unpartitioned_table(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl)
+    out = I.read_iceberg(spark, tbl)
+    assert out.count() == 60 and out.columns == ["doc_id", "source", "n"]
+
+
+def test_schema_and_partition_guards(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl, partition_by=["source"])
+    with pytest.raises(I.IcebergSchemaMismatch):
+        I.write_iceberg(corpus.select("doc_id", "source"), tbl)
+    with pytest.raises(I.IcebergSchemaMismatch):
+        I.write_iceberg(corpus, tbl, partition_by=["doc_id"])
+    with pytest.raises(I.IcebergError):
+        I.write_iceberg(corpus, str(tmp_path / "t2"), partition_by=["nope"])
+
+
+def test_concurrent_commit_raises(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus.filter("doc_id < 10"), tbl)
+    # simulate a racing writer that already published v2
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(tbl)
+    fs.put_bytes(
+        fs.join(I._meta_dir(tbl), I._meta_name(2)), b'{"racer": true}'
+    )
+    with pytest.raises(I.IcebergConcurrentWrite):
+        I.write_iceberg(corpus.filter("doc_id >= 10"), tbl)
+
+
+def test_expire_reclaims_only_unreachable(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus.filter("doc_id % 2 = 0"), tbl, partition_by=["source"])
+    s2 = I.write_iceberg(corpus.filter("doc_id % 2 = 1"), tbl, partition_by=["source"])
+    victims = I.expire_iceberg(tbl, keep_last=1)
+    # append carries every older data file into the newest snapshot:
+    # nothing data-plane is reclaimable, only snapshot 1's own list
+    assert all(v.endswith(".avro") for v in victims), victims
+    assert I.read_iceberg(spark, tbl).count() == 60
+    assert [h["snapshot_id"] for h in I.iceberg_history(tbl)] == [s2]
+    # after an overwrite, expiry reclaims the replaced data files too
+    I.write_iceberg(corpus.limit(5), tbl, mode="overwrite")
+    victims = I.expire_iceberg(tbl, keep_last=1)
+    assert any(".parquet" in v for v in victims)
+    assert I.read_iceberg(spark, tbl).count() == 5
+
+
+def test_unsupported_features_raise(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl)
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(tbl)
+    meta, v = I._load_metadata(fs, tbl)
+    meta["partition-specs"] = [
+        {"spec-id": 0,
+         "fields": [{"name": "b", "transform": "bucket[16]", "source-id": 1,
+                     "field-id": 1000}]}
+    ]
+    fs.put_bytes(
+        fs.join(I._meta_dir(tbl), I._meta_name(v + 1)),
+        json.dumps(meta).encode(),
+    )
+    fs.put_bytes(fs.join(I._meta_dir(tbl), "version-hint.text"), str(v + 1).encode())
+    with pytest.raises(I.IcebergUnsupported):
+        I.read_iceberg(spark, tbl)
+
+
+def test_schema_type_round_trip():
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), False),
+            T.StructField("c", T.ArrayType(T.DoubleType(), True), True),
+            T.StructField("d", T.MapType(T.StringType(), T.IntegerType(), True), True),
+            T.StructField(
+                "e",
+                T.StructType([T.StructField("x", T.BooleanType(), True)]),
+                True,
+            ),
+            T.StructField("f", T.DecimalType(10, 2), True),
+            T.StructField("g", T.DateType(), True),
+            T.StructField("h", T.BinaryType(), True),
+        ]
+    )
+    ice, last_id = I._schema_to_iceberg(schema)
+    back = I._schema_from_iceberg(ice)
+    assert back == schema
+    # field ids are unique and dense over all nested ids
+    seen = set()
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("id", "element-id", "key-id", "value-id"):
+                    assert v not in seen
+                    seen.add(v)
+                else:
+                    walk(v)
+        elif isinstance(node, list):
+            for x in node:
+                walk(x)
+
+    walk(ice)
+    assert seen == set(range(1, last_id + 1))
