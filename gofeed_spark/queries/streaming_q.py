@@ -338,3 +338,89 @@ def q138(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q159_streaming_delta_sink",
+    oracle=r"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS total_words,
+       CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_batches_seen
+FROM documents
+GROUP BY source ORDER BY source
+""",
+)
+def q159(spark, sf_dir):
+    """STREAMING INGEST INTO A PUBLIC DELTA TABLE — the fourth
+    oracle-paired streaming query, and the deployment form of the
+    engine's exactly-once contract: the corpus lands in three staged
+    micro-batches (doc_id % 3 slices, one file per trigger), each
+    appended to a source-partitioned Delta table by ``DeltaAppendSink``
+    — every commit stamped with the protocol's ``txn`` action
+    (appId, batchId), so a re-delivered batch after a restart is
+    recognized through the LOG ITSELF and any Delta deployment can read
+    the landing table.  The drained table is read back through the
+    protocol reader and aggregated per source (count + word total +
+    distinct residue classes, proving all three commits landed exactly
+    once — a double-applied batch would double a residue's rows and
+    break n_docs/total_words).  Arrival-invariant aggregates over an
+    append log → value-comparable against the batch oracle, the q120
+    discipline.  Re-delivery/restart idempotency is separately pinned in
+    tests/test_delta.py."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.catalog import load_table
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.streaming.sinks import DeltaAppendSink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q159_")
+    landing, ckpt, tbl = f"{work}/landing", f"{work}/ckpt", f"{work}/tbl"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for residue in (0, 1, 2):
+            (
+                docs.filter(F.col("doc_id") % 3 == residue)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(landing)
+            )
+        sink = DeltaAppendSink(tbl, app_id="q159", partition_by=["source"])
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .withColumn(
+                "n_words", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+            )
+            .withColumn("residue", F.pmod("doc_id", F.lit(3)).cast("int"))
+            .select("doc_id", "source", "n_words", "residue")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        _await_drained(q, 180)
+        return (
+            D.read_delta(spark, tbl)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_words").cast("long").alias("total_words"),
+                F.countDistinct("residue").cast("long").alias("n_batches_seen"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(work, ignore_errors=True)

@@ -107,13 +107,21 @@ def _read_actions(fs: FileSystem, log: str, version: int) -> list[dict]:
 class _Snapshot:
     """Resolved table state at one version: live adds keyed by path."""
 
-    __slots__ = ("version", "protocol", "metadata", "adds")
+    __slots__ = ("version", "protocol", "metadata", "adds", "txns")
 
-    def __init__(self, version: int, protocol: dict, metadata: dict, adds: dict):
+    def __init__(
+        self,
+        version: int,
+        protocol: dict,
+        metadata: dict,
+        adds: dict,
+        txns: dict | None = None,
+    ):
         self.version = version
         self.protocol = protocol
         self.metadata = metadata
         self.adds = adds  # relative (decoded) path -> add action dict
+        self.txns = txns or {}  # appId -> highest committed txn version
 
     @property
     def partition_columns(self) -> list[str]:
@@ -151,7 +159,7 @@ def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
     return out
 
 
-def _apply_actions(actions: list[dict], protocol, metadata, adds) -> tuple:
+def _apply_actions(actions: list[dict], protocol, metadata, adds, txns) -> tuple:
     for action in actions:
         if "protocol" in action:
             protocol = action["protocol"]
@@ -162,7 +170,12 @@ def _apply_actions(actions: list[dict], protocol, metadata, adds) -> tuple:
             adds[urllib.parse.unquote(add["path"])] = add
         elif "remove" in action:
             adds.pop(urllib.parse.unquote(action["remove"]["path"]), None)
-    return protocol, metadata, adds
+        elif "txn" in action:
+            t = action["txn"]
+            app = t.get("appId")
+            if app is not None and t.get("version") is not None:
+                txns[app] = max(txns.get(app, -1), int(t["version"]))
+    return protocol, metadata, adds, txns
 
 
 def _snapshot(fs: FileSystem, path: str, version: int | None = None) -> _Snapshot:
@@ -178,18 +191,19 @@ def _snapshot(fs: FileSystem, path: str, version: int | None = None) -> _Snapsho
     protocol: dict | None = None
     metadata: dict | None = None
     adds: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     usable_cp = [v for v in checkpoints if v <= target]
     start = 0
     if usable_cp:
         cp = max(usable_cp)
-        protocol, metadata, adds = _apply_actions(
-            _checkpoint_rows(fs, log, cp), protocol, metadata, adds
+        protocol, metadata, adds, txns = _apply_actions(
+            _checkpoint_rows(fs, log, cp), protocol, metadata, adds, txns
         )
         start = cp + 1
     for v in range(start, target + 1):
         if v in commits:
-            protocol, metadata, adds = _apply_actions(
-                _read_actions(fs, log, v), protocol, metadata, adds
+            protocol, metadata, adds, txns = _apply_actions(
+                _read_actions(fs, log, v), protocol, metadata, adds, txns
             )
     if metadata is None or protocol is None:
         raise DeltaError(f"log replay found no metaData/protocol by v{target}")
@@ -201,7 +215,7 @@ def _snapshot(fs: FileSystem, path: str, version: int | None = None) -> _Snapsho
     fmt = (metadata.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise DeltaUnsupported(f"data format {fmt!r} (parquet only)")
-    return _Snapshot(target, protocol, metadata, adds)
+    return _Snapshot(target, protocol, metadata, adds, txns)
 
 
 # --- reader -----------------------------------------------------------------
@@ -295,6 +309,17 @@ def latest_version(path: str) -> int:
     return max(commits + checkpoints)
 
 
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest committed ``txn`` version for ``app_id`` (-1 when the app
+    has never committed) — the Delta streaming-idempotency primitive: a
+    foreachBatch writer stamps each commit with (appId, batchId) and a
+    re-delivered batch is recognized by ``batchId <= last_txn_version``
+    (the protocol's own answer to the fresh-checkpoint hazard: versions
+    are scoped PER APP, so a new stream uses a new appId)."""
+    fs = get_filesystem(path)
+    return _snapshot(fs, path).txns.get(app_id, -1)
+
+
 # --- writer -----------------------------------------------------------------
 
 
@@ -324,6 +349,7 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to a Delta table at ``path``; returns the new version.
 
@@ -338,6 +364,11 @@ def write_delta(
     parquet write (the distributed path), then individual files publish
     into place with writer-unique names before the log commit makes them
     visible.
+
+    ``txn=(app_id, version)`` stamps the commit with a ``txn`` action —
+    the protocol's application-transaction marker; readers recover the
+    highest committed version per app via :func:`last_txn_version` (the
+    exactly-once handshake ``streaming/sinks.DeltaAppendSink`` uses).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -412,6 +443,10 @@ def write_delta(
             }
         }
     )
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
+        )
     if existing is None:
         actions.append({"protocol": dict(_PROTOCOL)})
         actions.append(
@@ -480,8 +515,10 @@ def checkpoint_delta(path: str) -> int:
         ]
     )
     proto_type = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    txn_type = pa.struct([("appId", pa.string()), ("version", pa.int64())])
 
-    n = len(snap.adds) + 2
+    txns = sorted(snap.txns.items())
+    n = len(snap.adds) + 2 + len(txns)
     protocol_col = [snap.protocol] + [None] * (n - 1)
     meta = snap.metadata
     meta_col = [None, {
@@ -501,11 +538,18 @@ def checkpoint_delta(path: str) -> int:
                 "dataChange": False,
             }
         )
+    add_col += [None] * len(txns)
+    # txn actions MUST survive checkpointing (the spec requires it), or a
+    # vacuumed log would silently reset every app's idempotency watermark
+    txn_col: list[dict | None] = [None] * (n - len(txns)) + [
+        {"appId": app, "version": v} for app, v in txns
+    ]
     table = pa.table(
         {
             "protocol": pa.array(protocol_col, type=proto_type),
             "metaData": pa.array(meta_col, type=meta_type),
             "add": pa.array(add_col, type=add_type),
+            "txn": pa.array(txn_col, type=txn_type),
         }
     )
     sink = io.BytesIO()

@@ -476,3 +476,66 @@ class ParquetUpsertSink:
                     and f"{name}/{sub}" not in live_rels
                 ):
                     self.fs.delete_tree(self.fs.join(full, sub))
+
+
+class DeltaAppendSink:
+    """foreachBatch callable: exactly-once APPEND of each micro-batch into
+    a PUBLIC Delta Lake table (sources/delta.py) — the deployment form of
+    this module's idempotency contract: where ParquetUpsertSink keeps a
+    bespoke manifest, this sink stamps every commit with the protocol's
+    own ``txn`` action (appId = the stream's identity, version = the
+    micro-batch id) and recognizes a re-delivered batch (restart between
+    sink-commit and checkpoint-commit) by ``batch_id <=
+    last_txn_version`` — so the landing table is readable by ANY Delta
+    deployment while keeping exactly-once semantics across restarts.
+
+    Append-mode streams only (per-batch rows are final): aggregations in
+    update mode need the keyed MERGE sink, not an append log.
+
+    Fresh-checkpoint hazard, resolved the protocol's way: batch ids are
+    scoped to one checkpoint, and txn versions are scoped to one
+    ``app_id`` — re-pointing a NEW stream (fresh checkpoint) at the same
+    table just needs a new ``app_id``; commits from prior apps are never
+    confused with the new stream's ids.
+
+    Concurrency: a lost commit race (another writer published this Delta
+    version first) surfaces as ``DeltaConcurrentWrite`` — foreachBatch
+    then fails the batch and the stream retries it, which is safe because
+    the txn watermark only advances when OUR commit wins."""
+
+    def __init__(
+        self,
+        path: str,
+        app_id: str,
+        partition_by: list[str] | None = None,
+    ):
+        self.path = path
+        self.app_id = app_id
+        self.partition_by = partition_by
+        self._floor: int | None = None  # lazily read; advanced on commit
+        self.last_skipped: int | None = None  # observability for tests
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from gofeed_spark.sources import delta as D
+
+        if self._floor is None:
+            try:
+                self._floor = D.last_txn_version(self.path, self.app_id)
+            except D.DeltaError:  # table does not exist yet
+                self._floor = -1
+        if batch_id <= self._floor:
+            self.last_skipped = batch_id  # re-delivery after restart
+            return
+        D.write_delta(
+            batch_df,
+            self.path,
+            mode="append",
+            partition_by=self.partition_by,
+            txn=(self.app_id, int(batch_id)),
+        )
+        self._floor = int(batch_id)
+
+    def read(self, spark) -> DataFrame:
+        from gofeed_spark.sources import delta as D
+
+        return D.read_delta(spark, self.path)

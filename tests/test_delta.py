@@ -13,6 +13,8 @@ import shutil
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from gofeed_spark.sources import delta as D
 from tests.conftest import rows
 
@@ -182,3 +184,60 @@ def test_history_lists_operations(spark, work):
     assert [h["version"] for h in hist] == [2, 1, 0]
     assert hist[-1]["operation"] == "CREATE TABLE AS SELECT"
     assert all(h["operation"] in ("WRITE", "CREATE TABLE AS SELECT") for h in hist)
+
+
+# --- txn actions + the exactly-once streaming append sink -----------------------
+
+
+def test_txn_watermark_and_redelivery_skip(spark, tmp_path):
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.streaming.sinks import DeltaAppendSink
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("k"))
+    sink = DeltaAppendSink(tbl, app_id="app1")
+    sink(df, 0)
+    sink(df, 1)
+    assert D.read_delta(spark, tbl).count() == 20
+    assert D.last_txn_version(tbl, "app1") == 1
+    # re-delivered batch (restart between sink-commit and checkpoint-commit)
+    sink(df, 1)
+    assert sink.last_skipped == 1
+    assert D.read_delta(spark, tbl).count() == 20
+    # a FRESH sink instance (new process after restart) also skips
+    sink2 = DeltaAppendSink(tbl, app_id="app1")
+    sink2(df, 1)
+    assert sink2.last_skipped == 1
+    sink2(df, 2)
+    assert D.read_delta(spark, tbl).count() == 30
+    assert D.last_txn_version(tbl, "app1") == 2
+
+
+def test_txn_scoped_per_app(spark, tmp_path):
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.streaming.sinks import DeltaAppendSink
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(5).select(F.col("id"))
+    DeltaAppendSink(tbl, app_id="appA")(df, 0)
+    # a new stream with a fresh checkpoint restarts batch ids at 0; a new
+    # app_id keeps its ids independent of appA's watermark
+    sink_b = DeltaAppendSink(tbl, app_id="appB")
+    sink_b(df, 0)
+    assert D.read_delta(spark, tbl).count() == 10
+    assert D.last_txn_version(tbl, "appA") == 0
+    assert D.last_txn_version(tbl, "appB") == 0
+    assert D.last_txn_version(tbl, "appC") == -1
+
+
+def test_txn_survives_checkpoint(spark, tmp_path):
+    from gofeed_spark.sources import delta as D
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(4).select(F.col("id"))
+    D.write_delta(df, tbl, txn=("appX", 7))
+    D.checkpoint_delta(tbl)
+    D.write_delta(df, tbl)  # a non-txn commit after the checkpoint
+    assert D.last_txn_version(tbl, "appX") == 7
+    # resolution below the checkpoint still replays JSON alone
+    assert D.read_delta(spark, tbl, version=0).count() == 4
