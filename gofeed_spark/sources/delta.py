@@ -249,25 +249,53 @@ def read_delta(
             if all((add.get("partitionValues") or {}).get(k) == v for k, v in where.items())
         ]
 
+    return _assemble(spark, fs, path, schema, pcols, adds)
+
+
+def _assemble(
+    spark: SparkSession,
+    fs: FileSystem,
+    path: str,
+    schema: T.StructType,
+    pcols: list[str],
+    adds: list[tuple[str, dict]],
+    extra: dict[str, int] | None = None,
+) -> DataFrame:
+    """Live add actions → ONE parquet relation with partition columns
+    restored from the log's authoritative partitionValues by a single
+    broadcast join keyed on file basename.  ``extra`` optionally maps
+    relative path → commit version; when given, the output carries it as
+    ``_commit_version`` through the same broadcast map (the CDF column)."""
     phys = T.StructType([f for f in schema.fields if f.name not in pcols])
     by_type = {f.name: f.dataType for f in schema.fields}
+    out_cols = [F.col(f.name) for f in schema.fields]
+    if extra is not None:
+        out_cols.append(F.col("_commit_version"))
     if not adds:
+        if extra is not None:
+            schema = schema.add("_commit_version", T.LongType())
         return spark.createDataFrame([], schema)
 
     files = [fs.spark_path(fs.join(path.rstrip("/"), rel)) for rel, _ in adds]
     df = spark.read.schema(phys).parquet(*files)
-    if pcols:
+    if pcols or extra is not None:
         basenames = [posixpath.basename(rel) for rel, _ in adds]
         if len(set(basenames)) != len(basenames):
             raise DeltaError("duplicate data-file basenames; cannot key partition map")
         map_schema = T.StructType(
             [T.StructField("__file", T.StringType())]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+            + (
+                [T.StructField("_commit_version", T.LongType())]
+                if extra is not None
+                else []
+            )
         )
         rows = [
             tuple(
                 [posixpath.basename(rel)]
                 + [(add.get("partitionValues") or {}).get(c) for c in pcols]
+                + ([extra[rel]] if extra is not None else [])
             )
             for rel, add in adds
         ]
@@ -281,7 +309,53 @@ def read_delta(
         )
         for c in pcols:
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
-    return df.select(*[F.col(f.name) for f in schema.fields])
+    return df.select(*out_cols)
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Rows ADDED by the commits in ``(start_version, end_version]`` plus a
+    ``_commit_version`` column — the append-only half of Delta's change
+    data feed, driven from the log alone (each commit's ``add`` actions
+    with ``dataChange`` name exactly its new rows' files).  This is the
+    incremental-pipeline primitive: a downstream job remembers the last
+    version it processed and reads only newer files — O(new data), never
+    a rescan of the table.  A data-changing ``remove`` in the range
+    (overwrite/delete) raises :class:`DeltaUnsupported` — updates need
+    real CDC files, and silently returning adds would misstate the delta.
+    """
+    fs = get_filesystem(path)
+    snap = _snapshot(fs, path, end_version)
+    end = snap.version
+    if start_version > end:
+        raise DeltaError(f"start_version {start_version} > end {end}")
+    log = _log_dir(path)
+    commits, _cps = _list_log(fs, log)
+    adds: list[tuple[str, dict]] = []
+    extra: dict[str, int] = {}
+    for v in range(start_version + 1, end + 1):
+        if v not in commits:
+            raise DeltaError(
+                f"commit {v} missing from the log (checkpoint-truncated?); "
+                "cannot enumerate changes"
+            )
+        for action in _read_actions(fs, log, v):
+            if "add" in action and action["add"].get("dataChange", True):
+                rel = urllib.parse.unquote(action["add"]["path"])
+                adds.append((rel, action["add"]))
+                extra[rel] = v
+            elif "remove" in action and action["remove"].get("dataChange", True):
+                raise DeltaUnsupported(
+                    f"commit {v} removes data; append-only change reads "
+                    "cannot represent updates/deletes"
+                )
+    return _assemble(
+        spark, fs, path, snap.schema, snap.partition_columns, adds, extra
+    )
 
 
 def delta_history(path: str) -> list[dict]:

@@ -372,19 +372,45 @@ def read_iceberg(
                 for k, v in where.items()
             )
         ]
+    return _assemble(spark, fs, schema, pcols, entries)
+
+
+def _assemble(
+    spark: SparkSession,
+    fs: FileSystem,
+    schema: T.StructType,
+    pcols: list[str],
+    entries: list[dict],
+    extra: dict[str, int] | None = None,
+) -> DataFrame:
+    """Live data-file entries → ONE parquet relation with identity
+    partition columns restored from the manifests' partition structs by a
+    single broadcast join keyed on file basename.  ``extra`` optionally
+    maps file_path → snapshot id, carried as ``_snapshot_id`` (the
+    incremental-read column)."""
+    out_cols = [F.col(f.name) for f in schema.fields]
+    if extra is not None:
+        out_cols.append(F.col("_snapshot_id"))
     if not entries:
+        if extra is not None:
+            schema = schema.add("_snapshot_id", T.LongType())
         return spark.createDataFrame([], schema)
     by_type = {f.name: f.dataType for f in schema.fields}
     phys = T.StructType([f for f in schema.fields if f.name not in pcols])
     files = [fs.spark_path(e["file_path"]) for e in entries]
     df = spark.read.schema(phys).parquet(*files)
-    if pcols:
+    if pcols or extra is not None:
         basenames = [posixpath.basename(e["file_path"]) for e in entries]
         if len(set(basenames)) != len(basenames):
             raise IcebergError("duplicate data-file basenames; cannot key partition map")
         map_schema = T.StructType(
             [T.StructField("__file", T.StringType())]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+            + (
+                [T.StructField("_snapshot_id", T.LongType())]
+                if extra is not None
+                else []
+            )
         )
         rows = [
             tuple(
@@ -395,6 +421,7 @@ def read_iceberg(
                     else str((e.get("partition") or {}).get(c))
                     for c in pcols
                 ]
+                + ([extra[e["file_path"]]] if extra is not None else [])
             )
             for e in entries
         ]
@@ -410,7 +437,76 @@ def read_iceberg(
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(
                 f"__pv_{c}"
             )
-    return df.select(*[F.col(f.name) for f in schema.fields])
+    return df.select(*out_cols)
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Rows ADDED by the snapshots after ``from_snapshot_id`` up to
+    ``to_snapshot_id`` (default HEAD), plus a ``_snapshot_id`` column —
+    the append-only incremental read (Iceberg's ``incremental append
+    scan``): each snapshot's NEW files are exactly the ADDED entries of
+    the manifests it added (``added_snapshot_id``), so a downstream job
+    remembers its last snapshot and reads O(new data).  Pass
+    ``from_snapshot_id=0`` for "since table creation".  A non-append
+    snapshot in the range raises :class:`IcebergUnsupported` (an
+    overwrite's delta is not representable as adds)."""
+    fs = get_filesystem(path)
+    meta, _v = _load_metadata(fs, path)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s.get("sequence-number", 0)
+    )
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if from_snapshot_id != 0 and from_snapshot_id not in by_id:
+        raise IcebergError(f"from snapshot {from_snapshot_id} does not exist")
+    end = (
+        by_id.get(to_snapshot_id)
+        if to_snapshot_id is not None
+        else _snapshot_of(meta, None)
+    )
+    if end is None:
+        raise IcebergError(f"to snapshot {to_snapshot_id} does not exist")
+    from_seq = (
+        by_id[from_snapshot_id].get("sequence-number", 0)
+        if from_snapshot_id != 0
+        else 0
+    )
+    schema = _schema_from_iceberg(_current_schema(meta))
+    spec = _current_spec(meta)
+    sch_by_id = {f["id"]: f["name"] for f in _current_schema(meta)["fields"]}
+    pcols = [sch_by_id[f["source-id"]] for f in spec]
+    window = [
+        s
+        for s in snaps
+        if from_seq < s.get("sequence-number", 0) <= end.get("sequence-number", 0)
+    ]
+    entries: list[dict] = []
+    extra: dict[str, int] = {}
+    for s in window:
+        if (s.get("summary") or {}).get("operation") != "append":
+            raise IcebergUnsupported(
+                f"snapshot {s['snapshot-id']} is "
+                f"{(s.get('summary') or {}).get('operation')!r}; append-only "
+                "change reads cannot represent overwrites/deletes"
+            )
+        _sc, _m, manifests = _read_avro(fs, s["manifest-list"])
+        for mf in manifests:
+            if _get(mf, "added_snapshot_id", default=-1) != s["snapshot-id"]:
+                continue  # carried forward from an earlier snapshot
+            _s2, _m2, mentries = _read_avro(fs, mf["manifest_path"])
+            for e in mentries:
+                if e.get("status") == 2:
+                    continue
+                d = e.get("data_file") or {}
+                if str(d.get("file_format", "")).upper() != "PARQUET":
+                    raise IcebergUnsupported("non-parquet data file")
+                entries.append(d)
+                extra[d["file_path"]] = s["snapshot-id"]
+    return _assemble(spark, fs, schema, pcols, entries, extra)
 
 
 def iceberg_history(path: str) -> list[dict]:

@@ -241,3 +241,35 @@ def test_txn_survives_checkpoint(spark, tmp_path):
     assert D.last_txn_version(tbl, "appX") == 7
     # resolution below the checkpoint still replays JSON alone
     assert D.read_delta(spark, tbl, version=0).count() == 4
+
+
+def test_read_delta_changes_incremental(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(30).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("k")
+    )
+    for r in (0, 1, 2):
+        D.write_delta(df.filter(F.col("id") % 3 == r), tbl, partition_by=["k"])
+    # full history of appends == the table; _commit_version labels each slice
+    ch = D.read_delta_changes(spark, tbl, -1)
+    assert ch.count() == 30
+    assert dict(
+        (r._commit_version, r.n)
+        for r in ch.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+    ) == {0: 10, 1: 10, 2: 10}
+    # a window: only the commits after v0
+    ch12 = D.read_delta_changes(spark, tbl, 0)
+    assert ch12.count() == 20
+    assert {r.id % 3 for r in ch12.collect()} == {1, 2}
+    # bounded end
+    ch1 = D.read_delta_changes(spark, tbl, 0, end_version=1)
+    assert ch1.count() == 10
+    # empty window yields the schema plus the CDF column
+    empty = D.read_delta_changes(spark, tbl, 2)
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+    # an overwrite in the range is not representable as appends
+    D.write_delta(df.limit(3), tbl, mode="overwrite")
+    with pytest.raises(D.DeltaUnsupported):
+        D.read_delta_changes(spark, tbl, 2)
+    # ...but windows before it still read fine
+    assert D.read_delta_changes(spark, tbl, 1, end_version=2).count() == 10

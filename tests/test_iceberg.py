@@ -294,3 +294,35 @@ def test_schema_type_round_trip():
 
     walk(ice)
     assert seen == set(range(1, last_id + 1))
+
+
+def test_read_iceberg_changes_incremental(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    sids = [
+        I.write_iceberg(
+            corpus.filter(F.col("doc_id") % 3 == r), tbl, partition_by=["source"]
+        )
+        for r in (0, 1, 2)
+    ]
+    # since creation: everything, labeled by snapshot — carried manifests
+    # must NOT double-count earlier snapshots' files
+    ch = I.read_iceberg_changes(spark, tbl, 0)
+    assert ch.count() == 60
+    per = dict(
+        (r._snapshot_id, r.n)
+        for r in ch.groupBy("_snapshot_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert per == {sids[0]: 20, sids[1]: 20, sids[2]: 20}
+    # a window after the first snapshot
+    ch2 = I.read_iceberg_changes(spark, tbl, sids[0])
+    assert ch2.count() == 40 and {r._snapshot_id for r in ch2.collect()} == set(sids[1:])
+    # bounded end
+    assert I.read_iceberg_changes(spark, tbl, sids[0], to_snapshot_id=sids[1]).count() == 20
+    # empty window
+    empty = I.read_iceberg_changes(spark, tbl, sids[2])
+    assert empty.count() == 0 and "_snapshot_id" in empty.columns
+    # an overwrite in the range raises; a window before it still works
+    I.write_iceberg(corpus.limit(4), tbl, mode="overwrite")
+    with pytest.raises(I.IcebergUnsupported):
+        I.read_iceberg_changes(spark, tbl, sids[2])
+    assert I.read_iceberg_changes(spark, tbl, sids[1], to_snapshot_id=sids[2]).count() == 20
