@@ -213,3 +213,73 @@ def q160(spark, sf_dir):
         return d.join(i, "source").orderBy("source").localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _q161_oracle():
+    # identical semantics to q100: the probe corpus/batch construction and
+    # the one-witness fingerprint-equality verdict — only the TRANSPORT
+    # differs (rows arrive through Delta commits instead of direct frames)
+    from gofeed_spark.queries.registry import ORACLES
+
+    return ORACLES["q100_incremental_dedup"]
+
+
+@query("q161_table_fed_dedup", oracle=_q161_oracle())
+def q161(spark, sf_dir):
+    """CHANGE-FED INCREMENTAL DEDUP — the q100 probe driven end-to-end
+    from an open table format, composing this round's pieces into the
+    production shape: another engine keeps APPENDING crawl batches to a
+    Delta table; the curation pipeline remembers the last version it
+    processed and each tick reads ONLY the new rows
+    (``read_delta_changes``), probing them against the persisted MinHash
+    index without ever rescanning or re-shuffling either the standing
+    corpus or the table.  Here: commit 0 lands the standing corpus (90%
+    of docs), commit 1 lands the incoming batch (every 10th doc, every
+    20th a planted clone); the index builds from the v0 window, the
+    probe consumes the (0, HEAD] window, and the verdicts hash-match
+    q100's oracle exactly — proving the table transport changes nothing
+    about dedup semantics.  At 100 TB each tick's cost is O(batch +
+    collisions): the change read lists the new commit's files only, the
+    probe broadcasts batch bands against index scans."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.operators import dedup
+    from gofeed_spark.sources import delta as D
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    src = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("src_text")
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .join(src, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 20 == 0) & F.col("src_text").isNotNull(),
+                F.col("src_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q161_")
+    tbl, idx = f"{work}/landing", f"{work}/mh_index"
+    try:
+        D.write_delta(corpus, tbl)      # v0: the standing corpus
+        D.write_delta(batch, tbl)       # v1: the incoming crawl batch
+        standing = D.read_delta_changes(spark, tbl, -1, end_version=0).select(
+            "doc_id", "text"
+        )
+        dedup.build_minhash_index(standing, idx, num_hashes=64, bands=16, k=5)
+        incoming = D.read_delta_changes(spark, tbl, 0).select("doc_id", "text")
+        out = dedup.probe_minhash_index(spark, idx, incoming, threshold=1.0)
+        return (
+            out.select("new_id", "dup_of")
+            .orderBy("new_id", "dup_of")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

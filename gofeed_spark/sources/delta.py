@@ -636,6 +636,140 @@ def checkpoint_delta(path: str) -> int:
     return snap.version
 
 
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Bin-packing compaction (the OPTIMIZE table-lifecycle op): within
+    each partition whose live file count is at least ``min_files``, rewrite
+    the small files into ``ceil(total_bytes / target_file_bytes)`` packed
+    files, committed as ``remove`` + ``add`` actions with
+    ``dataChange=false`` — so the commit is invisible to
+    :func:`read_delta_changes` (an incremental consumer skips it instead
+    of re-reading rewritten rows) and snapshot contents are unchanged.
+    Streaming appends produce one file per micro-batch per partition;
+    without periodic OPTIMIZE a long-lived landing table's read cost is
+    dominated by per-file open overhead (the same economics as
+    ``sources/io.py compact``, expressed in the public log format).
+    Returns {"version", "rewritten", "packed", "partitions"}; a no-op
+    (nothing to pack) makes no commit and returns version -1.
+
+    Partition groups rewrite through Spark reads (the distributed path);
+    time travel to pre-OPTIMIZE versions keeps working until the removed
+    files are vacuumed past the retention horizon."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    snap = _snapshot(fs, path)
+    pcols = snap.partition_columns
+    schema = snap.schema
+    phys = T.StructType([f for f in schema.fields if f.name not in pcols])
+
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for rel, add in snap.adds.items():
+        key = tuple(
+            (add.get("partitionValues") or {}).get(c) for c in pcols
+        )
+        groups.setdefault(key, []).append((rel, add))
+
+    token = uuid.uuid4().hex
+    removes: list[dict] = []
+    adds: list[dict] = []
+    ordinal = 0
+    n_parts = 0
+    for key, members in sorted(groups.items()):
+        if len(members) < min_files:
+            continue
+        total = sum(a.get("size", 0) for _r, a in members)
+        n_out = max(1, -(-total // target_file_bytes))
+        if n_out >= len(members):
+            continue  # already at or under the packed count
+        n_parts += 1
+        files = [fs.spark_path(fs.join(path, rel)) for rel, _a in members]
+        part_dir = ""
+        if pcols:
+            segs = []
+            for c, v in zip(pcols, key):
+                segs.append(
+                    f"{c}={_NULL_PARTITION if v is None else urllib.parse.quote(v)}"
+                )
+            part_dir = "/".join(segs) + "/"
+        staging = f"{path}_delta_optimize_{token}_{n_parts}"
+        (
+            spark.read.schema(phys)
+            .parquet(*files)
+            .coalesce(n_out)
+            .write.mode("overwrite")
+            .parquet(fs.spark_path(staging))
+        )
+        for rel, _size in fs.walk_files(staging):
+            base = rel.rsplit("/", 1)[-1]
+            if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+                continue
+            new_rel = f"{part_dir}part-{ordinal:05d}-{token}.opt.parquet"
+            src, dst = fs.join(staging, rel), fs.join(path, new_rel)
+            if fs.supports_rename():
+                fs.makedirs(posixpath.dirname(dst))
+                fs.rename(src, dst)
+            else:
+                fs.put_bytes(dst, fs.read_bytes(src))
+            stat = fs.stat(dst)
+            adds.append(
+                {
+                    "path": urllib.parse.quote(new_rel),
+                    "partitionValues": dict(zip(pcols, key)),
+                    "size": stat[0] if stat else 0,
+                    "modificationTime": (stat[1] // 1_000_000) if stat else 0,
+                    "dataChange": False,
+                }
+            )
+            ordinal += 1
+        fs.delete_tree(staging)
+        for rel, add in members:
+            removes.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "dataChange": False,
+                        "partitionValues": add.get("partitionValues") or {},
+                    }
+                }
+            )
+
+    if not adds:
+        return {"version": -1, "rewritten": 0, "packed": 0, "partitions": 0}
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetFileBytes": target_file_bytes,
+                    "minFiles": min_files,
+                },
+                "engineInfo": "gofeed_spark-delta/0.1",
+            }
+        }
+    ]
+    actions.extend(removes)
+    actions.extend({"add": a} for a in adds)
+    version = snap.version + 1
+    log = _log_dir(path)
+    commit_path = fs.join(log, _commit_name(version))
+    if fs.exists(commit_path):
+        raise DeltaConcurrentWrite(f"version {version} already committed at {path}")
+    fs.put_bytes(
+        commit_path,
+        ("\n".join(json.dumps(a) for a in actions) + "\n").encode("utf-8"),
+    )
+    return {
+        "version": version,
+        "rewritten": len(removes),
+        "packed": len(adds),
+        "partitions": n_parts,
+    }
+
+
 def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
     """Delete data files no snapshot-at-HEAD references (tombstoned by
     ``remove`` or orphaned by a crashed stage); returns the relative paths

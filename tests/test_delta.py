@@ -273,3 +273,38 @@ def test_read_delta_changes_incremental(spark, tmp_path):
         D.read_delta_changes(spark, tbl, 2)
     # ...but windows before it still read fine
     assert D.read_delta_changes(spark, tbl, 1, end_version=2).count() == 10
+
+
+def test_optimize_packs_without_changing_contents(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("k")
+    )
+    for r in range(4):  # 4 appends -> 4 files per partition
+        D.write_delta(
+            df.filter(F.col("id") % 4 == r).coalesce(1), tbl, partition_by=["k"]
+        )
+    # residues 0/2 land in k=0, 1/3 in k=1: two files per partition
+    before = D._snapshot(D.get_filesystem(tbl), tbl)
+    assert len(before.adds) == 4
+    report = D.optimize_delta(spark, tbl, target_file_bytes=1 << 30)
+    assert report["rewritten"] == 4 and report["partitions"] == 2
+    after = D._snapshot(D.get_filesystem(tbl), tbl)
+    assert len(after.adds) == 2  # one packed file per partition
+    got = {(r.id, r.k) for r in D.read_delta(spark, tbl).collect()}
+    assert got == {(i, str(i % 2)) for i in range(40)}
+    # time travel to pre-OPTIMIZE still resolves the old file set
+    assert D.read_delta(spark, tbl, version=report["version"] - 1).count() == 40
+    # dataChange=false: invisible to incremental consumers — a changes
+    # window across the OPTIMIZE sees the appends once and nothing else
+    ch = D.read_delta_changes(spark, tbl, 1)
+    assert ch.count() == 20
+    assert {r._commit_version for r in ch.collect()} == {2, 3}
+    # idempotent: already packed -> no-op, no commit
+    again = D.optimize_delta(spark, tbl, target_file_bytes=1 << 30)
+    assert again == {"version": -1, "rewritten": 0, "packed": 0, "partitions": 0}
+    assert D.latest_version(tbl) == report["version"]
+    # vacuum reclaims the rewritten originals
+    victims = D.vacuum_delta(tbl)
+    assert len(victims) == 4
+    assert D.read_delta(spark, tbl).count() == 40
