@@ -625,11 +625,36 @@ def _hive_partition_value(rel: str, col: str) -> str | None:
     raise IcebergError(f"staged file {rel!r} lacks partition dir for {col!r}")
 
 
+def last_summary_version(path: str, app_id: str) -> int:
+    """Highest committed batch version recorded in snapshot summaries for
+    ``app_id`` (-1 when the app never committed) — Iceberg's
+    streaming-idempotency handshake: the format has no Delta-style txn
+    action, so engines (Spark's own Iceberg sink included) stamp the
+    snapshot SUMMARY with the writer's identity + batch id and scan
+    snapshots on restart.  Summaries ride the metadata JSON, so this is
+    one GET."""
+    fs = get_filesystem(path)
+    try:
+        meta, _v = _load_metadata(fs, path)
+    except IcebergError:
+        return -1
+    best = -1
+    for s in meta.get("snapshots") or []:
+        summ = s.get("summary") or {}
+        if summ.get("app-id") == app_id and "batch-id" in summ:
+            try:
+                best = max(best, int(summ["batch-id"]))
+            except (TypeError, ValueError):
+                continue
+    return best
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    summary_extra: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg table at ``path``; returns the new
     snapshot id.  ``mode='append'`` carries the prior snapshot's manifests
@@ -861,6 +886,8 @@ def write_iceberg(
         "sequence-number": seq,
         "timestamp-ms": seq,
         "summary": {
+            **{str(k): str(v) for k, v in (summary_extra or {}).items()},
+            # reserved keys win over summary_extra collisions
             "operation": "append" if mode == "append" else "overwrite",
             "engine-info": "gofeed_spark-iceberg/0.1",
         },

@@ -539,3 +539,48 @@ class DeltaAppendSink:
         from gofeed_spark.sources import delta as D
 
         return D.read_delta(spark, self.path)
+
+
+class IcebergAppendSink:
+    """foreachBatch callable: exactly-once APPEND into a PUBLIC Iceberg
+    table — the Iceberg twin of :class:`DeltaAppendSink`.  Iceberg has no
+    Delta-style ``txn`` action; the format's idempotency convention (used
+    by engines' own streaming sinks) is to stamp the snapshot SUMMARY
+    with the writer's identity and batch id and scan snapshot summaries
+    on restart (``sources/iceberg.last_summary_version``) — summaries
+    ride the metadata JSON, so the watermark probe is one GET.  Same
+    re-delivery skip, same per-``app_id`` scoping for fresh checkpoints."""
+
+    def __init__(
+        self,
+        path: str,
+        app_id: str,
+        partition_by: list[str] | None = None,
+    ):
+        self.path = path
+        self.app_id = app_id
+        self.partition_by = partition_by
+        self._floor: int | None = None
+        self.last_skipped: int | None = None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from gofeed_spark.sources import iceberg as I
+
+        if self._floor is None:
+            self._floor = I.last_summary_version(self.path, self.app_id)
+        if batch_id <= self._floor:
+            self.last_skipped = batch_id
+            return
+        I.write_iceberg(
+            batch_df,
+            self.path,
+            mode="append",
+            partition_by=self.partition_by,
+            summary_extra={"app-id": self.app_id, "batch-id": int(batch_id)},
+        )
+        self._floor = int(batch_id)
+
+    def read(self, spark) -> DataFrame:
+        from gofeed_spark.sources import iceberg as I
+
+        return I.read_iceberg(spark, self.path)

@@ -326,3 +326,32 @@ def test_read_iceberg_changes_incremental(spark, corpus, tmp_path):
     with pytest.raises(I.IcebergUnsupported):
         I.read_iceberg_changes(spark, tbl, sids[2])
     assert I.read_iceberg_changes(spark, tbl, sids[1], to_snapshot_id=sids[2]).count() == 20
+
+
+def test_summary_watermark_and_append_sink(spark, corpus, tmp_path):
+    from gofeed_spark.streaming.sinks import IcebergAppendSink
+
+    tbl = str(tmp_path / "tbl")
+    df = corpus.limit(10)
+    assert I.last_summary_version(tbl, "appA") == -1  # no table yet
+    sink = IcebergAppendSink(tbl, app_id="appA", partition_by=["source"])
+    sink(df, 0)
+    sink(df, 1)
+    assert I.read_iceberg(spark, tbl).count() == 20
+    assert I.last_summary_version(tbl, "appA") == 1
+    # re-delivery skipped, by this instance and by a fresh one
+    sink(df, 1)
+    assert sink.last_skipped == 1
+    sink2 = IcebergAppendSink(tbl, app_id="appA", partition_by=["source"])
+    sink2(df, 1)
+    assert sink2.last_skipped == 1
+    sink2(df, 2)
+    assert I.read_iceberg(spark, tbl).count() == 30
+    # per-app scoping: a new stream with a new app restarts at 0 safely
+    sink_b = IcebergAppendSink(tbl, app_id="appB", partition_by=["source"])
+    sink_b(df, 0)
+    assert I.read_iceberg(spark, tbl).count() == 40
+    assert I.last_summary_version(tbl, "appB") == 0
+    # reserved summary keys cannot be clobbered
+    ops = {h["operation"] for h in I.iceberg_history(tbl)}
+    assert ops == {"append"}
