@@ -424,3 +424,165 @@ def q159(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q162_streaming_iceberg_sink",
+    oracle=r"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS total_words,
+       CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_batches_seen
+FROM documents
+GROUP BY source ORDER BY source
+""",
+)
+def q162(spark, sf_dir):
+    """STREAMING INGEST INTO A PUBLIC ICEBERG TABLE — q159's discipline
+    on the second open format (fifth oracle-paired streaming query):
+    three staged micro-batches append through ``IcebergAppendSink``,
+    each snapshot SUMMARY stamped with (app-id, batch-id) — the format's
+    own idempotency convention, recovered by ``last_summary_version`` in
+    one metadata GET — then the landing table is read back through the
+    metadata tree (manifest lists → Avro manifests → parquet) and
+    aggregated per source; distinct residue classes prove all three
+    commits landed exactly once.  Any Iceberg deployment can read the
+    result."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.catalog import load_table
+    from gofeed_spark.sources import iceberg as I
+    from gofeed_spark.streaming.sinks import IcebergAppendSink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q162_")
+    landing, ckpt, tbl = f"{work}/landing", f"{work}/ckpt", f"{work}/tbl"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for residue in (0, 1, 2):
+            (
+                docs.filter(F.col("doc_id") % 3 == residue)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(landing)
+            )
+        sink = IcebergAppendSink(tbl, app_id="q162", partition_by=["source"])
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .withColumn(
+                "n_words", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+            )
+            .withColumn("residue", F.pmod("doc_id", F.lit(3)).cast("int"))
+            .select("doc_id", "source", "n_words", "residue")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        _await_drained(q, 180)
+        return (
+            I.read_iceberg(spark, tbl)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_words").cast("long").alias("total_words"),
+                F.countDistinct("residue").cast("long").alias("n_batches_seen"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q163_streaming_from_delta",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_versions
+FROM documents
+GROUP BY source ORDER BY source
+""",
+)
+def q163(spark, sf_dir):
+    """STREAM **FROM** A DELTA TABLE — the read half of the table-interop
+    streaming story (q159/q162 land streams INTO the formats; here a
+    table some other engine keeps appending to is consumed AS a stream):
+    three partitioned commits land first, then the ``delta_feed`` Python
+    DataSource (offsets = table VERSIONS, one InputPartition per data
+    file, executor-side Arrow reads — the driver never materializes
+    rows) delivers exactly each commit's added rows labeled with
+    ``_commit_version``; a streaming aggregation per (source, version)
+    drains through the idempotent upsert sink, and the final per-source
+    rollup — including the distinct-version count, which a lost or
+    double-delivered commit would break — hash-matches the batch oracle.
+    The sixth oracle-paired streaming query."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.catalog import load_table
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources.delta_stream import read_delta_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q163_")
+    tbl, ckpt, out = f"{work}/tbl", f"{work}/ckpt", f"{work}/sink"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for residue in (0, 1, 2):
+            D.write_delta(
+                docs.filter(F.col("doc_id") % 3 == residue),
+                tbl,
+                partition_by=["source"],
+            )
+        agg = (
+            read_delta_stream(spark, tbl)
+            .groupBy("source", "_commit_version")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+            )
+            .withColumn(
+                "grp",
+                F.concat_ws("#", "source", F.col("_commit_version").cast("string")),
+            )
+        )
+        sink = ParquetUpsertSink(out, key="grp")
+        q = (
+            agg.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        _await_drained(q, 180)
+        return (
+            sink.read(spark)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("chars_total").cast("long").alias("chars_total"),
+                F.count(F.lit(1)).cast("long").alias("n_versions"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,218 @@
+"""Streaming source over a PUBLIC Delta table — the "stream FROM a
+table" half of the interop story (sources/delta.py writes and
+DeltaAppendSink lands streams INTO the format; this reads a table some
+other engine keeps appending to AS a stream).
+
+Offsets are table VERSIONS: each micro-batch delivers exactly the rows
+the commits in ``(start_version, end_version]`` added — the same
+append-only change-feed contract as :func:`delta.read_delta_changes`
+(a data-changing remove in a window fails the batch loudly; updates
+need real CDC files).  Because version ranges are deterministic and the
+log is immutable, ``partitions()`` is replayable: checkpoint recovery
+re-reads the same files for the same offset window (exactly-once with
+an idempotent sink).
+
+Scale posture: this is a FULL ``DataSourceStreamReader`` (not the
+driver-side Simple form feed_cdc uses for metadata-sized feed state) —
+``partitions()`` enumerates one InputPartition per data FILE from the
+log alone (driver cost O(new files)), and ``read()`` scans its one file
+ON AN EXECUTOR via Arrow, restoring identity partition values and the
+``_commit_version`` label from the partition descriptor.  Per-batch
+work therefore distributes across the cluster like any parquet scan;
+the driver never materializes rows.  (Rows cross the Python DataSource
+boundary tuple-wise — the Spark 4 contract; at deployment scale the
+JVM Delta source is the faster data plane, this is its pure-Python
+twin with the same offset semantics.)
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from gofeed_spark.sources.delta import (
+    DeltaError,
+    DeltaUnsupported,
+    _list_log,
+    _log_dir,
+    _read_actions,
+    _snapshot,
+)
+
+
+class DeltaFilePartition(InputPartition):
+    def __init__(self, file_path: str, pvals: list, version: int):
+        self.file_path = file_path  # absolute (scheme-qualified) path
+        self.pvals = pvals          # partition-column values, declared order
+        self.version = version
+
+
+def _table_schema_ddl(path: str) -> tuple[str, list[str], list[str]]:
+    """(DDL string incl. _commit_version, partition cols, physical cols)
+    from the table's current metaData."""
+    from gofeed_spark.fs import get_filesystem
+
+    snap = _snapshot(get_filesystem(path), path)
+    schema = snap.schema
+    pcols = snap.partition_columns
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    phys = [f.name for f in schema.fields if f.name not in pcols]
+    return ddl + ", _commit_version long", pcols, phys
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_feed requires option 'path'")
+        self.starting = int(options.get("starting_version", -1))
+        # resolved once, driver-side; partition fields in declared order
+        from gofeed_spark.fs import get_filesystem
+
+        self.fs = get_filesystem(self.path)
+        snap = _snapshot(self.fs, self.path)
+        self.pcols = snap.partition_columns
+        self.types = {
+            f.name: f.dataType.simpleString() for f in snap.schema.fields
+        }
+        self.phys = [
+            f.name for f in snap.schema.fields if f.name not in self.pcols
+        ]
+        self.col_order = [f.name for f in snap.schema.fields]
+
+    # -- offsets ------------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        commits, checkpoints = _list_log(self.fs, _log_dir(self.path))
+        if not commits and not checkpoints:
+            raise DeltaError(f"not a Delta table: {self.path}")
+        return {"version": max(commits + checkpoints)}
+
+    # -- planning (driver, O(new files)) --------------------------------------
+    def partitions(self, start: dict, end: dict):
+        import posixpath
+        import urllib.parse
+
+        lo, hi = int(start["version"]), int(end["version"])
+        log = _log_dir(self.path)
+        commits, _cps = _list_log(self.fs, log)
+        parts: list[DeltaFilePartition] = []
+        for v in range(lo + 1, hi + 1):
+            if v not in commits:
+                raise DeltaError(
+                    f"commit {v} missing from the log; cannot stream changes"
+                )
+            for action in _read_actions(self.fs, log, v):
+                if "add" in action and action["add"].get("dataChange", True):
+                    add = action["add"]
+                    rel = urllib.parse.unquote(add["path"])
+                    pv = add.get("partitionValues") or {}
+                    parts.append(
+                        DeltaFilePartition(
+                            self.fs.spark_path(
+                                self.fs.join(self.path.rstrip("/"), rel)
+                            ),
+                            [pv.get(c) for c in self.pcols],
+                            v,
+                        )
+                    )
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    raise DeltaUnsupported(
+                        f"commit {v} removes data; the append-only stream "
+                        "cannot represent updates/deletes"
+                    )
+        # posixpath import kept local above for the executor pickle
+        return parts
+
+    # -- data plane (executor, one file per task) ------------------------------
+    def read(self, partition: DeltaFilePartition):
+        import pyarrow.parquet as pq
+
+        from gofeed_spark.fs import get_filesystem
+
+        sp = partition.file_path
+        if "://" in sp:
+            import io as _io
+
+            table = pq.read_table(
+                _io.BytesIO(get_filesystem(sp).read_bytes(sp)),
+                columns=self.phys,
+            )
+        else:
+            table = pq.read_table(sp, columns=self.phys)
+        cols = {name: table.column(name).to_pylist() for name in self.phys}
+        pvals = {}
+        for c, raw in zip(self.pcols, partition.pvals):
+            t = self.types[c]
+            if raw is None:
+                pvals[c] = None
+            elif t in ("int", "bigint", "smallint", "tinyint"):
+                pvals[c] = int(raw)
+            elif t in ("double", "float"):
+                pvals[c] = float(raw)
+            elif t == "boolean":
+                pvals[c] = raw == "true"
+            elif t == "string":
+                pvals[c] = raw
+            else:
+                raise DeltaUnsupported(
+                    f"partition column {c!r} of type {t!r} in the stream"
+                )
+        n = table.num_rows
+        order = self.col_order
+        for i in range(n):
+            yield tuple(
+                (cols[c][i] if c in cols else pvals[c]) for c in order
+            ) + (partition.version,)
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is immutable; nothing to release
+
+
+class DeltaFeedDataSource(DataSource):
+    """``spark.readStream.format("delta_feed").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_feed"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_feed requires option 'path'")
+        ddl, _p, _ph = _table_schema_ddl(path)
+        return ddl
+
+    def streamReader(self, schema):
+        return DeltaStreamReader(self.options)
+
+
+def register_delta_feed(spark) -> None:
+    """Idempotent registration (the register_feed_cdc convention)."""
+    try:
+        spark.dataSource.register(DeltaFeedDataSource)
+    except Exception as exc:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
+
+
+def read_delta_stream(spark, path: str, starting_version: int = -1):
+    """Convenience: register + open the stream over a Delta table."""
+    register_delta_feed(spark)
+    return (
+        spark.readStream.format("delta_feed")
+        .option("path", path)
+        .option("starting_version", str(starting_version))
+        .load()
+    )

@@ -308,3 +308,62 @@ def test_optimize_packs_without_changing_contents(spark, tmp_path):
     victims = D.vacuum_delta(tbl)
     assert len(victims) == 4
     assert D.read_delta(spark, tbl).count() == 40
+
+
+# --- the delta_feed streaming source ---------------------------------------------
+
+
+def test_delta_stream_delivers_commits_and_restarts(spark, tmp_path):
+    from gofeed_spark.sources.delta_stream import read_delta_stream
+
+    tbl = str(tmp_path / "tbl")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    df = spark.range(30).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("k")
+    )
+    for r in (0, 1, 2):
+        D.write_delta(df.filter(F.col("id") % 3 == r), tbl, partition_by=["k"])
+    s = read_delta_stream(spark, tbl)
+    assert s.schema.simpleString() == "struct<id:bigint,k:string,_commit_version:bigint>"
+
+    def drain():
+        q = (
+            s.writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    # every commit delivered once, partition column restored from the log
+    per = {(r.k, r._commit_version) for r in back.collect() if r.id < 3}
+    assert per == {("0", 0), ("1", 1), ("2", 2)}
+    # a restart delivers ONLY the new commit (offset = version watermark)
+    D.write_delta(
+        df.limit(5).select(F.col("id") + 100, F.lit("9").alias("k")).toDF("id", "k"),
+        tbl, partition_by=["k"],
+    )
+    drain()
+    assert spark.read.parquet(out).count() == 35
+
+
+def test_delta_stream_refuses_data_changing_removes(spark, tmp_path):
+    from gofeed_spark.sources.delta_stream import read_delta_stream
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(10).select(F.col("id"))
+    D.write_delta(df, tbl)
+    D.write_delta(df.limit(2), tbl, mode="overwrite")
+    s = read_delta_stream(spark, tbl)
+    q = (
+        s.writeStream.outputMode("append")
+        .format("parquet").option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(120)
+    assert "append-only stream" in str(exc.value)
