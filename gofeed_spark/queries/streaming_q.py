@@ -586,3 +586,85 @@ def q163(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q164_streaming_from_iceberg",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_snaps
+FROM documents
+GROUP BY source ORDER BY source
+""",
+)
+def q164(spark, sf_dir):
+    """STREAM **FROM** AN ICEBERG TABLE — completes the 2×2 table-interop
+    streaming matrix (into-Delta q159, into-Iceberg q162, from-Delta
+    q163, from-Iceberg here; seventh oracle-paired streaming query):
+    offsets are snapshot SEQUENCE NUMBERS, each micro-batch is the
+    incremental append scan of its window (added manifests only —
+    carried manifests never double-deliver), per-file executor Arrow
+    reads with typed identity partition values from the manifest
+    records; the per-(source, snapshot) aggregation drains through the
+    idempotent sink and the per-source rollup (distinct snapshot count
+    included) hash-matches the batch oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.catalog import load_table
+    from gofeed_spark.sources import iceberg as I
+    from gofeed_spark.sources.iceberg_stream import read_iceberg_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q164_")
+    tbl, ckpt, out = f"{work}/tbl", f"{work}/ckpt", f"{work}/sink"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for residue in (0, 1, 2):
+            I.write_iceberg(
+                docs.filter(F.col("doc_id") % 3 == residue),
+                tbl,
+                partition_by=["source"],
+            )
+        agg = (
+            read_iceberg_stream(spark, tbl)
+            .groupBy("source", "_snapshot_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+            )
+            .withColumn(
+                "grp",
+                F.concat_ws("#", "source", F.col("_snapshot_id").cast("string")),
+            )
+        )
+        sink = ParquetUpsertSink(out, key="grp")
+        q = (
+            agg.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        _await_drained(q, 180)
+        return (
+            sink.read(spark)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("chars_total").cast("long").alias("chars_total"),
+                F.count(F.lit(1)).cast("long").alias("n_snaps"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,183 @@
+"""Streaming source over a PUBLIC Iceberg table — completes the 2×2
+table-interop streaming matrix (q159 stream INTO Delta, q162 INTO
+Iceberg, q163 FROM Delta, this one FROM Iceberg).
+
+Offsets are snapshot SEQUENCE NUMBERS: each micro-batch delivers the
+rows added by the snapshots in ``(start_seq, end_seq]`` — Iceberg's
+incremental append scan as a Structured Streaming source.  A snapshot's
+new files are exactly the ADDED entries of the manifests it added
+(``added_snapshot_id``), so planning is O(new files) off the metadata
+tree; carried-forward manifests never double-deliver.  Non-append
+snapshots in a window fail the batch loudly (the read_iceberg_changes
+contract).  The log is immutable and windows are deterministic, so
+checkpoint recovery replays identical batches (exactly-once with an
+idempotent sink).
+
+Same scale posture as ``delta_stream``: full ``DataSourceStreamReader``,
+one InputPartition per data file, executor-side Arrow reads; identity
+partition values come ALREADY TYPED from the manifest's partition
+record.  Rows carry a ``_snapshot_id`` label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from gofeed_spark.sources.iceberg import (
+    IcebergError,
+    IcebergUnsupported,
+    _current_schema,
+    _current_spec,
+    _get,
+    _load_metadata,
+    _read_avro,
+    _schema_from_iceberg,
+)
+
+
+class IcebergFilePartition(InputPartition):
+    def __init__(self, file_path: str, pvals: list, snapshot_id: int):
+        self.file_path = file_path
+        self.pvals = pvals  # typed identity values, declared order
+        self.snapshot_id = snapshot_id
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("iceberg_feed requires option 'path'")
+        self.starting_seq = int(options.get("starting_seq", 0))
+        from gofeed_spark.fs import get_filesystem
+
+        self.fs = get_filesystem(self.path)
+        meta, _v = _load_metadata(self.fs, self.path)
+        ice = _current_schema(meta)
+        schema = _schema_from_iceberg(ice)
+        spec = _current_spec(meta)
+        if any(f.get("transform") != "identity" for f in spec):
+            raise IcebergUnsupported("non-identity partition transforms")
+        by_id = {f["id"]: f["name"] for f in ice["fields"]}
+        self.pcols = [by_id[f["source-id"]] for f in spec]
+        self.phys = [f.name for f in schema.fields if f.name not in self.pcols]
+        self.col_order = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"seq": self.starting_seq}
+
+    def latestOffset(self) -> dict:
+        meta, _v = _load_metadata(self.fs, self.path)
+        return {"seq": int(meta.get("last-sequence-number", 0))}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["seq"]), int(end["seq"])
+        meta, _v = _load_metadata(self.fs, self.path)
+        window = sorted(
+            (
+                s
+                for s in meta.get("snapshots") or []
+                if lo < s.get("sequence-number", 0) <= hi
+            ),
+            key=lambda s: s.get("sequence-number", 0),
+        )
+        parts: list[IcebergFilePartition] = []
+        for s in window:
+            if (s.get("summary") or {}).get("operation") != "append":
+                raise IcebergUnsupported(
+                    f"snapshot {s['snapshot-id']} is "
+                    f"{(s.get('summary') or {}).get('operation')!r}; the "
+                    "append-only stream cannot represent overwrites/deletes"
+                )
+            _sc, _m, manifests = _read_avro(self.fs, s["manifest-list"])
+            for mf in manifests:
+                if _get(mf, "added_snapshot_id", default=-1) != s["snapshot-id"]:
+                    continue
+                _s2, _m2, entries = _read_avro(self.fs, mf["manifest_path"])
+                for e in entries:
+                    if e.get("status") == 2:
+                        continue
+                    d = e.get("data_file") or {}
+                    if str(d.get("file_format", "")).upper() != "PARQUET":
+                        raise IcebergUnsupported("non-parquet data file")
+                    pv = d.get("partition") or {}
+                    parts.append(
+                        IcebergFilePartition(
+                            self.fs.spark_path(d["file_path"]),
+                            [pv.get(c) for c in self.pcols],
+                            s["snapshot-id"],
+                        )
+                    )
+        return parts
+
+    def read(self, partition: IcebergFilePartition):
+        import pyarrow.parquet as pq
+
+        from gofeed_spark.fs import get_filesystem
+
+        sp = partition.file_path
+        if "://" in sp:
+            import io as _io
+
+            table = pq.read_table(
+                _io.BytesIO(get_filesystem(sp).read_bytes(sp)),
+                columns=self.phys,
+            )
+        else:
+            table = pq.read_table(sp, columns=self.phys)
+        cols = {name: table.column(name).to_pylist() for name in self.phys}
+        pvals = dict(zip(self.pcols, partition.pvals))
+        order = self.col_order
+        for i in range(table.num_rows):
+            yield tuple(
+                (cols[c][i] if c in cols else pvals[c]) for c in order
+            ) + (partition.snapshot_id,)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergFeedDataSource(DataSource):
+    """``spark.readStream.format("iceberg_feed").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_feed"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("iceberg_feed requires option 'path'")
+        from gofeed_spark.fs import get_filesystem
+
+        meta, _v = _load_metadata(get_filesystem(path), path)
+        schema = _schema_from_iceberg(_current_schema(meta))
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        return ddl + ", _snapshot_id long"
+
+    def streamReader(self, schema):
+        return IcebergStreamReader(self.options)
+
+
+def register_iceberg_feed(spark) -> None:
+    try:
+        spark.dataSource.register(IcebergFeedDataSource)
+    except Exception as exc:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
+
+
+def read_iceberg_stream(spark, path: str, starting_seq: int = 0):
+    """Convenience: register + open the stream over an Iceberg table."""
+    register_iceberg_feed(spark)
+    return (
+        spark.readStream.format("iceberg_feed")
+        .option("path", path)
+        .option("starting_seq", str(starting_seq))
+        .load()
+    )

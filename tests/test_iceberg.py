@@ -355,3 +355,64 @@ def test_summary_watermark_and_append_sink(spark, corpus, tmp_path):
     # reserved summary keys cannot be clobbered
     ops = {h["operation"] for h in I.iceberg_history(tbl)}
     assert ops == {"append"}
+
+
+def test_iceberg_stream_delivers_snapshots_and_restarts(spark, corpus, tmp_path):
+    from gofeed_spark.sources.iceberg_stream import read_iceberg_stream
+
+    tbl = str(tmp_path / "tbl")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    for r in (0, 1, 2):
+        I.write_iceberg(
+            corpus.filter(F.col("doc_id") % 3 == r), tbl, partition_by=["source"]
+        )
+    s = read_iceberg_stream(spark, tbl)
+    assert "_snapshot_id" in s.schema.simpleString()
+
+    def drain():
+        q = (
+            s.writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    back = spark.read.parquet(out)
+    assert back.count() == 60
+    per = dict(
+        (r._snapshot_id, r.n)
+        for r in back.groupBy("_snapshot_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert per == {1: 20, 2: 20, 3: 20}  # carried manifests never re-deliver
+    # typed partition value restored from the manifest record
+    assert {r.source for r in back.limit(5).collect()} <= {"s0", "s1", "s2"}
+    # restart delivers ONLY new snapshots
+    I.write_iceberg(
+        corpus.limit(5).select(
+            (F.col("doc_id") + 100).alias("doc_id"),
+            F.lit("s9").alias("source"), F.col("n"),
+        ),
+        tbl, partition_by=["source"],
+    )
+    drain()
+    assert spark.read.parquet(out).count() == 65
+
+
+def test_iceberg_stream_refuses_overwrite_window(spark, corpus, tmp_path):
+    from gofeed_spark.sources.iceberg_stream import read_iceberg_stream
+
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl)
+    I.write_iceberg(corpus.limit(2), tbl, mode="overwrite")
+    s = read_iceberg_stream(spark, tbl)
+    q = (
+        s.writeStream.outputMode("append")
+        .format("parquet").option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(120)
+    assert "append-only stream" in str(exc.value)
