@@ -283,3 +283,73 @@ def q161(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q165_schema_evolution",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_chars,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+         AS chars_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_ice,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+         AS chars_sum_ice
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q165(spark, sf_dir):
+    """ADDITIVE SCHEMA EVOLUTION on both open formats — the first
+    deployment question after basic read/write: a table created WITHOUT
+    a column accretes a commit that brings it (evolve_schema=True; the
+    mergeSchema shape).  Delta re-emits the metaData action with the
+    widened schema (appended columns forced nullable — old files read
+    them as NULL); Iceberg appends a NEW schema object with a new
+    schema-id and fresh field ids while existing ids stay stable (the
+    spec's evolution form).  Per source the output proves (a) every row
+    from both eras is present, (b) exactly the post-evolution rows carry
+    values, and (c) the values survived — on BOTH formats in one
+    hash-checked result.  Pre-evolution time travel keeps the narrow
+    schema (pinned in tests)."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents")
+    narrow = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    wide = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q165_")
+    dt, it = f"{work}/delta", f"{work}/ice"
+    try:
+        D.write_delta(narrow, dt, partition_by=["source"])
+        D.write_delta(wide, dt, partition_by=["source"], evolve_schema=True)
+        I.write_iceberg(narrow, it, partition_by=["source"])
+        I.write_iceberg(wide, it, partition_by=["source"], evolve_schema=True)
+        d = (
+            D.read_delta(spark, dt)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.count("n_chars").cast("long").alias("n_with_chars"),
+                F.sum("n_chars").cast("long").alias("chars_sum"),
+            )
+        )
+        i = (
+            I.read_iceberg(spark, it)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs_ice"),
+                F.sum("n_chars").cast("long").alias("chars_sum_ice"),
+            )
+        )
+        return d.join(i, "source").orderBy("source").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -424,6 +424,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Commit ``df`` to a Delta table at ``path``; returns the new version.
 
@@ -433,11 +434,15 @@ def write_delta(
     never a mix).  First commit creates protocol+metaData; later commits
     validate schema and partitioning against the table's metaData and
     raise :class:`DeltaSchemaMismatch` on drift (no implicit evolution —
-    the conservative default; evolve by explicit overwrite of an empty
-    table).  Data files stage under the table root via a normal Spark
-    parquet write (the distributed path), then individual files publish
-    into place with writer-unique names before the log commit makes them
-    visible.
+    the conservative default).
+
+    ``evolve_schema=True`` permits ADDITIVE evolution (the mergeSchema
+    shape): the table's columns must still match as an exact prefix, and
+    ``df`` may append new NULLABLE columns — the commit re-emits the
+    ``metaData`` action with the widened schema, so this snapshot onward
+    reads old files with the new columns as null while time travel below
+    it keeps the old schema.  Renames/drops/type changes still raise
+    (those need real column mapping).
 
     ``txn=(app_id, version)`` stamps the commit with a ``txn`` action —
     the protocol's application-transaction marker; readers recover the
@@ -451,6 +456,7 @@ def write_delta(
     log = _log_dir(path)
 
     existing: _Snapshot | None = None
+    evolved = False
     commits, checkpoints = _list_log(fs, log)
     if commits or checkpoints:
         existing = _snapshot(fs, path)
@@ -459,11 +465,25 @@ def write_delta(
             raise DeltaSchemaMismatch(
                 f"partition_by {list(partition_by)} != table's {pcols}"
             )
-        if _schema_fingerprint(df.schema) != _schema_fingerprint(existing.schema):
-            raise DeltaSchemaMismatch(
-                f"schema {_schema_fingerprint(df.schema)} != table's "
-                f"{_schema_fingerprint(existing.schema)}"
-            )
+        fp_new, fp_old = _schema_fingerprint(df.schema), _schema_fingerprint(
+            existing.schema
+        )
+        if fp_new != fp_old:
+            if (
+                evolve_schema
+                and fp_new[: len(fp_old)] == fp_old
+                and len(fp_new) > len(fp_old)
+            ):
+                evolved = True
+            else:
+                raise DeltaSchemaMismatch(
+                    f"schema {fp_new} != table's {fp_old}"
+                    + (
+                        ""
+                        if not evolve_schema
+                        else " (evolution allows only APPENDED columns)"
+                    )
+                )
         version = existing.version + 1
     else:
         pcols = list(partition_by or [])
@@ -533,6 +553,22 @@ def write_delta(
                     "configuration": {},
                 }
             }
+        )
+    elif evolved:
+        # additive evolution: SAME table id, widened schemaString — this
+        # snapshot onward reads old files with the new columns as null,
+        # so the appended columns are forced NULLABLE in the table schema
+        # whatever the incoming frame declared (the mergeSchema shape)
+        n_old = len(existing.schema.fields)
+        widened = T.StructType(
+            list(df.schema.fields[:n_old])
+            + [
+                T.StructField(f.name, f.dataType, True, f.metadata)
+                for f in df.schema.fields[n_old:]
+            ]
+        )
+        actions.append(
+            {"metaData": {**existing.metadata, "schemaString": widened.json()}}
         )
     if mode == "overwrite" and existing is not None:
         for rel, add in existing.adds.items():

@@ -655,6 +655,7 @@ def write_iceberg(
     mode: str = "append",
     partition_by: list[str] | None = None,
     summary_extra: dict[str, str] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Commit ``df`` to an Iceberg table at ``path``; returns the new
     snapshot id.  ``mode='append'`` carries the prior snapshot's manifests
@@ -664,7 +665,11 @@ def write_iceberg(
     live set is exactly ``df`` while older snapshots stay readable (time
     travel).  First commit creates the table (identity partition spec);
     later commits validate schema and partitioning and raise
-    :class:`IcebergSchemaMismatch` on drift (no implicit evolution).
+    :class:`IcebergSchemaMismatch` on drift (no implicit evolution);
+    ``evolve_schema=True`` permits ADDITIVE evolution — appended NULLABLE
+    columns get fresh field ids in a NEW schema object with a new
+    schema-id (existing ids stay stable, the spec's evolution shape),
+    old data files read the new columns as null.
     Clock-free determinism: snapshot ids and timestamps are the sequence
     number (the engine convention — uniqueness within the table is what
     the spec requires)."""
@@ -676,6 +681,7 @@ def write_iceberg(
 
     meta: dict | None = None
     version = 0
+    evolved = False
     if fs.exists(md) and _list_meta_versions(fs, md):
         meta, version = _load_metadata(fs, path)
         ice_schema = _current_schema(meta)
@@ -689,15 +695,55 @@ def write_iceberg(
             raise IcebergSchemaMismatch(
                 f"partition_by {list(partition_by)} != table's {pcols}"
             )
-        if _schema_fingerprint(df.schema) != _schema_fingerprint(table_schema):
-            raise IcebergSchemaMismatch(
-                f"schema {_schema_fingerprint(df.schema)} != table's "
-                f"{_schema_fingerprint(table_schema)}"
-            )
         if meta.get("format-version", 2) not in (1, 2):
             raise IcebergUnsupported(f"format-version {meta.get('format-version')}")
         last_seq = int(meta.get("last-sequence-number", 0))
         last_col = int(meta.get("last-column-id", 0))
+        fp_new = _schema_fingerprint(df.schema)
+        fp_old = _schema_fingerprint(table_schema)
+        if fp_new != fp_old:
+            extras = df.schema.fields[len(fp_old):]
+            if (
+                evolve_schema
+                and fp_new[: len(fp_old)] == fp_old
+                and extras
+            ):
+                # additive evolution: STABLE ids for existing fields, fresh
+                # ids for the appended ones, a NEW schema object with a new
+                # schema-id (the spec's evolution shape — old snapshots
+                # keep referencing their schema-id)
+                ids = _IdGen(last_col)
+                new_fields = list(ice_schema["fields"])
+                for f in extras:
+                    fid = ids.next()
+                    new_fields.append(
+                        {
+                            "id": fid,
+                            "name": f.name,
+                            "required": False,
+                            "type": _type_to_iceberg(f.dataType, ids),
+                        }
+                    )
+                last_col = ids.last
+                new_sid = (
+                    max(s.get("schema-id", 0) for s in meta.get("schemas") or [{}])
+                    + 1
+                )
+                ice_schema = {
+                    "type": "struct",
+                    "schema-id": new_sid,
+                    "fields": new_fields,
+                }
+                evolved = True
+            else:
+                raise IcebergSchemaMismatch(
+                    f"schema {fp_new} != table's {fp_old}"
+                    + (
+                        ""
+                        if not evolve_schema
+                        else " (evolution allows only APPENDED columns)"
+                    )
+                )
     else:
         ice_schema, last_col = _schema_to_iceberg(df.schema)
         pcols = list(partition_by or [])
@@ -892,7 +938,7 @@ def write_iceberg(
             "engine-info": "gofeed_spark-iceberg/0.1",
         },
         "manifest-list": mlist_path,
-        "schema-id": 0,
+        "schema-id": ice_schema.get("schema-id", 0),
     }
     if meta is None:
         new_meta = {
@@ -917,6 +963,10 @@ def write_iceberg(
         }
     else:
         new_meta = dict(meta)
+        if evolved:
+            new_meta["schemas"] = list(meta.get("schemas") or []) + [ice_schema]
+            new_meta["current-schema-id"] = ice_schema["schema-id"]
+            new_meta["last-column-id"] = last_col
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = seq
         new_meta["current-snapshot-id"] = sid

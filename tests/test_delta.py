@@ -367,3 +367,30 @@ def test_delta_stream_refuses_data_changing_removes(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         q.awaitTermination(120)
     assert "append-only stream" in str(exc.value)
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    base = spark.range(10).select(F.col("id"), (F.col("id") % 2).cast("string").alias("k"))
+    D.write_delta(base, tbl, partition_by=["k"])
+    wide = base.withColumn("extra", (F.col("id") * 10).cast("long"))
+    # refused without the flag; refused for non-additive shapes with it
+    with pytest.raises(D.DeltaSchemaMismatch):
+        D.write_delta(wide, tbl)
+    with pytest.raises(D.DeltaSchemaMismatch):
+        D.write_delta(base.select("k", "id"), tbl, evolve_schema=True)  # reorder
+    v = D.write_delta(wide, tbl, evolve_schema=True)
+    out = D.read_delta(spark, tbl)
+    assert out.columns == ["id", "k", "extra"]
+    rows = {(r.id, r.extra) for r in out.collect()}
+    assert len(rows) == 20
+    # old files read the new column as null; new files carry values
+    assert sum(1 for _i, e in rows if e is None) == 10
+    assert {e for _i, e in rows if e is not None} == {i * 10 for i in range(10)}
+    # time travel below the evolution keeps the OLD schema
+    assert D.read_delta(spark, tbl, version=v - 1).columns == ["id", "k"]
+    # appends now validate against the widened schema
+    with pytest.raises(D.DeltaSchemaMismatch):
+        D.write_delta(base, tbl)
+    D.write_delta(wide, tbl)
+    assert D.read_delta(spark, tbl).count() == 30

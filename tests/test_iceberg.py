@@ -416,3 +416,38 @@ def test_iceberg_stream_refuses_overwrite_window(spark, corpus, tmp_path):
     with pytest.raises(Exception) as exc:
         q.awaitTermination(120)
     assert "append-only stream" in str(exc.value)
+
+
+def test_schema_evolution_additive(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl, partition_by=["source"])
+    wide = corpus.withColumn("extra", (F.col("doc_id") * 7).cast("long"))
+    with pytest.raises(I.IcebergSchemaMismatch):
+        I.write_iceberg(wide, tbl)
+    with pytest.raises(I.IcebergSchemaMismatch):
+        I.write_iceberg(
+            corpus.withColumn("bad", F.lit(1).cast("int")).drop("n"),
+            tbl, evolve_schema=True,
+        )
+    I.write_iceberg(wide, tbl, evolve_schema=True)
+    out = I.read_iceberg(spark, tbl)
+    assert out.columns == ["doc_id", "source", "n", "extra"]
+    assert out.count() == 120
+    nulls = out.filter(F.col("extra").isNull()).count()
+    assert nulls == 60  # the pre-evolution files
+    # existing field ids stayed stable; the new field got a fresh id and
+    # a NEW schema object with a new schema-id is current
+    from gofeed_spark.fs import get_filesystem
+
+    meta, _v = I._load_metadata(get_filesystem(tbl), tbl)
+    schemas = {s["schema-id"]: s for s in meta["schemas"]}
+    assert set(schemas) == {0, 1} and meta["current-schema-id"] == 1
+    old_ids = {f["name"]: f["id"] for f in schemas[0]["fields"]}
+    new_ids = {f["name"]: f["id"] for f in schemas[1]["fields"]}
+    assert all(new_ids[k] == v for k, v in old_ids.items())
+    assert new_ids["extra"] == meta["last-column-id"]
+    # appends validate against the widened schema now
+    with pytest.raises(I.IcebergSchemaMismatch):
+        I.write_iceberg(corpus, tbl)
+    I.write_iceberg(wide, tbl, partition_by=["source"])
+    assert I.read_iceberg(spark, tbl).count() == 180
