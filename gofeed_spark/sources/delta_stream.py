@@ -45,6 +45,32 @@ from gofeed_spark.sources.delta import (
 )
 
 
+def _pa_types():
+    import pyarrow as pa
+
+    return {
+        "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+        "bigint": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+        "boolean": pa.bool_(), "string": pa.string(),
+    }
+
+
+class _LazyPaTypes(dict):
+    """Import pyarrow on first use — executors re-import this module."""
+
+    def __missing__(self, key):
+        self.update(_pa_types())
+        return dict.__getitem__(self, key)
+
+    def get(self, key, default=None):
+        if not self:
+            self.update(_pa_types())
+        return dict.get(self, key, default)
+
+
+_PA_TYPES = _LazyPaTypes()
+
+
 class DeltaFilePartition(InputPartition):
     def __init__(self, file_path: str, pvals: list, version: int):
         self.file_path = file_path  # absolute (scheme-qualified) path
@@ -135,8 +161,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         # posixpath import kept local above for the executor pickle
         return parts
 
-    # -- data plane (executor, one file per task) ------------------------------
+    # -- data plane (executor, one file per task, Arrow end to end) -------------
     def read(self, partition: DeltaFilePartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from gofeed_spark.fs import get_filesystem
@@ -151,30 +178,39 @@ class DeltaStreamReader(DataSourceStreamReader):
             )
         else:
             table = pq.read_table(sp, columns=self.phys)
-        cols = {name: table.column(name).to_pylist() for name in self.phys}
-        pvals = {}
+        n = table.num_rows
+        arrays = {}
         for c, raw in zip(self.pcols, partition.pvals):
             t = self.types[c]
-            if raw is None:
-                pvals[c] = None
-            elif t in ("int", "bigint", "smallint", "tinyint"):
-                pvals[c] = int(raw)
-            elif t in ("double", "float"):
-                pvals[c] = float(raw)
-            elif t == "boolean":
-                pvals[c] = raw == "true"
-            elif t == "string":
-                pvals[c] = raw
-            else:
+            pt = _PA_TYPES.get(t)
+            if pt is None:
                 raise DeltaUnsupported(
                     f"partition column {c!r} of type {t!r} in the stream"
                 )
-        n = table.num_rows
-        order = self.col_order
-        for i in range(n):
-            yield tuple(
-                (cols[c][i] if c in cols else pvals[c]) for c in order
-            ) + (partition.version,)
+            if raw is None:
+                val = None
+            elif t in ("int", "smallint", "tinyint", "bigint"):
+                val = int(raw)
+            elif t in ("double", "float"):
+                val = float(raw)
+            elif t == "boolean":
+                val = raw == "true"
+            else:
+                val = raw
+            arrays[c] = pa.array([val] * n, type=pt)
+        cols = {}
+        for c in self.col_order:
+            cols[c] = (
+                table.column(c).combine_chunks()
+                if c in self.phys
+                else arrays[c]
+            )
+        cols["_commit_version"] = pa.array(
+            [partition.version] * n, type=pa.int64()
+        )
+        # RecordBatch crosses the Python-source boundary as ONE Arrow
+        # block (Spark 4 arrow-batch support) — no per-row Python loop
+        yield pa.RecordBatch.from_pydict(cols)
 
     def commit(self, end: dict) -> None:
         pass  # the log is immutable; nothing to release

@@ -65,6 +65,9 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.pcols = [by_id[f["source-id"]] for f in spec]
         self.phys = [f.name for f in schema.fields if f.name not in self.pcols]
         self.col_order = [f.name for f in schema.fields]
+        self.types = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
 
     def initialOffset(self) -> dict:
         return {"seq": self.starting_seq}
@@ -114,9 +117,11 @@ class IcebergStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: IcebergFilePartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from gofeed_spark.fs import get_filesystem
+        from gofeed_spark.sources.delta_stream import _PA_TYPES
 
         sp = partition.file_path
         if "://" in sp:
@@ -128,13 +133,25 @@ class IcebergStreamReader(DataSourceStreamReader):
             )
         else:
             table = pq.read_table(sp, columns=self.phys)
-        cols = {name: table.column(name).to_pylist() for name in self.phys}
+        n = table.num_rows
         pvals = dict(zip(self.pcols, partition.pvals))
-        order = self.col_order
-        for i in range(table.num_rows):
-            yield tuple(
-                (cols[c][i] if c in cols else pvals[c]) for c in order
-            ) + (partition.snapshot_id,)
+        cols = {}
+        for c in self.col_order:
+            if c in self.phys:
+                cols[c] = table.column(c).combine_chunks()
+            else:
+                pt = _PA_TYPES.get(self.types[c])
+                if pt is None:
+                    raise IcebergUnsupported(
+                        f"partition column {c!r} of type "
+                        f"{self.types[c]!r} in the stream"
+                    )
+                cols[c] = pa.array([pvals[c]] * n, type=pt)
+        cols["_snapshot_id"] = pa.array(
+            [partition.snapshot_id] * n, type=pa.int64()
+        )
+        # one Arrow block across the Python-source boundary, no row loop
+        yield pa.RecordBatch.from_pydict(cols)
 
     def commit(self, end: dict) -> None:
         pass
