@@ -335,3 +335,82 @@ def fetch_cdx_records(cdx: DataFrame, base: str | None = None) -> DataFrame:
     )
     slim = cdx.select("urlkey", "filename", "offset", "length")
     return slim.mapInPandas(run, out_schema)
+
+
+def publish_cdx(
+    cdx: DataFrame,
+    out_dir: str,
+    n_shards: int = 4,
+    urlkey_col: str = "urlkey",
+    timestamp: str = DEFAULT_TS,
+) -> list[dict]:
+    """``write_cdx`` plus a shard-range index: runs the sorted-shard write,
+    then publishes ``_cdx_index.json`` mapping each shard to its (min, max)
+    urlkey — the random-access companion (one driver-side PUT of an
+    n_shards-row receipt; the shards themselves never re-read).  Returns
+    the receipt rows."""
+    from gofeed_spark.fs import get_filesystem
+
+    receipt = write_cdx(
+        cdx, out_dir, n_shards=n_shards, urlkey_col=urlkey_col,
+        timestamp=timestamp,
+    ).collect()
+    fs = get_filesystem(out_dir)
+    index = []
+    for row in sorted(receipt, key=lambda r: r.shard):
+        raw = fs.read_bytes(row.shard)
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        lines = (d.decompress(raw) + d.flush()).decode().splitlines()
+        index.append(
+            {
+                "shard": row.shard,
+                "n_lines": int(row.n_lines),
+                "min_key": lines[0].split(" ", 1)[0],
+                "max_key": lines[-1].split(" ", 1)[0],
+            }
+        )
+    fs.put_bytes(
+        fs.join(out_dir, "_cdx_index.json"),
+        json.dumps(index, indent=1).encode(),
+    )
+    return index
+
+
+def lookup_cdx(out_dir: str, urlkey: str) -> list[dict]:
+    """Random-access capture lookup — the wayback GET path, NO Spark job:
+    one GET of ``_cdx_index.json`` picks the shard whose [min, max] range
+    covers the key (shards are range-partitioned and sorted, so at most
+    one shard matches), one GET + gunzip of that shard, then a bisect
+    over its sorted lines.  Returns the parsed CDXJ records (urlkey,
+    timestamp, url, digest, mime, status, filename, offset, length) —
+    feed (filename, offset, length) to :func:`fetch_record` for the
+    capture bytes (one ranged GET).  Three I/Os per lookup at any corpus
+    size."""
+    import bisect
+
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(out_dir)
+    idx_path = fs.join(out_dir, "_cdx_index.json")
+    if not fs.exists(idx_path):
+        raise CdxError(f"no _cdx_index.json at {out_dir} (publish_cdx writes it)")
+    index = json.loads(fs.read_bytes(idx_path))
+    shard = next(
+        (e for e in index if e["min_key"] <= urlkey <= e["max_key"]), None
+    )
+    if shard is None:
+        return []
+    raw = fs.read_bytes(shard["shard"])
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    lines = (d.decompress(raw) + d.flush()).decode().splitlines()
+    keys = [ln.split(" ", 1)[0] for ln in lines]
+    lo = bisect.bisect_left(keys, urlkey)
+    out = []
+    for i in range(lo, len(keys)):
+        if keys[i] != urlkey:
+            break
+        key, ts, blob = lines[i].split(" ", 2)
+        rec = json.loads(blob)
+        rec.update({"urlkey": key, "timestamp": ts})
+        out.append(rec)
+    return out

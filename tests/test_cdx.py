@@ -175,3 +175,28 @@ def test_export_more_archives_than_rows(spark, tmp_path):
         fs, rows[0].filename, rows[0].offset, rows[0].length
     )
     assert (url, body) == ("https://a.example.com/1", b"one")
+
+
+def test_publish_and_lookup_random_access(spark, corpus, tmp_path):
+    from gofeed_spark.sources.cdx import fetch_record, lookup_cdx, publish_cdx
+
+    df, rows = corpus
+    raw, cd = str(tmp_path / "raw"), str(tmp_path / "cdx")
+    idx = export_warc_cdx(df, raw, n_archives=3).localCheckpoint()
+    cdx = idx.withColumn("urlkey", surt_key(F.col("url")))
+    index = publish_cdx(cdx, cd, n_shards=4)
+    assert [e["shard"] for e in index] == sorted(e["shard"] for e in index)
+    assert sum(e["n_lines"] for e in index) == len(rows)
+    # every capture resolves through index -> shard -> bisect -> ranged GET
+    fs = LocalFileSystem()
+    by_url = dict(rows)
+    for r in cdx.select("urlkey", "url").collect():
+        hits = lookup_cdx(cd, r.urlkey)
+        assert len(hits) == 1 and hits[0]["url"] == r.url
+        _t, url, _s, _m, body = fetch_record(
+            fs, hits[0]["filename"], hits[0]["offset"], hits[0]["length"]
+        )
+        assert url == r.url and body.decode() == by_url[r.url]
+    # a key outside every shard range misses cleanly
+    assert lookup_cdx(cd, "zzz,nowhere)/x") == []
+    assert lookup_cdx(cd, "aaa)/x") == []
