@@ -977,3 +977,121 @@ def q157(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- q166 recrawl diff over two CDX capture indexes -----------------------------
+def _q166_oracle():
+    from gofeed_spark.operators.urls import surt_key_sql
+
+    return f"""
+WITH a AS (
+  SELECT {surt_key_sql('u')} AS k, md5(text) AS digest
+  FROM (SELECT {_URL_SQL} AS u, text, doc_id FROM documents)
+),
+b_base AS (
+  SELECT {surt_key_sql('u')} AS k, md5(
+           CASE WHEN doc_id % 4 = 0 THEN text || ' v2' ELSE text END
+         ) AS digest
+  FROM (SELECT {_URL_SQL} AS u, text, doc_id FROM documents)
+  WHERE doc_id % 5 <> 0
+),
+b_new AS (
+  SELECT {surt_key_sql('u')} AS k, md5(text) AS digest
+  FROM (SELECT {_URL_SQL} || '?v=2' AS u, text, doc_id FROM documents)
+  WHERE doc_id % 7 = 0
+),
+b AS (SELECT * FROM b_base UNION ALL SELECT * FROM b_new)
+SELECT COALESCE(a.k, b.k) AS urlkey,
+       CASE WHEN a.k IS NULL THEN 'new'
+            WHEN b.k IS NULL THEN 'gone'
+            WHEN a.digest <> b.digest THEN 'changed'
+            ELSE 'same' END AS verdict
+FROM a FULL OUTER JOIN b ON a.k = b.k
+ORDER BY urlkey
+"""
+
+
+@query("q166_cdx_recrawl_diff", oracle=_q166_oracle())
+def q166(spark, sf_dir):
+    """RECRAWL DIFF over two CDX capture indexes — the crawl-ops question
+    the index layer exists to answer without touching archive bytes:
+    crawl A (every doc) and crawl B (every 5th doc gone, every 4th's
+    content changed, a ``?v=2`` variant new for every 7th) each export
+    through ``export_warc_cdx`` (digests tracked AT WRITE TIME as index
+    by-products), then one urlkey full-outer join of the two byte-slim
+    indexes classifies every capture as same / changed / gone / new.
+    At 100 TB the diff reads two CDX indexes — kilobytes per thousand
+    captures — never the archives; the oracle recomputes both crawls'
+    digests from documents, so the verdicts hash-check the whole
+    digest-at-write + SURT + join chain."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.operators.urls import surt_key
+    from gofeed_spark.sources import warc as W
+    from gofeed_spark.sources.cdx import export_warc_cdx
+
+    docs = T(spark, sf_dir, "documents")
+
+    def url(extra=""):
+        return F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"), F.lit(extra),
+        )
+
+    crawl_a = docs.select(
+        url().alias("url"), F.encode("text", "utf-8").alias("body")
+    )
+    changed = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    crawl_b = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(url().alias("url"), F.encode(changed, "utf-8").alias("body"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                url("?v=2").alias("url"),
+                F.encode("text", "utf-8").alias("body"),
+            )
+        )
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q166_")
+    try:
+        n_arch = W.archive_count(
+            crawl_a.count(), spark.sparkContext.defaultParallelism
+        )
+        idx_a = (
+            export_warc_cdx(
+                crawl_a, f"{work}/a", n_archives=n_arch,
+                content_type="text/plain",
+            )
+            .select(surt_key(F.col("url")).alias("k"), "digest")
+            .localCheckpoint()
+        )
+        idx_b = (
+            export_warc_cdx(
+                crawl_b, f"{work}/b", n_archives=n_arch,
+                content_type="text/plain",
+            )
+            .select(surt_key(F.col("url")).alias("k"), "digest")
+            .localCheckpoint()
+        )
+        a = idx_a.select(F.col("k").alias("ak"), F.col("digest").alias("ad"))
+        b = idx_b.select(F.col("k").alias("bk"), F.col("digest").alias("bd"))
+        joined = a.join(b, a.ak == b.bk, "full_outer")
+        verdict = (
+            F.when(F.col("ak").isNull(), "new")
+            .when(F.col("bk").isNull(), "gone")
+            .when(F.col("ad") != F.col("bd"), "changed")
+            .otherwise("same")
+        )
+        return (
+            joined.select(
+                F.coalesce("ak", "bk").alias("urlkey"),
+                verdict.alias("verdict"),
+            )
+            .orderBy("urlkey")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
