@@ -88,6 +88,20 @@ class FileSystem:
         the pointer-flip index publish relies on."""
         raise NotImplementedError
 
+    def put_bytes_if_absent(self, path: str, data: bytes) -> bool:
+        """Create-if-absent publish: write ``data`` only if no object
+        exists at ``path``; returns whether THIS call created it.  This is
+        the commit-ARBITRATION primitive (two racing writers publishing
+        the same table version: exactly one True) — POSIX backends use
+        ``O_EXCL``, object stores a conditional PUT (``If-None-Match: *``).
+        The base implementation is probe-then-put, which leaves the
+        classic TOCTOU window; backends with a native conditional
+        primitive MUST override (both in-repo backends do)."""
+        if self.exists(path):
+            return False
+        self.put_bytes(path, data)
+        return True
+
     def delete(self, path: str) -> None:
         raise NotImplementedError
 
@@ -159,6 +173,17 @@ class LocalFileSystem(FileSystem):
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, local)  # POSIX atomic publish
+
+    def put_bytes_if_absent(self, path: str, data: bytes) -> bool:
+        local = self._local(path)
+        os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
 
     def delete(self, path: str) -> None:
         try:
@@ -344,6 +369,19 @@ class DirObjectStoreFileSystem(ObjectStoreFileSystem):
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, local)
+
+    def put_bytes_if_absent(self, path: str, data: bytes) -> bool:
+        # the conditional-PUT analogue (If-None-Match: *) the real
+        # object-store subclass maps to its SDK; O_EXCL on the backing dir
+        local = self._backing(self._key(path))
+        os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
 
     def _list(self, prefix: str):
         base = self._backing(prefix)

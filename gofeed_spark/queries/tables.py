@@ -143,7 +143,19 @@ def q158(spark, sf_dir):
             .groupBy("source")
             .agg(F.count("*").cast("long").alias("n_s1"))
         )
-        return head.join(s1, "source").orderBy("source").localCheckpoint()
+        # LEFT join: a source with zero residue-0 docs has no s1 row, but
+        # the oracle still emits it with n_s1 = 0 (possible at non-gate SFs)
+        return (
+            head.join(s1, "source", "left")
+            .select(
+                "source",
+                "n_latest",
+                "chars_latest",
+                F.coalesce("n_s1", F.lit(0)).cast("long").alias("n_s1"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
 
@@ -175,7 +187,8 @@ def q160(spark, sf_dir):
     the three commits contributed (distinct commit labels == distinct
     residues).  Carried-forward Iceberg manifests double-count increments
     unless filtered by added_snapshot_id — exactly what the hash check
-    pins."""
+    pins.  (The d⋈i inner join is residue-safe at ANY SF: both sides
+    aggregate the FULL corpus, so they carry identical source sets.)"""
     import shutil
     import tempfile
 
@@ -314,7 +327,9 @@ def q165(spark, sf_dir):
     from both eras is present, (b) exactly the post-evolution rows carry
     values, and (c) the values survived — on BOTH formats in one
     hash-checked result.  Pre-evolution time travel keeps the narrow
-    schema (pinned in tests)."""
+    schema (pinned in tests).  (The d⋈i inner join is era-safe at ANY SF:
+    both sides aggregate the full two-era table, so they carry identical
+    source sets.)"""
     import shutil
     import tempfile
 
@@ -353,3 +368,74 @@ def q165(spark, sf_dir):
         return d.join(i, "source").orderBy("source").localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q167_iceberg_position_deletes",
+    oracle="""
+SELECT source,
+       CAST(COUNT(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS BIGINT) AS n_live,
+       CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT)
+         AS chars_live,
+       CAST(COUNT(*) AS BIGINT) AS n_before
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q167(spark, sf_dir):
+    """MERGE-ON-READ POSITION DELETES (Iceberg v2) — the top real-user
+    interop gap from VERDICT r14: tables other engines mutate with
+    row-level deletes.  The corpus lands in two append commits
+    (source-partitioned), then ``delete_iceberg_rows`` commits
+    spec-shaped position-delete files (content=1 manifest; (file_path,
+    pos) parquet sorted per the spec) hiding every ``doc_id % 7 = 0``
+    row WITHOUT rewriting any data file.  The HEAD read applies the
+    deletes as one distributed anti join on (file, _metadata.row_index)
+    with sequence-number scoping; the pre-delete snapshot still sees
+    every row (time travel over merge-on-read state).  Output per
+    source: surviving count + char sum LEFT-joined (a source whose docs
+    are ALL deleted must still appear with n_live=0) with the pre-delete
+    count.  Eager at construction like q156/q158."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q167_") + "/tbl"
+    try:
+        last = None
+        for residue in (0, 1):
+            last = I.write_iceberg(
+                docs.filter(F.col("doc_id") % 2 == residue),
+                work,
+                partition_by=["source"],
+            )
+        I.delete_iceberg_rows(spark, work, "doc_id % 7 = 0")
+        live = (
+            I.read_iceberg(spark, work)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_live"),
+                F.sum("n_chars").cast("long").alias("chars_live"),
+            )
+        )
+        before = (
+            I.read_iceberg(spark, work, snapshot_id=last)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+        )
+        return (
+            before.join(live, "source", "left")
+            .select(
+                "source",
+                F.coalesce("n_live", F.lit(0)).cast("long").alias("n_live"),
+                "chars_live",
+                "n_before",
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)

@@ -35,10 +35,18 @@ existence probe (the HadoopCatalog rename-arbitration analogue); the
 slower writer raises :class:`IcebergConcurrentWrite`, never silently
 clobbers.  ``version-hint.text`` is an advisory pointer updated after.
 
-Unsupported (declared, raised loudly): format-version 1 writes (reads
-are fine — the schema-driven Avro decode does not care), delete files /
-merge-on-read (``content != 0``), non-identity partition transforms,
-non-parquet data files.
+Merge-on-read POSITION DELETES are supported both ways: reads apply
+delete manifests (``content=1``) as one distributed anti join keyed on
+(file, ``_metadata.row_index``) with the spec's sequence-number scoping,
+and ``delete_iceberg_rows`` commits spec-shaped position-delete files so
+other engines' readers hide the same rows.
+
+Unsupported (declared, raised loudly): format-version 1 writes and
+incremental/streaming reads (plain v1 READS are fine — the schema-driven
+Avro decode does not care, but v1 snapshots carry no sequence numbers so
+a change feed would be silently empty), equality delete files
+(``content=2``), non-identity partition transforms, non-parquet data
+files.
 
 Reference: the gofeed reference has no table format at all (one ORM
 store, repo.go); §2.E added surface — VERDICT r13 missing item 3.
@@ -310,26 +318,42 @@ def _get(rec: dict, *names, default=None):
     return default
 
 
-def _live_entries(fs: FileSystem, snapshot: dict) -> list[dict]:
-    """Manifest-list walk → live data-file entries ({file_path,
-    partition, record_count, file_size_in_bytes}) of one snapshot."""
+def _live_entries(fs: FileSystem, snapshot: dict) -> tuple[list[dict], list[dict]]:
+    """Manifest-list walk → (data entries, POSITION-DELETE entries) of one
+    snapshot ({file_path, partition, record_count, file_size_in_bytes}).
+    Each entry gains ``_seq``, its DATA SEQUENCE NUMBER — explicit on the
+    manifest entry when present, else inherited from the manifest-list
+    row (the v2 inheritance rule) — which scopes merge-on-read delete
+    application: a position delete hides a row only in data files whose
+    sequence number is <= the delete file's.  Equality deletes
+    (content=2) raise: they need the table's equality-field semantics,
+    and a silent skip would resurrect deleted rows."""
     _sch, _meta, manifests = _read_avro(fs, snapshot["manifest-list"])
-    out: list[dict] = []
+    data: list[dict] = []
+    dels: list[dict] = []
     for mf in manifests:
-        if _get(mf, "content", default=0) not in (0, None):
-            raise IcebergUnsupported("delete manifests (merge-on-read)")
+        mf_seq = int(_get(mf, "sequence_number", default=0) or 0)
         _s, _m, entries = _read_avro(fs, mf["manifest_path"])
         for e in entries:
             if e.get("status") == 2:  # DELETED
                 continue
             df_ = e.get("data_file") or {}
-            if _get(df_, "content", default=0) not in (0, None):
-                raise IcebergUnsupported("delete files (merge-on-read)")
             fmt = str(df_.get("file_format", "")).upper()
             if fmt != "PARQUET":
                 raise IcebergUnsupported(f"data format {fmt!r} (parquet only)")
-            out.append(df_)
-    return out
+            seq = e.get("sequence_number")
+            df_["_seq"] = int(seq) if seq is not None else mf_seq
+            content = _get(df_, "content", default=0)
+            if content == 0:
+                data.append(df_)
+            elif content == 1:
+                dels.append(df_)
+            else:
+                raise IcebergUnsupported(
+                    "equality delete files (content=2); only position "
+                    "deletes are applied on read"
+                )
+    return data, dels
 
 
 # --- reader -------------------------------------------------------------------
@@ -356,14 +380,15 @@ def read_iceberg(
         )
     by_id = {f["id"]: f["name"] for f in _current_schema(meta)["fields"]}
     pcols = [by_id[f["source-id"]] for f in spec]
-    entries = _live_entries(fs, _snapshot_of(meta, snapshot_id))
+    entries, dels = _live_entries(fs, _snapshot_of(meta, snapshot_id))
     if where:
         unknown = set(where) - set(pcols)
         if unknown:
             raise IcebergError(
                 f"where keys {sorted(unknown)} are not partition columns {pcols}"
             )
-        # manifest partition structs key by the SPEC FIELD name
+        # manifest partition structs key by the SPEC FIELD name; delete
+        # entries are NEVER pruned (a position delete may target any file)
         entries = [
             e
             for e in entries
@@ -372,7 +397,7 @@ def read_iceberg(
                 for k, v in where.items()
             )
         ]
-    return _assemble(spark, fs, schema, pcols, entries)
+    return _assemble(spark, fs, schema, pcols, entries, deletes=dels)
 
 
 def _assemble(
@@ -382,24 +407,45 @@ def _assemble(
     pcols: list[str],
     entries: list[dict],
     extra: dict[str, int] | None = None,
+    deletes: list[dict] | None = None,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Live data-file entries → ONE parquet relation with identity
     partition columns restored from the manifests' partition structs by a
     single broadcast join keyed on file basename.  ``extra`` optionally
     maps file_path → snapshot id, carried as ``_snapshot_id`` (the
-    incremental-read column)."""
+    incremental-read column).
+
+    ``deletes`` are POSITION-DELETE entries (content=1) applied
+    merge-on-read: their parquet files carry (file_path, pos) rows, and a
+    row of data file D at position P is hidden when some delete file with
+    sequence number >= D's names (D, P).  The application is ONE
+    distributed LEFT ANTI join keyed on (file basename, position) —
+    positions come free from the scan's ``_metadata.row_index``, so no
+    per-file driver work and no row-order assumptions; the sequence-number
+    scope rides the same join as a non-equi conjunct.  ``keep_pos``
+    additionally exposes ``__file``/``__pos`` working columns (the
+    delete-WRITER's input: it needs live row coordinates)."""
     out_cols = [F.col(f.name) for f in schema.fields]
     if extra is not None:
         out_cols.append(F.col("_snapshot_id"))
+    if keep_pos:
+        out_cols += [F.col("__file"), F.col("__pos")]
+    deletes = [d for d in (deletes or []) if d.get("record_count", 1) != 0]
     if not entries:
         if extra is not None:
             schema = schema.add("_snapshot_id", T.LongType())
+        if keep_pos:
+            schema = schema.add("__file", T.StringType()).add("__pos", T.LongType())
         return spark.createDataFrame([], schema)
     by_type = {f.name: f.dataType for f in schema.fields}
     phys = T.StructType([f for f in schema.fields if f.name not in pcols])
     files = [fs.spark_path(e["file_path"]) for e in entries]
     df = spark.read.schema(phys).parquet(*files)
-    if pcols or extra is not None:
+    need_pos = bool(deletes) or keep_pos
+    if need_pos:
+        df = df.withColumn("__pos", F.col("_metadata.row_index"))
+    if pcols or extra is not None or need_pos:
         basenames = [posixpath.basename(e["file_path"]) for e in entries]
         if len(set(basenames)) != len(basenames):
             raise IcebergError("duplicate data-file basenames; cannot key partition map")
@@ -411,6 +457,7 @@ def _assemble(
                 if extra is not None
                 else []
             )
+            + ([T.StructField("__seq", T.LongType())] if deletes else [])
         )
         rows = [
             tuple(
@@ -422,17 +469,58 @@ def _assemble(
                     for c in pcols
                 ]
                 + ([extra[e["file_path"]]] if extra is not None else [])
+                + ([int(e.get("_seq", 0))] if deletes else [])
             )
             for e in entries
         ]
         mdf = spark.createDataFrame(rows, map_schema)
-        df = (
-            df.withColumn(
-                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        df = df.withColumn(
+            "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        ).join(F.broadcast(mdf), "__file")
+        if deletes:
+            dbase = [posixpath.basename(d["file_path"]) for d in deletes]
+            if len(set(dbase)) != len(dbase):
+                raise IcebergError(
+                    "duplicate delete-file basenames; cannot key delete map"
+                )
+            del_schema = T.StructType(
+                [
+                    T.StructField("file_path", T.StringType()),
+                    T.StructField("pos", T.LongType()),
+                ]
             )
-            .join(F.broadcast(mdf), "__file")
-            .drop("__file")
-        )
+            ddf = spark.read.schema(del_schema).parquet(
+                *[fs.spark_path(d["file_path"]) for d in deletes]
+            )
+            dmap = spark.createDataFrame(
+                [(b, int(d.get("_seq", 0))) for b, d in zip(dbase, deletes)],
+                T.StructType(
+                    [
+                        T.StructField("__dfile", T.StringType()),
+                        T.StructField("__delseq", T.LongType()),
+                    ]
+                ),
+            )
+            ddf = (
+                ddf.withColumn(
+                    "__dfile", F.element_at(F.split(F.input_file_name(), "/"), -1)
+                )
+                .join(F.broadcast(dmap), "__dfile")
+                .select(
+                    F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
+                        "__tfile"
+                    ),
+                    F.col("pos").alias("__tpos"),
+                    "__delseq",
+                )
+            )
+            df = df.join(
+                ddf,
+                (df["__file"] == ddf["__tfile"])
+                & (df["__pos"] == ddf["__tpos"])
+                & (ddf["__delseq"] >= df["__seq"]),
+                "left_anti",
+            )
         for c in pcols:
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(
                 f"__pv_{c}"
@@ -460,6 +548,14 @@ def read_iceberg_changes(
     snaps = sorted(
         meta.get("snapshots") or [], key=lambda s: s.get("sequence-number", 0)
     )
+    no_seq = [s["snapshot-id"] for s in snaps if "sequence-number" not in s]
+    if no_seq or meta.get("format-version", 2) == 1:
+        # v1 snapshots carry no sequence numbers: every window would be
+        # (0, 0] and the feed would be SILENTLY empty — fail loudly instead
+        raise IcebergUnsupported(
+            "incremental reads need snapshot sequence numbers "
+            f"(format-version 2); snapshots without one: {no_seq[:5]}"
+        )
     by_id = {s["snapshot-id"]: s for s in snaps}
     if from_snapshot_id != 0 and from_snapshot_id not in by_id:
         raise IcebergError(f"from snapshot {from_snapshot_id} does not exist")
@@ -487,10 +583,20 @@ def read_iceberg_changes(
     entries: list[dict] = []
     extra: dict[str, int] = {}
     for s in window:
-        if (s.get("summary") or {}).get("operation") != "append":
+        op = (s.get("summary") or {}).get("operation")
+        if op == "replace":
+            # a compaction/rewrite: contents unchanged by contract, so an
+            # incremental consumer skips it (the dataChange=false twin)
+            continue
+        if op == "delete":
             raise IcebergUnsupported(
-                f"snapshot {s['snapshot-id']} is "
-                f"{(s.get('summary') or {}).get('operation')!r}; append-only "
+                f"snapshot {s['snapshot-id']} commits delete files; "
+                "append-only change reads cannot represent row deletions "
+                "(read the table at a snapshot instead)"
+            )
+        if op != "append":
+            raise IcebergUnsupported(
+                f"snapshot {s['snapshot-id']} is {op!r}; append-only "
                 "change reads cannot represent overwrites/deletes"
             )
         _sc, _m, manifests = _read_avro(fs, s["manifest-list"])
@@ -543,6 +649,71 @@ def latest_snapshot(path: str) -> int:
 
 def _schema_fingerprint(schema: T.StructType) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def _carry_manifests(fs: FileSystem, meta: dict) -> list[dict]:
+    """Current snapshot's manifest-list rows, normalized to this writer's
+    schema across writer dialects (v1/v2 renamed several count fields) —
+    the append-commit carry: prior manifests travel BY POINTER."""
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur < 0:
+        return []
+    prev = _snapshot_of(meta, cur)
+    _s, _m, prev_manifests = _read_avro(fs, prev["manifest-list"])
+    carried = []
+    for mf in prev_manifests:
+        carried.append(
+            {
+                "manifest_path": mf["manifest_path"],
+                "manifest_length": _get(mf, "manifest_length", default=0),
+                "partition_spec_id": _get(mf, "partition_spec_id", default=0),
+                "content": _get(mf, "content", default=0),
+                "sequence_number": _get(mf, "sequence_number", default=0),
+                "min_sequence_number": _get(
+                    mf, "min_sequence_number", default=0
+                ),
+                "added_snapshot_id": _get(mf, "added_snapshot_id", default=0),
+                "added_data_files_count": _get(
+                    mf, "added_data_files_count", "added_files_count", default=0
+                ),
+                "existing_data_files_count": _get(
+                    mf,
+                    "existing_data_files_count",
+                    "existing_files_count",
+                    default=0,
+                ),
+                "deleted_data_files_count": _get(
+                    mf,
+                    "deleted_data_files_count",
+                    "deleted_files_count",
+                    default=0,
+                ),
+                "added_rows_count": _get(mf, "added_rows_count", default=0),
+                "existing_rows_count": _get(
+                    mf, "existing_rows_count", default=0
+                ),
+                "deleted_rows_count": _get(mf, "deleted_rows_count", default=0),
+            }
+        )
+    return carried
+
+
+def _publish_metadata(
+    fs: FileSystem, path: str, version: int, new_meta: dict
+) -> None:
+    """Commit arbitration: create-if-absent PUT of the next metadata
+    version (O_EXCL / conditional PUT on the fs seam — two racing writers
+    get exactly one winner, never a silent clobber), then advance the
+    advisory version hint."""
+    md = _meta_dir(path)
+    commit_path = fs.join(md, _meta_name(version + 1))
+    if not fs.put_bytes_if_absent(
+        commit_path, json.dumps(new_meta, indent=1).encode("utf-8")
+    ):
+        raise IcebergConcurrentWrite(
+            f"metadata v{version + 1} already committed at {path}"
+        )
+    fs.put_bytes(fs.join(md, "version-hint.text"), str(version + 1).encode())
 
 
 def _manifest_entry_schema(partition_fields: list[tuple[str, str]]) -> dict:
@@ -695,8 +866,13 @@ def write_iceberg(
             raise IcebergSchemaMismatch(
                 f"partition_by {list(partition_by)} != table's {pcols}"
             )
-        if meta.get("format-version", 2) not in (1, 2):
-            raise IcebergUnsupported(f"format-version {meta.get('format-version')}")
+        if meta.get("format-version", 2) != 2:
+            # v1 tables carry no sequence numbers; appending v2-shaped
+            # snapshots would produce a hybrid real v1 readers misread
+            raise IcebergUnsupported(
+                f"writes to format-version {meta.get('format-version')} "
+                "tables (reads are fine)"
+            )
         last_seq = int(meta.get("last-sequence-number", 0))
         last_col = int(meta.get("last-column-id", 0))
         fp_new = _schema_fingerprint(df.schema)
@@ -869,49 +1045,7 @@ def write_iceberg(
     }
     carried: list[dict] = []
     if mode == "append" and meta is not None and meta.get("snapshots"):
-        cur = meta.get("current-snapshot-id")
-        if cur is not None and cur >= 0:
-            prev = _snapshot_of(meta, cur)
-            _s, _m, prev_manifests = _read_avro(fs, prev["manifest-list"])
-            for mf in prev_manifests:  # normalize across writer dialects
-                carried.append(
-                    {
-                        "manifest_path": mf["manifest_path"],
-                        "manifest_length": _get(mf, "manifest_length", default=0),
-                        "partition_spec_id": _get(
-                            mf, "partition_spec_id", default=0
-                        ),
-                        "content": _get(mf, "content", default=0),
-                        "sequence_number": _get(mf, "sequence_number", default=0),
-                        "min_sequence_number": _get(
-                            mf, "min_sequence_number", default=0
-                        ),
-                        "added_snapshot_id": _get(
-                            mf, "added_snapshot_id", default=0
-                        ),
-                        "added_data_files_count": _get(
-                            mf, "added_data_files_count", "added_files_count",
-                            default=0,
-                        ),
-                        "existing_data_files_count": _get(
-                            mf, "existing_data_files_count",
-                            "existing_files_count", default=0,
-                        ),
-                        "deleted_data_files_count": _get(
-                            mf, "deleted_data_files_count",
-                            "deleted_files_count", default=0,
-                        ),
-                        "added_rows_count": _get(
-                            mf, "added_rows_count", default=0
-                        ),
-                        "existing_rows_count": _get(
-                            mf, "existing_rows_count", default=0
-                        ),
-                        "deleted_rows_count": _get(
-                            mf, "deleted_rows_count", default=0
-                        ),
-                    }
-                )
+        carried = _carry_manifests(fs, meta)
     mlist_path = fs.join(md, f"snap-{sid}-{token}.avro")
     fs.put_bytes(
         mlist_path,
@@ -975,13 +1109,185 @@ def write_iceberg(
             {"timestamp-ms": seq, "snapshot-id": sid}
         ]
 
-    commit_path = fs.join(md, _meta_name(version + 1))
-    if fs.exists(commit_path):
-        raise IcebergConcurrentWrite(
-            f"metadata v{version + 1} already committed at {path}"
+    _publish_metadata(fs, path, version, new_meta)
+    return sid
+
+
+def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
+    """Row-level DELETE via merge-on-read position deletes (format v2,
+    spec §Delete Formats): commit parquet delete files of
+    ``(file_path, pos)`` rows naming every LIVE row matching ``where``
+    (a SQL expression string or Column), without rewriting any data file.
+    Readers — this module's and any spec-conformant engine's — hide the
+    named positions at scan time.  Returns the new snapshot id, or -1
+    when nothing matched (no commit).
+
+    Shape: one Spark job scans the live table (existing deletes already
+    applied, so re-deleting is never recorded) carrying each row's file
+    basename and ``_metadata.row_index``; matches map back to full file
+    paths through a broadcast of the manifest file list and land as ONE
+    sorted delete file (file_path, pos — the spec's required order).
+    The commit adds a delete manifest (``content=1``) and carries all
+    prior manifests by pointer: O(matches) I/O, no data-file rewrite —
+    the merge-on-read trade real tables make for cheap deletes.
+    Incremental readers refuse windows containing the delete snapshot
+    (append-only contract); time travel below it still sees the rows."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    md = _meta_dir(path)
+    meta, version = _load_metadata(fs, path)
+    if meta.get("format-version", 2) != 2:
+        raise IcebergUnsupported(
+            "position deletes need format-version 2 sequence numbers"
         )
-    fs.put_bytes(commit_path, json.dumps(new_meta, indent=1).encode("utf-8"))
-    fs.put_bytes(fs.join(md, "version-hint.text"), str(version + 1).encode())
+    ice_schema = _current_schema(meta)
+    schema = _schema_from_iceberg(ice_schema)
+    spec = _current_spec(meta)
+    if any(f.get("transform") != "identity" for f in spec):
+        raise IcebergUnsupported("non-identity partition transforms")
+    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    pcols = [by_id[f["source-id"]] for f in spec]
+    entries, dels = _live_entries(fs, _snapshot_of(meta, None))
+    if not entries:
+        return -1
+
+    live = _assemble(
+        spark, fs, schema, pcols, entries, deletes=dels, keep_pos=True
+    )
+    cond = F.expr(where) if isinstance(where, str) else where
+    full_by_base = spark.createDataFrame(
+        [(posixpath.basename(e["file_path"]), e["file_path"]) for e in entries],
+        T.StructType(
+            [
+                T.StructField("__file", T.StringType()),
+                T.StructField("file_path", T.StringType()),
+            ]
+        ),
+    )
+    del_rows = (
+        live.filter(cond)
+        .select("__file", "__pos")
+        .join(F.broadcast(full_by_base), "__file")
+        .select("file_path", F.col("__pos").alias("pos"))
+        # spec: position delete files are sorted by (file_path, pos)
+        .repartition(1)
+        .sortWithinPartitions("file_path", "pos")
+    )
+    token = uuid.uuid4().hex
+    staging = f"{path}_iceberg_delstage_{token}"
+    del_rows.write.mode("overwrite").parquet(fs.spark_path(staging))
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    sid = seq
+    del_entries: list[dict] = []
+    n_deleted = 0
+    ordinal = 0
+    ice_by_name = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    part_types = [(sf["name"], ice_by_name[sf["name"]]) for sf in spec]
+    for rel, size in fs.walk_files(staging):
+        base = rel.rsplit("/", 1)[-1]
+        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+            continue
+        new_rel = f"data/delete-{ordinal:05d}-{token}.parquet"
+        src, dst = fs.join(staging, rel), fs.join(path, new_rel)
+        if fs.supports_rename():
+            fs.makedirs(posixpath.dirname(dst))
+            fs.rename(src, dst)
+        else:
+            fs.put_bytes(dst, fs.read_bytes(src))
+        stat = fs.stat(dst)
+        n_rows = _parquet_row_count(fs, dst)
+        if n_rows == 0:
+            fs.delete(dst)
+            continue
+        del_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "sequence_number": None,  # inherited from the manifest list
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # POSITION DELETES
+                    "file_path": fs.join(path, new_rel),
+                    "file_format": "PARQUET",
+                    # delete files are partition-global here (they target
+                    # files BY PATH); all-null partition record
+                    "partition": {name: None for name, _t in part_types},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": stat[0] if stat else size,
+                },
+            }
+        )
+        n_deleted += n_rows
+        ordinal += 1
+    fs.delete_tree(staging)
+    if not del_entries:
+        return -1
+
+    entry_schema = _manifest_entry_schema(part_types)
+    manifest_path = fs.join(md, f"m-{sid}-{token}.avro")
+    manifest_bytes = write_container(
+        json.dumps(entry_schema),
+        del_entries,
+        meta={
+            "schema": json.dumps(ice_schema),
+            "partition-spec": json.dumps(spec),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    fs.put_bytes(manifest_path, manifest_bytes)
+    new_mf = {
+        "manifest_path": manifest_path,
+        "manifest_length": len(manifest_bytes),
+        "partition_spec_id": 0,
+        "content": 1,  # delete manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": sid,
+        "added_data_files_count": len(del_entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": n_deleted,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    mlist_path = fs.join(md, f"snap-{sid}-{token}.avro")
+    fs.put_bytes(
+        mlist_path,
+        write_container(
+            json.dumps(_MANIFEST_FILE_SCHEMA),
+            [new_mf] + _carry_manifests(fs, meta),
+            meta={"format-version": "2"},
+        ),
+    )
+    snapshot = {
+        "snapshot-id": sid,
+        **(
+            {"parent-snapshot-id": meta["current-snapshot-id"]}
+            if (meta.get("current-snapshot-id") or -1) >= 0
+            else {}
+        ),
+        "sequence-number": seq,
+        "timestamp-ms": seq,
+        "summary": {
+            "operation": "delete",
+            "deleted-position-delete-rows": str(n_deleted),
+            "engine-info": "gofeed_spark-iceberg/0.1",
+        },
+        "manifest-list": mlist_path,
+        "schema-id": ice_schema.get("schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = seq
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": seq, "snapshot-id": sid}
+    ]
+    _publish_metadata(fs, path, version, new_meta)
     return sid
 
 
@@ -1030,12 +1336,7 @@ def expire_iceberg(path: str, keep_last: int = 1, dry_run: bool = False) -> list
             for e in meta.get("snapshot-log") or []
             if e.get("snapshot-id") in keep_ids
         ]
-        md = _meta_dir(path)
-        commit_path = fs.join(md, _meta_name(version + 1))
-        if fs.exists(commit_path):
-            raise IcebergConcurrentWrite(f"metadata v{version + 1} already exists")
-        fs.put_bytes(commit_path, json.dumps(new_meta, indent=1).encode("utf-8"))
-        fs.put_bytes(fs.join(md, "version-hint.text"), str(version + 1).encode())
+        _publish_metadata(fs, path, version, new_meta)
         for victim in victims:
             fs.delete(victim)
     root = path.rstrip("/") + "/"

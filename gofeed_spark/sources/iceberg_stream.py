@@ -56,6 +56,15 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         self.fs = get_filesystem(self.path)
         meta, _v = _load_metadata(self.fs, self.path)
+        if meta.get("format-version", 2) == 1 or any(
+            "sequence-number" not in s for s in meta.get("snapshots") or []
+        ):
+            # v1 snapshots carry no sequence numbers: offsets would pin at
+            # (0, 0] and the stream would NEVER deliver — fail loudly
+            raise IcebergUnsupported(
+                "streaming reads need snapshot sequence numbers "
+                "(format-version 2)"
+            )
         ice = _current_schema(meta)
         schema = _schema_from_iceberg(ice)
         spec = _current_spec(meta)
@@ -89,10 +98,12 @@ class IcebergStreamReader(DataSourceStreamReader):
         )
         parts: list[IcebergFilePartition] = []
         for s in window:
-            if (s.get("summary") or {}).get("operation") != "append":
+            op = (s.get("summary") or {}).get("operation")
+            if op == "replace":
+                continue  # compaction: contents unchanged, nothing to deliver
+            if op != "append":
                 raise IcebergUnsupported(
-                    f"snapshot {s['snapshot-id']} is "
-                    f"{(s.get('summary') or {}).get('operation')!r}; the "
+                    f"snapshot {s['snapshot-id']} is {op!r}; the "
                     "append-only stream cannot represent overwrites/deletes"
                 )
             _sc, _m, manifests = _read_avro(self.fs, s["manifest-list"])

@@ -451,3 +451,158 @@ def test_schema_evolution_additive(spark, corpus, tmp_path):
         I.write_iceberg(corpus, tbl)
     I.write_iceberg(wide, tbl, partition_by=["source"])
     assert I.read_iceberg(spark, tbl).count() == 180
+
+
+# --- merge-on-read position deletes -------------------------------------------
+
+
+def test_position_deletes_end_to_end(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus.filter("doc_id % 2 = 0"), tbl, partition_by=["source"])
+    s2 = I.write_iceberg(
+        corpus.filter("doc_id % 2 = 1"), tbl, partition_by=["source"]
+    )
+    sid = I.delete_iceberg_rows(spark, tbl, "doc_id % 7 = 0")
+    assert sid == 3
+    live = {r.doc_id for r in I.read_iceberg(spark, tbl).collect()}
+    assert live == {i for i in range(60) if i % 7 != 0}
+    # time travel below the delete still sees every row
+    assert I.read_iceberg(spark, tbl, snapshot_id=s2).count() == 60
+    # re-deleting already-hidden rows is a no-op (no empty commit)
+    assert I.delete_iceberg_rows(spark, tbl, "doc_id % 7 = 0") == -1
+    # stacked second delete composes
+    I.delete_iceberg_rows(spark, tbl, "doc_id % 11 = 0")
+    live = {r.doc_id for r in I.read_iceberg(spark, tbl).collect()}
+    assert live == {i for i in range(60) if i % 7 != 0 and i % 11 != 0}
+    # partition pruning still applies the (unpruned) deletes
+    pruned = {
+        r.doc_id for r in I.read_iceberg(spark, tbl, where={"source": "s1"}).collect()
+    }
+    assert pruned == {i for i in live if i % 3 == 1}
+    assert [h["operation"] for h in I.iceberg_history(tbl)][:2] == [
+        "delete",
+        "delete",
+    ]
+
+
+def test_position_delete_spec_shape(spark, corpus, tmp_path):
+    """The committed delete file/manifest must be what OTHER engines'
+    readers expect: content=1 manifest, (file_path, pos) parquet sorted
+    by the spec's order, file paths naming live data files."""
+    import pyarrow.parquet as pq
+
+    from gofeed_spark.fs import get_filesystem
+
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl, partition_by=["source"])
+    I.delete_iceberg_rows(spark, tbl, "doc_id < 5")
+    fs = get_filesystem(tbl)
+    meta, _v = I._load_metadata(fs, tbl)
+    snap = I._snapshot_of(meta, None)
+    _s, _m, manifests = I._read_avro(fs, snap["manifest-list"])
+    del_mfs = [mf for mf in manifests if mf["content"] == 1]
+    assert len(del_mfs) == 1
+    _s2, _m2, entries = I._read_avro(fs, del_mfs[0]["manifest_path"])
+    assert len(entries) == 1 and entries[0]["data_file"]["content"] == 1
+    t = pq.read_table(entries[0]["data_file"]["file_path"])
+    assert t.column_names == ["file_path", "pos"]
+    rows = list(zip(t.column("file_path").to_pylist(), t.column("pos").to_pylist()))
+    assert rows == sorted(rows)  # spec: sorted by (file_path, pos)
+    assert len(rows) == 5
+    data_paths = {e["file_path"] for e in I._live_entries(fs, snap)[0]}
+    assert {fp for fp, _p in rows} <= data_paths
+
+
+def test_position_delete_sequence_scoping(spark, corpus, tmp_path):
+    """A delete row naming a data file COMMITTED AFTER the delete must
+    not hide it (delete seq < data seq — the v2 scoping rule; this is
+    exactly the compaction-rewrite case real tables hit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gofeed_spark.fs import get_filesystem
+
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus.filter("doc_id < 30"), tbl)
+    I.delete_iceberg_rows(spark, tbl, "doc_id = 3")          # seq 2
+    I.write_iceberg(corpus.filter("doc_id >= 30"), tbl)      # seq 3
+    fs = get_filesystem(tbl)
+    meta, _v = I._load_metadata(fs, tbl)
+    data, dels = I._live_entries(fs, I._snapshot_of(meta, None))
+    assert len(dels) == 1 and dels[0]["_seq"] == 2
+    late_file = next(e["file_path"] for e in data if e["_seq"] == 3)
+    # plant a delete row targeting the LATER file at pos 0 inside the
+    # existing (seq-2) delete file: scoping must ignore it
+    dpath = dels[0]["file_path"]
+    t = pq.read_table(dpath)
+    extra = pa.table(
+        {"file_path": [late_file], "pos": [0]},
+        schema=pa.schema([("file_path", pa.string()), ("pos", pa.int64())]),
+    ).cast(t.schema)
+    pq.write_table(pa.concat_tables([t, extra]), dpath)
+    assert I.read_iceberg(spark, tbl).count() == 59  # only doc_id=3 hidden
+
+
+def test_v1_tables_write_and_change_reads_refuse(spark, corpus, tmp_path):
+    """format-version 1: plain reads fine, but writes and incremental /
+    streaming reads refuse loudly (v1 snapshots carry no sequence
+    numbers — a change feed would be silently empty)."""
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.sources.iceberg_stream import IcebergStreamReader
+
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl)
+    fs = get_filesystem(tbl)
+    meta, v = I._load_metadata(fs, tbl)
+    meta["format-version"] = 1
+    for s in meta["snapshots"]:
+        s.pop("sequence-number", None)
+    fs.put_bytes(
+        fs.join(I._meta_dir(tbl), I._meta_name(v + 1)), json.dumps(meta).encode()
+    )
+    fs.put_bytes(
+        fs.join(I._meta_dir(tbl), "version-hint.text"), str(v + 1).encode()
+    )
+    assert I.read_iceberg(spark, tbl).count() == 60  # plain read is fine
+    with pytest.raises(I.IcebergUnsupported, match="format-version 1"):
+        I.write_iceberg(corpus, tbl)
+    with pytest.raises(I.IcebergUnsupported, match="sequence numbers"):
+        I.read_iceberg_changes(spark, tbl, 0)
+    with pytest.raises(I.IcebergUnsupported, match="sequence numbers"):
+        IcebergStreamReader({"path": tbl})
+
+
+def test_equality_deletes_refuse(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl)
+    I.delete_iceberg_rows(spark, tbl, "doc_id = 0")
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(tbl)
+    meta, _v = I._load_metadata(fs, tbl)
+    snap = I._snapshot_of(meta, None)
+    _s, _m, manifests = I._read_avro(fs, snap["manifest-list"])
+    del_mf = next(mf for mf in manifests if mf["content"] == 1)
+    _es, _em, entries = I._read_avro(fs, del_mf["manifest_path"])
+    entries[0]["data_file"]["content"] = 2  # forge an equality delete
+    fs.put_bytes(
+        del_mf["manifest_path"],
+        write_container(_es if isinstance(_es, str) else json.dumps(_es), entries),
+    )
+    with pytest.raises(I.IcebergUnsupported, match="equality"):
+        I.read_iceberg(spark, tbl).count()
+
+
+def test_concurrent_commit_arbitration_is_atomic(spark, corpus, tmp_path):
+    """The publish is create-if-absent (O_EXCL / conditional PUT), not
+    probe-then-put: a racer's bytes can never be clobbered."""
+    from gofeed_spark.fs import get_filesystem
+
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus.filter("doc_id < 10"), tbl)
+    fs = get_filesystem(tbl)
+    racer = fs.join(I._meta_dir(tbl), I._meta_name(2))
+    fs.put_bytes(racer, b'{"racer": true}')
+    with pytest.raises(I.IcebergConcurrentWrite):
+        I.write_iceberg(corpus.filter("doc_id >= 10"), tbl)
+    assert fs.read_bytes(racer) == b'{"racer": true}'  # loser never clobbered
