@@ -41,12 +41,18 @@ delete manifests (``content=1``) as one distributed anti join keyed on
 and ``delete_iceberg_rows`` commits spec-shaped position-delete files so
 other engines' readers hide the same rows.
 
+Partition transforms (``sources/icetransforms.py``, spec §Partition
+Transforms) are supported on read AND write: ``bucket[N]`` (spec-exact
+murmur3 over little-endian longs / UTF-8), ``truncate[W]``,
+``year/month/day/hour`` (whole units since epoch), ``void`` — manifest
+pruning via ``where`` compares in transformed space, and transform
+fields keep their source column in data files (only identity drops it).
+
 Unsupported (declared, raised loudly): format-version 1 writes and
 incremental/streaming reads (plain v1 READS are fine — the schema-driven
 Avro decode does not care, but v1 snapshots carry no sequence numbers so
 a change feed would be silently empty), equality delete files
-(``content=2``), non-identity partition transforms, non-parquet data
-files.
+(``content=2``), unknown partition transforms, non-parquet data files.
 
 Reference: the gofeed reference has no table format at all (one ORM
 store, repo.go); §2.E added surface — VERDICT r13 missing item 3.
@@ -63,6 +69,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gofeed_spark.fs import FileSystem, get_filesystem
+from gofeed_spark.sources import icetransforms as X
 from gofeed_spark.sources.avrocodec import AvroError, read_container, write_container
 
 
@@ -286,6 +293,41 @@ def _current_spec(meta: dict) -> list[dict]:
     return list(meta.get("partition-spec", []))  # v1 form
 
 
+def _spec_fields(ice_schema: dict, spec: list[dict]) -> list[dict]:
+    """Validated partition-spec fields: one dict per spec field with
+    {name, transform, kind, param, source_col, src_type, result_type}.
+    Raises :class:`IcebergUnsupported` for transforms outside the
+    supported set (identity, bucket[N], truncate[W], year/month/day/hour,
+    void) or transform/type combinations the spec forbids."""
+    by_id = {f["id"]: (f["name"], f["type"]) for f in ice_schema["fields"]}
+    out = []
+    for f in spec:
+        sid = f.get("source-id")
+        if sid not in by_id:
+            raise IcebergError(f"partition source-id {sid} not in schema")
+        col, src_t = by_id[sid]
+        if not isinstance(src_t, str):
+            raise IcebergUnsupported(f"partition on nested type {col!r}")
+        t = f.get("transform", "identity")
+        try:
+            kind, param = X.parse_transform(t)
+            rtype = X.result_ice_type(kind, src_t)
+        except X.IcebergTransformError as exc:
+            raise IcebergUnsupported(str(exc)) from exc
+        out.append(
+            {
+                "name": f.get("name") or X.field_name(kind, param, col),
+                "transform": t,
+                "kind": kind,
+                "param": param,
+                "source_col": col,
+                "src_type": src_t,
+                "result_type": rtype,
+            }
+        )
+    return out
+
+
 def _snapshot_of(meta: dict, snapshot_id: int | None) -> dict:
     snaps = meta.get("snapshots") or []
     if not snaps:
@@ -373,21 +415,24 @@ def read_iceberg(
     fs = get_filesystem(path)
     meta, _v = _load_metadata(fs, path)
     schema = _schema_from_iceberg(_current_schema(meta))
-    spec = _current_spec(meta)
-    if any(f.get("transform") != "identity" for f in spec):
-        raise IcebergUnsupported(
-            f"non-identity partition transforms: {[f.get('transform') for f in spec]}"
-        )
-    by_id = {f["id"]: f["name"] for f in _current_schema(meta)["fields"]}
-    pcols = [by_id[f["source-id"]] for f in spec]
+    fields = _spec_fields(_current_schema(meta), _current_spec(meta))
+    # only IDENTITY transforms drop the source column from data files
+    # (the spec's staging shape) — transform fields keep it, so nothing
+    # needs restoring for day/bucket/truncate partitions
+    idents = [f for f in fields if f["kind"] == "identity"]
+    pcols = [f["source_col"] for f in idents]
+    pkeys = [f["name"] for f in idents]
     entries, dels = _live_entries(fs, _snapshot_of(meta, snapshot_id))
     if where:
-        unknown = set(where) - set(pcols)
+        names = [f["name"] for f in fields]
+        unknown = set(where) - set(names)
         if unknown:
             raise IcebergError(
-                f"where keys {sorted(unknown)} are not partition columns {pcols}"
+                f"where keys {sorted(unknown)} are not partition fields {names}"
             )
-        # manifest partition structs key by the SPEC FIELD name; delete
+        # manifest partition structs key by the SPEC FIELD name; values
+        # compare in TRANSFORMED space (compute with
+        # icetransforms.transform_value for day/bucket/... fields); delete
         # entries are NEVER pruned (a position delete may target any file)
         entries = [
             e
@@ -397,7 +442,9 @@ def read_iceberg(
                 for k, v in where.items()
             )
         ]
-    return _assemble(spark, fs, schema, pcols, entries, deletes=dels)
+    return _assemble(
+        spark, fs, schema, pcols, entries, deletes=dels, pkeys=pkeys
+    )
 
 
 def _assemble(
@@ -409,6 +456,7 @@ def _assemble(
     extra: dict[str, int] | None = None,
     deletes: list[dict] | None = None,
     keep_pos: bool = False,
+    pkeys: list[str] | None = None,
 ) -> DataFrame:
     """Live data-file entries → ONE parquet relation with identity
     partition columns restored from the manifests' partition structs by a
@@ -425,7 +473,11 @@ def _assemble(
     per-file driver work and no row-order assumptions; the sequence-number
     scope rides the same join as a non-equi conjunct.  ``keep_pos``
     additionally exposes ``__file``/``__pos`` working columns (the
-    delete-WRITER's input: it needs live row coordinates)."""
+    delete-WRITER's input: it needs live row coordinates).  ``pkeys``
+    names the manifest partition-struct keys for ``pcols`` (spec FIELD
+    names — they differ from column names for foreign writers); defaults
+    to ``pcols``."""
+    pkeys = pkeys if pkeys is not None else pcols
     out_cols = [F.col(f.name) for f in schema.fields]
     if extra is not None:
         out_cols.append(F.col("_snapshot_id"))
@@ -464,9 +516,9 @@ def _assemble(
                 [posixpath.basename(e["file_path"])]
                 + [
                     None
-                    if (e.get("partition") or {}).get(c) is None
-                    else str((e.get("partition") or {}).get(c))
-                    for c in pcols
+                    if (e.get("partition") or {}).get(k) is None
+                    else str((e.get("partition") or {}).get(k))
+                    for k in pkeys
                 ]
                 + ([extra[e["file_path"]]] if extra is not None else [])
                 + ([int(e.get("_seq", 0))] if deletes else [])
@@ -572,9 +624,10 @@ def read_iceberg_changes(
         else 0
     )
     schema = _schema_from_iceberg(_current_schema(meta))
-    spec = _current_spec(meta)
-    sch_by_id = {f["id"]: f["name"] for f in _current_schema(meta)["fields"]}
-    pcols = [sch_by_id[f["source-id"]] for f in spec]
+    fields = _spec_fields(_current_schema(meta), _current_spec(meta))
+    idents = [f for f in fields if f["kind"] == "identity"]
+    pcols = [f["source_col"] for f in idents]
+    pkeys = [f["name"] for f in idents]
     window = [
         s
         for s in snaps
@@ -612,7 +665,7 @@ def read_iceberg_changes(
                     raise IcebergUnsupported("non-parquet data file")
                 entries.append(d)
                 extra[d["file_path"]] = s["snapshot-id"]
-    return _assemble(spark, fs, schema, pcols, entries, extra)
+    return _assemble(spark, fs, schema, pcols, entries, extra, pkeys=pkeys)
 
 
 def iceberg_history(path: str) -> list[dict]:
@@ -858,14 +911,15 @@ def write_iceberg(
         ice_schema = _current_schema(meta)
         table_schema = _schema_from_iceberg(ice_schema)
         spec = _current_spec(meta)
-        by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
-        pcols = [by_id[f["source-id"]] for f in spec]
-        if any(f.get("transform") != "identity" for f in spec):
-            raise IcebergUnsupported("non-identity partition transforms")
-        if partition_by is not None and list(partition_by) != pcols:
-            raise IcebergSchemaMismatch(
-                f"partition_by {list(partition_by)} != table's {pcols}"
-            )
+        pfields = _spec_fields(ice_schema, spec)
+        if partition_by is not None:
+            asked = [X.parse_partition_field(s) for s in partition_by]
+            have = [(f["kind"], f["param"], f["source_col"]) for f in pfields]
+            if asked != have:
+                raise IcebergSchemaMismatch(
+                    f"partition_by {list(partition_by)} != table's "
+                    f"{[f['transform'] + '(' + f['source_col'] + ')' for f in pfields]}"
+                )
         if meta.get("format-version", 2) != 2:
             # v1 tables carry no sequence numbers; appending v2-shaped
             # snapshots would produce a hybrid real v1 readers misread
@@ -922,42 +976,55 @@ def write_iceberg(
                 )
     else:
         ice_schema, last_col = _schema_to_iceberg(df.schema)
-        pcols = list(partition_by or [])
-        unknown = [c for c in pcols if c not in df.columns]
+        parsed = [X.parse_partition_field(s) for s in (partition_by or [])]
+        unknown = [c for _k, _p, c in parsed if c not in df.columns]
         if unknown:
             raise IcebergError(f"partition_by {unknown} not in DataFrame columns")
         spec = [
             {
-                "name": c,
-                "transform": "identity",
+                "name": X.field_name(kind, param, c),
+                "transform": X.transform_spec_string(kind, param),
                 "source-id": next(
                     f["id"] for f in ice_schema["fields"] if f["name"] == c
                 ),
                 "field-id": 1000 + i,
             }
-            for i, c in enumerate(pcols)
+            for i, (kind, param, c) in enumerate(parsed)
         ]
+        pfields = _spec_fields(ice_schema, spec)
         last_seq = 0
 
-    ice_by_name = {f["name"]: f["type"] for f in ice_schema["fields"]}
-    part_types = []
-    for sf in spec:
-        name = sf["name"]
-        ice_t = ice_by_name[name]
-        if not isinstance(ice_t, str):
-            raise IcebergUnsupported(f"identity partition on nested type {name!r}")
-        part_types.append((name, ice_t))
+    part_types = [(f["name"], f["result_type"]) for f in pfields]
 
     seq = last_seq + 1
     sid = seq  # deterministic snapshot id (== sequence number)
 
-    # Stage data with one distributed write; publish under writer-unique
-    # names inside data/ (the delta-module discipline).
+    # Stage data with one distributed write, partitioned by the
+    # TRANSFORMED values (identity fields partition by the source column
+    # and drop it from data files; transform fields partition by a
+    # derived column — the source column STAYS in the data files, the
+    # spec's staging shape).  Publish under writer-unique names inside
+    # data/ (the delta-module discipline).
     token = uuid.uuid4().hex
     staging = f"{path}_iceberg_staging_{token}"
-    writer = df.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
+    stage_df = df
+    stage_cols = []
+    for f in pfields:
+        if f["kind"] == "identity":
+            stage_cols.append(f["source_col"])
+        else:
+            if f["name"] in df.columns:
+                raise IcebergError(
+                    f"column {f['name']!r} collides with partition field name"
+                )
+            stage_df = stage_df.withColumn(
+                f["name"],
+                X.transform_column(f["transform"], f["source_col"], f["src_type"]),
+            )
+            stage_cols.append(f["name"])
+    writer = stage_df.write.mode("overwrite")
+    if stage_cols:
+        writer = writer.partitionBy(*stage_cols)
     writer.parquet(fs.spark_path(staging))
 
     entries: list[dict] = []
@@ -1143,16 +1210,17 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
     ice_schema = _current_schema(meta)
     schema = _schema_from_iceberg(ice_schema)
     spec = _current_spec(meta)
-    if any(f.get("transform") != "identity" for f in spec):
-        raise IcebergUnsupported("non-identity partition transforms")
-    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
-    pcols = [by_id[f["source-id"]] for f in spec]
+    pfields = _spec_fields(ice_schema, spec)
+    idents = [f for f in pfields if f["kind"] == "identity"]
+    pcols = [f["source_col"] for f in idents]
+    pkeys = [f["name"] for f in idents]
     entries, dels = _live_entries(fs, _snapshot_of(meta, None))
     if not entries:
         return -1
 
     live = _assemble(
-        spark, fs, schema, pcols, entries, deletes=dels, keep_pos=True
+        spark, fs, schema, pcols, entries, deletes=dels, keep_pos=True,
+        pkeys=pkeys,
     )
     cond = F.expr(where) if isinstance(where, str) else where
     full_by_base = spark.createDataFrame(
@@ -1182,8 +1250,7 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
     del_entries: list[dict] = []
     n_deleted = 0
     ordinal = 0
-    ice_by_name = {f["name"]: f["type"] for f in ice_schema["fields"]}
-    part_types = [(sf["name"], ice_by_name[sf["name"]]) for sf in spec]
+    part_types = [(f["name"], f["result_type"]) for f in pfields]
     for rel, size in fs.walk_files(staging):
         base = rel.rsplit("/", 1)[-1]
         if base.startswith(("_", ".")) or not base.endswith(".parquet"):

@@ -67,11 +67,17 @@ class IcebergStreamReader(DataSourceStreamReader):
             )
         ice = _current_schema(meta)
         schema = _schema_from_iceberg(ice)
-        spec = _current_spec(meta)
-        if any(f.get("transform") != "identity" for f in spec):
-            raise IcebergUnsupported("non-identity partition transforms")
-        by_id = {f["id"]: f["name"] for f in ice["fields"]}
-        self.pcols = [by_id[f["source-id"]] for f in spec]
+        from gofeed_spark.sources.iceberg import _spec_fields
+
+        # identity fields need restoring from partition values; transform
+        # fields (day/bucket/...) keep the source column in data files
+        idents = [
+            f
+            for f in _spec_fields(ice, _current_spec(meta))
+            if f["kind"] == "identity"
+        ]
+        self.pcols = [f["source_col"] for f in idents]
+        self.pkeys = [f["name"] for f in idents]
         self.phys = [f.name for f in schema.fields if f.name not in self.pcols]
         self.col_order = [f.name for f in schema.fields]
         self.types = {
@@ -121,7 +127,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     parts.append(
                         IcebergFilePartition(
                             self.fs.spark_path(d["file_path"]),
-                            [pv.get(c) for c in self.pcols],
+                            [pv.get(k) for k in self.pkeys],
                             s["snapshot-id"],
                         )
                     )

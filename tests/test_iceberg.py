@@ -243,7 +243,7 @@ def test_unsupported_features_raise(spark, corpus, tmp_path):
     meta, v = I._load_metadata(fs, tbl)
     meta["partition-specs"] = [
         {"spec-id": 0,
-         "fields": [{"name": "b", "transform": "bucket[16]", "source-id": 1,
+         "fields": [{"name": "b", "transform": "zorder[2]", "source-id": 1,
                      "field-id": 1000}]}
     ]
     fs.put_bytes(
@@ -606,3 +606,127 @@ def test_concurrent_commit_arbitration_is_atomic(spark, corpus, tmp_path):
     with pytest.raises(I.IcebergConcurrentWrite):
         I.write_iceberg(corpus.filter("doc_id >= 10"), tbl)
     assert fs.read_bytes(racer) == b'{"racer": true}'  # loser never clobbered
+
+
+# --- partition transforms ------------------------------------------------------
+
+
+def test_transform_spec_vectors():
+    """The spec's published hash/transform examples (Appendix B +
+    §Partition Transforms) — cross-engine compatibility anchors."""
+    import datetime as dt
+
+    from gofeed_spark.sources import icetransforms as X
+
+    assert X.murmur3_32((34).to_bytes(8, "little")) == 2017239379  # int/long 34
+    assert X.murmur3_32(b"iceberg") == 1210000089                  # string
+    assert X.murmur3_32((17486).to_bytes(8, "little")) == -653330422  # date
+    assert (
+        X.murmur3_32((1510871468000000).to_bytes(8, "little")) == -2047944441
+    )  # timestamp micros
+    d = dt.date(2017, 11, 16)
+    assert X.transform_value("day", "date", d) == 17486
+    assert X.transform_value("month", "date", d) == 574
+    assert X.transform_value("year", "date", d) == 47
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert X.transform_value("hour", "timestamptz", ts) == 419686
+    assert X.transform_value("bucket[16]", "long", 34) == 2017239379 % 16
+    assert X.transform_value("truncate[10]", "int", -1) == -10  # floored
+    assert X.transform_value("truncate[3]", "string", "iceberg") == "ice"
+    assert X.transform_value("day", "date", dt.date(1969, 12, 31)) == -1
+    assert X.transform_value("void", "long", 9) is None
+    with pytest.raises(X.IcebergTransformError):
+        X.parse_transform("zorder[2]")
+    with pytest.raises(X.IcebergTransformError):
+        X.result_ice_type("hour", "date")
+
+
+def test_day_transform_lifecycle_and_pruning(spark, tmp_path):
+    import datetime as dt
+
+    from gofeed_spark.sources import icetransforms as X
+
+    ev = spark.range(0, 120).select(
+        F.col("id").alias("event_id"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(hours=F.col("id"))
+        ).alias("ts"),
+        (F.col("id") % 7).alias("val"),
+    )
+    tbl = str(tmp_path / "days")
+    I.write_iceberg(ev.filter("id < 60"), tbl, partition_by=["day(ts)"])
+    I.write_iceberg(ev.filter("id >= 60"), tbl, partition_by=["day(ts)"])
+    full = I.read_iceberg(spark, tbl)
+    # transform partitions KEEP the source column in data files
+    assert full.columns == ["event_id", "ts", "val"] and full.count() == 120
+    d = X.transform_value("day", "timestamptz", dt.datetime(2024, 1, 3))
+    pruned = I.read_iceberg(spark, tbl, where={"ts_day": str(d)})
+    rows = pruned.collect()
+    assert len(rows) == 24
+    assert all(r.ts.date() == dt.date(2024, 1, 3) for r in rows)
+    # manifest-level pruning: the relation holds ONLY that day's files
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # appends validate the transform spec, not just column names
+    with pytest.raises(I.IcebergSchemaMismatch):
+        I.write_iceberg(ev.limit(1), tbl, partition_by=["hour(ts)"])
+
+
+def test_bucket_transform_matches_driver_twin(spark, tmp_path):
+    """Spark-side staged bucket values (numpy murmur3 over LE longs) must
+    equal the driver-side pure-Python transform for every row — that is
+    what makes pruning probes computable without a Spark job."""
+    from gofeed_spark.sources import icetransforms as X
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+    )
+    tbl = str(tmp_path / "buck")
+    I.write_iceberg(docs, tbl, partition_by=["bucket(8, doc_id)"])
+    b = X.transform_value("bucket[8]", "long", 42)
+    got = {
+        r.doc_id
+        for r in I.read_iceberg(
+            spark, tbl, where={"doc_id_bucket": str(b)}
+        ).collect()
+    }
+    want = {
+        i for i in range(200) if X.transform_value("bucket[8]", "long", i) == b
+    }
+    assert got == want and 42 in got
+    # string buckets too (per-value python path)
+    tbl2 = str(tmp_path / "buckstr")
+    I.write_iceberg(docs, tbl2, partition_by=["bucket(4, name)"])
+    b2 = X.transform_value("bucket[4]", "string", "u7")
+    got2 = {
+        r.name
+        for r in I.read_iceberg(
+            spark, tbl2, where={"name_bucket": str(b2)}
+        ).collect()
+    }
+    assert "u7" in got2
+    assert got2 == {
+        f"u{i}"
+        for i in range(200)
+        if X.transform_value("bucket[4]", "string", f"u{i}") == b2
+    }
+
+
+def test_truncate_and_mixed_spec_with_deletes(spark, tmp_path):
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+    )
+    tbl = str(tmp_path / "mix")
+    I.write_iceberg(docs, tbl, partition_by=["grp", "truncate(2, name)"])
+    out = I.read_iceberg(spark, tbl)
+    assert out.count() == 100 and set(out.columns) == {"doc_id", "name", "grp"}
+    pt = I.read_iceberg(spark, tbl, where={"grp": "1", "name_truncate": "u1"})
+    assert {r.name for r in pt.collect()} == {
+        f"u{i}" for i in range(100) if i % 2 == 1 and f"u{i}"[:2] == "u1"
+    }
+    # merge-on-read deletes compose with transform partitions
+    I.delete_iceberg_rows(spark, tbl, "doc_id % 10 = 0")
+    assert I.read_iceberg(spark, tbl).count() == 90
