@@ -55,7 +55,9 @@ class DeltaError(RuntimeError):
 
 class DeltaUnsupported(DeltaError):
     """The table requires reader/writer features this module does not
-    implement (column mapping, deletion vectors, non-parquet format)."""
+    implement.  Column mapping (NAME mode) is supported read+write;
+    refusals are feature-precise: deletion vectors, id-mode mapping,
+    unknown readerFeatures, non-parquet format."""
 
 
 class DeltaConcurrentWrite(DeltaError):
@@ -131,6 +133,26 @@ class _Snapshot:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.metadata["schemaString"]))
 
+    @property
+    def column_mapping(self) -> dict[str, str] | None:
+        """logical name → PHYSICAL parquet column name when the table uses
+        column mapping (name mode), else None.  Physical names come from
+        each schema field's ``delta.columnMapping.physicalName`` metadata
+        (the protocol's column-mapping appendix); partitionValues keys use
+        physical names too."""
+        mode = (self.metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode == "none":
+            return None
+        out = {}
+        for f in json.loads(self.metadata["schemaString"])["fields"]:
+            phys = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName"
+            )
+            out[f["name"]] = phys or f["name"]
+        return out
+
 
 def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
     """Checkpoint parquet → action dicts (pyarrow, driver-side).
@@ -154,6 +176,11 @@ def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
                 if key == "add" and isinstance(val.get("partitionValues"), list):
                     # pyarrow renders map<string,string> as [(k, v), ...]
                     val["partitionValues"] = dict(val["partitionValues"])
+                if key == "metaData" and isinstance(val.get("configuration"), list):
+                    val["configuration"] = dict(val["configuration"])
+                if key == "protocol":
+                    # features are absent (null) below reader v3
+                    val = {k: v for k, v in val.items() if v is not None}
                 out.append({key: val})
                 break
     return out
@@ -207,10 +234,30 @@ def _snapshot(fs: FileSystem, path: str, version: int | None = None) -> _Snapsho
             )
     if metadata is None or protocol is None:
         raise DeltaError(f"log replay found no metaData/protocol by v{target}")
-    if protocol.get("minReaderVersion", 1) > 1:
+    mrv = protocol.get("minReaderVersion", 1)
+    if mrv == 2:
+        pass  # reader v2 = column mapping; validated via the metadata below
+    elif mrv == 3:
+        # feature-gated protocol: refuse by FEATURE, not by version — a
+        # column-mapped table must read, only genuinely unimplemented
+        # features (deletion vectors, v2 checkpoints) refuse, each by name
+        feats = set(protocol.get("readerFeatures") or [])
+        unknown = feats - {"columnMapping", "timestampNtz"}
+        if "deletionVectors" in unknown:
+            raise DeltaUnsupported(
+                "deletion vectors (readerFeatures) — row-level deletes "
+                "are not applied; read a pre-DV version or VACUUM+rewrite"
+            )
+        if unknown:
+            raise DeltaUnsupported(f"reader features {sorted(unknown)}")
+    elif mrv > 3:
+        raise DeltaUnsupported(f"minReaderVersion {mrv}")
+    mode = (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("none", "name"):
         raise DeltaUnsupported(
-            f"minReaderVersion {protocol['minReaderVersion']} > 1 "
-            "(column mapping / deletion vectors / v2 checkpoints unsupported)"
+            f"column mapping mode {mode!r} (supported: none, name)"
         )
     fmt = (metadata.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
@@ -239,17 +286,23 @@ def read_delta(
     schema = snap.schema
     pcols = snap.partition_columns
     adds = list(snap.adds.items())
+    mapping = snap.column_mapping
     if where:
         unknown = set(where) - set(pcols)
         if unknown:
             raise DeltaError(f"where keys {sorted(unknown)} are not partition columns {pcols}")
+        # partitionValues key by PHYSICAL name under column mapping
+        P = (mapping or {})
         adds = [
             (rel, add)
             for rel, add in adds
-            if all((add.get("partitionValues") or {}).get(k) == v for k, v in where.items())
+            if all(
+                (add.get("partitionValues") or {}).get(P.get(k, k)) == v
+                for k, v in where.items()
+            )
         ]
 
-    return _assemble(spark, fs, path, schema, pcols, adds)
+    return _assemble(spark, fs, path, schema, pcols, adds, mapping=mapping)
 
 
 def _assemble(
@@ -260,13 +313,24 @@ def _assemble(
     pcols: list[str],
     adds: list[tuple[str, dict]],
     extra: dict[str, int] | None = None,
+    mapping: dict[str, str] | None = None,
 ) -> DataFrame:
     """Live add actions → ONE parquet relation with partition columns
     restored from the log's authoritative partitionValues by a single
     broadcast join keyed on file basename.  ``extra`` optionally maps
     relative path → commit version; when given, the output carries it as
-    ``_commit_version`` through the same broadcast map (the CDF column)."""
-    phys = T.StructType([f for f in schema.fields if f.name not in pcols])
+    ``_commit_version`` through the same broadcast map (the CDF column).
+    ``mapping`` (logical → physical name) makes column-mapped tables
+    read: data files are scanned under their PHYSICAL column names and
+    aliased back, and partitionValues are looked up by physical key."""
+    P = mapping or {}
+    phys = T.StructType(
+        [
+            T.StructField(P.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in pcols
+        ]
+    )
     by_type = {f.name: f.dataType for f in schema.fields}
     out_cols = [F.col(f.name) for f in schema.fields]
     if extra is not None:
@@ -278,6 +342,14 @@ def _assemble(
 
     files = [fs.spark_path(fs.join(path.rstrip("/"), rel)) for rel, _ in adds]
     df = spark.read.schema(phys).parquet(*files)
+    if mapping:
+        df = df.select(
+            *[
+                F.col(P.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+                if f.name not in pcols
+            ]
+        )
     if pcols or extra is not None:
         basenames = [posixpath.basename(rel) for rel, _ in adds]
         if len(set(basenames)) != len(basenames):
@@ -294,7 +366,12 @@ def _assemble(
         rows = [
             tuple(
                 [posixpath.basename(rel)]
-                + [(add.get("partitionValues") or {}).get(c) for c in pcols]
+                + [
+                    (add.get("partitionValues") or {}).get(
+                        P.get(c, c), (add.get("partitionValues") or {}).get(c)
+                    )
+                    for c in pcols
+                ]
                 + ([extra[rel]] if extra is not None else [])
             )
             for rel, add in adds
@@ -354,7 +431,14 @@ def read_delta_changes(
                     "cannot represent updates/deletes"
                 )
     return _assemble(
-        spark, fs, path, snap.schema, snap.partition_columns, adds, extra
+        spark,
+        fs,
+        path,
+        snap.schema,
+        snap.partition_columns,
+        adds,
+        extra,
+        mapping=snap.column_mapping,
     )
 
 
@@ -425,6 +509,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     evolve_schema: bool = False,
+    column_mapping: bool = False,
 ) -> int:
     """Commit ``df`` to a Delta table at ``path``; returns the new version.
 
@@ -448,6 +533,14 @@ def write_delta(
     the protocol's application-transaction marker; readers recover the
     highest committed version per app via :func:`last_txn_version` (the
     exactly-once handshake ``streaming/sinks.DeltaAppendSink`` uses).
+
+    ``column_mapping=True`` on the FIRST commit creates the table in
+    column-mapping NAME mode (protocol reader 2 / writer 5): every field
+    gets a stable ``col-<uuid>`` physical name in its schema metadata,
+    data files and partitionValues use physical names, and readers —
+    this module's and any protocol-conformant engine's — map back by
+    name.  Appends to a mapped table pick the mapping up from its
+    metaData automatically (the flag is only needed at creation).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -457,9 +550,16 @@ def write_delta(
 
     existing: _Snapshot | None = None
     evolved = False
+    mapping: dict[str, str] | None = None
     commits, checkpoints = _list_log(fs, log)
     if commits or checkpoints:
         existing = _snapshot(fs, path)
+        mapping = existing.column_mapping
+        if evolve_schema and mapping is not None:
+            raise DeltaUnsupported(
+                "schema evolution on a column-mapped table (needs "
+                "maxColumnId bookkeeping; create-time schemas only)"
+            )
         pcols = existing.partition_columns
         if partition_by is not None and list(partition_by) != pcols:
             raise DeltaSchemaMismatch(
@@ -489,14 +589,28 @@ def write_delta(
         pcols = list(partition_by or [])
         version = 0
 
+    if existing is None and column_mapping:
+        # stable physical names minted once at creation (name mode)
+        mapping = {
+            f.name: f"col-{uuid.uuid4().hex[:12]}" for f in df.schema.fields
+        }
+
     # Stage the data files with one distributed write, then publish each
     # under a writer-unique basename (uuid per commit + ordinal) so log
-    # paths never collide across writers or retries.
+    # paths never collide across writers or retries.  Column-mapped
+    # tables stage under PHYSICAL column names (data files and
+    # partitionValues both use them, per the protocol).
     token = uuid.uuid4().hex
     staging = f"{path}_delta_staging_{token}"
-    writer = df.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
+    pcols_disk = [mapping.get(c, c) for c in pcols] if mapping else pcols
+    stage_df = (
+        df.select(*[F.col(c).alias(mapping[c]) for c in df.columns])
+        if mapping
+        else df
+    )
+    writer = stage_df.write.mode("overwrite")
+    if pcols_disk:
+        writer = writer.partitionBy(*pcols_disk)
     writer.parquet(fs.spark_path(staging))
 
     adds: list[dict] = []
@@ -517,7 +631,7 @@ def write_delta(
         adds.append(
             {
                 "path": urllib.parse.quote(new_rel),
-                "partitionValues": _hive_partition_values(new_rel, pcols),
+                "partitionValues": _hive_partition_values(new_rel, pcols_disk),
                 "size": stat[0] if stat else size,
                 "modificationTime": (stat[1] // 1_000_000) if stat else 0,
                 "dataChange": True,
@@ -542,15 +656,40 @@ def write_delta(
             {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
         )
     if existing is None:
-        actions.append({"protocol": dict(_PROTOCOL)})
+        if column_mapping:
+            protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+            fields = [
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": mapping[f.name],
+                    },
+                )
+                for i, f in enumerate(df.schema.fields)
+            ]
+            schema_json = T.StructType(fields).json()
+            configuration = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(len(fields)),
+            }
+        else:
+            protocol = dict(_PROTOCOL)
+            schema_json = df.schema.json()
+            configuration = {}
+        actions.append({"protocol": protocol})
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_json,
+                    # partitionColumns stay LOGICAL; partitionValues keys
+                    # are physical (the protocol's column-mapping split)
                     "partitionColumns": pcols,
-                    "configuration": {},
+                    "configuration": configuration,
                 }
             }
         )
@@ -622,9 +761,20 @@ def checkpoint_delta(path: str) -> int:
             ("format", pa.struct([("provider", pa.string())])),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            # configuration MUST survive checkpointing: it carries
+            # delta.columnMapping.mode — dropping it would silently
+            # misread a mapped table after log truncation
+            ("configuration", pa.map_(pa.string(), pa.string())),
         ]
     )
-    proto_type = pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])
+    proto_type = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
     txn_type = pa.struct([("appId", pa.string()), ("version", pa.int64())])
 
     txns = sorted(snap.txns.items())
@@ -636,6 +786,7 @@ def checkpoint_delta(path: str) -> int:
         "format": {"provider": (meta.get("format") or {}).get("provider", "parquet")},
         "schemaString": meta["schemaString"],
         "partitionColumns": snap.partition_columns,
+        "configuration": list((meta.get("configuration") or {}).items()),
     }] + [None] * (n - 2)
     add_col: list[dict | None] = [None, None]
     for add in snap.adds.values():
@@ -700,12 +851,22 @@ def optimize_delta(
     snap = _snapshot(fs, path)
     pcols = snap.partition_columns
     schema = snap.schema
-    phys = T.StructType([f for f in schema.fields if f.name not in pcols])
+    P = snap.column_mapping or {}
+    # column-mapped tables rewrite under PHYSICAL names end to end (the
+    # staged read+write never leaves physical space, so no aliasing)
+    disk_pcols = [P.get(c, c) for c in pcols]
+    phys = T.StructType(
+        [
+            T.StructField(P.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in pcols
+        ]
+    )
 
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for rel, add in snap.adds.items():
         key = tuple(
-            (add.get("partitionValues") or {}).get(c) for c in pcols
+            (add.get("partitionValues") or {}).get(c) for c in disk_pcols
         )
         groups.setdefault(key, []).append((rel, add))
 
@@ -724,9 +885,9 @@ def optimize_delta(
         n_parts += 1
         files = [fs.spark_path(fs.join(path, rel)) for rel, _a in members]
         part_dir = ""
-        if pcols:
+        if disk_pcols:
             segs = []
-            for c, v in zip(pcols, key):
+            for c, v in zip(disk_pcols, key):
                 segs.append(
                     f"{c}={_NULL_PARTITION if v is None else urllib.parse.quote(v)}"
                 )
@@ -754,7 +915,7 @@ def optimize_delta(
             adds.append(
                 {
                     "path": urllib.parse.quote(new_rel),
-                    "partitionValues": dict(zip(pcols, key)),
+                    "partitionValues": dict(zip(disk_pcols, key)),
                     "size": stat[0] if stat else 0,
                     "modificationTime": (stat[1] // 1_000_000) if stat else 0,
                     "dataChange": False,

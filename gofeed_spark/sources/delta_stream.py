@@ -108,9 +108,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.types = {
             f.name: f.dataType.simpleString() for f in snap.schema.fields
         }
+        # column-mapped tables: data files + partitionValues use PHYSICAL
+        # names; logical→physical resolved once, driver-side
+        self.mapping = snap.column_mapping or {}
         self.phys = [
             f.name for f in snap.schema.fields if f.name not in self.pcols
         ]
+        self.phys_disk = [self.mapping.get(c, c) for c in self.phys]
         self.col_order = [f.name for f in snap.schema.fields]
 
     # -- offsets ------------------------------------------------------------
@@ -147,7 +151,10 @@ class DeltaStreamReader(DataSourceStreamReader):
                             self.fs.spark_path(
                                 self.fs.join(self.path.rstrip("/"), rel)
                             ),
-                            [pv.get(c) for c in self.pcols],
+                            [
+                                pv.get(self.mapping.get(c, c), pv.get(c))
+                                for c in self.pcols
+                            ],
                             v,
                         )
                     )
@@ -174,10 +181,12 @@ class DeltaStreamReader(DataSourceStreamReader):
 
             table = pq.read_table(
                 _io.BytesIO(get_filesystem(sp).read_bytes(sp)),
-                columns=self.phys,
+                columns=self.phys_disk,
             )
         else:
-            table = pq.read_table(sp, columns=self.phys)
+            table = pq.read_table(sp, columns=self.phys_disk)
+        if self.phys_disk != self.phys:
+            table = table.rename_columns(self.phys)
         n = table.num_rows
         arrays = {}
         for c, raw in zip(self.pcols, partition.pvals):

@@ -156,15 +156,23 @@ def test_unsupported_reader_version_raises(spark, work):
     D.write_delta(_mk(spark, 0, 3), work)
     log = os.path.join(work, "_delta_log", f"{0:020d}.json")
     lines = open(log).read().splitlines()
-    out = []
-    for line in lines:
-        a = json.loads(line)
-        if "protocol" in a:
-            a["protocol"]["minReaderVersion"] = 2
-        out.append(json.dumps(a))
-    with open(log, "w") as f:
-        f.write("\n".join(out) + "\n")
-    with pytest.raises(D.DeltaUnsupported):
+
+    def set_reader(v):
+        out = []
+        for line in lines:
+            a = json.loads(line)
+            if "protocol" in a:
+                a["protocol"]["minReaderVersion"] = v
+            out.append(json.dumps(a))
+        with open(log, "w") as f:
+            f.write("\n".join(out) + "\n")
+
+    # reader v2 (column mapping capable) READS — the r14 blanket refusal
+    # is gone; only genuinely unknown protocol versions refuse
+    set_reader(2)
+    assert D.read_delta(spark, work).count() == 3
+    set_reader(4)
+    with pytest.raises(D.DeltaUnsupported, match="minReaderVersion 4"):
         D.read_delta(spark, work)
 
 
@@ -394,3 +402,148 @@ def test_schema_evolution_additive(spark, tmp_path):
         D.write_delta(base, tbl)
     D.write_delta(wide, tbl)
     assert D.read_delta(spark, tbl).count() == 30
+
+
+# --- column mapping (name mode) + feature-gated protocol ----------------------
+
+
+def test_column_mapping_lifecycle(spark, tmp_path):
+    """NAME-mode column mapping round trip: physical col-<uuid> names in
+    data files and partitionValues, logical names everywhere the user
+    looks; appends pick the mapping up from metaData; checkpoint replay
+    keeps the configuration (losing it would silently misread)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gofeed_spark.sources import delta as D
+
+    df = spark.range(0, 80).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") * 3).alias("val"),
+    )
+    tbl = str(tmp_path / "tbl")
+    v0 = D.write_delta(df.filter("doc_id < 40"), tbl, partition_by=["grp"],
+                       column_mapping=True)
+    D.write_delta(df.filter("doc_id >= 40"), tbl, partition_by=["grp"])
+    out = D.read_delta(spark, tbl)
+    assert out.columns == ["doc_id", "grp", "val"]
+    assert {r.doc_id for r in out.collect()} == set(range(80))
+    # data files carry ONLY physical names
+    pf = [
+        p
+        for p in glob.glob(tbl + "/**/*.parquet", recursive=True)
+        if "_delta_log" not in p
+    ][0]
+    assert all(n.startswith("col-") for n in pq.read_schema(pf).names)
+    # partition dirs are physical-named; pruning still keys logically
+    pruned = D.read_delta(spark, tbl, where={"grp": "2"})
+    assert {r.doc_id for r in pruned.collect()} == {
+        i for i in range(80) if i % 4 == 2
+    }
+    # checkpoint replay preserves the mapping; change feed + time travel
+    D.checkpoint_delta(tbl)
+    v2 = D.write_delta(
+        df.limit(5).withColumn("doc_id", F.col("doc_id") + 100),
+        tbl,
+        partition_by=["grp"],
+    )
+    assert D.read_delta(spark, tbl).count() == 85
+    ch = D.read_delta_changes(spark, tbl, v2 - 1)
+    assert ch.count() == 5 and "_commit_version" in ch.columns
+    assert D.read_delta(spark, tbl, version=v0).count() == 40
+    # OPTIMIZE rewrites under physical names, contents unchanged
+    res = D.optimize_delta(spark, tbl, target_file_bytes=1 << 30, min_files=2)
+    assert res["rewritten"] > 0
+    assert D.read_delta(spark, tbl).count() == 85
+    # schema evolution on mapped tables is a declared refusal
+    with pytest.raises(D.DeltaUnsupported):
+        D.write_delta(
+            df.withColumn("extra", F.lit(1)),
+            tbl,
+            partition_by=["grp"],
+            evolve_schema=True,
+        )
+
+
+def test_reader_features_gate_by_feature(spark, tmp_path):
+    """minReaderVersion=3 tables refuse by FEATURE: columnMapping-only
+    reads fine, deletionVectors raises a DV-specific error (the r14
+    'every minReaderVersion>1 refuses' posture is gone)."""
+    import json as J
+
+    from gofeed_spark.sources import delta as D
+
+    df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    tbl = str(tmp_path / "tbl")
+    v = D.write_delta(df, tbl, column_mapping=True)
+    log = tbl + "/_delta_log"
+
+    def put_protocol(feats):
+        with open(f"{log}/{v + 1:020d}.json", "w") as fh:
+            fh.write(
+                J.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": feats,
+                            "writerFeatures": feats,
+                        }
+                    }
+                )
+                + "\n"
+            )
+
+    put_protocol(["columnMapping"])
+    assert D.read_delta(spark, tbl).count() == 10
+    put_protocol(["columnMapping", "deletionVectors"])
+    with pytest.raises(D.DeltaUnsupported, match="deletion vectors"):
+        D.read_delta(spark, tbl)
+    put_protocol(["columnMapping", "someFutureFeature"])
+    with pytest.raises(D.DeltaUnsupported, match="someFutureFeature"):
+        D.read_delta(spark, tbl)
+    # id-mode mapping is a named refusal too
+    import os
+    os.remove(f"{log}/{v + 1:020d}.json")
+    snap = D._snapshot(D.get_filesystem(tbl), tbl)
+    md = dict(snap.metadata)
+    md["configuration"] = {"delta.columnMapping.mode": "id"}
+    with open(f"{log}/{v + 1:020d}.json", "w") as fh:
+        fh.write(J.dumps({"metaData": md}) + "\n")
+    with pytest.raises(D.DeltaUnsupported, match="'id'"):
+        D.read_delta(spark, tbl)
+
+
+def test_stream_from_column_mapped_table(spark, tmp_path):
+    """delta_feed resolves physical names driver-side and renames in the
+    Arrow batch — a mapped landing table streams like a plain one."""
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources.delta_stream import read_delta_stream
+
+    df = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+    )
+    tbl = str(tmp_path / "tbl")
+    D.write_delta(df.filter("doc_id < 15"), tbl, partition_by=["grp"],
+                  column_mapping=True)
+    D.write_delta(df.filter("doc_id >= 15"), tbl, partition_by=["grp"])
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        read_delta_stream(spark, tbl)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 30
+    assert {r.doc_id for r in got.collect()} == set(range(30))
+    assert set(got.columns) == {"doc_id", "grp", "_commit_version"}
+    rows = {(r.doc_id, r.grp) for r in got.collect()}
+    assert all(g == str(d % 2) for d, g in rows)
