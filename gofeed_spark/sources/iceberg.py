@@ -485,11 +485,14 @@ def _assemble(
         out_cols += [F.col("__file"), F.col("__pos")]
     deletes = [d for d in (deletes or []) if d.get("record_count", 1) != 0]
     if not entries:
+        # COPY before .add: StructType.add mutates in place, and the
+        # caller may reuse its schema object for further reads
+        empty = T.StructType(list(schema.fields))
         if extra is not None:
-            schema = schema.add("_snapshot_id", T.LongType())
+            empty = empty.add("_snapshot_id", T.LongType())
         if keep_pos:
-            schema = schema.add("__file", T.StringType()).add("__pos", T.LongType())
-        return spark.createDataFrame([], schema)
+            empty = empty.add("__file", T.StringType()).add("__pos", T.LongType())
+        return spark.createDataFrame([], empty)
     by_type = {f.name: f.dataType for f in schema.fields}
     phys = T.StructType([f for f in schema.fields if f.name not in pcols])
     files = [fs.spark_path(e["file_path"]) for e in entries]

@@ -547,3 +547,84 @@ def test_stream_from_column_mapped_table(spark, tmp_path):
     assert set(got.columns) == {"doc_id", "grp", "_commit_version"}
     rows = {(r.doc_id, r.grp) for r in got.collect()}
     assert all(g == str(d % 2) for d, g in rows)
+
+
+# --- change data feed (UPDATE + cdc actions) ----------------------------------
+
+
+def test_update_delta_cdf_round_trip(spark, tmp_path):
+    """update_delta rewrites only affected files and commits cdc files;
+    read_delta_changes(cdf=True) emits insert/update_preimage/
+    update_postimage rows — the rewritten-but-unchanged neighbors never
+    appear (the protocol's cdc-wins rule)."""
+    from gofeed_spark.sources import delta as D
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+    D.write_delta(df.filter("doc_id < 30"), tbl, partition_by=["grp"])
+    D.write_delta(df.filter("doc_id >= 30"), tbl, partition_by=["grp"])
+    v = D.update_delta(spark, tbl, "doc_id % 10 = 0", {"val": "val + 5"})
+    assert v == 2
+    # table state: only matching rows changed
+    rows = {r.doc_id: r.val for r in D.read_delta(spark, tbl).collect()}
+    assert rows == {d: d * 10 + (5 if d % 10 == 0 else 0) for d in range(60)}
+    # cdf: exact change rows, partition values restored on cdc rows
+    ch = D.read_delta_changes(spark, tbl, -1, cdf=True)
+    agg = {
+        r._change_type: (r.cnt, r.s)
+        for r in ch.groupBy("_change_type")
+        .agg(F.count("*").alias("cnt"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert agg["insert"] == (60, sum(d * 10 for d in range(60)))
+    assert agg["update_preimage"] == (6, sum(d * 10 for d in range(0, 60, 10)))
+    assert agg["update_postimage"] == (
+        6,
+        sum(d * 10 + 5 for d in range(0, 60, 10)),
+    )
+    assert all(
+        r.grp == str(r.doc_id % 3)
+        for r in ch.filter("_change_type != 'insert'").collect()
+    )
+    assert {r._commit_version for r in ch.collect()} == {0, 1, 2}
+    # default (append-only) read still refuses, pointing at cdf=True
+    with pytest.raises(D.DeltaUnsupported, match="cdf=True"):
+        D.read_delta_changes(spark, tbl, -1)
+    # a window that excludes the update needs no cdf
+    assert D.read_delta_changes(spark, tbl, -1, end_version=1).count() == 60
+    # vacuum keeps _change_data (protocol space, not a data-plane orphan)
+    D.vacuum_delta(tbl)
+    upd = D.read_delta_changes(spark, tbl, 1, cdf=True)
+    assert upd.count() == 12
+    assert {r._change_type for r in upd.collect()} == {
+        "update_preimage",
+        "update_postimage",
+    }
+    assert D.read_delta(spark, tbl).count() == 60
+    # guards: no-match = no commit; partition columns immutable
+    assert D.update_delta(spark, tbl, "doc_id = 12345", {"val": "0"}) == -1
+    with pytest.raises(D.DeltaError, match="partition columns"):
+        D.update_delta(spark, tbl, "doc_id = 1", {"grp": "'9'"})
+    with pytest.raises(D.DeltaError, match="not in table"):
+        D.update_delta(spark, tbl, "doc_id = 1", {"nope": "1"})
+
+
+def test_update_set_exprs_see_old_row(spark, tmp_path):
+    """Multiple set expressions all evaluate against the PRE-update row
+    (standard UPDATE semantics), not each other's outputs."""
+    from gofeed_spark.sources import delta as D
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    D.write_delta(df, tbl)
+    D.update_delta(spark, tbl, "a < 5", {"a": "b", "b": "a"})  # swap
+    rows = {(r.a, r.b) for r in D.read_delta(spark, tbl).collect()}
+    assert rows == {
+        (i * 2, i) if i < 5 else (i, i * 2) for i in range(10)
+    }
