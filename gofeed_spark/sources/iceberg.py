@@ -1364,6 +1364,239 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
 # --- maintenance --------------------------------------------------------------
 
 
+def rewrite_iceberg(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Bin-packing compaction — the ``rewrite_data_files`` twin of
+    ``optimize_delta``: within each partition whose live file count is at
+    least ``min_files``, rewrite the small files into
+    ``ceil(total_bytes / target_file_bytes)`` packed files and commit ONE
+    ``replace`` snapshot whose live set is byte-identical to the old one.
+    Streaming appends produce one file per micro-batch per partition;
+    without periodic rewrite a landing table's read cost is dominated by
+    per-file open overhead.
+
+    Protocol shape: the new manifest list carries (a) one manifest with
+    the packed files as ADDED entries (sequence number inherited from the
+    new snapshot), (b) one manifest with every untouched data file as an
+    EXISTING entry carrying its ORIGINAL data sequence number explicitly,
+    and (c) the prior snapshot's DELETE manifests by pointer.  Existing
+    position deletes therefore keep applying to untouched files
+    (their seq stays <= the deletes'), while packed files are born ABOVE
+    every delete's sequence number — which is sound because the rewrite
+    reads its input through the normal merge-on-read path, so deleted
+    rows are compacted away, never resurrected.  Incremental consumers
+    skip ``replace`` snapshots entirely (contents unchanged — the
+    dataChange=false twin); time travel below the rewrite keeps working
+    until expiry.  Returns {"version", "rewritten", "packed",
+    "partitions"}; a no-op makes no commit and returns version -1."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    md = _meta_dir(path)
+    meta, version = _load_metadata(fs, path)
+    if meta.get("format-version", 2) != 2:
+        raise IcebergUnsupported("rewrite needs format-version 2")
+    ice_schema = _current_schema(meta)
+    schema = _schema_from_iceberg(ice_schema)
+    spec = _current_spec(meta)
+    pfields = _spec_fields(ice_schema, spec)
+    idents = [f for f in pfields if f["kind"] == "identity"]
+    pcols = [f["source_col"] for f in idents]
+    pkeys = [f["name"] for f in idents]
+    part_names = [f["name"] for f in pfields]
+    part_types = [(f["name"], f["result_type"]) for f in pfields]
+    entries, dels = _live_entries(fs, _snapshot_of(meta, None))
+
+    groups: dict[tuple, list[dict]] = {}
+    for e in entries:
+        key = tuple(
+            (e.get("partition") or {}).get(k) for k in part_names
+        )
+        groups.setdefault(key, []).append(e)
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    sid = seq
+    token = uuid.uuid4().hex
+    packed_entries: list[dict] = []
+    rewritten_paths: set[str] = set()
+    packed_rows = 0
+    ordinal = 0
+    n_parts = 0
+    for key, members in sorted(
+        groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+    ):
+        if len(members) < min_files:
+            continue
+        total = sum(e.get("file_size_in_bytes", 0) for e in members)
+        n_out = max(1, -(-total // target_file_bytes))
+        if n_out >= len(members):
+            continue
+        n_parts += 1
+        # merge-on-read input: existing position deletes APPLY here, so
+        # the packed output holds live rows only
+        group_df = _assemble(
+            spark, fs, schema, pcols, members, deletes=dels, pkeys=pkeys
+        ).drop(*pcols)
+        staging = f"{path}_iceberg_rewrite_{token}_{n_parts}"
+        group_df.coalesce(n_out).write.mode("overwrite").parquet(
+            fs.spark_path(staging)
+        )
+        part_values = dict(zip(part_names, key))
+        for rel, size in fs.walk_files(staging):
+            base = rel.rsplit("/", 1)[-1]
+            if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+                continue
+            new_rel = f"data/part-{ordinal:05d}-{token}.rw.parquet"
+            src, dst = fs.join(staging, rel), fs.join(path, new_rel)
+            if fs.supports_rename():
+                fs.makedirs(posixpath.dirname(dst))
+                fs.rename(src, dst)
+            else:
+                fs.put_bytes(dst, fs.read_bytes(src))
+            stat = fs.stat(dst)
+            n_rows = _parquet_row_count(fs, dst)
+            packed_entries.append(
+                {
+                    "status": 1,  # ADDED by the replace snapshot
+                    "snapshot_id": sid,
+                    "sequence_number": None,  # inherit (above all deletes)
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fs.join(path, new_rel),
+                        "file_format": "PARQUET",
+                        "partition": part_values,
+                        "record_count": n_rows,
+                        "file_size_in_bytes": stat[0] if stat else size,
+                    },
+                }
+            )
+            packed_rows += n_rows
+            ordinal += 1
+        fs.delete_tree(staging)
+        rewritten_paths.update(e["file_path"] for e in members)
+
+    if not packed_entries:
+        return {"version": -1, "rewritten": 0, "packed": 0, "partitions": 0}
+
+    survivors = [e for e in entries if e["file_path"] not in rewritten_paths]
+    entry_schema = _manifest_entry_schema(part_types)
+    manifests: list[dict] = []
+
+    def _put_manifest(mf_entries, content, seq_no, min_seq, added, existing,
+                      added_rows, existing_rows, tag):
+        mpath = fs.join(md, f"m-{sid}-{token}-{tag}.avro")
+        mbytes = write_container(
+            json.dumps(entry_schema),
+            mf_entries,
+            meta={
+                "schema": json.dumps(ice_schema),
+                "partition-spec": json.dumps(spec),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data" if content == 0 else "deletes",
+            },
+        )
+        fs.put_bytes(mpath, mbytes)
+        manifests.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": len(mbytes),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq_no,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": sid,
+                "added_data_files_count": added,
+                "existing_data_files_count": existing,
+                "deleted_data_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": existing_rows,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    _put_manifest(
+        packed_entries, 0, seq, seq, len(packed_entries), 0, packed_rows, 0,
+        "packed",
+    )
+    if survivors:
+        surv_entries = [
+            {
+                "status": 0,  # EXISTING: original data sequence number rides
+                "snapshot_id": sid,
+                "sequence_number": int(e.get("_seq", 0)),
+                "file_sequence_number": int(e.get("_seq", 0)),
+                "data_file": {
+                    "content": 0,
+                    "file_path": e["file_path"],
+                    "file_format": "PARQUET",
+                    "partition": dict(e.get("partition") or {}),
+                    "record_count": e.get("record_count", 0),
+                    "file_size_in_bytes": e.get("file_size_in_bytes", 0),
+                },
+            }
+            for e in survivors
+        ]
+        _put_manifest(
+            surv_entries, 0, seq,
+            min(int(e.get("_seq", 0)) for e in survivors), 0,
+            len(surv_entries), 0,
+            sum(e.get("record_count", 0) for e in survivors), "existing",
+        )
+    # carry DELETE manifests by pointer: they still scope onto untouched
+    # files via sequence numbers; packed files are born above them
+    for mf in _carry_manifests(fs, meta):
+        if mf.get("content", 0) == 1:
+            manifests.append(mf)
+
+    mlist_path = fs.join(md, f"snap-{sid}-{token}.avro")
+    fs.put_bytes(
+        mlist_path,
+        write_container(
+            json.dumps(_MANIFEST_FILE_SCHEMA),
+            manifests,
+            meta={"format-version": "2"},
+        ),
+    )
+    snapshot = {
+        "snapshot-id": sid,
+        **(
+            {"parent-snapshot-id": meta["current-snapshot-id"]}
+            if (meta.get("current-snapshot-id") or -1) >= 0
+            else {}
+        ),
+        "sequence-number": seq,
+        "timestamp-ms": seq,
+        "summary": {
+            "operation": "replace",
+            "rewritten-data-files": str(len(rewritten_paths)),
+            "added-data-files": str(len(packed_entries)),
+            "engine-info": "gofeed_spark-iceberg/0.1",
+        },
+        "manifest-list": mlist_path,
+        "schema-id": ice_schema.get("schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = seq
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": seq, "snapshot-id": sid}
+    ]
+    _publish_metadata(fs, path, version, new_meta)
+    return {
+        "version": sid,
+        "rewritten": len(rewritten_paths),
+        "packed": len(packed_entries),
+        "partitions": n_parts,
+    }
+
+
 def expire_iceberg(path: str, keep_last: int = 1, dry_run: bool = False) -> list[str]:
     """Expire all but the newest ``keep_last`` snapshots: rewrite the
     metadata without them and delete every data file, manifest, and

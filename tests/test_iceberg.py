@@ -730,3 +730,70 @@ def test_truncate_and_mixed_spec_with_deletes(spark, tmp_path):
     # merge-on-read deletes compose with transform partitions
     I.delete_iceberg_rows(spark, tbl, "doc_id % 10 = 0")
     assert I.read_iceberg(spark, tbl).count() == 90
+
+
+# --- rewrite_data_files (compaction) ------------------------------------------
+
+
+def test_rewrite_packs_without_changing_contents(spark, corpus, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for lo in range(0, 60, 10):
+        I.write_iceberg(
+            corpus.filter(f"doc_id >= {lo} and doc_id < {lo + 10}"),
+            tbl,
+            partition_by=["source"],
+        )
+    pre_files = len(I.read_iceberg(spark, tbl).inputFiles())
+    pre_snap = I.latest_snapshot(tbl)
+    res = I.rewrite_iceberg(spark, tbl, target_file_bytes=1 << 30, min_files=2)
+    assert res["rewritten"] > res["packed"] > 0
+    out = I.read_iceberg(spark, tbl)
+    assert len(out.inputFiles()) < pre_files
+    assert {r.doc_id for r in out.collect()} == set(range(60))
+    # partition pruning still works on packed files
+    pr = I.read_iceberg(spark, tbl, where={"source": "s1"})
+    assert {r.doc_id for r in pr.collect()} == {i for i in range(60) if i % 3 == 1}
+    # time travel below the rewrite
+    assert I.read_iceberg(spark, tbl, snapshot_id=pre_snap).count() == 60
+    # incremental consumers SKIP the replace snapshot
+    ch = I.read_iceberg_changes(spark, tbl, 0)
+    assert ch.count() == 60
+    assert {r._snapshot_id for r in ch.collect()} == set(range(1, 7))
+    # streaming source skips it too (offsets past the replace seq deliver 0)
+    # no-op when already packed
+    assert I.rewrite_iceberg(spark, tbl, min_files=2)["version"] == -1
+    assert [h["operation"] for h in I.iceberg_history(tbl)][0] == "replace"
+
+
+def test_rewrite_applies_and_preserves_position_deletes(spark, corpus, tmp_path):
+    """Deleted rows are compacted away in rewritten groups (never
+    resurrected: the rewrite reads merge-on-read), while carried delete
+    manifests keep applying to files the rewrite did not touch."""
+    tbl = str(tmp_path / "tbl")
+    # source s0/s1 get many small files; s2 one big file (untouched)
+    for lo in range(0, 40, 10):
+        I.write_iceberg(
+            corpus.filter(f"doc_id >= {lo} and doc_id < {lo + 10} and doc_id % 3 < 2"),
+            tbl,
+            partition_by=["source"],
+        )
+    I.write_iceberg(
+        corpus.filter("doc_id % 3 = 2"), tbl, partition_by=["source"]
+    )
+    I.delete_iceberg_rows(spark, tbl, "doc_id % 5 = 0")
+    live = {i for i in range(60) if (i % 3 < 2 and i < 40) or i % 3 == 2}
+    live -= {i for i in live if i % 5 == 0}
+    res = I.rewrite_iceberg(spark, tbl, target_file_bytes=1 << 30, min_files=2)
+    assert res["rewritten"] > 0
+    got = {r.doc_id for r in I.read_iceberg(spark, tbl).collect()}
+    assert got == live
+    # append + delete after the rewrite still compose
+    I.write_iceberg(
+        corpus.limit(3).select(
+            (F.col("doc_id") + 900).alias("doc_id"), "source", "n"
+        ),
+        tbl,
+        partition_by=["source"],
+    )
+    I.delete_iceberg_rows(spark, tbl, "doc_id = 900")
+    assert I.read_iceberg(spark, tbl).count() == len(live) + 2
