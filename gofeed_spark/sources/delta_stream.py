@@ -14,15 +14,18 @@ an idempotent sink).
 
 Scale posture: this is a FULL ``DataSourceStreamReader`` (not the
 driver-side Simple form feed_cdc uses for metadata-sized feed state) —
-``partitions()`` enumerates one InputPartition per data FILE from the
-log alone (driver cost O(new files)), and ``read()`` scans its one file
-ON AN EXECUTOR via Arrow, restoring identity partition values and the
-``_commit_version`` label from the partition descriptor.  Per-batch
-work therefore distributes across the cluster like any parquet scan;
-the driver never materializes rows.  (Rows cross the Python DataSource
-boundary tuple-wise — the Spark 4 contract; at deployment scale the
-JVM Delta source is the faster data plane, this is its pure-Python
-twin with the same offset semantics.)
+``partitions()`` enumerates the window's files from the log alone
+(driver cost O(new files)) and byte-packs them into multi-file
+InputPartitions (task count tracks DATA volume, not file count — small
+per-micro-batch commit files are the landing-table norm), and ``read()``
+scans its files ON AN EXECUTOR via Arrow, one RecordBatch per file,
+restoring partition values and the ``_commit_version`` label from the
+partition descriptor.  The optional ``columns`` option prunes the scan
+so only the projection crosses the Python boundary.  Per-batch work
+therefore distributes across the cluster like any parquet scan; the
+driver never materializes rows.  (At deployment scale the JVM Delta
+source is the faster data plane; this is its pure-Python twin with the
+same offset semantics.)
 """
 
 from __future__ import annotations
@@ -72,25 +75,40 @@ _PA_TYPES = _LazyPaTypes()
 
 
 class DeltaFilePartition(InputPartition):
-    def __init__(self, file_path: str, pvals: list, version: int):
-        self.file_path = file_path  # absolute (scheme-qualified) path
-        self.pvals = pvals          # partition-column values, declared order
-        self.version = version
+    """One task = SEVERAL files (byte-packed): small commit files are the
+    norm on streaming-written landing tables, and one task per tiny file
+    pays scheduler overhead per micro-batch row count — packing to
+    ``partition_bytes`` keeps task count proportional to DATA, not file
+    count.  ``files`` is [(abs path, pvals list, commit version)]."""
+
+    def __init__(self, files: list):
+        self.files = files
 
 
-def _table_schema_ddl(path: str) -> tuple[str, list[str], list[str]]:
-    """(DDL string incl. _commit_version, partition cols, physical cols)
-    from the table's current metaData."""
+def _select_columns(options, schema_names: list[str]) -> list[str] | None:
+    """Parse the ``columns`` option (comma-separated LOGICAL names) —
+    column pruning across the Python-source boundary: only the projected
+    columns are read from parquet and shipped as Arrow."""
+    raw = (options.get("columns") or "").strip()
+    if not raw:
+        return None
+    sel = [c.strip() for c in raw.split(",") if c.strip()]
+    unknown = [c for c in sel if c not in schema_names]
+    if unknown:
+        raise ValueError(f"columns {unknown} not in table schema {schema_names}")
+    return [c for c in schema_names if c in sel]  # declared order
+
+
+def _table_schema_ddl(path: str, options=None) -> str:
+    """DDL string (columns-pruned when requested) incl. _commit_version."""
     from gofeed_spark.fs import get_filesystem
 
     snap = _snapshot(get_filesystem(path), path)
     schema = snap.schema
-    pcols = snap.partition_columns
-    ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
-    )
-    phys = [f.name for f in schema.fields if f.name not in pcols]
-    return ddl + ", _commit_version long", pcols, phys
+    sel = _select_columns(options or {}, [f.name for f in schema.fields])
+    fields = [f for f in schema.fields if sel is None or f.name in sel]
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    return ddl + ", _commit_version long"
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -99,23 +117,24 @@ class DeltaStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("delta_feed requires option 'path'")
         self.starting = int(options.get("starting_version", -1))
+        self.partition_bytes = int(options.get("partition_bytes", 32 << 20))
         # resolved once, driver-side; partition fields in declared order
         from gofeed_spark.fs import get_filesystem
 
         self.fs = get_filesystem(self.path)
         snap = _snapshot(self.fs, self.path)
-        self.pcols = snap.partition_columns
+        names = [f.name for f in snap.schema.fields]
+        sel = _select_columns(options, names)
+        self.col_order = names if sel is None else sel
+        self.pcols = [c for c in snap.partition_columns if c in self.col_order]
         self.types = {
             f.name: f.dataType.simpleString() for f in snap.schema.fields
         }
         # column-mapped tables: data files + partitionValues use PHYSICAL
         # names; logical→physical resolved once, driver-side
         self.mapping = snap.column_mapping or {}
-        self.phys = [
-            f.name for f in snap.schema.fields if f.name not in self.pcols
-        ]
+        self.phys = [c for c in self.col_order if c not in snap.partition_columns]
         self.phys_disk = [self.mapping.get(c, c) for c in self.phys]
-        self.col_order = [f.name for f in snap.schema.fields]
 
     # -- offsets ------------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -135,7 +154,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         log = _log_dir(self.path)
         commits, _cps = _list_log(self.fs, log)
-        parts: list[DeltaFilePartition] = []
+        files: list[tuple] = []  # (path, pvals, version, size)
         for v in range(lo + 1, hi + 1):
             if v not in commits:
                 raise DeltaError(
@@ -146,8 +165,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                     add = action["add"]
                     rel = urllib.parse.unquote(add["path"])
                     pv = add.get("partitionValues") or {}
-                    parts.append(
-                        DeltaFilePartition(
+                    files.append(
+                        (
                             self.fs.spark_path(
                                 self.fs.join(self.path.rstrip("/"), rel)
                             ),
@@ -156,6 +175,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                                 for c in self.pcols
                             ],
                             v,
+                            add.get("size", 0),
                         )
                     )
                 elif "remove" in action and action["remove"].get(
@@ -165,64 +185,78 @@ class DeltaStreamReader(DataSourceStreamReader):
                         f"commit {v} removes data; the append-only stream "
                         "cannot represent updates/deletes"
                     )
-        # posixpath import kept local above for the executor pickle
-        return parts
+        return _pack_partitions(files, self.partition_bytes, DeltaFilePartition)
 
-    # -- data plane (executor, one file per task, Arrow end to end) -------------
+    # -- data plane (executor, byte-packed files per task, Arrow end to end) ----
     def read(self, partition: DeltaFilePartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from gofeed_spark.fs import get_filesystem
 
-        sp = partition.file_path
-        if "://" in sp:
-            import io as _io
+        for sp, pvals, version, _size in partition.files:
+            if "://" in sp:
+                import io as _io
 
-            table = pq.read_table(
-                _io.BytesIO(get_filesystem(sp).read_bytes(sp)),
-                columns=self.phys_disk,
-            )
-        else:
-            table = pq.read_table(sp, columns=self.phys_disk)
-        if self.phys_disk != self.phys:
-            table = table.rename_columns(self.phys)
-        n = table.num_rows
-        arrays = {}
-        for c, raw in zip(self.pcols, partition.pvals):
-            t = self.types[c]
-            pt = _PA_TYPES.get(t)
-            if pt is None:
-                raise DeltaUnsupported(
-                    f"partition column {c!r} of type {t!r} in the stream"
+                table = pq.read_table(
+                    _io.BytesIO(get_filesystem(sp).read_bytes(sp)),
+                    columns=self.phys_disk,
                 )
-            if raw is None:
-                val = None
-            elif t in ("int", "smallint", "tinyint", "bigint"):
-                val = int(raw)
-            elif t in ("double", "float"):
-                val = float(raw)
-            elif t == "boolean":
-                val = raw == "true"
             else:
-                val = raw
-            arrays[c] = pa.array([val] * n, type=pt)
-        cols = {}
-        for c in self.col_order:
-            cols[c] = (
-                table.column(c).combine_chunks()
-                if c in self.phys
-                else arrays[c]
-            )
-        cols["_commit_version"] = pa.array(
-            [partition.version] * n, type=pa.int64()
-        )
-        # RecordBatch crosses the Python-source boundary as ONE Arrow
-        # block (Spark 4 arrow-batch support) — no per-row Python loop
-        yield pa.RecordBatch.from_pydict(cols)
+                table = pq.read_table(sp, columns=self.phys_disk)
+            if self.phys_disk != self.phys:
+                table = table.rename_columns(self.phys)
+            n = table.num_rows
+            arrays = {}
+            for c, raw in zip(self.pcols, pvals):
+                t = self.types[c]
+                pt = _PA_TYPES.get(t)
+                if pt is None:
+                    raise DeltaUnsupported(
+                        f"partition column {c!r} of type {t!r} in the stream"
+                    )
+                if raw is None:
+                    val = None
+                elif t in ("int", "smallint", "tinyint", "bigint"):
+                    val = int(raw)
+                elif t in ("double", "float"):
+                    val = float(raw)
+                elif t == "boolean":
+                    val = raw == "true"
+                else:
+                    val = raw
+                arrays[c] = pa.array([val] * n, type=pt)
+            cols = {}
+            for c in self.col_order:
+                cols[c] = (
+                    table.column(c).combine_chunks()
+                    if c in self.phys
+                    else arrays[c]
+                )
+            cols["_commit_version"] = pa.array([version] * n, type=pa.int64())
+            # one Arrow block per file across the Python-source boundary —
+            # no per-row Python loop
+            yield pa.RecordBatch.from_pydict(cols)
 
     def commit(self, end: dict) -> None:
         pass  # the log is immutable; nothing to release
+
+
+def _pack_partitions(files: list, partition_bytes: int, cls):
+    """Greedy byte-packing of (path, pvals, version, size) tuples into
+    InputPartitions — task count tracks DATA volume, not file count."""
+    parts = []
+    cur: list = []
+    cur_bytes = 0
+    for f in files:
+        if cur and cur_bytes + (f[3] or 0) > partition_bytes:
+            parts.append(cls(cur))
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += f[3] or 0
+    if cur:
+        parts.append(cls(cur))
+    return parts
 
 
 class DeltaFeedDataSource(DataSource):
@@ -236,8 +270,7 @@ class DeltaFeedDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("delta_feed requires option 'path'")
-        ddl, _p, _ph = _table_schema_ddl(path)
-        return ddl
+        return _table_schema_ddl(path, self.options)
 
     def streamReader(self, schema):
         return DeltaStreamReader(self.options)
@@ -252,12 +285,24 @@ def register_delta_feed(spark) -> None:
             raise
 
 
-def read_delta_stream(spark, path: str, starting_version: int = -1):
-    """Convenience: register + open the stream over a Delta table."""
+def read_delta_stream(
+    spark,
+    path: str,
+    starting_version: int = -1,
+    columns: list[str] | None = None,
+    partition_bytes: int = 32 << 20,
+):
+    """Convenience: register + open the stream over a Delta table.
+    ``columns`` prunes the scan to the named logical columns (the
+    projection never crosses the Python boundary otherwise);
+    ``partition_bytes`` packs small files into one task."""
     register_delta_feed(spark)
-    return (
+    r = (
         spark.readStream.format("delta_feed")
         .option("path", path)
         .option("starting_version", str(starting_version))
-        .load()
+        .option("partition_bytes", str(partition_bytes))
     )
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load()

@@ -14,7 +14,9 @@ checkpoint recovery replays identical batches (exactly-once with an
 idempotent sink).
 
 Same scale posture as ``delta_stream``: full ``DataSourceStreamReader``,
-one InputPartition per data file, executor-side Arrow reads; identity
+byte-packed multi-file InputPartitions (task count tracks data volume,
+not file count), optional ``columns`` pruning so only the projection
+crosses the Python boundary, executor-side Arrow reads; identity
 partition values come ALREADY TYPED from the manifest's partition
 record.  Rows carry a ``_snapshot_id`` label.
 """
@@ -40,10 +42,11 @@ from gofeed_spark.sources.iceberg import (
 
 
 class IcebergFilePartition(InputPartition):
-    def __init__(self, file_path: str, pvals: list, snapshot_id: int):
-        self.file_path = file_path
-        self.pvals = pvals  # typed identity values, declared order
-        self.snapshot_id = snapshot_id
+    """One task = SEVERAL byte-packed files (the delta_stream packing) —
+    ``files`` is [(abs path, typed pvals list, snapshot id, size)]."""
+
+    def __init__(self, files: list):
+        self.files = files
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -52,6 +55,7 @@ class IcebergStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("iceberg_feed requires option 'path'")
         self.starting_seq = int(options.get("starting_seq", 0))
+        self.partition_bytes = int(options.get("partition_bytes", 32 << 20))
         from gofeed_spark.fs import get_filesystem
 
         self.fs = get_filesystem(self.path)
@@ -76,10 +80,17 @@ class IcebergStreamReader(DataSourceStreamReader):
             for f in _spec_fields(ice, _current_spec(meta))
             if f["kind"] == "identity"
         ]
-        self.pcols = [f["source_col"] for f in idents]
-        self.pkeys = [f["name"] for f in idents]
-        self.phys = [f.name for f in schema.fields if f.name not in self.pcols]
-        self.col_order = [f.name for f in schema.fields]
+        from gofeed_spark.sources.delta_stream import _select_columns
+
+        names = [f.name for f in schema.fields]
+        sel = _select_columns(options, names)
+        self.col_order = names if sel is None else sel
+        all_pcols = [f["source_col"] for f in idents]
+        self.pcols = [c for c in all_pcols if c in self.col_order]
+        self.pkeys = [
+            f["name"] for f in idents if f["source_col"] in self.col_order
+        ]
+        self.phys = [c for c in self.col_order if c not in all_pcols]
         self.types = {
             f.name: f.dataType.simpleString() for f in schema.fields
         }
@@ -102,7 +113,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             ),
             key=lambda s: s.get("sequence-number", 0),
         )
-        parts: list[IcebergFilePartition] = []
+        parts: list[tuple] = []
         for s in window:
             op = (s.get("summary") or {}).get("operation")
             if op == "replace":
@@ -125,13 +136,16 @@ class IcebergStreamReader(DataSourceStreamReader):
                         raise IcebergUnsupported("non-parquet data file")
                     pv = d.get("partition") or {}
                     parts.append(
-                        IcebergFilePartition(
+                        (
                             self.fs.spark_path(d["file_path"]),
                             [pv.get(k) for k in self.pkeys],
                             s["snapshot-id"],
+                            d.get("file_size_in_bytes", 0),
                         )
                     )
-        return parts
+        from gofeed_spark.sources.delta_stream import _pack_partitions
+
+        return _pack_partitions(parts, self.partition_bytes, IcebergFilePartition)
 
     def read(self, partition: IcebergFilePartition):
         import pyarrow as pa
@@ -140,35 +154,33 @@ class IcebergStreamReader(DataSourceStreamReader):
         from gofeed_spark.fs import get_filesystem
         from gofeed_spark.sources.delta_stream import _PA_TYPES
 
-        sp = partition.file_path
-        if "://" in sp:
-            import io as _io
+        for sp, pv_list, snapshot_id, _size in partition.files:
+            if "://" in sp:
+                import io as _io
 
-            table = pq.read_table(
-                _io.BytesIO(get_filesystem(sp).read_bytes(sp)),
-                columns=self.phys,
-            )
-        else:
-            table = pq.read_table(sp, columns=self.phys)
-        n = table.num_rows
-        pvals = dict(zip(self.pcols, partition.pvals))
-        cols = {}
-        for c in self.col_order:
-            if c in self.phys:
-                cols[c] = table.column(c).combine_chunks()
+                table = pq.read_table(
+                    _io.BytesIO(get_filesystem(sp).read_bytes(sp)),
+                    columns=self.phys,
+                )
             else:
-                pt = _PA_TYPES.get(self.types[c])
-                if pt is None:
-                    raise IcebergUnsupported(
-                        f"partition column {c!r} of type "
-                        f"{self.types[c]!r} in the stream"
-                    )
-                cols[c] = pa.array([pvals[c]] * n, type=pt)
-        cols["_snapshot_id"] = pa.array(
-            [partition.snapshot_id] * n, type=pa.int64()
-        )
-        # one Arrow block across the Python-source boundary, no row loop
-        yield pa.RecordBatch.from_pydict(cols)
+                table = pq.read_table(sp, columns=self.phys)
+            n = table.num_rows
+            pvals = dict(zip(self.pcols, pv_list))
+            cols = {}
+            for c in self.col_order:
+                if c in self.phys:
+                    cols[c] = table.column(c).combine_chunks()
+                else:
+                    pt = _PA_TYPES.get(self.types[c])
+                    if pt is None:
+                        raise IcebergUnsupported(
+                            f"partition column {c!r} of type "
+                            f"{self.types[c]!r} in the stream"
+                        )
+                    cols[c] = pa.array([pvals[c]] * n, type=pt)
+            cols["_snapshot_id"] = pa.array([snapshot_id] * n, type=pa.int64())
+            # one Arrow block per file across the Python-source boundary
+            yield pa.RecordBatch.from_pydict(cols)
 
     def commit(self, end: dict) -> None:
         pass
@@ -186,11 +198,15 @@ class IcebergFeedDataSource(DataSource):
         if not path:
             raise ValueError("iceberg_feed requires option 'path'")
         from gofeed_spark.fs import get_filesystem
+        from gofeed_spark.sources.delta_stream import _select_columns
 
         meta, _v = _load_metadata(get_filesystem(path), path)
         schema = _schema_from_iceberg(_current_schema(meta))
+        names = [f.name for f in schema.fields]
+        sel = _select_columns(self.options, names)
+        fields = [f for f in schema.fields if sel is None or f.name in sel]
         ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+            f"{f.name} {f.dataType.simpleString()}" for f in fields
         )
         return ddl + ", _snapshot_id long"
 
@@ -206,12 +222,23 @@ def register_iceberg_feed(spark) -> None:
             raise
 
 
-def read_iceberg_stream(spark, path: str, starting_seq: int = 0):
-    """Convenience: register + open the stream over an Iceberg table."""
+def read_iceberg_stream(
+    spark,
+    path: str,
+    starting_seq: int = 0,
+    columns: list[str] | None = None,
+    partition_bytes: int = 32 << 20,
+):
+    """Convenience: register + open the stream over an Iceberg table.
+    ``columns`` prunes the scan to the named columns; ``partition_bytes``
+    packs small files into one task (the delta_feed knobs)."""
     register_iceberg_feed(spark)
-    return (
+    r = (
         spark.readStream.format("iceberg_feed")
         .option("path", path)
         .option("starting_seq", str(starting_seq))
-        .load()
+        .option("partition_bytes", str(partition_bytes))
     )
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load()
