@@ -140,3 +140,106 @@ def schedule_frontier(
             ).cast("int"),
         )
     )
+
+
+class StreamingFrontierScheduler:
+    """Streaming twin of :func:`schedule_frontier` — politeness slots over
+    ARRIVING crawl batches (the frontier keeps growing while the crawler
+    runs; the batch scheduler would re-number everything each tick).
+
+    ``foreachBatch`` callable.  Per micro-batch: within-batch per-host
+    row numbers (one tiny window over the BATCH, never the standing
+    frontier) are offset by each host's RUNNING slot base, read from a
+    hash-bucketed state table and folded forward — per-trigger I/O is
+    O(batch + touched buckets), the standing schedule never reshuffles.
+    The host→worker assignment is FROZEN by construction (md5-prefix of
+    the host, the engine's bucket convention): a host keeps its worker
+    across every batch with zero coordination.  Both the emitted schedule
+    and the slot bases live in :class:`ParquetUpsertSink` tables, so
+    re-delivered batch ids are skipped exactly once each — a crash
+    between the two commits replays into two idempotent skips.
+
+    Streaming == batch contract: worker assignments always match the
+    batch scheduler's; slots match when per-host arrival order equals
+    the batch (priority, url) order — stage batches priority-monotone
+    (the q138 ts-range staging recipe applied to the priority column),
+    which is the natural shape of a frontier fed by crawl depth/score.
+    Pinned by the q172 oracle reuse and the streaming-equals-batch test.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        delay_ms: int = 1000,
+        n_workers: int = 16,
+        url_col: str = "url",
+        priority_col: str = "priority",
+        n_buckets: int = 16,
+    ):
+        from gofeed_spark.streaming.sinks import ParquetUpsertSink
+
+        self.delay_ms = delay_ms
+        self.n_workers = n_workers
+        self.url_col = url_col
+        self.priority_col = priority_col
+        self.rows = ParquetUpsertSink(
+            f"{path.rstrip('/')}/sched", key=url_col, n_buckets=n_buckets
+        )
+        self.bases = ParquetUpsertSink(
+            f"{path.rstrip('/')}/bases", key="host", n_buckets=n_buckets
+        )
+
+    def _read_bases(self, spark):
+        prev = self.bases.read(spark)
+        if prev is None:
+            return spark.createDataFrame([], "host string, base long")
+        return prev.select("host", "base")
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        spark = batch_df.sparkSession
+        host = F.regexp_extract(F.col(self.url_col), r"^https?://([^/]+)", 1)
+        # one materialization feeds the schedule AND the base fold
+        b = batch_df.withColumn("host", host).localCheckpoint()
+        prev = self._read_bases(spark)
+        w = W.partitionBy("host").orderBy(self.priority_col, self.url_col)
+        sched = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .join(prev, "host", "left")
+            .withColumn(
+                "slot",
+                (F.coalesce(F.col("base"), F.lit(0)) + F.col("__rn")).cast(
+                    "int"
+                ),
+            )
+            .withColumn(
+                "fetch_at_ms",
+                ((F.col("slot") - 1) * self.delay_ms).cast("long"),
+            )
+            .withColumn(
+                "worker",
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col("host").cast("binary")), 1, 8),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(self.n_workers),
+                ).cast("int"),
+            )
+            .drop("__rn", "base")
+        )
+        self.rows(sched, batch_id)
+        counts = b.groupBy("host").agg(F.count(F.lit(1)).alias("__cnt"))
+        new_bases = counts.join(prev, "host", "left").select(
+            "host",
+            (F.coalesce(F.col("base"), F.lit(0)) + F.col("__cnt"))
+            .cast("long")
+            .alias("base"),
+        )
+        self.bases(new_bases, batch_id)
+
+    def read(self, spark):
+        """The accumulated schedule (None before the first commit)."""
+        return self.rows.read(spark)

@@ -1095,3 +1095,86 @@ def q166(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- q172 streaming frontier scheduler ------------------------------------------
+def _q172_oracle():
+    # identical semantics to q154 — only the TRANSPORT differs (frontier
+    # URLs arrive through staged micro-batches instead of one frame); the
+    # q161 oracle-reuse convention
+    from gofeed_spark.queries.registry import ORACLES
+
+    return ORACLES["q154_frontier_schedule"]
+
+
+@query("q172_streaming_frontier", oracle=_q172_oracle())
+def q172(spark, sf_dir):
+    """STREAMING FRONTIER SCHEDULER — q154's ingest form (VERDICT r14
+    next-round item 10), closing the last batch-only crawl operator: the
+    frontier KEEPS ARRIVING while the crawler runs, and each micro-batch
+    gets politeness slots that continue every host's running sequence
+    (per-host slot bases folded forward through a hash-bucketed state
+    table; within-batch window over the BATCH only — the standing
+    schedule never reshuffles) under FROZEN host→worker assignments
+    (md5-prefix bucket convention).  Batches are staged
+    priority-monotone (doc_id-range files, pinned mtimes — the q138
+    recipe), so the accumulated schedule equals the batch scheduler's
+    output exactly: the q154 oracle is reused VERBATIM, and hash
+    equality proves streaming == batch.  Re-delivered batches skip
+    idempotently through both upsert sinks (schedule + bases)."""
+    import os
+    import shutil
+    import tempfile
+
+    from gofeed_spark.operators.urls import StreamingFrontierScheduler
+    from gofeed_spark.queries.streaming_q import _await_drained
+
+    docs = T(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q172_")
+    stage, ckpt = f"{work}/stage", f"{work}/ckpt"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # priority-monotone staging: file i holds the i-th doc_id range
+        # (part index prefixes the name, so listing order = range order)
+        u.repartitionByRange(4, "doc_id").write.parquet(stage)
+        parts = sorted(f for f in os.listdir(stage) if f.startswith("part-"))
+        for i, f in enumerate(parts):
+            os.utime(f"{stage}/{f}", (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = (
+            spark.readStream.schema(u.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        sched = StreamingFrontierScheduler(
+            f"{work}/state",
+            delay_ms=250,
+            n_workers=16,
+            url_col="url",
+            priority_col="doc_id",
+        )
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sched)
+            .start()
+        )
+        _await_drained(q, 180)
+        return (
+            sched.read(spark)
+            .select("doc_id", "url", "host", "slot", "fetch_at_ms", "worker")
+            .orderBy("doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(work, ignore_errors=True)

@@ -61,3 +61,77 @@ def F_url(c):
     from pyspark.sql import functions as F
 
     return F.col(c)
+
+
+def test_streaming_frontier_equals_batch_and_skips_replay(spark, tmp_path):
+    """StreamingFrontierScheduler folded over priority-monotone batches
+    reproduces schedule_frontier exactly (slots continue per host,
+    workers frozen); a re-delivered batch id is an idempotent skip."""
+    from pyspark.sql import functions as F
+
+    from gofeed_spark.operators.urls import (
+        StreamingFrontierScheduler,
+        schedule_frontier,
+    )
+
+    urls = spark.range(60).select(
+        F.col("id").alias("priority"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % 5).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    batch_out = schedule_frontier(urls, delay_ms=100, n_workers=8)
+    sched = StreamingFrontierScheduler(
+        str(tmp_path / "state"), delay_ms=100, n_workers=8,
+        priority_col="priority",
+    )
+    # three priority-monotone micro-batches
+    for i, (lo, hi) in enumerate(((0, 20), (20, 45), (45, 60))):
+        sched(urls.filter(f"priority >= {lo} and priority < {hi}"), i)
+    got = {
+        tuple(r)
+        for r in sched.read(spark)
+        .select("priority", "url", "host", "slot", "fetch_at_ms", "worker")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in batch_out.select(
+            "priority", "url", "host", "slot", "fetch_at_ms", "worker"
+        ).collect()
+    }
+    assert got == want
+    # replayed batch id: both sinks skip, schedule and bases unchanged
+    sched(urls.filter("priority >= 45"), 2)
+    assert {
+        tuple(r)
+        for r in sched.read(spark)
+        .select("priority", "url", "host", "slot", "fetch_at_ms", "worker")
+        .collect()
+    } == want
+    # a genuinely new batch continues every host's sequence
+    more = spark.range(60, 70).select(
+        F.col("id").alias("priority"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % 5).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    sched(more, 3)
+    full = schedule_frontier(urls.unionByName(more), delay_ms=100, n_workers=8)
+    assert {
+        tuple(r)
+        for r in sched.read(spark)
+        .select("priority", "url", "host", "slot", "fetch_at_ms", "worker")
+        .collect()
+    } == {
+        tuple(r)
+        for r in full.select(
+            "priority", "url", "host", "slot", "fetch_at_ms", "worker"
+        ).collect()
+    }
