@@ -1,0 +1,303 @@
+"""Foreign-writer fixture insurance (VERDICT r14 item 9): the table
+readers' dialect-tolerance claims, proven against metadata trees a
+DIFFERENT writer produced — hand-assembled here byte-by-byte (raw JSON
+lines, pyarrow parquet, v1-shaped Avro schemas) with none of this repo's
+writer code on the producing side, carrying the quirks real engines emit
+and our own writer never does:
+
+Delta: percent-encoded add paths, stats strings, extended remove fields,
+unknown commitInfo/configuration keys, tags on adds, a checkpoint whose
+structs carry extra columns.
+
+Iceberg: a FORMAT-VERSION 1 tree — singular ``schema``/``partition-spec``
+metadata keys, snapshots without sequence numbers, ``{seq}-{uuid}``
+metadata file names, v1 manifest-list field names
+(``added_files_count``...), manifest entries without
+sequence/content fields, string-typed identity partition values.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gofeed_spark.sources import delta as D
+from gofeed_spark.sources import iceberg as I
+from gofeed_spark.sources.avrocodec import write_container
+
+
+def _pq_write(path, cols: dict):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(pa.table(cols), path)
+
+
+# --- Delta: hand-assembled log -------------------------------------------------
+
+
+def _foreign_delta(root: str) -> None:
+    """Two commits, partitioned by grp, written the way a JVM writer
+    would: uuid basenames, percent-encoded paths, stats and tags on the
+    adds, extended remove/commitInfo fields."""
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "doc_id", "type": "long", "nullable": True,
+                 "metadata": {"comment": "pk"}},
+                {"name": "grp", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "val", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    # data files carry only the non-partition columns
+    _pq_write(
+        f"{root}/grp=a b/part-0000-f1.c000.snappy.parquet",
+        {"doc_id": [1, 2], "val": [1.5, 2.5]},
+    )
+    _pq_write(
+        f"{root}/grp=z/part-0000-f2.c000.snappy.parquet",
+        {"doc_id": [3], "val": [3.5]},
+    )
+    _pq_write(
+        f"{root}/grp=z/part-0000-f3.c000.snappy.parquet",
+        {"doc_id": [4], "val": [4.5]},
+    )
+    os.makedirs(f"{root}/_delta_log", exist_ok=True)
+    c0 = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE",
+                        "operationParameters": {"mode": "ErrorIfExists"},
+                        "isolationLevel": "Serializable", "isBlindAppend": True,
+                        "engineInfo": "Apache-Spark/3.5.0 Delta-Lake/3.1.0",
+                        "txnId": "aaaa-bbbb"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "11111111-2222-3333-4444-555555555555",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_string,
+                      "partitionColumns": ["grp"],
+                      "configuration": {"delta.appendOnly": "false"},
+                      "createdTime": 1700000000000}},
+        {"add": {"path": "grp=a%20b/part-0000-f1.c000.snappy.parquet",
+                 "partitionValues": {"grp": "a b"},
+                 "size": os.path.getsize(
+                     f"{root}/grp=a b/part-0000-f1.c000.snappy.parquet"),
+                 "modificationTime": 1700000000000, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2,
+                                      "minValues": {"doc_id": 1},
+                                      "maxValues": {"doc_id": 2},
+                                      "nullCount": {"doc_id": 0}}),
+                 "tags": {"INSERTION_TIME": "1700000000000000"}}},
+        {"add": {"path": "grp=z/part-0000-f2.c000.snappy.parquet",
+                 "partitionValues": {"grp": "z"},
+                 "size": os.path.getsize(
+                     f"{root}/grp=z/part-0000-f2.c000.snappy.parquet"),
+                 "modificationTime": 1700000000000, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 1})}},
+    ]
+    # commit 1: replaces f2 with f3 (an overwrite of one partition's file)
+    c1 = [
+        {"commitInfo": {"timestamp": 1700000001000, "operation": "DELETE",
+                        "operationMetrics": {"numRemovedFiles": "1"}}},
+        {"remove": {"path": "grp=z/part-0000-f2.c000.snappy.parquet",
+                    "deletionTimestamp": 1700000001000, "dataChange": True,
+                    "extendedFileMetadata": True,
+                    "partitionValues": {"grp": "z"}, "size": 10}},
+        {"add": {"path": "grp=z/part-0000-f3.c000.snappy.parquet",
+                 "partitionValues": {"grp": "z"},
+                 "size": os.path.getsize(
+                     f"{root}/grp=z/part-0000-f3.c000.snappy.parquet"),
+                 "modificationTime": 1700000001000, "dataChange": True}},
+    ]
+    for v, actions in ((0, c0), (1, c1)):
+        with open(f"{root}/_delta_log/{v:020d}.json", "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def test_foreign_delta_reads_and_time_travels(spark, tmp_path):
+    root = str(tmp_path / "dtbl")
+    _foreign_delta(root)
+    got = {
+        (r.doc_id, r.grp, r.val) for r in D.read_delta(spark, root).collect()
+    }
+    assert got == {(1, "a b", 1.5), (2, "a b", 2.5), (4, "z", 4.5)}
+    v0 = {
+        (r.doc_id, r.grp, r.val)
+        for r in D.read_delta(spark, root, version=0).collect()
+    }
+    assert v0 == {(1, "a b", 1.5), (2, "a b", 2.5), (3, "z", 3.5)}
+    # percent-encoded path + partition pruning work together
+    pruned = D.read_delta(spark, root, where={"grp": "a b"})
+    assert {r.doc_id for r in pruned.collect()} == {1, 2}
+    # our writer can APPEND to the foreign table (schema validated)
+    df = spark.createDataFrame(
+        [(9, "z", 9.5)], "doc_id long, grp string, val double"
+    )
+    D.write_delta(df, root, partition_by=["grp"])
+    assert D.read_delta(spark, root).count() == 4
+    # and checkpoint the foreign log, replaying identically after
+    D.checkpoint_delta(root)
+    D.write_delta(df.withColumn("doc_id", df.doc_id + 1), root,
+                  partition_by=["grp"])
+    assert {
+        r.doc_id for r in D.read_delta(spark, root).collect()
+    } == {1, 2, 4, 9, 10}
+
+
+def test_foreign_delta_change_feed_refuses_remove_window(spark, tmp_path):
+    root = str(tmp_path / "dtbl")
+    _foreign_delta(root)
+    with pytest.raises(D.DeltaUnsupported):
+        D.read_delta_changes(spark, root, -1)  # commit 1 removes data
+    ch = D.read_delta_changes(spark, root, -1, end_version=0)
+    assert ch.count() == 3
+
+
+# --- Iceberg: hand-assembled FORMAT-VERSION 1 tree -----------------------------
+
+#: v1 manifest-list schema — the RENAMED count fields, no content/seq
+_V1_MANIFEST_FILE = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "added_files_count", "type": ["null", "int"]},
+        {"name": "existing_files_count", "type": ["null", "int"]},
+        {"name": "deleted_files_count", "type": ["null", "int"]},
+    ],
+}
+
+#: v1 manifest entry — no sequence numbers, no content in data_file
+_V1_MANIFEST_ENTRY = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "r102",
+                            "fields": [
+                                {"name": "cat", "type": ["null", "string"]}
+                            ],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "block_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _foreign_iceberg_v1(root: str) -> None:
+    """One snapshot, identity-partitioned on a string column, in the v1
+    dialect end to end (what a 2019-era Java writer produced)."""
+    md = f"{root}/metadata"
+    os.makedirs(md, exist_ok=True)
+    _pq_write(f"{root}/data/cat=x/00000-0-deadbeef.parquet",
+              {"doc_id": [1, 2], "val": [1.5, 2.5]})
+    _pq_write(f"{root}/data/cat=y/00000-1-deadbeef.parquet",
+              {"doc_id": [3], "val": [3.5]})
+    entries = [
+        {"status": 1, "snapshot_id": 4242,
+         "data_file": {"file_path": f"{root}/data/cat=x/00000-0-deadbeef.parquet",
+                       "file_format": "PARQUET", "partition": {"cat": "x"},
+                       "record_count": 2,
+                       "file_size_in_bytes": os.path.getsize(
+                           f"{root}/data/cat=x/00000-0-deadbeef.parquet"),
+                       "block_size_in_bytes": 67108864}},
+        {"status": 1, "snapshot_id": 4242,
+         "data_file": {"file_path": f"{root}/data/cat=y/00000-1-deadbeef.parquet",
+                       "file_format": "PARQUET", "partition": {"cat": "y"},
+                       "record_count": 1,
+                       "file_size_in_bytes": os.path.getsize(
+                           f"{root}/data/cat=y/00000-1-deadbeef.parquet"),
+                       "block_size_in_bytes": 67108864}},
+    ]
+    manifest = write_container(json.dumps(_V1_MANIFEST_ENTRY), entries)
+    mpath = f"{md}/m0-deadbeef.avro"
+    open(mpath, "wb").write(manifest)
+    mlist = write_container(
+        json.dumps(_V1_MANIFEST_FILE),
+        [{"manifest_path": mpath, "manifest_length": len(manifest),
+          "partition_spec_id": 0, "added_snapshot_id": 4242,
+          "added_files_count": 2, "existing_files_count": 0,
+          "deleted_files_count": 0}],
+    )
+    lpath = f"{md}/snap-4242-1-deadbeef.avro"
+    open(lpath, "wb").write(mlist)
+    meta = {
+        "format-version": 1,
+        "table-uuid": "99999999-8888-7777-6666-555555555555",
+        "location": root,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 3,
+        # v1 SINGULAR forms: schema + partition-spec, no schemas list
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+                {"id": 2, "name": "cat", "required": False, "type": "string"},
+                {"id": 3, "name": "val", "required": False, "type": "double"},
+            ],
+        },
+        "partition-spec": [
+            {"name": "cat", "transform": "identity", "source-id": 2,
+             "field-id": 1000}
+        ],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": 4242,
+        "snapshots": [
+            # v1: NO sequence-number
+            {"snapshot-id": 4242, "timestamp-ms": 1700000000000,
+             "summary": {"operation": "append"}, "manifest-list": lpath}
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": 1700000000000, "snapshot-id": 4242}
+        ],
+    }
+    # external-writer metadata file NAME dialect: {seq}-{uuid}.metadata.json
+    with open(f"{md}/00001-aaaa-bbbb.metadata.json", "w") as f:
+        json.dump(meta, f)
+    # no version-hint.text: the reader must fall back to listing
+
+
+def test_foreign_iceberg_v1_reads(spark, tmp_path):
+    root = str(tmp_path / "itbl")
+    _foreign_iceberg_v1(root)
+    out = I.read_iceberg(spark, root)
+    assert out.columns == ["doc_id", "cat", "val"]
+    got = {(r.doc_id, r.cat, r.val) for r in out.collect()}
+    assert got == {(1, "x", 1.5), (2, "x", 2.5), (3, "y", 3.5)}
+    # manifest-level pruning on the string identity partition
+    pruned = I.read_iceberg(spark, root, where={"cat": "x"})
+    assert {r.doc_id for r in pruned.collect()} == {1, 2}
+    assert len(pruned.inputFiles()) == 1
+    # v1 contracts: plain read fine, write/changes/stream refuse loudly
+    with pytest.raises(I.IcebergUnsupported, match="format-version 1"):
+        I.write_iceberg(out.limit(1), root)
+    with pytest.raises(I.IcebergUnsupported, match="sequence numbers"):
+        I.read_iceberg_changes(spark, root, 0)
+    with pytest.raises(I.IcebergUnsupported, match="sequence numbers"):
+        I.delete_iceberg_rows(spark, root, "doc_id = 1")
+    assert I.iceberg_history(root)[0]["snapshot_id"] == 4242
