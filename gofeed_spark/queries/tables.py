@@ -722,3 +722,138 @@ def q171(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q173_delta_delete_cdf",
+    oracle="""
+SELECT ct AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(chars) AS BIGINT) AS chars_total,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+FROM (
+  SELECT 'insert' AS ct, n_chars AS chars, source AS src FROM documents
+  UNION ALL
+  SELECT 'delete', n_chars, source FROM documents WHERE doc_id % 6 = 0
+)
+GROUP BY ct
+ORDER BY ct
+""",
+)
+def q173(spark, sf_dir):
+    """ROW-LEVEL DELETE with change-feed output (Delta) — the companion
+    of q170's UPDATE: ``delete_delta_rows`` rewrites only the affected
+    files WITHOUT the matching rows and commits ``_change_data/`` cdc
+    files carrying exactly the deleted rows as ``_change_type='delete'``.
+    ``read_delta_changes(cdf=True)`` over the full window emits the
+    insert commits' rows plus the delete commit's cdc rows ONLY — the
+    surviving rewritten neighbors never appear (counting them would
+    inflate n_rows, which is what the hash pins).  Partition values on
+    cdc rows restore from partitionValues (n_sources).  Eager at
+    construction like q170."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q173_") + "/tbl"
+    try:
+        for residue in (0, 1):
+            D.write_delta(
+                docs.filter(F.col("doc_id") % 2 == residue),
+                work,
+                partition_by=["source"],
+            )
+        D.delete_delta_rows(spark, work, "doc_id % 6 = 0")
+        return (
+            D.read_delta_changes(spark, work, -1, cdf=True)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+                F.countDistinct("source").cast("long").alias("n_sources"),
+            )
+            .orderBy("change_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q174_iceberg_equality_deletes",
+    oracle="""
+SELECT source,
+       CAST(COUNT(CASE WHEN doc_id % 9 <> 0 OR doc_id % 18 = 0 THEN 1 END)
+            AS BIGINT) AS n_live,
+       CAST(SUM(CASE WHEN doc_id % 9 <> 0 OR doc_id % 18 = 0
+                     THEN n_chars END) AS BIGINT) AS chars_live,
+       CAST(COUNT(*) AS BIGINT) AS n_before
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q174(spark, sf_dir):
+    """EQUALITY DELETES (Iceberg content=2) — the CDC-upsert primitive:
+    delete rows BY KEY with zero data-file reads (``delete_iceberg_
+    equality`` commits one sorted key file + equality_ids manifest
+    entry; a position delete needs coordinates, an equality delete just
+    needs the key).  The corpus lands in two append commits, every
+    ``doc_id % 9 = 0`` key is equality-deleted, then the ``doc_id % 18
+    = 0`` rows are RE-APPENDED — and survive, because equality deletes
+    hide rows only in data files sequenced STRICTLY BELOW them (the
+    spec rule that makes delete-then-reinsert an upsert; the hash pins
+    both directions: old key rows gone, re-appended ones present
+    exactly once).  Reads apply the deletes as one null-safe anti join
+    per equality-column set.  Pre-delete time travel sees every row.
+    Eager at construction like q167."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q174_") + "/tbl"
+    try:
+        last = None
+        for residue in (0, 1):
+            last = I.write_iceberg(
+                docs.filter(F.col("doc_id") % 2 == residue),
+                work,
+                partition_by=["source"],
+            )
+        keys = docs.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+        I.delete_iceberg_equality(spark, work, keys)
+        I.write_iceberg(
+            docs.filter(F.col("doc_id") % 18 == 0), work, partition_by=["source"]
+        )
+        live = (
+            I.read_iceberg(spark, work)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_live"),
+                F.sum("n_chars").cast("long").alias("chars_live"),
+            )
+        )
+        before = (
+            I.read_iceberg(spark, work, snapshot_id=last)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+        )
+        return (
+            before.join(live, "source", "left")
+            .select(
+                "source",
+                F.coalesce("n_live", F.lit(0)).cast("long").alias("n_live"),
+                "chars_live",
+                "n_before",
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)

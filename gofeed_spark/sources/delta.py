@@ -785,6 +785,53 @@ def write_delta(
     return version
 
 
+def _stage_and_publish(
+    fs: FileSystem,
+    path: str,
+    df_out: DataFrame,
+    pcols: list[str],
+    token: str,
+    tag: str,
+    rel_prefix: str,
+    data_change: bool,
+) -> list[dict]:
+    """One distributed staged write → files moved under the table root
+    (``rel_prefix`` e.g. ``_change_data/``) → add-action dicts."""
+    st = f"{path}_delta_stage_{tag}_{token}"
+    w = df_out.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(fs.spark_path(st))
+    out_actions = []
+    ordinal = 0
+    for rel, size in fs.walk_files(st):
+        base = rel.rsplit("/", 1)[-1]
+        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+            continue
+        part_dir = rel.rsplit("/", 1)[0] + "/" if "/" in rel else ""
+        new_rel = f"{rel_prefix}{part_dir}part-{ordinal:05d}-{token}.parquet"
+        src, dst = fs.join(st, rel), fs.join(path, new_rel)
+        if fs.supports_rename():
+            fs.makedirs(posixpath.dirname(dst))
+            fs.rename(src, dst)
+        else:
+            fs.put_bytes(dst, fs.read_bytes(src))
+        stat = fs.stat(dst)
+        out_actions.append(
+            {
+                "path": urllib.parse.quote(new_rel),
+                "partitionValues": _hive_partition_values(rel, pcols)
+                if pcols
+                else {},
+                "size": stat[0] if stat else size,
+                "dataChange": data_change,
+            }
+        )
+        ordinal += 1
+    fs.delete_tree(st)
+    return out_actions
+
+
 def update_delta(
     spark: SparkSession,
     path: str,
@@ -876,46 +923,10 @@ def update_delta(
     )
 
     token = uuid.uuid4().hex
-
-    def _stage_and_publish(df_out, staging, rel_prefix, data_change):
-        st = f"{path}_delta_update_{staging}_{token}"
-        w = df_out.write.mode("overwrite")
-        if pcols:
-            w = w.partitionBy(*pcols)
-        w.parquet(fs.spark_path(st))
-        out_actions = []
-        ordinal = 0
-        for rel, size in fs.walk_files(st):
-            base = rel.rsplit("/", 1)[-1]
-            if base.startswith(("_", ".")) or not base.endswith(".parquet"):
-                continue
-            part_dir = rel.rsplit("/", 1)[0] + "/" if "/" in rel else ""
-            new_rel = (
-                f"{rel_prefix}{part_dir}part-{ordinal:05d}-{token}.parquet"
-            )
-            src, dst = fs.join(st, rel), fs.join(path, new_rel)
-            if fs.supports_rename():
-                fs.makedirs(posixpath.dirname(dst))
-                fs.rename(src, dst)
-            else:
-                fs.put_bytes(dst, fs.read_bytes(src))
-            stat = fs.stat(dst)
-            out_actions.append(
-                {
-                    "path": urllib.parse.quote(new_rel),
-                    "partitionValues": _hive_partition_values(rel, pcols)
-                    if pcols
-                    else {},
-                    "size": stat[0] if stat else size,
-                    "dataChange": data_change,
-                }
-            )
-            ordinal += 1
-        fs.delete_tree(st)
-        return out_actions
-
-    new_adds = _stage_and_publish(rewritten, "rw", "", True)
-    cdc_adds = _stage_and_publish(cdc, "cdc", "_change_data/", False)
+    new_adds = _stage_and_publish(fs, path, rewritten, pcols, token, "rw", "", True)
+    cdc_adds = _stage_and_publish(
+        fs, path, cdc, pcols, token, "cdc", "_change_data/", False
+    )
     for a in new_adds:
         a["modificationTime"] = 0
 
@@ -923,6 +934,84 @@ def update_delta(
         {
             "commitInfo": {
                 "operation": "UPDATE",
+                "operationParameters": {"predicate": str(where)},
+                "engineInfo": "gofeed_spark-delta/0.1",
+            }
+        }
+    ]
+    for rel, add in affected:
+        actions.append(
+            {
+                "remove": {
+                    "path": add["path"],
+                    "dataChange": True,
+                    "partitionValues": add.get("partitionValues") or {},
+                }
+            }
+        )
+    actions.extend({"add": a} for a in new_adds)
+    actions.extend({"cdc": c} for c in cdc_adds)
+    version = snap.version + 1
+    _publish_commit(fs, path, version, actions)
+    return version
+
+
+def delete_delta_rows(
+    spark: SparkSession,
+    path: str,
+    where,
+) -> int:
+    """Row-level DELETE with protocol-native change-feed output — the
+    companion of :func:`update_delta`: rewrite only the files holding
+    rows matching ``where`` WITHOUT those rows (a file whose every row
+    matches is simply removed, no rewrite), and commit ``cdc`` actions
+    whose ``_change_data/`` files carry the deleted rows as
+    ``_change_type='delete'``.  Incremental consumers
+    (``read_delta_changes(cdf=True)``) see exactly the deleted rows;
+    time travel below the commit still sees them.  Returns the new
+    version, or -1 when nothing matched (no commit).  Column-mapped
+    tables refuse loudly (same posture as update_delta)."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    snap = _snapshot(fs, path)
+    if snap.column_mapping is not None:
+        raise DeltaUnsupported("DELETE on a column-mapped table")
+    schema = snap.schema
+    pcols = snap.partition_columns
+    cond = F.expr(where) if isinstance(where, str) else where
+
+    items = list(snap.adds.items())
+    working = _assemble(spark, fs, path, schema, pcols, items, keep_file=True)
+    hits = {
+        r["__file"]
+        for r in working.filter(cond).select("__file").distinct().collect()
+    }
+    if not hits:
+        return -1
+    affected = [
+        (rel, add) for rel, add in items if posixpath.basename(rel) in hits
+    ]
+    work = _assemble(spark, fs, path, schema, pcols, affected).withColumn(
+        "__hit", cond
+    )
+    work = work.localCheckpoint()  # feeds 2 staged writes
+    survivors = work.filter(~F.col("__hit")).select(*schema.names)
+    cdc = (
+        work.filter(F.col("__hit"))
+        .select(*schema.names)
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    token = uuid.uuid4().hex
+    new_adds = _stage_and_publish(
+        fs, path, survivors, pcols, token, "rw", "", True
+    )
+    cdc_adds = _stage_and_publish(
+        fs, path, cdc, pcols, token, "cdc", "_change_data/", False
+    )
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
                 "operationParameters": {"predicate": str(where)},
                 "engineInfo": "gofeed_spark-delta/0.1",
             }

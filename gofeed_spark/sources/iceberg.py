@@ -361,15 +361,16 @@ def _get(rec: dict, *names, default=None):
 
 
 def _live_entries(fs: FileSystem, snapshot: dict) -> tuple[list[dict], list[dict]]:
-    """Manifest-list walk → (data entries, POSITION-DELETE entries) of one
+    """Manifest-list walk → (data entries, DELETE entries) of one
     snapshot ({file_path, partition, record_count, file_size_in_bytes}).
     Each entry gains ``_seq``, its DATA SEQUENCE NUMBER — explicit on the
     manifest entry when present, else inherited from the manifest-list
     row (the v2 inheritance rule) — which scopes merge-on-read delete
-    application: a position delete hides a row only in data files whose
-    sequence number is <= the delete file's.  Equality deletes
-    (content=2) raise: they need the table's equality-field semantics,
-    and a silent skip would resurrect deleted rows."""
+    application (position deletes hide rows in data files with seq <=
+    theirs; equality deletes in data files with seq STRICTLY below).
+    Delete entries carry ``content`` 1 (position) or 2 (equality, with
+    ``equality_ids``); unscoped equality deletes on a PARTITIONED spec
+    refuse at application time (see ``_assemble``)."""
     _sch, _meta, manifests = _read_avro(fs, snapshot["manifest-list"])
     data: list[dict] = []
     dels: list[dict] = []
@@ -388,14 +389,38 @@ def _live_entries(fs: FileSystem, snapshot: dict) -> tuple[list[dict], list[dict
             content = _get(df_, "content", default=0)
             if content == 0:
                 data.append(df_)
-            elif content == 1:
+            elif content in (1, 2):
                 dels.append(df_)
             else:
-                raise IcebergUnsupported(
-                    "equality delete files (content=2); only position "
-                    "deletes are applied on read"
-                )
+                raise IcebergUnsupported(f"delete-file content {content!r}")
     return data, dels
+
+
+def _resolve_eq_cols(ice_schema: dict, dels: list[dict]) -> None:
+    """Resolve each equality delete's ``equality_ids`` to column NAMES
+    (stashed as ``_eq_cols``) and enforce the supported scope: global
+    (all-null partition record) equality deletes only — a
+    partition-SCOPED equality delete must not hide same-keyed rows in
+    other partitions, and silently widening it would delete too much."""
+    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    for d in dels:
+        if d.get("content", 1) != 2:
+            continue
+        ids = d.get("equality_ids") or []
+        if not ids:
+            raise IcebergUnsupported(
+                "equality delete file without equality_ids"
+            )
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise IcebergUnsupported(
+                f"equality_ids {missing} not in the current schema"
+            )
+        if any(v is not None for v in (d.get("partition") or {}).values()):
+            raise IcebergUnsupported(
+                "partition-scoped equality deletes (global deletes only)"
+            )
+        d["_eq_cols"] = [by_id[i] for i in ids]
 
 
 # --- reader -------------------------------------------------------------------
@@ -423,6 +448,7 @@ def read_iceberg(
     pcols = [f["source_col"] for f in idents]
     pkeys = [f["name"] for f in idents]
     entries, dels = _live_entries(fs, _snapshot_of(meta, snapshot_id))
+    _resolve_eq_cols(_current_schema(meta), dels)
     if where:
         names = [f["name"] for f in fields]
         unknown = set(where) - set(names)
@@ -464,19 +490,24 @@ def _assemble(
     maps file_path → snapshot id, carried as ``_snapshot_id`` (the
     incremental-read column).
 
-    ``deletes`` are POSITION-DELETE entries (content=1) applied
-    merge-on-read: their parquet files carry (file_path, pos) rows, and a
-    row of data file D at position P is hidden when some delete file with
-    sequence number >= D's names (D, P).  The application is ONE
-    distributed LEFT ANTI join keyed on (file basename, position) —
-    positions come free from the scan's ``_metadata.row_index``, so no
-    per-file driver work and no row-order assumptions; the sequence-number
-    scope rides the same join as a non-equi conjunct.  ``keep_pos``
-    additionally exposes ``__file``/``__pos`` working columns (the
-    delete-WRITER's input: it needs live row coordinates).  ``pkeys``
-    names the manifest partition-struct keys for ``pcols`` (spec FIELD
-    names — they differ from column names for foreign writers); defaults
-    to ``pcols``."""
+    ``deletes`` are DELETE entries applied merge-on-read, each as ONE
+    distributed LEFT ANTI join with the sequence-number scope riding the
+    join as a non-equi conjunct:
+
+    - POSITION deletes (content=1): (file_path, pos) rows keyed on (file
+      basename, ``_metadata.row_index``); hide rows in data files with
+      seq <= the delete's.
+    - EQUALITY deletes (content=2): rows of the ``_eq_cols`` columns
+      (resolved from ``equality_ids`` by the caller via
+      :func:`_resolve_eq_cols`), matched NULL-SAFELY per the spec; hide
+      rows in data files with seq STRICTLY below the delete's — which is
+      exactly what lets a CDC upsert re-append a deleted key.
+
+    ``keep_pos`` additionally exposes ``__file``/``__pos`` working
+    columns (the delete-WRITER's input: it needs live row coordinates).
+    ``pkeys`` names the manifest partition-struct keys for ``pcols``
+    (spec FIELD names — they differ from column names for foreign
+    writers); defaults to ``pcols``."""
     pkeys = pkeys if pkeys is not None else pcols
     out_cols = [F.col(f.name) for f in schema.fields]
     if extra is not None:
@@ -532,12 +563,20 @@ def _assemble(
         df = df.withColumn(
             "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
         ).join(F.broadcast(mdf), "__file")
-        if deletes:
-            dbase = [posixpath.basename(d["file_path"]) for d in deletes]
-            if len(set(dbase)) != len(dbase):
-                raise IcebergError(
-                    "duplicate delete-file basenames; cannot key delete map"
-                )
+        # restore partition columns BEFORE delete application: equality
+        # delete columns may include identity partition fields
+        for c in pcols:
+            df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(
+                f"__pv_{c}"
+            )
+        pos_dels = [d for d in deletes if d.get("content", 1) == 1]
+        eq_dels = [d for d in deletes if d.get("content", 1) == 2]
+        dbase = [posixpath.basename(d["file_path"]) for d in deletes]
+        if deletes and len(set(dbase)) != len(dbase):
+            raise IcebergError(
+                "duplicate delete-file basenames; cannot key delete map"
+            )
+        if pos_dels:
             del_schema = T.StructType(
                 [
                     T.StructField("file_path", T.StringType()),
@@ -545,10 +584,13 @@ def _assemble(
                 ]
             )
             ddf = spark.read.schema(del_schema).parquet(
-                *[fs.spark_path(d["file_path"]) for d in deletes]
+                *[fs.spark_path(d["file_path"]) for d in pos_dels]
             )
             dmap = spark.createDataFrame(
-                [(b, int(d.get("_seq", 0))) for b, d in zip(dbase, deletes)],
+                [
+                    (posixpath.basename(d["file_path"]), int(d.get("_seq", 0)))
+                    for d in pos_dels
+                ],
                 T.StructType(
                     [
                         T.StructField("__dfile", T.StringType()),
@@ -576,10 +618,52 @@ def _assemble(
                 & (ddf["__delseq"] >= df["__seq"]),
                 "left_anti",
             )
-        for c in pcols:
-            df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(
-                f"__pv_{c}"
+        # equality deletes: one anti join per distinct equality-column
+        # set (different writers may key different columns)
+        groups: dict[tuple, list[dict]] = {}
+        for d in eq_dels:
+            cols = d.get("_eq_cols")
+            if not cols:
+                raise IcebergUnsupported(
+                    "equality delete file without resolved equality columns"
+                )
+            groups.setdefault(tuple(cols), []).append(d)
+        for cols, members in sorted(groups.items()):
+            eq_schema = T.StructType(
+                [T.StructField(c, by_type[c]) for c in cols]
             )
+            edf = spark.read.schema(eq_schema).parquet(
+                *[fs.spark_path(d["file_path"]) for d in members]
+            )
+            emap = spark.createDataFrame(
+                [
+                    (posixpath.basename(d["file_path"]), int(d.get("_seq", 0)))
+                    for d in members
+                ],
+                T.StructType(
+                    [
+                        T.StructField("__dfile", T.StringType()),
+                        T.StructField("__delseq", T.LongType()),
+                    ]
+                ),
+            )
+            edf = (
+                edf.withColumn(
+                    "__dfile", F.element_at(F.split(F.input_file_name(), "/"), -1)
+                )
+                .join(F.broadcast(emap), "__dfile")
+                # a key deleted at seq 3 is also deleted at seq 5: keep
+                # the max per key, so the anti join stays one row per key
+                .groupBy(*cols)
+                .agg(F.max("__delseq").alias("__delseq"))
+            )
+            edf = edf.select(
+                *[F.col(c).alias(f"__eq_{c}") for c in cols], "__delseq"
+            )
+            cond = edf["__delseq"] > df["__seq"]  # STRICTLY below (spec)
+            for c in cols:
+                cond = cond & df[c].eqNullSafe(edf[f"__eq_{c}"])
+            df = df.join(edf, cond, "left_anti")
     return df.select(*out_cols)
 
 
@@ -793,6 +877,11 @@ def _manifest_entry_schema(partition_fields: list[tuple[str, str]]) -> dict:
             },
             {"name": "record_count", "type": "long"},
             {"name": "file_size_in_bytes", "type": "long"},
+            # present only on equality delete files (content=2)
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+            },
         ],
     }
     return {
@@ -1218,6 +1307,7 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
     pcols = [f["source_col"] for f in idents]
     pkeys = [f["name"] for f in idents]
     entries, dels = _live_entries(fs, _snapshot_of(meta, None))
+    _resolve_eq_cols(ice_schema, dels)
     if not entries:
         return -1
 
@@ -1294,6 +1384,22 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
     if not del_entries:
         return -1
 
+    _commit_delete_snapshot(
+        fs, path, meta, version, ice_schema, spec, part_types,
+        del_entries, n_deleted, seq, sid, token,
+        "deleted-position-delete-rows",
+    )
+    return sid
+
+
+def _commit_delete_snapshot(
+    fs, path, meta, version, ice_schema, spec, part_types,
+    del_entries, n_deleted, seq, sid, token, summary_key,
+) -> None:
+    """Shared commit tail of the two delete writers: one delete manifest
+    (content=1 in the manifest LIST — it lists delete files of either
+    kind), prior manifests by pointer, an operation='delete' snapshot."""
+    md = _meta_dir(path)
     entry_schema = _manifest_entry_schema(part_types)
     manifest_path = fs.join(md, f"m-{sid}-{token}.avro")
     manifest_bytes = write_container(
@@ -1343,7 +1449,7 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
         "timestamp-ms": seq,
         "summary": {
             "operation": "delete",
-            "deleted-position-delete-rows": str(n_deleted),
+            summary_key: str(n_deleted),
             "engine-info": "gofeed_spark-iceberg/0.1",
         },
         "manifest-list": mlist_path,
@@ -1358,6 +1464,110 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
         {"timestamp-ms": seq, "snapshot-id": sid}
     ]
     _publish_metadata(fs, path, version, new_meta)
+
+
+def delete_iceberg_equality(
+    spark: SparkSession, path: str, keys: DataFrame
+) -> int:
+    """Row-level DELETE BY KEY via merge-on-read EQUALITY deletes (spec
+    §Equality Delete Files) — the CDC-upsert primitive: ``keys``' columns
+    name the equality fields (e.g. a one-column frame of doc_ids), and
+    every CURRENT row matching any key row (null-safely, per the spec)
+    is hidden WITHOUT knowing where it lives — no scan of the data at
+    all, which is the whole point: a position delete needs the row's
+    coordinates, an equality delete just needs its key.  Rows appended
+    AFTER this commit are untouched (the strictly-below sequence rule),
+    so delete-key-then-reinsert works exactly like a CDC upsert.
+
+    Commits ONE sorted parquet delete file of the distinct keys with
+    ``equality_ids`` in its manifest entry (content=2), partition-global;
+    O(keys) I/O, zero data-file reads.  Returns the new snapshot id
+    (an empty ``keys`` frame commits nothing, returns -1)."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    meta, version = _load_metadata(fs, path)
+    if meta.get("format-version", 2) != 2:
+        raise IcebergUnsupported(
+            "equality deletes need format-version 2 sequence numbers"
+        )
+    ice_schema = _current_schema(meta)
+    spec = _current_spec(meta)
+    pfields = _spec_fields(ice_schema, spec)
+    part_types = [(f["name"], f["result_type"]) for f in pfields]
+    by_name = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    table_types = {
+        f["name"]: f["type"]
+        for f in ice_schema["fields"]
+        if isinstance(f["type"], str)
+    }
+    unknown = [c for c in keys.columns if c not in by_name]
+    if unknown:
+        raise IcebergError(f"equality columns {unknown} not in table schema")
+    for c in keys.columns:
+        want = table_types.get(c)
+        got = _type_to_iceberg(keys.schema[c].dataType, _IdGen(10_000))
+        if not isinstance(got, str) or got != want:
+            raise IcebergSchemaMismatch(
+                f"equality column {c!r} is {got!r}, table has {want!r}"
+            )
+    eq_ids = [by_name[c] for c in keys.columns]
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    sid = seq
+    token = uuid.uuid4().hex
+    staging = f"{path}_iceberg_eqdelstage_{token}"
+    (
+        keys.distinct()
+        .repartition(1)
+        .sortWithinPartitions(*keys.columns)
+        .write.mode("overwrite")
+        .parquet(fs.spark_path(staging))
+    )
+    del_entries: list[dict] = []
+    n_deleted = 0
+    ordinal = 0
+    for rel, size in fs.walk_files(staging):
+        base = rel.rsplit("/", 1)[-1]
+        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+            continue
+        new_rel = f"data/eqdelete-{ordinal:05d}-{token}.parquet"
+        src, dst = fs.join(staging, rel), fs.join(path, new_rel)
+        if fs.supports_rename():
+            fs.makedirs(posixpath.dirname(dst))
+            fs.rename(src, dst)
+        else:
+            fs.put_bytes(dst, fs.read_bytes(src))
+        stat = fs.stat(dst)
+        n_rows = _parquet_row_count(fs, dst)
+        if n_rows == 0:
+            fs.delete(dst)
+            continue
+        del_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "sequence_number": None,  # inherited from the manifest list
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 2,  # EQUALITY DELETES
+                    "file_path": fs.join(path, new_rel),
+                    "file_format": "PARQUET",
+                    "partition": {name: None for name, _t in part_types},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": stat[0] if stat else size,
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+        n_deleted += n_rows
+        ordinal += 1
+    fs.delete_tree(staging)
+    if not del_entries:
+        return -1
+    _commit_delete_snapshot(
+        fs, path, meta, version, ice_schema, spec, part_types,
+        del_entries, n_deleted, seq, sid, token, "deleted-equality-delete-rows",
+    )
     return sid
 
 
@@ -1409,6 +1619,7 @@ def rewrite_iceberg(
     part_names = [f["name"] for f in pfields]
     part_types = [(f["name"], f["result_type"]) for f in pfields]
     entries, dels = _live_entries(fs, _snapshot_of(meta, None))
+    _resolve_eq_cols(ice_schema, dels)
 
     groups: dict[tuple, list[dict]] = {}
     for e in entries:

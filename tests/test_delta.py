@@ -628,3 +628,38 @@ def test_update_set_exprs_see_old_row(spark, tmp_path):
     assert rows == {
         (i * 2, i) if i < 5 else (i, i * 2) for i in range(10)
     }
+
+
+def test_delete_delta_rows_cdf(spark, tmp_path):
+    """delete_delta_rows rewrites only affected files without the
+    matching rows and commits cdc 'delete' rows; the CDF shows exactly
+    the deleted rows, time travel still sees them."""
+    from gofeed_spark.sources import delta as D
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+    D.write_delta(df.filter("doc_id < 30"), tbl, partition_by=["grp"])
+    D.write_delta(df.filter("doc_id >= 30"), tbl, partition_by=["grp"])
+    v = D.delete_delta_rows(spark, tbl, "doc_id % 4 = 0")
+    assert v == 2
+    live = {r.doc_id for r in D.read_delta(spark, tbl).collect()}
+    assert live == {i for i in range(60) if i % 4 != 0}
+    assert D.read_delta(spark, tbl, version=1).count() == 60
+    ch = D.read_delta_changes(spark, tbl, 1, cdf=True)
+    rows = [(r.doc_id, r.grp, r._change_type) for r in ch.collect()]
+    assert len(rows) == 15 and all(t == "delete" for _d, _g, t in rows)
+    assert all(g == str(d % 3) for d, g, _t in rows)
+    assert D.delete_delta_rows(spark, tbl, "doc_id = 777") == -1
+    # delete + update compose in one feed
+    D.update_delta(spark, tbl, "doc_id = 1", {"val": "111"})
+    types = {
+        r._change_type
+        for r in D.read_delta_changes(spark, tbl, -1, cdf=True).collect()
+    }
+    assert types == {
+        "insert", "delete", "update_preimage", "update_postimage"
+    }

@@ -797,3 +797,88 @@ def test_rewrite_applies_and_preserves_position_deletes(spark, corpus, tmp_path)
     )
     I.delete_iceberg_rows(spark, tbl, "doc_id = 900")
     assert I.read_iceberg(spark, tbl).count() == len(live) + 2
+
+
+def test_equality_deletes_cdc_upsert_shape(spark, corpus, tmp_path):
+    """delete_iceberg_equality hides rows BY KEY without touching data
+    files; strictly-below sequence scoping lets a re-appended key
+    survive (the CDC upsert pattern); position + equality stack; rewrite
+    composes."""
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus.filter("doc_id < 30"), tbl, partition_by=["source"])
+    s2 = I.write_iceberg(
+        corpus.filter("doc_id >= 30"), tbl, partition_by=["source"]
+    )
+    keys = spark.range(0, 60, 9).select(F.col("id").alias("doc_id"))
+    sid = I.delete_iceberg_equality(spark, tbl, keys)
+    assert sid == 3
+    live = {r.doc_id for r in I.read_iceberg(spark, tbl).collect()}
+    assert live == {i for i in range(60) if i % 9 != 0}
+    assert I.read_iceberg(spark, tbl, snapshot_id=s2).count() == 60
+    # re-appending a deleted key AFTER the delete survives (seq strictly
+    # below) — delete-then-reinsert is the CDC upsert
+    I.write_iceberg(
+        corpus.filter("doc_id % 18 = 0"), tbl, partition_by=["source"]
+    )
+    out = I.read_iceberg(spark, tbl)
+    assert out.filter("doc_id = 18").count() == 1
+    assert out.count() == len(live) + 4  # 0, 18, 36, 54 re-appended
+    # stacking a position delete on top
+    I.delete_iceberg_rows(spark, tbl, "doc_id = 7")
+    assert I.read_iceberg(spark, tbl).count() == len(live) + 3
+    # guards: empty keys no-op; type drift refuses; unknown column
+    assert I.delete_iceberg_equality(spark, tbl, keys.filter("doc_id < 0")) == -1
+    with pytest.raises(I.IcebergSchemaMismatch):
+        I.delete_iceberg_equality(
+            spark, tbl, keys.select(F.col("doc_id").cast("int"))
+        )
+    with pytest.raises(I.IcebergError):
+        I.delete_iceberg_equality(
+            spark, tbl, keys.withColumnRenamed("doc_id", "nope")
+        )
+    # rewrite applies both delete kinds and preserves them for survivors
+    res = I.rewrite_iceberg(spark, tbl, target_file_bytes=1 << 30, min_files=2)
+    assert res["rewritten"] > 0
+    assert I.read_iceberg(spark, tbl).count() == len(live) + 3
+
+
+def test_equality_delete_null_safe_and_multi_column(spark, tmp_path):
+    """Multi-column equality keys match NULL-SAFELY per the spec (a null
+    key value deletes rows whose column IS NULL)."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "a", 30), (4, None, 40)],
+        "doc_id long, tag string, val long",
+    )
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(df, tbl)
+    keys = spark.createDataFrame(
+        [(2, None), (3, "a")], "doc_id long, tag string"
+    )
+    I.delete_iceberg_equality(spark, tbl, keys)
+    live = {r.doc_id for r in I.read_iceberg(spark, tbl).collect()}
+    assert live == {1, 4}
+    # partition-scoped foreign equality deletes refuse loudly
+    from gofeed_spark.fs import get_filesystem
+
+    tbl2 = str(tmp_path / "tbl2")
+    I.write_iceberg(
+        df.withColumn("grp", (F.col("doc_id") % 2).cast("string")),
+        tbl2,
+        partition_by=["grp"],
+    )
+    I.delete_iceberg_equality(
+        spark, tbl2, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    fs = get_filesystem(tbl2)
+    meta, _v = I._load_metadata(fs, tbl2)
+    snap = I._snapshot_of(meta, None)
+    _s, _m, manifests = I._read_avro(fs, snap["manifest-list"])
+    del_mf = next(mf for mf in manifests if mf["content"] == 1)
+    _es, _em, entries = I._read_avro(fs, del_mf["manifest_path"])
+    entries[0]["data_file"]["partition"] = {"grp": "1"}  # forge a scope
+    fs.put_bytes(
+        del_mf["manifest_path"],
+        write_container(json.dumps(_es), entries),
+    )
+    with pytest.raises(I.IcebergUnsupported, match="partition-scoped"):
+        I.read_iceberg(spark, tbl2).count()
