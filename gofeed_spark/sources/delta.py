@@ -176,6 +176,8 @@ def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
                 if key == "add" and isinstance(val.get("partitionValues"), list):
                     # pyarrow renders map<string,string> as [(k, v), ...]
                     val["partitionValues"] = dict(val["partitionValues"])
+                if key == "add" and val.get("deletionVector") is None:
+                    val.pop("deletionVector", None)
                 if key == "metaData" and isinstance(val.get("configuration"), list):
                     val["configuration"] = dict(val["configuration"])
                 if key == "protocol":
@@ -238,16 +240,11 @@ def _snapshot(fs: FileSystem, path: str, version: int | None = None) -> _Snapsho
     if mrv == 2:
         pass  # reader v2 = column mapping; validated via the metadata below
     elif mrv == 3:
-        # feature-gated protocol: refuse by FEATURE, not by version — a
-        # column-mapped table must read, only genuinely unimplemented
-        # features (deletion vectors, v2 checkpoints) refuse, each by name
+        # feature-gated protocol: refuse by FEATURE, not by version — only
+        # genuinely unimplemented features (v2 checkpoints, ...) refuse,
+        # each by name; columnMapping and deletionVectors both read
         feats = set(protocol.get("readerFeatures") or [])
-        unknown = feats - {"columnMapping", "timestampNtz"}
-        if "deletionVectors" in unknown:
-            raise DeltaUnsupported(
-                "deletion vectors (readerFeatures) — row-level deletes "
-                "are not applied; read a pre-DV version or VACUUM+rewrite"
-            )
+        unknown = feats - {"columnMapping", "timestampNtz", "deletionVectors"}
         if unknown:
             raise DeltaUnsupported(f"reader features {sorted(unknown)}")
     elif mrv > 3:
@@ -315,6 +312,7 @@ def _assemble(
     extra: dict[str, int] | None = None,
     mapping: dict[str, str] | None = None,
     keep_file: bool = False,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Live add actions → ONE parquet relation with partition columns
     restored from the log's authoritative partitionValues by a single
@@ -324,8 +322,17 @@ def _assemble(
     ``mapping`` (logical → physical name) makes column-mapped tables
     read: data files are scanned under their PHYSICAL column names and
     aliased back, and partitionValues are looked up by physical key.
-    ``keep_file`` additionally exposes the ``__file`` basename working
-    column (the UPDATE writer's input: it needs per-row file identity)."""
+    ``keep_file``/``keep_pos`` expose the ``__file`` basename and
+    ``__pos`` (``_metadata.row_index``) working columns (the
+    UPDATE/DV-writer input: per-row file coordinates).
+
+    Adds carrying a ``deletionVector`` descriptor are applied
+    merge-on-read: the driver fetches each DV's COMPRESSED roaring
+    payload (a byte slice, CRC-checked — never the expanded positions),
+    ships it as one row, and an Arrow ``mapInPandas`` explodes it to
+    (file, position) ON EXECUTORS for one LEFT ANTI join against the
+    scan's ``_metadata.row_index`` — the same distributed shape as the
+    Iceberg position-delete path."""
     P = mapping or {}
     phys = T.StructType(
         [
@@ -340,6 +347,10 @@ def _assemble(
         out_cols.append(F.col("_commit_version"))
     if keep_file:
         out_cols.append(F.col("__file"))
+    dv_adds = [(rel, add) for rel, add in adds if add.get("deletionVector")]
+    need_pos = bool(dv_adds) or keep_pos
+    if keep_pos:
+        out_cols.append(F.col("__pos"))
     if not adds:
         # COPY before .add: StructType.add mutates in place, and the
         # caller reuses its schema object (e.g. to build the cdc twin)
@@ -348,19 +359,26 @@ def _assemble(
             empty = empty.add("_commit_version", T.LongType())
         if keep_file:
             empty = empty.add("__file", T.StringType())
+        if keep_pos:
+            empty = empty.add("__pos", T.LongType())
         return spark.createDataFrame([], empty)
 
     files = [fs.spark_path(fs.join(path.rstrip("/"), rel)) for rel, _ in adds]
     df = spark.read.schema(phys).parquet(*files)
+    if need_pos:
+        df = df.withColumn("__pos", F.col("_metadata.row_index"))
     if mapping:
         df = df.select(
-            *[
-                F.col(P.get(f.name, f.name)).alias(f.name)
-                for f in schema.fields
-                if f.name not in pcols
-            ]
+            *(
+                [
+                    F.col(P.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                    if f.name not in pcols
+                ]
+                + ([F.col("__pos")] if need_pos else [])
+            )
         )
-    if pcols or extra is not None or keep_file:
+    if pcols or extra is not None or keep_file or need_pos:
         basenames = [posixpath.basename(rel) for rel, _ in adds]
         if len(set(basenames)) != len(basenames):
             raise DeltaError("duplicate data-file basenames; cannot key partition map")
@@ -390,10 +408,51 @@ def _assemble(
         df = df.withColumn(
             "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
         ).join(F.broadcast(mdf), "__file")
-        if not keep_file:
-            df = df.drop("__file")
         for c in pcols:
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
+        if dv_adds:
+            import pandas as pd  # noqa: F401 (executor import)
+
+            payloads = [
+                (
+                    posixpath.basename(rel),
+                    bytearray(
+                        _dv_payload_bytes(fs, path, add["deletionVector"])
+                    ),
+                )
+                for rel, add in dv_adds
+            ]
+            pdf = spark.createDataFrame(
+                payloads,
+                T.StructType(
+                    [
+                        T.StructField("__tfile", T.StringType()),
+                        T.StructField("__dv", T.BinaryType()),
+                    ]
+                ),
+            )
+
+            def _explode_dv(batches):
+                import pandas as _pd
+
+                from gofeed_spark.sources.roaring import dv_decode_payload
+
+                for b in batches:
+                    for f, raw in zip(b["__tfile"], b["__dv"]):
+                        poss = sorted(dv_decode_payload(bytes(raw)))
+                        yield _pd.DataFrame(
+                            {"__tfile": f, "__tpos": _pd.Series(poss, dtype="int64")}
+                        )
+
+            ddf = pdf.mapInPandas(_explode_dv, "__tfile string, __tpos long")
+            df = df.join(
+                ddf,
+                (df["__file"] == ddf["__tfile"])
+                & (df["__pos"] == ddf["__tpos"]),
+                "left_anti",
+            )
+        if not keep_file:
+            df = df.drop("__file")
     return df.select(*out_cols)
 
 
@@ -524,6 +583,38 @@ def last_txn_version(path: str, app_id: str) -> int:
 
 
 # --- writer -----------------------------------------------------------------
+
+
+def _dv_payload_bytes(fs: FileSystem, path: str, dv: dict) -> bytes:
+    """An add action's ``deletionVector`` descriptor → the raw DV payload
+    bytes (magic + portable 64-bit roaring), CRC-verified for on-disk
+    storage types.  Driver-side cost is one ranged-ish GET per DV file
+    and a byte SLICE — decoding to positions happens on executors."""
+    from gofeed_spark.sources import roaring as R
+
+    st = dv.get("storageType")
+    poi = dv.get("pathOrInlineDv") or ""
+    size = dv.get("sizeInBytes")
+    if st == "i":
+        return R.z85_decode(poi)
+    if st == "u":
+        prefix, uid = R.dv_unpack_u(poi)
+        fpath = fs.join(path, R.dv_file_name(uid, prefix))
+    elif st == "p":
+        fpath = poi
+    else:
+        raise DeltaUnsupported(f"deletion-vector storageType {st!r}")
+    data = fs.read_bytes(fpath)
+    offset = int(dv.get("offset") or 1)
+    # validate frame + checksum, then hand back the payload slice
+    try:
+        R.dv_read_at(data, offset, size_hint=size)
+    except R.RoaringError as exc:
+        raise DeltaError(f"bad deletion vector at {fpath}: {exc}") from exc
+    import struct as _struct
+
+    (n,) = _struct.unpack_from(">I", data, offset)
+    return data[offset + 4 : offset + 4 + n]
 
 
 def _publish_commit(
@@ -960,6 +1051,7 @@ def delete_delta_rows(
     spark: SparkSession,
     path: str,
     where,
+    dv: bool = False,
 ) -> int:
     """Row-level DELETE with protocol-native change-feed output — the
     companion of :func:`update_delta`: rewrite only the files holding
@@ -970,7 +1062,18 @@ def delete_delta_rows(
     (``read_delta_changes(cdf=True)``) see exactly the deleted rows;
     time travel below the commit still sees them.  Returns the new
     version, or -1 when nothing matched (no commit).  Column-mapped
-    tables refuse loudly (same posture as update_delta)."""
+    tables refuse loudly (same posture as update_delta).
+
+    ``dv=True`` deletes via DELETION VECTORS instead of rewriting: each
+    affected file is RE-ADDED with a ``deletionVector`` descriptor
+    pointing into one new ``deletion_vector_<uuid>.bin`` file
+    (storageType 'u'; roaring-compressed positions, encoded ON EXECUTORS
+    per file, merged with any existing DV) — O(deleted positions) I/O,
+    zero data-file rewrite, the merge-on-read trade for cheap deletes on
+    huge files.  First DV commit upgrades the protocol to the
+    feature-gated form (3/7 + deletionVectors), which this module and any
+    DV-capable reader consume; cdc files are still written, so the
+    change feed is identical either way."""
     path = path.rstrip("/")
     fs = get_filesystem(path)
     snap = _snapshot(fs, path)
@@ -981,6 +1084,10 @@ def delete_delta_rows(
     cond = F.expr(where) if isinstance(where, str) else where
 
     items = list(snap.adds.items())
+    if dv:
+        return _delete_with_dv(
+            spark, fs, path, snap, schema, pcols, items, cond, where
+        )
     working = _assemble(spark, fs, path, schema, pcols, items, keep_file=True)
     hits = {
         r["__file"]
@@ -1034,6 +1141,123 @@ def delete_delta_rows(
     return version
 
 
+def _delete_with_dv(
+    spark, fs, path, snap, schema, pcols, items, cond, where
+) -> int:
+    """DV-mode DELETE body: per-file roaring payloads encoded on
+    executors, merged with existing DVs, one new DV file, re-added adds.
+    See :func:`delete_delta_rows` (dv=True)."""
+    import pandas as pd  # noqa: F401
+
+    from gofeed_spark.sources import roaring as R
+
+    working = _assemble(
+        spark, fs, path, schema, pcols, items, keep_file=True, keep_pos=True
+    )
+    matched = working.filter(cond).localCheckpoint()  # feeds cdc + payloads
+    def _enc(key, pdf):
+        import pandas as _pd
+
+        from gofeed_spark.sources.roaring import dv_payload
+
+        return _pd.DataFrame(
+            {
+                "__file": [key[0]],
+                "__dv": [bytearray(dv_payload(pdf["__pos"].tolist()))],
+            }
+        )
+
+    payloads = {
+        r["__file"]: bytes(r["__dv"])
+        for r in matched.select("__file", "__pos")
+        .groupBy("__file")
+        .applyInPandas(_enc, "__file string, __dv binary")
+        .collect()
+    }
+    if not payloads:
+        return -1
+    by_base = {posixpath.basename(rel): (rel, add) for rel, add in items}
+    # merge with any EXISTING DV on the file (positions are file-physical
+    # on both sides) and frame everything into ONE new DV file
+    ordered = sorted(payloads)
+    blobs = []
+    cards = []
+    for base in ordered:
+        new_pos = R.dv_decode_payload(payloads[base])
+        _rel, add = by_base[base]
+        old_dv = add.get("deletionVector")
+        if old_dv:
+            new_pos |= R.dv_decode_payload(_dv_payload_bytes(fs, path, old_dv))
+        blobs.append(R.dv_payload(new_pos))
+        cards.append(len(new_pos))
+    blob, offsets = R.dv_file_bytes(blobs)
+    dv_uuid = str(uuid.uuid4())
+    fs.put_bytes(fs.join(path, R.dv_file_name(dv_uuid)), blob)
+
+    # cdc rows: the deleted rows, change-feed-visible
+    cdc = (
+        matched.select(*schema.names)
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    token = uuid.uuid4().hex
+    cdc_adds = _stage_and_publish(
+        fs, path, cdc, pcols, token, "cdc", "_change_data/", False
+    )
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {"predicate": str(where)},
+                "engineInfo": "gofeed_spark-delta/0.1",
+            }
+        }
+    ]
+    proto = snap.protocol
+    feats = set(proto.get("readerFeatures") or [])
+    if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in feats:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats | {"deletionVectors"}),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                }
+            }
+        )
+    for i, base in enumerate(ordered):
+        _rel, add = by_base[base]
+        actions.append(
+            {
+                "remove": {
+                    "path": add["path"],
+                    "dataChange": True,
+                    "partitionValues": add.get("partitionValues") or {},
+                }
+            }
+        )
+        new_add = {
+            k: v for k, v in add.items() if k != "deletionVector"
+        }
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": R.dv_pack_u(dv_uuid),
+            "offset": offsets[i],
+            "sizeInBytes": len(blobs[i]),
+            "cardinality": cards[i],
+        }
+        actions.append({"add": new_add})
+    actions.extend({"cdc": c} for c in cdc_adds)
+    version = snap.version + 1
+    _publish_commit(fs, path, version, actions)
+    return version
+
+
 # --- checkpoint + vacuum ----------------------------------------------------
 
 
@@ -1049,6 +1273,15 @@ def checkpoint_delta(path: str) -> int:
     snap = _snapshot(fs, path)
     log = _log_dir(path)
 
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_type = pa.struct(
         [
             ("path", pa.string()),
@@ -1056,6 +1289,9 @@ def checkpoint_delta(path: str) -> int:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            # deletionVector MUST survive checkpointing or a truncated
+            # log would RESURRECT deleted rows
+            ("deletionVector", dv_type),
         ]
     )
     meta_type = pa.struct(
@@ -1100,6 +1336,7 @@ def checkpoint_delta(path: str) -> int:
                 "size": add.get("size", 0),
                 "modificationTime": add.get("modificationTime", 0),
                 "dataChange": False,
+                "deletionVector": add.get("deletionVector"),
             }
         )
     add_col += [None] * len(txns)
@@ -1180,6 +1417,11 @@ def optimize_delta(
     n_parts = 0
     for key, members in sorted(groups.items()):
         if len(members) < min_files:
+            continue
+        if any(a.get("deletionVector") for _r, a in members):
+            # packing reads files RAW; rewriting a DV-bearing group would
+            # resurrect its deleted rows — purge via the delete paths
+            # first, then OPTIMIZE
             continue
         total = sum(a.get("size", 0) for _r, a in members)
         n_out = max(1, -(-total // target_file_bytes))

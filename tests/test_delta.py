@@ -468,9 +468,9 @@ def test_column_mapping_lifecycle(spark, tmp_path):
 
 
 def test_reader_features_gate_by_feature(spark, tmp_path):
-    """minReaderVersion=3 tables refuse by FEATURE: columnMapping-only
-    reads fine, deletionVectors raises a DV-specific error (the r14
-    'every minReaderVersion>1 refuses' posture is gone)."""
+    """minReaderVersion=3 tables refuse by FEATURE: columnMapping and
+    deletionVectors read; only genuinely unknown features refuse, by
+    name (the r14 'every minReaderVersion>1 refuses' posture is gone)."""
     import json as J
 
     from gofeed_spark.sources import delta as D
@@ -499,8 +499,7 @@ def test_reader_features_gate_by_feature(spark, tmp_path):
     put_protocol(["columnMapping"])
     assert D.read_delta(spark, tbl).count() == 10
     put_protocol(["columnMapping", "deletionVectors"])
-    with pytest.raises(D.DeltaUnsupported, match="deletion vectors"):
-        D.read_delta(spark, tbl)
+    assert D.read_delta(spark, tbl).count() == 10  # DV-capable since r15
     put_protocol(["columnMapping", "someFutureFeature"])
     with pytest.raises(D.DeltaUnsupported, match="someFutureFeature"):
         D.read_delta(spark, tbl)
@@ -663,3 +662,108 @@ def test_delete_delta_rows_cdf(spark, tmp_path):
     assert types == {
         "insert", "delete", "update_preimage", "update_postimage"
     }
+
+
+def test_deletion_vectors_lifecycle(spark, tmp_path):
+    """dv=True deletes without rewriting: re-added adds carry
+    storageType-'u' descriptors into one roaring DV file; reads apply
+    them merge-on-read; stacked deletes merge bitmaps; checkpoints keep
+    the DVs (losing them would RESURRECT rows); rewrite-mode ops on
+    DV-bearing files go through the live view; OPTIMIZE never touches a
+    DV-bearing group."""
+    import glob
+
+    from gofeed_spark.sources import delta as D
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+    D.write_delta(df.filter("doc_id < 50"), tbl, partition_by=["grp"])
+    D.write_delta(df.filter("doc_id >= 50"), tbl, partition_by=["grp"])
+    v = D.delete_delta_rows(spark, tbl, "doc_id % 7 = 0", dv=True)
+    assert v == 2 and glob.glob(tbl + "/deletion_vector_*.bin")
+    live = {r.doc_id for r in D.read_delta(spark, tbl).collect()}
+    assert live == {i for i in range(100) if i % 7 != 0}
+    assert D.read_delta(spark, tbl, version=1).count() == 100
+    # protocol upgraded to the feature-gated form
+    snap = D._snapshot(D.get_filesystem(tbl), tbl)
+    assert "deletionVectors" in (snap.protocol.get("readerFeatures") or [])
+    # stacked DV delete merges bitmaps per file
+    D.delete_delta_rows(spark, tbl, "doc_id % 11 = 0", dv=True)
+    live = {r.doc_id for r in D.read_delta(spark, tbl).collect()}
+    assert live == {i for i in range(100) if i % 7 != 0 and i % 11 != 0}
+    # change feed: exactly the deleted rows, via cdc
+    ch = D.read_delta_changes(spark, tbl, 1, cdf=True)
+    assert sorted(r.doc_id for r in ch.collect()) == sorted(
+        [i for i in range(100) if i % 7 == 0]
+        + [i for i in range(100) if i % 11 == 0 and i % 7 != 0]
+    )
+    # checkpoint replay keeps the DVs
+    D.checkpoint_delta(tbl)
+    D.write_delta(
+        df.limit(3).withColumn("doc_id", F.col("doc_id") + 1000),
+        tbl,
+        partition_by=["grp"],
+    )
+    assert {r.doc_id for r in D.read_delta(spark, tbl).collect()} == live | {
+        1000, 1001, 1002,
+    }
+    # rewrite-mode delete/update on DV-bearing files never resurrects
+    D.delete_delta_rows(spark, tbl, "doc_id = 1")
+    D.update_delta(spark, tbl, "doc_id = 2", {"val": "222"})
+    rows = {r.doc_id: r.val for r in D.read_delta(spark, tbl).collect()}
+    assert 1 not in rows and rows[2] == 222 and 21 not in rows
+    # OPTIMIZE skips DV-bearing groups
+    D.optimize_delta(spark, tbl, target_file_bytes=1 << 30, min_files=2)
+    assert {r.doc_id for r in D.read_delta(spark, tbl).collect()} == set(
+        rows
+    )
+
+
+def test_foreign_inline_dv_reads(spark, tmp_path):
+    """A hand-planted INLINE deletion vector (storageType 'i', z85
+    payload — the small-DV form other writers emit) applies on read."""
+    import json as J
+    import os
+
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources import roaring as R
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    D.write_delta(df.coalesce(1), tbl)
+    log = tbl + "/_delta_log"
+    actions = [
+        J.loads(x) for x in open(f"{log}/{0:020d}.json").read().splitlines()
+    ]
+    add = next(a["add"] for a in actions if "add" in a)
+    payload = R.dv_payload({3, 4, 11})
+    pad = (-len(payload)) % 4
+    new_add = dict(add)
+    new_add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": R.z85_encode(payload + b"\x00" * pad),
+        "offset": None,
+        "sizeInBytes": len(payload),
+        "cardinality": 3,
+    }
+    with open(f"{log}/{1:020d}.json", "w") as f:
+        f.write(
+            "\n".join(
+                J.dumps(a)
+                for a in [
+                    {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                  "readerFeatures": ["deletionVectors"],
+                                  "writerFeatures": ["deletionVectors"]}},
+                    {"remove": {"path": add["path"], "dataChange": True,
+                                "partitionValues": {}}},
+                    {"add": new_add},
+                ]
+            )
+            + "\n"
+        )
+    got = {r.doc_id for r in D.read_delta(spark, tbl).collect()}
+    assert got == set(range(20)) - {3, 4, 11}
