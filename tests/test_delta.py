@@ -767,3 +767,40 @@ def test_foreign_inline_dv_reads(spark, tmp_path):
         )
     got = {r.doc_id for r in D.read_delta(spark, tbl).collect()}
     assert got == set(range(20)) - {3, 4, 11}
+
+
+def test_multipart_checkpoint_reads(spark, tmp_path):
+    """A COMPLETE multi-part checkpoint (the classic Spark-writer form)
+    replays like the single-part one; a partial set is invisible and
+    replay falls back to JSON."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gofeed_spark.sources import delta as D
+
+    tbl = str(tmp_path / "tbl")
+    for lo, hi in ((0, 10), (10, 20)):
+        D.write_delta(_mk(spark, lo, hi), tbl, partition_by=["source"])
+    D.checkpoint_delta(tbl)
+    log = tbl + "/_delta_log"
+    single = f"{log}/{1:020d}.checkpoint.parquet"
+    table = pq.read_table(single)
+    # split into 2 parts and drop the single-part file + older JSON
+    n = table.num_rows
+    pq.write_table(
+        table.slice(0, n // 2),
+        f"{log}/{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    pq.write_table(
+        table.slice(n // 2),
+        f"{log}/{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    )
+    os.remove(single)
+    os.remove(f"{log}/{0:020d}.json")  # force checkpoint-based replay
+    got = D.read_delta(spark, tbl)
+    assert {r.id for r in got.collect()} == set(range(20))
+    # partial set: drop one part -> replay has no usable checkpoint left
+    os.remove(f"{log}/{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    with pytest.raises(D.DeltaError):
+        D.read_delta(spark, tbl)  # v0 json gone AND checkpoint incomplete

@@ -882,3 +882,37 @@ def test_equality_delete_null_safe_and_multi_column(spark, tmp_path):
     )
     with pytest.raises(I.IcebergUnsupported, match="partition-scoped"):
         I.read_iceberg(spark, tbl2).count()
+
+
+def test_changelog_cdf_over_delete_snapshots(spark, corpus, tmp_path):
+    """read_iceberg_changes(cdf=True): inserts labeled per append
+    snapshot; each delete snapshot emits exactly the rows ITS new delete
+    files hid from the parent state (no double-reporting of overlapping
+    keys); replace snapshots invisible; non-cdf still refuses with a
+    pointer."""
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus.filter("doc_id < 30"), tbl, partition_by=["source"])
+    I.write_iceberg(corpus.filter("doc_id >= 30"), tbl, partition_by=["source"])
+    I.delete_iceberg_rows(spark, tbl, "doc_id % 5 = 0")  # snap 3
+    I.delete_iceberg_equality(  # snap 4
+        spark, tbl, spark.range(0, 60, 7).select(F.col("id").alias("doc_id"))
+    )
+    I.rewrite_iceberg(spark, tbl, target_file_bytes=1 << 30, min_files=2)
+    ch = I.read_iceberg_changes(spark, tbl, 0, cdf=True)
+    rows = [(r.doc_id, r._change_type, r._snapshot_id) for r in ch.collect()]
+    assert sorted(d for d, t, _s in rows if t == "insert") == list(range(60))
+    assert sorted(d for d, t, s in rows if t == "delete" and s == 3) == [
+        i for i in range(60) if i % 5 == 0
+    ]
+    # eq snapshot reports only keys still live at ITS parent
+    assert sorted(d for d, t, s in rows if t == "delete" and s == 4) == [
+        i for i in range(60) if i % 7 == 0 and i % 5 != 0
+    ]
+    # partition values restored on delete rows
+    assert all(
+        r.source == f"s{r.doc_id % 3}"
+        for r in ch.filter("_change_type = 'delete'").collect()
+    )
+    with pytest.raises(I.IcebergUnsupported, match="cdf=True"):
+        I.read_iceberg_changes(spark, tbl, 0)
+    assert I.read_iceberg_changes(spark, tbl, 4, cdf=True).count() == 0
