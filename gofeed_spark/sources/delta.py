@@ -69,6 +69,10 @@ class DeltaSchemaMismatch(DeltaError):
 
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+#: DVs whose TOTAL cardinality (known from the descriptors, no decode)
+#: fits this bound broadcast as driver-built position rows; above it the
+#: payloads explode on executors and the join may shuffle
+_DV_BROADCAST_MAX = 5_000_000
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -461,40 +465,71 @@ def _assemble(
         for c in pcols:
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
         if dv_adds:
-            import pandas as pd  # noqa: F401 (executor import)
-
             payloads = [
                 (
                     posixpath.basename(rel),
-                    bytearray(
-                        _dv_payload_bytes(fs, path, add["deletionVector"])
-                    ),
+                    _dv_payload_bytes(fs, path, add["deletionVector"]),
                 )
                 for rel, add in dv_adds
             ]
-            pdf = spark.createDataFrame(
-                payloads,
-                T.StructType(
-                    [
-                        T.StructField("__tfile", T.StringType()),
-                        T.StructField("__dv", T.BinaryType()),
-                    ]
-                ),
+            total_card = sum(
+                int((add.get("deletionVector") or {}).get("cardinality") or 0)
+                for _rel, add in dv_adds
             )
-
-            def _explode_dv(batches):
-                import pandas as _pd
-
+            if total_card <= _DV_BROADCAST_MAX:
+                # the common case: DV positions fit a broadcast — decode
+                # driver-side (the bytes are already here) and hash-probe
+                # per task; the data relation NEVER shuffles (the
+                # per-file positional-filter shape real readers use)
                 from gofeed_spark.sources.roaring import dv_decode_payload
 
-                for b in batches:
-                    for f, raw in zip(b["__tfile"], b["__dv"]):
-                        poss = sorted(dv_decode_payload(bytes(raw)))
-                        yield _pd.DataFrame(
-                            {"__tfile": f, "__tpos": _pd.Series(poss, dtype="int64")}
-                        )
+                rows_dv = [
+                    (f, int(p))
+                    for f, raw in payloads
+                    for p in dv_decode_payload(bytes(raw))
+                ]
+                ddf = spark.createDataFrame(
+                    rows_dv,
+                    T.StructType(
+                        [
+                            T.StructField("__tfile", T.StringType()),
+                            T.StructField("__tpos", T.LongType()),
+                        ]
+                    ),
+                )
+                ddf = F.broadcast(ddf)
+            else:
+                # giant accumulated DVs (the table wants an OPTIMIZE
+                # purge): explode payloads ON EXECUTORS and let the
+                # planner shuffle — correct at any size, never OOMs
+                pdf = spark.createDataFrame(
+                    [(f, bytearray(raw)) for f, raw in payloads],
+                    T.StructType(
+                        [
+                            T.StructField("__tfile", T.StringType()),
+                            T.StructField("__dv", T.BinaryType()),
+                        ]
+                    ),
+                )
 
-            ddf = pdf.mapInPandas(_explode_dv, "__tfile string, __tpos long")
+                def _explode_dv(batches):
+                    import pandas as _pd
+
+                    from gofeed_spark.sources.roaring import dv_decode_payload
+
+                    for b in batches:
+                        for f, raw in zip(b["__tfile"], b["__dv"]):
+                            poss = sorted(dv_decode_payload(bytes(raw)))
+                            yield _pd.DataFrame(
+                                {
+                                    "__tfile": f,
+                                    "__tpos": _pd.Series(poss, dtype="int64"),
+                                }
+                            )
+
+                ddf = pdf.mapInPandas(
+                    _explode_dv, "__tfile string, __tpos long"
+                )
             df = df.join(
                 ddf,
                 (df["__file"] == ddf["__tfile"])

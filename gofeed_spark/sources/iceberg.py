@@ -611,8 +611,13 @@ def _assemble(
                     "__delseq",
                 )
             )
+            # BROADCAST the delete side: the data relation must never
+            # shuffle to apply a (relatively) small delete set — the anti
+            # join becomes a per-task hash probe with the seq conjunct as
+            # residual (a monster delete set means the table needs a
+            # rewrite_iceberg pass anyway)
             df = df.join(
-                ddf,
+                F.broadcast(ddf),
                 (df["__file"] == ddf["__tfile"])
                 & (df["__pos"] == ddf["__tpos"])
                 & (ddf["__delseq"] >= df["__seq"]),
@@ -663,7 +668,7 @@ def _assemble(
             cond = edf["__delseq"] > df["__seq"]  # STRICTLY below (spec)
             for c in cols:
                 cond = cond & df[c].eqNullSafe(edf[f"__eq_{c}"])
-            df = df.join(edf, cond, "left_anti")
+            df = df.join(F.broadcast(edf), cond, "left_anti")
     return df.select(*out_cols)
 
 
@@ -826,7 +831,9 @@ def read_iceberg_changes(
                     F.col("pos").alias("__pos"),
                 )
             )
-            hidden = parent_live.join(ddf, ["__file", "__pos"], "left_semi")
+            hidden = parent_live.join(
+                F.broadcast(ddf), ["__file", "__pos"], "left_semi"
+            )
         for d in eq_dels:
             cols = d["_eq_cols"]
             eq_schema = T.StructType(
@@ -844,7 +851,7 @@ def read_iceberg_changes(
             cond = F.lit(True)
             for c in cols:
                 cond = cond & parent_live[c].eqNullSafe(edf[f"__eq_{c}"])
-            piece = parent_live.join(edf, cond, "left_semi")
+            piece = parent_live.join(F.broadcast(edf), cond, "left_semi")
             hidden = piece if hidden is None else hidden.unionByName(piece)
         if hidden is None:
             continue
