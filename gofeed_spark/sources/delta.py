@@ -1501,19 +1501,15 @@ def optimize_delta(
     ordinal = 0
     n_parts = 0
     for key, members in sorted(groups.items()):
-        if len(members) < min_files:
-            continue
-        if any(a.get("deletionVector") for _r, a in members):
-            # packing reads files RAW; rewriting a DV-bearing group would
-            # resurrect its deleted rows — purge via the delete paths
-            # first, then OPTIMIZE
+        has_dv = any(a.get("deletionVector") for _r, a in members)
+        if len(members) < min_files and not has_dv:
             continue
         total = sum(a.get("size", 0) for _r, a in members)
         n_out = max(1, -(-total // target_file_bytes))
-        if n_out >= len(members):
+        if n_out >= len(members) and not has_dv:
             continue  # already at or under the packed count
+        n_out = min(n_out, len(members))
         n_parts += 1
-        files = [fs.spark_path(fs.join(path, rel)) for rel, _a in members]
         part_dir = ""
         if disk_pcols:
             segs = []
@@ -1523,13 +1519,38 @@ def optimize_delta(
                 )
             part_dir = "/".join(segs) + "/"
         staging = f"{path}_delta_optimize_{token}_{n_parts}"
-        (
-            spark.read.schema(phys)
-            .parquet(*files)
-            .coalesce(n_out)
-            .write.mode("overwrite")
-            .parquet(fs.spark_path(staging))
-        )
+        if has_dv:
+            # PURGE: the group rewrites through the LIVE view (deletion
+            # vectors applied), so packed files carry surviving rows only
+            # and the DVs die with the old adds — REORG APPLY (PURGE)
+            # semantics inside OPTIMIZE's dataChange=false commit
+            # (snapshot contents unchanged: DV'd rows were already dead)
+            group_df = _assemble(
+                spark, fs, path, schema, pcols, members,
+                mapping=snap.column_mapping,
+            ).drop(*pcols)
+            if P:
+                group_df = group_df.select(
+                    *[
+                        F.col(f.name).alias(P.get(f.name, f.name))
+                        for f in schema.fields
+                        if f.name not in pcols
+                    ]
+                )
+            (
+                group_df.coalesce(n_out)
+                .write.mode("overwrite")
+                .parquet(fs.spark_path(staging))
+            )
+        else:
+            files = [fs.spark_path(fs.join(path, rel)) for rel, _a in members]
+            (
+                spark.read.schema(phys)
+                .parquet(*files)
+                .coalesce(n_out)
+                .write.mode("overwrite")
+                .parquet(fs.spark_path(staging))
+            )
         for rel, _size in fs.walk_files(staging):
             base = rel.rsplit("/", 1)[-1]
             if base.startswith(("_", ".")) or not base.endswith(".parquet"):

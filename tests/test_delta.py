@@ -716,10 +716,20 @@ def test_deletion_vectors_lifecycle(spark, tmp_path):
     D.update_delta(spark, tbl, "doc_id = 2", {"val": "222"})
     rows = {r.doc_id: r.val for r in D.read_delta(spark, tbl).collect()}
     assert 1 not in rows and rows[2] == 222 and 21 not in rows
-    # OPTIMIZE skips DV-bearing groups
-    D.optimize_delta(spark, tbl, target_file_bytes=1 << 30, min_files=2)
+    # OPTIMIZE purges DV-bearing groups: contents unchanged, DVs gone
+    res = D.optimize_delta(spark, tbl, target_file_bytes=1 << 30, min_files=2)
+    assert res["rewritten"] > 0
     assert {r.doc_id for r in D.read_delta(spark, tbl).collect()} == set(
         rows
+    )
+    snap2 = D._snapshot(D.get_filesystem(tbl), tbl)
+    assert not any(a.get("deletionVector") for a in snap2.adds.values())
+    # the purge is invisible to incremental consumers
+    assert (
+        D.read_delta_changes(
+            spark, tbl, res["version"] - 1, cdf=True
+        ).count()
+        == 0
     )
 
 
