@@ -787,9 +787,10 @@ def test_rewrite_applies_and_preserves_position_deletes(spark, corpus, tmp_path)
     assert res["rewritten"] > 0
     got = {r.doc_id for r in I.read_iceberg(spark, tbl).collect()}
     assert got == live
-    # append + delete after the rewrite still compose
+    # append + delete after the rewrite still compose (filter, not
+    # limit: LIMIT picks arbitrary rows under local-cluster masters)
     I.write_iceberg(
-        corpus.limit(3).select(
+        corpus.filter("doc_id < 3").select(
             (F.col("doc_id") + 900).alias("doc_id"), "source", "n"
         ),
         tbl,
