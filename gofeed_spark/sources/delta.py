@@ -23,11 +23,19 @@ Scale posture:
   writer-generated UUIDs; uniqueness is asserted) — a single parquet
   relation regardless of partition count, never a per-partition union.
 
-Concurrency: commits publish by writing ``{version:020d}.json`` after an
-existence probe — the same single-writer contract as the engine's other
-manifest sinks (``streaming/sinks.py``).  A lost race surfaces as
-``DeltaConcurrentWrite`` on the slower writer (the probe re-checks after
-the PUT), never as a silently clobbered commit on POSIX-atomic stores.
+The protocol's modern table features are first-class: column mapping
+(name mode) reads and writes; DELETION VECTORS read (storage types
+u/i/p, roaring-decoded via ``sources/roaring.py``, applied as one
+broadcast anti join on ``_metadata.row_index``) and write
+(``delete_delta_rows(dv=True)``); UPDATE/DELETE commit ``cdc`` change
+files that ``read_delta_changes(cdf=True)`` serves; OPTIMIZE packs and
+PURGES DV-bearing groups; multi-part checkpoints read when complete.
+Refusals are feature-precise (id-mode mapping, unknown readerFeatures).
+
+Concurrency: commits publish by a CREATE-IF-ABSENT put of
+``{version:020d}.json`` (O_EXCL / conditional PUT on the fs seam) — a
+lost race surfaces as ``DeltaConcurrentWrite`` on the slower writer,
+never as a silently clobbered commit.
 
 Reference: the gofeed reference has no table format at all (repo.go reads
 one ORM store); this closes the first deployment question a real user

@@ -1403,8 +1403,9 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
     The commit adds a delete manifest (``content=1``) and carries all
     prior manifests by pointer: O(matches) I/O, no data-file rewrite —
     the merge-on-read trade real tables make for cheap deletes.
-    Incremental readers refuse windows containing the delete snapshot
-    (append-only contract); time travel below it still sees the rows."""
+    Append-only incremental readers refuse windows containing the delete
+    snapshot; ``read_iceberg_changes(cdf=True)`` reads them as changelog
+    rows; time travel below it still sees the rows."""
     path = path.rstrip("/")
     fs = get_filesystem(path)
     md = _meta_dir(path)
