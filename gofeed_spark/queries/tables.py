@@ -997,3 +997,107 @@ def q176(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q177_restore_rollback",
+    oracle="""
+SELECT source,
+       CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+         AS n_restored,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS BIGINT)
+         AS chars_restored,
+       CAST(COUNT(CASE WHEN doc_id % 5 <> 0 THEN 1 END) AS BIGINT)
+         AS n_forward,
+       CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+         AS n_restored_ice
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q177(spark, sf_dir):
+    """RESTORE / ROLLBACK — the time-travel WRITE half of the lifecycle
+    (history reads existed since q156/q158; this makes an old state the
+    table's PRESENT): both tables take two append commits plus a
+    row-level delete, then Delta RESTOREs to version 0 (one commit whose
+    remove/add actions are exactly the file-set diff vs the target —
+    files re-added with their as-of metadata, deletion-vector
+    descriptors included) and Iceberg ROLLS BACK to snapshot 1 (a pure
+    metadata repoint — zero data or manifest I/O, because snapshots are
+    immutable).  The output proves per source that (a) both HEADs equal
+    the first commit exactly, and (b) the rolled-back-FROM state still
+    time-travels (n_forward reads the pre-restore Delta version) —
+    restore preserves history, never erases it.  Eager at construction
+    like q156."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q177_")
+    dt, it = f"{work}/delta", f"{work}/ice"
+    try:
+        first = None
+        for residue in (0, 1):
+            D.write_delta(
+                docs.filter(F.col("doc_id") % 2 == residue),
+                dt,
+                partition_by=["source"],
+            )
+            sid = I.write_iceberg(
+                docs.filter(F.col("doc_id") % 2 == residue),
+                it,
+                partition_by=["source"],
+            )
+            first = first if first is not None else sid
+        D.delete_delta_rows(spark, dt, "doc_id % 5 = 0")
+        I.delete_iceberg_rows(spark, it, "doc_id % 5 = 0")
+        pre_restore = D.latest_version(dt)
+        D.restore_delta(spark, dt, 0)
+        I.rollback_iceberg(it, first)
+        restored = (
+            D.read_delta(spark, dt)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_restored"),
+                F.sum("n_chars").cast("long").alias("chars_restored"),
+            )
+        )
+        forward = (
+            D.read_delta(spark, dt, version=pre_restore)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_forward"))
+        )
+        ice = (
+            I.read_iceberg(spark, it)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_restored_ice"))
+        )
+        # base = every source the FULL table ever had (version 1 = both
+        # commits): the corpus assigns sources by doc_id residue, so the
+        # restored state and even the forward state can each MISS whole
+        # sources — the oracle still emits them with zero counts
+        base = (
+            D.read_delta(spark, dt, version=1).select("source").distinct()
+        )
+        return (
+            base.join(forward, "source", "left")
+            .join(restored, "source", "left")
+            .join(ice, "source", "left")
+            .select(
+                "source",
+                F.coalesce("n_restored", F.lit(0)).cast("long").alias("n_restored"),
+                "chars_restored",
+                F.coalesce("n_forward", F.lit(0)).cast("long").alias("n_forward"),
+                F.coalesce("n_restored_ice", F.lit(0))
+                .cast("long")
+                .alias("n_restored_ice"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1351,6 +1351,80 @@ def _delete_with_dv(
     return version
 
 
+def restore_delta(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE the table to an earlier ``version`` (the time-travel
+    ROLLBACK lifecycle op): one commit whose remove/add actions are
+    exactly the file-set DIFF between HEAD and the target snapshot —
+    files added since the target are removed, files live at the target
+    but not at HEAD are re-added WITH their as-of metadata (deletion
+    vectors included), and the target's metaData is re-emitted when the
+    schema/configuration drifted.  History is preserved: the restore is
+    itself a new version, every prior version still time-travels, and
+    the protocol never downgrades.  Raises :class:`DeltaError` when a
+    needed data file has been vacuumed away (a restore must never
+    produce a table that cannot be read).  Returns the new version."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    cur = _snapshot(fs, path)
+    target = _snapshot(fs, path, version)
+    if target.version == cur.version:
+        return -1  # restoring to HEAD is a no-op
+
+    def _same(a: dict, b: dict) -> bool:
+        return a.get("deletionVector") == b.get("deletionVector")
+
+    removes = [
+        add
+        for rel, add in cur.adds.items()
+        if rel not in target.adds or not _same(add, target.adds[rel])
+    ]
+    readds = [
+        add
+        for rel, add in target.adds.items()
+        if rel not in cur.adds or not _same(add, cur.adds[rel])
+    ]
+    missing = [
+        add["path"]
+        for add in readds
+        if not fs.exists(
+            fs.join(path, urllib.parse.unquote(add["path"]))
+        )
+    ]
+    if missing:
+        raise DeltaError(
+            f"cannot restore to version {version}: {len(missing)} data "
+            f"file(s) vacuumed away (first: {missing[0]!r})"
+        )
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+                "engineInfo": "gofeed_spark-delta/0.1",
+            }
+        }
+    ]
+    if cur.metadata != target.metadata:
+        actions.append({"metaData": target.metadata})
+    for add in removes:
+        actions.append(
+            {
+                "remove": {
+                    "path": add["path"],
+                    "dataChange": True,
+                    "partitionValues": add.get("partitionValues") or {},
+                }
+            }
+        )
+    for add in readds:
+        new_add = dict(add)
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+    new_version = cur.version + 1
+    _publish_commit(fs, path, new_version, actions)
+    return new_version
+
+
 # --- checkpoint + vacuum ----------------------------------------------------
 
 

@@ -1923,6 +1923,32 @@ def rewrite_iceberg(
     }
 
 
+def rollback_iceberg(path: str, snapshot_id: int) -> None:
+    """ROLL BACK the table to an earlier snapshot (the
+    ``rollback_to_snapshot`` lifecycle op): a pure METADATA commit that
+    repoints ``current-snapshot-id`` — no data or manifest I/O at all,
+    because Iceberg snapshots are immutable and the old one is still
+    fully reachable.  Every snapshot stays in the table (time travel to
+    the rolled-back-FROM state keeps working until expiry); the next
+    append parents from the restored snapshot, and sequence numbers keep
+    increasing past the rollback (the spec's monotonicity rule)."""
+    fs = get_filesystem(path)
+    path = path.rstrip("/")
+    meta, version = _load_metadata(fs, path)
+    _snapshot_of(meta, snapshot_id)  # existence check
+    if meta.get("current-snapshot-id") == snapshot_id:
+        return
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {
+            "timestamp-ms": int(meta.get("last-sequence-number", 0)),
+            "snapshot-id": snapshot_id,
+        }
+    ]
+    _publish_metadata(fs, path, version, new_meta)
+
+
 def expire_iceberg(path: str, keep_last: int = 1, dry_run: bool = False) -> list[str]:
     """Expire all but the newest ``keep_last`` snapshots: rewrite the
     metadata without them and delete every data file, manifest, and
@@ -1936,6 +1962,13 @@ def expire_iceberg(path: str, keep_last: int = 1, dry_run: bool = False) -> list
     if keep_last < 1:
         raise IcebergError("keep_last must be >= 1")
     kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    # the CURRENT snapshot is always kept — after a rollback it is not
+    # the newest, and expiring it would leave the table unreadable
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
+        cur_snap = next(s for s in expired if s["snapshot-id"] == cur)
+        kept = [cur_snap] + kept
+        expired = [s for s in expired if s["snapshot-id"] != cur]
     if not expired:
         return []
 

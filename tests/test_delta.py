@@ -814,3 +814,35 @@ def test_multipart_checkpoint_reads(spark, tmp_path):
     os.remove(f"{log}/{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
     with pytest.raises(D.DeltaError):
         D.read_delta(spark, tbl)  # v0 json gone AND checkpoint incomplete
+
+
+def test_restore_round_trip_and_vacuum_guard(spark, tmp_path):
+    """RESTORE commits the file-set diff vs the target: backward to v0,
+    forward again to a DV-bearing state (DVs re-added with their files),
+    appends continue after; restoring past vacuumed files raises."""
+    from gofeed_spark.sources import delta as D
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    D.write_delta(df.filter("doc_id < 20"), tbl, partition_by=["grp"])
+    D.write_delta(df.filter("doc_id >= 20"), tbl, partition_by=["grp"])
+    D.delete_delta_rows(spark, tbl, "doc_id % 4 = 0", dv=True)
+    v = D.restore_delta(spark, tbl, 0)
+    assert v == 3
+    assert {r.doc_id for r in D.read_delta(spark, tbl).collect()} == set(range(20))
+    # every pre-restore version still time-travels
+    assert D.read_delta(spark, tbl, version=2).count() == 45
+    assert D.read_delta(spark, tbl, version=1).count() == 60
+    # forward restore re-applies the deletion vectors
+    D.restore_delta(spark, tbl, 2)
+    assert D.read_delta(spark, tbl).count() == 45
+    assert D.restore_delta(spark, tbl, D.latest_version(tbl)) == -1
+    hist_ops = [h.get("operation") for h in D.delta_history(tbl)]
+    assert hist_ops[0] == "RESTORE"
+    # overwrite + vacuum reclaims the old files -> restore must refuse
+    D.write_delta(df.filter("doc_id < 3"), tbl, mode="overwrite")
+    D.vacuum_delta(tbl)
+    with pytest.raises(D.DeltaError, match="vacuumed"):
+        D.restore_delta(spark, tbl, 2)

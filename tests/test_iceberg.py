@@ -917,3 +917,35 @@ def test_changelog_cdf_over_delete_snapshots(spark, corpus, tmp_path):
     with pytest.raises(I.IcebergUnsupported, match="cdf=True"):
         I.read_iceberg_changes(spark, tbl, 0)
     assert I.read_iceberg_changes(spark, tbl, 4, cdf=True).count() == 0
+
+
+def test_rollback_and_expiry_keep_current(spark, corpus, tmp_path):
+    """rollback_iceberg is a pure metadata repoint: the forward state
+    stays reachable, appends parent from the restored snapshot, and
+    expire_iceberg always keeps the CURRENT snapshot even when it is not
+    the newest."""
+    tbl = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(corpus.filter("doc_id < 20"), tbl, partition_by=["source"])
+    I.write_iceberg(corpus.filter("doc_id >= 20"), tbl, partition_by=["source"])
+    I.delete_iceberg_rows(spark, tbl, "doc_id % 4 = 0")
+    I.rollback_iceberg(tbl, s1)
+    assert {r.doc_id for r in I.read_iceberg(spark, tbl).collect()} == set(range(20))
+    assert I.read_iceberg(spark, tbl, snapshot_id=3).count() == 45
+    s4 = I.write_iceberg(
+        corpus.filter("doc_id < 2").select(
+            (F.col("doc_id") + 500).alias("doc_id"), "source", "n"
+        ),
+        tbl,
+        partition_by=["source"],
+    )
+    out = I.read_iceberg(spark, tbl)
+    assert out.count() == 22
+    meta, _v = I._load_metadata(I.get_filesystem(tbl), tbl)
+    snap4 = I._snapshot_of(meta, s4)
+    assert snap4["parent-snapshot-id"] == s1  # parents from the rollback
+    # roll back again, then expire: current must survive
+    I.rollback_iceberg(tbl, s1)
+    I.expire_iceberg(tbl, keep_last=1)
+    assert I.read_iceberg(spark, tbl).count() == 20
+    with pytest.raises(I.IcebergError):
+        I.rollback_iceberg(tbl, 999999)

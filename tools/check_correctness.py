@@ -73,7 +73,16 @@ def compare(name, spark_df, con):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # accept full names OR qNN prefixes; an argument matching NOTHING is
+    # fatal — a vacuous filter must never print ALL OK (round-15 trap)
+    asked = sys.argv[2:]
+    only = set()
+    for a in asked:
+        hits = [n for n in QUERIES if n == a or n.startswith(a + "_")]
+        if not hits:
+            print(f"FATAL: {a!r} matches no registered query")
+            sys.exit(2)
+        only.update(hits)
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
