@@ -846,3 +846,19 @@ def test_restore_round_trip_and_vacuum_guard(spark, tmp_path):
     D.vacuum_delta(tbl)
     with pytest.raises(D.DeltaError, match="vacuumed"):
         D.restore_delta(spark, tbl, 2)
+
+
+def test_dv_giant_fallback_path(spark, tmp_path, monkeypatch):
+    """Above the broadcast cardinality bound the DV application takes the
+    executor-explode path (mapInPandas + planner-chosen join) — force the
+    bound to 0 and assert identical results."""
+    from gofeed_spark.sources import delta as D
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    D.write_delta(df, tbl)
+    D.delete_delta_rows(spark, tbl, "doc_id % 3 = 0", dv=True)
+    want = {i for i in range(50) if i % 3 != 0}
+    assert {r.doc_id for r in D.read_delta(spark, tbl).collect()} == want
+    monkeypatch.setattr(D, "_DV_BROADCAST_MAX", 0)
+    assert {r.doc_id for r in D.read_delta(spark, tbl).collect()} == want
