@@ -480,9 +480,18 @@ def _assemble(
                 )
                 for rel, add in dv_adds
             ]
-            total_card = sum(
-                int((add.get("deletionVector") or {}).get("cardinality") or 0)
+            # a foreign descriptor may omit cardinality — NEVER count it
+            # as 0 (an arbitrarily large DV would take the driver-decode
+            # path and OOM the driver; r16 advice): unknown size is
+            # over-threshold by fiat
+            cards = [
+                (add.get("deletionVector") or {}).get("cardinality")
                 for _rel, add in dv_adds
+            ]
+            total_card = (
+                sum(int(c) for c in cards)
+                if all(c is not None for c in cards)
+                else _DV_BROADCAST_MAX + 1
             )
             if total_card <= _DV_BROADCAST_MAX:
                 # the common case: DV positions fit a broadcast — decode

@@ -423,6 +423,52 @@ def _resolve_eq_cols(ice_schema: dict, dels: list[dict]) -> None:
         d["_eq_cols"] = [by_id[i] for i in ids]
 
 
+#: delete relations whose TOTAL record_count (known from the manifest
+#: entries, no file reads) fits this bound broadcast so the data relation
+#: never shuffles; above it (a long-lived merge-on-read table accumulating
+#: deletes without a rewrite pass) the join is left to the planner/AQE —
+#: correct at any size, never a driver OOM.  Mirrors delta.py's
+#: _DV_BROADCAST_MAX (r15 verdict finding 1).
+_DELETE_BROADCAST_MAX = 5_000_000
+
+
+def _maybe_broadcast(rel: DataFrame, dels: list[dict]) -> DataFrame:
+    """Broadcast ``rel`` only when the manifests PROVE the delete set is
+    small; a foreign entry without record_count counts as over-threshold
+    (never trust absence to mean zero — the DV-cardinality lesson)."""
+    counts = [d.get("record_count") for d in dels]
+    if all(c is not None for c in counts) and sum(
+        int(c) for c in counts
+    ) <= _DELETE_BROADCAST_MAX:
+        return F.broadcast(rel)
+    return rel
+
+
+#: reserved field ids for position-delete file columns (spec §Reserved
+#: field IDs)
+_FIELD_ID_DELETE_FILE_PATH = 2147483546
+_FIELD_ID_DELETE_POS = 2147483545
+
+
+def _with_field_ids(df: DataFrame, ids: dict[str, int]) -> DataFrame:
+    """Attach ``parquet.field.id`` column metadata so Spark's parquet
+    writer (``spark.sql.parquet.fieldId.write.enabled``, on by default)
+    embeds Iceberg field ids in staged files — spec-conformant external
+    readers resolve columns BY FIELD ID, not name, so delete files
+    without ids may silently fail to apply in other engines (r16
+    advice).  Top-level columns only (delete files are flat; nested
+    data columns keep name resolution).  Columns not in ``ids``
+    (staging partition dirs) pass through untouched."""
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+            if c in ids
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 # --- reader -------------------------------------------------------------------
 
 
@@ -611,13 +657,14 @@ def _assemble(
                     "__delseq",
                 )
             )
-            # BROADCAST the delete side: the data relation must never
-            # shuffle to apply a (relatively) small delete set — the anti
-            # join becomes a per-task hash probe with the seq conjunct as
-            # residual (a monster delete set means the table needs a
-            # rewrite_iceberg pass anyway)
+            # broadcast the delete side when the manifests PROVE it small
+            # (sum of record_count, zero file reads): the anti join is
+            # then a per-task hash probe with the seq conjunct as
+            # residual.  Over _DELETE_BROADCAST_MAX the planner/AQE picks
+            # the join (a monster delete set must never be a driver-side
+            # broadcast build — r15 verdict finding 1)
             df = df.join(
-                F.broadcast(ddf),
+                _maybe_broadcast(ddf, pos_dels),
                 (df["__file"] == ddf["__tfile"])
                 & (df["__pos"] == ddf["__tpos"])
                 & (ddf["__delseq"] >= df["__seq"]),
@@ -668,7 +715,7 @@ def _assemble(
             cond = edf["__delseq"] > df["__seq"]  # STRICTLY below (spec)
             for c in cols:
                 cond = cond & df[c].eqNullSafe(edf[f"__eq_{c}"])
-            df = df.join(F.broadcast(edf), cond, "left_anti")
+            df = df.join(_maybe_broadcast(edf, members), cond, "left_anti")
     return df.select(*out_cols)
 
 
@@ -782,12 +829,28 @@ def read_iceberg_changes(
     ice_schema = _current_schema(meta)
     by_seq = sorted(snaps, key=lambda x: x.get("sequence-number", 0))
     for s in delete_snaps:
-        idx = next(
-            i for i, x in enumerate(by_seq) if x["snapshot-id"] == s["snapshot-id"]
-        )
-        if idx == 0:
+        # the ACTUAL parent, not previous-by-sequence: after a rollback
+        # the previous-by-sequence snapshot is the rolled-back-FROM state
+        # and hidden rows would be computed against the wrong live state
+        # (r16 advice); fall back to sequence order for foreign metadata
+        # that omits parent-snapshot-id
+        pid = s.get("parent-snapshot-id")
+        if pid is not None:
+            parent = by_id.get(pid)
+            if parent is None:
+                raise IcebergError(
+                    f"snapshot {s['snapshot-id']} names parent {pid} "
+                    "which is not in the metadata snapshot list"
+                )
+        else:
+            idx = next(
+                i
+                for i, x in enumerate(by_seq)
+                if x["snapshot-id"] == s["snapshot-id"]
+            )
+            parent = by_seq[idx - 1] if idx > 0 else None
+        if parent is None:
             continue  # delete with no parent state: nothing was hidden
-        parent = by_seq[idx - 1]
         # the snapshot's NEW delete files only
         new_dels: list[dict] = []
         _sc, _m, manifests = _read_avro(fs, s["manifest-list"])
@@ -832,7 +895,7 @@ def read_iceberg_changes(
                 )
             )
             hidden = parent_live.join(
-                F.broadcast(ddf), ["__file", "__pos"], "left_semi"
+                _maybe_broadcast(ddf, pos_dels), ["__file", "__pos"], "left_semi"
             )
         for d in eq_dels:
             cols = d["_eq_cols"]
@@ -851,7 +914,7 @@ def read_iceberg_changes(
             cond = F.lit(True)
             for c in cols:
                 cond = cond & parent_live[c].eqNullSafe(edf[f"__eq_{c}"])
-            piece = parent_live.join(F.broadcast(edf), cond, "left_semi")
+            piece = parent_live.join(_maybe_broadcast(edf, [d]), cond, "left_semi")
             hidden = piece if hidden is None else hidden.unionByName(piece)
         if hidden is None:
             continue
@@ -1228,6 +1291,10 @@ def write_iceberg(
                 X.transform_column(f["transform"], f["source_col"], f["src_type"]),
             )
             stage_cols.append(f["name"])
+    stage_df = _with_field_ids(
+        stage_df,
+        {f["name"]: f["id"] for f in ice_schema["fields"]},
+    )
     writer = stage_df.write.mode("overwrite")
     if stage_cols:
         writer = writer.partitionBy(*stage_cols)
@@ -1451,6 +1518,13 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
     )
     token = uuid.uuid4().hex
     staging = f"{path}_iceberg_delstage_{token}"
+    del_rows = _with_field_ids(
+        del_rows,
+        {
+            "file_path": _FIELD_ID_DELETE_FILE_PATH,
+            "pos": _FIELD_ID_DELETE_POS,
+        },
+    )
     del_rows.write.mode("overwrite").parquet(fs.spark_path(staging))
 
     seq = int(meta.get("last-sequence-number", 0)) + 1
@@ -1632,9 +1706,12 @@ def delete_iceberg_equality(
     token = uuid.uuid4().hex
     staging = f"{path}_iceberg_eqdelstage_{token}"
     (
-        keys.distinct()
-        .repartition(1)
-        .sortWithinPartitions(*keys.columns)
+        _with_field_ids(
+            keys.distinct()
+            .repartition(1)
+            .sortWithinPartitions(*keys.columns),
+            {c: by_name[c] for c in keys.columns},
+        )
         .write.mode("overwrite")
         .parquet(fs.spark_path(staging))
     )
@@ -1767,6 +1844,9 @@ def rewrite_iceberg(
             spark, fs, schema, pcols, members, deletes=dels, pkeys=pkeys
         ).drop(*pcols)
         staging = f"{path}_iceberg_rewrite_{token}_{n_parts}"
+        group_df = _with_field_ids(
+            group_df, {f["name"]: f["id"] for f in ice_schema["fields"]}
+        )
         group_df.coalesce(n_out).write.mode("overwrite").parquet(
             fs.spark_path(staging)
         )

@@ -308,8 +308,10 @@ def transform_column(transform: str, col: str, ice_type: str) -> Column:
         if ice_type == "date":
             widened = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("long")
         elif ice_type == "timestamptz":
-            # micros since epoch; exact in double below 2^53 (~year 2255)
-            widened = F.floor(c.cast("double") * 1_000_000).cast("long")
+            # EXACT integer micros: the old double multiply rounded ~1.2%
+            # of microsecond values off by one (wrong murmur3 → wrong
+            # bucket, silently dropped by transform pruning; r16 advice)
+            widened = F.unix_micros(c)
         elif ice_type in ("int", "long"):
             widened = c.cast("long")
         else:
@@ -326,11 +328,15 @@ def transform_column(transform: str, col: str, ice_type: str) -> Column:
         if kind == "year":
             return (F.year(c) - 1970).cast("int")
         raise IcebergTransformError("hour transform on date")
-    secs = c.cast("double")
+    # floored integer division over EXACT micros (pmod is floored, so the
+    # subtraction is divisible and the long→double quotient is exact)
+    micros = F.unix_micros(c)
     if kind == "hour":
-        return F.floor(secs / 3600).cast("int")
+        unit = F.lit(3_600_000_000)
+        return ((micros - F.pmod(micros, unit)) / unit).cast("int")
     if kind == "day":
-        return F.floor(secs / 86400).cast("int")
+        unit = F.lit(86_400_000_000)
+        return ((micros - F.pmod(micros, unit)) / unit).cast("int")
     if kind == "month":
         return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("int")
     return (F.year(c) - 1970).cast("int")  # year

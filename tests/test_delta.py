@@ -862,3 +862,36 @@ def test_dv_giant_fallback_path(spark, tmp_path, monkeypatch):
     assert {r.doc_id for r in D.read_delta(spark, tbl).collect()} == want
     monkeypatch.setattr(D, "_DV_BROADCAST_MAX", 0)
     assert {r.doc_id for r in D.read_delta(spark, tbl).collect()} == want
+
+
+def test_dv_unknown_cardinality_takes_executor_path(spark, tmp_path):
+    """A foreign DV descriptor without cardinality must NOT count as
+    zero positions — unknown size is over-threshold by fiat, so the
+    payload explodes on executors instead of a driver-side decode that
+    could OOM on an arbitrarily large DV (r16 advice)."""
+    import json as _json
+    import glob as _glob
+
+    from gofeed_spark.sources import delta as D
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    D.write_delta(df, tbl)
+    D.delete_delta_rows(spark, tbl, "doc_id % 3 = 0", dv=True)
+    # strip cardinality from every DV descriptor in the log
+    for cf in _glob.glob(f"{tbl}/_delta_log/*.json"):
+        lines = []
+        with open(cf) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                dv = (act.get("add") or {}).get("deletionVector")
+                if dv:
+                    dv.pop("cardinality", None)
+                lines.append(_json.dumps(act))
+        with open(cf, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    out = D.read_delta(spark, tbl)
+    want = {i for i in range(50) if i % 3 != 0}
+    assert {r.doc_id for r in out.collect()} == want
+    # executor-explode path, not the driver decode
+    assert "MapInPandas" in out._jdf.queryExecution().executedPlan().toString()

@@ -949,3 +949,155 @@ def test_rollback_and_expiry_keep_current(spark, corpus, tmp_path):
     assert I.read_iceberg(spark, tbl).count() == 20
     with pytest.raises(I.IcebergError):
         I.rollback_iceberg(tbl, 999999)
+
+
+# --- round-16 fixes -------------------------------------------------------------
+
+
+def test_timestamp_transforms_exact_micros(spark):
+    """Staged timestamp transforms must use EXACT integer micros: the old
+    double multiply rounded ~1.2% of microsecond values off by one (e.g.
+    274781296214704 -> ...703), hashing into the WRONG bucket — rows then
+    silently vanish from transform-pruned reads (r16 advice)."""
+    import datetime as dt
+
+    from gofeed_spark.sources import icetransforms as X
+
+    micros = [274781296214704 + i for i in range(1000)] + [
+        0, 1, 999999, 1_000_000, 3_599_999_999, 86_399_999_999,
+        1_700_000_000_123_457,
+    ]
+    df = spark.createDataFrame(
+        [(m,) for m in micros], "m long"
+    ).select("m", F.timestamp_micros(F.col("m")).alias("ts"))
+    out = df.select(
+        "m",
+        X.transform_column("bucket[16]", "ts", "timestamptz").alias("b"),
+        X.transform_column("hour", "ts", "timestamptz").alias("h"),
+        X.transform_column("day", "ts", "timestamptz").alias("d"),
+    ).collect()
+    assert len(out) == len(micros)
+    for r in out:
+        assert r.b == X.transform_value("bucket[16]", "timestamptz", r.m), r.m
+        assert r.h == X.transform_value("hour", "timestamptz", r.m), r.m
+        assert r.d == X.transform_value("day", "timestamptz", r.m), r.m
+
+
+def test_changelog_parent_is_parent_snapshot_id(spark, corpus, tmp_path):
+    """After a rollback, a delete snapshot's changelog parent must be its
+    parent-snapshot-id, NOT the previous snapshot by sequence order — the
+    rolled-back-FROM state would report the wrong hidden rows (r16
+    advice)."""
+    tbl = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(corpus.filter("doc_id < 10"), tbl, partition_by=["source"])
+    # s2 OVERWRITES with a disjoint key range, then gets rolled back
+    s2 = I.write_iceberg(
+        corpus.filter("doc_id < 10").select(
+            (F.col("doc_id") + 100).alias("doc_id"), "source", "n"
+        ),
+        tbl,
+        partition_by=["source"],
+        mode="overwrite",
+    )
+    I.rollback_iceberg(tbl, s1)
+    I.delete_iceberg_equality(
+        spark,
+        tbl,
+        spark.createDataFrame(
+            [(0,), (1,), (2,), (100,), (101,)], "doc_id long"
+        ),
+    )
+    # window from s2 so the overwrite itself stays outside it
+    ch = I.read_iceberg_changes(spark, tbl, s2, cdf=True)
+    dels = sorted(
+        r.doc_id for r in ch.filter("_change_type = 'delete'").collect()
+    )
+    # parent is s1 (live: 0..9) — previous-by-sequence (s2: 100..109)
+    # would have reported [100, 101]
+    assert dels == [0, 1, 2]
+    assert {r.doc_id for r in I.read_iceberg(spark, tbl).collect()} == set(
+        range(3, 10)
+    )
+
+
+def test_delete_broadcast_gated(spark, corpus, tmp_path, monkeypatch):
+    """The delete side broadcasts only when manifests PROVE it small:
+    over the bound (or with unknown record_count) the join is left to
+    the planner — results identical, no forced driver-side build (r15
+    verdict finding 1)."""
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl, partition_by=["source"])
+    I.delete_iceberg_rows(spark, tbl, "doc_id % 5 = 0")
+    I.delete_iceberg_equality(
+        spark, tbl, spark.range(0, 60, 7).select(F.col("id").alias("doc_id"))
+    )
+    want = {i for i in range(60) if i % 5 != 0 and i % 7 != 0}
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = I.read_iceberg(spark, tbl)
+    assert {r.doc_id for r in small.collect()} == want
+    assert "SortMergeJoin" not in plan(small)  # proven-small: broadcast
+
+    monkeypatch.setattr(I, "_DELETE_BROADCAST_MAX", 0)
+    big = I.read_iceberg(spark, tbl)
+    assert {r.doc_id for r in big.collect()} == want
+    # the anti joins fell back to planner-chosen (non-broadcast) joins
+    assert "SortMergeJoin" in plan(big) or "ShuffledHashJoin" in plan(big)
+    # changelog path honors the same bound
+    ch = I.read_iceberg_changes(spark, tbl, 1, cdf=True)
+    # 12 position-deleted (%5) + 7 eq-deleted (%7 keys still live)
+    assert ch.filter("_change_type = 'delete'").count() == 12 + 7
+
+    # unknown record_count must NEVER count as zero/broadcastable
+    rel = spark.range(3).toDF("x")
+    monkeypatch.setattr(I, "_DELETE_BROADCAST_MAX", 10)
+    assert I._maybe_broadcast(rel, [{"record_count": None}]) is rel
+    assert I._maybe_broadcast(rel, [{}]) is rel
+    assert I._maybe_broadcast(rel, [{"record_count": 11}]) is rel
+    assert I._maybe_broadcast(rel, [{"record_count": 2}]) is not rel
+
+
+def test_staged_files_carry_parquet_field_ids(spark, corpus, tmp_path):
+    """Spec-conformant external readers resolve columns BY FIELD ID:
+    data files carry the table schema's ids, position-delete files the
+    reserved ids (2147483546 file_path / 2147483545 pos), equality
+    deletes the table ids of their key columns (r16 advice)."""
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(corpus, tbl, partition_by=["source"])
+    I.delete_iceberg_rows(spark, tbl, "doc_id % 5 = 0")
+    I.delete_iceberg_equality(
+        spark, tbl, spark.range(3).select(F.col("id").alias("doc_id"))
+    )
+
+    def field_ids(path):
+        sch = pq.read_schema(path)
+        out = {}
+        for f in sch:
+            md = f.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            out[f.name] = int(fid) if fid is not None else None
+        return out
+
+    import glob as _glob
+
+    data = sorted(
+        _glob.glob(f"{tbl}/data/**/part-*.parquet", recursive=True)
+    )
+    posd = sorted(_glob.glob(f"{tbl}/data/delete-*.parquet"))
+    eqd = sorted(_glob.glob(f"{tbl}/data/eqdelete-*.parquet"))
+    assert data and posd and eqd
+    meta, _v = I._load_metadata(I.get_filesystem(tbl), tbl)
+    by_name = {
+        f["name"]: f["id"] for f in I._current_schema(meta)["fields"]
+    }
+    got = field_ids(data[0])
+    assert got["doc_id"] == by_name["doc_id"] and got["n"] == by_name["n"]
+    assert field_ids(posd[0]) == {
+        "file_path": 2147483546,
+        "pos": 2147483545,
+    }
+    assert field_ids(eqd[0]) == {"doc_id": by_name["doc_id"]}
