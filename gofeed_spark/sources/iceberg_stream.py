@@ -50,12 +50,29 @@ class IcebergFilePartition(InputPartition):
 
 
 class IcebergStreamReader(DataSourceStreamReader):
+    """Admission control mirrors ``DeltaStreamReader``: the reader tracks
+    its own position floor (initialOffset / partitions / commit) and
+    ``latestOffset`` advances at most the configured
+    ``max_{files,bytes,versions}_per_trigger`` past it, so a backlog
+    drains over many micro-batches instead of one giant catch-up batch
+    (r15 verdict finding 2).  Per-snapshot stats come from the summary
+    (``added-data-files``/``added-files-size``, what real writers
+    record) with a manifest-walk fallback, cached — driver metadata I/O
+    only."""
+
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("iceberg_feed requires option 'path'")
         self.starting_seq = int(options.get("starting_seq", 0))
         self.partition_bytes = int(options.get("partition_bytes", 32 << 20))
+        from gofeed_spark.sources.delta_stream import _parse_caps
+
+        self.max_files, self.max_bytes, self.max_versions = _parse_caps(options)
+        # seeded at construction: latestOffset precedes initialOffset on
+        # the first trigger (see DeltaStreamReader)
+        self._floor: int | None = self.starting_seq
+        self._sstats: dict[int, tuple[int, int]] = {}
         from gofeed_spark.fs import get_filesystem
 
         self.fs = get_filesystem(self.path)
@@ -96,14 +113,70 @@ class IcebergStreamReader(DataSourceStreamReader):
         }
 
     def initialOffset(self) -> dict:
+        self._learn(self.starting_seq)
         return {"seq": self.starting_seq}
 
+    def _learn(self, seq: int) -> None:
+        if self._floor is None or seq > self._floor:
+            self._floor = seq
+
+    def _seq_stats_fn(self, meta):
+        by_seq = {
+            s.get("sequence-number", 0): s for s in meta.get("snapshots") or []
+        }
+
+        def stats(seq: int) -> tuple[int, int]:
+            got = self._sstats.get(seq)
+            if got is not None:
+                return got
+            s = by_seq.get(seq)
+            if s is None or (s.get("summary") or {}).get("operation") != "append":
+                # expired/missing seq or replace/delete snapshot: nothing
+                # deliverable (partitions() raises on non-append anyway)
+                got = (0, 0)
+            else:
+                summ = s.get("summary") or {}
+                try:
+                    got = (int(summ["added-data-files"]),
+                           int(summ["added-files-size"]))
+                except (KeyError, TypeError, ValueError):
+                    nf = nb = 0
+                    _sc, _m, manifests = _read_avro(self.fs, s["manifest-list"])
+                    for mf in manifests:
+                        if _get(mf, "added_snapshot_id", default=-1) != s[
+                            "snapshot-id"
+                        ]:
+                            continue
+                        _s2, _m2, entries = _read_avro(
+                            self.fs, mf["manifest_path"]
+                        )
+                        for e in entries:
+                            if e.get("status") == 2:
+                                continue
+                            d = e.get("data_file") or {}
+                            nf += 1
+                            nb += int(d.get("file_size_in_bytes") or 0)
+                    got = (nf, nb)
+            self._sstats[seq] = got
+            return got
+
+        return stats
+
     def latestOffset(self) -> dict:
+        from gofeed_spark.sources.delta_stream import _cap_advance
+
         meta, _v = _load_metadata(self.fs, self.path)
-        return {"seq": int(meta.get("last-sequence-number", 0))}
+        head = int(meta.get("last-sequence-number", 0))
+        return {
+            "seq": _cap_advance(
+                self._floor, head, self._seq_stats_fn(meta),
+                self.max_files, self.max_bytes, self.max_versions,
+            )
+        }
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["seq"]), int(end["seq"])
+        self._learn(hi)  # the engine will commit this window
         meta, _v = _load_metadata(self.fs, self.path)
         window = sorted(
             (
@@ -183,7 +256,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             yield pa.RecordBatch.from_pydict(cols)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._learn(int(end["seq"]))
 
 
 class IcebergFeedDataSource(DataSource):
@@ -228,10 +301,15 @@ def read_iceberg_stream(
     starting_seq: int = 0,
     columns: list[str] | None = None,
     partition_bytes: int = 32 << 20,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
+    max_versions_per_trigger: int | None = None,
 ):
     """Convenience: register + open the stream over an Iceberg table.
     ``columns`` prunes the scan to the named columns; ``partition_bytes``
-    packs small files into one task (the delta_feed knobs)."""
+    packs small files into one task; the ``max_*_per_trigger`` caps bound
+    per-micro-batch admission (whole snapshots only) so a backlog drains
+    over many batches — the delta_feed knobs."""
     register_iceberg_feed(spark)
     r = (
         spark.readStream.format("iceberg_feed")
@@ -239,6 +317,13 @@ def read_iceberg_stream(
         .option("starting_seq", str(starting_seq))
         .option("partition_bytes", str(partition_bytes))
     )
+    for k, v in (
+        ("max_files_per_trigger", max_files_per_trigger),
+        ("max_bytes_per_trigger", max_bytes_per_trigger),
+        ("max_versions_per_trigger", max_versions_per_trigger),
+    ):
+        if v is not None:
+            r = r.option(k, str(v))
     if columns:
         r = r.option("columns", ",".join(columns))
     return r.load()

@@ -895,3 +895,78 @@ def test_dv_unknown_cardinality_takes_executor_path(spark, tmp_path):
     assert {r.doc_id for r in out.collect()} == want
     # executor-explode path, not the driver decode
     assert "MapInPandas" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_delta_stream_admission_caps_pace_backlog(spark, tmp_path):
+    """A stream opened against a table with history must drain the
+    backlog over MANY micro-batches under the admission caps, never one
+    giant catch-up batch — with exactly-once totals (r15 verdict
+    finding 2)."""
+    from gofeed_spark.sources.delta_stream import _cap_advance, read_delta_stream
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(30).select(F.col("id"))
+    for lo in range(0, 30, 5):  # 6 commits, one file each
+        D.write_delta(df.filter((F.col("id") >= lo) & (F.col("id") < lo + 5)), tbl)
+
+    batches: list[tuple[int, int, set]] = []
+
+    def sink(b, bid):
+        rows = b.collect()
+        if rows:
+            batches.append((bid, len(rows), {r._commit_version for r in rows}))
+
+    s = read_delta_stream(spark, tbl, max_versions_per_trigger=2)
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # 6 commits / 2 per trigger = 3 batches, each spanning <= 2 versions
+    assert len(batches) == 3
+    assert all(len(vs) <= 2 for _b, _n, vs in batches)
+    assert sum(n for _b, n, _vs in batches) == 30
+
+    # file-count cap: one commit (= one file) per micro-batch
+    batches.clear()
+    s1 = read_delta_stream(spark, tbl, max_files_per_trigger=1)
+    q = (
+        s1.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(batches) == 6 and all(len(vs) == 1 for _b, _n, vs in batches)
+
+    # whole-commit granularity: a single over-cap commit still admits,
+    # alone; unknown floor (fresh restart) never rewinds
+    stats = {1: (10, 100), 2: (1, 10), 3: (1, 10)}.__getitem__
+    assert _cap_advance(0, 3, stats, 5, None, None) == 1  # over-cap, alone
+    assert _cap_advance(1, 3, stats, 5, None, None) == 3
+    assert _cap_advance(1, 3, stats, 1, None, None) == 2
+    assert _cap_advance(1, 3, stats, None, 10, None) == 2  # byte cap
+    assert _cap_advance(None, 3, stats, 1, None, None) == 3  # no floor yet
+    assert _cap_advance(0, 3, stats, None, None, 99) == 3
+
+    # RESTART stays capped and exactly-once: recovery re-delivers the
+    # committed offset through commit()/partitions(), so the floor is
+    # learned before the next latestOffset — no rewind, no duplicates
+    for lo in range(30, 50, 5):
+        D.write_delta(spark.range(lo, lo + 5).select(F.col("id")), tbl)
+    batches.clear()
+    s2 = read_delta_stream(spark, tbl, max_versions_per_trigger=2)
+    q = (
+        s2.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(batches) == 2 and all(len(vs) <= 2 for _b, _n, vs in batches)
+    assert sum(n for _b, n, _vs in batches) == 20

@@ -1101,3 +1101,54 @@ def test_staged_files_carry_parquet_field_ids(spark, corpus, tmp_path):
         "pos": 2147483545,
     }
     assert field_ids(eqd[0]) == {"doc_id": by_name["doc_id"]}
+
+
+def test_iceberg_stream_admission_caps_pace_backlog(spark, corpus, tmp_path):
+    """iceberg_feed twin of the delta admission caps: a backlog drains
+    over many micro-batches (whole snapshots per trigger), byte caps
+    exercise the manifest-walk stats fallback (our writer records no
+    added-files-size summary), totals exactly-once."""
+    from gofeed_spark.sources.iceberg_stream import read_iceberg_stream
+
+    tbl = str(tmp_path / "tbl")
+    for lo in range(0, 60, 10):  # 6 append snapshots
+        I.write_iceberg(
+            corpus.filter(f"doc_id >= {lo} and doc_id < {lo + 10}"),
+            tbl,
+            partition_by=["source"],
+        )
+
+    batches: list[tuple[int, int, set]] = []
+
+    def sink(b, bid):
+        rows = b.collect()
+        if rows:
+            batches.append((bid, len(rows), {r._snapshot_id for r in rows}))
+
+    s = read_iceberg_stream(spark, tbl, max_versions_per_trigger=2)
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(batches) == 3
+    assert all(len(vs) <= 2 for _b, _n, vs in batches)
+    assert sum(n for _b, n, _vs in batches) == 60
+
+    # byte cap small enough that every snapshot rides alone (stats come
+    # from the manifest walk — engine-written summaries carry no sizes)
+    batches.clear()
+    s1 = read_iceberg_stream(spark, tbl, max_bytes_per_trigger=1)
+    q = (
+        s1.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(batches) == 6 and all(len(vs) == 1 for _b, _n, vs in batches)
+    assert sum(n for _b, n, _vs in batches) == 60
