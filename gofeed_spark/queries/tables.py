@@ -1101,3 +1101,107 @@ def q177(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q178_timestamp_time_travel",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_head,
+       CAST(COUNT(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 END) AS BIGINT)
+         AS n_delta_ts,
+       CAST(COUNT(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 END) AS BIGINT)
+         AS n_ice_ts,
+       CAST(COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS BIGINT)
+         AS n_ice_rb
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q178(spark, sf_dir):
+    """TIMESTAMP TIME TRAVEL — the ``AS OF TIMESTAMP`` form users
+    actually type (r15 verdict missing item 3), on BOTH formats: three
+    residue-class commits each; Delta resolves a between-commits
+    timestamp through the protocol rule (commitInfo/inCommitTimestamp
+    when present, else MONOTONIZED commit-file mtimes — pinned here via
+    os.utime, the clock-free fixture convention), Iceberg through the
+    SNAPSHOT LOG (timestamp-ms = sequence number by the engine's
+    clock-free convention), including the rollback repoint: after
+    rollback_iceberg the snapshot-log's newest entry re-points
+    timestamps at/after it to the RESTORED snapshot, exactly like real
+    readers.  Output per source: HEAD count, both formats' counts at a
+    timestamp between commits 2 and 3 (= residues 0+1), and the
+    post-rollback iceberg count (= residue 0).  Eager at construction
+    like q156."""
+    import os
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    work = tempfile.mkdtemp(prefix="gofeed_q178_")
+    dt, it = f"{work}/delta", f"{work}/ice"
+    try:
+        sids = []
+        for residue in (0, 1, 2):
+            D.write_delta(
+                docs.filter(F.col("doc_id") % 3 == residue),
+                dt,
+                partition_by=["source"],
+            )
+            os.utime(
+                f"{dt}/_delta_log/{residue:020d}.json",
+                ((residue + 1) * 1000, (residue + 1) * 1000),
+            )
+            sids.append(
+                I.write_iceberg(
+                    docs.filter(F.col("doc_id") % 3 == residue),
+                    it,
+                    partition_by=["source"],
+                )
+            )
+        head = (
+            D.read_delta(spark, dt)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_head"))
+        )
+        # between commits 1 and 2 (mtimes 2000 s and 3000 s) → version 1
+        d_ts = (
+            D.read_delta(spark, dt, as_of_ts=2500_000)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_delta_ts"))
+        )
+        i_ts = (
+            I.read_iceberg(spark, it, as_of_ts=sids[1])
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ice_ts"))
+        )
+        I.rollback_iceberg(it, sids[0])
+        # the rollback's snapshot-log entry stamps last-seq: timestamps
+        # after it resolve to the restored first snapshot
+        i_rb = (
+            I.read_iceberg(spark, it, as_of_ts=sids[2] + 1)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ice_rb"))
+        )
+        # base = every source at HEAD (all residues): earlier states may
+        # miss whole sources — the oracle still emits them with zeros
+        return (
+            head.join(d_ts, "source", "left")
+            .join(i_ts, "source", "left")
+            .join(i_rb, "source", "left")
+            .select(
+                "source",
+                "n_head",
+                F.coalesce("n_delta_ts", F.lit(0)).cast("long").alias("n_delta_ts"),
+                F.coalesce("n_ice_ts", F.lit(0)).cast("long").alias("n_ice_ts"),
+                F.coalesce("n_ice_rb", F.lit(0)).cast("long").alias("n_ice_rb"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -327,19 +327,76 @@ def _snapshot(fs: FileSystem, path: str, version: int | None = None) -> _Snapsho
 # --- reader -----------------------------------------------------------------
 
 
+def _commit_timestamp_ms(fs: FileSystem, log: str, v: int, actions) -> int:
+    """A commit's timestamp per the protocol: ``inCommitTimestamp`` when
+    the table writes it, else the commitInfo ``timestamp``, else the
+    commit FILE's modification time (the spec's actual TIMESTAMP AS OF
+    rule for tables without the inCommitTimestamp feature)."""
+    for action in actions:
+        info = action.get("commitInfo")
+        if info:
+            for k in ("inCommitTimestamp", "timestamp"):
+                if info.get(k) is not None:
+                    return int(info[k])
+            break
+    st = fs.stat(fs.join(log, _commit_name(v)))
+    if st is None:
+        raise DeltaError(f"commit {v} vanished while resolving timestamps")
+    return st[1] // 1_000_000  # mtime_ns → ms
+
+
+def version_at_timestamp(path: str, ts_ms: int) -> int:
+    """The version a ``TIMESTAMP AS OF`` read resolves to: the LATEST
+    commit whose (monotonized) timestamp is <= ``ts_ms``.  Commit
+    timestamps come from :func:`_commit_timestamp_ms`; like real Delta
+    readers, non-monotone file mtimes are adjusted upward (each commit's
+    effective timestamp is at least 1 ms after its predecessor's) so the
+    mapping is well-defined.  Raises if ``ts_ms`` predates the earliest
+    available commit (or the log was vacuumed past it)."""
+    fs = get_filesystem(path)
+    log = _log_dir(path)
+    commits, checkpoints = _list_log(fs, log)
+    if not commits and not checkpoints:
+        raise DeltaError(f"not a Delta table: {path}")
+    if not commits:
+        raise DeltaError("no commit files left to resolve timestamps against")
+    best = None
+    prev = None
+    for v in sorted(commits):
+        ts = _commit_timestamp_ms(fs, log, v, _read_actions(fs, log, v))
+        if prev is not None and ts <= prev:
+            ts = prev + 1  # monotonize
+        prev = ts
+        if ts <= ts_ms:
+            best = v
+    if best is None:
+        raise DeltaError(
+            f"timestamp {ts_ms} predates the earliest available commit "
+            f"(version {min(commits)})"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     where: dict[str, str] | None = None,
+    as_of_ts: int | None = None,
 ) -> DataFrame:
-    """Read a Delta table (optionally ``version``-as-of) as a DataFrame.
+    """Read a Delta table (optionally ``version``-as-of, or
+    ``as_of_ts``-as-of in epoch MILLIS — the ``TIMESTAMP AS OF`` form,
+    resolved via :func:`version_at_timestamp`) as a DataFrame.
 
     ``where`` maps partition-column name → required string value and is
     applied to the log's ``partitionValues`` BEFORE any data file is
     referenced — log-level partition pruning (the plan's file list shrinks
     at the driver; nothing is listed or opened for pruned partitions).
     """
+    if version is not None and as_of_ts is not None:
+        raise DeltaError("pass version OR as_of_ts, not both")
+    if as_of_ts is not None:
+        version = version_at_timestamp(path, as_of_ts)
     fs = get_filesystem(path)
     snap = _snapshot(fs, path, version)
     schema = snap.schema

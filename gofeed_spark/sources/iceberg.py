@@ -472,19 +472,52 @@ def _with_field_ids(df: DataFrame, ids: dict[str, int]) -> DataFrame:
 # --- reader -------------------------------------------------------------------
 
 
+def snapshot_at_timestamp(meta: dict, ts_ms: int) -> int:
+    """The snapshot a ``TIMESTAMP AS OF`` read resolves to: per the spec
+    this walks the SNAPSHOT LOG (which records when each snapshot BECAME
+    current, so a rollback re-points time travel exactly like real
+    readers), picking the latest entry with ``timestamp-ms`` <= ``ts_ms``;
+    tables without a snapshot log (some foreign writers) fall back to the
+    snapshots' own ``timestamp-ms``.  Raises if ``ts_ms`` predates the
+    table."""
+    log = meta.get("snapshot-log") or [
+        {"timestamp-ms": s.get("timestamp-ms", 0), "snapshot-id": s["snapshot-id"]}
+        for s in sorted(
+            meta.get("snapshots") or [],
+            key=lambda s: (s.get("timestamp-ms", 0), s.get("sequence-number", 0)),
+        )
+    ]
+    best = None
+    for entry in log:  # the log is append-ordered by construction
+        if int(entry.get("timestamp-ms", 0)) <= ts_ms:
+            best = entry["snapshot-id"]
+    if best is None:
+        raise IcebergError(
+            f"timestamp {ts_ms} predates the table's first snapshot"
+        )
+    return best
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     where: dict[str, str] | None = None,
+    as_of_ts: int | None = None,
 ) -> DataFrame:
-    """Read an Iceberg table (optionally ``snapshot_id``-as-of) as a
-    DataFrame.  ``where`` maps identity-partition column → required string
+    """Read an Iceberg table (optionally ``snapshot_id``-as-of, or
+    ``as_of_ts``-as-of in epoch MILLIS — the ``TIMESTAMP AS OF`` form,
+    resolved via :func:`snapshot_at_timestamp`) as a DataFrame.
+    ``where`` maps identity-partition column → required string
     value, applied to manifest partition structs BEFORE any data file is
     referenced (manifest-level pruning: the file list shrinks at the
     driver; nothing is listed or opened for pruned partitions)."""
+    if snapshot_id is not None and as_of_ts is not None:
+        raise IcebergError("pass snapshot_id OR as_of_ts, not both")
     fs = get_filesystem(path)
     meta, _v = _load_metadata(fs, path)
+    if as_of_ts is not None:
+        snapshot_id = snapshot_at_timestamp(meta, as_of_ts)
     schema = _schema_from_iceberg(_current_schema(meta))
     fields = _spec_fields(_current_schema(meta), _current_spec(meta))
     # only IDENTITY transforms drop the source column from data files

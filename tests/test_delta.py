@@ -970,3 +970,51 @@ def test_delta_stream_admission_caps_pace_backlog(spark, tmp_path):
     q.stop()
     assert len(batches) == 2 and all(len(vs) <= 2 for _b, _n, vs in batches)
     assert sum(n for _b, n, _vs in batches) == 20
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """as_of_ts resolves to the latest commit whose (monotonized)
+    timestamp <= ts: exact boundary, between commits, before table
+    creation raises, commitInfo timestamps win over file mtimes, and
+    non-monotone mtimes are adjusted like real readers."""
+    import json as _json
+    import os
+
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        D.write_delta(
+            spark.range(lo, lo + 10).select(F.col("id")), tbl
+        )
+    log = f"{tbl}/_delta_log"
+    for v, sec in ((0, 1000), (1, 2000), (2, 3000)):
+        os.utime(f"{log}/{v:020d}.json", (sec, sec))
+    assert D.read_delta(spark, tbl, as_of_ts=2000_000).count() == 20  # exact
+    assert D.read_delta(spark, tbl, as_of_ts=2500_000).count() == 20  # between
+    assert D.read_delta(spark, tbl, as_of_ts=9999_000).count() == 30  # after
+    assert D.version_at_timestamp(tbl, 1000_000) == 0
+    with pytest.raises(D.DeltaError, match="predates"):
+        D.read_delta(spark, tbl, as_of_ts=999_999)
+    with pytest.raises(D.DeltaError, match="not both"):
+        D.read_delta(spark, tbl, version=1, as_of_ts=2000_000)
+
+    # non-monotone mtimes: commit 2 earlier than commit 1 → effective
+    # timestamp monotonized to just above commit 1's
+    os.utime(f"{log}/{2:020d}.json", (1500, 1500))
+    assert D.version_at_timestamp(tbl, 2000_000) == 1
+    assert D.version_at_timestamp(tbl, 2000_001) == 2
+
+    # an explicit commitInfo timestamp (foreign writers / ICT) wins
+    cf = f"{log}/{1:020d}.json"
+    lines = []
+    with open(cf) as fh:
+        for line in fh:
+            act = _json.loads(line)
+            if "commitInfo" in act:
+                act["commitInfo"]["timestamp"] = 5_000_000
+            lines.append(_json.dumps(act))
+    with open(cf, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    # v1 now stamps 5_000_000ms; v2 monotonizes above it
+    assert D.version_at_timestamp(tbl, 4_999_999) == 0
+    assert D.version_at_timestamp(tbl, 5_000_000) == 1
+    assert D.version_at_timestamp(tbl, 5_000_001) == 2

@@ -1152,3 +1152,29 @@ def test_iceberg_stream_admission_caps_pace_backlog(spark, corpus, tmp_path):
     q.stop()
     assert len(batches) == 6 and all(len(vs) == 1 for _b, _n, vs in batches)
     assert sum(n for _b, n, _vs in batches) == 60
+
+
+def test_timestamp_time_travel(spark, corpus, tmp_path):
+    """as_of_ts walks the SNAPSHOT LOG (when each snapshot became
+    current), so a rollback re-points timestamp reads exactly like real
+    readers; engine timestamps are the sequence number (clock-free)."""
+    tbl = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(corpus.filter("doc_id < 20"), tbl, partition_by=["source"])
+    s2 = I.write_iceberg(corpus.filter("doc_id >= 20"), tbl, partition_by=["source"])
+    assert I.read_iceberg(spark, tbl, as_of_ts=s1).count() == 20
+    assert I.read_iceberg(spark, tbl, as_of_ts=s2).count() == 60
+    assert I.read_iceberg(spark, tbl, as_of_ts=s2 + 50).count() == 60
+    with pytest.raises(I.IcebergError, match="predates"):
+        I.read_iceberg(spark, tbl, as_of_ts=0)
+    with pytest.raises(I.IcebergError, match="not both"):
+        I.read_iceberg(spark, tbl, snapshot_id=s1, as_of_ts=s1)
+    # rollback appends a snapshot-log entry at the current last-seq:
+    # a timestamp AT/after it resolves to the RESTORED snapshot
+    I.rollback_iceberg(tbl, s1)
+    meta, _v = I._load_metadata(I.get_filesystem(tbl), tbl)
+    assert I.snapshot_at_timestamp(meta, s2) == s1  # log order wins ties
+    assert I.read_iceberg(spark, tbl, as_of_ts=s2 + 1).count() == 20
+    # snapshot-log-less metadata falls back to snapshot timestamps
+    meta2 = dict(meta)
+    meta2.pop("snapshot-log", None)
+    assert I.snapshot_at_timestamp(meta2, s1) == s1
