@@ -27,12 +27,27 @@ def T(spark, sf_dir, name):
 @query(
     "q27_dedup_exact",
     oracle="""
-SELECT text, COUNT(*) AS n, MIN(doc_id) AS keep_id FROM documents
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 3
+)
+SELECT text, COUNT(*) AS n, MIN(doc_id) AS keep_id FROM corpus
 GROUP BY text HAVING COUNT(*) > 1 ORDER BY keep_id
 """,
 )
 def q27(spark, sf_dir):
-    return dedup.exact_dup_groups(T(spark, sf_dir, "documents"))
+    """Exact dup groups over documents PLUS planted clones (the %50=3
+    residue class re-appended under offset ids) — the synthetic corpus
+    has ZERO byte-identical texts at sf0.01, so a broken groupBy that
+    returned nothing would have 'passed' against the empty oracle (the
+    r16 non-vacuity audit's second catch, after q14); planting scales
+    with SF and leaves natural dup groups (higher SFs) in the result."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 50 == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return dedup.exact_dup_groups(d.unionByName(clones))
 
 
 # --- Q28 keep-first dedup -----------------------------------------------------

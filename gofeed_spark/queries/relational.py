@@ -265,15 +265,30 @@ def q13(spark, sf_dir):
 @query(
     "q14_anti_join",
     oracle="""
-SELECT c_custkey FROM customer c
+WITH c AS (
+  SELECT c_custkey FROM customer
+  UNION ALL
+  SELECT -c_custkey FROM customer WHERE c_custkey % 100 = 7
+)
+SELECT c_custkey FROM c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 ORDER BY c_custkey
 """,
 )
 def q14(spark, sf_dir):
-    c = T(spark, sf_dir, "customer")
+    """Anti join over customers PLUS planted orphans (negated keys of the
+    %100=7 residue class, which orders can never reference) — the natural
+    orphan set is EMPTY at sf0.01 and a broken anti join returning
+    nothing would have 'passed' against the empty oracle (r15 verdict
+    finding 3, the injected-fixture convention of q84/q89); planting
+    scales with SF and keeps the natural orphans in the result."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    planted = c.filter(F.col("c_custkey") % 100 == 7).select(
+        (-F.col("c_custkey")).alias("c_custkey")
+    )
+    cc = c.unionByName(planted)
     o = T(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+    return cc.join(o, cc.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
 # --- Q15 equi-join + residual theta predicate ---------------------------------

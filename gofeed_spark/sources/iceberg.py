@@ -825,33 +825,65 @@ def read_iceberg_changes(
             # a compaction/rewrite: contents unchanged by contract, so an
             # incremental consumer skips it (the dataChange=false twin)
             continue
-        if op == "delete":
-            if cdf:
-                delete_snaps.append(s)
-                continue
-            raise IcebergUnsupported(
-                f"snapshot {s['snapshot-id']} commits delete files; "
-                "append-only change reads cannot represent row deletions "
-                "(pass cdf=True for the changelog form)"
-            )
-        if op != "append":
+        if op in ("delete", "overwrite"):
+            if not cdf:
+                raise IcebergUnsupported(
+                    f"snapshot {s['snapshot-id']} is {op!r}; append-only "
+                    "change reads cannot represent row deletions "
+                    "(pass cdf=True for the changelog form)"
+                )
+        elif op != "append":
             raise IcebergUnsupported(
                 f"snapshot {s['snapshot-id']} is {op!r}; append-only "
                 "change reads cannot represent overwrites/deletes"
             )
+        # an 'overwrite' here is a MERGE-shaped row delta (merge_iceberg:
+        # added delete files + added data files, every parent manifest
+        # carried by pointer) — its data adds are inserts and its delete
+        # files go through the hidden-row pass below; a TRUE
+        # file-replacing overwrite (status=2 entries, or parent manifests
+        # DROPPED from the list) is not representable as a changelog and
+        # refuses.
+        has_new_dels = False
         _sc, _m, manifests = _read_avro(fs, s["manifest-list"])
+        if op == "overwrite":
+            pid = s.get("parent-snapshot-id")
+            parent_snap = by_id.get(pid) if pid is not None else None
+            if parent_snap is not None:
+                _s3, _m3, pmfs = _read_avro(fs, parent_snap["manifest-list"])
+                carried = {mf["manifest_path"] for mf in manifests}
+                dropped = {
+                    m["manifest_path"] for m in pmfs
+                } - carried
+                if dropped:
+                    raise IcebergUnsupported(
+                        f"snapshot {s['snapshot-id']} is a file-replacing "
+                        "overwrite (parent manifests dropped); the "
+                        "changelog cannot represent it"
+                    )
         for mf in manifests:
             if _get(mf, "added_snapshot_id", default=-1) != s["snapshot-id"]:
                 continue  # carried forward from an earlier snapshot
             _s2, _m2, mentries = _read_avro(fs, mf["manifest_path"])
             for e in mentries:
                 if e.get("status") == 2:
+                    if op == "overwrite":
+                        raise IcebergUnsupported(
+                            f"snapshot {s['snapshot-id']} replaces data "
+                            "files; the changelog cannot represent a "
+                            "file-level overwrite"
+                        )
                     continue
                 d = e.get("data_file") or {}
+                if _get(d, "content", default=0) in (1, 2):
+                    has_new_dels = True
+                    continue  # the hidden-row pass reads these
                 if str(d.get("file_format", "")).upper() != "PARQUET":
                     raise IcebergUnsupported("non-parquet data file")
                 entries.append(d)
                 extra[d["file_path"]] = s["snapshot-id"]
+        if has_new_dels:
+            delete_snaps.append(s)
     base = _assemble(spark, fs, schema, pcols, entries, extra, pkeys=pkeys)
     if not cdf:
         return base
@@ -1793,6 +1825,348 @@ def delete_iceberg_equality(
         fs, path, meta, version, ice_schema, spec, part_types,
         del_entries, n_deleted, seq, sid, token, "deleted-equality-delete-rows",
     )
+    return sid
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    path: str,
+    source_df: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    summary_extra: dict | None = None,
+) -> int:
+    """Row-level MERGE as the FORMAT'S natural upsert (r15 verdict item
+    6): ONE snapshot committing an EQUALITY-DELETE file of the source
+    keys plus the new data files — the spec's strictly-below sequence
+    rule hides old versions of matched keys (their data files sit below
+    the delete's sequence number) while the rows appended in the SAME
+    snapshot are untouched (same sequence number, not strictly below).
+    Delete-key-then-reinsert in one commit IS the CDC upsert; the merge
+    is O(source) — no target data is read or rewritten, the
+    merge-on-read trade (contrast delta's copy-on-write merge_delta).
+
+    Modes: the default ``update``+``insert`` needs NO target scan;
+    ``when_matched='delete'``/``when_not_matched=None`` restrict via one
+    key-column scan of the live table (still zero rewrites).  The
+    snapshot's operation is ``overwrite`` (the spec's row-delta op), so
+    append-only incremental readers refuse it loudly and
+    ``read_iceberg_changes(cdf=True)`` reads it as the delete+insert
+    changelog.  Source must be key-unique (ambiguous by the SQL rule).
+    Returns the new snapshot id, or -1 on a no-op."""
+    if when_matched not in ("update", "delete", None):
+        raise IcebergError(
+            f"when_matched must be update|delete|None, got {when_matched!r}"
+        )
+    if when_not_matched not in ("insert", None):
+        raise IcebergError(
+            f"when_not_matched must be insert|None, got {when_not_matched!r}"
+        )
+    if when_matched is None and when_not_matched is None:
+        raise IcebergError("MERGE with no WHEN clause is a no-op by construction")
+    if not on:
+        raise IcebergError("MERGE needs at least one key column")
+    if when_matched == "delete" and when_not_matched is None:
+        # pure keyed delete IS the equality-delete writer
+        return delete_iceberg_equality(spark, path, source_df.select(*on))
+
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    md = _meta_dir(path)
+    meta, version = _load_metadata(fs, path)
+    if meta.get("format-version", 2) != 2:
+        raise IcebergUnsupported(
+            "MERGE needs format-version 2 sequence numbers"
+        )
+    ice_schema = _current_schema(meta)
+    schema = _schema_from_iceberg(ice_schema)
+    spec = _current_spec(meta)
+    pfields = _spec_fields(ice_schema, spec)
+    part_types = [(f["name"], f["result_type"]) for f in pfields]
+    by_name = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    missing = [c for c in on if c not in by_name]
+    if missing:
+        raise IcebergError(f"merge keys {missing} not in table schema")
+    fp_src = [(f.name, f.dataType.simpleString()) for f in source_df.schema.fields]
+    fp_tbl = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    if fp_src != fp_tbl:
+        raise IcebergSchemaMismatch(f"source schema {fp_src} != table's {fp_tbl}")
+
+    src = source_df.localCheckpoint()  # feeds uniqueness check + stages
+    if src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count():
+        raise IcebergError(
+            "MERGE source has duplicate key rows (ambiguous by the SQL "
+            "rule); reduce to one row per key first"
+        )
+
+    # which source rows land as DATA, and which keys ride the eq-delete:
+    #   update+insert (default) — all rows, blind delete (an eq-delete of
+    #     an absent key is a no-op, so NO target scan at all);
+    #   update+None   — matched rows only (one key-column scan);
+    #   None+insert   — unmatched rows only, NO delete leg (matched rows
+    #     must stay untouched);
+    #   delete+insert — unmatched rows, blind delete of ALL source keys
+    #     (hides matched, no-ops on the rest).
+    del_keys = src.select(*on) if when_matched is not None else None
+    data_rows = src
+    need_scan = (when_matched == "update" and when_not_matched is None) or (
+        when_not_matched == "insert" and when_matched != "update"
+    )
+    if need_scan:
+        idents = [f for f in pfields if f["kind"] == "identity"]
+        entries, dels = _live_entries(fs, _snapshot_of(meta, None))
+        _resolve_eq_cols(ice_schema, dels)
+        live_keys = _assemble(
+            spark, fs, schema, [f["source_col"] for f in idents], entries,
+            deletes=dels, pkeys=[f["name"] for f in idents],
+        ).select(*on)
+        how = "left_semi" if when_not_matched is None else "left_anti"
+        data_rows = src.join(live_keys, on, how).localCheckpoint()
+        if when_matched == "update":
+            del_keys = data_rows.select(*on)  # matched keys only
+    has_data = bool(data_rows.limit(1).count())
+    if not has_data and del_keys is None:
+        return -1
+    delete_keys = del_keys is not None
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    sid = seq
+    token = uuid.uuid4().hex
+    manifests: list[dict] = []
+    summary: dict[str, str] = {}
+
+    # -- equality-delete leg (hides prior versions of the source keys) --
+    if delete_keys:
+        eq_ids = [by_name[c] for c in on]
+        staging = f"{path}_iceberg_mrgdel_{token}"
+        (
+            _with_field_ids(
+                del_keys.repartition(1).sortWithinPartitions(*on),
+                {c: by_name[c] for c in on},
+            )
+            .write.mode("overwrite")
+            .parquet(fs.spark_path(staging))
+        )
+        del_entries: list[dict] = []
+        n_deleted = 0
+        ordinal = 0
+        for rel, size in fs.walk_files(staging):
+            base = rel.rsplit("/", 1)[-1]
+            if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+                continue
+            new_rel = f"data/eqdelete-{ordinal:05d}-{token}.parquet"
+            src_p, dst = fs.join(staging, rel), fs.join(path, new_rel)
+            if fs.supports_rename():
+                fs.makedirs(posixpath.dirname(dst))
+                fs.rename(src_p, dst)
+            else:
+                fs.put_bytes(dst, fs.read_bytes(src_p))
+            stat = fs.stat(dst)
+            n_rows = _parquet_row_count(fs, dst)
+            if n_rows == 0:
+                fs.delete(dst)
+                continue
+            del_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 2,  # EQUALITY DELETES
+                        "file_path": fs.join(path, new_rel),
+                        "file_format": "PARQUET",
+                        "partition": {name: None for name, _t in part_types},
+                        "record_count": n_rows,
+                        "file_size_in_bytes": stat[0] if stat else size,
+                        "equality_ids": eq_ids,
+                    },
+                }
+            )
+            n_deleted += n_rows
+            ordinal += 1
+        fs.delete_tree(staging)
+        if del_entries:
+            entry_schema = _manifest_entry_schema(part_types)
+            mpath = fs.join(md, f"m-{sid}-{token}-del.avro")
+            mbytes = write_container(
+                json.dumps(entry_schema),
+                del_entries,
+                meta={
+                    "schema": json.dumps(ice_schema),
+                    "partition-spec": json.dumps(spec),
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "deletes",
+                },
+            )
+            fs.put_bytes(mpath, mbytes)
+            manifests.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": len(mbytes),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": sid,
+                    "added_data_files_count": len(del_entries),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "added_rows_count": n_deleted,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
+            summary["merged-delete-keys"] = str(n_deleted)
+
+    # -- data leg (the write_iceberg staging shape: transform partition
+    # columns derived, identity source cols dropped via partitionBy) --
+    stage_df = data_rows
+    stage_cols = []
+    for f in pfields:
+        if f["kind"] == "identity":
+            stage_cols.append(f["source_col"])
+        else:
+            stage_df = stage_df.withColumn(
+                f["name"],
+                X.transform_column(f["transform"], f["source_col"], f["src_type"]),
+            )
+            stage_cols.append(f["name"])
+    stage_df = _with_field_ids(
+        stage_df, {f["name"]: f["id"] for f in ice_schema["fields"]}
+    )
+    staging = f"{path}_iceberg_mrgdata_{token}"
+    w = stage_df.write.mode("overwrite")
+    if stage_cols:
+        w = w.partitionBy(*stage_cols)
+    w.parquet(fs.spark_path(staging))
+    entries_out: list[dict] = []
+    added_rows = 0
+    ordinal = 0
+    for rel, size in fs.walk_files(staging):
+        base = rel.rsplit("/", 1)[-1]
+        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+            continue
+        part_dir = rel.rsplit("/", 1)[0] + "/" if "/" in rel else ""
+        new_rel = f"data/{part_dir}mrg-{ordinal:05d}-{token}.parquet"
+        src_p, dst = fs.join(staging, rel), fs.join(path, new_rel)
+        if fs.supports_rename():
+            fs.makedirs(posixpath.dirname(dst))
+            fs.rename(src_p, dst)
+        else:
+            fs.put_bytes(dst, fs.read_bytes(src_p))
+        stat = fs.stat(dst)
+        n_rows = _parquet_row_count(fs, dst)
+        if n_rows == 0:
+            fs.delete(dst)
+            continue
+        part_values: dict[str, object] = {}
+        for name, ice_t in part_types:
+            raw = _hive_partition_value(rel, name)
+            if raw is None:
+                part_values[name] = None
+            elif ice_t in ("int", "long", "date"):
+                part_values[name] = int(raw)
+            elif ice_t == "double":
+                part_values[name] = float(raw)
+            elif ice_t == "boolean":
+                part_values[name] = raw == "true"
+            else:
+                part_values[name] = raw
+        entries_out.append(
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fs.join(path, new_rel),
+                    "file_format": "PARQUET",
+                    "partition": part_values,
+                    "record_count": n_rows,
+                    "file_size_in_bytes": stat[0] if stat else size,
+                },
+            }
+        )
+        added_rows += n_rows
+        ordinal += 1
+    fs.delete_tree(staging)
+    if entries_out:
+        entry_schema = _manifest_entry_schema(part_types)
+        mpath = fs.join(md, f"m-{sid}-{token}-data.avro")
+        mbytes = write_container(
+            json.dumps(entry_schema),
+            entries_out,
+            meta={
+                "schema": json.dumps(ice_schema),
+                "partition-spec": json.dumps(spec),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        fs.put_bytes(mpath, mbytes)
+        manifests.insert(
+            0,
+            {
+                "manifest_path": mpath,
+                "manifest_length": len(mbytes),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": sid,
+                "added_data_files_count": len(entries_out),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            },
+        )
+        summary["merged-rows"] = str(added_rows)
+    if not manifests:
+        return -1
+
+    mlist_path = fs.join(md, f"snap-{sid}-{token}.avro")
+    fs.put_bytes(
+        mlist_path,
+        write_container(
+            json.dumps(_MANIFEST_FILE_SCHEMA),
+            manifests + _carry_manifests(fs, meta),
+            meta={"format-version": "2"},
+        ),
+    )
+    snapshot = {
+        "snapshot-id": sid,
+        **(
+            {"parent-snapshot-id": meta["current-snapshot-id"]}
+            if (meta.get("current-snapshot-id") or -1) >= 0
+            else {}
+        ),
+        "sequence-number": seq,
+        "timestamp-ms": seq,
+        "summary": {
+            **{str(k): str(v) for k, v in (summary_extra or {}).items()},
+            **summary,
+            "operation": "overwrite",  # the spec's row-delta operation
+            "engine-info": "gofeed_spark-iceberg/0.1",
+        },
+        "manifest-list": mlist_path,
+        "schema-id": ice_schema.get("schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = seq
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": seq, "snapshot-id": sid}
+    ]
+    _publish_metadata(fs, path, version, new_meta)
     return sid
 
 

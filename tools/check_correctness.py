@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from gofeed_spark.catalog import TABLES
-from gofeed_spark.queries import ORACLES, QUERIES
+from gofeed_spark.queries import MIN_ROWS, ORACLES, QUERIES
 from gofeed_spark.session import get_spark
 
 
@@ -94,6 +94,17 @@ def main():
         t0 = time.time()
         try:
             status, n, detail = compare(name, fn(spark, sf_dir), con)
+            # non-vacuity audit: a query that "passes" by matching an
+            # EMPTY oracle verifies nothing (the r15 q14 trap) — flag any
+            # zero-row result unless the registration declares min_rows=0
+            if (
+                status in ("OK", "ROWS_ONLY")
+                and (n or 0) < MIN_ROWS.get(name, 1)
+            ):
+                status, detail = "VACUOUS", (
+                    f"rows={n} < min_rows={MIN_ROWS.get(name, 1)} — the "
+                    "check proves nothing at this SF"
+                )
         except Exception as e:  # noqa: BLE001
             status, n, detail = "ERROR", None, repr(e)[:300]
         dt = time.time() - t0
