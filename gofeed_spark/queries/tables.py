@@ -1205,3 +1205,244 @@ def q178(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q179_delta_merge_upsert",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) + COUNT(CASE WHEN doc_id % 7 = 4 THEN 1 END) AS BIGINT)
+         AS n_head,
+       CAST(SUM(n_chars)
+            + 100000 * COUNT(CASE WHEN doc_id % 7 = 2 THEN 1 END)
+            + SUM(CASE WHEN doc_id % 7 = 4 THEN n_chars + 7 ELSE 0 END)
+         AS BIGINT) AS chars_head,
+       CAST(COUNT(CASE WHEN doc_id % 7 = 2 THEN 1 END) AS BIGINT) AS n_upd,
+       CAST(COUNT(CASE WHEN doc_id % 7 = 4 THEN 1 END) AS BIGINT) AS n_ins
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q179(spark, sf_dir):
+    """DELTA MERGE (keyed upsert) — the open-format form of the
+    reference's OCC Save upsert (reference internal/state/repo.go:125-138;
+    r15 verdict missing item 1): seed a Delta table with documents, then
+    ONE merge_delta commit that UPDATES the %7=2 class (n_chars+100000,
+    full-row replacement, copy-on-write rewrites only the affected
+    files) and INSERTS clones of the %7=4 class under offset ids —
+    verifying the merged HEAD per source (row count + char sum) plus the
+    commit's CHANGE DATA FEED (update pre/post pairs count as n_upd,
+    inserts as n_ins).  Eager at construction like q156."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q179_") + "/tbl"
+    try:
+        D.write_delta(docs, work)
+        upd = docs.filter(F.col("doc_id") % 7 == 2).select(
+            "doc_id", "source", (F.col("n_chars") + 100000).alias("n_chars")
+        )
+        ins = docs.filter(F.col("doc_id") % 7 == 4).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "source",
+            (F.col("n_chars") + 7).alias("n_chars"),
+        )
+        v = D.merge_delta(spark, work, upd.unionByName(ins), on=["doc_id"])
+        head = (
+            D.read_delta(spark, work)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_head"),
+                F.sum("n_chars").cast("long").alias("chars_head"),
+            )
+        )
+        cdf = (
+            D.read_delta_changes(spark, work, v - 1, cdf=True)
+            .groupBy("source")
+            .agg(
+                (
+                    F.count(
+                        F.when(F.col("_change_type") == "update_postimage", 1)
+                    )
+                ).cast("long").alias("n_upd"),
+                (
+                    F.count(F.when(F.col("_change_type") == "insert", 1))
+                ).cast("long").alias("n_ins"),
+            )
+        )
+        return (
+            head.join(cdf, "source", "left")
+            .select(
+                "source",
+                "n_head",
+                "chars_head",
+                F.coalesce("n_upd", F.lit(0)).cast("long").alias("n_upd"),
+                F.coalesce("n_ins", F.lit(0)).cast("long").alias("n_ins"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q180_iceberg_merge_upsert",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) + COUNT(CASE WHEN doc_id % 7 = 4 THEN 1 END) AS BIGINT)
+         AS n_head,
+       CAST(SUM(n_chars)
+            + 100000 * COUNT(CASE WHEN doc_id % 7 = 2 THEN 1 END)
+            + SUM(CASE WHEN doc_id % 7 = 4 THEN n_chars + 7 ELSE 0 END)
+         AS BIGINT) AS chars_head,
+       CAST(COUNT(CASE WHEN doc_id % 7 = 2 THEN 1 END) AS BIGINT) AS n_cl_del,
+       CAST(COUNT(CASE WHEN doc_id % 7 IN (2, 4) THEN 1 END) AS BIGINT)
+         AS n_cl_ins
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q180(spark, sf_dir):
+    """ICEBERG MERGE — the format's NATURAL upsert (r15 verdict item 6):
+    the q179 scenario through merge_iceberg, which commits an
+    equality-delete file of the source keys PLUS the new rows in ONE
+    snapshot — the strictly-below sequence rule hides old versions while
+    the same-snapshot appends stay visible, O(source) with zero target
+    reads or rewrites (merge-on-read; contrast delta's copy-on-write).
+    The changelog reads the merge as delete(old)+insert(new): matched
+    %7=2 keys count in BOTH n_cl_del and n_cl_ins, fresh %7=4 clones in
+    n_cl_ins only.  Eager at construction like q158."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q180_") + "/tbl"
+    try:
+        s1 = I.write_iceberg(docs, work)
+        upd = docs.filter(F.col("doc_id") % 7 == 2).select(
+            "doc_id", "source", (F.col("n_chars") + 100000).alias("n_chars")
+        )
+        ins = docs.filter(F.col("doc_id") % 7 == 4).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "source",
+            (F.col("n_chars") + 7).alias("n_chars"),
+        )
+        I.merge_iceberg(spark, work, upd.unionByName(ins), on=["doc_id"])
+        head = (
+            I.read_iceberg(spark, work)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_head"),
+                F.sum("n_chars").cast("long").alias("chars_head"),
+            )
+        )
+        cl = (
+            I.read_iceberg_changes(spark, work, s1, cdf=True)
+            .groupBy("source")
+            .agg(
+                (
+                    F.count(F.when(F.col("_change_type") == "delete", 1))
+                ).cast("long").alias("n_cl_del"),
+                (
+                    F.count(F.when(F.col("_change_type") == "insert", 1))
+                ).cast("long").alias("n_cl_ins"),
+            )
+        )
+        return (
+            head.join(cl, "source", "left")
+            .select(
+                "source",
+                "n_head",
+                "chars_head",
+                F.coalesce("n_cl_del", F.lit(0)).cast("long").alias("n_cl_del"),
+                F.coalesce("n_cl_ins", F.lit(0)).cast("long").alias("n_cl_ins"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q181_delta_apply_changes",
+    oracle="""
+SELECT source,
+       CAST(COUNT(CASE WHEN doc_id % 5 <> 2 THEN 1 END)
+            + COUNT(CASE WHEN doc_id % 5 = 3 THEN 1 END) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 5 <> 2 THEN n_chars ELSE 0 END)
+            + 555 * COUNT(CASE WHEN doc_id % 5 = 1 THEN 1 END)
+            + SUM(CASE WHEN doc_id % 5 = 3 THEN n_chars + 3 ELSE 0 END)
+         AS BIGINT) AS chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q181(spark, sf_dir):
+    """APPLY CHANGES — the CDC capstone (r15 verdict missing item 1's
+    'done' shape): one Delta table takes an UPDATE (%5 IN (1,2):
+    n_chars+555), a DELETE (%5=2 — overlapping the update, so the NET
+    effect per key is the delete), and an INSERT commit (%5=3 clones
+    under offset ids); apply_changes_delta then consumes the change feed
+    window and MERGEs the net effect into a SECOND table seeded at the
+    v0 state.  The oracle recomputes the final target per source — hash
+    equality proves the window reduction (latest commit per key wins,
+    postimage over preimage) and both merges.  Eager at construction."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q181_")
+    src_t, dst_t = f"{work}/src", f"{work}/dst"
+    try:
+        D.write_delta(docs, src_t)
+        D.write_delta(docs, dst_t)
+        D.update_delta(
+            spark, src_t, "doc_id % 5 IN (1, 2)", {"n_chars": "n_chars + 555"}
+        )
+        D.delete_delta_rows(spark, src_t, "doc_id % 5 = 2")
+        D.write_delta(
+            docs.filter(F.col("doc_id") % 5 == 3).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                "source",
+                (F.col("n_chars") + 3).alias("n_chars"),
+            ),
+            src_t,
+        )
+        D.apply_changes_delta(spark, src_t, dst_t, ["doc_id"], start_version=0)
+        agg = (
+            D.read_delta(spark, dst_t)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+        )
+        # base = every source in documents: the corpus assigns sources by
+        # doc_id residue, so the %5=2 delete can erase WHOLE sources from
+        # the target — the oracle still emits them with zeros (the q177
+        # base-join convention)
+        base = docs.select("source").distinct()
+        return (
+            base.join(agg, "source", "left")
+            .select(
+                "source",
+                F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+                F.coalesce("chars", F.lit(0)).cast("long").alias("chars"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1018,3 +1018,133 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert D.version_at_timestamp(tbl, 4_999_999) == 0
     assert D.version_at_timestamp(tbl, 5_000_000) == 1
     assert D.version_at_timestamp(tbl, 5_000_001) == 2
+
+
+# --- MERGE (keyed upsert) ---------------------------------------------------------
+
+
+def test_merge_delta_upsert_and_cdf(spark, tmp_path):
+    """merge_delta default mode: matched rows replaced by the source row,
+    new keys inserted, ONE commit whose CDF carries pre/postimages and
+    inserts; untouched files survive by identity (copy-on-write scope)."""
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    D.write_delta(df, tbl, partition_by=["p"])
+    before = set(D.read_delta(spark, tbl).inputFiles())
+    # touch only partition p=1 keys; p=0 files must be byte-identical
+    src = spark.createDataFrame(
+        [(3, 3000, "1"), (5, 5000, "1"), (101, 1010, "1")],
+        "k long, v long, p string",
+    )
+    v = D.merge_delta(spark, tbl, src, on=["k"])
+    out = {r.k: r.v for r in D.read_delta(spark, tbl).collect()}
+    assert out[3] == 3000 and out[5] == 5000 and out[101] == 1010
+    assert out[4] == 40 and len(out) == 21
+    after = set(D.read_delta(spark, tbl).inputFiles())
+    untouched = {f for f in before if "/p=0/" in f}
+    assert untouched and untouched <= after  # p=0 never rewritten
+    ch = D.read_delta_changes(spark, tbl, v - 1, cdf=True)
+    got = sorted((r.k, r._change_type) for r in ch.collect())
+    assert got == [
+        (3, "update_postimage"), (3, "update_preimage"),
+        (5, "update_postimage"), (5, "update_preimage"),
+        (101, "insert"),
+    ]
+    # time travel below the merge
+    assert D.read_delta(spark, tbl, version=v - 1).count() == 20
+
+
+def test_merge_delta_modes_and_guards(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    D.write_delta(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")),
+        tbl,
+    )
+    # delete mode takes a keys-only source
+    v = D.merge_delta(
+        spark, tbl, spark.createDataFrame([(0,), (99,)], "k long"),
+        on=["k"], when_matched="delete", when_not_matched=None,
+    )
+    assert {r.k for r in D.read_delta(spark, tbl).collect()} == set(range(1, 10))
+    ch = D.read_delta_changes(spark, tbl, v - 1, cdf=True)
+    assert [(r.k, r._change_type) for r in ch.collect()] == [(0, "delete")]
+    # insert-only: matched keys untouched
+    D.merge_delta(
+        spark, tbl,
+        spark.createDataFrame([(1, 999), (50, 500)], "k long, v long"),
+        on=["k"], when_matched=None,
+    )
+    out = {r.k: r.v for r in D.read_delta(spark, tbl).collect()}
+    assert out[1] == 10 and out[50] == 500
+    # no-op merge makes no commit
+    pre = D.latest_version(tbl)
+    assert D.merge_delta(
+        spark, tbl, spark.createDataFrame([], "k long, v long"), on=["k"]
+    ) == -1
+    assert D.latest_version(tbl) == pre
+    # guards
+    with pytest.raises(D.DeltaError, match="duplicate key"):
+        D.merge_delta(
+            spark, tbl,
+            spark.createDataFrame([(1, 1), (1, 2)], "k long, v long"),
+            on=["k"],
+        )
+    with pytest.raises(D.DeltaSchemaMismatch):
+        D.merge_delta(
+            spark, tbl, spark.createDataFrame([(1,)], "k long"), on=["k"]
+        )
+    with pytest.raises(D.DeltaError, match="no-op by construction"):
+        D.merge_delta(
+            spark, tbl, spark.createDataFrame([], "k long, v long"),
+            on=["k"], when_matched=None, when_not_matched=None,
+        )
+
+
+def test_apply_changes_delta_chain(spark, tmp_path):
+    """CDF consumed from one table and MERGEd into another — the OCC Save
+    shape on the open format: net-effect per key, idempotent re-apply,
+    txn watermark rides both commits."""
+    src_t, dst_t = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    D.write_delta(df, src_t)
+    D.write_delta(df, dst_t)
+    D.update_delta(spark, src_t, "k < 3", {"v": "v + 1000"})
+    D.delete_delta_rows(spark, src_t, "k = 9")
+    D.write_delta(spark.createDataFrame([(50, 500)], "k long, v long"), src_t)
+    res = D.apply_changes_delta(
+        spark, src_t, dst_t, ["k"], start_version=0, txn=("cdc-app", 7)
+    )
+    assert (res["n_upserts"], res["n_deletes"], res["end_version"]) == (4, 1, 3)
+    want = {0: 1000, 1: 1010, 2: 1020, 3: 30, 4: 40, 5: 50, 6: 60, 7: 70, 8: 80, 50: 500}
+    assert {r.k: r.v for r in D.read_delta(spark, dst_t).collect()} == want
+    assert D.last_txn_version(dst_t, "cdc-app") == 7
+    # re-applying the same window converges (idempotent by value)
+    D.apply_changes_delta(spark, src_t, dst_t, ["k"], start_version=0)
+    assert {r.k: r.v for r in D.read_delta(spark, dst_t).collect()} == want
+
+
+def test_delta_upsert_sink_exactly_once(spark, tmp_path):
+    """DeltaUpsertSink: first batch creates the table, later batches
+    MERGE, re-delivered batch ids skip via the txn watermark — across a
+    SINK RESTART (fresh instance reads the floor from the log)."""
+    from gofeed_spark.streaming.sinks import DeltaUpsertSink
+
+    tbl = str(tmp_path / "tbl")
+    sink = DeltaUpsertSink(tbl, on=["k"], app_id="upsert-e2e")
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    b1 = spark.createDataFrame([(2, 21), (3, 30)], "k long, v long")
+    sink(b0, 0)
+    sink(b1, 1)
+    assert {r.k: r.v for r in sink.read(spark).collect()} == {1: 10, 2: 21, 3: 30}
+    # re-delivery of batch 1 after a restart: NEW instance, same app_id
+    sink2 = DeltaUpsertSink(tbl, on=["k"], app_id="upsert-e2e")
+    sink2(b1, 1)
+    assert sink2.last_skipped == 1
+    assert D.latest_version(tbl) == 1  # nothing committed
+    # next batch continues
+    sink2(spark.createDataFrame([(1, 11)], "k long, v long"), 2)
+    assert {r.k: r.v for r in sink2.read(spark).collect()} == {1: 11, 2: 21, 3: 30}

@@ -1178,3 +1178,113 @@ def test_timestamp_time_travel(spark, corpus, tmp_path):
     meta2 = dict(meta)
     meta2.pop("snapshot-log", None)
     assert I.snapshot_at_timestamp(meta2, s1) == s1
+
+
+# --- MERGE (equality-delete + append in one snapshot) ----------------------------
+
+
+def test_merge_iceberg_upsert_and_changelog(spark, tmp_path):
+    """merge_iceberg default mode: ONE snapshot, eq-delete of the source
+    keys + the new rows at the same sequence number (strictly-below rule
+    keeps them visible) — O(source), no target data read or rewritten;
+    the changelog reads it as delete(old)+insert(new)."""
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    s1 = I.write_iceberg(df, tbl, partition_by=["p"])
+    before = set(I.read_iceberg(spark, tbl).inputFiles())
+    src = spark.createDataFrame(
+        [(3, 3000, "1"), (4, 4000, "0"), (100, 1000, "0")],
+        "k long, v long, p string",
+    )
+    s2 = I.merge_iceberg(spark, tbl, src, on=["k"])
+    out = {r.k: (r.v, r.p) for r in I.read_iceberg(spark, tbl).collect()}
+    assert out[3] == (3000, "1") and out[4] == (4000, "0")
+    assert out[100] == (1000, "0") and out[0] == (0, "0") and len(out) == 11
+    # merge-on-read: every original data file is still live (no rewrite)
+    after = set(I.read_iceberg(spark, tbl).inputFiles())
+    assert before <= after
+    # changelog: matched keys appear as delete(old) + insert(new)
+    ch = I.read_iceberg_changes(spark, tbl, s1, cdf=True)
+    got = sorted((r.k, r._change_type) for r in ch.collect())
+    assert got == [
+        (3, "delete"), (3, "insert"),
+        (4, "delete"), (4, "insert"),
+        (100, "insert"),
+    ]
+    # time travel below the merge; append-only readers refuse it loudly
+    assert I.read_iceberg(spark, tbl, snapshot_id=s1).count() == 10
+    with pytest.raises(I.IcebergUnsupported, match="cdf=True"):
+        I.read_iceberg_changes(spark, tbl, s1)
+    # partition pruning still works across merged files
+    pr = I.read_iceberg(spark, tbl, where={"p": "0"})
+    assert {r.k for r in pr.collect()} == {0, 2, 4, 6, 8, 100}
+    # a later plain append is NOT hidden by the merge's eq-delete
+    I.write_iceberg(
+        spark.createDataFrame([(3, 33333, "1")], "k long, v long, p string"),
+        tbl, partition_by=["p"],
+    )
+    rows = sorted(
+        (r.k, r.v) for r in I.read_iceberg(spark, tbl).collect() if r.k == 3
+    )
+    assert rows == [(3, 3000), (3, 33333)]  # both above the delete's seq
+
+
+def test_merge_iceberg_modes_and_guards(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")),
+        tbl,
+    )
+    # update-only: unmatched source keys are ignored entirely
+    I.merge_iceberg(
+        spark, tbl,
+        spark.createDataFrame([(5, 5555), (200, 1)], "k long, v long"),
+        on=["k"], when_not_matched=None,
+    )
+    out = {r.k: r.v for r in I.read_iceberg(spark, tbl).collect()}
+    assert out[5] == 5555 and 200 not in out and len(out) == 10
+    # insert-only: matched keys untouched
+    I.merge_iceberg(
+        spark, tbl,
+        spark.createDataFrame([(5, 1), (300, 3)], "k long, v long"),
+        on=["k"], when_matched=None,
+    )
+    out = {r.k: r.v for r in I.read_iceberg(spark, tbl).collect()}
+    assert out[5] == 5555 and out[300] == 3
+    # delete+insert: matched hidden, unmatched inserted
+    I.merge_iceberg(
+        spark, tbl,
+        spark.createDataFrame([(3, 0), (400, 4)], "k long, v long"),
+        on=["k"], when_matched="delete",
+    )
+    out = {r.k: r.v for r in I.read_iceberg(spark, tbl).collect()}
+    assert 3 not in out and out[400] == 4
+    # delete-only delegates to the equality-delete writer
+    I.merge_iceberg(
+        spark, tbl, spark.createDataFrame([(400, 0)], "k long, v long"),
+        on=["k"], when_matched="delete", when_not_matched=None,
+    )
+    assert 400 not in {r.k for r in I.read_iceberg(spark, tbl).collect()}
+    # guards
+    with pytest.raises(I.IcebergError, match="duplicate key"):
+        I.merge_iceberg(
+            spark, tbl,
+            spark.createDataFrame([(1, 1), (1, 2)], "k long, v long"),
+            on=["k"],
+        )
+    with pytest.raises(I.IcebergSchemaMismatch):
+        I.merge_iceberg(
+            spark, tbl, spark.createDataFrame([(1,)], "k long"), on=["k"]
+        )
+    # a TRUE file-replacing overwrite still refuses in the changelog
+    pre = I.latest_snapshot(tbl)
+    I.write_iceberg(
+        spark.range(2).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        tbl, mode="overwrite",
+    )
+    with pytest.raises(I.IcebergUnsupported, match="file-replacing"):
+        I.read_iceberg_changes(spark, tbl, pre, cdf=True).count()
