@@ -77,7 +77,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-retries", type=int, default=5)
     p.add_argument("--drain", action="store_true", help="drain once and exit")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--db-log-level",
+        choices=("silent", "error", "warn", "info"),
+        default=None,
+        help="database/engine log level (main.go:35 db_log_level parity; "
+        "maps gorm's levels onto the Spark driver's JVM log level)",
+    )
     return p
+
+
+#: gorm logger.LogLevel names → JVM log4j levels (main.go:40-57 parses the
+#: same four names; 'silent' is gorm's discard level → OFF)
+_DB_LOG_LEVELS = {
+    "silent": "OFF",
+    "error": "ERROR",
+    "warn": "WARN",
+    "info": "INFO",
+}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -100,6 +117,8 @@ def main(argv: list[str] | None = None) -> int:
     from gofeed_spark.streaming.feed_runner import FeedRunner
 
     spark = get_spark("gofeed-service", master=args.master)
+    if args.db_log_level:
+        spark.sparkContext.setLogLevel(_DB_LOG_LEVELS[args.db_log_level])
 
     processor = http_processor(args.target) if args.target else json_times_processor
     os.makedirs(args.base_path, exist_ok=True)

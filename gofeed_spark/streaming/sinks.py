@@ -657,3 +657,67 @@ class DeltaUpsertSink:
         from gofeed_spark.sources import delta as D
 
         return D.read_delta(spark, self.path)
+
+
+class IcebergUpsertSink:
+    """foreachBatch callable: exactly-once keyed MERGE into a PUBLIC
+    Iceberg table — the merge-on-read twin of :class:`DeltaUpsertSink`:
+    each batch commits ONE overwrite snapshot (equality-delete of the
+    batch keys + the new rows, ``merge_iceberg``) stamped with the
+    summary watermark (app-id, batch-id), re-delivered batches skipped
+    by ``last_summary_version``; the first batch creates the table.
+    O(batch) per commit at ANY table size — no target files are read or
+    rewritten (contrast DeltaUpsertSink's copy-on-write)."""
+
+    def __init__(
+        self,
+        path: str,
+        on: list[str],
+        app_id: str,
+        partition_by: list[str] | None = None,
+    ):
+        self.path = path
+        self.on = list(on)
+        self.app_id = app_id
+        self.partition_by = partition_by
+        self._floor: int | None = None
+        self.last_skipped: int | None = None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from gofeed_spark.sources import iceberg as I
+
+        if self._floor is None:
+            self._floor = I.last_summary_version(self.path, self.app_id)
+        if batch_id <= self._floor:
+            self.last_skipped = batch_id
+            return
+        stamp = {"app-id": self.app_id, "batch-id": int(batch_id)}
+        try:
+            I.latest_snapshot(self.path)
+            exists = True
+        except I.IcebergError:
+            exists = False
+        if not exists:
+            I.write_iceberg(
+                batch_df,
+                self.path,
+                mode="append",
+                partition_by=self.partition_by,
+                summary_extra=stamp,
+            )
+        else:
+            I.merge_iceberg(
+                batch_df.sparkSession,
+                self.path,
+                batch_df,
+                on=self.on,
+                when_matched="update",
+                when_not_matched="insert",
+                summary_extra=stamp,
+            )
+        self._floor = int(batch_id)
+
+    def read(self, spark) -> DataFrame:
+        from gofeed_spark.sources import iceberg as I
+
+        return I.read_iceberg(spark, self.path)

@@ -39,6 +39,7 @@ def test_parser_reference_flag_parity():
             "--batch-size", "50",
             "--table-prefix", "blue_",
             "--healthcheck-address", ":9090",
+            "--db-log-level", "error",
         ]
     )
     assert args.target == "http://x/process"
@@ -46,6 +47,16 @@ def test_parser_reference_flag_parity():
     assert args.poll_interval == 2.5 and args.batch_size == 50
     assert args.table_prefix == "blue_"
     assert args.healthcheck_address == ":9090"
+    # main.go:35 db_log_level parity: gorm's four level names, mapped to
+    # JVM log levels at startup
+    from gofeed_spark.__main__ import _DB_LOG_LEVELS
+
+    assert args.db_log_level == "error"
+    assert _DB_LOG_LEVELS[args.db_log_level] == "ERROR"
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        build_parser().parse_args(["--db-log-level", "debug"])  # not a gorm level
 
 
 def test_service_subprocess_drains_and_stops_cleanly(tmp_path):
@@ -72,6 +83,7 @@ def test_service_subprocess_drains_and_stops_cleanly(tmp_path):
             "--local",
             "--base-path", base,
             "--poll-interval", "0.5",
+            "--db-log-level", "error",  # accepted live; quiets the driver
             "--healthcheck-address", "127.0.0.1:0",
         ],
         cwd=REPO,

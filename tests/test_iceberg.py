@@ -1288,3 +1288,23 @@ def test_merge_iceberg_modes_and_guards(spark, tmp_path):
     )
     with pytest.raises(I.IcebergUnsupported, match="file-replacing"):
         I.read_iceberg_changes(spark, tbl, pre, cdf=True).count()
+
+
+def test_iceberg_upsert_sink_exactly_once(spark, tmp_path):
+    """IcebergUpsertSink: first batch creates the table, later batches
+    commit ONE merge snapshot each (summary-stamped), re-delivered ids
+    skip across a sink restart via last_summary_version."""
+    from gofeed_spark.streaming.sinks import IcebergUpsertSink
+
+    tbl = str(tmp_path / "tbl")
+    sink = IcebergUpsertSink(tbl, on=["k"], app_id="iups-e2e")
+    sink(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), 0)
+    b1 = spark.createDataFrame([(2, 21), (3, 30)], "k long, v long")
+    sink(b1, 1)
+    assert {r.k: r.v for r in sink.read(spark).collect()} == {1: 10, 2: 21, 3: 30}
+    sink2 = IcebergUpsertSink(tbl, on=["k"], app_id="iups-e2e")
+    sink2(b1, 1)  # re-delivery after restart
+    assert sink2.last_skipped == 1
+    assert I.latest_snapshot(tbl) == 2  # nothing new committed
+    sink2(spark.createDataFrame([(1, 11)], "k long, v long"), 2)
+    assert {r.k: r.v for r in sink2.read(spark).collect()} == {1: 11, 2: 21, 3: 30}

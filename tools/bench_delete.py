@@ -98,6 +98,19 @@ def main():
         ).count()
         legs[name]["read_sec"] = round(time.time() - t0, 3)
         assert n == n_rows - n_rows // 100, (name, n)
+    # the r16 gated-broadcast fallback: a delete set the manifests cannot
+    # prove small must NOT broadcast — force the bound to 0 and time the
+    # planner-chosen join path (counts must match the broadcast path)
+    orig = I._DELETE_BROADCAST_MAX
+    I._DELETE_BROADCAST_MAX = 0
+    try:
+        for name in ("iceberg_position", "iceberg_equality"):
+            t0 = time.time()
+            n = I.read_iceberg(spark, f"{work}/{name}").count()
+            legs[name]["read_fallback_sec"] = round(time.time() - t0, 3)
+            assert n == n_rows - n_rows // 100, (name, n)
+    finally:
+        I._DELETE_BROADCAST_MAX = orig
     shutil.rmtree(work, ignore_errors=True)
     print(
         json.dumps(
