@@ -1446,3 +1446,90 @@ def q181(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q184_iceberg_apply_changes",
+    oracle="""
+SELECT source,
+       CAST(COUNT(CASE WHEN doc_id % 5 <> 2 THEN 1 END)
+            + COUNT(CASE WHEN doc_id % 5 = 3 THEN 1 END) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 5 <> 2 THEN n_chars ELSE 0 END)
+            + 555 * COUNT(CASE WHEN doc_id % 5 = 1 THEN 1 END)
+            + SUM(CASE WHEN doc_id % 5 = 3 THEN n_chars + 3 ELSE 0 END)
+         AS BIGINT) AS chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q184(spark, sf_dir):
+    """ICEBERG APPLY CHANGES — q181's CDC capstone on the second format:
+    the source table takes a MERGE (%5 IN (1,2): n_chars+555, committed
+    as one eq-delete+append overwrite snapshot), an equality DELETE
+    (%5=2 — overlapping the merge, so the net effect per key is the
+    delete; sequence order decides, not snapshot-id luck), and an append
+    (%5=3 clones); apply_changes_iceberg consumes the changelog window
+    and lands the net effect in a second table via merge_iceberg +
+    delete_iceberg_equality.  The oracle recomputes the final target —
+    hash equality proves changelog assembly (merge read as
+    delete+insert), the sequence-ordered window reduction, and both
+    write paths.  Eager at construction."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q184_")
+    src_t, dst_t = f"{work}/src", f"{work}/dst"
+    try:
+        s0 = I.write_iceberg(docs, src_t)
+        I.write_iceberg(docs, dst_t)
+        I.merge_iceberg(
+            spark,
+            src_t,
+            docs.filter(F.col("doc_id") % 5 < 3)
+            .filter(F.col("doc_id") % 5 >= 1)
+            .select(
+                "doc_id", "source", (F.col("n_chars") + 555).alias("n_chars")
+            ),
+            on=["doc_id"],
+        )
+        I.delete_iceberg_equality(
+            spark,
+            src_t,
+            docs.filter(F.col("doc_id") % 5 == 2).select("doc_id"),
+        )
+        I.write_iceberg(
+            docs.filter(F.col("doc_id") % 5 == 3).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                "source",
+                (F.col("n_chars") + 3).alias("n_chars"),
+            ),
+            src_t,
+        )
+        I.apply_changes_iceberg(
+            spark, src_t, dst_t, ["doc_id"], from_snapshot_id=s0
+        )
+        agg = (
+            I.read_iceberg(spark, dst_t)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+        )
+        base = docs.select("source").distinct()
+        return (
+            base.join(agg, "source", "left")
+            .select(
+                "source",
+                F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+                F.coalesce("chars", F.lit(0)).cast("long").alias("chars"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

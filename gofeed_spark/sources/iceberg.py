@@ -2170,6 +2170,87 @@ def merge_iceberg(
     return sid
 
 
+def apply_changes_iceberg(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    on: list[str],
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    summary_extra: dict | None = None,
+) -> dict:
+    """Consume one Iceberg table's CHANGELOG window and MERGE its NET
+    effect into another — the :func:`~gofeed_spark.sources.delta.
+    apply_changes_delta` twin on the second format: per key the LATEST
+    snapshot wins, ordered by SEQUENCE NUMBER (snapshot ids are joined
+    back to sequence numbers through the metadata, so foreign tables
+    with arbitrary ids order correctly), and within one snapshot an
+    insert outranks a delete (a merge snapshot emits delete(old)+
+    insert(new) for the same key — the net is the new version).
+    Upserts land through :func:`merge_iceberg` (one overwrite snapshot),
+    deletes through :func:`delete_iceberg_equality`.  Idempotent by
+    value.  Returns ``{"upserted_snapshot", "deleted_snapshot",
+    "end_snapshot", "n_upserts", "n_deletes"}`` (-1 for no-op halves)."""
+    from pyspark.sql.window import Window
+
+    ch = read_iceberg_changes(
+        spark, source_path, from_snapshot_id, to_snapshot_id, cdf=True
+    )
+    fs = get_filesystem(source_path)
+    meta, _v = _load_metadata(fs, source_path)
+    end_snap = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else _snapshot_of(meta, None)["snapshot-id"]
+    )
+    seq_map = spark.createDataFrame(
+        [
+            (s["snapshot-id"], int(s.get("sequence-number", 0)))
+            for s in meta.get("snapshots") or []
+        ],
+        T.StructType(
+            [
+                T.StructField("_snapshot_id", T.LongType()),
+                T.StructField("__seq", T.LongType()),
+            ]
+        ),
+    )
+    ch = ch.join(F.broadcast(seq_map), "_snapshot_id")
+    rank = F.when(F.col("_change_type") == "delete", F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    w = Window.partitionBy(*on).orderBy(F.col("__seq").desc(), rank.desc())
+    latest = (
+        ch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+        .localCheckpoint()  # feeds two merges
+    )
+    data_cols = [
+        c for c in latest.columns if c not in ("_change_type", "_snapshot_id")
+    ]
+    ups = latest.filter(F.col("_change_type") == "insert").select(*data_cols)
+    dels = latest.filter(F.col("_change_type") == "delete").select(*on)
+    n_ups, n_dels = ups.count(), dels.count()
+    uv = (
+        merge_iceberg(
+            spark, target_path, ups, on,
+            when_matched="update", when_not_matched="insert",
+            summary_extra=summary_extra,
+        )
+        if n_ups
+        else -1
+    )
+    dv = delete_iceberg_equality(spark, target_path, dels) if n_dels else -1
+    return {
+        "upserted_snapshot": uv,
+        "deleted_snapshot": dv,
+        "end_snapshot": end_snap,
+        "n_upserts": n_ups,
+        "n_deletes": n_dels,
+    }
+
+
 # --- maintenance --------------------------------------------------------------
 
 

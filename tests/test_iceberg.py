@@ -1308,3 +1308,29 @@ def test_iceberg_upsert_sink_exactly_once(spark, tmp_path):
     assert I.latest_snapshot(tbl) == 2  # nothing new committed
     sink2(spark.createDataFrame([(1, 11)], "k long, v long"), 2)
     assert {r.k: r.v for r in sink2.read(spark).collect()} == {1: 11, 2: 21, 3: 30}
+
+
+def test_apply_changes_iceberg_chain(spark, tmp_path):
+    """Changelog consumed from one table and MERGEd into another: net
+    effect per key ordered by SEQUENCE NUMBER (insert outranks delete
+    within a merge snapshot; a later delete outranks the merge's
+    insert), idempotent re-apply."""
+    src_t, dst_t = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    s0 = I.write_iceberg(df, src_t)
+    I.write_iceberg(df, dst_t)
+    I.merge_iceberg(
+        spark, src_t,
+        spark.createDataFrame([(1, 1111), (2, 2222), (50, 500)], "k long, v long"),
+        on=["k"],
+    )
+    I.delete_iceberg_equality(spark, src_t, spark.createDataFrame([(2,)], "k long"))
+    I.write_iceberg(spark.createDataFrame([(60, 600)], "k long, v long"), src_t)
+    res = I.apply_changes_iceberg(spark, src_t, dst_t, ["k"], from_snapshot_id=s0)
+    assert (res["n_upserts"], res["n_deletes"]) == (3, 1)
+    want = {0: 0, 1: 1111, 3: 30, 4: 40, 5: 50, 6: 60, 7: 70, 8: 80, 9: 90,
+            50: 500, 60: 600}
+    assert {r.k: r.v for r in I.read_iceberg(spark, dst_t).collect()} == want
+    # idempotent by value
+    I.apply_changes_iceberg(spark, src_t, dst_t, ["k"], from_snapshot_id=s0)
+    assert {r.k: r.v for r in I.read_iceberg(spark, dst_t).collect()} == want
