@@ -367,8 +367,9 @@ def version_at_timestamp(path: str, ts_ms: int) -> int:
         if prev is not None and ts <= prev:
             ts = prev + 1  # monotonize
         prev = ts
-        if ts <= ts_ms:
-            best = v
+        if ts > ts_ms:
+            break  # effective timestamps are non-decreasing: done
+        best = v
     if best is None:
         raise DeltaError(
             f"timestamp {ts_ms} predates the earliest available commit "
@@ -1670,20 +1671,25 @@ def apply_changes_delta(
 
     Idempotent by value: re-applying the same window converges to the
     same target state (upserts rewrite equal rows, deletes no-op), and
-    ``txn`` rides BOTH commits so a :class:`DeltaUpsertSink`-style
-    watermark skips whole re-delivered windows.  Returns
+    ``txn`` rides only the LAST commit of the window — a crash between
+    the two merges must leave the watermark BELOW the window so replay
+    re-runs the whole thing (stamping the first commit would skip the
+    never-applied delete half forever).  Returns
     ``{"upserted_version", "deleted_version", "end_version",
     "n_upserts", "n_deletes"}`` (versions -1 when that half was a
     no-op)."""
     from pyspark.sql.window import Window
 
-    ch = read_delta_changes(
-        spark, source_path, start_version, end_version, cdf=True
-    )
+    # resolve the window end ONCE, before the read: a commit landing
+    # between the read and a later latest_version() call would be
+    # reported as consumed without being read (silent CDC loss)
     resolved_end = (
         end_version
         if end_version is not None
         else latest_version(source_path)
+    )
+    ch = read_delta_changes(
+        spark, source_path, start_version, resolved_end, cdf=True
     )
     # net effect per key: the newest commit wins; within one commit a
     # key's postimage outranks its preimage (an update pair), and our
@@ -1711,10 +1717,12 @@ def apply_changes_delta(
     ).select(*data_cols)
     dels = latest.filter(F.col("_change_type") == "delete").select(*on)
     n_ups, n_dels = ups.count(), dels.count()
+    # the idempotency stamp rides the LAST commit only (see docstring)
     uv = (
         merge_delta(
             spark, target_path, ups, on,
-            when_matched="update", when_not_matched="insert", txn=txn,
+            when_matched="update", when_not_matched="insert",
+            txn=None if n_dels else txn,
         )
         if n_ups
         else -1

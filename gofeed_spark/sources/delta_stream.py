@@ -220,11 +220,18 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def _version_stats(self, v: int) -> tuple[int, int]:
         """(files, bytes) ADDED by commit ``v`` — cached (the log is
-        immutable); driver metadata I/O, consulted only under caps."""
+        immutable); driver metadata I/O, consulted only under caps.
+        A missing commit file (checkpoint-truncated log) counts (0, 0)
+        so latestOffset never crashes — partitions() raises its own
+        clean DeltaError for unreadable windows."""
         got = self._vstats.get(v)
         if got is None:
             nf = nb = 0
-            for action in _read_actions(self.fs, _log_dir(self.path), v):
+            try:
+                actions = _read_actions(self.fs, _log_dir(self.path), v)
+            except (OSError, DeltaError):
+                actions = []
+            for action in actions:
                 add = action.get("add")
                 if add and add.get("dataChange", True):
                     nf += 1

@@ -867,17 +867,29 @@ def read_iceberg_changes(
             _s2, _m2, mentries = _read_avro(fs, mf["manifest_path"])
             for e in mentries:
                 if e.get("status") == 2:
-                    if op == "overwrite":
+                    if op in ("overwrite", "delete"):
+                        # a rewritten manifest (file-level overwrite, or a
+                        # foreign COPY-ON-WRITE delete) — not representable
+                        # as a changelog; refusing beats fabricating rows
                         raise IcebergUnsupported(
-                            f"snapshot {s['snapshot-id']} replaces data "
-                            "files; the changelog cannot represent a "
-                            "file-level overwrite"
+                            f"snapshot {s['snapshot-id']} ({op}) replaces "
+                            "data files; the changelog cannot represent it"
                         )
                     continue
                 d = e.get("data_file") or {}
                 if _get(d, "content", default=0) in (1, 2):
                     has_new_dels = True
                     continue  # the hidden-row pass reads these
+                if op == "delete":
+                    # a merge-on-read delete snapshot adds ONLY delete
+                    # files; data-file entries here mean a foreign
+                    # copy-on-write form whose survivors would be misread
+                    # as inserts — refuse loudly
+                    raise IcebergUnsupported(
+                        f"snapshot {s['snapshot-id']} (delete) adds data "
+                        "files (copy-on-write delete); the changelog "
+                        "cannot represent it"
+                    )
                 if str(d.get("file_format", "")).upper() != "PARQUET":
                     raise IcebergUnsupported("non-parquet data file")
                 entries.append(d)
@@ -1649,6 +1661,7 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
 def _commit_delete_snapshot(
     fs, path, meta, version, ice_schema, spec, part_types,
     del_entries, n_deleted, seq, sid, token, summary_key,
+    summary_extra: dict | None = None,
 ) -> None:
     """Shared commit tail of the two delete writers: one delete manifest
     (content=1 in the manifest LIST — it lists delete files of either
@@ -1702,6 +1715,8 @@ def _commit_delete_snapshot(
         "sequence-number": seq,
         "timestamp-ms": seq,
         "summary": {
+            **{str(k): str(v) for k, v in (summary_extra or {}).items()},
+            # reserved keys win over summary_extra collisions
             "operation": "delete",
             summary_key: str(n_deleted),
             "engine-info": "gofeed_spark-iceberg/0.1",
@@ -1721,7 +1736,10 @@ def _commit_delete_snapshot(
 
 
 def delete_iceberg_equality(
-    spark: SparkSession, path: str, keys: DataFrame
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    summary_extra: dict | None = None,
 ) -> int:
     """Row-level DELETE BY KEY via merge-on-read EQUALITY deletes (spec
     §Equality Delete Files) — the CDC-upsert primitive: ``keys``' columns
@@ -1824,6 +1842,7 @@ def delete_iceberg_equality(
     _commit_delete_snapshot(
         fs, path, meta, version, ice_schema, spec, part_types,
         del_entries, n_deleted, seq, sid, token, "deleted-equality-delete-rows",
+        summary_extra=summary_extra,
     )
     return sid
 
@@ -1869,7 +1888,9 @@ def merge_iceberg(
         raise IcebergError("MERGE needs at least one key column")
     if when_matched == "delete" and when_not_matched is None:
         # pure keyed delete IS the equality-delete writer
-        return delete_iceberg_equality(spark, path, source_df.select(*on))
+        return delete_iceberg_equality(
+            spark, path, source_df.select(*on), summary_extra=summary_extra
+        )
 
     path = path.rstrip("/")
     fs = get_filesystem(path)
@@ -2188,20 +2209,26 @@ def apply_changes_iceberg(
     insert outranks a delete (a merge snapshot emits delete(old)+
     insert(new) for the same key — the net is the new version).
     Upserts land through :func:`merge_iceberg` (one overwrite snapshot),
-    deletes through :func:`delete_iceberg_equality`.  Idempotent by
-    value.  Returns ``{"upserted_snapshot", "deleted_snapshot",
-    "end_snapshot", "n_upserts", "n_deletes"}`` (-1 for no-op halves)."""
+    deletes through :func:`delete_iceberg_equality`; ``summary_extra``
+    (the idempotency stamp) rides only the LAST commit of the window —
+    a crash between the two must leave the watermark BELOW the window so
+    replay re-runs it all (idempotent by value).  Returns
+    ``{"upserted_snapshot", "deleted_snapshot", "end_snapshot",
+    "n_upserts", "n_deletes"}`` (-1 for no-op halves)."""
     from pyspark.sql.window import Window
 
-    ch = read_iceberg_changes(
-        spark, source_path, from_snapshot_id, to_snapshot_id, cdf=True
-    )
+    # resolve the window end ONCE, before the read (a snapshot landing
+    # between the read and the return would otherwise be reported as
+    # consumed without being read)
     fs = get_filesystem(source_path)
     meta, _v = _load_metadata(fs, source_path)
     end_snap = (
         to_snapshot_id
         if to_snapshot_id is not None
         else _snapshot_of(meta, None)["snapshot-id"]
+    )
+    ch = read_iceberg_changes(
+        spark, source_path, from_snapshot_id, end_snap, cdf=True
     )
     seq_map = spark.createDataFrame(
         [
@@ -2232,16 +2259,23 @@ def apply_changes_iceberg(
     ups = latest.filter(F.col("_change_type") == "insert").select(*data_cols)
     dels = latest.filter(F.col("_change_type") == "delete").select(*on)
     n_ups, n_dels = ups.count(), dels.count()
+    # the idempotency stamp rides the LAST commit only (see docstring)
     uv = (
         merge_iceberg(
             spark, target_path, ups, on,
             when_matched="update", when_not_matched="insert",
-            summary_extra=summary_extra,
+            summary_extra=None if n_dels else summary_extra,
         )
         if n_ups
         else -1
     )
-    dv = delete_iceberg_equality(spark, target_path, dels) if n_dels else -1
+    dv = (
+        delete_iceberg_equality(
+            spark, target_path, dels, summary_extra=summary_extra
+        )
+        if n_dels
+        else -1
+    )
     return {
         "upserted_snapshot": uv,
         "deleted_snapshot": dv,

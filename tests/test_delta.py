@@ -1148,3 +1148,56 @@ def test_delta_upsert_sink_exactly_once(spark, tmp_path):
     # next batch continues
     sink2(spark.createDataFrame([(1, 11)], "k long, v long"), 2)
     assert {r.k: r.v for r in sink2.read(spark).collect()} == {1: 11, 2: 21, 3: 30}
+
+
+def test_apply_changes_txn_rides_last_commit(spark, tmp_path):
+    """The idempotency stamp must ride only the LAST commit of the
+    window: a crash between the upsert and delete merges must leave the
+    watermark BELOW the window (stamping the first commit would skip the
+    never-applied delete half forever on replay)."""
+    import glob as _glob
+    import json as _json
+
+    src_t, dst_t = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    D.write_delta(df, src_t)
+    D.write_delta(df, dst_t)
+    D.update_delta(spark, src_t, "k = 1", {"v": "v + 100"})
+    D.delete_delta_rows(spark, src_t, "k = 2")
+    D.apply_changes_delta(spark, src_t, dst_t, ["k"], 0, txn=("app", 5))
+
+    def txns(version):
+        out = []
+        for cf in _glob.glob(f"{dst_t}/_delta_log/{version:020d}.json"):
+            with open(cf) as fh:
+                for line in fh:
+                    act = _json.loads(line)
+                    if "txn" in act:
+                        out.append(act["txn"])
+        return out
+
+    assert txns(1) == []  # the upsert commit carries NO stamp
+    assert txns(2) == [{"appId": "app", "version": 5}]  # the delete does
+    assert D.last_txn_version(dst_t, "app") == 5
+
+
+def test_capped_stream_survives_truncated_log(spark, tmp_path):
+    """latestOffset with caps must not crash on a checkpoint-truncated
+    log (missing commit jsons count (0,0)); the unreadable window still
+    fails cleanly at plan time like the uncapped stream."""
+    import os
+
+    from gofeed_spark.sources.delta_stream import DeltaStreamReader
+
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 5, 10):
+        D.write_delta(spark.range(lo, lo + 5).select(F.col("id")), tbl)
+    D.checkpoint_delta(tbl)
+    os.remove(f"{tbl}/_delta_log/{0:020d}.json")  # truncate below checkpoint
+    r = DeltaStreamReader(
+        {"path": tbl, "max_files_per_trigger": "1", "starting_version": "-1"}
+    )
+    off = r.latestOffset()  # must not raise
+    assert off["version"] >= 0
+    with pytest.raises(D.DeltaError, match="missing"):
+        r.partitions({"version": -1}, {"version": 2})

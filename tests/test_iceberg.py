@@ -1334,3 +1334,46 @@ def test_apply_changes_iceberg_chain(spark, tmp_path):
     # idempotent by value
     I.apply_changes_iceberg(spark, src_t, dst_t, ["k"], from_snapshot_id=s0)
     assert {r.k: r.v for r in I.read_iceberg(spark, dst_t).collect()} == want
+
+
+def test_apply_changes_iceberg_stamp_rides_last_commit(spark, tmp_path):
+    """summary_extra rides only the LAST commit of an apply-changes
+    window — the iceberg twin of the delta txn-placement rule."""
+    src_t, dst_t = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    s0 = I.write_iceberg(df, src_t)
+    I.write_iceberg(df, dst_t)
+    I.merge_iceberg(
+        spark, src_t, spark.createDataFrame([(1, 111)], "k long, v long"), on=["k"]
+    )
+    I.delete_iceberg_equality(spark, src_t, spark.createDataFrame([(2,)], "k long"))
+    I.apply_changes_iceberg(
+        spark, src_t, dst_t, ["k"], s0,
+        summary_extra={"app-id": "cdc", "batch-id": 3},
+    )
+    meta, _v = I._load_metadata(I.get_filesystem(dst_t), dst_t)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    # upsert snapshot (2nd) unstamped; delete snapshot (last) stamped
+    assert "app-id" not in (snaps[-2].get("summary") or {})
+    assert (snaps[-1]["summary"]).get("app-id") == "cdc"
+    assert I.last_summary_version(dst_t, "cdc") == 3
+
+
+def test_changelog_refuses_copy_on_write_delete(spark, corpus, tmp_path):
+    """A foreign COPY-ON-WRITE delete (op='delete' whose added manifest
+    carries data files / deleted entries) must refuse loudly — its
+    survivor rows would otherwise be fabricated as inserts."""
+    import json as _json
+
+    tbl = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(corpus.filter("doc_id < 10"), tbl)
+    I.write_iceberg(corpus.filter("doc_id >= 10 and doc_id < 20"), tbl)
+    # disguise the second APPEND as a copy-on-write DELETE snapshot
+    fs = I.get_filesystem(tbl)
+    meta, v = I._load_metadata(fs, tbl)
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] != s1:
+            s["summary"]["operation"] = "delete"
+    I._publish_metadata(fs, tbl, v, meta)
+    with pytest.raises(I.IcebergUnsupported, match="copy-on-write"):
+        I.read_iceberg_changes(spark, tbl, s1, cdf=True).count()
