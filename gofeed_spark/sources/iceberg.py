@@ -1195,6 +1195,126 @@ def _hive_partition_value(rel: str, col: str) -> str | None:
     raise IcebergError(f"staged file {rel!r} lacks partition dir for {col!r}")
 
 
+def _typed_partition_values(rel: str, part_types: list[tuple]) -> dict:
+    """Decode a staged file's Hive partition dirs into the manifest's
+    TYPED partition record (the spec's single-value JSON types)."""
+    part_values: dict[str, object] = {}
+    for name, ice_t in part_types:
+        raw = _hive_partition_value(rel, name)
+        if raw is None:
+            part_values[name] = None
+        elif ice_t in ("int", "long", "date"):
+            part_values[name] = int(raw)
+        elif ice_t == "double":
+            part_values[name] = float(raw)
+        elif ice_t == "boolean":
+            part_values[name] = raw == "true"
+        else:
+            part_values[name] = raw
+    return part_values
+
+
+def _put_manifest(
+    fs, md, filename, entries, part_types, ice_schema, spec, content,
+    seq, sid, n_rows,
+) -> dict:
+    """Write one Avro manifest of ``entries`` and return its manifest-LIST
+    record — the shared commit tail of every writer (data or deletes)."""
+    mpath = fs.join(md, filename)
+    mbytes = write_container(
+        json.dumps(_manifest_entry_schema(part_types)),
+        entries,
+        meta={
+            "schema": json.dumps(ice_schema),
+            "partition-spec": json.dumps(spec),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes" if content else "data",
+        },
+    )
+    fs.put_bytes(mpath, mbytes)
+    return {
+        "manifest_path": mpath,
+        "manifest_length": len(mbytes),
+        "partition_spec_id": 0,
+        "content": content,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": sid,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+
+
+def _publish_staged_files(
+    fs: FileSystem,
+    path: str,
+    staging: str,
+    name_fmt: str,
+    sid: int,
+    part_types: list[tuple],
+    content: int,
+    typed_partitions: bool,
+    skip_empty: bool,
+    extra_file_fields: dict | None = None,
+) -> tuple[list[dict], int]:
+    """The shared publish tail of every staged write (data files, merge
+    data legs, position/equality delete files — the delta module's
+    _stage_and_publish twin): walk the staging dir, move each parquet
+    under the table root as ``name_fmt.format(part_dir=..., ordinal=...,
+    token-in-fmt)``, row-count the footer, and build the manifest ENTRY
+    dicts.  ``typed_partitions`` restores the partition record from the
+    Hive dirs (data legs); delete files are partition-global (all-null
+    record).  Deletes the staging tree.  Returns (entries, total_rows)."""
+    entries: list[dict] = []
+    total_rows = 0
+    ordinal = 0
+    for rel, size in fs.walk_files(staging):
+        base = rel.rsplit("/", 1)[-1]
+        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+            continue
+        part_dir = rel.rsplit("/", 1)[0] + "/" if "/" in rel else ""
+        new_rel = name_fmt.format(part_dir=part_dir, ordinal=ordinal)
+        src, dst = fs.join(staging, rel), fs.join(path, new_rel)
+        if fs.supports_rename():
+            fs.makedirs(posixpath.dirname(dst))
+            fs.rename(src, dst)
+        else:
+            fs.put_bytes(dst, fs.read_bytes(src))
+        stat = fs.stat(dst)
+        n_rows = _parquet_row_count(fs, dst)
+        if skip_empty and n_rows == 0:
+            fs.delete(dst)
+            continue
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": sid,
+                "sequence_number": None,  # inherited from the manifest list
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": content,
+                    "file_path": fs.join(path, new_rel),
+                    "file_format": "PARQUET",
+                    "partition": _typed_partition_values(rel, part_types)
+                    if typed_partitions
+                    else {name: None for name, _t in part_types},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": stat[0] if stat else size,
+                    **(extra_file_fields or {}),
+                },
+            }
+        )
+        total_rows += n_rows
+        ordinal += 1
+    fs.delete_tree(staging)
+    return entries, total_rows
+
+
 def last_summary_version(path: str, app_id: str) -> int:
     """Highest committed batch version recorded in snapshot summaries for
     ``app_id`` (-1 when the app never committed) — Iceberg's
@@ -1377,89 +1497,18 @@ def write_iceberg(
         writer = writer.partitionBy(*stage_cols)
     writer.parquet(fs.spark_path(staging))
 
-    entries: list[dict] = []
-    added_rows = 0
-    ordinal = 0
-    for rel, size in fs.walk_files(staging):
-        base = rel.rsplit("/", 1)[-1]
-        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
-            continue
-        part_dir = rel.rsplit("/", 1)[0] + "/" if "/" in rel else ""
-        new_rel = f"data/{part_dir}part-{ordinal:05d}-{token}.parquet"
-        src, dst = fs.join(staging, rel), fs.join(path, new_rel)
-        if fs.supports_rename():
-            fs.makedirs(posixpath.dirname(dst))
-            fs.rename(src, dst)
-        else:
-            fs.put_bytes(dst, fs.read_bytes(src))
-        stat = fs.stat(dst)
-        n_rows = _parquet_row_count(fs, dst)
-        part_values: dict[str, object] = {}
-        for name, ice_t in part_types:
-            raw = _hive_partition_value(rel, name)
-            if raw is None:
-                part_values[name] = None
-            elif ice_t in ("int", "long", "date"):
-                part_values[name] = int(raw)
-            elif ice_t == "double":
-                part_values[name] = float(raw)
-            elif ice_t == "boolean":
-                part_values[name] = raw == "true"
-            else:
-                part_values[name] = raw
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": sid,
-                "sequence_number": None,  # inherited from the manifest list
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": fs.join(path, new_rel),
-                    "file_format": "PARQUET",
-                    "partition": part_values,
-                    "record_count": n_rows,
-                    "file_size_in_bytes": stat[0] if stat else size,
-                },
-            }
-        )
-        added_rows += n_rows
-        ordinal += 1
-    fs.delete_tree(staging)
+    entries, added_rows = _publish_staged_files(
+        fs, path, staging,
+        "data/{part_dir}part-{ordinal:05d}-" + token + ".parquet",
+        sid, part_types, content=0, typed_partitions=True, skip_empty=False,
+    )
 
     # manifest (one per commit), then the manifest list
     fs.makedirs(md)
-    entry_schema = _manifest_entry_schema(part_types)
-    manifest_rel = f"m-{sid}-{token}.avro"
-    manifest_path = fs.join(md, manifest_rel)
-    manifest_bytes = write_container(
-        json.dumps(entry_schema),
-        entries,
-        meta={
-            "schema": json.dumps(ice_schema),
-            "partition-spec": json.dumps(spec),
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "data",
-        },
+    new_mf = _put_manifest(
+        fs, md, f"m-{sid}-{token}.avro", entries,
+        part_types, ice_schema, spec, 0, seq, sid, added_rows,
     )
-    fs.put_bytes(manifest_path, manifest_bytes)
-
-    new_mf = {
-        "manifest_path": manifest_path,
-        "manifest_length": len(manifest_bytes),
-        "partition_spec_id": 0,
-        "content": 0,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": sid,
-        "added_data_files_count": len(entries),
-        "existing_data_files_count": 0,
-        "deleted_data_files_count": 0,
-        "added_rows_count": added_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
     carried: list[dict] = []
     if mode == "append" and meta is not None and meta.get("snapshots"):
         carried = _carry_manifests(fs, meta)
@@ -1606,47 +1655,14 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
 
     seq = int(meta.get("last-sequence-number", 0)) + 1
     sid = seq
-    del_entries: list[dict] = []
-    n_deleted = 0
-    ordinal = 0
     part_types = [(f["name"], f["result_type"]) for f in pfields]
-    for rel, size in fs.walk_files(staging):
-        base = rel.rsplit("/", 1)[-1]
-        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
-            continue
-        new_rel = f"data/delete-{ordinal:05d}-{token}.parquet"
-        src, dst = fs.join(staging, rel), fs.join(path, new_rel)
-        if fs.supports_rename():
-            fs.makedirs(posixpath.dirname(dst))
-            fs.rename(src, dst)
-        else:
-            fs.put_bytes(dst, fs.read_bytes(src))
-        stat = fs.stat(dst)
-        n_rows = _parquet_row_count(fs, dst)
-        if n_rows == 0:
-            fs.delete(dst)
-            continue
-        del_entries.append(
-            {
-                "status": 1,
-                "snapshot_id": sid,
-                "sequence_number": None,  # inherited from the manifest list
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 1,  # POSITION DELETES
-                    "file_path": fs.join(path, new_rel),
-                    "file_format": "PARQUET",
-                    # delete files are partition-global here (they target
-                    # files BY PATH); all-null partition record
-                    "partition": {name: None for name, _t in part_types},
-                    "record_count": n_rows,
-                    "file_size_in_bytes": stat[0] if stat else size,
-                },
-            }
-        )
-        n_deleted += n_rows
-        ordinal += 1
-    fs.delete_tree(staging)
+    # delete files are partition-global (they target files BY PATH):
+    # all-null partition record
+    del_entries, n_deleted = _publish_staged_files(
+        fs, path, staging,
+        "data/delete-{ordinal:05d}-" + token + ".parquet",
+        sid, part_types, content=1, typed_partitions=False, skip_empty=True,
+    )
     if not del_entries:
         return -1
 
@@ -1667,35 +1683,10 @@ def _commit_delete_snapshot(
     (content=1 in the manifest LIST — it lists delete files of either
     kind), prior manifests by pointer, an operation='delete' snapshot."""
     md = _meta_dir(path)
-    entry_schema = _manifest_entry_schema(part_types)
-    manifest_path = fs.join(md, f"m-{sid}-{token}.avro")
-    manifest_bytes = write_container(
-        json.dumps(entry_schema),
-        del_entries,
-        meta={
-            "schema": json.dumps(ice_schema),
-            "partition-spec": json.dumps(spec),
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "deletes",
-        },
+    new_mf = _put_manifest(
+        fs, md, f"m-{sid}-{token}.avro", del_entries,
+        part_types, ice_schema, spec, 1, seq, sid, n_deleted,
     )
-    fs.put_bytes(manifest_path, manifest_bytes)
-    new_mf = {
-        "manifest_path": manifest_path,
-        "manifest_length": len(manifest_bytes),
-        "partition_spec_id": 0,
-        "content": 1,  # delete manifest
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": sid,
-        "added_data_files_count": len(del_entries),
-        "existing_data_files_count": 0,
-        "deleted_data_files_count": 0,
-        "added_rows_count": n_deleted,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
     mlist_path = fs.join(md, f"snap-{sid}-{token}.avro")
     fs.put_bytes(
         mlist_path,
@@ -1798,45 +1789,12 @@ def delete_iceberg_equality(
         .write.mode("overwrite")
         .parquet(fs.spark_path(staging))
     )
-    del_entries: list[dict] = []
-    n_deleted = 0
-    ordinal = 0
-    for rel, size in fs.walk_files(staging):
-        base = rel.rsplit("/", 1)[-1]
-        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
-            continue
-        new_rel = f"data/eqdelete-{ordinal:05d}-{token}.parquet"
-        src, dst = fs.join(staging, rel), fs.join(path, new_rel)
-        if fs.supports_rename():
-            fs.makedirs(posixpath.dirname(dst))
-            fs.rename(src, dst)
-        else:
-            fs.put_bytes(dst, fs.read_bytes(src))
-        stat = fs.stat(dst)
-        n_rows = _parquet_row_count(fs, dst)
-        if n_rows == 0:
-            fs.delete(dst)
-            continue
-        del_entries.append(
-            {
-                "status": 1,
-                "snapshot_id": sid,
-                "sequence_number": None,  # inherited from the manifest list
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 2,  # EQUALITY DELETES
-                    "file_path": fs.join(path, new_rel),
-                    "file_format": "PARQUET",
-                    "partition": {name: None for name, _t in part_types},
-                    "record_count": n_rows,
-                    "file_size_in_bytes": stat[0] if stat else size,
-                    "equality_ids": eq_ids,
-                },
-            }
-        )
-        n_deleted += n_rows
-        ordinal += 1
-    fs.delete_tree(staging)
+    del_entries, n_deleted = _publish_staged_files(
+        fs, path, staging,
+        "data/eqdelete-{ordinal:05d}-" + token + ".parquet",
+        sid, part_types, content=2, typed_partitions=False, skip_empty=True,
+        extra_file_fields={"equality_ids": eq_ids},
+    )
     if not del_entries:
         return -1
     _commit_delete_snapshot(
@@ -1969,76 +1927,18 @@ def merge_iceberg(
             .write.mode("overwrite")
             .parquet(fs.spark_path(staging))
         )
-        del_entries: list[dict] = []
-        n_deleted = 0
-        ordinal = 0
-        for rel, size in fs.walk_files(staging):
-            base = rel.rsplit("/", 1)[-1]
-            if base.startswith(("_", ".")) or not base.endswith(".parquet"):
-                continue
-            new_rel = f"data/eqdelete-{ordinal:05d}-{token}.parquet"
-            src_p, dst = fs.join(staging, rel), fs.join(path, new_rel)
-            if fs.supports_rename():
-                fs.makedirs(posixpath.dirname(dst))
-                fs.rename(src_p, dst)
-            else:
-                fs.put_bytes(dst, fs.read_bytes(src_p))
-            stat = fs.stat(dst)
-            n_rows = _parquet_row_count(fs, dst)
-            if n_rows == 0:
-                fs.delete(dst)
-                continue
-            del_entries.append(
-                {
-                    "status": 1,
-                    "snapshot_id": sid,
-                    "sequence_number": None,
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": 2,  # EQUALITY DELETES
-                        "file_path": fs.join(path, new_rel),
-                        "file_format": "PARQUET",
-                        "partition": {name: None for name, _t in part_types},
-                        "record_count": n_rows,
-                        "file_size_in_bytes": stat[0] if stat else size,
-                        "equality_ids": eq_ids,
-                    },
-                }
-            )
-            n_deleted += n_rows
-            ordinal += 1
-        fs.delete_tree(staging)
+        del_entries, n_deleted = _publish_staged_files(
+            fs, path, staging,
+            "data/eqdelete-{ordinal:05d}-" + token + ".parquet",
+            sid, part_types, content=2, typed_partitions=False,
+            skip_empty=True, extra_file_fields={"equality_ids": eq_ids},
+        )
         if del_entries:
-            entry_schema = _manifest_entry_schema(part_types)
-            mpath = fs.join(md, f"m-{sid}-{token}-del.avro")
-            mbytes = write_container(
-                json.dumps(entry_schema),
-                del_entries,
-                meta={
-                    "schema": json.dumps(ice_schema),
-                    "partition-spec": json.dumps(spec),
-                    "partition-spec-id": "0",
-                    "format-version": "2",
-                    "content": "deletes",
-                },
-            )
-            fs.put_bytes(mpath, mbytes)
             manifests.append(
-                {
-                    "manifest_path": mpath,
-                    "manifest_length": len(mbytes),
-                    "partition_spec_id": 0,
-                    "content": 1,
-                    "sequence_number": seq,
-                    "min_sequence_number": seq,
-                    "added_snapshot_id": sid,
-                    "added_data_files_count": len(del_entries),
-                    "existing_data_files_count": 0,
-                    "deleted_data_files_count": 0,
-                    "added_rows_count": n_deleted,
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
-                }
+                _put_manifest(
+                    fs, md, f"m-{sid}-{token}-del.avro", del_entries,
+                    part_types, ice_schema, spec, 1, seq, sid, n_deleted,
+                )
             )
             summary["merged-delete-keys"] = str(n_deleted)
 
@@ -2063,90 +1963,18 @@ def merge_iceberg(
     if stage_cols:
         w = w.partitionBy(*stage_cols)
     w.parquet(fs.spark_path(staging))
-    entries_out: list[dict] = []
-    added_rows = 0
-    ordinal = 0
-    for rel, size in fs.walk_files(staging):
-        base = rel.rsplit("/", 1)[-1]
-        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
-            continue
-        part_dir = rel.rsplit("/", 1)[0] + "/" if "/" in rel else ""
-        new_rel = f"data/{part_dir}mrg-{ordinal:05d}-{token}.parquet"
-        src_p, dst = fs.join(staging, rel), fs.join(path, new_rel)
-        if fs.supports_rename():
-            fs.makedirs(posixpath.dirname(dst))
-            fs.rename(src_p, dst)
-        else:
-            fs.put_bytes(dst, fs.read_bytes(src_p))
-        stat = fs.stat(dst)
-        n_rows = _parquet_row_count(fs, dst)
-        if n_rows == 0:
-            fs.delete(dst)
-            continue
-        part_values: dict[str, object] = {}
-        for name, ice_t in part_types:
-            raw = _hive_partition_value(rel, name)
-            if raw is None:
-                part_values[name] = None
-            elif ice_t in ("int", "long", "date"):
-                part_values[name] = int(raw)
-            elif ice_t == "double":
-                part_values[name] = float(raw)
-            elif ice_t == "boolean":
-                part_values[name] = raw == "true"
-            else:
-                part_values[name] = raw
-        entries_out.append(
-            {
-                "status": 1,
-                "snapshot_id": sid,
-                "sequence_number": None,
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": fs.join(path, new_rel),
-                    "file_format": "PARQUET",
-                    "partition": part_values,
-                    "record_count": n_rows,
-                    "file_size_in_bytes": stat[0] if stat else size,
-                },
-            }
-        )
-        added_rows += n_rows
-        ordinal += 1
-    fs.delete_tree(staging)
+    entries_out, added_rows = _publish_staged_files(
+        fs, path, staging,
+        "data/{part_dir}mrg-{ordinal:05d}-" + token + ".parquet",
+        sid, part_types, content=0, typed_partitions=True, skip_empty=True,
+    )
     if entries_out:
-        entry_schema = _manifest_entry_schema(part_types)
-        mpath = fs.join(md, f"m-{sid}-{token}-data.avro")
-        mbytes = write_container(
-            json.dumps(entry_schema),
-            entries_out,
-            meta={
-                "schema": json.dumps(ice_schema),
-                "partition-spec": json.dumps(spec),
-                "partition-spec-id": "0",
-                "format-version": "2",
-                "content": "data",
-            },
-        )
-        fs.put_bytes(mpath, mbytes)
         manifests.insert(
             0,
-            {
-                "manifest_path": mpath,
-                "manifest_length": len(mbytes),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": sid,
-                "added_data_files_count": len(entries_out),
-                "existing_data_files_count": 0,
-                "deleted_data_files_count": 0,
-                "added_rows_count": added_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            },
+            _put_manifest(
+                fs, md, f"m-{sid}-{token}-data.avro", entries_out,
+                part_types, ice_schema, spec, 0, seq, sid, added_rows,
+            ),
         )
         summary["merged-rows"] = str(added_rows)
     if not manifests:
