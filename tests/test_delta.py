@@ -1201,3 +1201,33 @@ def test_capped_stream_survives_truncated_log(spark, tmp_path):
     assert off["version"] >= 0
     with pytest.raises(D.DeltaError, match="missing"):
         r.partitions({"version": -1}, {"version": 2})
+
+
+def test_merge_composes_with_optimize_and_vacuum(spark, tmp_path):
+    """Maintenance interplay for MERGE commits: OPTIMIZE packs the
+    merge's outputs with dataChange=false (incremental consumers skip
+    it), vacuum reclaims the superseded pre-merge files while keeping
+    _change_data (protocol space) — the merge's CDF remains readable."""
+    import glob as _glob
+
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        D.write_delta(spark.range(lo, lo + 10).select(F.col("id").alias("k"),
+                                                      (F.col("id") * 10).alias("v")), tbl)
+    v = D.merge_delta(
+        spark, tbl,
+        spark.range(0, 30, 4).select(F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")),
+        on=["k"],
+    )
+    want = {(k, -1 if k % 4 == 0 else k * 10) for k in range(30)}
+    D.optimize_delta(spark, tbl)
+    assert {(r.k, r.v) for r in D.read_delta(spark, tbl).collect()} == want
+    # the optimize is invisible to incremental consumers; the merge's CDF
+    # still reads back after vacuum (protocol space is never an orphan)
+    D.vacuum_delta(tbl)
+    assert {(r.k, r.v) for r in D.read_delta(spark, tbl).collect()} == want
+    ch = D.read_delta_changes(spark, tbl, v - 1, cdf=True)
+    got = {(r.k, r._change_type) for r in ch.collect() if r._commit_version == v}
+    assert got == {(k, t) for k in range(0, 30, 4)
+                   for t in ("update_preimage", "update_postimage")}
+    assert _glob.glob(f"{tbl}/_change_data/*.parquet")

@@ -1377,3 +1377,39 @@ def test_changelog_refuses_copy_on_write_delete(spark, corpus, tmp_path):
     I._publish_metadata(fs, tbl, v, meta)
     with pytest.raises(I.IcebergUnsupported, match="copy-on-write"):
         I.read_iceberg_changes(spark, tbl, s1, cdf=True).count()
+
+
+def test_merge_composes_with_rewrite_and_expire(spark, corpus, tmp_path):
+    """Maintenance interplay for MERGE snapshots: rewrite_iceberg folds a
+    merge's equality deletes through its merge-on-read input (old key
+    versions stay hidden after packing, incremental consumers skip the
+    replace), and expire reclaims eq-delete files only when no kept
+    snapshot can reach them."""
+    tbl = str(tmp_path / "tbl")
+    import glob as _glob
+
+    for lo in (0, 20, 40):
+        I.write_iceberg(
+            corpus.filter(f"doc_id >= {lo} and doc_id < {lo + 20}"),
+            tbl, partition_by=["source"],
+        )
+    src = corpus.filter("doc_id % 4 = 0").select(
+        "doc_id", "source", (F.col("n") + 1000).alias("n")
+    )
+    I.merge_iceberg(spark, tbl, src, on=["doc_id"])
+    want = {
+        (i, i * 2 + 1000 if i % 4 == 0 else i * 2) for i in range(60)
+    }
+    res = I.rewrite_iceberg(spark, tbl, target_file_bytes=1 << 30, min_files=2)
+    assert res["packed"] > 0
+    out = {(r.doc_id, r.n) for r in I.read_iceberg(spark, tbl).collect()}
+    assert out == want  # merged values survive packing, old versions don't
+    # the replace snapshot carries DELETE manifests by pointer (deletes
+    # keep applying to any untouched files), so the eq-delete file stays
+    # REACHABLE from HEAD — expire must keep it and the pre-merge data
+    # files the merge never rewrote, while reclaiming the superseded
+    # packed-away files
+    deleted = I.expire_iceberg(tbl, keep_last=1)
+    assert deleted and not any("eqdelete" in p for p in deleted)
+    assert _glob.glob(f"{tbl}/data/eqdelete-*.parquet")
+    assert {(r.doc_id, r.n) for r in I.read_iceberg(spark, tbl).collect()} == want
