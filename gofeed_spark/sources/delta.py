@@ -240,6 +240,8 @@ def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
                     val["partitionValues"] = dict(val["partitionValues"])
                 if key == "add" and val.get("deletionVector") is None:
                     val.pop("deletionVector", None)
+                if key == "add" and val.get("stats") is None:
+                    val.pop("stats", None)
                 if key == "metaData" and isinstance(val.get("configuration"), list):
                     val["configuration"] = dict(val["configuration"])
                 if key == "protocol":
@@ -938,6 +940,7 @@ def write_delta(
         else:
             fs.put_bytes(dst, fs.read_bytes(src))
         stat = fs.stat(dst)
+        stats = _file_stats_json(fs, dst)
         adds.append(
             {
                 "path": urllib.parse.quote(new_rel),
@@ -945,6 +948,7 @@ def write_delta(
                 "size": stat[0] if stat else size,
                 "modificationTime": (stat[1] // 1_000_000) if stat else 0,
                 "dataChange": True,
+                **({"stats": stats} if stats else {}),
             }
         )
         ordinal += 1
@@ -1036,6 +1040,130 @@ def write_delta(
     return version
 
 
+#: python types the file-skipping comparisons trust end-to-end (stats
+#: JSON natives vs Spark agg outputs); anything else keeps the file a
+#: candidate rather than risking a type-coercion misprune
+_STATS_PRUNABLE = (int, float, str)
+
+
+def _comparable(a, b) -> bool:
+    """True when two stat bounds order meaningfully against each other:
+    both numeric (bool excluded — it IS an int in Python) or both str."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _file_stats_json(fs: FileSystem, dst: str) -> str | None:
+    """Per-file column statistics for the add action's ``stats`` field
+    (the protocol's file-skipping input: numRecords / minValues /
+    maxValues / nullCount over top-level leaf columns) — read off the
+    staged parquet FOOTER driver-side, the same metadata-sized I/O as
+    the row counts.  Only JSON-native stat types are recorded (int /
+    float / str / bool); exotic leaves are simply absent, which readers
+    must treat as 'no stats, keep the file'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        sp = fs.spark_path(dst)
+        md = (
+            pq.read_metadata(sp)
+            if "://" not in sp
+            else pq.read_metadata(pa.BufferReader(fs.read_bytes(dst)))
+        )
+    except Exception:  # noqa: BLE001 — stats are best-effort, never fatal
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaves: top-level stats only
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue  # undecoded binary: not JSON-representable
+            if not isinstance(lo, (*_STATS_PRUNABLE, bool)):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    try:
+        return json.dumps(
+            {
+                "numRecords": md.num_rows,
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            }
+        )
+    except (TypeError, ValueError):
+        return None
+
+
+def _prune_adds_by_key_range(
+    items: list[tuple[str, dict]],
+    on: list[str],
+    lo: dict,
+    hi: dict,
+) -> list[tuple[str, dict]]:
+    """File skipping for the MERGE candidate scan: keep only files whose
+    stats ranges INTERSECT the source keys' [lo, hi] on EVERY key column
+    — the standard min/max skip real engines run before touching data.
+    Files without usable stats (older writers, exotic types) always stay
+    candidates; an all-null key column never equi-matches, so such files
+    prune.  Conservative by construction: may keep too much, never drops
+    a possible match."""
+    kept = []
+    for rel, add in items:
+        raw = add.get("stats")
+        if not raw:
+            kept.append((rel, add))
+            continue
+        try:
+            st = json.loads(raw)
+        except (TypeError, ValueError):
+            kept.append((rel, add))
+            continue
+        mins = st.get("minValues") or {}
+        maxs = st.get("maxValues") or {}
+        nulls = st.get("nullCount") or {}
+        n = st.get("numRecords")
+        keep = True
+        for c in on:
+            if (
+                n is not None
+                and nulls.get(c) is not None
+                and nulls[c] >= n
+            ):
+                keep = False  # every key in this file is NULL: no match
+                break
+            fl, fh = mins.get(c), maxs.get(c)
+            sl, sh = lo.get(c), hi.get(c)
+            if None in (fl, fh, sl, sh):
+                continue  # no usable bound on this key: stay conservative
+            if not (_comparable(fl, sl) and _comparable(fh, sh)):
+                continue
+            if fh < sl or fl > sh:
+                keep = False
+                break
+        if keep:
+            kept.append((rel, add))
+    return kept
+
+
 def _stage_and_publish(
     fs: FileSystem,
     path: str,
@@ -1068,6 +1196,8 @@ def _stage_and_publish(
         else:
             fs.put_bytes(dst, fs.read_bytes(src))
         stat = fs.stat(dst)
+        # data files get file-skipping stats; cdc files never feed scans
+        stats = _file_stats_json(fs, dst) if data_change else None
         out_actions.append(
             {
                 "path": urllib.parse.quote(new_rel),
@@ -1076,6 +1206,7 @@ def _stage_and_publish(
                 else {},
                 "size": stat[0] if stat else size,
                 "dataChange": data_change,
+                **({"stats": stats} if stats else {}),
             }
         )
         ordinal += 1
@@ -1500,16 +1631,31 @@ def merge_delta(
     items = list(snap.adds.items())
     affected: list[tuple[str, dict]] = []
     if items and when_matched is not None:
-        working = _assemble(
-            spark, fs, path, schema, pcols, items, keep_file=True
-        )
-        hits = {
-            r["__file"]
-            for r in working.join(skeys, on, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        }
+        # FILE SKIPPING before the candidate scan: one tiny agg gives the
+        # source keys' min/max, and add-action stats (written by this
+        # module's writers, carried through checkpoints) drop every file
+        # whose key range cannot intersect — at large table sizes the
+        # scan reads only the overlapping files instead of the whole
+        # table's key columns
+        bounds = src.agg(
+            *[F.min(c).alias(f"__lo_{c}") for c in on],
+            *[F.max(c).alias(f"__hi_{c}") for c in on],
+        ).collect()[0]
+        lo = {c: bounds[f"__lo_{c}"] for c in on}
+        hi = {c: bounds[f"__hi_{c}"] for c in on}
+        candidates = _prune_adds_by_key_range(items, on, lo, hi)
+        hits: set = set()
+        if candidates:
+            working = _assemble(
+                spark, fs, path, schema, pcols, candidates, keep_file=True
+            )
+            hits = {
+                r["__file"]
+                for r in working.join(skeys, on, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            }
         affected = [
             (rel, add) for rel, add in items if posixpath.basename(rel) in hits
         ]
@@ -1852,6 +1998,9 @@ def checkpoint_delta(path: str) -> int:
             # deletionVector MUST survive checkpointing or a truncated
             # log would RESURRECT deleted rows
             ("deletionVector", dv_type),
+            # stats survive too (file skipping keeps working after log
+            # truncation; absent stats just mean 'keep the file')
+            ("stats", pa.string()),
         ]
     )
     meta_type = pa.struct(
@@ -1897,6 +2046,7 @@ def checkpoint_delta(path: str) -> int:
                 "modificationTime": add.get("modificationTime", 0),
                 "dataChange": False,
                 "deletionVector": add.get("deletionVector"),
+                "stats": add.get("stats"),
             }
         )
     add_col += [None] * len(txns)

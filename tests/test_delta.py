@@ -1231,3 +1231,98 @@ def test_merge_composes_with_optimize_and_vacuum(spark, tmp_path):
     assert got == {(k, t) for k in range(0, 30, 4)
                    for t in ("update_preimage", "update_postimage")}
     assert _glob.glob(f"{tbl}/_change_data/*.parquet")
+
+
+def test_add_actions_carry_file_stats(spark, tmp_path):
+    """Writers record per-file numRecords/min/max/nullCount in the add
+    action's stats field (the protocol's file-skipping input), and the
+    stats SURVIVE checkpoint truncation."""
+    import json as _json
+    import os
+
+    tbl = str(tmp_path / "tbl")
+    D.write_delta(
+        spark.range(10, 20).select(F.col("id").alias("k"),
+                                   F.concat(F.lit("u"), F.col("id")).alias("s")),
+        tbl,
+    )
+    with open(f"{tbl}/_delta_log/{0:020d}.json") as fh:
+        adds = [_json.loads(l)["add"] for l in fh if '"add"' in l]
+    assert adds
+    sts = [_json.loads(a["stats"]) for a in adds]
+    assert sum(st["numRecords"] for st in sts) == 10
+    assert min(st["minValues"]["k"] for st in sts) == 10
+    assert max(st["maxValues"]["k"] for st in sts) == 19
+    assert min(st["minValues"]["s"] for st in sts) == "u10"
+    assert all(st["nullCount"]["k"] == 0 for st in sts)
+    # checkpoint + truncate: stats still on the snapshot's adds
+    D.write_delta(spark.range(5).select(F.col("id").alias("k"),
+                                        F.lit("x").alias("s")), tbl)
+    D.checkpoint_delta(tbl)
+    os.remove(f"{tbl}/_delta_log/{0:020d}.json")
+    os.remove(f"{tbl}/_delta_log/{1:020d}.json")
+    snap = D._snapshot(D.get_filesystem(tbl), tbl)
+    assert all("stats" in a for a in snap.adds.values())
+    assert D.read_delta(spark, tbl).count() == 15
+
+
+def test_merge_skips_files_by_key_range(spark, tmp_path):
+    """MERGE's candidate scan reads only files whose stats key range can
+    intersect the source keys — the min/max file skipping real engines
+    run before touching data."""
+    from gofeed_spark.sources.delta import _prune_adds_by_key_range
+
+    # unit: synthetic adds
+    import json as _json
+
+    def add(lo, hi, nulls=0, n=10, stats=True):
+        a = {"path": f"f{lo}", "partitionValues": {}, "size": 1, "dataChange": True}
+        if stats:
+            a["stats"] = _json.dumps(
+                {"numRecords": n, "minValues": {"k": lo}, "maxValues": {"k": hi},
+                 "nullCount": {"k": nulls}}
+            )
+        return ("r", a)
+
+    items = [add(0, 9), add(10, 19), add(20, 29), add(0, 99, stats=False),
+             add(50, 59, nulls=10)]
+    kept = _prune_adds_by_key_range(items, ["k"], {"k": 12}, {"k": 14})
+    # overlapping file + stats-less file stay; all-null-key file prunes
+    assert [a["path"] for _r, a in kept] == ["f10", "f0"]
+    # incomparable bounds (str vs int) stay conservative
+    kept2 = _prune_adds_by_key_range(items[:1], ["k"], {"k": "a"}, {"k": "b"})
+    assert len(kept2) == 1
+
+    # e2e: three disjoint-range files; a merge into the middle range must
+    # scan ONLY that file
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        D.write_delta(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k"),
+                                            (F.col("id") * 10).alias("v")),
+            tbl,
+        )
+    from gofeed_spark.sources import delta as DM
+
+    scanned = []
+    real_assemble = DM._assemble
+
+    def spy(spark_, fs, path, schema, pcols, adds, **kw):
+        if kw.get("keep_file"):
+            scanned.append(len(adds))
+        return real_assemble(spark_, fs, path, schema, pcols, adds, **kw)
+
+    DM._assemble = spy
+    try:
+        v = D.merge_delta(
+            spark, tbl,
+            spark.createDataFrame([(12, -1), (14, -2)], "k long, v long"),
+            on=["k"],
+        )
+    finally:
+        DM._assemble = real_assemble
+    assert scanned == [1]  # ONE candidate file, not three
+    out = {r.k: r.v for r in D.read_delta(spark, tbl).collect()}
+    assert out[12] == -1 and out[14] == -2 and out[0] == 0 and len(out) == 30
+    ch = D.read_delta_changes(spark, tbl, v - 1, cdf=True)
+    assert ch.filter("_change_type = 'update_postimage'").count() == 2
