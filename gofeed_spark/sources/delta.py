@@ -391,11 +391,14 @@ def read_delta(
     ``as_of_ts``-as-of in epoch MILLIS — the ``TIMESTAMP AS OF`` form,
     resolved via :func:`version_at_timestamp`) as a DataFrame.
 
-    ``where`` maps partition-column name → required string value and is
-    applied to the log's ``partitionValues`` BEFORE any data file is
-    referenced — log-level partition pruning (the plan's file list shrinks
-    at the driver; nothing is listed or opened for pruned partitions).
-    """
+    ``where`` maps column name → required string value.  Partition
+    columns prune on the log's ``partitionValues`` BEFORE any data file
+    is referenced (the plan's file list shrinks at the driver; nothing
+    is listed or opened for pruned partitions).  DATA columns prune on
+    the add actions' ``stats`` min/max the same way — a point lookup on
+    a clustered key opens only the overlapping files — and the equality
+    predicate is then applied as a real row filter (stats only bound the
+    file, not its rows).  Unknown columns raise."""
     if version is not None and as_of_ts is not None:
         raise DeltaError("pass version OR as_of_ts, not both")
     if as_of_ts is not None:
@@ -406,10 +409,15 @@ def read_delta(
     pcols = snap.partition_columns
     adds = list(snap.adds.items())
     mapping = snap.column_mapping
+    data_w: dict[str, str] = {}
     if where:
-        unknown = set(where) - set(pcols)
+        part_w = {k: v for k, v in where.items() if k in pcols}
+        data_w = {k: v for k, v in where.items() if k not in pcols}
+        unknown = set(data_w) - set(schema.names)
         if unknown:
-            raise DeltaError(f"where keys {sorted(unknown)} are not partition columns {pcols}")
+            raise DeltaError(
+                f"where keys {sorted(unknown)} are not table columns"
+            )
         # partitionValues key by PHYSICAL name under column mapping
         P = (mapping or {})
         adds = [
@@ -417,11 +425,43 @@ def read_delta(
             for rel, add in adds
             if all(
                 (add.get("partitionValues") or {}).get(P.get(k, k)) == v
-                for k, v in where.items()
+                for k, v in part_w.items()
             )
         ]
+        if data_w:
+            typed = _typed_where_values(schema, data_w)
+            # stats key by PHYSICAL column name (they describe the file)
+            adds = _prune_adds_by_key_range(
+                adds,
+                [P.get(k, k) for k in typed],
+                {P.get(k, k): v for k, v in typed.items()},
+                {P.get(k, k): v for k, v in typed.items()},
+            )
 
-    return _assemble(spark, fs, path, schema, pcols, adds, mapping=mapping)
+    df = _assemble(spark, fs, path, schema, pcols, adds, mapping=mapping)
+    for k, v in data_w.items():
+        df = df.filter(F.col(k) == F.lit(v).cast(schema[k].dataType))
+    return df
+
+
+def _typed_where_values(schema: T.StructType, data_w: dict) -> dict:
+    """Parse ``where`` string values into the stat-comparable python type
+    of each column (long→int, double→float, string as-is); columns whose
+    types the skipping layer can't compare stay out of the prune (the
+    row filter still applies them)."""
+    typed: dict = {}
+    for k, v in data_w.items():
+        dt = schema[k].dataType.simpleString()
+        try:
+            if dt in ("tinyint", "smallint", "int", "bigint"):
+                typed[k] = int(v)
+            elif dt in ("float", "double"):
+                typed[k] = float(v)
+            elif dt == "string":
+                typed[k] = v
+        except (TypeError, ValueError) as exc:
+            raise DeltaError(f"where value {v!r} does not parse as {dt}") from exc
+    return typed
 
 
 def _assemble(

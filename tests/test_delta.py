@@ -106,8 +106,13 @@ def test_log_level_partition_pruning(spark, work):
     # s1 subset, no other partition's file is even referenced
     assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
     assert all("source=s1" in f for f in pruned.inputFiles())
-    with pytest.raises(D.DeltaError):
-        D.read_delta(spark, work, where={"val": "6"})  # not a partition col
+    # a DATA column in where is a stats-pruned point lookup now (r16),
+    # not a refusal — still value-exact
+    assert [(r.id, r.val) for r in D.read_delta(
+        spark, work, where={"val": "6"}
+    ).collect()] == [(3, 6)]
+    with pytest.raises(D.DeltaError, match="not table columns"):
+        D.read_delta(spark, work, where={"nope": "6"})
 
 
 def test_empty_prune_returns_typed_empty(spark, work):
@@ -1326,3 +1331,38 @@ def test_merge_skips_files_by_key_range(spark, tmp_path):
     assert out[12] == -1 and out[14] == -2 and out[0] == 0 and len(out) == 30
     ch = D.read_delta_changes(spark, tbl, v - 1, cdf=True)
     assert ch.filter("_change_type = 'update_postimage'").count() == 2
+
+
+def test_read_delta_stats_prunes_data_columns(spark, tmp_path):
+    """where= on a NON-partition column prunes by add-action stats at the
+    driver (a point lookup on a clustered key opens only overlapping
+    files) and still row-filters exactly; partition + data predicates
+    compose; unknown columns raise."""
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        D.write_delta(
+            spark.range(lo, lo + 100)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 2).cast("string").alias("p"),
+                (F.col("id") * 10).alias("v"),
+            )
+            .coalesce(1),
+            tbl,
+            partition_by=["p"],
+        )
+    full = D.read_delta(spark, tbl)
+    df = D.read_delta(spark, tbl, where={"k": "150"})
+    rows = df.collect()
+    assert [(r.k, r.v) for r in rows] == [(150, 1500)]
+    # only the middle commit's files are in the relation
+    assert 0 < len(df.inputFiles()) < len(full.inputFiles())
+    assert all("part-" in f for f in df.inputFiles())
+    # composes with partition pruning
+    df2 = D.read_delta(spark, tbl, where={"p": "1", "k": "151"})
+    assert [(r.k, r.p) for r in df2.collect()] == [(151, "1")]
+    assert len(df2.inputFiles()) == 1
+    with pytest.raises(D.DeltaError, match="not table columns"):
+        D.read_delta(spark, tbl, where={"nope": "1"})
+    with pytest.raises(D.DeltaError, match="does not parse"):
+        D.read_delta(spark, tbl, where={"k": "abc"})
