@@ -528,12 +528,16 @@ def read_iceberg(
     pkeys = [f["name"] for f in idents]
     entries, dels = _live_entries(fs, _snapshot_of(meta, snapshot_id))
     _resolve_eq_cols(_current_schema(meta), dels)
+    data_w: dict[str, str] = {}
     if where:
         names = [f["name"] for f in fields]
-        unknown = set(where) - set(names)
+        part_w = {k: v for k, v in where.items() if k in names}
+        data_w = {k: v for k, v in where.items() if k not in names}
+        unknown = set(data_w) - set(schema.names)
         if unknown:
             raise IcebergError(
-                f"where keys {sorted(unknown)} are not partition fields {names}"
+                f"where keys {sorted(unknown)} are neither partition "
+                f"fields {names} nor table columns"
             )
         # manifest partition structs key by the SPEC FIELD name; values
         # compare in TRANSFORMED space (compute with
@@ -544,12 +548,40 @@ def read_iceberg(
             for e in entries
             if all(
                 str((e.get("partition") or {}).get(k)) == v
-                for k, v in where.items()
+                for k, v in part_w.items()
             )
         ]
-    return _assemble(
+        if data_w:
+            # DATA columns prune on the manifests' lower/upper bounds —
+            # the spec's file-skipping input (a point lookup opens only
+            # the overlapping files); the equality then applies as a
+            # real row filter below
+            by_name = _bound_id_map(_current_schema(meta))
+            missing = set(data_w) - set(by_name)
+            if missing:
+                raise IcebergError(
+                    f"where on {sorted(missing)}: type has no bounds support"
+                )
+            typed: dict = {}
+            for k, v in data_w.items():
+                ice_t = by_name[k][1]
+                try:
+                    typed[k] = (
+                        v
+                        if ice_t == "string"
+                        else (int(v) if ice_t in ("int", "long") else float(v))
+                    )
+                except (TypeError, ValueError) as exc:
+                    raise IcebergError(
+                        f"where value {v!r} does not parse as {ice_t}"
+                    ) from exc
+            entries = _prune_entries_by_bounds(entries, typed, by_name)
+    df = _assemble(
         spark, fs, schema, pcols, entries, deletes=dels, pkeys=pkeys
     )
+    for k, v in data_w.items():
+        df = df.filter(F.col(k) == F.lit(v).cast(schema[k].dataType))
+    return df
 
 
 def _assemble(
@@ -1136,6 +1168,43 @@ def _manifest_entry_schema(partition_fields: list[tuple[str, str]]) -> dict:
                 "name": "equality_ids",
                 "type": ["null", {"type": "array", "items": "int"}],
             },
+            # column bounds for file skipping (spec: maps with non-string
+            # keys are arrays of key/value records; values are the spec's
+            # binary single-value serialization keyed by FIELD ID)
+            {
+                "name": "lower_bounds",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "k126_v127",
+                            "fields": [
+                                {"name": "key", "type": "int"},
+                                {"name": "value", "type": "bytes"},
+                            ],
+                        },
+                    },
+                ],
+            },
+            {
+                "name": "upper_bounds",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "k128_v129",
+                            "fields": [
+                                {"name": "key", "type": "int"},
+                                {"name": "value", "type": "bytes"},
+                            ],
+                        },
+                    },
+                ],
+            },
         ],
     }
     return {
@@ -1214,6 +1283,159 @@ def _typed_partition_values(rel: str, part_types: list[tuple]) -> dict:
     return part_values
 
 
+#: iceberg types whose bounds the file-skipping layer writes and compares
+#: (spec Appendix D binary single-value serialization)
+_BOUND_FMT = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
+
+
+def _ser_bound(ice_t: str, v) -> bytes | None:
+    """Binary single-value serialization of one stat bound; None for
+    types the skipping layer stays out of (readers treat absence as 'no
+    bound, keep the file')."""
+    import struct
+
+    if ice_t in _BOUND_FMT and isinstance(v, (int, float)) and not isinstance(v, bool):
+        return struct.pack(_BOUND_FMT[ice_t], v)
+    if ice_t == "string" and isinstance(v, str):
+        return v.encode("utf-8")
+    return None
+
+
+def _de_bound(ice_t: str, raw: bytes):
+    import struct
+
+    if ice_t in _BOUND_FMT:
+        try:
+            return struct.unpack(_BOUND_FMT[ice_t], raw)[0]
+        except struct.error:
+            return None
+    if ice_t == "string":
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _file_bounds(fs: FileSystem, dst: str, bound_ids: dict) -> tuple[list, list]:
+    """(lower_bounds, upper_bounds) k/v-record lists for one staged data
+    file, off its parquet FOOTER (driver-side, metadata-sized).
+    ``bound_ids`` maps column name → (field id, iceberg type).  String
+    bounds are recorded only when the footer marks them EXACT (parquet
+    may truncate string stats; a truncated max is NOT an upper bound)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        sp = fs.spark_path(dst)
+        md = (
+            pq.read_metadata(sp)
+            if "://" not in sp
+            else pq.read_metadata(pa.BufferReader(fs.read_bytes(dst)))
+        )
+    except Exception:  # noqa: BLE001 — bounds are best-effort, never fatal
+        return [], []
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in bound_ids:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            _fid, ice_t = bound_ids[name]
+            if ice_t == "string" and not (
+                getattr(st, "is_min_value_exact", False)
+                and getattr(st, "is_max_value_exact", False)
+            ):
+                continue
+            lo, hi = st.min, st.max
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    lowers, uppers = [], []
+    for name in sorted(mins):
+        fid, ice_t = bound_ids[name]
+        lo_b, hi_b = _ser_bound(ice_t, mins[name]), _ser_bound(ice_t, maxs[name])
+        if lo_b is None or hi_b is None:
+            continue
+        lowers.append({"key": fid, "value": lo_b})
+        uppers.append({"key": fid, "value": hi_b})
+    return lowers, uppers
+
+
+def _bounds_map(entry_field, types_by_id: dict) -> dict:
+    """One entry's (lower|upper)_bounds → {field id: decoded value};
+    tolerates both encodings (list of k/v records per the spec's
+    non-string-key map rule, or a plain dict from permissive decoders)."""
+    out: dict = {}
+    if not entry_field:
+        return out
+    items = (
+        entry_field.items()
+        if isinstance(entry_field, dict)
+        else ((r.get("key"), r.get("value")) for r in entry_field)
+    )
+    for k, v in items:
+        ice_t = types_by_id.get(k)
+        if ice_t is None or not isinstance(v, (bytes, bytearray)):
+            continue
+        d = _de_bound(ice_t, bytes(v))
+        if d is not None:
+            out[k] = d
+    return out
+
+
+def _bound_comparable(a, b) -> bool:
+    if isinstance(a, bool) or isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _prune_entries_by_bounds(
+    entries: list[dict], pred: dict, by_name: dict
+) -> list[dict]:
+    """File skipping on manifest bounds: keep entries whose
+    [lower, upper] CAN contain every predicate value; entries without
+    usable bounds always stay (conservative — foreign writers may omit
+    or truncate them).  ``pred`` maps column name → typed value;
+    ``by_name`` maps column name → (field id, ice type)."""
+    types_by_id = {fid: t for fid, t in by_name.values()}
+    kept = []
+    for e in entries:
+        lowers = _bounds_map(e.get("lower_bounds"), types_by_id)
+        uppers = _bounds_map(e.get("upper_bounds"), types_by_id)
+        keep = True
+        for c, v in pred.items():
+            fid, _t = by_name[c]
+            lo, hi = lowers.get(fid), uppers.get(fid)
+            if lo is None or hi is None:
+                continue
+            if not (_bound_comparable(lo, v) and _bound_comparable(hi, v)):
+                continue
+            if v < lo or v > hi:
+                keep = False
+                break
+        if keep:
+            kept.append(e)
+    return kept
+
+
+def _bound_id_map(ice_schema: dict) -> dict:
+    """column name → (field id, ice type) for every bounds-eligible
+    top-level primitive column."""
+    return {
+        f["name"]: (f["id"], f["type"])
+        for f in ice_schema["fields"]
+        if isinstance(f["type"], str) and f["type"] in (*_BOUND_FMT, "string")
+    }
+
+
 def _put_manifest(
     fs, md, filename, entries, part_types, ice_schema, spec, content,
     seq, sid, n_rows,
@@ -1261,6 +1483,7 @@ def _publish_staged_files(
     typed_partitions: bool,
     skip_empty: bool,
     extra_file_fields: dict | None = None,
+    bound_ids: dict | None = None,
 ) -> tuple[list[dict], int]:
     """The shared publish tail of every staged write (data files, merge
     data legs, position/equality delete files — the delta module's
@@ -1290,6 +1513,11 @@ def _publish_staged_files(
         if skip_empty and n_rows == 0:
             fs.delete(dst)
             continue
+        bounds: dict = {}
+        if bound_ids:
+            lowers, uppers = _file_bounds(fs, dst, bound_ids)
+            if lowers:
+                bounds = {"lower_bounds": lowers, "upper_bounds": uppers}
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -1305,6 +1533,7 @@ def _publish_staged_files(
                     else {name: None for name, _t in part_types},
                     "record_count": n_rows,
                     "file_size_in_bytes": stat[0] if stat else size,
+                    **bounds,
                     **(extra_file_fields or {}),
                 },
             }
@@ -1501,6 +1730,7 @@ def write_iceberg(
         fs, path, staging,
         "data/{part_dir}part-{ordinal:05d}-" + token + ".parquet",
         sid, part_types, content=0, typed_partitions=True, skip_empty=False,
+        bound_ids=_bound_id_map(ice_schema),
     )
 
     # manifest (one per commit), then the manifest list
@@ -1967,6 +2197,7 @@ def merge_iceberg(
         fs, path, staging,
         "data/{part_dir}mrg-{ordinal:05d}-" + token + ".parquet",
         sid, part_types, content=0, typed_partitions=True, skip_empty=True,
+        bound_ids=_bound_id_map(ice_schema),
     )
     if entries_out:
         manifests.insert(

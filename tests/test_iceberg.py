@@ -181,8 +181,12 @@ def test_where_prunes_at_the_driver(spark, corpus, tmp_path):
     assert {r.source for r in rows} == {"s1"} and len(rows) == 20
     # pruning happened BEFORE the plan: only s1's files are in the relation
     assert all("source=s1" in f for f in df.inputFiles()), df.inputFiles()
-    with pytest.raises(I.IcebergError):
-        I.read_iceberg(spark, tbl, where={"n": "4"})  # not a partition col
+    # a DATA column in where is a bounds-pruned point lookup now (r16)
+    assert [(r.doc_id, r.n) for r in I.read_iceberg(
+        spark, tbl, where={"n": "4"}
+    ).collect()] == [(2, 4)]
+    with pytest.raises(I.IcebergError, match="nor table columns"):
+        I.read_iceberg(spark, tbl, where={"nope": "4"})
 
 
 def test_unpartitioned_table(spark, corpus, tmp_path):
@@ -1413,3 +1417,48 @@ def test_merge_composes_with_rewrite_and_expire(spark, corpus, tmp_path):
     assert deleted and not any("eqdelete" in p for p in deleted)
     assert _glob.glob(f"{tbl}/data/eqdelete-*.parquet")
     assert {(r.doc_id, r.n) for r in I.read_iceberg(spark, tbl).collect()} == want
+
+
+def test_manifest_bounds_prune_data_columns(spark, corpus, tmp_path):
+    """Data files carry spec lower/upper bounds (binary single-value
+    serialization keyed by field id); where= on a data column prunes
+    entries at the driver (a point lookup opens only overlapping files)
+    and still row-filters exactly."""
+    import struct
+
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 20, 40):
+        I.write_iceberg(
+            corpus.filter(f"doc_id >= {lo} and doc_id < {lo + 20}").coalesce(1),
+            tbl,
+        )
+    # bounds are IN the manifests, spec-shaped
+    fs = I.get_filesystem(tbl)
+    meta, _v = I._load_metadata(fs, tbl)
+    entries, _dels = I._live_entries(fs, I._snapshot_of(meta, None))
+    by_name = I._bound_id_map(I._current_schema(meta))
+    doc_fid = by_name["doc_id"][0]
+    e0 = next(
+        e for e in entries
+        if {r["key"]: r["value"] for r in e["lower_bounds"]}.get(doc_fid)
+        == struct.pack("<q", 0)
+    )
+    ub = {r["key"]: r["value"] for r in e0["upper_bounds"]}
+    assert ub[doc_fid] == struct.pack("<q", 19)
+    # string bounds present only when footer stats are exact; source is
+    # a short string — either present and correct, or absent
+    src_fid = by_name["source"][0]
+    lb = {r["key"]: r["value"] for r in e0["lower_bounds"]}
+    if src_fid in lb:
+        assert lb[src_fid] == b"s0"
+
+    full = I.read_iceberg(spark, tbl)
+    df = I.read_iceberg(spark, tbl, where={"doc_id": "25"})
+    assert [(r.doc_id, r.n) for r in df.collect()] == [(25, 50)]
+    assert 0 < len(df.inputFiles()) < len(full.inputFiles())
+    # merge-on-read composes: bounds pruning never drops delete files
+    I.delete_iceberg_rows(spark, tbl, "doc_id = 25")
+    assert I.read_iceberg(spark, tbl, where={"doc_id": "25"}).count() == 0
+    assert I.read_iceberg(spark, tbl, where={"doc_id": "26"}).count() == 1
+    with pytest.raises(I.IcebergError, match="does not parse"):
+        I.read_iceberg(spark, tbl, where={"doc_id": "abc"})
