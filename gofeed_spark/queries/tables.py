@@ -1533,3 +1533,50 @@ def q184(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q185_stats_point_lookup",
+    oracle="""
+SELECT doc_id, source,
+       CAST(n_chars AS BIGINT) AS chars_delta,
+       CAST(n_chars AS BIGINT) AS chars_ice
+FROM documents WHERE doc_id = 42
+""",
+)
+def q185(spark, sf_dir):
+    """STATS-PRUNED POINT LOOKUP on both formats (the r16 file-skipping
+    surface): documents land in three RANGE-clustered commits per format
+    (so per-file key ranges are disjoint), then ``where={"doc_id": ...}``
+    — a DATA column, not a partition — resolves through the add actions'
+    stats (Delta) / the manifests' lower/upper bounds (Iceberg): only
+    the overlapping files enter the plan, and the equality row-filters
+    exactly.  Output: the looked-up row with each format's char count.
+    Eager at construction like q156."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    n = docs.count()
+    work = tempfile.mkdtemp(prefix="gofeed_q185_")
+    dt, it = f"{work}/delta", f"{work}/ice"
+    try:
+        cut1, cut2 = n // 3, 2 * n // 3
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n + 1)):
+            part = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            D.write_delta(part, dt)
+            I.write_iceberg(part, it)
+        d = D.read_delta(spark, dt, where={"doc_id": "42"}).select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("chars_delta")
+        )
+        i = I.read_iceberg(spark, it, where={"doc_id": "42"}).select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("chars_ice")
+        )
+        return d.join(i, ["doc_id", "source"]).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -575,7 +575,7 @@ def read_iceberg(
                     raise IcebergError(
                         f"where value {v!r} does not parse as {ice_t}"
                     ) from exc
-            entries = _prune_entries_by_bounds(entries, typed, by_name)
+            entries = _prune_entries_by_range(entries, typed, typed, by_name)
     df = _assemble(
         spark, fs, schema, pcols, entries, deletes=dels, pkeys=pkeys
     )
@@ -1397,28 +1397,29 @@ def _bound_comparable(a, b) -> bool:
     return isinstance(a, str) and isinstance(b, str)
 
 
-def _prune_entries_by_bounds(
-    entries: list[dict], pred: dict, by_name: dict
+def _prune_entries_by_range(
+    entries: list[dict], want_lo: dict, want_hi: dict, by_name: dict
 ) -> list[dict]:
     """File skipping on manifest bounds: keep entries whose
-    [lower, upper] CAN contain every predicate value; entries without
-    usable bounds always stay (conservative — foreign writers may omit
-    or truncate them).  ``pred`` maps column name → typed value;
-    ``by_name`` maps column name → (field id, ice type)."""
+    [lower, upper] INTERSECTS [want_lo, want_hi] on every named column
+    (a point lookup passes lo == hi); entries without usable bounds
+    always stay (conservative — foreign writers may omit or truncate
+    them).  ``by_name`` maps column name → (field id, ice type)."""
     types_by_id = {fid: t for fid, t in by_name.values()}
     kept = []
     for e in entries:
         lowers = _bounds_map(e.get("lower_bounds"), types_by_id)
         uppers = _bounds_map(e.get("upper_bounds"), types_by_id)
         keep = True
-        for c, v in pred.items():
+        for c in want_lo:
             fid, _t = by_name[c]
-            lo, hi = lowers.get(fid), uppers.get(fid)
-            if lo is None or hi is None:
+            flo, fhi = lowers.get(fid), uppers.get(fid)
+            slo, shi = want_lo[c], want_hi.get(c)
+            if None in (flo, fhi, slo, shi):
                 continue
-            if not (_bound_comparable(lo, v) and _bound_comparable(hi, v)):
+            if not (_bound_comparable(flo, slo) and _bound_comparable(fhi, shi)):
                 continue
-            if v < lo or v > hi:
+            if fhi < slo or flo > shi:
                 keep = False
                 break
         if keep:
@@ -2126,6 +2127,23 @@ def merge_iceberg(
         idents = [f for f in pfields if f["kind"] == "identity"]
         entries, dels = _live_entries(fs, _snapshot_of(meta, None))
         _resolve_eq_cols(ice_schema, dels)
+        # bounds file skipping before the key scan: files whose key range
+        # cannot intersect the source keys' [min, max] cannot change any
+        # source row's matched/unmatched verdict, so the scan reads only
+        # the overlapping files (the delta merge's skipping, manifest-
+        # bounds flavored); delete files never prune
+        bmap = {c: t for c, t in _bound_id_map(ice_schema).items() if c in on}
+        if bmap:
+            b = src.agg(
+                *[F.min(c).alias(f"__lo_{c}") for c in bmap],
+                *[F.max(c).alias(f"__hi_{c}") for c in bmap],
+            ).collect()[0]
+            entries = _prune_entries_by_range(
+                entries,
+                {c: b[f"__lo_{c}"] for c in bmap},
+                {c: b[f"__hi_{c}"] for c in bmap},
+                bmap,
+            )
         live_keys = _assemble(
             spark, fs, schema, [f["source_col"] for f in idents], entries,
             deletes=dels, pkeys=[f["name"] for f in idents],
