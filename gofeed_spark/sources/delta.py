@@ -2228,6 +2228,8 @@ def optimize_delta(
             else:
                 fs.put_bytes(dst, fs.read_bytes(src))
             stat = fs.stat(dst)
+            # packed files keep file-skipping working post-compaction
+            stats = _file_stats_json(fs, dst)
             adds.append(
                 {
                     "path": urllib.parse.quote(new_rel),
@@ -2235,6 +2237,7 @@ def optimize_delta(
                     "size": stat[0] if stat else 0,
                     "modificationTime": (stat[1] // 1_000_000) if stat else 0,
                     "dataChange": False,
+                    **({"stats": stats} if stats else {}),
                 }
             )
             ordinal += 1

@@ -2463,6 +2463,8 @@ def rewrite_iceberg(
                 fs.put_bytes(dst, fs.read_bytes(src))
             stat = fs.stat(dst)
             n_rows = _parquet_row_count(fs, dst)
+            # packed files keep bounds-based skipping post-compaction
+            lowers, uppers = _file_bounds(fs, dst, _bound_id_map(ice_schema))
             packed_entries.append(
                 {
                     "status": 1,  # ADDED by the replace snapshot
@@ -2476,6 +2478,11 @@ def rewrite_iceberg(
                         "partition": part_values,
                         "record_count": n_rows,
                         "file_size_in_bytes": stat[0] if stat else size,
+                        **(
+                            {"lower_bounds": lowers, "upper_bounds": uppers}
+                            if lowers
+                            else {}
+                        ),
                     },
                 }
             )

@@ -1366,3 +1366,20 @@ def test_read_delta_stats_prunes_data_columns(spark, tmp_path):
         D.read_delta(spark, tbl, where={"nope": "1"})
     with pytest.raises(D.DeltaError, match="does not parse"):
         D.read_delta(spark, tbl, where={"k": "abc"})
+
+
+def test_optimize_preserves_file_stats(spark, tmp_path):
+    """Compaction must not lose the skipping input: packed files carry
+    fresh stats, so a point lookup stays pruned after OPTIMIZE."""
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        D.write_delta(
+            spark.range(lo, lo + 100).select(F.col("id").alias("k")).coalesce(1),
+            tbl,
+        )
+    D.optimize_delta(spark, tbl, target_file_bytes=1 << 11, min_files=2)
+    snap = D._snapshot(D.get_filesystem(tbl), tbl)
+    assert all("stats" in a for a in snap.adds.values())
+    df = D.read_delta(spark, tbl, where={"k": "150"})
+    assert [r.k for r in df.collect()] == [150]
+    assert len(df.inputFiles()) < len(D.read_delta(spark, tbl).inputFiles())

@@ -1462,3 +1462,23 @@ def test_manifest_bounds_prune_data_columns(spark, corpus, tmp_path):
     assert I.read_iceberg(spark, tbl, where={"doc_id": "26"}).count() == 1
     with pytest.raises(I.IcebergError, match="does not parse"):
         I.read_iceberg(spark, tbl, where={"doc_id": "abc"})
+
+
+def test_rewrite_preserves_bounds(spark, corpus, tmp_path):
+    """Compaction must not lose the skipping input: packed files carry
+    fresh lower/upper bounds, so a point lookup stays pruned after
+    rewrite (when the rewrite leaves more than one file to skip)."""
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 20, 40):
+        I.write_iceberg(
+            corpus.filter(f"doc_id >= {lo} and doc_id < {lo + 20}").coalesce(1),
+            tbl, partition_by=["source"],
+        )
+    I.rewrite_iceberg(spark, tbl, target_file_bytes=1 << 30, min_files=2)
+    fs = I.get_filesystem(tbl)
+    meta, _v = I._load_metadata(fs, tbl)
+    entries, _d = I._live_entries(fs, I._snapshot_of(meta, None))
+    packed = [e for e in entries if ".rw.parquet" in e["file_path"]]
+    assert packed and all(e.get("lower_bounds") for e in packed)
+    df = I.read_iceberg(spark, tbl, where={"doc_id": "25"})
+    assert [r.doc_id for r in df.collect()] == [25]
