@@ -27,7 +27,16 @@ from gofeed_spark.session import get_spark
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/repo/.bench_data/sf1.0"
-    names = args[1:] or sorted(QUERIES)
+    # accept full names OR qNN prefixes; a zero-match argument is fatal
+    # (the r15 check_correctness vacuous-filter lesson)
+    names: list[str] = []
+    for a in args[1:]:
+        hits = [n for n in sorted(QUERIES) if n == a or n.startswith(a + "_")]
+        if not hits:
+            print(f"FATAL: {a!r} matches no registered query", file=sys.stderr)
+            return 2
+        names.extend(h for h in hits if h not in names)
+    names = names or sorted(QUERIES)
     spark = get_spark("sweep-all")
     out, failed = {}, 0
     for name in names:
