@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gofeed_spark.fs import FileSystem, get_filesystem
+from gofeed_spark.sources.statbounds import stat_string_bounds
 
 
 class DeltaError(RuntimeError):
@@ -449,13 +450,21 @@ def _typed_where_values(schema: T.StructType, data_w: dict) -> dict:
     of each column (long→int, double→float, string as-is); columns whose
     types the skipping layer can't compare stay out of the prune (the
     row filter still applies them)."""
+    import struct
+
     typed: dict = {}
     for k, v in data_w.items():
         dt = schema[k].dataType.simpleString()
         try:
             if dt in ("tinyint", "smallint", "int", "bigint"):
                 typed[k] = int(v)
-            elif dt in ("float", "double"):
+            elif dt == "float":
+                # the row filter casts the probe to float32; the file
+                # stats are exact float32 values — an un-rounded double
+                # probe (0.1) misses the float32 stat (0.10000000149)
+                # and prunes the only matching file
+                typed[k] = struct.unpack("<f", struct.pack("<f", float(v)))[0]
+            elif dt == "double":
                 typed[k] = float(v)
             elif dt == "string":
                 typed[k] = v
@@ -1119,6 +1128,7 @@ def _file_stats_json(fs: FileSystem, dst: str) -> str | None:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    poisoned_max: set = set()  # no finite upper bound derivable
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -1138,8 +1148,19 @@ def _file_stats_json(fs: FileSystem, dst: str) -> str | None:
                 continue  # undecoded binary: not JSON-representable
             if not isinstance(lo, (*_STATS_PRUNABLE, bool)):
                 continue
+            if isinstance(lo, str):
+                # parquet may truncate long string stats to a prefix: the
+                # min stays a valid lower bound, but a truncated max is
+                # NOT an upper bound — publish the incremented-prefix
+                # form instead (valid whether or not the stat was exact)
+                lo, hi = stat_string_bounds(st, lo, hi)
+                if hi is None:
+                    poisoned_max.add(name)
             mins[name] = lo if name not in mins else min(mins[name], lo)
-            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            if hi is not None:
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    for name in poisoned_max:
+        maxs.pop(name, None)
     try:
         return json.dumps(
             {
@@ -1921,6 +1942,31 @@ def apply_changes_delta(
         if n_dels
         else -1
     )
+    # the stamp-carrying half may NO-OP (delete keys absent from the
+    # target — normal CDC when a key is inserted and deleted within one
+    # window — or an entirely empty window): merge_delta then returns -1
+    # with NO commit, so a consumer keyed on last_txn_version would
+    # replay the window forever.  Publish a txn-only watermark commit so
+    # the watermark always lands on the last commit of a consumed window.
+    stamped = (dv != -1) if n_dels else (uv != -1)
+    if txn is not None and not stamped:
+        tpath = target_path.rstrip("/")
+        tfs = get_filesystem(tpath)
+        tsnap = _snapshot(tfs, tpath)
+        _publish_commit(
+            tfs,
+            tpath,
+            tsnap.version + 1,
+            [
+                {
+                    "commitInfo": {
+                        "operation": "TXN",
+                        "engineInfo": "gofeed_spark-delta/0.1",
+                    }
+                },
+                {"txn": {"appId": str(txn[0]), "version": int(txn[1])}},
+            ],
+        )
     return {
         "upserted_version": uv,
         "deleted_version": dv,

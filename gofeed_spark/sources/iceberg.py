@@ -62,6 +62,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import struct
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +72,7 @@ from pyspark.sql import types as T
 from gofeed_spark.fs import FileSystem, get_filesystem
 from gofeed_spark.sources import icetransforms as X
 from gofeed_spark.sources.avrocodec import AvroError, read_container, write_container
+from gofeed_spark.sources.statbounds import stat_string_bounds
 
 
 class IcebergError(RuntimeError):
@@ -556,26 +558,35 @@ def read_iceberg(
             # the spec's file-skipping input (a point lookup opens only
             # the overlapping files); the equality then applies as a
             # real row filter below
+            # columns whose type lacks bounds support (boolean/date/...)
+            # simply stay out of the prune — the equality still applies
+            # as a row filter below (the Delta twin's behavior)
             by_name = _bound_id_map(_current_schema(meta))
-            missing = set(data_w) - set(by_name)
-            if missing:
-                raise IcebergError(
-                    f"where on {sorted(missing)}: type has no bounds support"
-                )
             typed: dict = {}
             for k, v in data_w.items():
+                if k not in by_name:
+                    continue
                 ice_t = by_name[k][1]
                 try:
-                    typed[k] = (
-                        v
-                        if ice_t == "string"
-                        else (int(v) if ice_t in ("int", "long") else float(v))
-                    )
+                    if ice_t == "string":
+                        typed[k] = v
+                    elif ice_t in ("int", "long"):
+                        typed[k] = int(v)
+                    elif ice_t == "float":
+                        # bounds are exact float32; round the probe the
+                        # same way or a non-representable value (0.1)
+                        # fails the intersection and drops the file
+                        typed[k] = struct.unpack(
+                            "<f", struct.pack("<f", float(v))
+                        )[0]
+                    else:
+                        typed[k] = float(v)
                 except (TypeError, ValueError) as exc:
                     raise IcebergError(
                         f"where value {v!r} does not parse as {ice_t}"
                     ) from exc
-            entries = _prune_entries_by_range(entries, typed, typed, by_name)
+            if typed:
+                entries = _prune_entries_by_range(entries, typed, typed, by_name)
     df = _assemble(
         spark, fs, schema, pcols, entries, deletes=dels, pkeys=pkeys
     )
@@ -1321,8 +1332,9 @@ def _file_bounds(fs: FileSystem, dst: str, bound_ids: dict) -> tuple[list, list]
     """(lower_bounds, upper_bounds) k/v-record lists for one staged data
     file, off its parquet FOOTER (driver-side, metadata-sized).
     ``bound_ids`` maps column name → (field id, iceberg type).  String
-    bounds are recorded only when the footer marks them EXACT (parquet
-    may truncate string stats; a truncated max is NOT an upper bound)."""
+    uppers publish through the incremented-prefix scheme
+    (:mod:`statbounds`) so they stay valid upper bounds even when
+    parquet truncated the stat to a prefix."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1337,6 +1349,7 @@ def _file_bounds(fs: FileSystem, dst: str, bound_ids: dict) -> tuple[list, list]
         return [], []
     mins: dict = {}
     maxs: dict = {}
+    poisoned_max: set = set()
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -1348,16 +1361,22 @@ def _file_bounds(fs: FileSystem, dst: str, bound_ids: dict) -> tuple[list, list]
             if st is None or not st.has_min_max:
                 continue
             _fid, ice_t = bound_ids[name]
-            if ice_t == "string" and not (
-                getattr(st, "is_min_value_exact", False)
-                and getattr(st, "is_max_value_exact", False)
-            ):
-                continue
             lo, hi = st.min, st.max
+            if ice_t == "string":
+                # parquet may truncate string stats: min is still a
+                # lower bound; max publishes as the incremented-prefix
+                # upper (the spec's own truncateStringMax scheme), valid
+                # whether or not the stat was exact
+                lo, hi = stat_string_bounds(st, lo, hi)
+                if hi is None:
+                    poisoned_max.add(name)
             mins[name] = lo if name not in mins else min(mins[name], lo)
-            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            if hi is not None:
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
     lowers, uppers = [], []
     for name in sorted(mins):
+        if name in poisoned_max or name not in maxs:
+            continue
         fid, ice_t = bound_ids[name]
         lo_b, hi_b = _ser_bound(ice_t, mins[name]), _ser_bound(ice_t, maxs[name])
         if lo_b is None or hi_b is None:
@@ -2075,10 +2094,23 @@ def merge_iceberg(
         raise IcebergError("MERGE with no WHEN clause is a no-op by construction")
     if not on:
         raise IcebergError("MERGE needs at least one key column")
+    # MERGE key semantics: NULL keys never match (SQL equi-join rule;
+    # merge_delta's documented behavior) — but the eq-delete reader
+    # matches NULL-SAFELY per the spec, so a NULL-keyed source row in
+    # the delete file would hide existing NULL-keyed target rows.  Keep
+    # NULL keys OUT of every delete leg; they still insert below.
+    _keys_nonnull = None
+    for _c in on:
+        _p = F.col(_c).isNotNull()
+        _keys_nonnull = _p if _keys_nonnull is None else (_keys_nonnull & _p)
+
     if when_matched == "delete" and when_not_matched is None:
         # pure keyed delete IS the equality-delete writer
         return delete_iceberg_equality(
-            spark, path, source_df.select(*on), summary_extra=summary_extra
+            spark,
+            path,
+            source_df.select(*on).filter(_keys_nonnull),
+            summary_extra=summary_extra,
         )
 
     path = path.rstrip("/")
@@ -2118,7 +2150,11 @@ def merge_iceberg(
     #     must stay untouched);
     #   delete+insert — unmatched rows, blind delete of ALL source keys
     #     (hides matched, no-ops on the rest).
-    del_keys = src.select(*on) if when_matched is not None else None
+    del_keys = (
+        src.select(*on).filter(_keys_nonnull)
+        if when_matched is not None
+        else None
+    )
     data_rows = src
     need_scan = (when_matched == "update" and when_not_matched is None) or (
         when_not_matched == "insert" and when_matched != "update"

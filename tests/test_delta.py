@@ -1383,3 +1383,75 @@ def test_optimize_preserves_file_stats(spark, tmp_path):
     df = D.read_delta(spark, tbl, where={"k": "150"})
     assert [r.k for r in df.collect()] == [150]
     assert len(df.inputFiles()) < len(D.read_delta(spark, tbl).inputFiles())
+
+
+def test_where_float32_probe_rounds_through_float32(spark, tmp_path):
+    """r17 advice fix: the file stats of a FloatType column are exact
+    float32 values — a double-parsed probe ('0.1' -> 0.1) fails the
+    intersection against the float32 stat (0.10000000149...) and prunes
+    the only matching file.  The probe must round through float32."""
+    tbl = str(tmp_path / "tbl")
+    rows_in = [(1, 0.1), (2, 0.25), (3, 7.3)]
+    for k, v in rows_in:
+        D.write_delta(
+            spark.createDataFrame([(k, v)], "k long, fv float").coalesce(1),
+            tbl,
+        )
+    got = D.read_delta(spark, tbl, where={"fv": "0.1"}).collect()
+    assert [r.k for r in got] == [1]
+    # exactly-representable values keep working, and pruning is active
+    df = D.read_delta(spark, tbl, where={"fv": "0.25"})
+    assert [r.k for r in df.collect()] == [2]
+    assert len(df.inputFiles()) == 1
+
+
+def test_string_stats_upper_bound_survives_truncation(spark, tmp_path):
+    """String maxValues publish the incremented-prefix upper bound
+    (valid whether or not the parquet stat was truncated); point lookups
+    on long string keys keep finding their file."""
+    long_a = "a" * 100 + "end"
+    long_z = "z" * 100 + "end"
+    tbl = str(tmp_path / "tbl")
+    for s in (long_a, long_z):
+        D.write_delta(
+            spark.createDataFrame([(s, 1)], "s string, v long").coalesce(1), tbl
+        )
+    snap = D._snapshot(D.get_filesystem(tbl), tbl)
+    import json as _json
+
+    for add in snap.adds.values():
+        st = _json.loads(add["stats"])
+        # the published max is a VALID upper bound for the file's value
+        assert st["maxValues"]["s"] >= st["minValues"]["s"]
+    got = D.read_delta(spark, tbl, where={"s": long_a})
+    assert [r.v for r in got.collect()] == [1]
+    assert len(got.inputFiles()) == 1  # still prunes the other file
+
+
+def test_apply_changes_stamps_watermark_on_noop_delete(spark, tmp_path):
+    """r17 advice fix: a key inserted AND deleted within one CDC window
+    nets to a delete of a key absent from the target; the delete merge
+    no-ops with no commit, but the txn watermark must STILL advance (a
+    consumer keyed on last_txn_version would otherwise replay forever)."""
+    src_t, dst_t = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    D.write_delta(df, src_t)
+    D.write_delta(df, dst_t)
+    D.write_delta(spark.createDataFrame([(100, 1)], "k long, v long"), src_t)
+    D.delete_delta_rows(spark, src_t, "k = 100")
+    res = D.apply_changes_delta(
+        spark, src_t, dst_t, ["k"], start_version=0, txn=("wm-app", 9)
+    )
+    assert (res["n_upserts"], res["n_deletes"]) == (0, 1)
+    assert res["deleted_version"] == -1  # the delete half no-oped
+    assert D.last_txn_version(dst_t, "wm-app") == 9  # ...but the stamp landed
+    # target contents untouched; table still reads after the txn-only commit
+    assert {r.k: r.v for r in D.read_delta(spark, dst_t).collect()} == {
+        0: 0, 1: 10, 2: 20, 3: 30, 4: 40
+    }
+    # an entirely EMPTY window also advances the watermark
+    end = D.latest_version(src_t)
+    D.apply_changes_delta(
+        spark, src_t, dst_t, ["k"], start_version=end, txn=("wm-app", 10)
+    )
+    assert D.last_txn_version(dst_t, "wm-app") == 10

@@ -1482,3 +1482,72 @@ def test_rewrite_preserves_bounds(spark, corpus, tmp_path):
     assert packed and all(e.get("lower_bounds") for e in packed)
     df = I.read_iceberg(spark, tbl, where={"doc_id": "25"})
     assert [r.doc_id for r in df.collect()] == [25]
+
+
+def test_merge_null_keys_never_match(spark, tmp_path):
+    """r17 advice fix: the eq-delete reader matches NULL-SAFELY, so a
+    NULL-keyed source row in the delete file would hide existing
+    NULL-keyed target rows.  MERGE semantics (merge_delta's documented
+    behavior): NULL keys never match and therefore INSERT."""
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(
+        spark.createDataFrame([(1, 10), (None, 77)], "k long, v long"), tbl
+    )
+    I.merge_iceberg(
+        spark, tbl,
+        spark.createDataFrame([(None, 88), (1, 11)], "k long, v long"),
+        on=["k"],
+    )
+    rows = [(r.k, r.v) for r in I.read_iceberg(spark, tbl).collect()]
+    # the old NULL row SURVIVES, the source NULL row inserts, k=1 updates
+    assert sorted(rows, key=lambda t: (t[0] is None, t)) == [
+        (1, 11), (None, 77), (None, 88)
+    ]
+    # pure keyed delete: NULL keys no-op instead of hiding NULL rows
+    I.merge_iceberg(
+        spark, tbl, spark.createDataFrame([(None, 0)], "k long, v long"),
+        on=["k"], when_matched="delete", when_not_matched=None,
+    )
+    assert I.read_iceberg(spark, tbl).count() == 3
+
+
+def test_where_unsupported_type_falls_through(spark, tmp_path):
+    """r17 advice fix: where= on a data column whose type lacks bounds
+    support (boolean) must NOT raise — it skips pruning and applies as a
+    row filter, matching read_delta's behavior."""
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(
+        spark.createDataFrame(
+            [(1, True), (2, False), (3, True)], "k long, flag boolean"
+        ),
+        tbl,
+    )
+    got = I.read_iceberg(spark, tbl, where={"flag": "true"})
+    assert sorted(r.k for r in got.collect()) == [1, 3]
+    # unknown columns still raise
+    with pytest.raises(I.IcebergError, match="nor table columns"):
+        I.read_iceberg(spark, tbl, where={"nope": "1"})
+
+
+def test_where_float32_probe_rounds_through_float32(spark, tmp_path):
+    """Iceberg twin of the delta float32 probe fix: manifest bounds are
+    exact float32; the probe parse must round the same way."""
+    tbl = str(tmp_path / "tbl")
+    for k, v in [(1, 0.1), (2, 7.5)]:
+        I.write_iceberg(
+            spark.createDataFrame([(k, v)], "k long, fv float").coalesce(1), tbl
+        )
+    got = I.read_iceberg(spark, tbl, where={"fv": "0.1"})
+    assert [r.k for r in got.collect()] == [1]
+
+
+def test_statbounds_string_upper_bound():
+    from gofeed_spark.sources.statbounds import string_upper_bound
+
+    assert string_upper_bound("abc") == "abd"
+    assert string_upper_bound("ab" + chr(0x10FFFF)) == "ac"
+    assert string_upper_bound(chr(0x10FFFF) * 3) is None
+    # surrogate range is skipped, not produced
+    assert string_upper_bound(chr(0xD7FF)) == chr(0xE000)
+    b = string_upper_bound("a" * 100 + "zz")
+    assert b is not None and b > "a" * 100 + "zz" + "anything"
