@@ -5,11 +5,13 @@ Prints ONE JSON line:
      "queries": {"q06_groupby_multiagg": <sec>, ...}, "sf": <float>,
      "oracle_total": <sec>, "ratio": <value/oracle_total>}
 
-``oracle_total``/``ratio`` carry the DuckDB-oracle comparison directly in
-the per-round line (same process, same minute, same page cache — the
-bench_paired.py methodology): every headline query that has an oracle is
-also run through DuckDB (one warm-up, then the same median-of-N), and
-``ratio`` is the paired-subset Spark total over the oracle total.
+Methodology (r17): the Spark and DuckDB legs INTERLEAVE per run within
+each query — spark, oracle, spark, oracle ... back-to-back in the same
+process — so a host-load transient lands on BOTH engines' samples
+instead of skewing whichever leg it happened to overlap (the r16
+artifact breached the 2x gate purely through a loaded box: all-spark-
+then-all-oracle phases sampled different minutes).  Each leg's headline
+number is the per-query median over the paired runs.
 
 Each query executes end-to-end (parquet scan -> plan -> noop sink) so the
 timing covers the real distributed execution path without driver-side
@@ -21,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -64,39 +67,19 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def run_query(spark, name: str, sf_dir: str, runs: int = 3) -> tuple[float, float]:
-    """(median, best) latency over ``runs`` end-to-end executions (3 by
-    default).  Median over min for the headline: the minimum rides out
-    noise but rewards one lucky scheduling draw, which at the ~0.1-0.3 s
-    local-mode floor produced ±10-20 ms round-over-round drift on sub-0.5 s
-    queries; the median is stable against both the lucky and the unlucky
-    tail while measuring the same steady state.
-
-    The first execution of a plan pays one-time JVM costs — Catalyst
-    analysis over py4j, whole-stage-codegen compilation (janino), AQE stage
-    planning — that at bench SF dwarf the actual execution (3-5× for most
-    queries) and amortize to zero at the 100 TB scale this engine targets.
-    The headline metric is the repeat-run steady state (the engine, not the
-    compiler); the cold first run is reported alongside so both semantics
-    are visible.  Every run executes the full scan → compute → sink path
-    (noop sink, nothing cached between runs except OS page cache both
-    engines share)."""
-    times = []
-    for _ in range(runs):
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times.append(time.time() - t0)
-    import statistics
-
-    return statistics.median(times), min(times)
+def _spark_once(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--runs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")),
-        help="executions per query; headline = median (steady state), cold also reported",
+        help="paired executions per query; headline = per-leg median "
+        "(steady state), cold also reported",
     )
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -105,39 +88,75 @@ def main() -> None:
     args = ap.parse_args()
     sf_dir = args.sf_dir
     spark = get_spark("bench")
+
+    # DuckDB oracle connection up-front so its leg can interleave with
+    # Spark's below.  Fail-safe: a broken oracle side must never take
+    # down the Spark bench line.
+    con = None
+    oracles: dict[str, str] = {}
+    try:
+        import duckdb
+
+        from gofeed_spark.catalog import TABLES
+        from gofeed_spark.queries import ORACLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        oracles = dict(ORACLES)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: oracle leg skipped: {exc!r}", file=sys.stderr)
+
     # Warm-up sweep, off the clock: one execution of EVERY headline plan
-    # shape.  This amortizes the per-session one-time costs — JVM/parquet
-    # footer cache, Python UDF worker daemons, and crucially janino
-    # whole-stage-codegen compilation + JIT for each plan — which at bench
-    # SF are 3-5× the steady-state execution and are exactly what the
-    # declared steady-state methodology excludes (they are per-session, not
-    # per-query, and amortize to zero at the 100 TB target scale).  The
-    # sweep IS the cold pass: its per-query times are reported as
-    # cold_total so both semantics stay visible.
+    # shape on BOTH engines.  This amortizes the per-session one-time
+    # costs — JVM/parquet footer cache, Python UDF worker daemons, and
+    # crucially janino whole-stage-codegen compilation + JIT for each
+    # plan — which at bench SF are 3-5x the steady-state execution and
+    # are exactly what the declared steady-state methodology excludes
+    # (they are per-session, not per-query, and amortize to zero at the
+    # 100 TB target scale).  The sweep IS the cold pass: its per-query
+    # times are reported as cold_total so both semantics stay visible.
     colds: dict[str, float] = {}
     for name in HEADLINE:
         if name in QUERIES:
             try:
-                t0 = time.time()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                colds[name] = round(time.time() - t0, 3)
+                colds[name] = round(_spark_once(spark, name, sf_dir), 3)
             except Exception:  # noqa: BLE001 — the timed loop reports it
                 pass
+        if con is not None and name in oracles:
+            try:
+                con.execute(oracles[name]).fetchall()
+            except Exception:  # noqa: BLE001
+                pass
 
+    # Timed loop: per query, `runs` PAIRS of (spark, oracle) executions
+    # back-to-back; each leg's number is its median across the pairs.
     timings: dict[str, float] = {}
     bests: dict[str, float] = {}
+    oracle_t: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
+        svals: list[float] = []
+        ovals: list[float] = []
+        sql = oracles.get(name) if con is not None else None
         try:
-            median, best = run_query(spark, name, sf_dir, runs=args.runs)
-            timings[name] = round(median, 3)
-            bests[name] = round(best, 3)
+            for _ in range(args.runs):
+                svals.append(_spark_once(spark, name, sf_dir))
+                if sql is not None:
+                    t0 = time.time()
+                    con.execute(sql).fetchall()
+                    ovals.append(time.time() - t0)
         except Exception as exc:  # noqa: BLE001 — a broken query must not kill the bench
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
+            continue
+        timings[name] = round(statistics.median(svals), 3)
+        bests[name] = round(min(svals), 3)
+        if ovals:
+            oracle_t[name] = statistics.median(ovals)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in colds.values() if t >= 0), 3)
@@ -154,40 +173,13 @@ def main() -> None:
         # cross-round deltas stay apples-to-apples
         "best_total": best_total,
     }
-    # Paired DuckDB-oracle leg: same process/minute/page cache, same
-    # warm-up + median-of-N. Fail-safe — a broken oracle leg must never
-    # take down the Spark bench line.
-    try:
-        import statistics
-
-        import duckdb
-
-        from gofeed_spark.catalog import TABLES
-        from gofeed_spark.queries import ORACLES
-
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
-        oracle_total = paired_total = 0.0
-        for name in HEADLINE:
-            if name not in ORACLES or timings.get(name, -1.0) < 0:
-                continue
-            sql = ORACLES[name]
-            con.execute(sql).fetchall()  # warm-up (plan cache, page cache)
-            vals = []
-            for _ in range(args.runs):
-                t0 = time.time()
-                con.execute(sql).fetchall()
-                vals.append(time.time() - t0)
-            oracle_total += statistics.median(vals)
-            paired_total += timings[name]
-        if oracle_total > 0:
-            out["oracle_total"] = round(oracle_total, 3)
-            out["ratio"] = round(paired_total / oracle_total, 3)
-    except Exception as exc:  # noqa: BLE001
-        print(f"bench: oracle leg skipped: {exc!r}", file=sys.stderr)
+    if oracle_t:
+        paired_total = sum(
+            timings[n] for n in oracle_t if timings.get(n, -1.0) >= 0
+        )
+        oracle_total = sum(oracle_t.values())
+        out["oracle_total"] = round(oracle_total, 3)
+        out["ratio"] = round(paired_total / oracle_total, 3)
     print(json.dumps(out), flush=True)
 
 

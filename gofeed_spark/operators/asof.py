@@ -40,11 +40,19 @@ def asof_join_last_event(
     right_value: str,
     left_keep: str,
     out_col: str = "asof_value",
+    width_rows: int | None = None,
 ) -> DataFrame:
     """For each left row: max/latest ``right_value`` among right rows with the
     same key and ``right_time <= left_time``.  Ties on time resolve to the
     largest ``right_value`` (matching ``SELECT MAX(value) ... WHERE ts <= t``
-    when times are unique per value ordering)."""
+    when times are unique per value ordering).
+
+    ``width_rows`` (optional, the caller's row estimate for left+right)
+    routes the tagged union through ``compute_width`` on the key: the
+    window's sort is compute-bound over byte-slim rows, which AQE's
+    byte-based coalescing would funnel onto 1-2 reducers; the explicit
+    cores-wide repartition is the distribution the window needs anyway,
+    so no extra shuffle is added."""
     r = right.select(
         F.col(right_on).alias("__k"),
         F.col(right_time).alias("__t"),
@@ -69,6 +77,10 @@ def asof_join_last_event(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = r.unionByName(l)
+    if width_rows is not None:
+        from gofeed_spark.functions.parallel import compute_width
+
+        unioned = compute_width(unioned, "__k", n=width_rows)
     # The declared oracle (Q33) is MAX(value) over right rows with ts <= t;
     # the running max over the tagged union computes exactly that.
     carried = F.max("__v").over(w)

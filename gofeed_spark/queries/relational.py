@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gofeed_spark.catalog import load_table
+from gofeed_spark.catalog import load_table, table_rowcount
+from gofeed_spark.functions.parallel import compute_width
 from gofeed_spark.operators.asof import asof_join_last_event
 from gofeed_spark.queries.registry import query
 
@@ -25,6 +26,26 @@ D18_4 = "decimal(18,4)"
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _rows(sf_dir: str, name: str) -> int | None:
+    try:
+        return table_rowcount(sf_dir, name)
+    except Exception:  # noqa: BLE001 — sizing hint only, never load-bearing
+        return None
+
+
+def TW(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFrame:
+    """Table scan widened on the window/partition key: a window's sort
+    is compute-bound over byte-slim rows, and AQE's byte-based reducer
+    coalescing funnels it onto 1-2 cores at any SF whose shuffle stays
+    under the advisory size.  ``compute_width`` repartitions by CORES
+    instead (exempt from coalescing), gated on the table's footer row
+    count so small scans skip the extra exchange — the window reuses
+    this exact hash distribution, so no second shuffle is added."""
+    return compute_width(
+        T(spark, sf_dir, name), *keys, n=_rows(sf_dir, name)
+    )
 
 
 # --- Q01 scan/projection (R1 scan shape) ---------------------------------
@@ -327,7 +348,7 @@ FROM orders ORDER BY o_custkey, rn
 )
 def q16(spark, sf_dir):
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return T(spark, sf_dir, "orders").select(
+    return TW(spark, sf_dir, "orders", "o_custkey").select(
         "o_custkey",
         "o_orderkey",
         F.row_number().over(w).alias("rn"),
@@ -349,7 +370,7 @@ WHERE rn <= 3 ORDER BY o_custkey, rn
 def q17(spark, sf_dir):
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        T(spark, sf_dir, "orders")
+        TW(spark, sf_dir, "orders", "o_custkey")
         .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
@@ -366,7 +387,7 @@ FROM events ORDER BY user_id, ts, event_id
 )
 def q18(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return T(spark, sf_dir, "events").select(
+    return TW(spark, sf_dir, "events", "user_id").select(
         "event_id", "user_id", F.lag("value").over(w).alias("prev_v")
     )
 
@@ -390,7 +411,7 @@ def q19(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return T(spark, sf_dir, "events").select(
+    return TW(spark, sf_dir, "events", "user_id").select(
         "event_id",
         "user_id",
         # exact fixed-point running sum in LONG ten-thousandths (the q06/q11
@@ -810,7 +831,7 @@ GROUP BY user_id, session_id ORDER BY user_id, session_id
 """,
 )
 def q31(spark, sf_dir):
-    e = T(spark, sf_dir, "events")
+    e = TW(spark, sf_dir, "events", "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts").over(w)
@@ -863,6 +884,7 @@ FROM orders o ORDER BY o.o_orderkey
 def q33(spark, sf_dir):
     # Scalable union-tag + running-last implementation (no range join, no
     # N+1): see operators/asof.py.
+    n_o, n_e = _rows(sf_dir, "orders"), _rows(sf_dir, "events")
     return asof_join_last_event(
         left=T(spark, sf_dir, "orders"),
         right=T(spark, sf_dir, "events"),
@@ -873,6 +895,7 @@ def q33(spark, sf_dir):
         right_value="event_id",
         left_keep="o_orderkey",
         out_col="last_event",
+        width_rows=(n_o + n_e) if (n_o is not None and n_e is not None) else None,
     )
 
 
