@@ -77,7 +77,7 @@ def _spark_once(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
-        "--runs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")),
+        "--runs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")),
         help="paired executions per query; headline = per-leg median "
         "(steady state), cold also reported",
     )
