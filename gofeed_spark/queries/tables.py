@@ -1580,3 +1580,71 @@ def q185(spark, sf_dir):
         return d.join(i, ["doc_id", "source"]).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q186_cluster_rewrite",
+    oracle="""
+SELECT doc_id, source,
+       CAST(n_chars AS BIGINT) AS chars_delta,
+       CAST(n_chars AS BIGINT) AS chars_ice,
+       CAST(1 AS BOOLEAN) AS pruned
+FROM documents WHERE doc_id = 77
+""",
+)
+def q186(spark, sf_dir):
+    """SORT-ORDER CLUSTERING REWRITE on both formats (r16 verdict item
+    2): documents accrete in three UNORDERED commits per format (each
+    commit takes a doc_id residue class, so every file spans the full
+    key range and stats pruning keeps everything), then
+    ``optimize_delta(zorder_by=)`` / ``rewrite_iceberg(sort_by=)``
+    re-cluster into >=4 range-disjoint files.  The post-rewrite point
+    lookup resolves through the REWRITTEN stats/bounds, and the
+    ``pruned`` column is the oracle-checked proof: it is TRUE only when
+    the where= relation contains STRICTLY fewer files than the table on
+    both formats — a vacuous rewrite (no re-clustering, or stats lost in
+    the rewrite) hash-mismatches instead of passing silently.  Eager at
+    construction like q185."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q186_")
+    dt, it = f"{work}/delta", f"{work}/ice"
+    try:
+        # unordered accretion: residue classes interleave the key space
+        for r in range(3):
+            part = docs.filter(F.col("doc_id") % 3 == r)
+            D.write_delta(part, dt)
+            I.write_iceberg(part, it)
+        size = sum(
+            a.get("size", 0)
+            for a in D._snapshot(D.get_filesystem(dt), dt).adds.values()
+        )
+        tfb = max(1, size // 4)  # >=4 clustered output files
+        D.optimize_delta(spark, dt, target_file_bytes=tfb, zorder_by=["doc_id"])
+        I.rewrite_iceberg(spark, it, target_file_bytes=tfb, sort_by=["doc_id"])
+        d_all = D.read_delta(spark, dt)
+        i_all = I.read_iceberg(spark, it)
+        d_hit = D.read_delta(spark, dt, where={"doc_id": "77"})
+        i_hit = I.read_iceberg(spark, it, where={"doc_id": "77"})
+        pruned = bool(
+            0 < len(d_hit.inputFiles()) < len(d_all.inputFiles())
+            and 0 < len(i_hit.inputFiles()) < len(i_all.inputFiles())
+        )
+        d = d_hit.select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("chars_delta")
+        )
+        i = i_hit.select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("chars_ice")
+        )
+        return (
+            d.join(i, ["doc_id", "source"])
+            .withColumn("pruned", F.lit(pruned))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

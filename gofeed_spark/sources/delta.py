@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gofeed_spark.fs import FileSystem, get_filesystem
+from gofeed_spark.sources.cluster import cluster_layout
 from gofeed_spark.sources.statbounds import stat_string_bounds
 
 
@@ -2164,6 +2165,7 @@ def optimize_delta(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Bin-packing compaction (the OPTIMIZE table-lifecycle op): within
     each partition whose live file count is at least ``min_files``, rewrite
@@ -2181,7 +2183,17 @@ def optimize_delta(
 
     Partition groups rewrite through Spark reads (the distributed path);
     time travel to pre-OPTIMIZE versions keeps working until the removed
-    files are vacuumed past the retention horizon."""
+    files are vacuumed past the retention horizon.
+
+    ``zorder_by`` additionally RE-CLUSTERS each group on the given keys
+    (range clustering for one key, quantile-coded Z-order for several —
+    :mod:`cluster`): every group rewrites regardless of ``min_files`` so
+    a table that accreted unordered appends comes out with each file
+    covering a narrow key slice, which is what makes the add-action
+    stats skipping (``where=`` point lookups, MERGE candidate pruning)
+    actually drop files.  Contents are unchanged, so the commit stays
+    ``dataChange=false`` — clustering is invisible to incremental
+    consumers, exactly like plain compaction."""
     path = path.rstrip("/")
     fs = get_filesystem(path)
     snap = _snapshot(fs, path)
@@ -2199,6 +2211,19 @@ def optimize_delta(
         ]
     )
 
+    zkeys_phys: list[str] = []
+    if zorder_by:
+        missing_z = [c for c in zorder_by if c not in schema.names]
+        if missing_z:
+            raise DeltaError(f"zorder_by {missing_z} not in table schema")
+        in_part = [c for c in zorder_by if c in pcols]
+        if in_part:
+            raise DeltaError(
+                f"zorder_by {in_part} are partition columns (constant "
+                "within each rewrite group — nothing to cluster)"
+            )
+        zkeys_phys = [P.get(c, c) for c in zorder_by]
+
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for rel, add in snap.adds.items():
         key = tuple(
@@ -2213,13 +2238,16 @@ def optimize_delta(
     n_parts = 0
     for key, members in sorted(groups.items()):
         has_dv = any(a.get("deletionVector") for _r, a in members)
-        if len(members) < min_files and not has_dv:
+        # re-clustering rewrites every group: an unordered single packed
+        # file is exactly the layout zorder exists to fix
+        if len(members) < min_files and not (has_dv or zorder_by):
             continue
         total = sum(a.get("size", 0) for _r, a in members)
         n_out = max(1, -(-total // target_file_bytes))
-        if n_out >= len(members) and not has_dv:
+        if n_out >= len(members) and not (has_dv or zorder_by):
             continue  # already at or under the packed count
-        n_out = min(n_out, len(members))
+        if not zorder_by:
+            n_out = min(n_out, len(members))
         n_parts += 1
         part_dir = ""
         if disk_pcols:
@@ -2248,20 +2276,19 @@ def optimize_delta(
                         if f.name not in pcols
                     ]
                 )
-            (
-                group_df.coalesce(n_out)
-                .write.mode("overwrite")
-                .parquet(fs.spark_path(staging))
-            )
+            if zorder_by:
+                group_df = cluster_layout(group_df, zkeys_phys, n_out)
+            else:
+                group_df = group_df.coalesce(n_out)
+            group_df.write.mode("overwrite").parquet(fs.spark_path(staging))
         else:
             files = [fs.spark_path(fs.join(path, rel)) for rel, _a in members]
-            (
-                spark.read.schema(phys)
-                .parquet(*files)
-                .coalesce(n_out)
-                .write.mode("overwrite")
-                .parquet(fs.spark_path(staging))
-            )
+            group_df = spark.read.schema(phys).parquet(*files)
+            if zorder_by:
+                group_df = cluster_layout(group_df, zkeys_phys, n_out)
+            else:
+                group_df = group_df.coalesce(n_out)
+            group_df.write.mode("overwrite").parquet(fs.spark_path(staging))
         for rel, _size in fs.walk_files(staging):
             base = rel.rsplit("/", 1)[-1]
             if base.startswith(("_", ".")) or not base.endswith(".parquet"):
@@ -2308,6 +2335,11 @@ def optimize_delta(
                 "operationParameters": {
                     "targetFileBytes": target_file_bytes,
                     "minFiles": min_files,
+                    **(
+                        {"zOrderBy": json.dumps(list(zorder_by))}
+                        if zorder_by
+                        else {}
+                    ),
                 },
                 "engineInfo": "gofeed_spark-delta/0.1",
             }

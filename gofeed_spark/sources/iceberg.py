@@ -72,6 +72,7 @@ from pyspark.sql import types as T
 from gofeed_spark.fs import FileSystem, get_filesystem
 from gofeed_spark.sources import icetransforms as X
 from gofeed_spark.sources.avrocodec import AvroError, read_container, write_container
+from gofeed_spark.sources.cluster import cluster_layout
 from gofeed_spark.sources.statbounds import stat_string_bounds
 
 
@@ -2406,6 +2407,7 @@ def rewrite_iceberg(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Bin-packing compaction — the ``rewrite_data_files`` twin of
     ``optimize_delta``: within each partition whose live file count is at
@@ -2429,7 +2431,15 @@ def rewrite_iceberg(
     skip ``replace`` snapshots entirely (contents unchanged — the
     dataChange=false twin); time travel below the rewrite keeps working
     until expiry.  Returns {"version", "rewritten", "packed",
-    "partitions"}; a no-op makes no commit and returns version -1."""
+    "partitions"}; a no-op makes no commit and returns version -1.
+
+    ``sort_by`` additionally RE-CLUSTERS each group on the given keys
+    (range clustering for one key, quantile-coded Z-order for several —
+    the ``rewrite_data_files(sort/zorder)`` strategies): every group
+    rewrites regardless of ``min_files``, and each packed file then
+    covers a narrow key slice so the manifest lower/upper bounds
+    (``where=`` point lookups, MERGE candidate pruning) actually drop
+    files on a table that accreted unordered."""
     path = path.rstrip("/")
     fs = get_filesystem(path)
     md = _meta_dir(path)
@@ -2447,6 +2457,17 @@ def rewrite_iceberg(
     part_types = [(f["name"], f["result_type"]) for f in pfields]
     entries, dels = _live_entries(fs, _snapshot_of(meta, None))
     _resolve_eq_cols(ice_schema, dels)
+
+    if sort_by:
+        missing_s = [c for c in sort_by if c not in schema.names]
+        if missing_s:
+            raise IcebergError(f"sort_by {missing_s} not in table schema")
+        in_part = [c for c in sort_by if c in pcols]
+        if in_part:
+            raise IcebergError(
+                f"sort_by {in_part} are identity partition columns "
+                "(constant within each rewrite group — nothing to cluster)"
+            )
 
     groups: dict[tuple, list[dict]] = {}
     for e in entries:
@@ -2466,11 +2487,13 @@ def rewrite_iceberg(
     for key, members in sorted(
         groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
     ):
-        if len(members) < min_files:
+        # re-clustering rewrites every group: an unordered single packed
+        # file is exactly the layout sort_by exists to fix
+        if len(members) < min_files and not sort_by:
             continue
         total = sum(e.get("file_size_in_bytes", 0) for e in members)
         n_out = max(1, -(-total // target_file_bytes))
-        if n_out >= len(members):
+        if n_out >= len(members) and not sort_by:
             continue
         n_parts += 1
         # merge-on-read input: existing position deletes APPLY here, so
@@ -2479,12 +2502,14 @@ def rewrite_iceberg(
             spark, fs, schema, pcols, members, deletes=dels, pkeys=pkeys
         ).drop(*pcols)
         staging = f"{path}_iceberg_rewrite_{token}_{n_parts}"
+        if sort_by:
+            group_df = cluster_layout(group_df, sort_by, n_out)
+        else:
+            group_df = group_df.coalesce(n_out)
         group_df = _with_field_ids(
             group_df, {f["name"]: f["id"] for f in ice_schema["fields"]}
         )
-        group_df.coalesce(n_out).write.mode("overwrite").parquet(
-            fs.spark_path(staging)
-        )
+        group_df.write.mode("overwrite").parquet(fs.spark_path(staging))
         part_values = dict(zip(part_names, key))
         for rel, size in fs.walk_files(staging):
             base = rel.rsplit("/", 1)[-1]

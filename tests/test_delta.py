@@ -1455,3 +1455,76 @@ def test_apply_changes_stamps_watermark_on_noop_delete(spark, tmp_path):
         spark, src_t, dst_t, ["k"], start_version=end, txn=("wm-app", 10)
     )
     assert D.last_txn_version(dst_t, "wm-app") == 10
+
+
+def test_optimize_zorder_clusters_for_skipping(spark, tmp_path):
+    """r17: OPTIMIZE(zorder_by=) re-clusters unordered accretion so the
+    stats skipping actually drops files; contents unchanged, commit
+    invisible to incremental consumers, stats rewritten."""
+    tbl = str(tmp_path / "tbl")
+    # every commit spans the full key range (residue classes)
+    for r in range(3):
+        D.write_delta(
+            spark.range(3000)
+            .filter(F.col("id") % 3 == r)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            tbl,
+        )
+    pre_hit = D.read_delta(spark, tbl, where={"k": "777"})
+    assert len(pre_hit.inputFiles()) == 3  # unordered: nothing prunes
+    before = {(r.k, r.v) for r in D.read_delta(spark, tbl).collect()}
+    v_pre = D.latest_version(tbl)
+    size = sum(
+        a.get("size", 0)
+        for a in D._snapshot(D.get_filesystem(tbl), tbl).adds.values()
+    )
+    res = D.optimize_delta(
+        spark, tbl, target_file_bytes=max(1, size // 4), zorder_by=["k"]
+    )
+    assert res["rewritten"] == 3 and res["packed"] >= 4
+    # contents byte-identical, change feed skips the re-layout
+    assert {(r.k, r.v) for r in D.read_delta(spark, tbl).collect()} == before
+    assert D.read_delta_changes(spark, tbl, v_pre).count() == 0
+    # the point lookup now opens fewer files than the table holds
+    post_hit = D.read_delta(spark, tbl, where={"k": "777"})
+    assert 0 < len(post_hit.inputFiles()) < len(
+        D.read_delta(spark, tbl).inputFiles()
+    )
+    assert [r.v for r in post_hit.collect()] == [1554]
+    # guards
+    with pytest.raises(D.DeltaError, match="not in table schema"):
+        D.optimize_delta(spark, tbl, zorder_by=["nope"])
+
+
+def test_optimize_zorder_multikey(spark, tmp_path):
+    """Multi-key Z-order: both keys' bounds narrow per file, so a point
+    lookup on EITHER key prunes; partition-column keys refuse."""
+    tbl = str(tmp_path / "tbl")
+    for r in range(2):
+        D.write_delta(
+            spark.range(4000)
+            .filter(F.col("id") % 2 == r)
+            .select(
+                (F.col("id") % 64).alias("x"),
+                (F.col("id") / 64).cast("bigint").alias("y"),
+                F.lit("p0").alias("p"),
+            )
+            .coalesce(1),
+            tbl,
+            partition_by=["p"],
+        )
+    size = sum(
+        a.get("size", 0)
+        for a in D._snapshot(D.get_filesystem(tbl), tbl).adds.values()
+    )
+    res = D.optimize_delta(
+        spark, tbl, target_file_bytes=max(1, size // 4), zorder_by=["x", "y"]
+    )
+    assert res["packed"] >= 4
+    n_all = len(D.read_delta(spark, tbl).inputFiles())
+    for probe in ({"x": "5"}, {"y": "5"}):
+        hit = D.read_delta(spark, tbl, where=probe)
+        assert 0 < len(hit.inputFiles()) < n_all, probe
+    with pytest.raises(D.DeltaError, match="partition columns"):
+        D.optimize_delta(spark, tbl, zorder_by=["p"])

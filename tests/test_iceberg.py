@@ -1551,3 +1551,50 @@ def test_statbounds_string_upper_bound():
     assert string_upper_bound(chr(0xD7FF)) == chr(0xE000)
     b = string_upper_bound("a" * 100 + "zz")
     assert b is not None and b > "a" * 100 + "zz" + "anything"
+
+
+def test_rewrite_sort_clusters_for_skipping(spark, tmp_path):
+    """r17: rewrite(sort_by=) re-clusters unordered accretion so the
+    manifest bounds actually drop files; contents unchanged, the
+    replace snapshot invisible to incremental readers."""
+    tbl = str(tmp_path / "tbl")
+    for r in range(3):
+        I.write_iceberg(
+            spark.range(3000)
+            .filter(F.col("id") % 3 == r)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            tbl,
+        )
+    pre_hit = I.read_iceberg(spark, tbl, where={"k": "777"})
+    assert len(pre_hit.inputFiles()) == 3
+    before = {(r.k, r.v) for r in I.read_iceberg(spark, tbl).collect()}
+    pre_snap = I.latest_snapshot(tbl)
+    res = I.rewrite_iceberg(
+        spark, tbl, target_file_bytes=1, sort_by=["k"], min_files=2
+    )
+    assert res["rewritten"] == 3 and res["packed"] >= 2
+    assert {(r.k, r.v) for r in I.read_iceberg(spark, tbl).collect()} == before
+    # incremental read across the replace snapshot: nothing re-delivered
+    assert I.read_iceberg_changes(spark, tbl, pre_snap).count() == 0
+    post_hit = I.read_iceberg(spark, tbl, where={"k": "777"})
+    assert 0 < len(post_hit.inputFiles()) < len(
+        I.read_iceberg(spark, tbl).inputFiles()
+    )
+    assert [r.v for r in post_hit.collect()] == [1554]
+    with pytest.raises(I.IcebergError, match="not in table schema"):
+        I.rewrite_iceberg(spark, tbl, sort_by=["nope"])
+
+
+def test_cluster_layout_guards():
+    from gofeed_spark.sources.cluster import ClusterError, cluster_layout
+    from gofeed_spark.session import get_spark
+
+    spark = get_spark("t")
+    df = spark.range(10).selectExpr("id", "cast(id as string) as s")
+    with pytest.raises(ClusterError, match="not in"):
+        cluster_layout(df, ["nope"], 2)
+    with pytest.raises(ClusterError, match="numeric"):
+        cluster_layout(df, ["id", "s"], 2)
+    # single-key range clustering supports strings
+    assert cluster_layout(df, ["s"], 2).count() == 10
