@@ -1648,3 +1648,63 @@ def q186(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q187_rest_catalog",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def q187(spark, sf_dir):
+    """REST CATALOG LIFECYCLE (r16 verdict missing item 1): a catalog
+    server (directory-backed reference implementation of the public REST
+    spec subset) arbitrates the table — create registers the metadata
+    location, two appends go up as add-snapshot/set-snapshot-ref update
+    sets guarded by assert-ref-snapshot-id, and the read resolves
+    ``ns.documents`` through one load RPC (no version-hint I/O).  The
+    final catalog-mediated read must equal the source table exactly.
+    Eager at construction like q185/q186."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+    from gofeed_spark.sources.icecatalog import (
+        RestCatalog,
+        RestCatalogServer,
+        commit_iceberg_rest,
+        create_iceberg_rest,
+        read_iceberg_rest,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q187_")
+    try:
+        with RestCatalogServer(work) as srv:
+            cat = RestCatalog(srv.uri)
+            cat.create_namespace("ns")
+            loc = f"{srv.warehouse}/ns/documents"
+            part = lambda r: docs.filter(F.col("doc_id") % 3 == r)  # noqa: E731
+            create_iceberg_rest(
+                cat, "ns.documents", loc,
+                lambda p: I.write_iceberg(part(0), p),
+            )
+            for r in (1, 2):
+                commit_iceberg_rest(
+                    cat, "ns.documents",
+                    lambda p, r=r: I.write_iceberg(part(r), p),
+                )
+            return (
+                read_iceberg_rest(spark, cat, "ns.documents")
+                .groupBy("source")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_chars").cast("long").alias("chars"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -507,6 +507,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     where: dict[str, str] | None = None,
     as_of_ts: int | None = None,
+    metadata: dict | None = None,
 ) -> DataFrame:
     """Read an Iceberg table (optionally ``snapshot_id``-as-of, or
     ``as_of_ts``-as-of in epoch MILLIS — the ``TIMESTAMP AS OF`` form,
@@ -514,11 +515,15 @@ def read_iceberg(
     ``where`` maps identity-partition column → required string
     value, applied to manifest partition structs BEFORE any data file is
     referenced (manifest-level pruning: the file list shrinks at the
-    driver; nothing is listed or opened for pruned partitions)."""
+    driver; nothing is listed or opened for pruned partitions).
+    ``metadata``: an already-resolved table-metadata dict (a CATALOG's
+    answer — REST catalogs return the metadata with the load) used
+    instead of the HadoopCatalog version-hint read; file paths inside it
+    are absolute, so the data plane is unchanged."""
     if snapshot_id is not None and as_of_ts is not None:
         raise IcebergError("pass snapshot_id OR as_of_ts, not both")
     fs = get_filesystem(path)
-    meta, _v = _load_metadata(fs, path)
+    meta = metadata if metadata is not None else _load_metadata(fs, path)[0]
     if as_of_ts is not None:
         snapshot_id = snapshot_at_timestamp(meta, as_of_ts)
     schema = _schema_from_iceberg(_current_schema(meta))
@@ -1136,13 +1141,25 @@ def _carry_manifests(fs: FileSystem, meta: dict) -> list[dict]:
     return carried
 
 
+_PUBLISH_INTERCEPT = None  # see icecatalog.capture_commit
+
+
 def _publish_metadata(
     fs: FileSystem, path: str, version: int, new_meta: dict
 ) -> None:
     """Commit arbitration: create-if-absent PUT of the next metadata
     version (O_EXCL / conditional PUT on the fs seam — two racing writers
     get exactly one winner, never a silent clobber), then advance the
-    advisory version hint."""
+    advisory version hint.
+
+    When a catalog commit is in flight (``icecatalog.capture_commit``),
+    the interceptor captures ``new_meta`` instead: the CATALOG owns
+    metadata publication, the writer only proposes — exactly the REST
+    protocol's division of labor."""
+    if _PUBLISH_INTERCEPT is not None and _PUBLISH_INTERCEPT(
+        fs, path, version, new_meta
+    ):
+        return
     md = _meta_dir(path)
     commit_path = fs.join(md, _meta_name(version + 1))
     if not fs.put_bytes_if_absent(
