@@ -112,6 +112,23 @@ def _mp_re():
     return _MULTIPART_RE
 
 
+_V2_RE = None
+
+
+def _v2_re():
+    """V2 (UUID-named) checkpoint file name — the checkpointPolicy=v2
+    form newer writers emit: ``%020d.checkpoint.<uuid>.{json|parquet}``,
+    a manifest whose file actions may live in ``_sidecars/`` files."""
+    global _V2_RE
+    if _V2_RE is None:
+        import re
+
+        _V2_RE = re.compile(
+            r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(json|parquet)$"
+        )
+    return _V2_RE
+
+
 _MULTIPART_RE = None  # compiled lazily (module import stays light)
 
 
@@ -121,16 +138,21 @@ def _list_log(fs: FileSystem, log: str) -> tuple[list[int], list[int]]:
     the classic Spark-writer form for big tables) count as available
     only when EVERY part is present (a partial set is never read)."""
     mp = _mp_re()
+    v2 = _v2_re()
     commits, checkpoints = [], []
     parts: dict[int, tuple[int, set[int]]] = {}
     for name in fs.listdir(log):
         stem = name.split(".", 1)[0]
         if not (len(stem) == 20 and stem.isdigit()):
             continue
-        if name.endswith(".json"):
+        if v2.match(name):
+            if int(stem) not in checkpoints:
+                checkpoints.append(int(stem))
+        elif name.endswith(".json"):
             commits.append(int(stem))
         elif name.endswith(".checkpoint.parquet"):
-            checkpoints.append(int(stem))
+            if int(stem) not in checkpoints:
+                checkpoints.append(int(stem))
         else:
             m = mp.match(name)
             if m:
@@ -146,11 +168,21 @@ def _list_log(fs: FileSystem, log: str) -> tuple[list[int], list[int]]:
 
 def _checkpoint_files(fs: FileSystem, log: str, version: int) -> list[str]:
     """The checkpoint's file list at ``version``: the single-part file,
-    or every part of a complete multi-part set (part order preserved —
-    actions are order-independent within a checkpoint anyway)."""
+    a V2 (UUID-named) manifest (any one — the spec allows several for a
+    version, each self-contained), or every part of a complete
+    multi-part set (part order preserved — actions are order-independent
+    within a checkpoint anyway)."""
     single = fs.join(log, _checkpoint_name(version))
     if fs.exists(single):
         return [single]
+    v2 = _v2_re()
+    v2_names = sorted(
+        n
+        for n in fs.listdir(log)
+        if v2.match(n) and int(n.split(".", 1)[0]) == version
+    )
+    if v2_names:
+        return [fs.join(log, v2_names[0])]
     mp = _mp_re()
     names = sorted(
         n
@@ -215,42 +247,73 @@ class _Snapshot:
         return out
 
 
-def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
-    """Checkpoint parquet → action dicts (pyarrow, driver-side).
+def _norm_checkpoint_row(row: dict) -> tuple[str, dict] | None:
+    """One checkpoint row → (action key, normalized action dict), or
+    None for rows carrying only V2 bookkeeping (``checkpointMetadata``)
+    or nothing."""
+    for key in ("protocol", "metaData", "add", "remove", "txn", "sidecar"):
+        val = row.get(key)
+        if val is not None:
+            if key == "add" and isinstance(val.get("partitionValues"), list):
+                # pyarrow renders map<string,string> as [(k, v), ...]
+                val["partitionValues"] = dict(val["partitionValues"])
+            if key == "add" and val.get("deletionVector") is None:
+                val.pop("deletionVector", None)
+            if key == "add" and val.get("stats") is None:
+                val.pop("stats", None)
+            if key == "metaData" and isinstance(val.get("configuration"), list):
+                val["configuration"] = dict(val["configuration"])
+            if key == "protocol":
+                # features are absent (null) below reader v3
+                val = {k: v for k, v in val.items() if v is not None}
+            return key, val
+    return None
 
-    A checkpoint is one row per action with struct columns named like the
-    JSON action keys; absent actions are null structs.  Multi-part
-    checkpoints (``.checkpoint.%010d.%010d.parquet``) are not produced by
-    this writer and not consumed — a table using them raises upstream via
-    the missing single-part file, never reads a partial state.
-    """
+
+def _parquet_action_rows(fs: FileSystem, files: list[str]) -> list[dict]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = []
     tables = [
-        pq.read_table(pa.BufferReader(fs.read_bytes(f)))
-        for f in _checkpoint_files(fs, log, version)
+        pq.read_table(pa.BufferReader(fs.read_bytes(f))) for f in files
     ]
-    table = pa.concat_tables(tables, promote_options="permissive")
-    for row in table.to_pylist():
-        for key in ("protocol", "metaData", "add", "remove", "txn"):
-            val = row.get(key)
-            if val is not None:
-                if key == "add" and isinstance(val.get("partitionValues"), list):
-                    # pyarrow renders map<string,string> as [(k, v), ...]
-                    val["partitionValues"] = dict(val["partitionValues"])
-                if key == "add" and val.get("deletionVector") is None:
-                    val.pop("deletionVector", None)
-                if key == "add" and val.get("stats") is None:
-                    val.pop("stats", None)
-                if key == "metaData" and isinstance(val.get("configuration"), list):
-                    val["configuration"] = dict(val["configuration"])
-                if key == "protocol":
-                    # features are absent (null) below reader v3
-                    val = {k: v for k, v in val.items() if v is not None}
-                out.append({key: val})
-                break
+    return pa.concat_tables(tables, promote_options="permissive").to_pylist()
+
+
+def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
+    """Checkpoint → action dicts (driver-side, metadata-sized).
+
+    Classic form: parquet, one row per action with struct columns named
+    like the JSON action keys (absent actions are null structs);
+    multi-part sets read every part.  V2 (UUID-named) form
+    (checkpointPolicy=v2, the newer-writer shape): the manifest — json
+    lines or parquet — carries the non-file actions plus ``sidecar``
+    actions naming files under ``_delta_log/_sidecars/`` that hold the
+    add/remove actions; both are expanded here, and the
+    ``checkpointMetadata`` bookkeeping action is ignored."""
+    files = _checkpoint_files(fs, log, version)
+    if files[0].endswith(".json"):
+        raw = fs.read_bytes(files[0]).decode("utf-8")
+        rows = [json.loads(line) for line in raw.splitlines() if line.strip()]
+    else:
+        rows = _parquet_action_rows(fs, files)
+    out = []
+    sidecars: list[str] = []
+    for row in rows:
+        hit = _norm_checkpoint_row(row)
+        if hit is None:
+            continue
+        key, val = hit
+        if key == "sidecar":
+            sidecars.append(val["path"])
+        else:
+            out.append({key: val})
+    for rel in sidecars:
+        sc = fs.join(log, f"_sidecars/{rel}")
+        for row in _parquet_action_rows(fs, [sc]):
+            hit = _norm_checkpoint_row(row)
+            if hit is not None and hit[0] != "sidecar":
+                out.append({hit[0]: hit[1]})
     return out
 
 

