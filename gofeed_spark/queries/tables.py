@@ -1708,3 +1708,64 @@ def q187(spark, sf_dir):
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q188_conditional_merge",
+    oracle="""
+SELECT doc_id, source,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars + 100 ELSE n_chars END
+            AS BIGINT) AS chars_delta,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars + 100 ELSE n_chars END
+            AS BIGINT) AS chars_ice
+FROM documents ORDER BY doc_id
+""",
+)
+def q188(spark, sf_dir):
+    """CONDITIONAL + PARTIAL-COLUMN MERGE on both formats (r16 verdict
+    missing item 4, the SQL MERGE surface a user ports): documents land
+    as the target; the source proposes n_chars+100 for EVEN doc_ids and
+    n_chars-100 for ODD ones, and the merge runs with
+    ``when_matched=("update", "s.n_chars > t.n_chars")`` +
+    ``set_cols=["n_chars"]`` — so the guard REJECTS every odd row (the
+    matched-but-unchanged branch, non-vacuous at every SF by residue
+    construction) and the partial SET proves the untouched ``source``
+    column survives (the source frame never carries it).  Eager at
+    construction like q185-q187."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    proposal = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.col("n_chars") + 100
+        ).otherwise(F.col("n_chars") - 100).alias("n_chars"),
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q188_")
+    dt, it = f"{work}/delta", f"{work}/ice"
+    try:
+        D.write_delta(docs, dt)
+        I.write_iceberg(docs, it)
+        D.merge_delta(
+            spark, dt, proposal, ["doc_id"],
+            when_matched=("update", "s.n_chars > t.n_chars"),
+            when_not_matched=None, set_cols=["n_chars"],
+        )
+        I.merge_iceberg(
+            spark, it, proposal, ["doc_id"],
+            when_matched=("update", "s.n_chars > t.n_chars"),
+            when_not_matched=None, set_cols=["n_chars"],
+        )
+        d = D.read_delta(spark, dt).select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("chars_delta")
+        )
+        i = I.read_iceberg(spark, it).select(
+            "doc_id", F.col("n_chars").cast("long").alias("chars_ice")
+        )
+        return d.join(i, ["doc_id"]).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1679,9 +1679,10 @@ def merge_delta(
     path: str,
     source_df: DataFrame,
     on: list[str],
-    when_matched: str | None = "update",
+    when_matched: str | tuple | None = "update",
     when_not_matched: str | None = "insert",
     txn: tuple[str, int] | None = None,
+    set_cols: list[str] | None = None,
 ) -> int:
     """Row-level MERGE (keyed upsert) — the open-format form of the
     reference's OCC Save upsert (reference internal/state/repo.go:125-138)
@@ -1710,11 +1711,40 @@ def merge_delta(
     (equi-join semantics) and therefore insert.  Returns the new version,
     or -1 when the merge is a no-op (no commit).  ``txn`` stamps the
     commit with the protocol's (appId, version) idempotency handshake —
-    the :class:`~gofeed_spark.streaming.sinks.DeltaUpsertSink` contract."""
+    the :class:`~gofeed_spark.streaming.sinks.DeltaUpsertSink` contract.
+
+    CONDITIONAL and PARTIAL forms (the SQL MERGE surface a user ports):
+
+    - ``when_matched=("update", cond)`` / ``("delete", cond)`` — the
+      ``WHEN MATCHED AND <cond>`` guard.  ``cond`` is a Spark SQL
+      boolean over two struct aliases: ``t`` (the target row) and ``s``
+      (the source row), e.g. ``"s.v > t.v"``.  Matched-but-guarded-out
+      rows stay untouched AND are still excluded from the insert leg
+      (they matched — the SQL rule); if the guard passes nowhere and
+      nothing inserts, the merge is a no-op.
+    - ``set_cols=[...]`` — ``UPDATE SET <subset>``: matched rows update
+      only the named non-key columns from the source, keeping the rest
+      of the target row; the source then needs only ``on + set_cols``
+      columns (inserts are refused — a partial row cannot insert)."""
+    matched_cond: str | None = None
+    if isinstance(when_matched, tuple):
+        if len(when_matched) != 2 or not isinstance(when_matched[1], str):
+            raise DeltaError(
+                "conditional when_matched is ('update'|'delete', '<sql>')"
+            )
+        when_matched, matched_cond = when_matched
     if when_matched not in ("update", "delete", None):
         raise DeltaError(f"when_matched must be update|delete|None, got {when_matched!r}")
     if when_not_matched not in ("insert", None):
         raise DeltaError(f"when_not_matched must be insert|None, got {when_not_matched!r}")
+    if set_cols is not None:
+        if when_matched != "update":
+            raise DeltaError("set_cols requires when_matched='update'")
+        if when_not_matched == "insert":
+            raise DeltaError(
+                "set_cols cannot insert (a partial row is not a table row); "
+                "pass when_not_matched=None"
+            )
     if when_matched is None and when_not_matched is None:
         raise DeltaError("MERGE with no WHEN clause is a no-op by construction")
     if not on:
@@ -1731,7 +1761,18 @@ def merge_delta(
     if missing:
         raise DeltaError(f"merge keys {missing} not in table schema")
     delete_only = when_matched == "delete" and when_not_matched is None
-    if delete_only:
+    if set_cols is not None:
+        bad = [c for c in set_cols if c not in schema.names or c in on]
+        if bad:
+            raise DeltaError(f"set_cols {bad} not non-key table columns")
+        need = [*on, *set_cols]
+        missing_src = [c for c in need if c not in source_df.columns]
+        if missing_src:
+            raise DeltaError(f"source lacks columns {missing_src}")
+        src = source_df.select(
+            *[F.col(c).cast(by_type[c]).alias(c) for c in need]
+        )
+    elif delete_only:
         missing_src = [c for c in on if c not in source_df.columns]
         if missing_src:
             raise DeltaError(f"source lacks merge keys {missing_src}")
@@ -1785,6 +1826,8 @@ def merge_delta(
             (rel, add) for rel, add in items if posixpath.basename(rel) in hits
         ]
 
+    from gofeed_spark.sources.mergeutil import cond_sql as _cond_sql
+
     rewritten = None
     cdc_parts: list[DataFrame] = []
     mkeys = None  # matched source keys (excluded from inserts)
@@ -1792,20 +1835,45 @@ def merge_delta(
     if affected:
         tgt = _assemble(spark, fs, path, schema, pcols, affected)
         if when_matched == "update":
+            val_cols = (
+                set_cols
+                if set_cols is not None
+                else [c for c in schema.names if c not in on]
+            )
             srcren = src.select(
                 *on,
-                *[
-                    F.col(c).alias(f"__src_{c}")
-                    for c in schema.names
-                    if c not in on
-                ],
+                *[F.col(c).alias(f"__src_{c}") for c in val_cols],
                 F.lit(True).alias("__m"),
             )
-            j = tgt.join(srcren, on, "left").localCheckpoint()  # feeds 3 writes
+            j = tgt.join(srcren, on, "left")
+            if matched_cond is not None:
+                j = j.withColumn(
+                    "__t", F.struct(*[F.col(c).alias(c) for c in schema.names])
+                ).withColumn(
+                    "__s",
+                    F.struct(
+                        *[F.col(c).alias(c) for c in on],
+                        *[F.col(f"__src_{c}").alias(c) for c in val_cols],
+                    ),
+                )
+                guarded = (
+                    F.col("__m").isNotNull()
+                    & F.expr(
+                        _cond_sql(matched_cond)
+                    )
+                )
+                j = j.withColumn(
+                    "__upd", F.coalesce(guarded, F.lit(False))
+                ).drop("__t", "__s")
+            else:
+                j = j.withColumn(
+                    "__upd", F.coalesce(F.col("__m"), F.lit(False))
+                )
+            j = j.localCheckpoint()  # feeds 3 writes + counts
             repl = [
                 F.col(c)
-                if c in on
-                else F.when(F.col("__m"), F.col(f"__src_{c}"))
+                if c not in val_cols
+                else F.when(F.col("__upd"), F.col(f"__src_{c}"))
                 .otherwise(F.col(c))
                 .cast(by_type[c])
                 .alias(c)
@@ -1813,33 +1881,59 @@ def merge_delta(
             ]
             rewritten = j.select(*repl)
             matched = j.filter(F.col("__m"))
+            updated = j.filter(F.col("__upd"))
             cdc_parts.append(
-                matched.select(*schema.names).withColumn(
+                updated.select(*schema.names).withColumn(
                     "_change_type", F.lit("update_preimage")
                 )
             )
             cdc_parts.append(
-                matched.select(*repl).withColumn(
+                updated.select(*repl).withColumn(
                     "_change_type", F.lit("update_postimage")
                 )
             )
         else:  # delete
             j = tgt.join(
                 skeys.withColumn("__m", F.lit(True)), on, "left"
-            ).localCheckpoint()
+            )
+            if matched_cond is not None:
+                j = j.withColumn(
+                    "__t", F.struct(*[F.col(c).alias(c) for c in schema.names])
+                ).withColumn(
+                    "__s", F.struct(*[F.col(c).alias(c) for c in on])
+                )
+                guarded = (
+                    F.col("__m").isNotNull()
+                    & F.expr(
+                        _cond_sql(matched_cond)
+                    )
+                )
+                j = j.withColumn(
+                    "__upd", F.coalesce(guarded, F.lit(False))
+                ).drop("__t", "__s")
+            else:
+                j = j.withColumn(
+                    "__upd", F.coalesce(F.col("__m"), F.lit(False))
+                )
+            j = j.localCheckpoint()
             matched = j.filter(F.col("__m"))
-            rewritten = j.filter(F.col("__m").isNull()).select(*schema.names)
+            updated = j.filter(F.col("__upd"))  # the rows actually deleted
+            rewritten = j.filter(~F.col("__upd")).select(*schema.names)
             cdc_parts.append(
-                matched.select(*schema.names).withColumn(
+                updated.select(*schema.names).withColumn(
                     "_change_type", F.lit("delete")
                 )
             )
         mkeys = matched.select(*on).distinct()
-        n_matched = matched.count()
+        n_matched = updated.count()  # rows the WHEN clause actually hits
         if n_matched == 0:
-            # key-pruned file scan can overshoot only if _assemble/semijoin
-            # disagree — they cannot (same relation); belt for empty tgt
-            affected, rewritten, cdc_parts, mkeys = [], None, [], None
+            # nothing updates/deletes: no rewrite, no CDC — but matched
+            # keys STILL suppress inserts (they matched, the SQL rule),
+            # so mkeys survives when any key matched at all
+            any_matched = matched.limit(1).count() > 0
+            affected, rewritten, cdc_parts = [], None, []
+            if not any_matched:
+                mkeys = None
 
     n_ins = 0
     ins = None

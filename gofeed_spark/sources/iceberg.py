@@ -2078,9 +2078,10 @@ def merge_iceberg(
     path: str,
     source_df: DataFrame,
     on: list[str],
-    when_matched: str | None = "update",
+    when_matched: str | tuple | None = "update",
     when_not_matched: str | None = "insert",
     summary_extra: dict | None = None,
+    set_cols: list[str] | None = None,
 ) -> int:
     """Row-level MERGE as the FORMAT'S natural upsert (r15 verdict item
     6): ONE snapshot committing an EQUALITY-DELETE file of the source
@@ -2099,7 +2100,23 @@ def merge_iceberg(
     append-only incremental readers refuse it loudly and
     ``read_iceberg_changes(cdf=True)`` reads it as the delete+insert
     changelog.  Source must be key-unique (ambiguous by the SQL rule).
-    Returns the new snapshot id, or -1 on a no-op."""
+    Returns the new snapshot id, or -1 on a no-op.
+
+    CONDITIONAL and PARTIAL forms (merge_delta's surface, the scan-mode
+    twin — both need target ROWS, so the blind zero-scan path does not
+    apply): ``when_matched=("update"|"delete", cond)`` guards the
+    matched action with a Spark SQL boolean over ``t`` (target row) and
+    ``s`` (source row) aliases; guarded-out rows stay untouched and
+    still suppress inserts.  ``set_cols=[...]`` updates only the named
+    non-key columns (the merged row = target row + source subset, so
+    the source needs only ``on + set_cols``; inserts refused)."""
+    matched_cond: str | None = None
+    if isinstance(when_matched, tuple):
+        if len(when_matched) != 2 or not isinstance(when_matched[1], str):
+            raise IcebergError(
+                "conditional when_matched is ('update'|'delete', '<sql>')"
+            )
+        when_matched, matched_cond = when_matched
     if when_matched not in ("update", "delete", None):
         raise IcebergError(
             f"when_matched must be update|delete|None, got {when_matched!r}"
@@ -2112,6 +2129,15 @@ def merge_iceberg(
         raise IcebergError("MERGE with no WHEN clause is a no-op by construction")
     if not on:
         raise IcebergError("MERGE needs at least one key column")
+    if set_cols is not None:
+        if when_matched != "update":
+            raise IcebergError("set_cols requires when_matched='update'")
+        if when_not_matched == "insert":
+            raise IcebergError(
+                "set_cols cannot insert (a partial row is not a table "
+                "row); pass when_not_matched=None"
+            )
+    scan_rows = matched_cond is not None or set_cols is not None
     # MERGE key semantics: NULL keys never match (SQL equi-join rule;
     # merge_delta's documented behavior) — but the eq-delete reader
     # matches NULL-SAFELY per the spec, so a NULL-keyed source row in
@@ -2122,7 +2148,7 @@ def merge_iceberg(
         _p = F.col(_c).isNotNull()
         _keys_nonnull = _p if _keys_nonnull is None else (_keys_nonnull & _p)
 
-    if when_matched == "delete" and when_not_matched is None:
+    if when_matched == "delete" and when_not_matched is None and not scan_rows:
         # pure keyed delete IS the equality-delete writer
         return delete_iceberg_equality(
             spark,
@@ -2148,10 +2174,41 @@ def merge_iceberg(
     missing = [c for c in on if c not in by_name]
     if missing:
         raise IcebergError(f"merge keys {missing} not in table schema")
-    fp_src = [(f.name, f.dataType.simpleString()) for f in source_df.schema.fields]
-    fp_tbl = [(f.name, f.dataType.simpleString()) for f in schema.fields]
-    if fp_src != fp_tbl:
-        raise IcebergSchemaMismatch(f"source schema {fp_src} != table's {fp_tbl}")
+    by_dtype = {f.name: f.dataType for f in schema.fields}
+    if set_cols is not None:
+        bad = [c for c in set_cols if c not in schema.names or c in on]
+        if bad:
+            raise IcebergError(f"set_cols {bad} not non-key table columns")
+        need = [*on, *set_cols]
+        missing_src = [c for c in need if c not in source_df.columns]
+        if missing_src:
+            raise IcebergError(f"source lacks columns {missing_src}")
+        source_df = source_df.select(
+            *[F.col(c).cast(by_dtype[c]).alias(c) for c in need]
+        )
+    elif scan_rows and when_matched == "delete":
+        missing_src = [c for c in on if c not in source_df.columns]
+        if missing_src:
+            raise IcebergError(f"source lacks merge keys {missing_src}")
+        if when_not_matched is None:
+            source_df = source_df.select(*on)
+        else:
+            fp_src = [
+                (f.name, f.dataType.simpleString())
+                for f in source_df.schema.fields
+            ]
+            fp_tbl = [
+                (f.name, f.dataType.simpleString()) for f in schema.fields
+            ]
+            if fp_src != fp_tbl:
+                raise IcebergSchemaMismatch(
+                    f"source schema {fp_src} != table's {fp_tbl}"
+                )
+    else:
+        fp_src = [(f.name, f.dataType.simpleString()) for f in source_df.schema.fields]
+        fp_tbl = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        if fp_src != fp_tbl:
+            raise IcebergSchemaMismatch(f"source schema {fp_src} != table's {fp_tbl}")
 
     src = source_df.localCheckpoint()  # feeds uniqueness check + stages
     if src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count():
@@ -2168,6 +2225,88 @@ def merge_iceberg(
     #     must stay untouched);
     #   delete+insert — unmatched rows, blind delete of ALL source keys
     #     (hides matched, no-ops on the rest).
+    if scan_rows:
+        from gofeed_spark.sources.mergeutil import cond_sql
+
+        idents = [f for f in pfields if f["kind"] == "identity"]
+        entries, dels = _live_entries(fs, _snapshot_of(meta, None))
+        _resolve_eq_cols(ice_schema, dels)
+        bmap = {c: t for c, t in _bound_id_map(ice_schema).items() if c in on}
+        if bmap:
+            b = src.agg(
+                *[F.min(c).alias(f"__lo_{c}") for c in bmap],
+                *[F.max(c).alias(f"__hi_{c}") for c in bmap],
+            ).collect()[0]
+            entries = _prune_entries_by_range(
+                entries,
+                {c: b[f"__lo_{c}"] for c in bmap},
+                {c: b[f"__hi_{c}"] for c in bmap},
+                bmap,
+            )
+        live = _assemble(
+            spark, fs, schema, [f["source_col"] for f in idents], entries,
+            deletes=dels, pkeys=[f["name"] for f in idents],
+        )
+        val_cols = (
+            set_cols
+            if set_cols is not None
+            else [c for c in src.columns if c not in on]
+        )
+        srcren = src.select(
+            *on, *[F.col(c).alias(f"__src_{c}") for c in val_cols]
+        )
+        j = live.join(srcren, on, "inner")  # matched target rows
+        if matched_cond is not None:
+            j = (
+                j.withColumn(
+                    "__t", F.struct(*[F.col(c).alias(c) for c in schema.names])
+                )
+                .withColumn(
+                    "__s",
+                    F.struct(
+                        *[F.col(c).alias(c) for c in on],
+                        *[F.col(f"__src_{c}").alias(c) for c in val_cols],
+                    ),
+                )
+                .filter(F.expr(cond_sql(matched_cond)))
+                .drop("__t", "__s")
+            )
+        j = j.localCheckpoint()  # feeds delete keys + merged rows
+        n_upd = j.count()
+        del_keys = j.select(*on) if n_upd else None
+        parts: list[DataFrame] = []
+        if when_matched == "update" and n_upd:
+            parts.append(
+                j.select(
+                    *[
+                        (
+                            F.col(f"__src_{c}") if c in val_cols else F.col(c)
+                        )
+                        .cast(by_dtype[c])
+                        .alias(c)
+                        for c in schema.names
+                    ]
+                )
+            )
+        if when_not_matched == "insert":
+            parts.append(
+                src.join(live.select(*on), on, "left_anti").select(
+                    *schema.names
+                )
+            )
+        data_rows = live.limit(0)
+        for p in parts:
+            data_rows = data_rows.unionByName(p)
+        has_data = bool(data_rows.limit(1).count())
+        if not has_data and del_keys is None:
+            return -1
+        delete_keys = del_keys is not None
+        return _merge_commit(
+            spark, fs, path, md, meta, version, ice_schema, schema, spec,
+            pfields, part_types, by_name, on, del_keys, data_rows, has_data,
+            delete_keys, summary_extra,
+        )
+
     del_keys = (
         src.select(*on).filter(_keys_nonnull)
         if when_matched is not None
@@ -2210,7 +2349,37 @@ def merge_iceberg(
     if not has_data and del_keys is None:
         return -1
     delete_keys = del_keys is not None
+    return _merge_commit(
+        spark, fs, path, md, meta, version, ice_schema, schema, spec,
+        pfields, part_types, by_name, on, del_keys, data_rows, has_data,
+        delete_keys, summary_extra,
+    )
 
+
+def _merge_commit(
+    spark,
+    fs,
+    path,
+    md,
+    meta,
+    version,
+    ice_schema,
+    schema,
+    spec,
+    pfields,
+    part_types,
+    by_name,
+    on,
+    del_keys,
+    data_rows,
+    has_data,
+    delete_keys,
+    summary_extra,
+) -> int:
+    """MERGE commit tail shared by the blind and scan-mode paths: the
+    equality-delete leg, the data leg (write_iceberg staging shape),
+    and ONE overwrite snapshot carrying parent manifests by pointer.
+    Returns the new snapshot id, or -1 when both legs are empty."""
     seq = int(meta.get("last-sequence-number", 0)) + 1
     sid = seq
     token = uuid.uuid4().hex

@@ -1528,3 +1528,58 @@ def test_optimize_zorder_multikey(spark, tmp_path):
         assert 0 < len(hit.inputFiles()) < n_all, probe
     with pytest.raises(D.DeltaError, match="partition columns"):
         D.optimize_delta(spark, tbl, zorder_by=["p"])
+
+
+def test_merge_conditional_and_partial(spark, tmp_path):
+    """r17: WHEN MATCHED AND <cond> guards + UPDATE SET column subsets.
+    Guarded-out rows stay untouched AND still suppress inserts; a
+    guard that passes nowhere with no inserts is a no-op (no commit);
+    CDC carries only the rows the clause actually hit."""
+    tbl = str(tmp_path / "tbl")
+    D.write_delta(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k long, v long, tag string",
+        ),
+        tbl,
+    )
+    src = spark.createDataFrame(
+        [(1, 5, "x"), (2, 25, "y"), (9, 90, "z")], "k long, v long, tag string"
+    )
+    ver = D.merge_delta(spark, tbl, src, ["k"], when_matched=("update", "s.v > t.v"))
+    out = {r.k: (r.v, r.tag) for r in D.read_delta(spark, tbl).collect()}
+    assert out == {1: (10, "a"), 2: (25, "y"), 3: (30, "c"), 9: (90, "z")}
+    ch = D.read_delta_changes(spark, tbl, ver - 1, cdf=True)
+    assert sorted((r.k, r._change_type) for r in ch.collect()) == [
+        (2, "update_postimage"), (2, "update_preimage"), (9, "insert"),
+    ]
+    # partial-column SET: v updates, tag survives; source needs only k+v
+    D.merge_delta(
+        spark, tbl, spark.createDataFrame([(2, 999)], "k long, v long"),
+        ["k"], when_matched="update", when_not_matched=None, set_cols=["v"],
+    )
+    out = {r.k: (r.v, r.tag) for r in D.read_delta(spark, tbl).collect()}
+    assert out[2] == (999, "y")
+    # guard passes nowhere + matched key -> no commit AND no insert
+    pre = D.latest_version(tbl)
+    assert D.merge_delta(
+        spark, tbl, spark.createDataFrame([(2, 1, "q")], "k long, v long, tag string"),
+        ["k"], when_matched=("update", "s.v > t.v"), when_not_matched="insert",
+    ) == -1
+    assert D.latest_version(tbl) == pre
+    assert {r.k for r in D.read_delta(spark, tbl).collect()} == {1, 2, 3, 9}
+    # conditional delete
+    D.merge_delta(
+        spark, tbl, spark.createDataFrame([(1,), (3,)], "k long"),
+        ["k"], when_matched=("delete", "t.v >= 30"), when_not_matched=None,
+    )
+    assert {r.k for r in D.read_delta(spark, tbl).collect()} == {1, 2, 9}
+    # guards
+    with pytest.raises(D.DeltaError, match="set_cols requires"):
+        D.merge_delta(spark, tbl, src, ["k"], when_matched="delete",
+                      when_not_matched=None, set_cols=["v"])
+    with pytest.raises(D.DeltaError, match="cannot insert"):
+        D.merge_delta(spark, tbl, src, ["k"], set_cols=["v"])
+    with pytest.raises(D.DeltaError, match="not non-key"):
+        D.merge_delta(spark, tbl, src, ["k"], when_not_matched=None,
+                      set_cols=["k"])

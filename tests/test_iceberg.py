@@ -1598,3 +1598,47 @@ def test_cluster_layout_guards():
         cluster_layout(df, ["id", "s"], 2)
     # single-key range clustering supports strings
     assert cluster_layout(df, ["s"], 2).count() == 10
+
+
+def test_merge_conditional_and_partial(spark, tmp_path):
+    """r17: the scan-mode conditional/partial MERGE twin — guards +
+    column subsets on merge-on-read; guarded-out rows stay untouched,
+    suppress inserts, and an all-guarded-out merge is a no-op."""
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k long, v long, tag string",
+        ),
+        tbl,
+    )
+    src = spark.createDataFrame(
+        [(1, 5, "x"), (2, 25, "y"), (9, 90, "z")], "k long, v long, tag string"
+    )
+    I.merge_iceberg(spark, tbl, src, ["k"], when_matched=("update", "s.v > t.v"))
+    out = {r.k: (r.v, r.tag) for r in I.read_iceberg(spark, tbl).collect()}
+    assert out == {1: (10, "a"), 2: (25, "y"), 3: (30, "c"), 9: (90, "z")}
+    I.merge_iceberg(
+        spark, tbl, spark.createDataFrame([(2, 999)], "k long, v long"),
+        ["k"], when_matched="update", when_not_matched=None, set_cols=["v"],
+    )
+    out = {r.k: (r.v, r.tag) for r in I.read_iceberg(spark, tbl).collect()}
+    assert out[2] == (999, "y")
+    pre = I.latest_snapshot(tbl)
+    assert I.merge_iceberg(
+        spark, tbl,
+        spark.createDataFrame([(2, 1, "q")], "k long, v long, tag string"),
+        ["k"], when_matched=("update", "s.v > t.v"), when_not_matched="insert",
+    ) == -1
+    assert I.latest_snapshot(tbl) == pre
+    assert {r.k for r in I.read_iceberg(spark, tbl).collect()} == {1, 2, 3, 9}
+    I.merge_iceberg(
+        spark, tbl, spark.createDataFrame([(1,), (3,)], "k long"),
+        ["k"], when_matched=("delete", "t.v >= 30"), when_not_matched=None,
+    )
+    assert {r.k for r in I.read_iceberg(spark, tbl).collect()} == {1, 2, 9}
+    with pytest.raises(I.IcebergError, match="set_cols requires"):
+        I.merge_iceberg(spark, tbl, src, ["k"], when_matched="delete",
+                        when_not_matched=None, set_cols=["v"])
+    with pytest.raises(I.IcebergError, match="cannot insert"):
+        I.merge_iceberg(spark, tbl, src, ["k"], set_cols=["v"])
