@@ -56,7 +56,11 @@ from pyspark.sql import types as T
 
 from gofeed_spark.fs import FileSystem, get_filesystem
 from gofeed_spark.sources.cluster import cluster_layout
+from gofeed_spark.sources.parsecache import ParseCache
 from gofeed_spark.sources.statbounds import stat_string_bounds
+
+#: process-wide checkpoint parse cache (see _checkpoint_rows)
+_CHECKPOINT_CACHE = ParseCache(capacity=64)
 
 
 class DeltaError(RuntimeError):
@@ -290,8 +294,23 @@ def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
     lines or parquet — carries the non-file actions plus ``sidecar``
     actions naming files under ``_delta_log/_sidecars/`` that hold the
     add/remove actions; both are expanded here, and the
-    ``checkpointMetadata`` bookkeeping action is ignored."""
+    ``checkpointMetadata`` bookkeeping action is ignored.
+
+    Cached per (log, version): a checkpoint is write-once, and it is
+    the expensive driver-side parse of every snapshot replay (the
+    commit-json tail stays uncached — it is small and HEAD moves)."""
     files = _checkpoint_files(fs, log, version)
+    try:
+        sig = tuple((f, fs.stat(f)) for f in files)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        sig = None
+    hit = (
+        _CHECKPOINT_CACHE.get((log, version), sig)
+        if sig is not None
+        else None
+    )
+    if hit is not None:
+        return hit
     if files[0].endswith(".json"):
         raw = fs.read_bytes(files[0]).decode("utf-8")
         rows = [json.loads(line) for line in raw.splitlines() if line.strip()]
@@ -311,9 +330,11 @@ def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
     for rel in sidecars:
         sc = fs.join(log, f"_sidecars/{rel}")
         for row in _parquet_action_rows(fs, [sc]):
-            hit = _norm_checkpoint_row(row)
-            if hit is not None and hit[0] != "sidecar":
-                out.append({hit[0]: hit[1]})
+            srow = _norm_checkpoint_row(row)
+            if srow is not None and srow[0] != "sidecar":
+                out.append({srow[0]: srow[1]})
+    if sig is not None:
+        _CHECKPOINT_CACHE.put((log, version), out, sig)
     return out
 
 

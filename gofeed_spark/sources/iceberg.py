@@ -73,7 +73,11 @@ from gofeed_spark.fs import FileSystem, get_filesystem
 from gofeed_spark.sources import icetransforms as X
 from gofeed_spark.sources.avrocodec import AvroError, read_container, write_container
 from gofeed_spark.sources.cluster import cluster_layout
+from gofeed_spark.sources.parsecache import ParseCache
 from gofeed_spark.sources.statbounds import stat_string_bounds
+
+#: process-wide manifest/manifest-list parse cache (see _read_avro)
+_AVRO_CACHE = ParseCache(capacity=512)
 
 
 class IcebergError(RuntimeError):
@@ -348,10 +352,27 @@ def _snapshot_of(meta: dict, snapshot_id: int | None) -> dict:
 
 
 def _read_avro(fs: FileSystem, path: str):
+    """Parse one manifest/manifest-list Avro container, through the
+    process-wide :class:`ParseCache`: these files are WRITE-ONCE
+    (uuid-tokened names, create-if-absent publication), so a path's
+    parse can be reused across snapshots — append carries manifests by
+    pointer, and without the cache every read re-parses the whole tree
+    driver-side.  Deep copies in/out keep downstream mutation
+    (``_seq`` stamping, ``_eq_cols``) away from the cached form."""
     try:
-        return read_container(fs.read_bytes(path))
+        sig = fs.stat(path)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        sig = None
+    hit = _AVRO_CACHE.get(path, sig) if sig is not None else None
+    if hit is not None:
+        return hit
+    try:
+        out = read_container(fs.read_bytes(path))
     except AvroError as exc:
         raise IcebergError(f"bad Avro at {path}: {exc}") from exc
+    if sig is not None:
+        _AVRO_CACHE.put(path, out, sig)
+    return out
 
 
 def _get(rec: dict, *names, default=None):

@@ -90,6 +90,14 @@ def main():
           lambda: I.read_iceberg(spark, it, snapshot_id=n_commits - 1).count())
     timed(queries, "iceberg_changelog",
           lambda: I.read_iceberg_changes(spark, it, n_commits - 1, cdf=True).count())
+    # second reads: the metadata-plane parse cache (r17) makes repeat
+    # reads of a settled table skip the driver-side manifest/checkpoint
+    # parse entirely — this is the line that should sit well under the
+    # first read
+    timed(queries, "delta_head2", lambda: D.read_delta(spark, dt).count())
+    timed(queries, "iceberg_head2", lambda: I.read_iceberg(spark, it).count())
+    timed(queries, "iceberg_changelog2",
+          lambda: I.read_iceberg_changes(spark, it, n_commits - 1, cdf=True).count())
     assert dv >= n_commits and sid >= n_commits
     shutil.rmtree(work, ignore_errors=True)
     print(
