@@ -19,7 +19,7 @@ Model definition (frozen; any change is a NEW model):
 - per gram ``g``: ``hx = md5(utf8(g))`` hex; bucket = first 8 hex digits
   as an integer, mod ``dim``; sign = +1 if the 9th hex digit is even
   else -1 (md5 rather than xxhash64 because md5 has an exact driver-side
-  AND SQL twin — the bm25-index bucket-routing recipe, CLAUDE.md r12);
+  AND SQL twin — the bm25-index bucket-routing recipe);
 - ``v[bucket] += sign * count(g)``; output ``v / ||v||``.
 
 Docs with no n-grams (len < n) or a zero vector (fully cancelling signs —

@@ -120,7 +120,7 @@ def chunk_documents(
         raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window}")
     stride = window - overlap
     # materialize the token array BEFORE the transform lambda references
-    # it — an inlined split would re-tokenize once per chunk (CLAUDE rule)
+    # it — an inlined split would re-tokenize once per chunk
     base = docs.select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),

@@ -3601,7 +3601,7 @@ def q137(spark, sf_dir):
     raw text — no precomputed embeddings table anywhere.  The oracle
     rebuilds the frozen embedding model (generated md5 arithmetic) and
     feeds it through the SAME 2-iteration Lloyd CTE chain as q122.
-    Margins measured before registration (CLAUDE.md rule): argmin
+    Margins measured before registration: argmin
     relative margin ≥ 2.9e-4 at sf0.01 and ≥ 4.1e-6 at sf0.1 vs ~1e-13
     cross-engine float noise.  target_cluster_rows=625 lands BOTH gate
     SFs (500/5000 docs) on the k_min=8 floor, pinning the oracle's
@@ -3752,7 +3752,8 @@ def q146(spark, sf_dir):
 WITH u AS (
   SELECT doc_id,
          'https://www.' || source || '.example.com/docs/'
-         || CAST(doc_id % 97 AS VARCHAR) AS url
+         || CASE WHEN doc_id % 13 = 5 THEN 'u/' || CAST(doc_id AS VARCHAR)
+                 ELSE CAST(doc_id % 97 AS VARCHAR) END AS url
   FROM documents
 ),
 seen AS (SELECT DISTINCT url FROM u WHERE doc_id % 7 = 0)
@@ -3779,9 +3780,16 @@ def q147(spark, sf_dir):
     from gofeed_spark.operators.bloom import bloom_new_keys
 
     d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    # docs in the doc_id % 13 == 5 residue class get a UNIQUE url, so
+    # the unseen output scales with the corpus instead of vanishing once
+    # the 20x97 shared-url space saturates at large SF (the q14
+    # residue-fixture convention; r16 verdict item 7)
     url = F.concat(
         F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
-        (F.col("doc_id") % 97).cast("string"),
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.concat(F.lit("u/"), F.col("doc_id").cast("string")),
+        ).otherwise((F.col("doc_id") % 97).cast("string")),
     )
     u = d.select("doc_id", url.alias("url"))
     seen = u.filter(F.col("doc_id") % 7 == 0).select("url")
@@ -3981,7 +3989,8 @@ def q150(spark, sf_dir):
 WITH u AS (
   SELECT doc_id,
          'https://www.' || source || '.example.com/docs/'
-         || CAST(doc_id % 97 AS VARCHAR) AS url
+         || CASE WHEN doc_id % 13 = 5 THEN 'u/' || CAST(doc_id AS VARCHAR)
+                 ELSE CAST(doc_id % 97 AS VARCHAR) END AS url
   FROM documents
 ),
 seen AS (SELECT DISTINCT url FROM u WHERE doc_id % 7 = 0 OR doc_id % 13 = 0)
@@ -4014,9 +4023,16 @@ def q151(spark, sf_dir):
     )
 
     d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    # docs in the doc_id % 13 == 5 residue class get a UNIQUE url, so
+    # the unseen output scales with the corpus instead of vanishing once
+    # the 20x97 shared-url space saturates at large SF (the q14
+    # residue-fixture convention; r16 verdict item 7)
     url = F.concat(
         F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
-        (F.col("doc_id") % 97).cast("string"),
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.concat(F.lit("u/"), F.col("doc_id").cast("string")),
+        ).otherwise((F.col("doc_id") % 97).cast("string")),
     )
     u = d.select("doc_id", url.alias("url"))
     run1 = u.filter(F.col("doc_id") % 7 == 0).select("url")

@@ -4,8 +4,8 @@ Settles a large state table through the sink, then commits small
 touched-key micro-batches and reports bytes written per batch vs the
 settled table size — the streaming twin of the round-8 feedstate
 measurement (full-snapshot 1.47 MB -> 25 KB touched-bucket).  Prints ONE
-JSON line; pipe it into BENCH_SCALE.md (hand transcription is banned,
-CLAUDE.md round-7 rule).
+JSON line; pipe it into BENCH_SCALE.md verbatim (hand transcription
+introduces digit errors).
 
 Usage: python tools/bench_sink.py [n_settled=50000] [batch_keys=16]
 """

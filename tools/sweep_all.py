@@ -20,7 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from gofeed_spark.queries import QUERIES
+from gofeed_spark.queries import MIN_ROWS, ORACLES, QUERIES
 from gofeed_spark.session import get_spark
 
 
@@ -38,12 +38,18 @@ def main() -> int:
         names.extend(h for h in hits if h not in names)
     names = names or sorted(QUERIES)
     spark = get_spark("sweep-all")
-    out, failed = {}, 0
+    out, failed, vacuous = {}, 0, 0
     for name in names:
         t0 = time.perf_counter()
         try:
             n = QUERIES[name](spark, sf_dir).count()
             out[name] = {"rows": n, "sec": round(time.perf_counter() - t0, 2)}
+            # sweep-side non-vacuity (the gate audit's twin at scale): an
+            # oracle-paired query whose fixture vanishes at this SF would
+            # otherwise read as a clean pass while executing nothing
+            if name in ORACLES and n < MIN_ROWS.get(name, 1):
+                out[name]["VACUOUS"] = True
+                vacuous += 1
         except Exception as e:  # noqa: BLE001 - recorded per query
             out[name] = {"err": f"{type(e).__name__}: {str(e)[:200]}"}
             failed += 1
@@ -55,6 +61,7 @@ def main() -> int:
                 "sf_dir": sf_dir,
                 "n_queries": len(out),
                 "n_failed": failed,
+                "n_vacuous": vacuous,
                 "total_sec": round(sum(v.get("sec", 0) for v in out.values()), 1),
                 "queries": out,
             }
