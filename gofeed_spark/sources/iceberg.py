@@ -217,6 +217,16 @@ def _schema_to_iceberg(schema: T.StructType) -> tuple[dict, int]:
 
 
 def _schema_from_iceberg(sch: dict) -> T.StructType:
+    for f in sch.get("fields", []):
+        if f.get("initial-default") is not None:
+            # a v3 default applies to files written BEFORE the column was
+            # added; our single-relation read cannot tell those apart
+            # from genuine NULLs written after, so reading would be
+            # silently wrong — refuse loudly instead
+            raise IcebergUnsupported(
+                f"column {f.get('name')!r} carries a non-null "
+                "initial-default (v3 default values)"
+            )
     return _type_from_iceberg({"type": "struct", "fields": sch["fields"]})
 
 
@@ -406,11 +416,19 @@ def _live_entries(fs: FileSystem, snapshot: dict) -> tuple[list[dict], list[dict
                 continue
             df_ = e.get("data_file") or {}
             fmt = str(df_.get("file_format", "")).upper()
-            if fmt != "PARQUET":
+            content = _get(df_, "content", default=0)
+            if fmt == "PUFFIN" and content == 1:
+                # format-v3 DELETION VECTOR: one blob per data file in a
+                # Puffin container, addressed by the entry itself
+                if not df_.get("referenced_data_file"):
+                    raise IcebergUnsupported(
+                        "deletion-vector entry without referenced_data_file"
+                    )
+                df_["_dv"] = True
+            elif fmt != "PARQUET":
                 raise IcebergUnsupported(f"data format {fmt!r} (parquet only)")
             seq = e.get("sequence_number")
             df_["_seq"] = int(seq) if seq is not None else mf_seq
-            content = _get(df_, "content", default=0)
             if content == 0:
                 data.append(df_)
             elif content in (1, 2):
@@ -418,6 +436,84 @@ def _live_entries(fs: FileSystem, snapshot: dict) -> tuple[list[dict], list[dict
             else:
                 raise IcebergUnsupported(f"delete-file content {content!r}")
     return data, dels
+
+
+def _dv_position_rows(spark, fs: FileSystem, dv_dels: list[dict]):
+    """Format-v3 DELETION-VECTOR entries → a (__tfile, __tpos, __delseq)
+    DataFrame of deleted row coordinates.  Each entry addresses ONE
+    deletion-vector-v1 blob inside a Puffin file (referenced_data_file +
+    content_offset/size).  record_count is the spec's cardinality —
+    small totals decode driver-side into a broadcast probe (the bytes
+    are already here); big or UNKNOWN totals explode ON EXECUTORS (an
+    arbitrarily large DV must never be a driver decode)."""
+    from gofeed_spark.sources.puffin import decode_dv_blob, read_blob
+
+    by_pf: dict[str, bytes] = {}
+    triples = []  # (target basename, blob bytes, delseq)
+    for d in dv_dels:
+        pf = d["file_path"]
+        if pf not in by_pf:
+            by_pf[pf] = fs.read_bytes(pf)
+        off = int(_get(d, "content_offset", default=0) or 0)
+        ln = int(_get(d, "content_size_in_bytes", default=0) or 0)
+        blob = read_blob(by_pf[pf], off, ln)
+        triples.append(
+            (
+                posixpath.basename(d["referenced_data_file"]),
+                blob,
+                int(d.get("_seq", 0)),
+            )
+        )
+    cards = [d.get("record_count") for d in dv_dels]
+    total = (
+        sum(int(c) for c in cards)
+        if all(c is not None for c in cards)
+        else _DELETE_BROADCAST_MAX + 1
+    )
+    dv_struct = T.StructType(
+        [
+            T.StructField("__tfile", T.StringType()),
+            T.StructField("__tpos", T.LongType()),
+            T.StructField("__delseq", T.LongType()),
+        ]
+    )
+    if total <= _DELETE_BROADCAST_MAX:
+        rows_dv = [
+            (f, int(p), s)
+            for f, blob, s in triples
+            for p in decode_dv_blob(blob)
+        ]
+        return F.broadcast(spark.createDataFrame(rows_dv, dv_struct))
+    raw = spark.createDataFrame(
+        [(f, bytearray(b), s) for f, b, s in triples],
+        T.StructType(
+            [
+                T.StructField("__tfile", T.StringType()),
+                T.StructField("__blob", T.BinaryType()),
+                T.StructField("__delseq", T.LongType()),
+            ]
+        ),
+    )
+
+    def _explode(batches):
+        import pandas as pd
+
+        from gofeed_spark.sources.puffin import decode_dv_blob
+
+        for pdf in batches:
+            for f, b, s in zip(pdf["__tfile"], pdf["__blob"], pdf["__delseq"]):
+                ps = sorted(decode_dv_blob(bytes(b)))
+                yield pd.DataFrame(
+                    {
+                        "__tfile": [f] * len(ps),
+                        "__tpos": ps,
+                        "__delseq": [s] * len(ps),
+                    }
+                )
+
+    return raw.repartition(max(1, min(len(triples), 32)), "__tfile").mapInPandas(
+        _explode, dv_struct
+    )
 
 
 def _resolve_eq_cols(ice_schema: dict, dels: list[dict]) -> None:
@@ -718,12 +814,30 @@ def _assemble(
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(
                 f"__pv_{c}"
             )
-        pos_dels = [d for d in deletes if d.get("content", 1) == 1]
+        dv_dels = [
+            d for d in deletes if d.get("content", 1) == 1 and d.get("_dv")
+        ]
+        pos_dels = [
+            d
+            for d in deletes
+            if d.get("content", 1) == 1 and not d.get("_dv")
+        ]
         eq_dels = [d for d in deletes if d.get("content", 1) == 2]
         dbase = [posixpath.basename(d["file_path"]) for d in deletes]
         if deletes and len(set(dbase)) != len(dbase):
             raise IcebergError(
                 "duplicate delete-file basenames; cannot key delete map"
+            )
+        if dv_dels:
+            # format-v3 deletion vectors apply exactly like position
+            # deletes (seq <= the DV's)
+            dvdf = _dv_position_rows(spark, fs, dv_dels)
+            df = df.join(
+                dvdf,
+                (df["__file"] == dvdf["__tfile"])
+                & (df["__pos"] == dvdf["__tpos"])
+                & (dvdf["__delseq"] >= df["__seq"]),
+                "left_anti",
             )
         if pos_dels:
             del_schema = T.StructType(
@@ -1010,6 +1124,13 @@ def read_iceberg_changes(
                     continue
                 d = e.get("data_file") or {}
                 if _get(d, "content", default=0) in (1, 2):
+                    if str(d.get("file_format", "")).upper() == "PUFFIN":
+                        if not d.get("referenced_data_file"):
+                            raise IcebergUnsupported(
+                                "deletion-vector entry without "
+                                "referenced_data_file"
+                            )
+                        d["_dv"] = True
                     d["_seq"] = int(s.get("sequence-number", 0))
                     new_dels.append(d)
         if not new_dels:
@@ -1022,8 +1143,23 @@ def read_iceberg_changes(
             keep_pos=True, pkeys=pkeys,
         )
         hidden = None
-        pos_dels = [d for d in new_dels if d.get("content") == 1]
+        dv_dels = [
+            d for d in new_dels if d.get("content") == 1 and d.get("_dv")
+        ]
+        pos_dels = [
+            d
+            for d in new_dels
+            if d.get("content") == 1 and not d.get("_dv")
+        ]
         eq_dels = [d for d in new_dels if d.get("content") == 2]
+        if dv_dels:
+            dvdf = _dv_position_rows(spark, fs, dv_dels).select(
+                F.col("__tfile").alias("__file"),
+                F.col("__tpos").alias("__pos"),
+            )
+            hidden = parent_live.join(
+                dvdf, ["__file", "__pos"], "left_semi"
+            )
         if pos_dels:
             del_schema = T.StructType(
                 [
@@ -1041,9 +1177,10 @@ def read_iceberg_changes(
                     F.col("pos").alias("__pos"),
                 )
             )
-            hidden = parent_live.join(
+            piece = parent_live.join(
                 _maybe_broadcast(ddf, pos_dels), ["__file", "__pos"], "left_semi"
             )
+            hidden = piece if hidden is None else hidden.unionByName(piece)
         for d in eq_dels:
             cols = d["_eq_cols"]
             eq_schema = T.StructType(

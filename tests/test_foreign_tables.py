@@ -463,3 +463,214 @@ def test_foreign_delta_v2_checkpoint(spark, tmp_path, as_json):
     # and OUR classic checkpoint writer composes on top
     D.checkpoint_delta(root)
     assert D.read_delta(spark, root).count() == 31
+
+
+# --- Iceberg: FORMAT-VERSION 3 tree with deletion vectors ----------------------
+
+
+def test_puffin_codec_roundtrip():
+    from gofeed_spark.sources import puffin as P
+
+    blob = P.encode_dv_blob([1, 5, 7, 100000])
+    assert P.decode_dv_blob(blob) == {1, 5, 7, 100000}
+    data = P.write_puffin(
+        [({"type": "deletion-vector-v1", "fields": [], "snapshot-id": 9,
+           "sequence-number": 3}, blob)]
+    )
+    foot = P.read_footer(data)
+    b = foot["blobs"][0]
+    assert b["type"] == "deletion-vector-v1"
+    got = P.read_blob(data, b["offset"], b["length"])
+    assert P.decode_dv_blob(got) == {1, 5, 7, 100000}
+    # corrupt CRC refuses
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises(P.PuffinError, match="CRC"):
+        P.decode_dv_blob(bytes(bad))
+    # compressed footers refuse (conservative: never guess)
+    comp = bytearray(data)
+    comp[-8] |= 1
+    with pytest.raises(P.PuffinError, match="compressed"):
+        P.read_footer(bytes(comp))
+    with pytest.raises(P.PuffinError, match="magic"):
+        P.read_footer(b"nope" + data[4:])
+
+
+def _upgrade_to_v3_with_dv(root: str, positions: list[int]) -> None:
+    """Hand-upgrade a v2 table the way a v3 writer would commit a
+    DELETION VECTOR: a Puffin file holding one deletion-vector-v1 blob
+    for the FIRST data file, a delete manifest whose entry addresses the
+    blob (referenced_data_file + content_offset/size), a new manifest
+    list carrying the prior manifests by pointer, and format-version 3
+    metadata."""
+    import copy
+
+    from gofeed_spark.fs import get_filesystem
+    from gofeed_spark.sources import puffin as P
+
+    fs = get_filesystem(root)
+    meta, version = I._load_metadata(fs, root)
+    snap = I._snapshot_of(meta, None)
+    data, _dels = I._live_entries(fs, snap)
+    # the FIRST COMMIT's file (uuid basenames sort randomly vs write
+    # order — key by data sequence number, not path)
+    target = sorted(data, key=lambda e: int(e.get("_seq", 0)))[0]["file_path"]
+
+    blob = P.encode_dv_blob(positions)
+    pf_bytes = P.write_puffin(
+        [({"type": "deletion-vector-v1", "fields": [],
+           "snapshot-id": 777, "sequence-number": 99}, blob)]
+    )
+    pf_path = f"{root}/data/dv-00001-foreign.puffin"
+    foot = P.read_footer(pf_bytes)
+    off, ln = foot["blobs"][0]["offset"], foot["blobs"][0]["length"]
+    fs.put_bytes(pf_path, pf_bytes)
+
+    # v3 entry schema: the v2 shape + the DV addressing fields
+    entry_schema = copy.deepcopy(I._manifest_entry_schema([]))
+    for f in entry_schema["fields"]:
+        if f["name"] == "data_file":
+            f["type"]["fields"] += [
+                {"name": "referenced_data_file", "type": ["null", "string"]},
+                {"name": "content_offset", "type": ["null", "long"]},
+                {"name": "content_size_in_bytes", "type": ["null", "long"]},
+            ]
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    sid = 777
+    dv_entry = {
+        "status": 1,
+        "snapshot_id": sid,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 1,
+            "file_path": pf_path,
+            "file_format": "PUFFIN",
+            "partition": {},
+            "record_count": len(positions),
+            "file_size_in_bytes": len(pf_bytes),
+            "referenced_data_file": target,
+            "content_offset": off,
+            "content_size_in_bytes": ln,
+        },
+    }
+    mbytes = write_container(json.dumps(entry_schema), [dv_entry])
+    mpath = f"{root}/metadata/m-{sid}-foreign-dv.avro"
+    fs.put_bytes(mpath, mbytes)
+    mf_rec = {
+        "manifest_path": mpath,
+        "manifest_length": len(mbytes),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": sid,
+        "added_data_files_count": 1,
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": len(positions),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    mlist = write_container(
+        json.dumps(I._MANIFEST_FILE_SCHEMA),
+        [mf_rec] + I._carry_manifests(fs, meta),
+    )
+    lpath = f"{root}/metadata/snap-{sid}-foreign.avro"
+    fs.put_bytes(lpath, mlist)
+    new_meta = dict(meta)
+    new_meta["format-version"] = 3
+    new_meta["next-row-id"] = 0
+    new_meta["last-sequence-number"] = seq
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": sid,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": seq,
+            "summary": {"operation": "delete"},
+            "manifest-list": lpath,
+            "schema-id": 0,
+        }
+    ]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": seq, "snapshot-id": sid}
+    ]
+    I._publish_metadata(fs, root, version, new_meta)
+
+
+def test_foreign_iceberg_v3_deletion_vectors(spark, tmp_path):
+    """A format-version 3 table whose position deletes are Puffin
+    DELETION VECTORS reads merge-on-read, time travels below the DV,
+    and refuses writes loudly (read tolerance, the v1 precedent)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(
+        spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1),
+        root,
+    )
+    I.write_iceberg(
+        spark.range(10, 20).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1),
+        root,
+    )
+    pre = I.latest_snapshot(root)
+    _upgrade_to_v3_with_dv(root, [1, 3, 5])
+    got = sorted(r.k for r in I.read_iceberg(spark, root).collect())
+    assert got == [0, 2, 4, 6, 7, 8, 9] + list(range(10, 20))
+    # time travel BELOW the DV still sees every row
+    assert I.read_iceberg(spark, root, snapshot_id=pre).count() == 20
+    # point lookup on a deleted key comes back empty, on a live key works
+    assert I.read_iceberg(spark, root, where={"k": "3"}).count() == 0
+    assert [r.v for r in I.read_iceberg(spark, root, where={"k": "4"}).collect()] == [8]
+    # v3 writes refuse loudly
+    with pytest.raises(I.IcebergUnsupported, match="format-version"):
+        I.write_iceberg(
+            spark.createDataFrame([(99, 0)], "k long, v long"), root
+        )
+
+
+def test_foreign_iceberg_v3_initial_default_refuses(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(
+        spark.range(3).select(F.col("id").alias("k")), root
+    )
+    from gofeed_spark.fs import get_filesystem
+
+    fs = get_filesystem(root)
+    meta, version = I._load_metadata(fs, root)
+    new_meta = json.loads(json.dumps(meta))
+    new_meta["format-version"] = 3
+    sch = new_meta["schemas"][0]
+    sch["fields"].append(
+        {"id": 99, "name": "grade", "required": False, "type": "string",
+         "initial-default": "B"}
+    )
+    new_meta["last-column-id"] = 99
+    I._publish_metadata(fs, root, version, new_meta)
+    with pytest.raises(I.IcebergUnsupported, match="initial-default"):
+        I.read_iceberg(spark, root).collect()
+
+
+def test_foreign_iceberg_v3_dv_changelog(spark, tmp_path):
+    """The changelog reads a v3 DELETION-VECTOR snapshot as delete rows
+    (parent-state semi-join against the decoded DV coordinates)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(
+        spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1),
+        root,
+    )
+    pre = I.latest_snapshot(root)
+    _upgrade_to_v3_with_dv(root, [2, 4])
+    ch = I.read_iceberg_changes(spark, root, pre, cdf=True)
+    assert sorted((r.k, r._change_type) for r in ch.collect()) == [
+        (2, "delete"), (4, "delete"),
+    ]
