@@ -2802,6 +2802,7 @@ def rewrite_iceberg(
     entries, dels = _live_entries(fs, _snapshot_of(meta, None))
     _resolve_eq_cols(ice_schema, dels)
 
+    by_id_name = {f["name"]: f["id"] for f in ice_schema["fields"]}
     if sort_by:
         missing_s = [c for c in sort_by if c not in schema.names]
         if missing_s:
@@ -3005,6 +3006,31 @@ def rewrite_iceberg(
     new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
         {"timestamp-ms": seq, "snapshot-id": sid}
     ]
+    if sort_by:
+        # declare the layout in the spec's own vocabulary: a SORT ORDER
+        # over the keys (identity transform, asc, nulls-first — the
+        # cluster_layout semantics) becomes the table default, so
+        # foreign engines see the clustering instead of guessing it
+        fields = [
+            {
+                "transform": "identity",
+                "source-id": by_id_name[c],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+            for c in sort_by
+        ]
+        orders = list(meta.get("sort-orders") or [])
+        hit = next(
+            (o for o in orders if o.get("fields") == fields), None
+        )
+        if hit is None:
+            oid = max((o.get("order-id", 0) for o in orders), default=0) + 1
+            orders.append({"order-id": oid, "fields": fields})
+        else:
+            oid = hit["order-id"]
+        new_meta["sort-orders"] = orders
+        new_meta["default-sort-order-id"] = oid
     _publish_metadata(fs, path, version, new_meta)
     return {
         "version": sid,

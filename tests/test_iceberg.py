@@ -1642,3 +1642,31 @@ def test_merge_conditional_and_partial(spark, tmp_path):
                         when_not_matched=None, set_cols=["v"])
     with pytest.raises(I.IcebergError, match="cannot insert"):
         I.merge_iceberg(spark, tbl, src, ["k"], set_cols=["v"])
+
+
+def test_rewrite_sort_declares_sort_order(spark, tmp_path):
+    """rewrite(sort_by=) records the layout in the spec's vocabulary: a
+    sort order over the keys becomes the table default; repeat rewrites
+    with the same keys reuse the order id."""
+    from gofeed_spark.fs import get_filesystem
+
+    tbl = str(tmp_path / "tbl")
+    for r in range(2):
+        I.write_iceberg(
+            spark.range(200).filter(F.col("id") % 2 == r)
+            .select(F.col("id").alias("k")).coalesce(1),
+            tbl,
+        )
+    I.rewrite_iceberg(spark, tbl, target_file_bytes=1, sort_by=["k"])
+    meta, _v = I._load_metadata(get_filesystem(tbl), tbl)
+    oid = meta["default-sort-order-id"]
+    assert oid != 0
+    order = next(o for o in meta["sort-orders"] if o["order-id"] == oid)
+    assert order["fields"][0]["transform"] == "identity"
+    assert order["fields"][0]["direction"] == "asc"
+    # same keys again: the id is REUSED, not re-declared
+    I.write_iceberg(spark.range(200, 300).select(F.col("id").alias("k")), tbl)
+    I.rewrite_iceberg(spark, tbl, target_file_bytes=1, sort_by=["k"])
+    meta2, _v2 = I._load_metadata(get_filesystem(tbl), tbl)
+    assert meta2["default-sort-order-id"] == oid
+    assert len([o for o in meta2["sort-orders"] if o.get("fields")]) == 1
