@@ -133,9 +133,11 @@ def main() -> None:
 
     # Timed loop: per query, `runs` PAIRS of (spark, oracle) executions
     # back-to-back; each leg's number is its median across the pairs.
+    la_start = os.getloadavg()
     timings: dict[str, float] = {}
     bests: dict[str, float] = {}
     oracle_t: dict[str, float] = {}
+    oracle_best: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
@@ -157,6 +159,7 @@ def main() -> None:
         bests[name] = round(min(svals), 3)
         if ovals:
             oracle_t[name] = statistics.median(ovals)
+            oracle_best[name] = min(ovals)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in colds.values() if t >= 0), 3)
@@ -180,6 +183,16 @@ def main() -> None:
         oracle_total = sum(oracle_t.values())
         out["oracle_total"] = round(oracle_total, 3)
         out["ratio"] = round(paired_total / oracle_total, 3)
+        # best-of-pairs ratio: robust to a transient load window hitting
+        # some runs of both legs — adjudication data, not the headline
+        pb = sum(bests[n] for n in oracle_best if n in bests)
+        ob = sum(oracle_best.values())
+        if ob > 0:
+            out["ratio_best"] = round(pb / ob, 3)
+    # load averages around the timed loop: a contended window (external
+    # CPU steal hits Spark's many-small-tasks scheduling harder than the
+    # oracle) is visible in the artifact itself
+    out["load"] = [round(x, 2) for x in (*la_start, *os.getloadavg())]
     print(json.dumps(out), flush=True)
 
 
