@@ -1670,3 +1670,17 @@ def test_rewrite_sort_declares_sort_order(spark, tmp_path):
     meta2, _v2 = I._load_metadata(get_filesystem(tbl), tbl)
     assert meta2["default-sort-order-id"] == oid
     assert len([o for o in meta2["sort-orders"] if o.get("fields")]) == 1
+
+
+def test_cluster_layout_zorder_nulls(spark, tmp_path):
+    """Multi-key z-order keeps NULL keys clustered in the top bucket
+    (searchsorted past the end, clipped) — no rows lost, no explosion."""
+    from gofeed_spark.sources.cluster import cluster_layout
+
+    df = spark.range(1000).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS x",
+        "CAST(id % 37 AS DOUBLE) AS y",
+    )
+    out = cluster_layout(df, ["x", "y"], 4)
+    assert out.count() == 1000
+    assert out.filter("x IS NULL").count() == 100

@@ -194,3 +194,23 @@ def test_register_conflicts_and_updates_unit(spark, server, cat, tmp_path):
     )
     with pytest.raises(I.IcebergError, match="unsupported update"):
         _apply_updates(old, [{"action": "weird-op"}])
+
+
+def test_catalog_read_kwargs_passthrough(spark, server, cat):
+    """read_iceberg_rest forwards snapshot/where kwargs — time travel
+    and point lookups work through the catalog identifier."""
+    cat.create_namespace("ns")
+    loc = f"{server.warehouse}/ns/t6"
+    create_iceberg_rest(
+        cat, "ns.t6", loc, lambda p: I.write_iceberg(_df(spark, 0, 5), p)
+    )
+    first = cat.load_table("ns.t6")["metadata"]["current-snapshot-id"]
+    commit_iceberg_rest(
+        cat, "ns.t6", lambda p: I.write_iceberg(_df(spark, 5, 10), p)
+    )
+    assert read_iceberg_rest(spark, cat, "ns.t6").count() == 10
+    assert read_iceberg_rest(
+        spark, cat, "ns.t6", snapshot_id=first
+    ).count() == 5
+    got = read_iceberg_rest(spark, cat, "ns.t6", where={"k": "7"}).collect()
+    assert [(r.k, r.v) for r in got] == [(7, 70)]
