@@ -1769,3 +1769,84 @@ def q188(spark, sf_dir):
         return d.join(i, ["doc_id"]).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q189_iceberg_v3_lineage",
+    oracle="""
+WITH ec AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0),
+evens AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, 1 AS lseq
+  FROM documents WHERE doc_id % 2 = 0
+),
+odds AS (
+  SELECT d.doc_id, d.source,
+         ec.n + ROW_NUMBER() OVER (ORDER BY d.doc_id) - 1 AS rid, 2 AS lseq
+  FROM documents d, ec WHERE d.doc_id % 2 = 1
+),
+all_rows AS (
+  SELECT * FROM evens UNION ALL SELECT * FROM odds
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(rid) AS BIGINT) AS rowid_sum,
+       CAST(SUM(CASE WHEN lseq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_first_batch
+FROM all_rows
+WHERE doc_id % 7 <> 0
+GROUP BY source
+ORDER BY source
+""",
+)
+def q189(spark, sf_dir):
+    """ICEBERG FORMAT-VERSION 3: row lineage + deletion vectors (spec
+    §Row Lineage / §Deletion Vectors — VERDICT r16 missing item 5).  The
+    corpus lands in two single-file appends on a v3 table (even doc_ids
+    sorted, then odd), so every row's durable ``_row_id`` is a known
+    function of the append order: the file's explicit ``first_row_id``
+    (assigned from the table's ``next-row-id``) plus the row's position.
+    ``delete_iceberg_rows`` then commits a Puffin DELETION VECTOR (one
+    roaring bitmap per affected file, superseding rule enforced) hiding
+    every ``doc_id % 7 = 0`` row without touching data files.  The
+    lineage read exposes ``_row_id`` / ``_last_updated_sequence_number``;
+    the oracle recomputes both id assignments with window functions and
+    the per-source aggregate pins every surviving row id and each row's
+    originating commit (lseq 1 = the even append, 2 = the odd).  Eager
+    at construction like q167."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    work = tempfile.mkdtemp(prefix="gofeed_q189_") + "/tbl"
+    try:
+        for residue in (0, 1):
+            I.write_iceberg(
+                docs.filter(F.col("doc_id") % 2 == residue)
+                .repartition(1)
+                .sortWithinPartitions("doc_id"),
+                work,
+                format_version=3,
+            )
+        I.delete_iceberg_rows(spark, work, "doc_id % 7 = 0")
+        return (
+            I.read_iceberg(spark, work, row_lineage=True)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_live"),
+                F.sum("_row_id").cast("long").alias("rowid_sum"),
+                F.sum(
+                    F.when(
+                        F.col("_last_updated_sequence_number") == 1, 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_first_batch"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)

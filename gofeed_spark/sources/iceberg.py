@@ -1,6 +1,6 @@
 """Apache Iceberg table interop: metadata-level reader/writer from the
-public spec (iceberg.apache.org/spec, format-version 2), completing the
-open-table-format pair next to ``sources/delta.py``.
+public spec (iceberg.apache.org/spec, format-versions 2 and 3),
+completing the open-table-format pair next to ``sources/delta.py``.
 
 An Iceberg table is parquet data files plus a METADATA TREE: a JSON
 table-metadata file (schemas, partition specs, snapshot list) whose
@@ -48,11 +48,20 @@ murmur3 over little-endian longs / UTF-8), ``truncate[W]``,
 pruning via ``where`` compares in transformed space, and transform
 fields keep their source column in data files (only identity drops it).
 
+FORMAT-VERSION 3 (spec ratified 2024/25) is written too:
+``write_iceberg(format_version=3)`` / ``upgrade_iceberg_format`` give
+ROW LINEAGE (``next-row-id`` / snapshot ``first-row-id`` / explicit
+per-file ``first_row_id``; read via ``read_iceberg(row_lineage=True)``),
+and ``delete_iceberg_rows`` on a v3 table commits Puffin DELETION
+VECTORS (``sources/puffin.py``) under the one-live-DV-per-file
+merge-and-supersede rule instead of parquet position-delete files.
+
 Unsupported (declared, raised loudly): format-version 1 writes and
 incremental/streaming reads (plain v1 READS are fine — the schema-driven
 Avro decode does not care, but v1 snapshots carry no sequence numbers so
-a change feed would be silently empty), equality delete files
-(``content=2``), unknown partition transforms, non-parquet data files.
+a change feed would be silently empty), v3 MERGE/rewrite (they must
+preserve updated rows' ``_row_id`` — refused rather than silently
+reassigned), unknown partition transforms, non-parquet data files.
 
 Reference: the gofeed reference has no table format at all (one ORM
 store, repo.go); §2.E added surface — VERDICT r13 missing item 3.
@@ -404,12 +413,21 @@ def _live_entries(fs: FileSystem, snapshot: dict) -> tuple[list[dict], list[dict
     theirs; equality deletes in data files with seq STRICTLY below).
     Delete entries carry ``content`` 1 (position) or 2 (equality, with
     ``equality_ids``); unscoped equality deletes on a PARTITIONED spec
-    refuse at application time (see ``_assemble``)."""
+    refuse at application time (see ``_assemble``).
+
+    Data entries additionally gain ``_frid``, the file's first assigned
+    row id (format-v3 row lineage): explicit ``first_row_id`` when the
+    writer recorded it, else inherited from the manifest-list row's
+    ``first_row_id`` plus the record counts of preceding ADDED data
+    files with null ids (the spec's inheritance scheme); ``None`` for
+    pre-v3 files — their rows carry no lineage."""
     _sch, _meta, manifests = _read_avro(fs, snapshot["manifest-list"])
     data: list[dict] = []
     dels: list[dict] = []
     for mf in manifests:
         mf_seq = int(_get(mf, "sequence_number", default=0) or 0)
+        mf_frid = _get(mf, "first_row_id", default=None)
+        running = int(mf_frid) if mf_frid is not None else None
         _s, _m, entries = _read_avro(fs, mf["manifest_path"])
         for e in entries:
             if e.get("status") == 2:  # DELETED
@@ -430,6 +448,16 @@ def _live_entries(fs: FileSystem, snapshot: dict) -> tuple[list[dict], list[dict
             seq = e.get("sequence_number")
             df_["_seq"] = int(seq) if seq is not None else mf_seq
             if content == 0:
+                frid = df_.get("first_row_id")
+                if frid is not None:
+                    df_["_frid"] = int(frid)
+                elif running is not None and e.get("status", 0) == 1:
+                    # inheritance: null-id ADDED files consume ids
+                    # sequentially from the manifest's first_row_id
+                    df_["_frid"] = running
+                    running += int(df_.get("record_count", 0) or 0)
+                else:
+                    df_["_frid"] = None
                 data.append(df_)
             elif content in (1, 2):
                 dels.append(df_)
@@ -625,6 +653,7 @@ def read_iceberg(
     where: dict[str, str] | None = None,
     as_of_ts: int | None = None,
     metadata: dict | None = None,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table (optionally ``snapshot_id``-as-of, or
     ``as_of_ts``-as-of in epoch MILLIS — the ``TIMESTAMP AS OF`` form,
@@ -636,11 +665,20 @@ def read_iceberg(
     ``metadata``: an already-resolved table-metadata dict (a CATALOG's
     answer — REST catalogs return the metadata with the load) used
     instead of the HadoopCatalog version-hint read; file paths inside it
-    are absolute, so the data plane is unchanged."""
+    are absolute, so the data plane is unchanged.
+    ``row_lineage`` (format v3 only) appends the spec's lineage
+    metadata columns ``_row_id`` / ``_last_updated_sequence_number``
+    (NULL ``_row_id`` for files written before the table carried
+    lineage, per the upgrade rule)."""
     if snapshot_id is not None and as_of_ts is not None:
         raise IcebergError("pass snapshot_id OR as_of_ts, not both")
     fs = get_filesystem(path)
     meta = metadata if metadata is not None else _load_metadata(fs, path)[0]
+    if row_lineage and meta.get("format-version", 2) != 3:
+        raise IcebergUnsupported(
+            "row lineage needs a format-version 3 table "
+            f"(this one is v{meta.get('format-version', 2)})"
+        )
     if as_of_ts is not None:
         snapshot_id = snapshot_at_timestamp(meta, as_of_ts)
     schema = _schema_from_iceberg(_current_schema(meta))
@@ -711,7 +749,8 @@ def read_iceberg(
             if typed:
                 entries = _prune_entries_by_range(entries, typed, typed, by_name)
     df = _assemble(
-        spark, fs, schema, pcols, entries, deletes=dels, pkeys=pkeys
+        spark, fs, schema, pcols, entries, deletes=dels, pkeys=pkeys,
+        lineage=row_lineage,
     )
     for k, v in data_w.items():
         df = df.filter(F.col(k) == F.lit(v).cast(schema[k].dataType))
@@ -728,6 +767,7 @@ def _assemble(
     deletes: list[dict] | None = None,
     keep_pos: bool = False,
     pkeys: list[str] | None = None,
+    lineage: bool = False,
 ) -> DataFrame:
     """Live data-file entries → ONE parquet relation with identity
     partition columns restored from the manifests' partition structs by a
@@ -752,13 +792,23 @@ def _assemble(
     columns (the delete-WRITER's input: it needs live row coordinates).
     ``pkeys`` names the manifest partition-struct keys for ``pcols``
     (spec FIELD names — they differ from column names for foreign
-    writers); defaults to ``pcols``."""
+    writers); defaults to ``pcols``.
+
+    ``lineage`` (format v3) additionally exposes ``_row_id`` (the file's
+    ``_frid`` + row position; NULL for pre-lineage files) and
+    ``_last_updated_sequence_number`` (inherited from the file's data
+    sequence number — rows are never rewritten in place here)."""
     pkeys = pkeys if pkeys is not None else pcols
     out_cols = [F.col(f.name) for f in schema.fields]
     if extra is not None:
         out_cols.append(F.col("_snapshot_id"))
     if keep_pos:
         out_cols += [F.col("__file"), F.col("__pos")]
+    if lineage:
+        out_cols += [
+            (F.col("__frid") + F.col("__pos")).cast("long").alias("_row_id"),
+            F.col("__seq").alias("_last_updated_sequence_number"),
+        ]
     deletes = [d for d in (deletes or []) if d.get("record_count", 1) != 0]
     if not entries:
         # COPY before .add: StructType.add mutates in place, and the
@@ -768,12 +818,17 @@ def _assemble(
             empty = empty.add("_snapshot_id", T.LongType())
         if keep_pos:
             empty = empty.add("__file", T.StringType()).add("__pos", T.LongType())
+        if lineage:
+            empty = empty.add("_row_id", T.LongType()).add(
+                "_last_updated_sequence_number", T.LongType()
+            )
         return spark.createDataFrame([], empty)
     by_type = {f.name: f.dataType for f in schema.fields}
     phys = T.StructType([f for f in schema.fields if f.name not in pcols])
     files = [fs.spark_path(e["file_path"]) for e in entries]
     df = spark.read.schema(phys).parquet(*files)
-    need_pos = bool(deletes) or keep_pos
+    need_pos = bool(deletes) or keep_pos or lineage
+    need_seq = bool(deletes) or lineage
     if need_pos:
         df = df.withColumn("__pos", F.col("_metadata.row_index"))
     if pcols or extra is not None or need_pos:
@@ -788,7 +843,8 @@ def _assemble(
                 if extra is not None
                 else []
             )
-            + ([T.StructField("__seq", T.LongType())] if deletes else [])
+            + ([T.StructField("__seq", T.LongType())] if need_seq else [])
+            + ([T.StructField("__frid", T.LongType())] if lineage else [])
         )
         rows = [
             tuple(
@@ -800,7 +856,16 @@ def _assemble(
                     for k in pkeys
                 ]
                 + ([extra[e["file_path"]]] if extra is not None else [])
-                + ([int(e.get("_seq", 0))] if deletes else [])
+                + ([int(e.get("_seq", 0))] if need_seq else [])
+                + (
+                    [
+                        None
+                        if e.get("_frid") is None
+                        else int(e["_frid"])
+                    ]
+                    if lineage
+                    else []
+                )
             )
             for e in entries
         ]
@@ -823,8 +888,13 @@ def _assemble(
             if d.get("content", 1) == 1 and not d.get("_dv")
         ]
         eq_dels = [d for d in deletes if d.get("content", 1) == 2]
-        dbase = [posixpath.basename(d["file_path"]) for d in deletes]
-        if deletes and len(set(dbase)) != len(dbase):
+        # DV entries legitimately share one Puffin file (one blob per
+        # data file); only the parquet delete paths key on basename
+        dbase = [
+            posixpath.basename(d["file_path"])
+            for d in pos_dels + eq_dels
+        ]
+        if dbase and len(set(dbase)) != len(dbase):
             raise IcebergError(
                 "duplicate delete-file basenames; cannot key delete map"
             )
@@ -1120,7 +1190,10 @@ def read_iceberg_changes(
                 continue
             _s2, _m2, mentries = _read_avro(fs, mf["manifest_path"])
             for e in mentries:
-                if e.get("status") == 2:
+                # only this snapshot's ADDED entries are ITS deletes: a
+                # DV-supersede commit rewrites carried manifests under
+                # its own added_snapshot_id with EXISTING (0) entries
+                if e.get("status") in (0, 2):
                     continue
                 d = e.get("data_file") or {}
                 if _get(d, "content", default=0) in (1, 2):
@@ -1294,6 +1367,9 @@ def _carry_manifests(fs: FileSystem, meta: dict) -> list[dict]:
                     mf, "existing_rows_count", default=0
                 ),
                 "deleted_rows_count": _get(mf, "deleted_rows_count", default=0),
+                # v3 row-lineage inheritance base; extra dict keys are
+                # ignored by the v2 list schema at encode time
+                "first_row_id": _get(mf, "first_row_id", default=None),
             }
         )
     return carried
@@ -1329,9 +1405,14 @@ def _publish_metadata(
     fs.put_bytes(fs.join(md, "version-hint.text"), str(version + 1).encode())
 
 
-def _manifest_entry_schema(partition_fields: list[tuple[str, str]]) -> dict:
+def _manifest_entry_schema(
+    partition_fields: list[tuple[str, str]], fv: int = 2
+) -> dict:
     """manifest_entry Avro schema for identity specs;
-    ``partition_fields`` = [(spec field name, iceberg source type)]."""
+    ``partition_fields`` = [(spec field name, iceberg source type)].
+    ``fv=3`` adds the format-v3 fields: ``first_row_id`` (row lineage)
+    and the deletion-vector addressing triplet
+    (``referenced_data_file``/``content_offset``/``content_size_in_bytes``)."""
     part_fields = []
     for name, ice_t in partition_fields:
         if ice_t not in _PARTITION_AVRO:
@@ -1394,6 +1475,13 @@ def _manifest_entry_schema(partition_fields: list[tuple[str, str]]) -> dict:
             },
         ],
     }
+    if fv >= 3:
+        data_file["fields"] += [
+            {"name": "first_row_id", "type": ["null", "long"]},
+            {"name": "referenced_data_file", "type": ["null", "string"]},
+            {"name": "content_offset", "type": ["null", "long"]},
+            {"name": "content_size_in_bytes", "type": ["null", "long"]},
+        ]
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -1426,6 +1514,19 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "deleted_rows_count", "type": "long"},
     ],
 }
+
+
+def _manifest_file_schema(fv: int = 2) -> dict:
+    """Manifest-LIST Avro schema; ``fv=3`` adds ``first_row_id`` (the
+    starting row id the manifest's null-id ADDED data files inherit)."""
+    if fv < 3:
+        return _MANIFEST_FILE_SCHEMA
+    return {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": list(_MANIFEST_FILE_SCHEMA["fields"])
+        + [{"name": "first_row_id", "type": ["null", "long"]}],
+    }
 
 
 def _parquet_row_count(fs: FileSystem, path: str) -> int:
@@ -1634,24 +1735,24 @@ def _bound_id_map(ice_schema: dict) -> dict:
 
 def _put_manifest(
     fs, md, filename, entries, part_types, ice_schema, spec, content,
-    seq, sid, n_rows,
+    seq, sid, n_rows, fv: int = 2, first_row_id: int | None = None,
 ) -> dict:
     """Write one Avro manifest of ``entries`` and return its manifest-LIST
     record — the shared commit tail of every writer (data or deletes)."""
     mpath = fs.join(md, filename)
     mbytes = write_container(
-        json.dumps(_manifest_entry_schema(part_types)),
+        json.dumps(_manifest_entry_schema(part_types, fv)),
         entries,
         meta={
             "schema": json.dumps(ice_schema),
             "partition-spec": json.dumps(spec),
             "partition-spec-id": "0",
-            "format-version": "2",
+            "format-version": str(fv),
             "content": "deletes" if content else "data",
         },
     )
     fs.put_bytes(mpath, mbytes)
-    return {
+    rec = {
         "manifest_path": mpath,
         "manifest_length": len(mbytes),
         "partition_spec_id": 0,
@@ -1666,6 +1767,9 @@ def _put_manifest(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
+    if fv >= 3:
+        rec["first_row_id"] = first_row_id
+    return rec
 
 
 def _publish_staged_files(
@@ -1771,6 +1875,7 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     summary_extra: dict[str, str] | None = None,
     evolve_schema: bool = False,
+    format_version: int | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg table at ``path``; returns the new
     snapshot id.  ``mode='append'`` carries the prior snapshot's manifests
@@ -1787,9 +1892,22 @@ def write_iceberg(
     old data files read the new columns as null.
     Clock-free determinism: snapshot ids and timestamps are the sequence
     number (the engine convention — uniqueness within the table is what
-    the spec requires)."""
+    the spec requires).
+
+    ``format_version=3`` at table CREATION makes a v3 table with ROW
+    LINEAGE (spec §Row Lineage): the metadata carries ``next-row-id``,
+    each commit's snapshot records its ``first-row-id``, and every added
+    data file gets an explicit ``first_row_id`` so each row's durable
+    ``_row_id`` is the file's base plus its position (read them back via
+    ``read_iceberg(row_lineage=True)``).  On an existing table the
+    argument must match the table's version (no silent up/downgrade —
+    see :func:`upgrade_iceberg_format`)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if format_version is not None and format_version not in (2, 3):
+        raise IcebergUnsupported(
+            f"format_version must be 2 or 3, got {format_version!r}"
+        )
     path = path.rstrip("/")
     fs = get_filesystem(path)
     md = _meta_dir(path)
@@ -1811,12 +1929,18 @@ def write_iceberg(
                     f"partition_by {list(partition_by)} != table's "
                     f"{[f['transform'] + '(' + f['source_col'] + ')' for f in pfields]}"
                 )
-        if meta.get("format-version", 2) != 2:
+        fv = int(meta.get("format-version", 2))
+        if fv not in (2, 3):
             # v1 tables carry no sequence numbers; appending v2-shaped
             # snapshots would produce a hybrid real v1 readers misread
             raise IcebergUnsupported(
                 f"writes to format-version {meta.get('format-version')} "
                 "tables (reads are fine)"
+            )
+        if format_version is not None and format_version != fv:
+            raise IcebergError(
+                f"table is format-version {fv}; pass format_version={fv} "
+                "or omit it (upgrade via upgrade_iceberg_format)"
             )
         last_seq = int(meta.get("last-sequence-number", 0))
         last_col = int(meta.get("last-column-id", 0))
@@ -1884,6 +2008,7 @@ def write_iceberg(
         ]
         pfields = _spec_fields(ice_schema, spec)
         last_seq = 0
+        fv = format_version if format_version is not None else 2
 
     part_types = [(f["name"], f["result_type"]) for f in pfields]
 
@@ -1929,11 +2054,24 @@ def write_iceberg(
         bound_ids=_bound_id_map(ice_schema),
     )
 
+    # v3 row lineage: every added file gets an EXPLICIT first_row_id
+    # (base = the table's next-row-id), advancing by record count —
+    # durable per-row ids that survive carries and time travel
+    first_row: int | None = None
+    next_row: int | None = None
+    if fv >= 3:
+        first_row = int((meta or {}).get("next-row-id", 0))
+        next_row = first_row
+        for e in entries:
+            e["data_file"]["first_row_id"] = next_row
+            next_row += int(e["data_file"].get("record_count", 0) or 0)
+
     # manifest (one per commit), then the manifest list
     fs.makedirs(md)
     new_mf = _put_manifest(
         fs, md, f"m-{sid}-{token}.avro", entries,
         part_types, ice_schema, spec, 0, seq, sid, added_rows,
+        fv=fv, first_row_id=first_row,
     )
     carried: list[dict] = []
     if mode == "append" and meta is not None and meta.get("snapshots"):
@@ -1942,9 +2080,9 @@ def write_iceberg(
     fs.put_bytes(
         mlist_path,
         write_container(
-            json.dumps(_MANIFEST_FILE_SCHEMA),
+            json.dumps(_manifest_file_schema(fv)),
             [new_mf] + carried,
-            meta={"format-version": "2"},
+            meta={"format-version": str(fv)},
         ),
     )
 
@@ -1965,10 +2103,11 @@ def write_iceberg(
         },
         "manifest-list": mlist_path,
         "schema-id": ice_schema.get("schema-id", 0),
+        **({"first-row-id": first_row} if fv >= 3 else {}),
     }
     if meta is None:
         new_meta = {
-            "format-version": 2,
+            "format-version": fv,
             "table-uuid": str(uuid.uuid4()),
             "location": path,
             "last-sequence-number": seq,
@@ -1987,6 +2126,8 @@ def write_iceberg(
             "snapshot-log": [{"timestamp-ms": seq, "snapshot-id": sid}],
             "metadata-log": [],
         }
+        if fv >= 3:
+            new_meta["next-row-id"] = next_row
     else:
         new_meta = dict(meta)
         if evolved:
@@ -2000,9 +2141,50 @@ def write_iceberg(
         new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
             {"timestamp-ms": seq, "snapshot-id": sid}
         ]
+        if fv >= 3:
+            new_meta["next-row-id"] = next_row
 
     _publish_metadata(fs, path, version, new_meta)
     return sid
+
+
+def upgrade_iceberg_format(path: str, format_version: int = 3) -> None:
+    """Upgrade a format-version 2 table to 3 (metadata-only commit, spec
+    §Version Upgrades): sets ``format-version`` and initializes
+    ``next-row-id``.  Existing data files carry no ``first_row_id`` —
+    their rows read NULL ``_row_id`` forever (the spec's upgrade rule);
+    commits AFTER the upgrade assign lineage.  Refuses while the current
+    snapshot carries live PARQUET position-delete files: v3 replaces
+    those with deletion vectors, and a hybrid would need every new DV to
+    fold superseded parquet deletes — rewrite (compact) the table first
+    so the delete set is empty."""
+    if format_version != 3:
+        raise IcebergUnsupported(
+            f"can only upgrade to format-version 3, got {format_version!r}"
+        )
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    meta, version = _load_metadata(fs, path)
+    cur = int(meta.get("format-version", 2))
+    if cur == 3:
+        return
+    if cur != 2:
+        raise IcebergUnsupported(
+            f"upgrade from format-version {cur} (only 2 -> 3)"
+        )
+    if (meta.get("current-snapshot-id") or -1) >= 0:
+        _entries, dels = _live_entries(fs, _snapshot_of(meta, None))
+        if any(
+            d.get("content", 1) == 1 and not d.get("_dv") for d in dels
+        ):
+            raise IcebergUnsupported(
+                "table has live parquet position-delete files; v3 forbids "
+                "them — rewrite (compact) before upgrading"
+            )
+    new_meta = dict(meta)
+    new_meta["format-version"] = 3
+    new_meta.setdefault("next-row-id", 0)
+    _publish_metadata(fs, path, version, new_meta)
 
 
 def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
@@ -2024,14 +2206,25 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
     the merge-on-read trade real tables make for cheap deletes.
     Append-only incremental readers refuse windows containing the delete
     snapshot; ``read_iceberg_changes(cdf=True)`` reads them as changelog
-    rows; time travel below it still sees the rows."""
+    rows; time travel below it still sees the rows.
+
+    On a FORMAT-VERSION 3 table the same call commits DELETION VECTORS
+    instead (spec §Deletion Vectors): one Puffin file holding a
+    ``deletion-vector-v1`` roaring bitmap per affected data file, each
+    manifest entry addressing its blob (``referenced_data_file`` +
+    ``content_offset``/``content_size_in_bytes``).  A new DV MERGES and
+    REPLACES any prior DV on the same data file (the spec's
+    one-DV-per-file rule — superseded entries are dropped from the
+    carried delete manifests), so readers apply exactly one bitmap per
+    file."""
     path = path.rstrip("/")
     fs = get_filesystem(path)
     md = _meta_dir(path)
     meta, version = _load_metadata(fs, path)
-    if meta.get("format-version", 2) != 2:
+    fv = int(meta.get("format-version", 2))
+    if fv not in (2, 3):
         raise IcebergUnsupported(
-            "position deletes need format-version 2 sequence numbers"
+            "position deletes need format-version 2+ sequence numbers"
         )
     ice_schema = _current_schema(meta)
     schema = _schema_from_iceberg(ice_schema)
@@ -2050,6 +2243,12 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
         pkeys=pkeys,
     )
     cond = F.expr(where) if isinstance(where, str) else where
+    if fv == 3:
+        return _delete_iceberg_dv(
+            spark, fs, path, meta, version, ice_schema, spec,
+            [(f["name"], f["result_type"]) for f in pfields],
+            entries, dels, live, cond,
+        )
     full_by_base = spark.createDataFrame(
         [(posixpath.basename(e["file_path"]), e["file_path"]) for e in entries],
         T.StructType(
@@ -2100,26 +2299,234 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
     return sid
 
 
+def _delete_iceberg_dv(
+    spark, fs, path, meta, version, ice_schema, spec, part_types,
+    entries, dels, live, cond,
+) -> int:
+    """Format-v3 DELETE body (see :func:`delete_iceberg_rows`): matched
+    live-row positions become per-file roaring bitmaps encoded ON
+    EXECUTORS, merged driver-side with each file's existing DV (the
+    compressed payloads, never exploded positions), framed into ONE
+    Puffin file, and committed as DV manifest entries.  Superseded DVs
+    are dropped from the carried delete manifests (rewritten with
+    EXISTING status + explicit sequence numbers, the rewrite-path
+    discipline) so every data file keeps at most one live DV."""
+    from gofeed_spark.sources import puffin as P
+    from gofeed_spark.sources import roaring as R
+
+    if any(d.get("content", 1) == 1 and not d.get("_dv") for d in dels):
+        raise IcebergUnsupported(
+            "v3 table carries live parquet position-delete files; "
+            "v3 forbids them — rewrite before DV deletes"
+        )
+
+    def _enc(key, pdf):
+        import pandas as _pd
+
+        from gofeed_spark.sources.roaring import dv_payload
+
+        return _pd.DataFrame(
+            {
+                "__file": [key[0]],
+                "__dv": [bytearray(dv_payload(pdf["__pos"].tolist()))],
+            }
+        )
+
+    payloads = {
+        r["__file"]: bytes(r["__dv"])
+        for r in live.filter(cond)
+        .select("__file", "__pos")
+        .groupBy("__file")
+        .applyInPandas(_enc, "__file string, __dv binary")
+        .collect()
+    }
+    if not payloads:
+        return -1
+    by_base = {posixpath.basename(e["file_path"]): e for e in entries}
+    old_dvs = {
+        posixpath.basename(d["referenced_data_file"]): d
+        for d in dels
+        if d.get("_dv")
+    }
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    sid = seq
+    token = uuid.uuid4().hex
+    md = _meta_dir(path)
+
+    blobs: list[tuple[dict, bytes]] = []
+    entry_info: list[tuple[str, int]] = []  # (data path, cardinality)
+    pf_cache: dict[str, bytes] = {}
+    n_new = 0
+    for base in sorted(payloads):
+        e = by_base.get(base)
+        if e is None:
+            raise IcebergError(f"matched rows in unknown data file {base!r}")
+        pos = R.dv_decode_payload(payloads[base])
+        n_new += len(pos)
+        old = old_dvs.get(base)
+        if old is not None:
+            # one DV per file: the replacement must carry every
+            # previously deleted position too
+            pf = old["file_path"]
+            if pf not in pf_cache:
+                pf_cache[pf] = fs.read_bytes(pf)
+            pos |= P.decode_dv_blob(
+                P.read_blob(
+                    pf_cache[pf],
+                    int(old.get("content_offset") or 0),
+                    int(old.get("content_size_in_bytes") or 0),
+                )
+            )
+        full = e["file_path"]
+        blobs.append(
+            (
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [],
+                    "snapshot-id": sid,
+                    "sequence-number": seq,
+                    "properties": {
+                        "referenced-data-file": full,
+                        "cardinality": str(len(pos)),
+                    },
+                },
+                P.encode_dv_blob(pos),
+            )
+        )
+        entry_info.append((full, len(pos)))
+    pf_bytes = P.write_puffin(blobs)
+    pf_path = fs.join(path, f"data/dv-{sid:05d}-{token}.puffin")
+    fs.put_bytes(pf_path, pf_bytes)
+
+    # manifest entries address each blob; offsets mirror write_puffin's
+    # layout (magic, then blobs back to back)
+    off = len(P.MAGIC)
+    del_entries = []
+    for (_bmeta, blob), (full, card) in zip(blobs, entry_info):
+        del_entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": sid,
+                "sequence_number": None,  # inherited from the list row
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,
+                    "file_path": pf_path,
+                    "file_format": "PUFFIN",
+                    "partition": {name: None for name, _t in part_types},
+                    "record_count": card,
+                    "file_size_in_bytes": len(pf_bytes),
+                    "referenced_data_file": full,
+                    "content_offset": off,
+                    "content_size_in_bytes": len(blob),
+                },
+            }
+        )
+        off += len(blob)
+
+    # carry prior manifests, dropping superseded DV entries: a delete
+    # manifest that referenced an affected file is rewritten with only
+    # its surviving entries (EXISTING + explicit seq); others carry by
+    # pointer untouched
+    affected = set(payloads)
+    carried: list[dict] = []
+    for mf in _carry_manifests(fs, meta):
+        if mf.get("content", 0) != 1:
+            carried.append(mf)
+            continue
+        mf_seq = int(mf.get("sequence_number", 0) or 0)
+        _s, _m, mf_entries = _read_avro(fs, mf["manifest_path"])
+        keep = []
+        dropped = 0
+        for e in mf_entries:
+            if e.get("status") == 2:
+                continue
+            d = e.get("data_file") or {}
+            is_dv = (
+                str(d.get("file_format", "")).upper() == "PUFFIN"
+                and d.get("referenced_data_file")
+            )
+            if is_dv and posixpath.basename(d["referenced_data_file"]) in affected:
+                dropped += 1
+                continue
+            keep.append((e, d))
+        if not dropped:
+            carried.append(mf)
+            continue
+        if not keep:
+            continue  # fully superseded: drop the manifest outright
+        surv = []
+        for e, d in keep:
+            es = e.get("sequence_number")
+            es = int(es) if es is not None else mf_seq
+            fes = e.get("file_sequence_number")
+            surv.append(
+                {
+                    "status": 0,  # EXISTING
+                    "snapshot_id": e.get("snapshot_id") or sid,
+                    "sequence_number": es,
+                    "file_sequence_number": int(fes) if fes is not None else es,
+                    "data_file": {
+                        k: v for k, v in d.items() if not k.startswith("_")
+                    },
+                }
+            )
+        rec = _put_manifest(
+            fs, md, f"m-{sid}-{token}-carry{len(carried)}.avro", surv,
+            part_types, ice_schema, spec, 1, seq, sid, 0, fv=3,
+        )
+        rec.update(
+            {
+                "min_sequence_number": min(s["sequence_number"] for s in surv),
+                "added_data_files_count": 0,
+                "existing_data_files_count": len(surv),
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    int(s["data_file"].get("record_count", 0) or 0)
+                    for s in surv
+                ),
+            }
+        )
+        carried.append(rec)
+
+    _commit_delete_snapshot(
+        fs, path, meta, version, ice_schema, spec, part_types,
+        del_entries, n_new, seq, sid, token, "deleted-rows",
+        fv=3, carried=carried,
+        manifest_rows=sum(card for _f, card in entry_info),
+    )
+    return sid
+
+
 def _commit_delete_snapshot(
     fs, path, meta, version, ice_schema, spec, part_types,
     del_entries, n_deleted, seq, sid, token, summary_key,
     summary_extra: dict | None = None,
+    fv: int = 2,
+    carried: list[dict] | None = None,
+    manifest_rows: int | None = None,
 ) -> None:
-    """Shared commit tail of the two delete writers: one delete manifest
+    """Shared commit tail of the delete writers: one delete manifest
     (content=1 in the manifest LIST — it lists delete files of either
-    kind), prior manifests by pointer, an operation='delete' snapshot."""
+    kind), prior manifests by pointer (or the caller's already-filtered
+    ``carried`` list — the DV-supersede path), an operation='delete'
+    snapshot.  ``manifest_rows`` overrides the manifest's
+    added_rows_count when it differs from the summary count (a merged DV
+    carries more positions than this commit newly deleted)."""
     md = _meta_dir(path)
     new_mf = _put_manifest(
         fs, md, f"m-{sid}-{token}.avro", del_entries,
-        part_types, ice_schema, spec, 1, seq, sid, n_deleted,
+        part_types, ice_schema, spec, 1, seq, sid,
+        manifest_rows if manifest_rows is not None else n_deleted, fv=fv,
     )
     mlist_path = fs.join(md, f"snap-{sid}-{token}.avro")
     fs.put_bytes(
         mlist_path,
         write_container(
-            json.dumps(_MANIFEST_FILE_SCHEMA),
-            [new_mf] + _carry_manifests(fs, meta),
-            meta={"format-version": "2"},
+            json.dumps(_manifest_file_schema(fv)),
+            [new_mf]
+            + (carried if carried is not None else _carry_manifests(fs, meta)),
+            meta={"format-version": str(fv)},
         ),
     )
     snapshot = {
@@ -2140,6 +2547,12 @@ def _commit_delete_snapshot(
         },
         "manifest-list": mlist_path,
         "schema-id": ice_schema.get("schema-id", 0),
+        # v3: no rows added — lineage base stays where it is
+        **(
+            {"first-row-id": int(meta.get("next-row-id", 0))}
+            if fv >= 3
+            else {}
+        ),
     }
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = seq
@@ -2175,9 +2588,10 @@ def delete_iceberg_equality(
     path = path.rstrip("/")
     fs = get_filesystem(path)
     meta, version = _load_metadata(fs, path)
-    if meta.get("format-version", 2) != 2:
+    fv = int(meta.get("format-version", 2))
+    if fv not in (2, 3):
         raise IcebergUnsupported(
-            "equality deletes need format-version 2 sequence numbers"
+            "equality deletes need format-version 2+ sequence numbers"
         )
     ice_schema = _current_schema(meta)
     spec = _current_spec(meta)
@@ -2226,7 +2640,7 @@ def delete_iceberg_equality(
     _commit_delete_snapshot(
         fs, path, meta, version, ice_schema, spec, part_types,
         del_entries, n_deleted, seq, sid, token, "deleted-equality-delete-rows",
-        summary_extra=summary_extra,
+        summary_extra=summary_extra, fv=fv,
     )
     return sid
 
@@ -2321,7 +2735,9 @@ def merge_iceberg(
     meta, version = _load_metadata(fs, path)
     if meta.get("format-version", 2) != 2:
         raise IcebergUnsupported(
-            "MERGE needs format-version 2 sequence numbers"
+            "MERGE supports format-version 2 only (a v3 merge must "
+            "preserve updated rows' _row_id — not implemented; use "
+            "delete_iceberg_rows + write_iceberg on v3)"
         )
     ice_schema = _current_schema(meta)
     schema = _schema_from_iceberg(ice_schema)
@@ -2789,7 +3205,10 @@ def rewrite_iceberg(
     md = _meta_dir(path)
     meta, version = _load_metadata(fs, path)
     if meta.get("format-version", 2) != 2:
-        raise IcebergUnsupported("rewrite needs format-version 2")
+        raise IcebergUnsupported(
+            "rewrite supports format-version 2 only (a v3 rewrite must "
+            "preserve packed rows' _row_id — not implemented)"
+        )
     ice_schema = _current_schema(meta)
     schema = _schema_from_iceberg(ice_schema)
     spec = _current_spec(meta)

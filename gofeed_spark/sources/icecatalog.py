@@ -99,6 +99,13 @@ def _updates_between(old: dict, new: dict) -> list[dict]:
     evolution, then snapshots, then the ref move, mirroring apply
     order)."""
     ups: list[dict] = []
+    if new.get("format-version", 2) != old.get("format-version", 2):
+        ups.append(
+            {
+                "action": "upgrade-format-version",
+                "format-version": new.get("format-version", 2),
+            }
+        )
     old_sids = {s.get("schema-id", 0) for s in old.get("schemas") or []}
     for s in new.get("schemas") or []:
         if s.get("schema-id", 0) not in old_sids:
@@ -122,6 +129,14 @@ def _updates_between(old: dict, new: dict) -> list[dict]:
                 "type": "branch",
                 "snapshot-id": new.get("current-snapshot-id"),
             }
+        )
+    if new.get("next-row-id") is not None and new.get("next-row-id") != old.get(
+        "next-row-id"
+    ):
+        # v3 row lineage: the id high-water mark must ride the commit or
+        # the next catalog append would re-assign the same row ids
+        ups.append(
+            {"action": "set-next-row-id", "next-row-id": new["next-row-id"]}
         )
     return ups
 
@@ -181,6 +196,23 @@ def _apply_updates(meta: dict, updates: list[dict]) -> dict:
             for k in u.get("removals") or []:
                 props.pop(k, None)
             out["properties"] = props
+        elif act == "upgrade-format-version":
+            want = int(u.get("format-version", 0))
+            have = int(out.get("format-version", 2))
+            if want < have:
+                raise IcebergError(
+                    f"format-version can only upgrade ({have} -> {want})"
+                )
+            out["format-version"] = want
+        elif act == "set-next-row-id":
+            want = int(u.get("next-row-id", 0))
+            have = int(out.get("next-row-id", 0) or 0)
+            if want < have:
+                # ids are never reused; a stale writer must lose here
+                raise IcebergError(
+                    f"next-row-id must be monotone ({have} -> {want})"
+                )
+            out["next-row-id"] = want
         else:
             raise IcebergError(f"unsupported update action {act!r}")
     return out

@@ -603,7 +603,7 @@ def _upgrade_to_v3_with_dv(root: str, positions: list[int]) -> None:
 def test_foreign_iceberg_v3_deletion_vectors(spark, tmp_path):
     """A format-version 3 table whose position deletes are Puffin
     DELETION VECTORS reads merge-on-read, time travels below the DV,
-    and refuses writes loudly (read tolerance, the v1 precedent)."""
+    and accepts lineage-assigning appends (the r17 v3 writer)."""
     from pyspark.sql import functions as F
 
     root = str(tmp_path / "tbl")
@@ -626,11 +626,13 @@ def test_foreign_iceberg_v3_deletion_vectors(spark, tmp_path):
     # point lookup on a deleted key comes back empty, on a live key works
     assert I.read_iceberg(spark, root, where={"k": "3"}).count() == 0
     assert [r.v for r in I.read_iceberg(spark, root, where={"k": "4"}).collect()] == [8]
-    # v3 writes refuse loudly
-    with pytest.raises(I.IcebergUnsupported, match="format-version"):
-        I.write_iceberg(
-            spark.createDataFrame([(99, 0)], "k long, v long"), root
-        )
+    # v3 writes WORK now (r17 writer support): the append lands above
+    # the DV and gets row lineage from the foreign next-row-id base
+    I.write_iceberg(spark.createDataFrame([(99, 0)], "k long, v long"), root)
+    rows = I.read_iceberg(spark, root, row_lineage=True).collect()
+    by_k = {r.k: r["_row_id"] for r in rows}
+    assert 99 in by_k and by_k[99] == 0  # foreign meta set next-row-id=0
+    assert by_k[4] is None  # pre-lineage files stay NULL
 
 
 def test_foreign_iceberg_v3_initial_default_refuses(spark, tmp_path):

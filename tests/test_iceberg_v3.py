@@ -1,0 +1,303 @@
+"""Iceberg FORMAT-VERSION 3 writer surface (sources/iceberg.py): row
+lineage (spec §Row Lineage — explicit ``first_row_id`` assignment,
+``next-row-id`` advance, ``_row_id``/``_last_updated_sequence_number``
+read columns) and deletion vectors (spec §Deletion Vectors — Puffin
+``deletion-vector-v1`` blobs, one live DV per data file, merge-and-
+replace on re-delete), plus the v2→v3 upgrade rules and the guards on
+the still-v2-only writers (MERGE/rewrite must preserve ``_row_id`` and
+therefore refuse).  Reference behaviors: iceberg.apache.org/spec
+(format-version 3); no counterpart exists in the reference repo (the
+lakehouse surface is declared north-star scope, SURVEY.md §2.E)."""
+
+from __future__ import annotations
+
+import posixpath
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from gofeed_spark.fs import get_filesystem
+from gofeed_spark.sources import iceberg as I
+from gofeed_spark.sources import puffin as P
+
+
+def _kv(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+
+
+def _meta(root):
+    return I._load_metadata(get_filesystem(root), root)[0]
+
+
+def _live(root):
+    fs = get_filesystem(root)
+    meta = _meta(root)
+    return I._live_entries(fs, I._snapshot_of(meta, None))
+
+
+def test_v3_create_append_lineage(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(_kv(spark, 0, 10), root, format_version=3)
+    s2 = I.write_iceberg(_kv(spark, 10, 15), root)
+
+    meta = _meta(root)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 15
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert by_id[s1]["first-row-id"] == 0
+    assert by_id[s2]["first-row-id"] == 10
+
+    # every data file carries an EXPLICIT first_row_id
+    entries, _dels = _live(root)
+    assert all(e.get("_frid") is not None for e in entries)
+
+    rows = (
+        I.read_iceberg(spark, root, row_lineage=True).orderBy("k").collect()
+    )
+    assert [(r["k"], r["_row_id"]) for r in rows] == [(i, i) for i in range(15)]
+    # _last_updated_sequence_number inherits the file's data seq
+    assert {r["_last_updated_sequence_number"] for r in rows[:10]} == {1}
+    assert {r["_last_updated_sequence_number"] for r in rows[10:]} == {2}
+
+    # ids are never reused: an overwrite keeps advancing the assignment
+    I.write_iceberg(_kv(spark, 0, 3), root, mode="overwrite")
+    rows = (
+        I.read_iceberg(spark, root, row_lineage=True).orderBy("k").collect()
+    )
+    assert [(r["k"], r["_row_id"]) for r in rows] == [(0, 15), (1, 16), (2, 17)]
+    assert _meta(root)["next-row-id"] == 18
+
+
+def test_v3_dv_delete_merge_and_supersede(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 10), root, format_version=3)
+    s2 = I.write_iceberg(_kv(spark, 10, 15), root)
+
+    d1 = I.delete_iceberg_rows(spark, root, "k % 3 = 0")
+    assert d1 > 0
+    left = sorted(r["k"] for r in I.read_iceberg(spark, root).collect())
+    assert left == [1, 2, 4, 5, 7, 8, 10, 11, 13, 14]
+
+    # second delete hits BOTH files again: each file's DV is merged and
+    # the superseded one dropped — exactly one live DV per data file
+    d2 = I.delete_iceberg_rows(spark, root, "k IN (1, 13)")
+    assert d2 == d1 + 1
+    entries, dels = _live(root)
+    dvs = [d for d in dels if d.get("_dv")]
+    per_file = Counter(
+        posixpath.basename(d["referenced_data_file"]) for d in dvs
+    )
+    assert set(per_file.values()) == {1}
+    assert not [d for d in dels if d.get("content") == 1 and not d.get("_dv")]
+    # merged cardinality rides record_count (the broadcast-decision input)
+    by_ref = {
+        posixpath.basename(d["referenced_data_file"]): d for d in dvs
+    }
+    first_file = posixpath.basename(
+        sorted(entries, key=lambda e: e["_seq"])[0]["file_path"]
+    )
+    assert by_ref[first_file]["record_count"] == 5  # {0,3,6,9} ∪ {1}
+
+    # blob metadata carries the spec properties
+    fs = get_filesystem(root)
+    pf = fs.read_bytes(dvs[0]["file_path"])
+    foot = P.read_footer(pf)
+    props = {b["properties"]["referenced-data-file"] for b in foot["blobs"]}
+    assert all(p.endswith(".parquet") for p in props)
+
+    left = sorted(r["k"] for r in I.read_iceberg(spark, root).collect())
+    assert left == [2, 4, 5, 7, 8, 10, 11, 14]
+    # row ids are stable through deletes; time travel below still full
+    rows = I.read_iceberg(spark, root, row_lineage=True).collect()
+    assert {r["k"]: r["_row_id"] for r in rows} == {k: k for k in left}
+    assert I.read_iceberg(spark, root, snapshot_id=s2).count() == 15
+
+    # deleting nothing commits nothing
+    assert I.delete_iceberg_rows(spark, root, "k = 999") == -1
+
+
+def test_v3_dv_changelog_per_snapshot(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 10), root, format_version=3)
+    s2 = I.write_iceberg(_kv(spark, 10, 15), root)
+    d1 = I.delete_iceberg_rows(spark, root, "k % 3 = 0")
+    d2 = I.delete_iceberg_rows(spark, root, "k = 1")
+    ch = I.read_iceberg_changes(spark, root, from_snapshot_id=s2, cdf=True)
+    got = sorted(
+        (r["k"], r["_change_type"], r["_snapshot_id"]) for r in ch.collect()
+    )
+    # each DV snapshot reports ONLY its newly hidden rows even though the
+    # merged DV physically carries the earlier positions too
+    assert got == [
+        (0, "delete", d1),
+        (1, "delete", d2),
+        (3, "delete", d1),
+        (6, "delete", d1),
+        (9, "delete", d1),
+        (12, "delete", d1),
+    ]
+
+
+def test_v3_equality_delete(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 6), root, format_version=3)
+    keys = spark.createDataFrame([(2,), (4,)], "k bigint")
+    assert I.delete_iceberg_equality(spark, root, keys) > 0
+    assert sorted(r["k"] for r in I.read_iceberg(spark, root).collect()) == [
+        0, 1, 3, 5,
+    ]
+    # manifests are stamped with the table's format version
+    fs = get_filesystem(root)
+    meta = _meta(root)
+    _s, _m, mfs = I._read_avro(fs, I._snapshot_of(meta, None)["manifest-list"])
+    del_mf = next(mf for mf in mfs if mf.get("content") == 1)
+    import json as _json
+
+    from gofeed_spark.sources.avrocodec import read_container
+
+    _sch, hdr, _recs = read_container(fs.read_bytes(del_mf["manifest_path"]))
+    assert hdr["format-version"] == b"3"
+    assert _json.loads(hdr["schema"].decode())  # embedded table schema
+
+
+def test_upgrade_2_to_3(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 10), root)
+    I.upgrade_iceberg_format(root)
+    meta = _meta(root)
+    assert meta["format-version"] == 3 and meta["next-row-id"] == 0
+    I.upgrade_iceberg_format(root)  # idempotent no-op
+
+    # pre-upgrade files carry NO lineage (NULL _row_id forever);
+    # post-upgrade commits assign it
+    I.write_iceberg(_kv(spark, 10, 13), root)
+    rows = (
+        I.read_iceberg(spark, root, row_lineage=True).orderBy("k").collect()
+    )
+    assert [r["_row_id"] for r in rows[:10]] == [None] * 10
+    assert [r["_row_id"] for r in rows[10:]] == [0, 1, 2]
+
+    # DV deletes work on the upgraded table, including pre-lineage files
+    I.delete_iceberg_rows(spark, root, "k IN (0, 11)")
+    assert sorted(r["k"] for r in I.read_iceberg(spark, root).collect()) == [
+        1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 12,
+    ]
+
+
+def test_upgrade_refuses_live_parquet_position_deletes(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 6), root)
+    I.delete_iceberg_rows(spark, root, "k = 0")
+    with pytest.raises(I.IcebergUnsupported, match="position-delete"):
+        I.upgrade_iceberg_format(root)
+
+
+def test_v3_guards(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 6), root, format_version=3)
+
+    # explicit version mismatch on an existing table refuses loudly
+    with pytest.raises(I.IcebergError, match="format-version 3"):
+        I.write_iceberg(_kv(spark, 6, 9), root, format_version=2)
+    with pytest.raises(I.IcebergUnsupported, match="2 or 3"):
+        I.write_iceberg(_kv(spark, 6, 9), root, format_version=4)
+
+    # lineage-preserving rewrites are not implemented: refuse, never
+    # silently reassign ids
+    src = spark.createDataFrame([(1, 99)], "k bigint, v bigint")
+    with pytest.raises(I.IcebergUnsupported, match="_row_id"):
+        I.merge_iceberg(spark, root, src, on=["k"])
+    with pytest.raises(I.IcebergUnsupported, match="_row_id"):
+        I.rewrite_iceberg(spark, root)
+
+    # row_lineage read on a v2 table refuses
+    v2 = str(tmp_path / "v2")
+    I.write_iceberg(_kv(spark, 0, 3), v2)
+    with pytest.raises(I.IcebergUnsupported, match="format-version 3"):
+        I.read_iceberg(spark, v2, row_lineage=True)
+
+
+def test_v3_inheritance_read(spark, tmp_path):
+    """A foreign v3 writer may leave data-file ``first_row_id`` NULL and
+    let readers inherit from the manifest-list row (spec inheritance):
+    null-id ADDED files consume ids sequentially from the manifest's
+    ``first_row_id``."""
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 10), root, format_version=3)
+    fs = get_filesystem(root)
+    meta = _meta(root)
+    snap = I._snapshot_of(meta, None)
+
+    import json as _json
+
+    from gofeed_spark.sources.avrocodec import read_container, write_container
+
+    # strip the explicit per-file ids, keep the list row's base
+    _sch, hdr, mfs = read_container(fs.read_bytes(snap["manifest-list"]))
+    assert mfs[0]["first_row_id"] == 0
+    sch_e, hdr_e, entries = read_container(
+        fs.read_bytes(mfs[0]["manifest_path"])
+    )
+    for e in entries:
+        e["data_file"]["first_row_id"] = None
+    fs.put_bytes(
+        mfs[0]["manifest_path"],
+        write_container(
+            _json.dumps(sch_e),
+            entries,
+            meta={k: v for k, v in hdr_e.items() if not k.startswith("avro.")},
+        ),
+    )
+    rows = (
+        I.read_iceberg(spark, root, row_lineage=True).orderBy("k").collect()
+    )
+    assert [(r["k"], r["_row_id"]) for r in rows] == [(i, i) for i in range(10)]
+
+
+def test_v3_through_rest_catalog(spark, tmp_path):
+    """v3 commits through the REST catalog ship ``upgrade-format-version``
+    / ``set-next-row-id`` updates — the id high-water mark must advance
+    server-side or a later append would re-assign the same row ids."""
+    from gofeed_spark.sources.icecatalog import (
+        RestCatalog,
+        RestCatalogServer,
+        commit_iceberg_rest,
+        create_iceberg_rest,
+        read_iceberg_rest,
+    )
+
+    with RestCatalogServer(str(tmp_path / "wh")) as server:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("ns")
+        loc = f"{server.warehouse}/ns/t1"
+        create_iceberg_rest(
+            cat, "ns.t1", loc,
+            lambda p: I.write_iceberg(_kv(spark, 0, 5), p, format_version=3),
+        )
+        t = commit_iceberg_rest(
+            cat, "ns.t1", lambda p: I.write_iceberg(_kv(spark, 5, 8), p)
+        )
+        meta = t["metadata"]
+        assert meta["format-version"] == 3
+        assert meta["next-row-id"] == 8
+        rows = (
+            read_iceberg_rest(spark, cat, "ns.t1", row_lineage=True)
+            .orderBy("k")
+            .collect()
+        )
+        assert [r["_row_id"] for r in rows] == list(range(8))
+        # DV delete arbitrated by the catalog too
+        commit_iceberg_rest(
+            cat, "ns.t1",
+            lambda p: I.delete_iceberg_rows(spark, p, "k IN (2, 6)"),
+        )
+        got = sorted(
+            r["k"] for r in read_iceberg_rest(spark, cat, "ns.t1").collect()
+        )
+        assert got == [0, 1, 3, 4, 5, 7]
