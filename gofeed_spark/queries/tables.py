@@ -1850,3 +1850,60 @@ def q189(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+from gofeed_spark.queries.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "q190_delta_row_tracking",
+    # the SAME oracle as q189: Delta row tracking assigns ids by the
+    # identical scheme (even append first, base advances by file rows),
+    # and lseq 1 ≙ _row_commit_version 0 (the even-batch create commit)
+    oracle=_ORACLES["q189_iceberg_v3_lineage"],
+)
+def q190(spark, sf_dir):
+    """DELTA ROW TRACKING — the Iceberg-v3-lineage twin (protocol §Row
+    Tracking): ``write_delta(row_tracking=True)`` assigns ``baseRowId``/
+    ``defaultRowCommitVersion`` per added file and records the id
+    high-water mark in the ``delta.rowTracking`` domain; the DV delete
+    (``dv=True`` — REQUIRED on tracked tables, copy-on-write would
+    rewrite positions) hides ``doc_id % 7 = 0`` rows while every
+    surviving row keeps its durable ``_row_id``.  Same corpus layout and
+    aggregate as q189, and literally the same oracle — the two formats'
+    lineage surfaces are value-identical by construction, which is
+    itself the interop claim.  Eager at construction."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    work = tempfile.mkdtemp(prefix="gofeed_q190_") + "/tbl"
+    try:
+        for residue in (0, 1):
+            D.write_delta(
+                docs.filter(F.col("doc_id") % 2 == residue)
+                .repartition(1)
+                .sortWithinPartitions("doc_id"),
+                work,
+                row_tracking=True,
+            )
+        D.delete_delta_rows(spark, work, "doc_id % 7 = 0", dv=True)
+        return (
+            D.read_delta(spark, work, row_lineage=True)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_live"),
+                F.sum("_row_id").cast("long").alias("rowid_sum"),
+                F.sum(
+                    F.when(F.col("_row_commit_version") == 0, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_first_batch"),
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)

@@ -29,7 +29,10 @@ u/i/p, roaring-decoded via ``sources/roaring.py``, applied as one
 broadcast anti join on ``_metadata.row_index``) and write
 (``delete_delta_rows(dv=True)``); UPDATE/DELETE commit ``cdc`` change
 files that ``read_delta_changes(cdf=True)`` serves; OPTIMIZE packs and
-PURGES DV-bearing groups; multi-part checkpoints read when complete.
+PURGES DV-bearing groups; multi-part checkpoints read when complete;
+ROW TRACKING (``write_delta(row_tracking=True)`` /
+``enable_row_tracking`` backfill) assigns durable per-row ids read via
+``read_delta(row_lineage=True)`` — the Iceberg v3 row-lineage twin.
 Refusals are feature-precise (id-mode mapping, unknown readerFeatures).
 
 Concurrency: commits publish by a CREATE-IF-ABSENT put of
@@ -206,7 +209,7 @@ def _read_actions(fs: FileSystem, log: str, version: int) -> list[dict]:
 class _Snapshot:
     """Resolved table state at one version: live adds keyed by path."""
 
-    __slots__ = ("version", "protocol", "metadata", "adds", "txns")
+    __slots__ = ("version", "protocol", "metadata", "adds", "txns", "domains")
 
     def __init__(
         self,
@@ -215,12 +218,34 @@ class _Snapshot:
         metadata: dict,
         adds: dict,
         txns: dict | None = None,
+        domains: dict | None = None,
     ):
         self.version = version
         self.protocol = protocol
         self.metadata = metadata
         self.adds = adds  # relative (decoded) path -> add action dict
         self.txns = txns or {}  # appId -> highest committed txn version
+        self.domains = domains or {}  # domain -> domainMetadata action
+
+    @property
+    def row_tracking(self) -> bool:
+        """True when the table tracks row ids (protocol §Row Tracking)."""
+        return (self.metadata.get("configuration") or {}).get(
+            "delta.enableRowTracking"
+        ) == "true"
+
+    @property
+    def row_hwm(self) -> int:
+        """Highest assigned fresh row id (-1 before any assignment) —
+        the ``delta.rowTracking`` domain's ``rowIdHighWaterMark``."""
+        dom = self.domains.get("delta.rowTracking")
+        if not dom:
+            return -1
+        try:
+            cfg = json.loads(dom.get("configuration") or "{}")
+        except (TypeError, json.JSONDecodeError):
+            return -1
+        return int(cfg.get("rowIdHighWaterMark", -1))
 
     @property
     def partition_columns(self) -> list[str]:
@@ -255,7 +280,10 @@ def _norm_checkpoint_row(row: dict) -> tuple[str, dict] | None:
     """One checkpoint row → (action key, normalized action dict), or
     None for rows carrying only V2 bookkeeping (``checkpointMetadata``)
     or nothing."""
-    for key in ("protocol", "metaData", "add", "remove", "txn", "sidecar"):
+    for key in (
+        "protocol", "metaData", "add", "remove", "txn", "sidecar",
+        "domainMetadata",
+    ):
         val = row.get(key)
         if val is not None:
             if key == "add" and isinstance(val.get("partitionValues"), list):
@@ -265,6 +293,10 @@ def _norm_checkpoint_row(row: dict) -> tuple[str, dict] | None:
                 val.pop("deletionVector", None)
             if key == "add" and val.get("stats") is None:
                 val.pop("stats", None)
+            if key == "add":
+                for rk in ("baseRowId", "defaultRowCommitVersion"):
+                    if val.get(rk) is None:
+                        val.pop(rk, None)
             if key == "metaData" and isinstance(val.get("configuration"), list):
                 val["configuration"] = dict(val["configuration"])
             if key == "protocol":
@@ -338,7 +370,9 @@ def _checkpoint_rows(fs: FileSystem, log: str, version: int) -> list[dict]:
     return out
 
 
-def _apply_actions(actions: list[dict], protocol, metadata, adds, txns) -> tuple:
+def _apply_actions(
+    actions: list[dict], protocol, metadata, adds, txns, domains
+) -> tuple:
     for action in actions:
         if "protocol" in action:
             protocol = action["protocol"]
@@ -354,7 +388,13 @@ def _apply_actions(actions: list[dict], protocol, metadata, adds, txns) -> tuple
             app = t.get("appId")
             if app is not None and t.get("version") is not None:
                 txns[app] = max(txns.get(app, -1), int(t["version"]))
-    return protocol, metadata, adds, txns
+        elif "domainMetadata" in action:
+            d = action["domainMetadata"]
+            if d.get("removed"):
+                domains.pop(d.get("domain"), None)
+            elif d.get("domain") is not None:
+                domains[d["domain"]] = d
+    return protocol, metadata, adds, txns, domains
 
 
 def _snapshot(fs: FileSystem, path: str, version: int | None = None) -> _Snapshot:
@@ -371,18 +411,21 @@ def _snapshot(fs: FileSystem, path: str, version: int | None = None) -> _Snapsho
     metadata: dict | None = None
     adds: dict[str, dict] = {}
     txns: dict[str, int] = {}
+    domains: dict[str, dict] = {}
     usable_cp = [v for v in checkpoints if v <= target]
     start = 0
     if usable_cp:
         cp = max(usable_cp)
-        protocol, metadata, adds, txns = _apply_actions(
-            _checkpoint_rows(fs, log, cp), protocol, metadata, adds, txns
+        protocol, metadata, adds, txns, domains = _apply_actions(
+            _checkpoint_rows(fs, log, cp), protocol, metadata, adds, txns,
+            domains,
         )
         start = cp + 1
     for v in range(start, target + 1):
         if v in commits:
-            protocol, metadata, adds, txns = _apply_actions(
-                _read_actions(fs, log, v), protocol, metadata, adds, txns
+            protocol, metadata, adds, txns, domains = _apply_actions(
+                _read_actions(fs, log, v), protocol, metadata, adds, txns,
+                domains,
             )
     if metadata is None or protocol is None:
         raise DeltaError(f"log replay found no metaData/protocol by v{target}")
@@ -409,7 +452,7 @@ def _snapshot(fs: FileSystem, path: str, version: int | None = None) -> _Snapsho
     fmt = (metadata.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise DeltaUnsupported(f"data format {fmt!r} (parquet only)")
-    return _Snapshot(target, protocol, metadata, adds, txns)
+    return _Snapshot(target, protocol, metadata, adds, txns, domains)
 
 
 # --- reader -----------------------------------------------------------------
@@ -472,10 +515,16 @@ def read_delta(
     version: int | None = None,
     where: dict[str, str] | None = None,
     as_of_ts: int | None = None,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Read a Delta table (optionally ``version``-as-of, or
     ``as_of_ts``-as-of in epoch MILLIS — the ``TIMESTAMP AS OF`` form,
     resolved via :func:`version_at_timestamp`) as a DataFrame.
+
+    ``row_lineage=True`` (row-tracked tables only) appends ``_row_id``
+    (the file's ``baseRowId`` + row position; NULL for files written
+    before tracking) and ``_row_commit_version`` (the file's
+    ``defaultRowCommitVersion``) — the Iceberg v3 lineage twin.
 
     ``where`` maps column name → required string value.  Partition
     columns prune on the log's ``partitionValues`` BEFORE any data file
@@ -491,6 +540,11 @@ def read_delta(
         version = version_at_timestamp(path, as_of_ts)
     fs = get_filesystem(path)
     snap = _snapshot(fs, path, version)
+    if row_lineage and not snap.row_tracking:
+        raise DeltaUnsupported(
+            "row lineage needs a row-tracked table "
+            "(delta.enableRowTracking; see enable_row_tracking)"
+        )
     schema = snap.schema
     pcols = snap.partition_columns
     adds = list(snap.adds.items())
@@ -524,7 +578,10 @@ def read_delta(
                 {P.get(k, k): v for k, v in typed.items()},
             )
 
-    df = _assemble(spark, fs, path, schema, pcols, adds, mapping=mapping)
+    df = _assemble(
+        spark, fs, path, schema, pcols, adds, mapping=mapping,
+        lineage=row_lineage,
+    )
     for k, v in data_w.items():
         df = df.filter(F.col(k) == F.lit(v).cast(schema[k].dataType))
     return df
@@ -569,6 +626,7 @@ def _assemble(
     mapping: dict[str, str] | None = None,
     keep_file: bool = False,
     keep_pos: bool = False,
+    lineage: bool = False,
 ) -> DataFrame:
     """Live add actions → ONE parquet relation with partition columns
     restored from the log's authoritative partitionValues by a single
@@ -604,9 +662,14 @@ def _assemble(
     if keep_file:
         out_cols.append(F.col("__file"))
     dv_adds = [(rel, add) for rel, add in adds if add.get("deletionVector")]
-    need_pos = bool(dv_adds) or keep_pos
+    need_pos = bool(dv_adds) or keep_pos or lineage
     if keep_pos:
         out_cols.append(F.col("__pos"))
+    if lineage:
+        out_cols += [
+            (F.col("__brid") + F.col("__pos")).cast("long").alias("_row_id"),
+            F.col("__rcv").alias("_row_commit_version"),
+        ]
     if not adds:
         # COPY before .add: StructType.add mutates in place, and the
         # caller reuses its schema object (e.g. to build the cdc twin)
@@ -617,6 +680,10 @@ def _assemble(
             empty = empty.add("__file", T.StringType())
         if keep_pos:
             empty = empty.add("__pos", T.LongType())
+        if lineage:
+            empty = empty.add("_row_id", T.LongType()).add(
+                "_row_commit_version", T.LongType()
+            )
         return spark.createDataFrame([], empty)
 
     files = [fs.spark_path(fs.join(path.rstrip("/"), rel)) for rel, _ in adds]
@@ -646,6 +713,14 @@ def _assemble(
                 if extra is not None
                 else []
             )
+            + (
+                [
+                    T.StructField("__brid", T.LongType()),
+                    T.StructField("__rcv", T.LongType()),
+                ]
+                if lineage
+                else []
+            )
         )
         rows = [
             tuple(
@@ -657,6 +732,18 @@ def _assemble(
                     for c in pcols
                 ]
                 + ([extra[rel]] if extra is not None else [])
+                + (
+                    [
+                        None
+                        if add.get("baseRowId") is None
+                        else int(add["baseRowId"]),
+                        None
+                        if add.get("defaultRowCommitVersion") is None
+                        else int(add["defaultRowCommitVersion"]),
+                    ]
+                    if lineage
+                    else []
+                )
             )
             for rel, add in adds
         ]
@@ -956,6 +1043,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     evolve_schema: bool = False,
     column_mapping: bool = False,
+    row_tracking: bool = False,
 ) -> int:
     """Commit ``df`` to a Delta table at ``path``; returns the new version.
 
@@ -987,9 +1075,24 @@ def write_delta(
     this module's and any protocol-conformant engine's — map back by
     name.  Appends to a mapped table pick the mapping up from its
     metaData automatically (the flag is only needed at creation).
+
+    ``row_tracking=True`` on the FIRST commit creates the table with ROW
+    TRACKING (protocol §Row Tracking, writer feature ``rowTracking`` +
+    ``domainMetadata``): every added file gets ``baseRowId`` /
+    ``defaultRowCommitVersion``, the ``delta.rowTracking`` domain carries
+    the id high-water mark, and each row's durable ``_row_id`` is the
+    file's base plus its position (read via
+    ``read_delta(row_lineage=True)``).  Appends to a tracked table keep
+    assigning automatically; use :func:`enable_row_tracking` to backfill
+    an existing table.  The Iceberg v3 row-lineage twin.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if row_tracking and column_mapping:
+        raise DeltaUnsupported(
+            "row_tracking + column_mapping together (materialized-column "
+            "physical naming not implemented)"
+        )
     path = path.rstrip("/")
     fs = get_filesystem(path)
     log = _log_dir(path)
@@ -1034,6 +1137,13 @@ def write_delta(
     else:
         pcols = list(partition_by or [])
         version = 0
+
+    tracked = existing.row_tracking if existing is not None else row_tracking
+    if row_tracking and existing is not None and not existing.row_tracking:
+        raise DeltaUnsupported(
+            "table exists without row tracking; backfill via "
+            "enable_row_tracking first"
+        )
 
     if existing is None and column_mapping:
         # stable physical names minted once at creation (name mode)
@@ -1088,6 +1198,27 @@ def write_delta(
         ordinal += 1
     fs.delete_tree(staging)
 
+    new_hwm: int | None = None
+    if tracked and adds:
+        # fresh row ids: contiguous per file from the table's high-water
+        # mark; ids are never reused (overwrite removes files but the
+        # mark only advances)
+        base = (existing.row_hwm if existing is not None else -1) + 1
+        for add in adds:
+            nrec = (
+                json.loads(add["stats"]).get("numRecords")
+                if add.get("stats")
+                else None
+            )
+            if nrec is None:
+                raise DeltaError(
+                    "row tracking needs numRecords stats on every added file"
+                )
+            add["baseRowId"] = base
+            add["defaultRowCommitVersion"] = version
+            base += int(nrec)
+        new_hwm = base - 1
+
     actions: list[dict] = []
     op = "WRITE" if existing is not None else "CREATE TABLE AS SELECT"
     actions.append(
@@ -1123,6 +1254,20 @@ def write_delta(
                 "delta.columnMapping.mode": "name",
                 "delta.columnMapping.maxColumnId": str(len(fields)),
             }
+        elif row_tracking:
+            # writer-feature form: row tracking changes nothing for
+            # readers (minReaderVersion stays 1); writers must understand
+            # baseRowId + the domainMetadata high-water mark
+            protocol = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    {"appendOnly", "invariants", "domainMetadata",
+                     "rowTracking"}
+                ),
+            }
+            schema_json = df.schema.json()
+            configuration = {"delta.enableRowTracking": "true"}
         else:
             protocol = dict(_PROTOCOL)
             schema_json = df.schema.json()
@@ -1169,7 +1314,111 @@ def write_delta(
                 }
             )
     actions.extend({"add": add} for add in adds)
+    if new_hwm is not None:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": new_hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
 
+    _publish_commit(fs, path, version, actions)
+    return version
+
+
+def enable_row_tracking(path: str) -> int:
+    """Backfill ROW TRACKING onto an existing table (protocol §Row
+    Tracking enablement): one commit upgrades the protocol to the
+    writer-feature form (+``rowTracking``/``domainMetadata``), sets
+    ``delta.enableRowTracking``, RE-ADDS every live file with an assigned
+    ``baseRowId`` (``dataChange=false`` — contents unchanged, invisible
+    to incremental consumers), and records the id high-water mark.
+    Existing rows therefore get durable ids immediately (contrast the
+    Iceberg upgrade, where pre-upgrade files read NULL ``_row_id``
+    forever).  ``defaultRowCommitVersion`` is the backfill commit's
+    version (the original add versions are not tracked in the snapshot).
+    Returns the new version; idempotent on an already-tracked table."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    snap = _snapshot(fs, path)
+    if snap.row_tracking:
+        return snap.version
+    if snap.column_mapping is not None:
+        raise DeltaUnsupported(
+            "row tracking on a column-mapped table (materialized-column "
+            "physical naming not implemented)"
+        )
+    version = snap.version + 1
+    proto = snap.protocol
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        **(
+            {"readerFeatures": sorted(set(proto.get("readerFeatures") or []))}
+            if proto.get("minReaderVersion", 1) >= 3
+            else {}
+        ),
+        # legacy writer versions imply appendOnly/invariants — the
+        # feature form must list everything the table may rely on
+        "writerFeatures": sorted(
+            set(proto.get("writerFeatures") or [])
+            | {"appendOnly", "invariants", "domainMetadata", "rowTracking"}
+        ),
+    }
+    cfg = dict(snap.metadata.get("configuration") or {})
+    cfg["delta.enableRowTracking"] = "true"
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {"delta.enableRowTracking": "true"}
+                    )
+                },
+                "engineInfo": "gofeed_spark-delta/0.1",
+            }
+        },
+        {"protocol": new_proto},
+        {"metaData": {**snap.metadata, "configuration": cfg}},
+    ]
+    base = 0
+    for rel in sorted(snap.adds):
+        add = snap.adds[rel]
+        nrec = (
+            json.loads(add["stats"]).get("numRecords")
+            if add.get("stats")
+            else None
+        )
+        if nrec is None:
+            raise DeltaError(
+                f"cannot backfill row ids: {rel} has no numRecords stats"
+            )
+        actions.append(
+            {
+                "add": {
+                    **add,
+                    "dataChange": False,
+                    "baseRowId": base,
+                    "defaultRowCommitVersion": version,
+                }
+            }
+        )
+        base += int(nrec)
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": base - 1}),
+                "removed": False,
+            }
+        }
+    )
     _publish_commit(fs, path, version, actions)
     return version
 
@@ -1393,6 +1642,11 @@ def update_delta(
     snap = _snapshot(fs, path)
     if snap.column_mapping is not None:
         raise DeltaUnsupported("UPDATE on a column-mapped table")
+    if snap.row_tracking:
+        raise DeltaUnsupported(
+            "UPDATE on a row-tracked table (must preserve _row_id via "
+            "materialized columns — not implemented)"
+        )
     schema = snap.schema
     pcols = snap.partition_columns
     bad = [c for c in set_exprs if c in pcols]
@@ -1516,6 +1770,11 @@ def delete_delta_rows(
     snap = _snapshot(fs, path)
     if snap.column_mapping is not None:
         raise DeltaUnsupported("DELETE on a column-mapped table")
+    if snap.row_tracking and not dv:
+        raise DeltaUnsupported(
+            "copy-on-write DELETE on a row-tracked table rewrites row "
+            "positions; use dv=True (deletion vectors keep _row_id stable)"
+        )
     schema = snap.schema
     pcols = snap.partition_columns
     cond = F.expr(where) if isinstance(where, str) else where
@@ -1775,6 +2034,11 @@ def merge_delta(
     snap = _snapshot(fs, path)
     if snap.column_mapping is not None:
         raise DeltaUnsupported("MERGE on a column-mapped table")
+    if snap.row_tracking:
+        raise DeltaUnsupported(
+            "MERGE on a row-tracked table (must preserve _row_id via "
+            "materialized columns — not implemented)"
+        )
     schema = snap.schema
     pcols = snap.partition_columns
     by_type = {f.name: f.dataType for f in schema.fields}
@@ -2266,6 +2530,17 @@ def checkpoint_delta(path: str) -> int:
             # stats survive too (file skipping keeps working after log
             # truncation; absent stats just mean 'keep the file')
             ("stats", pa.string()),
+            # row tracking (protocol §Row Tracking): dropping these would
+            # silently re-id every row after log truncation
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
+        ]
+    )
+    domain_type = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
         ]
     )
     meta_type = pa.struct(
@@ -2291,7 +2566,8 @@ def checkpoint_delta(path: str) -> int:
     txn_type = pa.struct([("appId", pa.string()), ("version", pa.int64())])
 
     txns = sorted(snap.txns.items())
-    n = len(snap.adds) + 2 + len(txns)
+    doms = [snap.domains[k] for k in sorted(snap.domains)]
+    n = len(snap.adds) + 2 + len(txns) + len(doms)
     protocol_col = [snap.protocol] + [None] * (n - 1)
     meta = snap.metadata
     meta_col = [None, {
@@ -2312,13 +2588,27 @@ def checkpoint_delta(path: str) -> int:
                 "dataChange": False,
                 "deletionVector": add.get("deletionVector"),
                 "stats": add.get("stats"),
+                "baseRowId": add.get("baseRowId"),
+                "defaultRowCommitVersion": add.get("defaultRowCommitVersion"),
             }
         )
-    add_col += [None] * len(txns)
+    add_col += [None] * (len(txns) + len(doms))
     # txn actions MUST survive checkpointing (the spec requires it), or a
     # vacuumed log would silently reset every app's idempotency watermark
-    txn_col: list[dict | None] = [None] * (n - len(txns)) + [
-        {"appId": app, "version": v} for app, v in txns
+    txn_col: list[dict | None] = (
+        [None] * (n - len(txns) - len(doms))
+        + [{"appId": app, "version": v} for app, v in txns]
+        + [None] * len(doms)
+    )
+    # domainMetadata survives too: delta.rowTracking carries the row-id
+    # high-water mark — losing it would re-assign already-used ids
+    dom_col: list[dict | None] = [None] * (n - len(doms)) + [
+        {
+            "domain": d.get("domain"),
+            "configuration": d.get("configuration"),
+            "removed": bool(d.get("removed")),
+        }
+        for d in doms
     ]
     table = pa.table(
         {
@@ -2326,6 +2616,7 @@ def checkpoint_delta(path: str) -> int:
             "metaData": pa.array(meta_col, type=meta_type),
             "add": pa.array(add_col, type=add_type),
             "txn": pa.array(txn_col, type=txn_type),
+            "domainMetadata": pa.array(dom_col, type=domain_type),
         }
     )
     sink = io.BytesIO()
@@ -2375,6 +2666,11 @@ def optimize_delta(
     path = path.rstrip("/")
     fs = get_filesystem(path)
     snap = _snapshot(fs, path)
+    if snap.row_tracking:
+        raise DeltaUnsupported(
+            "OPTIMIZE on a row-tracked table (rewrites must preserve "
+            "_row_id via materialized columns — not implemented)"
+        )
     pcols = snap.partition_columns
     schema = snap.schema
     P = snap.column_mapping or {}

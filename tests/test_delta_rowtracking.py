@@ -1,0 +1,174 @@
+"""Delta ROW TRACKING (sources/delta.py, protocol §Row Tracking — the
+Iceberg v3 row-lineage twin): baseRowId/defaultRowCommitVersion
+assignment on adds, the delta.rowTracking domainMetadata high-water
+mark, _row_id/_row_commit_version lineage reads, DV-delete id
+stability, checkpoint survival of the tracking state, the
+enable_row_tracking backfill, and the refusals on position-rewriting
+ops (UPDATE/MERGE/OPTIMIZE/copy-on-write DELETE must preserve _row_id
+via materialized columns, which is declared out of scope).  Reference:
+delta.io PROTOCOL.md; no counterpart in the reference repo (§2.E
+north-star surface)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from gofeed_spark.fs import get_filesystem
+from gofeed_spark.sources import delta as D
+
+
+def _kv(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+
+
+def _snap(root):
+    return D._snapshot(get_filesystem(root), root)
+
+
+def test_create_append_lineage(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    D.write_delta(_kv(spark, 0, 10), root, row_tracking=True)
+    D.write_delta(_kv(spark, 10, 15), root)
+
+    snap = _snap(root)
+    assert snap.row_tracking and snap.row_hwm == 14
+    proto = snap.protocol
+    assert proto["minWriterVersion"] == 7
+    assert {"rowTracking", "domainMetadata"} <= set(proto["writerFeatures"])
+    assert proto["minReaderVersion"] == 1  # readers are unaffected
+    assert all(
+        a.get("baseRowId") is not None for a in snap.adds.values()
+    )
+
+    rows = (
+        D.read_delta(spark, root, row_lineage=True).orderBy("k").collect()
+    )
+    assert [(r["k"], r["_row_id"]) for r in rows] == [(i, i) for i in range(15)]
+    assert {r["_row_commit_version"] for r in rows[:10]} == {0}
+    assert {r["_row_commit_version"] for r in rows[10:]} == {1}
+
+    # overwrite keeps advancing: ids are never reused
+    D.write_delta(_kv(spark, 0, 3), root, mode="overwrite")
+    rows = (
+        D.read_delta(spark, root, row_lineage=True).orderBy("k").collect()
+    )
+    assert [(r["k"], r["_row_id"]) for r in rows] == [(0, 15), (1, 16), (2, 17)]
+    assert _snap(root).row_hwm == 17
+
+
+def test_dv_delete_keeps_ids_and_checkpoint_survives(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    D.write_delta(_kv(spark, 0, 10), root, row_tracking=True)
+    D.write_delta(_kv(spark, 10, 15), root)
+    D.delete_delta_rows(spark, root, "k % 3 = 0", dv=True)
+
+    want = {k: k for k in [1, 2, 4, 5, 7, 8, 10, 11, 13, 14]}
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    assert {r["k"]: r["_row_id"] for r in rows} == want
+
+    # checkpoint must carry baseRowId + the domain high-water mark, or a
+    # truncated log would silently re-id every row
+    D.checkpoint_delta(root)
+    fs = get_filesystem(root)
+    # force checkpoint-only resolution: replay from the checkpoint alone
+    snap = _snap(root)
+    assert snap.row_hwm == 14 and snap.row_tracking
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    assert {r["k"]: r["_row_id"] for r in rows} == want
+    # another append continues the sequence across the checkpoint
+    D.write_delta(_kv(spark, 15, 17), root)
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    by_k = {r["k"]: r["_row_id"] for r in rows}
+    assert by_k[15] == 15 and by_k[16] == 16
+    assert fs  # silence linters
+
+
+def test_enable_row_tracking_backfills(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    D.write_delta(_kv(spark, 0, 6), root)
+    D.write_delta(_kv(spark, 6, 9), root)
+    with pytest.raises(D.DeltaUnsupported, match="row-tracked|row lineage"):
+        D.read_delta(spark, root, row_lineage=True)
+    # appends cannot silently opt in on an untracked table
+    with pytest.raises(D.DeltaUnsupported, match="enable_row_tracking"):
+        D.write_delta(_kv(spark, 9, 10), root, row_tracking=True)
+
+    v = D.enable_row_tracking(root)
+    assert D.enable_row_tracking(root) == v  # idempotent
+    rows = (
+        D.read_delta(spark, root, row_lineage=True).orderBy("k").collect()
+    )
+    # existing rows get ids immediately (file order = sorted add paths)
+    assert sorted(r["_row_id"] for r in rows) == list(range(9))
+    assert {r["_row_commit_version"] for r in rows} == {v}
+
+    # the backfill is invisible to incremental consumers
+    ch = D.read_delta_changes(spark, root, start_version=v)
+    assert ch.count() == 0
+
+    # post-backfill appends continue from the mark
+    D.write_delta(_kv(spark, 9, 12), root)
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    by_k = {r["k"]: r["_row_id"] for r in rows}
+    assert [by_k[9], by_k[10], by_k[11]] == [9, 10, 11]
+
+
+def test_rewrite_ops_refuse_on_tracked_tables(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    D.write_delta(_kv(spark, 0, 6), root, row_tracking=True)
+    with pytest.raises(D.DeltaUnsupported, match="_row_id"):
+        D.update_delta(spark, root, "k = 1", {"v": "v + 1"})
+    with pytest.raises(D.DeltaUnsupported, match="_row_id"):
+        D.merge_delta(spark, root, _kv(spark, 0, 1), on=["k"])
+    with pytest.raises(D.DeltaUnsupported, match="_row_id"):
+        D.optimize_delta(spark, root)
+    with pytest.raises(D.DeltaUnsupported, match="dv=True"):
+        D.delete_delta_rows(spark, root, "k = 1")
+    # the DV form is the sanctioned delete
+    assert D.delete_delta_rows(spark, root, "k = 1", dv=True) > 0
+    with pytest.raises(D.DeltaUnsupported, match="column_mapping"):
+        D.write_delta(
+            _kv(spark, 0, 3), str(tmp_path / "cm"),
+            row_tracking=True, column_mapping=True,
+        )
+
+
+def test_foreign_row_tracked_table_reads(spark, tmp_path):
+    """A table written by a foreign writer with row tracking: files
+    WITHOUT baseRowId (added before enablement, never backfilled) read
+    NULL _row_id; the domain survives replay."""
+    root = str(tmp_path / "tbl")
+    D.write_delta(_kv(spark, 0, 4), root, row_tracking=True)
+    fs = get_filesystem(root)
+    # foreign append without row-tracking fields (a writer that predates
+    # the feature would be refused by writerFeatures, but a BUGGY or
+    # partial writer may leave gaps — reads must not invent ids)
+    snap = _snap(root)
+    rel, add = next(iter(snap.adds.items()))
+    import shutil as _sh
+
+    src = f"{root}/{rel}"
+    _sh.copyfile(src, f"{root}/part-extra-foreign.snappy.parquet")
+    naked = {
+        "path": "part-extra-foreign.snappy.parquet",
+        "partitionValues": {},
+        "size": add["size"],
+        "modificationTime": 0,
+        "dataChange": True,
+    }
+    fs.put_bytes(
+        f"{root}/_delta_log/{1:020d}.json",
+        (json.dumps({"add": naked}) + "\n").encode(),
+    )
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    with_id = [r for r in rows if r["_row_id"] is not None]
+    without = [r for r in rows if r["_row_id"] is None]
+    assert len(with_id) == 4 and len(without) == 4
