@@ -235,6 +235,19 @@ class _Snapshot:
         ) == "true"
 
     @property
+    def row_materialized_cols(self) -> tuple[str, str] | None:
+        """(row-id, row-commit-version) MATERIALIZED column names for a
+        row-tracked table — the hidden physical columns rewrites write
+        preserved lineage into (readers prefer them over baseRowId+pos).
+        None when the table never configured them."""
+        cfg = self.metadata.get("configuration") or {}
+        rid = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+        rcv = cfg.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        return (rid, rcv) if rid and rcv else None
+
+    @property
     def row_hwm(self) -> int:
         """Highest assigned fresh row id (-1 before any assignment) —
         the ``delta.rowTracking`` domain's ``rowIdHighWaterMark``."""
@@ -545,6 +558,10 @@ def read_delta(
             "row lineage needs a row-tracked table "
             "(delta.enableRowTracking; see enable_row_tracking)"
         )
+    if row_lineage and snap.column_mapping is not None:
+        raise DeltaUnsupported(
+            "row lineage on a column-mapped table (foreign combination)"
+        )
     schema = snap.schema
     pcols = snap.partition_columns
     adds = list(snap.adds.items())
@@ -581,6 +598,7 @@ def read_delta(
     df = _assemble(
         spark, fs, path, schema, pcols, adds, mapping=mapping,
         lineage=row_lineage,
+        lineage_cols=snap.row_materialized_cols if row_lineage else None,
     )
     for k, v in data_w.items():
         df = df.filter(F.col(k) == F.lit(v).cast(schema[k].dataType))
@@ -627,6 +645,7 @@ def _assemble(
     keep_file: bool = False,
     keep_pos: bool = False,
     lineage: bool = False,
+    lineage_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Live add actions → ONE parquet relation with partition columns
     restored from the log's authoritative partitionValues by a single
@@ -655,6 +674,14 @@ def _assemble(
             if f.name not in pcols
         ]
     )
+    if lineage and lineage_cols:
+        # hidden materialized lineage columns (rewrites carry preserved
+        # ids there); files without them read null and fall back to
+        # baseRowId + position
+        for c in lineage_cols:
+            phys = T.StructType(
+                list(phys.fields) + [T.StructField(c, T.LongType(), True)]
+            )
     by_type = {f.name: f.dataType for f in schema.fields}
     out_cols = [F.col(f.name) for f in schema.fields]
     if extra is not None:
@@ -666,9 +693,14 @@ def _assemble(
     if keep_pos:
         out_cols.append(F.col("__pos"))
     if lineage:
+        fresh_rid = (F.col("__brid") + F.col("__pos")).cast("long")
+        fresh_rcv = F.col("__rcv")
+        if lineage_cols:
+            fresh_rid = F.coalesce(F.col(f"`{lineage_cols[0]}`"), fresh_rid)
+            fresh_rcv = F.coalesce(F.col(f"`{lineage_cols[1]}`"), fresh_rcv)
         out_cols += [
-            (F.col("__brid") + F.col("__pos")).cast("long").alias("_row_id"),
-            F.col("__rcv").alias("_row_commit_version"),
+            fresh_rid.alias("_row_id"),
+            fresh_rcv.alias("_row_commit_version"),
         ]
     if not adds:
         # COPY before .add: StructType.add mutates in place, and the
@@ -1267,7 +1299,15 @@ def write_delta(
                 ),
             }
             schema_json = df.schema.json()
-            configuration = {"delta.enableRowTracking": "true"}
+            configuration = {
+                "delta.enableRowTracking": "true",
+                # hidden physical columns rewrites materialize preserved
+                # lineage into (names minted once, like column mapping)
+                "delta.rowTracking.materializedRowIdColumnName":
+                    f"_row-id-col-{uuid.uuid4().hex[:12]}",
+                "delta.rowTracking.materializedRowCommitVersionColumnName":
+                    f"_row-commit-version-col-{uuid.uuid4().hex[:12]}",
+            }
         else:
             protocol = dict(_PROTOCOL)
             schema_json = df.schema.json()
@@ -1372,6 +1412,14 @@ def enable_row_tracking(path: str) -> int:
     }
     cfg = dict(snap.metadata.get("configuration") or {})
     cfg["delta.enableRowTracking"] = "true"
+    cfg.setdefault(
+        "delta.rowTracking.materializedRowIdColumnName",
+        f"_row-id-col-{uuid.uuid4().hex[:12]}",
+    )
+    cfg.setdefault(
+        "delta.rowTracking.materializedRowCommitVersionColumnName",
+        f"_row-commit-version-col-{uuid.uuid4().hex[:12]}",
+    )
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -2666,10 +2714,13 @@ def optimize_delta(
     path = path.rstrip("/")
     fs = get_filesystem(path)
     snap = _snapshot(fs, path)
-    if snap.row_tracking:
+    tracked = snap.row_tracking
+    mat_cols = snap.row_materialized_cols if tracked else None
+    if tracked and mat_cols is None:
         raise DeltaUnsupported(
-            "OPTIMIZE on a row-tracked table (rewrites must preserve "
-            "_row_id via materialized columns — not implemented)"
+            "OPTIMIZE on a row-tracked table without materialized "
+            "row-id column names (delta.rowTracking.materialized*) — "
+            "rewrites cannot preserve _row_id"
         )
     pcols = snap.partition_columns
     schema = snap.schema
@@ -2732,7 +2783,29 @@ def optimize_delta(
                 )
             part_dir = "/".join(segs) + "/"
         staging = f"{path}_delta_optimize_{token}_{n_parts}"
-        if has_dv:
+        if tracked:
+            # row-tracked rewrite: read the group's LIVE view WITH
+            # lineage (existing materialized values win over
+            # baseRowId+pos) and write the preserved ids into the
+            # table's hidden materialized columns — packed files get a
+            # FRESH baseRowId below, but every surviving row's durable
+            # _row_id rides the column (protocol §Row Tracking)
+            group_df = _assemble(
+                spark, fs, path, schema, pcols, members,
+                lineage=True, lineage_cols=mat_cols,
+            ).drop(*pcols)
+            group_df = group_df.withColumnsRenamed(
+                {
+                    "_row_id": mat_cols[0],
+                    "_row_commit_version": mat_cols[1],
+                }
+            )
+            if zorder_by:
+                group_df = cluster_layout(group_df, zkeys_phys, n_out)
+            else:
+                group_df = group_df.coalesce(n_out)
+            group_df.write.mode("overwrite").parquet(fs.spark_path(staging))
+        elif has_dv:
             # PURGE: the group rewrites through the LIVE view (deletion
             # vectors applied), so packed files carry surviving rows only
             # and the DVs die with the old adds — REORG APPLY (PURGE)
@@ -2802,6 +2875,25 @@ def optimize_delta(
 
     if not adds:
         return {"version": -1, "rewritten": 0, "packed": 0, "partitions": 0}
+    version = snap.version + 1
+    if tracked:
+        # packed files get FRESH baseRowId ranges (the mark only
+        # advances); preserved ids live in the materialized columns and
+        # win at read time
+        base = snap.row_hwm + 1
+        for a in adds:
+            nrec = (
+                json.loads(a["stats"]).get("numRecords")
+                if a.get("stats")
+                else None
+            )
+            if nrec is None:
+                raise DeltaError(
+                    "row tracking needs numRecords stats on packed files"
+                )
+            a["baseRowId"] = base
+            a["defaultRowCommitVersion"] = version
+            base += int(nrec)
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -2821,7 +2913,18 @@ def optimize_delta(
     ]
     actions.extend(removes)
     actions.extend({"add": a} for a in adds)
-    version = snap.version + 1
+    if tracked:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": base - 1}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     _publish_commit(fs, path, version, actions)
     return {
         "version": version,

@@ -128,8 +128,6 @@ def test_rewrite_ops_refuse_on_tracked_tables(spark, tmp_path):
         D.update_delta(spark, root, "k = 1", {"v": "v + 1"})
     with pytest.raises(D.DeltaUnsupported, match="_row_id"):
         D.merge_delta(spark, root, _kv(spark, 0, 1), on=["k"])
-    with pytest.raises(D.DeltaUnsupported, match="_row_id"):
-        D.optimize_delta(spark, root)
     with pytest.raises(D.DeltaUnsupported, match="dv=True"):
         D.delete_delta_rows(spark, root, "k = 1")
     # the DV form is the sanctioned delete
@@ -139,6 +137,49 @@ def test_rewrite_ops_refuse_on_tracked_tables(spark, tmp_path):
             _kv(spark, 0, 3), str(tmp_path / "cm"),
             row_tracking=True, column_mapping=True,
         )
+
+
+def test_optimize_preserves_row_ids_via_materialized_columns(spark, tmp_path):
+    """OPTIMIZE on a row-tracked table rewrites through the lineage view
+    and writes preserved ids into the table's hidden MATERIALIZED
+    columns (protocol §Row Tracking): every surviving row keeps its
+    durable _row_id AND its original _row_commit_version, the packed
+    file gets a fresh baseRowId range (the mark only advances), and
+    later appends/DV deletes compose."""
+    root = str(tmp_path / "tbl")
+    D.write_delta(_kv(spark, 0, 10), root, row_tracking=True)
+    D.write_delta(_kv(spark, 10, 15), root)
+    D.delete_delta_rows(spark, root, "k % 3 = 0", dv=True)
+
+    res = D.optimize_delta(spark, root, min_files=2)
+    assert res["packed"] == 1 and res["rewritten"] == 2
+
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    got = {r["k"]: (r["_row_id"], r["_row_commit_version"]) for r in rows}
+    want = {
+        k: (k, 0 if k < 10 else 1)
+        for k in [1, 2, 4, 5, 7, 8, 10, 11, 13, 14]
+    }
+    assert got == want
+
+    # packed file consumed fresh ids 15..24 (10 surviving rows)
+    snap = _snap(root)
+    assert snap.row_hwm == 24 and len(snap.adds) == 1
+    add = next(iter(snap.adds.values()))
+    assert add["baseRowId"] == 15
+
+    # post-optimize append continues above the advanced mark; a DV
+    # delete on the packed file keeps the materialized ids
+    D.write_delta(_kv(spark, 15, 17), root)
+    D.delete_delta_rows(spark, root, "k = 2", dv=True)
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    by_k = {r["k"]: r["_row_id"] for r in rows}
+    assert 2 not in by_k and by_k[1] == 1 and by_k[15] == 25 and by_k[16] == 26
+
+    # checkpoint keeps the materialized config + ids working
+    D.checkpoint_delta(root)
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    assert {r["k"]: r["_row_id"] for r in rows} == by_k
 
 
 def test_foreign_row_tracked_table_reads(spark, tmp_path):
