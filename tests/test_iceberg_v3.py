@@ -208,13 +208,12 @@ def test_v3_guards(spark, tmp_path):
     with pytest.raises(I.IcebergUnsupported, match="2 or 3"):
         I.write_iceberg(_kv(spark, 6, 9), root, format_version=4)
 
-    # lineage-preserving rewrites are not implemented: refuse, never
-    # silently reassign ids
+    # lineage-preserving MERGE is not implemented: refuse, never
+    # silently reassign ids (rewrite DOES preserve — see the
+    # materialized-columns test)
     src = spark.createDataFrame([(1, 99)], "k bigint, v bigint")
     with pytest.raises(I.IcebergUnsupported, match="_row_id"):
         I.merge_iceberg(spark, root, src, on=["k"])
-    with pytest.raises(I.IcebergUnsupported, match="_row_id"):
-        I.rewrite_iceberg(spark, root)
 
     # row_lineage read on a v2 table refuses
     v2 = str(tmp_path / "v2")
@@ -258,6 +257,54 @@ def test_v3_inheritance_read(spark, tmp_path):
         I.read_iceberg(spark, root, row_lineage=True).orderBy("k").collect()
     )
     assert [(r["k"], r["_row_id"]) for r in rows] == [(i, i) for i in range(10)]
+
+
+def test_v3_rewrite_materializes_lineage(spark, tmp_path):
+    """Compaction on a v3 table preserves row lineage by MATERIALIZING
+    _row_id / _last_updated_sequence_number into the packed files (spec
+    §Row Lineage: rewrites must not re-id rows).  Packed files carry
+    NULL first_row_id — a fresh base would invent ids for pre-lineage
+    rows — so next-row-id is unchanged and later appends continue the
+    sequence exactly."""
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 10), root, format_version=3)
+    I.write_iceberg(_kv(spark, 10, 15), root)
+    I.delete_iceberg_rows(spark, root, "k % 3 = 0")
+
+    res = I.rewrite_iceberg(spark, root, min_files=2)
+    assert res["packed"] == 1 and res["rewritten"] == 2
+
+    rows = I.read_iceberg(spark, root, row_lineage=True).collect()
+    got = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in rows
+    }
+    assert got == {
+        k: (k, 1 if k < 10 else 2)
+        for k in [1, 2, 4, 5, 7, 8, 10, 11, 13, 14]
+    }
+    assert _meta(root)["next-row-id"] == 15  # no ids consumed
+
+    entries, dels = _live(root)
+    assert len(entries) == 1 and entries[0].get("_frid") is None
+    assert not dels  # DVs died with the rewritten files' compaction
+
+    # appends continue the id sequence; DV deletes hit the packed file
+    I.write_iceberg(_kv(spark, 15, 17), root)
+    I.delete_iceberg_rows(spark, root, "k = 2")
+    rows = I.read_iceberg(spark, root, row_lineage=True).collect()
+    by_k = {r["k"]: r["_row_id"] for r in rows}
+    assert 2 not in by_k and by_k[1] == 1 and by_k[15] == 15 and by_k[16] == 16
+
+    # an UPGRADED table's pre-lineage rows stay NULL through a sorted
+    # rewrite (the resurrection hazard the null base exists to prevent)
+    w2 = str(tmp_path / "up")
+    I.write_iceberg(_kv(spark, 0, 6), w2)
+    I.upgrade_iceberg_format(w2)
+    I.write_iceberg(_kv(spark, 6, 9), w2)
+    I.rewrite_iceberg(spark, w2, min_files=2, sort_by=["k"])
+    rows = I.read_iceberg(spark, w2, row_lineage=True).orderBy("k").collect()
+    assert [r["_row_id"] for r in rows] == [None] * 6 + [0, 1, 2]
 
 
 def test_v3_through_rest_catalog(spark, tmp_path):
