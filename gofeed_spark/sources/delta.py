@@ -2041,6 +2041,14 @@ def merge_delta(
     commit with the protocol's (appId, version) idempotency handshake —
     the :class:`~gofeed_spark.streaming.sinks.DeltaUpsertSink` contract.
 
+    On a ROW-TRACKED table the merge preserves lineage (the feature's
+    whole point): updated and carried rows keep their durable
+    ``_row_id`` via the materialized columns — updated rows' commit
+    version falls back to the new file's default (this merge), carried
+    rows keep theirs — and inserted rows take fresh ids from the new
+    file's ``baseRowId`` (the high-water mark advances in the same
+    commit).
+
     CONDITIONAL and PARTIAL forms (the SQL MERGE surface a user ports):
 
     - ``when_matched=("update", cond)`` / ``("delete", cond)`` — the
@@ -2082,10 +2090,13 @@ def merge_delta(
     snap = _snapshot(fs, path)
     if snap.column_mapping is not None:
         raise DeltaUnsupported("MERGE on a column-mapped table")
-    if snap.row_tracking:
+    tracked = snap.row_tracking
+    mat = snap.row_materialized_cols if tracked else None
+    if tracked and mat is None:
         raise DeltaUnsupported(
-            "MERGE on a row-tracked table (must preserve _row_id via "
-            "materialized columns — not implemented)"
+            "MERGE on a row-tracked table without materialized row-id "
+            "column names (delta.rowTracking.materialized*) — rewrites "
+            "cannot preserve _row_id"
         )
     schema = snap.schema
     pcols = snap.partition_columns
@@ -2166,7 +2177,14 @@ def merge_delta(
     mkeys = None  # matched source keys (excluded from inserts)
     n_matched = 0
     if affected:
-        tgt = _assemble(spark, fs, path, schema, pcols, affected)
+        # row-tracked tables rewrite through the lineage view: updated
+        # and carried rows keep their durable _row_id (materialized into
+        # the new files); updated rows' commit version falls back to the
+        # new file's default (= this merge), carried rows keep theirs
+        tgt = _assemble(
+            spark, fs, path, schema, pcols, affected,
+            lineage=tracked, lineage_cols=mat,
+        )
         if when_matched == "update":
             val_cols = (
                 set_cols
@@ -2212,7 +2230,17 @@ def merge_delta(
                 .alias(c)
                 for c in schema.names
             ]
-            rewritten = j.select(*repl)
+            lin_out = (
+                [
+                    F.col("_row_id").alias(mat[0]),
+                    F.when(F.col("__upd"), F.lit(None).cast("long"))
+                    .otherwise(F.col("_row_commit_version"))
+                    .alias(mat[1]),
+                ]
+                if tracked
+                else []
+            )
+            rewritten = j.select(*repl, *lin_out)
             matched = j.filter(F.col("__m"))
             updated = j.filter(F.col("__upd"))
             cdc_parts.append(
@@ -2251,7 +2279,17 @@ def merge_delta(
             j = j.localCheckpoint()
             matched = j.filter(F.col("__m"))
             updated = j.filter(F.col("__upd"))  # the rows actually deleted
-            rewritten = j.filter(~F.col("__upd")).select(*schema.names)
+            rewritten = j.filter(~F.col("__upd")).select(
+                *schema.names,
+                *(
+                    [
+                        F.col("_row_id").alias(mat[0]),
+                        F.col("_row_commit_version").alias(mat[1]),
+                    ]
+                    if tracked
+                    else []
+                ),
+            )
             cdc_parts.append(
                 updated.select(*schema.names).withColumn(
                     "_change_type", F.lit("delete")
@@ -2296,7 +2334,19 @@ def merge_delta(
     if rewritten is not None:
         data_out = rewritten
     if n_ins:
-        insel = ins.select(*schema.names)
+        # inserted rows carry NULL materialized lineage: their fresh
+        # _row_id is the new file's baseRowId + position
+        insel = ins.select(
+            *schema.names,
+            *(
+                [
+                    F.lit(None).cast("long").alias(mat[0]),
+                    F.lit(None).cast("long").alias(mat[1]),
+                ]
+                if tracked
+                else []
+            ),
+        )
         data_out = insel if data_out is None else data_out.unionByName(insel)
     cdc = cdc_parts[0]
     for part in cdc_parts[1:]:
@@ -2311,6 +2361,24 @@ def merge_delta(
     cdc_adds = _stage_and_publish(
         fs, path, cdc, pcols, token, "cdc", "_change_data/", False
     )
+    version = snap.version + 1
+    if tracked and new_adds:
+        # fresh id range per new file (carried/updated rows never
+        # surface these — their materialized values win; inserts do)
+        base = snap.row_hwm + 1
+        for a in new_adds:
+            nrec = (
+                json.loads(a["stats"]).get("numRecords")
+                if a.get("stats")
+                else None
+            )
+            if nrec is None:
+                raise DeltaError(
+                    "row tracking needs numRecords stats on merged files"
+                )
+            a["baseRowId"] = base
+            a["defaultRowCommitVersion"] = version
+            base += int(nrec)
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -2344,7 +2412,18 @@ def merge_delta(
         )
     actions.extend({"add": a} for a in new_adds)
     actions.extend({"cdc": c} for c in cdc_adds)
-    version = snap.version + 1
+    if tracked and new_adds:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": base - 1}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     _publish_commit(fs, path, version, actions)
     return version
 

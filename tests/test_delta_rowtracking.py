@@ -126,8 +126,6 @@ def test_rewrite_ops_refuse_on_tracked_tables(spark, tmp_path):
     D.write_delta(_kv(spark, 0, 6), root, row_tracking=True)
     with pytest.raises(D.DeltaUnsupported, match="_row_id"):
         D.update_delta(spark, root, "k = 1", {"v": "v + 1"})
-    with pytest.raises(D.DeltaUnsupported, match="_row_id"):
-        D.merge_delta(spark, root, _kv(spark, 0, 1), on=["k"])
     with pytest.raises(D.DeltaUnsupported, match="dv=True"):
         D.delete_delta_rows(spark, root, "k = 1")
     # the DV form is the sanctioned delete
@@ -180,6 +178,57 @@ def test_optimize_preserves_row_ids_via_materialized_columns(spark, tmp_path):
     D.checkpoint_delta(root)
     rows = D.read_delta(spark, root, row_lineage=True).collect()
     assert {r["k"]: r["_row_id"] for r in rows} == by_k
+
+
+def test_merge_preserves_row_ids(spark, tmp_path):
+    """MERGE on a row-tracked table is the feature's whole point:
+    UPDATED rows keep their durable _row_id (materialized into the
+    rewritten files) with _row_commit_version bumped to the merge;
+    carried (unmatched-in-file) rows keep BOTH; inserted rows take
+    fresh ids from the new file's baseRowId."""
+    root = str(tmp_path / "tbl")
+    D.write_delta(_kv(spark, 0, 10), root, row_tracking=True)
+    src = spark.createDataFrame(
+        [(3, 999), (5, 555), (20, 20), (21, 21)], "k bigint, v bigint"
+    )
+    mv = D.merge_delta(spark, root, src, on=["k"])
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    got = {
+        r["k"]: (r["v"], r["_row_id"], r["_row_commit_version"])
+        for r in rows
+    }
+    for k in range(10):
+        if k in (3, 5):
+            continue
+        assert got[k] == (2 * k, k, 0)  # carried: id AND version kept
+    assert got[3] == (999, 3, mv) and got[5] == (555, 5, mv)  # id kept
+    ins_ids = {got[20][1], got[21][1]}
+    assert all(i > 9 for i in ins_ids) and len(ins_ids) == 2  # fresh
+    assert _snap(root).row_hwm >= max(ins_ids)
+
+    # delete-mode merge: survivors keep ids, CDF carries only deletes
+    keys = spark.createDataFrame([(0,), (21,)], "k bigint")
+    D.merge_delta(
+        spark, root, keys, on=["k"],
+        when_matched="delete", when_not_matched=None,
+    )
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    by_k = {r["k"]: r["_row_id"] for r in rows}
+    assert 0 not in by_k and 21 not in by_k and by_k[3] == 3
+    ch = D.read_delta_changes(spark, root, start_version=mv, cdf=True)
+    assert sorted(r["k"] for r in ch.collect()) == [0, 21]
+
+    # conditional + partial merge composes with lineage
+    prop = spark.createDataFrame([(1, 1000), (2, 1)], "k bigint, v bigint")
+    D.merge_delta(
+        spark, root, prop, on=["k"],
+        when_matched=("update", "s.v > t.v"),
+        when_not_matched=None, set_cols=["v"],
+    )
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    got = {r["k"]: (r["v"], r["_row_id"]) for r in rows}
+    assert got[1] == (1000, 1)  # updated, id kept
+    assert got[2] == (4, 2)  # guarded out, untouched
 
 
 def test_foreign_row_tracked_table_reads(spark, tmp_path):
