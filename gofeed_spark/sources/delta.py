@@ -1230,26 +1230,16 @@ def write_delta(
         ordinal += 1
     fs.delete_tree(staging)
 
-    new_hwm: int | None = None
-    if tracked and adds:
-        # fresh row ids: contiguous per file from the table's high-water
-        # mark; ids are never reused (overwrite removes files but the
-        # mark only advances)
-        base = (existing.row_hwm if existing is not None else -1) + 1
-        for add in adds:
-            nrec = (
-                json.loads(add["stats"]).get("numRecords")
-                if add.get("stats")
-                else None
-            )
-            if nrec is None:
-                raise DeltaError(
-                    "row tracking needs numRecords stats on every added file"
-                )
-            add["baseRowId"] = base
-            add["defaultRowCommitVersion"] = version
-            base += int(nrec)
-        new_hwm = base - 1
+    # fresh row ids: contiguous per file from the table's high-water
+    # mark; ids are never reused (overwrite removes files but the mark
+    # only advances)
+    row_dom = (
+        _assign_fresh_row_ids(
+            existing.row_hwm if existing is not None else -1, adds, version
+        )
+        if tracked and adds
+        else None
+    )
 
     actions: list[dict] = []
     op = "WRITE" if existing is not None else "CREATE TABLE AS SELECT"
@@ -1354,18 +1344,8 @@ def write_delta(
                 }
             )
     actions.extend({"add": add} for add in adds)
-    if new_hwm is not None:
-        actions.append(
-            {
-                "domainMetadata": {
-                    "domain": "delta.rowTracking",
-                    "configuration": json.dumps(
-                        {"rowIdHighWaterMark": new_hwm}
-                    ),
-                    "removed": False,
-                }
-            }
-        )
+    if row_dom is not None:
+        actions.append(row_dom)
 
     _publish_commit(fs, path, version, actions)
     return version
@@ -1657,6 +1637,37 @@ def _stage_and_publish(
     return out_actions
 
 
+def _assign_fresh_row_ids(hwm: int, new_adds: list[dict], version: int) -> dict:
+    """Row-tracking bookkeeping shared by every writing commit: assign
+    ``baseRowId``/``defaultRowCommitVersion`` on the new adds from the
+    table's id high-water mark (contiguous per file by record count) and
+    return the ``domainMetadata`` action advancing the mark.  Rows whose
+    durable id is preserved carry it in the MATERIALIZED columns and
+    never surface these fresh ids; genuinely new rows (appends, merge
+    inserts) do."""
+    base = hwm + 1
+    for a in new_adds:
+        nrec = (
+            json.loads(a["stats"]).get("numRecords")
+            if a.get("stats")
+            else None
+        )
+        if nrec is None:
+            raise DeltaError(
+                "row tracking needs numRecords stats on every added file"
+            )
+        a["baseRowId"] = base
+        a["defaultRowCommitVersion"] = version
+        base += int(nrec)
+    return {
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": base - 1}),
+            "removed": False,
+        }
+    }
+
+
 def update_delta(
     spark: SparkSession,
     path: str,
@@ -1690,10 +1701,12 @@ def update_delta(
     snap = _snapshot(fs, path)
     if snap.column_mapping is not None:
         raise DeltaUnsupported("UPDATE on a column-mapped table")
-    if snap.row_tracking:
+    tracked = snap.row_tracking
+    mat = snap.row_materialized_cols if tracked else None
+    if tracked and mat is None:
         raise DeltaUnsupported(
-            "UPDATE on a row-tracked table (must preserve _row_id via "
-            "materialized columns — not implemented)"
+            "UPDATE on a row-tracked table without materialized row-id "
+            "column names (delta.rowTracking.materialized*)"
         )
     schema = snap.schema
     pcols = snap.partition_columns
@@ -1721,9 +1734,10 @@ def update_delta(
 
     # all three outputs (rewrite, preimage, postimage) derive from one
     # frame over the affected files; set expressions see the OLD row
-    work = _assemble(spark, fs, path, schema, pcols, affected).withColumn(
-        "__hit", cond
-    )
+    work = _assemble(
+        spark, fs, path, schema, pcols, affected,
+        lineage=tracked, lineage_cols=mat,
+    ).withColumn("__hit", cond)
     for c, e in set_exprs.items():
         expr = F.expr(e) if isinstance(e, str) else e
         work = work.withColumn(
@@ -1742,7 +1756,22 @@ def update_delta(
         ]
 
     by_type = {f.name: f.dataType for f in schema.fields}
-    rewritten = work.select(*_pick(True))
+    rewritten = work.select(
+        *_pick(True),
+        *(
+            [
+                # every row keeps its durable id; updated rows' commit
+                # version falls back to the new file's default (= this
+                # UPDATE), untouched rows keep theirs
+                F.col("_row_id").alias(mat[0]),
+                F.when(F.col("__hit"), F.lit(None).cast("long"))
+                .otherwise(F.col("_row_commit_version"))
+                .alias(mat[1]),
+            ]
+            if tracked
+            else []
+        ),
+    )
     changed = work.filter(F.col("__hit"))
     cdc = changed.select(
         *_pick(False), F.lit("update_preimage").alias("_change_type")
@@ -1759,6 +1788,7 @@ def update_delta(
     )
     for a in new_adds:
         a["modificationTime"] = 0
+    version = snap.version + 1
 
     actions: list[dict] = [
         {
@@ -1781,7 +1811,8 @@ def update_delta(
         )
     actions.extend({"add": a} for a in new_adds)
     actions.extend({"cdc": c} for c in cdc_adds)
-    version = snap.version + 1
+    if tracked and new_adds:
+        actions.append(_assign_fresh_row_ids(snap.row_hwm, new_adds, version))
     _publish_commit(fs, path, version, actions)
     return version
 
@@ -1818,10 +1849,12 @@ def delete_delta_rows(
     snap = _snapshot(fs, path)
     if snap.column_mapping is not None:
         raise DeltaUnsupported("DELETE on a column-mapped table")
-    if snap.row_tracking and not dv:
+    tracked = snap.row_tracking
+    mat = snap.row_materialized_cols if tracked else None
+    if tracked and mat is None and not dv:
         raise DeltaUnsupported(
-            "copy-on-write DELETE on a row-tracked table rewrites row "
-            "positions; use dv=True (deletion vectors keep _row_id stable)"
+            "copy-on-write DELETE on a row-tracked table without "
+            "materialized row-id column names; use dv=True"
         )
     schema = snap.schema
     pcols = snap.partition_columns
@@ -1842,11 +1875,23 @@ def delete_delta_rows(
     affected = [
         (rel, add) for rel, add in items if posixpath.basename(rel) in hits
     ]
-    work = _assemble(spark, fs, path, schema, pcols, affected).withColumn(
-        "__hit", cond
-    )
+    work = _assemble(
+        spark, fs, path, schema, pcols, affected,
+        lineage=tracked, lineage_cols=mat,
+    ).withColumn("__hit", cond)
     work = work.localCheckpoint()  # feeds 2 staged writes
-    survivors = work.filter(~F.col("__hit")).select(*schema.names)
+    survivors = work.filter(~F.col("__hit")).select(
+        *schema.names,
+        *(
+            [
+                # survivors keep their durable id AND commit version
+                F.col("_row_id").alias(mat[0]),
+                F.col("_row_commit_version").alias(mat[1]),
+            ]
+            if tracked
+            else []
+        ),
+    )
     cdc = (
         work.filter(F.col("__hit"))
         .select(*schema.names)
@@ -1859,6 +1904,7 @@ def delete_delta_rows(
     cdc_adds = _stage_and_publish(
         fs, path, cdc, pcols, token, "cdc", "_change_data/", False
     )
+    version = snap.version + 1
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -1880,7 +1926,8 @@ def delete_delta_rows(
         )
     actions.extend({"add": a} for a in new_adds)
     actions.extend({"cdc": c} for c in cdc_adds)
-    version = snap.version + 1
+    if tracked and new_adds:
+        actions.append(_assign_fresh_row_ids(snap.row_hwm, new_adds, version))
     _publish_commit(fs, path, version, actions)
     return version
 
@@ -2362,23 +2409,13 @@ def merge_delta(
         fs, path, cdc, pcols, token, "cdc", "_change_data/", False
     )
     version = snap.version + 1
-    if tracked and new_adds:
-        # fresh id range per new file (carried/updated rows never
-        # surface these — their materialized values win; inserts do)
-        base = snap.row_hwm + 1
-        for a in new_adds:
-            nrec = (
-                json.loads(a["stats"]).get("numRecords")
-                if a.get("stats")
-                else None
-            )
-            if nrec is None:
-                raise DeltaError(
-                    "row tracking needs numRecords stats on merged files"
-                )
-            a["baseRowId"] = base
-            a["defaultRowCommitVersion"] = version
-            base += int(nrec)
+    # fresh id range per new file (carried/updated rows never surface
+    # these — their materialized values win; inserts do)
+    row_dom = (
+        _assign_fresh_row_ids(snap.row_hwm, new_adds, version)
+        if tracked and new_adds
+        else None
+    )
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -2412,18 +2449,8 @@ def merge_delta(
         )
     actions.extend({"add": a} for a in new_adds)
     actions.extend({"cdc": c} for c in cdc_adds)
-    if tracked and new_adds:
-        actions.append(
-            {
-                "domainMetadata": {
-                    "domain": "delta.rowTracking",
-                    "configuration": json.dumps(
-                        {"rowIdHighWaterMark": base - 1}
-                    ),
-                    "removed": False,
-                }
-            }
-        )
+    if row_dom is not None:
+        actions.append(row_dom)
     _publish_commit(fs, path, version, actions)
     return version
 
@@ -2955,24 +2982,9 @@ def optimize_delta(
     if not adds:
         return {"version": -1, "rewritten": 0, "packed": 0, "partitions": 0}
     version = snap.version + 1
-    if tracked:
-        # packed files get FRESH baseRowId ranges (the mark only
-        # advances); preserved ids live in the materialized columns and
-        # win at read time
-        base = snap.row_hwm + 1
-        for a in adds:
-            nrec = (
-                json.loads(a["stats"]).get("numRecords")
-                if a.get("stats")
-                else None
-            )
-            if nrec is None:
-                raise DeltaError(
-                    "row tracking needs numRecords stats on packed files"
-                )
-            a["baseRowId"] = base
-            a["defaultRowCommitVersion"] = version
-            base += int(nrec)
+    # packed files get FRESH baseRowId ranges (the mark only advances);
+    # preserved ids live in the materialized columns and win at read time
+    row_dom = _assign_fresh_row_ids(snap.row_hwm, adds, version) if tracked else None
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -2992,18 +3004,8 @@ def optimize_delta(
     ]
     actions.extend(removes)
     actions.extend({"add": a} for a in adds)
-    if tracked:
-        actions.append(
-            {
-                "domainMetadata": {
-                    "domain": "delta.rowTracking",
-                    "configuration": json.dumps(
-                        {"rowIdHighWaterMark": base - 1}
-                    ),
-                    "removed": False,
-                }
-            }
-        )
+    if row_dom is not None:
+        actions.append(row_dom)
     _publish_commit(fs, path, version, actions)
     return {
         "version": version,

@@ -121,15 +121,28 @@ def test_enable_row_tracking_backfills(spark, tmp_path):
     assert [by_k[9], by_k[10], by_k[11]] == [9, 10, 11]
 
 
-def test_rewrite_ops_refuse_on_tracked_tables(spark, tmp_path):
+def test_update_and_cow_delete_preserve_ids(spark, tmp_path):
+    """Copy-on-write UPDATE and DELETE on a row-tracked table preserve
+    lineage through the materialized columns: updated rows keep their
+    _row_id with _row_commit_version bumped; survivors of a delete keep
+    BOTH.  (DV deletes remain available and id-stable too.)"""
     root = str(tmp_path / "tbl")
     D.write_delta(_kv(spark, 0, 6), root, row_tracking=True)
-    with pytest.raises(D.DeltaUnsupported, match="_row_id"):
-        D.update_delta(spark, root, "k = 1", {"v": "v + 1"})
-    with pytest.raises(D.DeltaUnsupported, match="dv=True"):
-        D.delete_delta_rows(spark, root, "k = 1")
-    # the DV form is the sanctioned delete
-    assert D.delete_delta_rows(spark, root, "k = 1", dv=True) > 0
+    uv = D.update_delta(spark, root, "k = 1", {"v": "v + 100"})
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    got = {r["k"]: (r["v"], r["_row_id"], r["_row_commit_version"]) for r in rows}
+    assert got[1] == (102, 1, uv)
+    assert got[2] == (4, 2, 0)  # untouched rows keep id AND version
+
+    D.delete_delta_rows(spark, root, "k IN (0, 5)")  # copy-on-write form
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    by_k = {r["k"]: r["_row_id"] for r in rows}
+    assert by_k == {1: 1, 2: 2, 3: 3, 4: 4}
+
+    assert D.delete_delta_rows(spark, root, "k = 4", dv=True) > 0
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    assert {r["k"]: r["_row_id"] for r in rows} == {1: 1, 2: 2, 3: 3}
+
     with pytest.raises(D.DeltaUnsupported, match="column_mapping"):
         D.write_delta(
             _kv(spark, 0, 3), str(tmp_path / "cm"),
