@@ -61,12 +61,15 @@ packed files (reserved field ids; packed entries carry NULL
 ``first_row_id`` so pre-lineage rows stay NULL instead of being
 re-identified).
 
+``merge_iceberg``/``apply_changes_iceberg`` on v3 preserve updated
+rows' ``_row_id`` the same way (the blind mode pays one bounds-pruned
+key+id scan for it — zero-scan is a v2-only property).
+
 Unsupported (declared, raised loudly): format-version 1 writes and
 incremental/streaming reads (plain v1 READS are fine — the schema-driven
 Avro decode does not care, but v1 snapshots carry no sequence numbers so
-a change feed would be silently empty), v3 MERGE (it must preserve
-updated rows' ``_row_id`` — refused rather than silently reassigned),
-unknown partition transforms, non-parquet data files.
+a change feed would be silently empty), unknown partition transforms,
+non-parquet data files.
 
 Reference: the gofeed reference has no table format at all (one ORM
 store, repo.go); §2.E added surface — VERDICT r13 missing item 3.
@@ -2795,12 +2798,9 @@ def merge_iceberg(
     fs = get_filesystem(path)
     md = _meta_dir(path)
     meta, version = _load_metadata(fs, path)
-    if meta.get("format-version", 2) != 2:
-        raise IcebergUnsupported(
-            "MERGE supports format-version 2 only (a v3 merge must "
-            "preserve updated rows' _row_id — not implemented; use "
-            "delete_iceberg_rows + write_iceberg on v3)"
-        )
+    fv = int(meta.get("format-version", 2))
+    if fv not in (2, 3):
+        raise IcebergUnsupported("MERGE needs format-version 2+")
     ice_schema = _current_schema(meta)
     schema = _schema_from_iceberg(ice_schema)
     spec = _current_spec(meta)
@@ -2882,6 +2882,7 @@ def merge_iceberg(
         live = _assemble(
             spark, fs, schema, [f["source_col"] for f in idents], entries,
             deletes=dels, pkeys=[f["name"] for f in idents],
+            lineage=fv >= 3,
         )
         val_cols = (
             set_cols
@@ -2910,6 +2911,17 @@ def merge_iceberg(
         j = j.localCheckpoint()  # feeds delete keys + merged rows
         n_upd = j.count()
         del_keys = j.select(*on) if n_upd else None
+        # v3 row lineage rides the data leg as a materialized _row_id:
+        # updated rows carry their OLD id (the feature's point), inserts
+        # carry NULL and take fresh ids from the file's first_row_id
+        lin3 = (
+            [F.col("_row_id").cast("long").alias("_row_id")]
+            if fv >= 3
+            else []
+        )
+        lin3_null = (
+            [F.lit(None).cast("long").alias("_row_id")] if fv >= 3 else []
+        )
         parts: list[DataFrame] = []
         if when_matched == "update" and n_upd:
             parts.append(
@@ -2921,16 +2933,17 @@ def merge_iceberg(
                         .cast(by_dtype[c])
                         .alias(c)
                         for c in schema.names
-                    ]
+                    ],
+                    *lin3,
                 )
             )
         if when_not_matched == "insert":
             parts.append(
                 src.join(live.select(*on), on, "left_anti").select(
-                    *schema.names
+                    *schema.names, *lin3_null
                 )
             )
-        data_rows = live.limit(0)
+        data_rows = live.limit(0).select(*schema.names, *lin3)
         for p in parts:
             data_rows = data_rows.unionByName(p)
         has_data = bool(data_rows.limit(1).count())
@@ -2940,7 +2953,7 @@ def merge_iceberg(
         return _merge_commit(
             spark, fs, path, md, meta, version, ice_schema, schema, spec,
             pfields, part_types, by_name, on, del_keys, data_rows, has_data,
-            delete_keys, summary_extra,
+            delete_keys, summary_extra, fv=fv,
         )
 
     del_keys = (
@@ -2952,7 +2965,7 @@ def merge_iceberg(
     need_scan = (when_matched == "update" and when_not_matched is None) or (
         when_not_matched == "insert" and when_matched != "update"
     )
-    if need_scan:
+    if need_scan or fv >= 3:
         idents = [f for f in pfields if f["kind"] == "identity"]
         entries, dels = _live_entries(fs, _snapshot_of(meta, None))
         _resolve_eq_cols(ice_schema, dels)
@@ -2973,14 +2986,34 @@ def merge_iceberg(
                 {c: b[f"__hi_{c}"] for c in bmap},
                 bmap,
             )
-        live_keys = _assemble(
+        live_scan = _assemble(
             spark, fs, schema, [f["source_col"] for f in idents], entries,
             deletes=dels, pkeys=[f["name"] for f in idents],
-        ).select(*on)
-        how = "left_semi" if when_not_matched is None else "left_anti"
-        data_rows = src.join(live_keys, on, how).localCheckpoint()
-        if when_matched == "update":
-            del_keys = data_rows.select(*on)  # matched keys only
+            lineage=fv >= 3,
+        )
+        if fv >= 3:
+            # row lineage costs the blind mode its zero-scan property:
+            # updated rows must carry their OLD _row_id, so matched keys
+            # resolve through one bounds-pruned key+id scan (column
+            # pruning keeps it to the key columns + the materialized id)
+            live_ids = live_scan.select(*on, "_row_id")
+            if when_matched == "update" and when_not_matched is None:
+                data_rows = src.join(live_ids, on, "inner").localCheckpoint()
+                del_keys = data_rows.select(*on)  # matched keys only
+            elif when_matched == "update":
+                data_rows = src.join(live_ids, on, "left").localCheckpoint()
+            else:  # insert-only / delete+insert: unmatched rows, fresh ids
+                data_rows = (
+                    src.join(live_ids.select(*on), on, "left_anti")
+                    .withColumn("_row_id", F.lit(None).cast("long"))
+                    .localCheckpoint()
+                )
+        else:
+            live_keys = live_scan.select(*on)
+            how = "left_semi" if when_not_matched is None else "left_anti"
+            data_rows = src.join(live_keys, on, how).localCheckpoint()
+            if when_matched == "update":
+                del_keys = data_rows.select(*on)  # matched keys only
     has_data = bool(data_rows.limit(1).count())
     if not has_data and del_keys is None:
         return -1
@@ -2988,7 +3021,7 @@ def merge_iceberg(
     return _merge_commit(
         spark, fs, path, md, meta, version, ice_schema, schema, spec,
         pfields, part_types, by_name, on, del_keys, data_rows, has_data,
-        delete_keys, summary_extra,
+        delete_keys, summary_extra, fv=fv,
     )
 
 
@@ -3011,11 +3044,21 @@ def _merge_commit(
     has_data,
     delete_keys,
     summary_extra,
+    fv: int = 2,
 ) -> int:
     """MERGE commit tail shared by the blind and scan-mode paths: the
     equality-delete leg, the data leg (write_iceberg staging shape),
     and ONE overwrite snapshot carrying parent manifests by pointer.
-    Returns the new snapshot id, or -1 when both legs are empty."""
+    Returns the new snapshot id, or -1 when both legs are empty.
+
+    ``fv=3``: ``data_rows`` carries a ``_row_id`` column (OLD ids for
+    updated rows, NULL for inserts) materialized into the data files
+    under the reserved field id; the files also get fresh
+    ``first_row_id`` ranges, so inserts take ``first_row_id + pos``
+    while updated rows' materialized value wins —
+    ``_last_updated_sequence_number`` is never materialized here (every
+    written row is updated-or-inserted AT this commit, which is exactly
+    the file-seq fallback)."""
     seq = int(meta.get("last-sequence-number", 0)) + 1
     sid = seq
     token = uuid.uuid4().hex
@@ -3045,6 +3088,7 @@ def _merge_commit(
                 _put_manifest(
                     fs, md, f"m-{sid}-{token}-del.avro", del_entries,
                     part_types, ice_schema, spec, 1, seq, sid, n_deleted,
+                    fv=fv,
                 )
             )
             summary["merged-delete-keys"] = str(n_deleted)
@@ -3062,9 +3106,10 @@ def _merge_commit(
                 X.transform_column(f["transform"], f["source_col"], f["src_type"]),
             )
             stage_cols.append(f["name"])
-    stage_df = _with_field_ids(
-        stage_df, {f["name"]: f["id"] for f in ice_schema["fields"]}
-    )
+    ids_map = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    if fv >= 3:
+        ids_map["_row_id"] = _FIELD_ID_ROW_ID
+    stage_df = _with_field_ids(stage_df, ids_map)
     staging = f"{path}_iceberg_mrgdata_{token}"
     w = stage_df.write.mode("overwrite")
     if stage_cols:
@@ -3076,12 +3121,21 @@ def _merge_commit(
         sid, part_types, content=0, typed_partitions=True, skip_empty=True,
         bound_ids=_bound_id_map(ice_schema),
     )
+    first_row: int | None = None
+    next_row: int | None = None
+    if fv >= 3:
+        first_row = int(meta.get("next-row-id", 0))
+        next_row = first_row
+        for e in entries_out:
+            e["data_file"]["first_row_id"] = next_row
+            next_row += int(e["data_file"].get("record_count", 0) or 0)
     if entries_out:
         manifests.insert(
             0,
             _put_manifest(
                 fs, md, f"m-{sid}-{token}-data.avro", entries_out,
                 part_types, ice_schema, spec, 0, seq, sid, added_rows,
+                fv=fv, first_row_id=first_row,
             ),
         )
         summary["merged-rows"] = str(added_rows)
@@ -3092,9 +3146,9 @@ def _merge_commit(
     fs.put_bytes(
         mlist_path,
         write_container(
-            json.dumps(_MANIFEST_FILE_SCHEMA),
+            json.dumps(_manifest_file_schema(fv)),
             manifests + _carry_manifests(fs, meta),
-            meta={"format-version": "2"},
+            meta={"format-version": str(fv)},
         ),
     )
     snapshot = {
@@ -3114,8 +3168,11 @@ def _merge_commit(
         },
         "manifest-list": mlist_path,
         "schema-id": ice_schema.get("schema-id", 0),
+        **({"first-row-id": first_row} if fv >= 3 else {}),
     }
     new_meta = dict(meta)
+    if fv >= 3:
+        new_meta["next-row-id"] = next_row
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = seq
     new_meta["current-snapshot-id"] = sid

@@ -208,12 +208,6 @@ def test_v3_guards(spark, tmp_path):
     with pytest.raises(I.IcebergUnsupported, match="2 or 3"):
         I.write_iceberg(_kv(spark, 6, 9), root, format_version=4)
 
-    # lineage-preserving MERGE is not implemented: refuse, never
-    # silently reassign ids (rewrite DOES preserve — see the
-    # materialized-columns test)
-    src = spark.createDataFrame([(1, 99)], "k bigint, v bigint")
-    with pytest.raises(I.IcebergUnsupported, match="_row_id"):
-        I.merge_iceberg(spark, root, src, on=["k"])
 
     # row_lineage read on a v2 table refuses
     v2 = str(tmp_path / "v2")
@@ -257,6 +251,56 @@ def test_v3_inheritance_read(spark, tmp_path):
         I.read_iceberg(spark, root, row_lineage=True).orderBy("k").collect()
     )
     assert [(r["k"], r["_row_id"]) for r in rows] == [(i, i) for i in range(10)]
+
+
+def test_v3_merge_preserves_row_ids(spark, tmp_path):
+    """MERGE on a v3 table preserves row lineage: updated rows carry
+    their OLD _row_id materialized into the merge data files (with
+    _last_updated_sequence_number falling back to the merge's sequence
+    number), inserts take fresh ids from the file's first_row_id, and
+    untouched rows keep id AND seq.  The blind mode pays one
+    bounds-pruned key+id scan for this — zero-scan is a v2-only
+    property."""
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 10), root, format_version=3)
+    src = spark.createDataFrame(
+        [(3, 999), (5, 555), (20, 20), (21, 21)], "k bigint, v bigint"
+    )
+    mv = I.merge_iceberg(spark, root, src, on=["k"])
+    seq_of = {s["snapshot-id"]: s["sequence-number"] for s in _meta(root)["snapshots"]}
+    rows = I.read_iceberg(spark, root, row_lineage=True).collect()
+    got = {
+        r["k"]: (r["v"], r["_row_id"], r["_last_updated_sequence_number"])
+        for r in rows
+    }
+    for k in range(10):
+        if k in (3, 5):
+            continue
+        assert got[k] == (2 * k, k, 1)  # untouched: id AND seq kept
+    assert got[3] == (999, 3, seq_of[mv])
+    assert got[5] == (555, 5, seq_of[mv])
+    ins_ids = {got[20][1], got[21][1]}
+    assert len(ins_ids) == 2 and all(i >= 10 for i in ins_ids)
+    assert _meta(root)["next-row-id"] > max(ins_ids)
+
+    # conditional + partial merge composes with lineage
+    prop = spark.createDataFrame([(1, 1000), (2, 1)], "k bigint, v bigint")
+    I.merge_iceberg(
+        spark, root, prop, on=["k"],
+        when_matched=("update", "s.v > t.v"),
+        when_not_matched=None, set_cols=["v"],
+    )
+    rows = I.read_iceberg(spark, root, row_lineage=True).collect()
+    got = {r["k"]: (r["v"], r["_row_id"]) for r in rows}
+    assert got[1] == (1000, 1)  # updated, id kept
+    assert got[2] == (4, 2)  # guarded out, untouched
+
+    # delete+insert: survivors keep ids, the insert is fresh
+    d = spark.createDataFrame([(0, 0), (30, 30)], "k bigint, v bigint")
+    I.merge_iceberg(spark, root, d, on=["k"], when_matched="delete")
+    rows = I.read_iceberg(spark, root, row_lineage=True).collect()
+    by_k = {r["k"]: r["_row_id"] for r in rows}
+    assert 0 not in by_k and by_k[3] == 3 and by_k[30] >= 10
 
 
 def test_v3_rewrite_materializes_lineage(spark, tmp_path):
