@@ -1907,3 +1907,120 @@ def q190(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q191_lineage_through_rewrites",
+    oracle="""
+WITH ec AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0),
+evens AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid
+  FROM documents WHERE doc_id % 2 = 0
+),
+odds AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         ec.n + ROW_NUMBER() OVER (ORDER BY d.doc_id) - 1 AS rid
+  FROM documents d, ec WHERE d.doc_id % 2 = 1
+),
+fin AS (
+  SELECT doc_id, source, rid,
+         CASE WHEN doc_id % 5 = 2 THEN n_chars + 1000 ELSE n_chars END AS nc,
+         CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS upd
+  FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+  WHERE doc_id % 7 <> 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(rid) AS BIGINT) AS rowid_sum_delta,
+       CAST(SUM(rid) AS BIGINT) AS rowid_sum_ice,
+       CAST(SUM(upd) AS BIGINT) AS n_upd_delta,
+       CAST(SUM(upd) AS BIGINT) AS n_upd_ice,
+       CAST(SUM(nc) AS BIGINT) AS chars_live
+FROM fin
+GROUP BY source
+ORDER BY source
+""",
+)
+def q191(spark, sf_dir):
+    """ROW LINEAGE THROUGH REWRITES, BOTH FORMATS (the r17 preservation
+    machinery end to end): each format gets the corpus in two sorted
+    single-file appends (Delta row-tracked / Iceberg v3), then a
+    full-row MERGE updates every ``doc_id % 5 = 2`` row (+1000 chars),
+    compaction rewrites the table (optimize_delta / rewrite_iceberg —
+    both materialize preserved ids), and a deletion-vector DELETE hides
+    ``doc_id % 7 = 0``.  After all four mutations every surviving row
+    must still carry its ORIGINAL ``_row_id`` (the append-time
+    assignment the oracle recomputes with window functions) and the
+    updated rows must be stamped with the merge commit/sequence — the
+    per-source aggregate pins id sums, update counts, and updated
+    contents for BOTH formats against ONE truth, so cross-format
+    equality of the lineage surfaces is itself what the hash check
+    proves.  Eager at construction."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import delta as D
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    upd = docs.filter(F.col("doc_id") % 5 == 2).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    work = tempfile.mkdtemp(prefix="gofeed_q191_")
+    dt, it = f"{work}/delta", f"{work}/ice"
+    try:
+        for residue in (0, 1):
+            batch = (
+                docs.filter(F.col("doc_id") % 2 == residue)
+                .repartition(1)
+                .sortWithinPartitions("doc_id")
+            )
+            D.write_delta(batch, dt, row_tracking=True)
+            I.write_iceberg(batch, it, format_version=3)
+        dmv = D.merge_delta(spark, dt, upd, ["doc_id"], when_not_matched=None)
+        imv = I.merge_iceberg(spark, it, upd, ["doc_id"], when_not_matched=None)
+        iseq = next(
+            s["sequence-number"]
+            for s in I._load_metadata(I.get_filesystem(it), it)[0]["snapshots"]
+            if s["snapshot-id"] == imv
+        )
+        D.optimize_delta(spark, dt, min_files=2)
+        I.rewrite_iceberg(spark, it, min_files=2)
+        D.delete_delta_rows(spark, dt, "doc_id % 7 = 0", dv=True)
+        I.delete_iceberg_rows(spark, it, "doc_id % 7 = 0")
+        d = (
+            D.read_delta(spark, dt, row_lineage=True)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_live"),
+                F.sum("_row_id").cast("long").alias("rowid_sum_delta"),
+                F.sum(
+                    F.when(F.col("_row_commit_version") == dmv, 1).otherwise(0)
+                ).cast("long").alias("n_upd_delta"),
+                F.sum("n_chars").cast("long").alias("chars_live"),
+            )
+        )
+        i = (
+            I.read_iceberg(spark, it, row_lineage=True)
+            .groupBy("source")
+            .agg(
+                F.sum("_row_id").cast("long").alias("rowid_sum_ice"),
+                F.sum(
+                    F.when(
+                        F.col("_last_updated_sequence_number") == iseq, 1
+                    ).otherwise(0)
+                ).cast("long").alias("n_upd_ice"),
+            )
+        )
+        return (
+            d.join(i, "source")
+            .select(
+                "source", "n_live", "rowid_sum_delta", "rowid_sum_ice",
+                "n_upd_delta", "n_upd_ice", "chars_live",
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
