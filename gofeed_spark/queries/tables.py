@@ -2024,3 +2024,81 @@ def q191(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q192_iceberg_wap_branch",
+    oracle="""
+SELECT source,
+       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_main_before,
+       CAST(COUNT(*) AS BIGINT) AS n_branch_staged,
+       CAST(COUNT(*) AS BIGINT) AS n_main_after,
+       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tag,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_after
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q192(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH via SNAPSHOT REFERENCES (Iceberg spec
+    §Snapshot References — branches and tags): the base corpus
+    (``doc_id % 3 = 0``) lands on main and is TAGGED; the rest stages in
+    two commits on an ``audit`` BRANCH (each parenting from the branch
+    head, main's snapshot log untouched); main readers keep seeing ONLY
+    the base until ``fast_forward_iceberg`` publishes the branch as one
+    atomic metadata move.  The output pins all four visibility states —
+    main before, branch staged, main after, and the tag (which still
+    reads the pre-publish state AFTER publishing) — per source against
+    the corpus arithmetic.  Eager at construction."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q192_") + "/tbl"
+    try:
+        I.write_iceberg(
+            docs.filter(F.col("doc_id") % 3 == 0), work
+        )
+        I.set_iceberg_ref(work, "base", ref_type="tag")
+        I.set_iceberg_ref(work, "audit", ref_type="branch")
+        for residue in (1, 2):
+            I.write_iceberg(
+                docs.filter(F.col("doc_id") % 3 == residue),
+                work,
+                branch="audit",
+            )
+
+        def per_source(df, col):
+            return df.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias(col)
+            )
+
+        before = per_source(I.read_iceberg(spark, work), "n_main_before")
+        staged = per_source(
+            I.read_iceberg(spark, work, ref="audit"), "n_branch_staged"
+        )
+        I.fast_forward_iceberg(work, "main", "audit")
+        after_df = I.read_iceberg(spark, work)
+        after = after_df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_main_after"),
+            F.sum("n_chars").cast("long").alias("chars_after"),
+        )
+        tag = per_source(I.read_iceberg(spark, work, ref="base"), "n_tag")
+        return (
+            before.join(staged, "source")
+            .join(after, "source")
+            .join(tag, "source")
+            .select(
+                "source", "n_main_before", "n_branch_staged",
+                "n_main_after", "n_tag", "chars_after",
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)

@@ -65,6 +65,13 @@ re-identified).
 rows' ``_row_id`` the same way (the blind mode pays one bounds-pruned
 key+id scan for it — zero-scan is a v2-only property).
 
+SNAPSHOT REFERENCES (spec §Snapshot References) are first-class:
+``set_iceberg_ref``/``drop_iceberg_ref`` manage named branches and
+tags, ``read_iceberg(ref=...)`` reads them, ``write_iceberg(branch=)``
+stages commits on a branch without touching main, and
+``fast_forward_iceberg`` is the write-audit-publish step (ancestor-
+checked); ``expire_iceberg`` pins every ref target.
+
 Unsupported (declared, raised loudly): format-version 1 writes and
 incremental/streaming reads (plain v1 READS are fine — the schema-driven
 Avro decode does not care, but v1 snapshots carry no sequence numbers so
@@ -378,6 +385,34 @@ def _snapshot_of(meta: dict, snapshot_id: int | None) -> dict:
     raise IcebergError(f"snapshot {snapshot_id} does not exist")
 
 
+def _resolve_ref(meta: dict, name: str) -> int:
+    """A snapshot REF (spec §Snapshot References: branches and tags) →
+    its head snapshot id.  ``main`` resolves even on tables that predate
+    the refs map (it mirrors current-snapshot-id)."""
+    refs = meta.get("refs") or {}
+    if name in refs:
+        return int(refs[name]["snapshot-id"])
+    if name == "main":
+        cur = meta.get("current-snapshot-id")
+        if cur is not None and cur >= 0:
+            return int(cur)
+    raise IcebergError(
+        f"ref {name!r} does not exist (have {sorted(refs) or ['main']})"
+    )
+
+
+def _is_ancestor(meta: dict, ancestor_id: int, head_id: int) -> bool:
+    """True when ``ancestor_id`` is on ``head_id``'s parent chain (or is
+    it) — the fast-forward safety check."""
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    cur: int | None = head_id
+    while cur is not None:
+        if cur == ancestor_id:
+            return True
+        cur = by_id.get(cur, {}).get("parent-snapshot-id")
+    return False
+
+
 def _read_avro(fs: FileSystem, path: str):
     """Parse one manifest/manifest-list Avro container, through the
     process-wide :class:`ParseCache`: these files are WRITE-ONCE
@@ -667,6 +702,7 @@ def read_iceberg(
     as_of_ts: int | None = None,
     metadata: dict | None = None,
     row_lineage: bool = False,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table (optionally ``snapshot_id``-as-of, or
     ``as_of_ts``-as-of in epoch MILLIS — the ``TIMESTAMP AS OF`` form,
@@ -682,11 +718,17 @@ def read_iceberg(
     ``row_lineage`` (format v3 only) appends the spec's lineage
     metadata columns ``_row_id`` / ``_last_updated_sequence_number``
     (NULL ``_row_id`` for files written before the table carried
-    lineage, per the upgrade rule)."""
-    if snapshot_id is not None and as_of_ts is not None:
-        raise IcebergError("pass snapshot_id OR as_of_ts, not both")
+    lineage, per the upgrade rule).
+
+    ``ref`` reads a named snapshot REFERENCE (spec §Snapshot
+    References) — a BRANCH's head or a TAG's pinned snapshot (the
+    ``VERSION AS OF 'name'`` form)."""
+    if sum(x is not None for x in (snapshot_id, as_of_ts, ref)) > 1:
+        raise IcebergError("pass at most one of snapshot_id / as_of_ts / ref")
     fs = get_filesystem(path)
     meta = metadata if metadata is not None else _load_metadata(fs, path)[0]
+    if ref is not None:
+        snapshot_id = _resolve_ref(meta, ref)
     if row_lineage and meta.get("format-version", 2) != 3:
         raise IcebergUnsupported(
             "row lineage needs a format-version 3 table "
@@ -1373,11 +1415,14 @@ def _schema_fingerprint(schema: T.StructType) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
 
-def _carry_manifests(fs: FileSystem, meta: dict) -> list[dict]:
-    """Current snapshot's manifest-list rows, normalized to this writer's
+def _carry_manifests(
+    fs: FileSystem, meta: dict, base_id: int | None = None
+) -> list[dict]:
+    """Base snapshot's manifest-list rows (the CURRENT snapshot by
+    default; a branch head via ``base_id``), normalized to this writer's
     schema across writer dialects (v1/v2 renamed several count fields) —
     the append-commit carry: prior manifests travel BY POINTER."""
-    cur = meta.get("current-snapshot-id")
+    cur = base_id if base_id is not None else meta.get("current-snapshot-id")
     if cur is None or cur < 0:
         return []
     prev = _snapshot_of(meta, cur)
@@ -1924,6 +1969,7 @@ def write_iceberg(
     summary_extra: dict[str, str] | None = None,
     evolve_schema: bool = False,
     format_version: int | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg table at ``path``; returns the new
     snapshot id.  ``mode='append'`` carries the prior snapshot's manifests
@@ -1949,7 +1995,14 @@ def write_iceberg(
     ``_row_id`` is the file's base plus its position (read them back via
     ``read_iceberg(row_lineage=True)``).  On an existing table the
     argument must match the table's version (no silent up/downgrade —
-    see :func:`upgrade_iceberg_format`)."""
+    see :func:`upgrade_iceberg_format`).
+
+    ``branch`` commits onto a named BRANCH (spec §Snapshot References;
+    create it first via :func:`set_iceberg_ref`) — the write-audit-
+    publish staging shape: the new snapshot parents from and advances
+    the branch head, ``main`` readers never see it until
+    :func:`fast_forward_iceberg` publishes.  Sequence numbers and (v3)
+    row ids stay TABLE-global across branches."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if format_version is not None and format_version not in (2, 3):
@@ -1963,6 +2016,13 @@ def write_iceberg(
     meta: dict | None = None
     version = 0
     evolved = False
+    if branch == "main":
+        branch = None  # main IS the default target
+    if branch is not None and not (fs.exists(md) and _list_meta_versions(fs, md)):
+        raise IcebergError(
+            f"branch {branch!r} write needs an existing table "
+            "(create the table, then set_iceberg_ref)"
+        )
     if fs.exists(md) and _list_meta_versions(fs, md):
         meta, version = _load_metadata(fs, path)
         ice_schema = _current_schema(meta)
@@ -2121,9 +2181,17 @@ def write_iceberg(
         part_types, ice_schema, spec, 0, seq, sid, added_rows,
         fv=fv, first_row_id=first_row,
     )
+    base_id: int | None = None
+    if branch is not None:
+        refs = meta.get("refs") or {} if meta is not None else {}
+        if branch not in refs or refs[branch].get("type", "branch") != "branch":
+            raise IcebergError(
+                f"branch {branch!r} does not exist (set_iceberg_ref first)"
+            )
+        base_id = int(refs[branch]["snapshot-id"])
     carried: list[dict] = []
     if mode == "append" and meta is not None and meta.get("snapshots"):
-        carried = _carry_manifests(fs, meta)
+        carried = _carry_manifests(fs, meta, base_id=base_id)
     mlist_path = fs.join(md, f"snap-{sid}-{token}.avro")
     fs.put_bytes(
         mlist_path,
@@ -2134,11 +2202,16 @@ def write_iceberg(
         ),
     )
 
+    parent_id = (
+        base_id
+        if base_id is not None
+        else (meta or {}).get("current-snapshot-id")
+    )
     snapshot = {
         "snapshot-id": sid,
         **(
-            {"parent-snapshot-id": meta["current-snapshot-id"]}
-            if meta is not None and (meta.get("current-snapshot-id") or -1) >= 0
+            {"parent-snapshot-id": parent_id}
+            if meta is not None and (parent_id or -1) >= 0
             else {}
         ),
         "sequence-number": seq,
@@ -2184,11 +2257,18 @@ def write_iceberg(
             new_meta["last-column-id"] = last_col
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = seq
-        new_meta["current-snapshot-id"] = sid
         new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
-        new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
-            {"timestamp-ms": seq, "snapshot-id": sid}
-        ]
+        if branch is not None:
+            # the branch head advances; main and its log are untouched
+            # (the WAP staging contract)
+            refs = dict(meta.get("refs") or {})
+            refs[branch] = {"snapshot-id": sid, "type": "branch"}
+            new_meta["refs"] = refs
+        else:
+            new_meta["current-snapshot-id"] = sid
+            new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+                {"timestamp-ms": seq, "snapshot-id": sid}
+            ]
         if fv >= 3:
             new_meta["next-row-id"] = next_row
 
@@ -3646,6 +3726,103 @@ def rollback_iceberg(path: str, snapshot_id: int) -> None:
     _publish_metadata(fs, path, version, new_meta)
 
 
+def set_iceberg_ref(
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "branch",
+) -> None:
+    """Create or move a named SNAPSHOT REFERENCE (spec §Snapshot
+    References): ``ref_type='branch'`` makes a writable head
+    (``write_iceberg(branch=...)`` appends onto it), ``'tag'`` pins a
+    snapshot by name (the audit/release marker).  ``snapshot_id``
+    defaults to the current snapshot.  Setting ``main`` moves
+    ``current-snapshot-id`` too (they mirror each other by spec).
+    Metadata-only commit — no data or manifest I/O."""
+    if ref_type not in ("branch", "tag"):
+        raise IcebergError(f"ref_type must be branch|tag, got {ref_type!r}")
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    meta, version = _load_metadata(fs, path)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("current-snapshot-id", -1))
+    )
+    _snapshot_of(meta, sid)  # existence check
+    refs = dict(meta.get("refs") or {})
+    prior = refs.get(name)
+    if prior is not None and prior.get("type", "branch") != ref_type:
+        raise IcebergError(
+            f"ref {name!r} exists as a {prior.get('type')}, not a {ref_type}"
+        )
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    if name == "main":
+        new_meta["current-snapshot-id"] = sid
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+            {
+                "timestamp-ms": int(meta.get("last-sequence-number", 0)),
+                "snapshot-id": sid,
+            }
+        ]
+    _publish_metadata(fs, path, version, new_meta)
+
+
+def drop_iceberg_ref(path: str, name: str) -> None:
+    """Drop a branch or tag (``main`` refused — a table always has its
+    main branch); the referenced snapshots stay until expiry."""
+    if name == "main":
+        raise IcebergError("cannot drop the main branch")
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    meta, version = _load_metadata(fs, path)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise IcebergError(f"ref {name!r} does not exist")
+    del refs[name]
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    _publish_metadata(fs, path, version, new_meta)
+
+
+def fast_forward_iceberg(path: str, name: str, to: str) -> None:
+    """FAST-FORWARD branch ``name`` to ref ``to``'s head — the
+    write-audit-publish PUBLISH step: staged commits audited on a branch
+    become visible on ``main`` as one atomic metadata move.  Refused
+    unless ``name``'s current head is an ancestor of the target (a
+    non-linear move is a rollback/overwrite, not a fast-forward — be
+    explicit and use ``set_iceberg_ref``)."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    meta, version = _load_metadata(fs, path)
+    target = _resolve_ref(meta, to)
+    refs = dict(meta.get("refs") or {})
+    if name in refs and refs[name].get("type", "branch") != "branch":
+        raise IcebergError(f"ref {name!r} is a tag; only branches move")
+    head = _resolve_ref(meta, name)
+    if head == target:
+        return
+    if not _is_ancestor(meta, head, target):
+        raise IcebergError(
+            f"branch {name!r} head {head} is not an ancestor of "
+            f"{to!r} head {target}: not a fast-forward"
+        )
+    refs[name] = {"snapshot-id": target, "type": "branch"}
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    if name == "main":
+        new_meta["current-snapshot-id"] = target
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+            {
+                "timestamp-ms": int(meta.get("last-sequence-number", 0)),
+                "snapshot-id": target,
+            }
+        ]
+    _publish_metadata(fs, path, version, new_meta)
+
+
 def expire_iceberg(path: str, keep_last: int = 1, dry_run: bool = False) -> list[str]:
     """Expire all but the newest ``keep_last`` snapshots: rewrite the
     metadata without them and delete every data file, manifest, and
@@ -3666,6 +3843,15 @@ def expire_iceberg(path: str, keep_last: int = 1, dry_run: bool = False) -> list
         cur_snap = next(s for s in expired if s["snapshot-id"] == cur)
         kept = [cur_snap] + kept
         expired = [s for s in expired if s["snapshot-id"] != cur]
+    # named refs pin their targets: expiring a tagged/branched snapshot
+    # would break the name (real expireSnapshots honors retention refs)
+    ref_ids = {
+        int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
+    }
+    if ref_ids:
+        pinned = [s for s in expired if s["snapshot-id"] in ref_ids]
+        kept = pinned + kept
+        expired = [s for s in expired if s["snapshot-id"] not in ref_ids]
     if not expired:
         return []
 

@@ -130,6 +130,21 @@ def _updates_between(old: dict, new: dict) -> list[dict]:
                 "snapshot-id": new.get("current-snapshot-id"),
             }
         )
+    old_refs = old.get("refs") or {}
+    new_refs = new.get("refs") or {}
+    for nm in sorted(new_refs):
+        if nm != "main" and old_refs.get(nm) != new_refs[nm]:
+            ups.append(
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": nm,
+                    "type": new_refs[nm].get("type", "branch"),
+                    "snapshot-id": new_refs[nm]["snapshot-id"],
+                }
+            )
+    for nm in sorted(old_refs):
+        if nm != "main" and nm not in new_refs:
+            ups.append({"action": "remove-snapshot-ref", "ref-name": nm})
     if new.get("next-row-id") is not None and new.get("next-row-id") != old.get(
         "next-row-id"
     ):
@@ -172,21 +187,34 @@ def _apply_updates(meta: dict, updates: list[dict]) -> dict:
                 "timestamp-ms", out.get("last-updated-ms", 0)
             )
         elif act == "set-snapshot-ref":
-            if u.get("ref-name", "main") != "main":
-                raise IcebergError("only the main branch is supported")
+            nm = u.get("ref-name", "main")
             sid = u["snapshot-id"]
-            out["current-snapshot-id"] = sid
-            ts = next(
-                (
-                    s.get("timestamp-ms", 0)
-                    for s in out.get("snapshots") or []
-                    if s["snapshot-id"] == sid
-                ),
-                0,
-            )
-            out["snapshot-log"] = list(out.get("snapshot-log") or []) + [
-                {"timestamp-ms": ts, "snapshot-id": sid}
-            ]
+            refs = dict(out.get("refs") or {})
+            refs[nm] = {
+                "snapshot-id": sid,
+                "type": u.get("type", "branch"),
+            }
+            out["refs"] = refs
+            if nm == "main":
+                out["current-snapshot-id"] = sid
+                ts = next(
+                    (
+                        s.get("timestamp-ms", 0)
+                        for s in out.get("snapshots") or []
+                        if s["snapshot-id"] == sid
+                    ),
+                    0,
+                )
+                out["snapshot-log"] = list(out.get("snapshot-log") or []) + [
+                    {"timestamp-ms": ts, "snapshot-id": sid}
+                ]
+        elif act == "remove-snapshot-ref":
+            nm = u.get("ref-name")
+            if nm == "main":
+                raise IcebergError("cannot remove the main branch")
+            refs = dict(out.get("refs") or {})
+            refs.pop(nm, None)
+            out["refs"] = refs
         elif act == "set-properties":
             props = dict(out.get("properties") or {})
             props.update(u.get("updates") or {})

@@ -1170,7 +1170,7 @@ def test_timestamp_time_travel(spark, corpus, tmp_path):
     assert I.read_iceberg(spark, tbl, as_of_ts=s2 + 50).count() == 60
     with pytest.raises(I.IcebergError, match="predates"):
         I.read_iceberg(spark, tbl, as_of_ts=0)
-    with pytest.raises(I.IcebergError, match="not both"):
+    with pytest.raises(I.IcebergError, match="at most one"):
         I.read_iceberg(spark, tbl, snapshot_id=s1, as_of_ts=s1)
     # rollback appends a snapshot-log entry at the current last-seq:
     # a timestamp AT/after it resolves to the RESTORED snapshot

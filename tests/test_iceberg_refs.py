@@ -1,0 +1,155 @@
+"""Iceberg SNAPSHOT REFERENCES (sources/iceberg.py, spec §Snapshot
+References): named branches and tags, branch-targeted writes, ref
+reads, the fast-forward publish (write-audit-publish), expiry pinning,
+and the REST catalog's set/remove-snapshot-ref updates.  Reference:
+iceberg.apache.org/spec; no counterpart in the reference repo (§2.E
+north-star surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gofeed_spark.fs import get_filesystem
+from gofeed_spark.sources import iceberg as I
+
+
+def _kv(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+
+
+def _meta(root):
+    return I._load_metadata(get_filesystem(root), root)[0]
+
+
+def test_branch_stage_and_publish(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 5), root)
+    I.set_iceberg_ref(root, "audit")
+    I.set_iceberg_ref(root, "rel", ref_type="tag")
+
+    b1 = I.write_iceberg(_kv(spark, 5, 8), root, branch="audit")
+    I.write_iceberg(_kv(spark, 8, 10), root, branch="audit")
+
+    # staged commits are invisible on main, visible on the branch; the
+    # tag pins the creation-time state
+    assert I.read_iceberg(spark, root).count() == 5
+    got = sorted(r.k for r in I.read_iceberg(spark, root, ref="audit").collect())
+    assert got == list(range(10))
+    assert I.read_iceberg(spark, root, ref="rel").count() == 5
+
+    # branch snapshots parent from the branch head, not main
+    meta = _meta(root)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    head = meta["refs"]["audit"]["snapshot-id"]
+    assert by_id[head]["parent-snapshot-id"] == b1
+    # main's log never saw the staged commits
+    assert len(meta.get("snapshot-log") or []) == 1
+
+    # publish: one atomic metadata move
+    I.fast_forward_iceberg(root, "main", "audit")
+    assert I.read_iceberg(spark, root).count() == 10
+    # a second publish is a no-op; moving a branch BACKWARD refuses
+    I.fast_forward_iceberg(root, "main", "audit")
+    with pytest.raises(I.IcebergError, match="not a fast-forward"):
+        I.fast_forward_iceberg(root, "audit", "rel")
+
+
+def test_ref_guards_and_drop(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 3), root)
+    with pytest.raises(I.IcebergError, match="does not exist"):
+        I.write_iceberg(_kv(spark, 3, 5), root, branch="nope")
+    with pytest.raises(I.IcebergError, match="does not exist"):
+        I.read_iceberg(spark, root, ref="nope")
+    I.set_iceberg_ref(root, "t1", ref_type="tag")
+    # a tag is not a write target, and its type is sticky
+    with pytest.raises(I.IcebergError, match="does not exist|tag"):
+        I.write_iceberg(_kv(spark, 3, 5), root, branch="t1")
+    with pytest.raises(I.IcebergError, match="exists as a"):
+        I.set_iceberg_ref(root, "t1", ref_type="branch")
+    with pytest.raises(I.IcebergError, match="main"):
+        I.drop_iceberg_ref(root, "main")
+    I.drop_iceberg_ref(root, "t1")
+    with pytest.raises(I.IcebergError, match="does not exist"):
+        I.drop_iceberg_ref(root, "t1")
+    # branch="main" is just the default write
+    I.write_iceberg(_kv(spark, 3, 5), root, branch="main")
+    assert I.read_iceberg(spark, root).count() == 5
+
+
+def test_expire_pins_ref_targets(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 3), root)
+    I.set_iceberg_ref(root, "keepme", ref_type="tag")
+    for lo in (3, 6, 9):
+        I.write_iceberg(_kv(spark, lo, lo + 3), root)
+    I.expire_iceberg(root, keep_last=1)
+    # the tagged snapshot survives expiry and still reads
+    assert I.read_iceberg(spark, root, ref="keepme").count() == 3
+    assert I.read_iceberg(spark, root).count() == 12
+
+
+def test_v3_branch_lineage_global(spark, tmp_path):
+    """Row ids are TABLE-global across branches: a branch append
+    consumes ids from the shared next-row-id, so publishing never
+    collides ids."""
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 5), root, format_version=3)
+    I.set_iceberg_ref(root, "audit")
+    I.write_iceberg(_kv(spark, 5, 8), root, branch="audit")
+    rows = (
+        I.read_iceberg(spark, root, ref="audit", row_lineage=True)
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r["k"], r["_row_id"]) for r in rows] == [(i, i) for i in range(8)]
+    assert _meta(root)["next-row-id"] == 8
+    # a main append AFTER the branch staged continues above it
+    I.write_iceberg(_kv(spark, 100, 102), root)
+    rows = I.read_iceberg(spark, root, row_lineage=True).collect()
+    by_k = {r["k"]: r["_row_id"] for r in rows}
+    assert by_k[100] == 8 and by_k[101] == 9
+
+
+def test_refs_through_rest_catalog(spark, tmp_path):
+    from gofeed_spark.sources.icecatalog import (
+        RestCatalog,
+        RestCatalogServer,
+        commit_iceberg_rest,
+        create_iceberg_rest,
+        read_iceberg_rest,
+    )
+
+    with RestCatalogServer(str(tmp_path / "wh")) as server:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("ns")
+        loc = f"{server.warehouse}/ns/t1"
+        create_iceberg_rest(
+            cat, "ns.t1", loc, lambda p: I.write_iceberg(_kv(spark, 0, 4), p)
+        )
+        commit_iceberg_rest(
+            cat, "ns.t1", lambda p: I.set_iceberg_ref(p, "audit")
+        )
+        commit_iceberg_rest(
+            cat, "ns.t1",
+            lambda p: I.write_iceberg(_kv(spark, 4, 7), p, branch="audit"),
+        )
+        meta = cat.load_table("ns.t1")["metadata"]
+        assert "audit" in (meta.get("refs") or {})
+        assert read_iceberg_rest(spark, cat, "ns.t1").count() == 4
+        assert read_iceberg_rest(spark, cat, "ns.t1", ref="audit").count() == 7
+        commit_iceberg_rest(
+            cat, "ns.t1", lambda p: I.fast_forward_iceberg(p, "main", "audit")
+        )
+        assert read_iceberg_rest(spark, cat, "ns.t1").count() == 7
+        commit_iceberg_rest(
+            cat, "ns.t1", lambda p: I.drop_iceberg_ref(p, "audit")
+        )
+        meta = cat.load_table("ns.t1")["metadata"]
+        assert "audit" not in (meta.get("refs") or {})
