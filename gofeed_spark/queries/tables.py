@@ -2102,3 +2102,66 @@ def q192(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q193_iceberg_metadata_tables",
+    oracle="""
+SELECT source,
+       CAST(2 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(2 AS BIGINT) AS n_snapshots,
+       CAST(2 AS BIGINT) AS n_manifests
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q193(spark, sf_dir):
+    """METADATA TABLES (the ``SELECT * FROM tbl.files`` / ``.snapshots``
+    / ``.partitions`` / ``.manifests`` surface every Iceberg engine
+    exposes): a source-partitioned table lands in two appends (each
+    repartitioned by the partition key, so exactly ONE file per source
+    per commit — the file counts are corpus arithmetic), then the
+    answer is assembled ENTIRELY from ``read_iceberg_meta`` — per-source
+    file and row counts from ``partitions``, the snapshot count from
+    ``snapshots``, the manifest count from ``manifests`` — with ZERO
+    data-file reads (metadata stays metadata-sized at any table size).
+    The oracle recomputes every number from the corpus.  Eager at
+    construction."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    work = tempfile.mkdtemp(prefix="gofeed_q193_") + "/tbl"
+    try:
+        # split by BLOCK, not parity: source is doc_id % 20, so a parity
+        # split would give each source to exactly one append and the
+        # per-source file count would read 1, not 2
+        for residue in (0, 1):
+            I.write_iceberg(
+                docs.filter(F.expr("(doc_id div 20) % 2") == residue)
+                .repartition("source"),
+                work,
+                partition_by=["source"],
+            )
+        parts = (
+            I.read_iceberg_meta(spark, work, "partitions")
+            .select(
+                F.get_json_object("partition", "$.source").alias("source"),
+                F.col("file_count").alias("n_files"),
+                F.col("record_count").alias("n_rows"),
+            )
+        )
+        n_snaps = I.read_iceberg_meta(spark, work, "snapshots").count()
+        n_mfs = I.read_iceberg_meta(spark, work, "manifests").count()
+        return (
+            parts.withColumn("n_snapshots", F.lit(n_snaps).cast("long"))
+            .withColumn("n_manifests", F.lit(n_mfs).cast("long"))
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)

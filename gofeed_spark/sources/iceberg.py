@@ -3726,6 +3726,162 @@ def rollback_iceberg(path: str, snapshot_id: int) -> None:
     _publish_metadata(fs, path, version, new_meta)
 
 
+def read_iceberg_meta(
+    spark: SparkSession,
+    path: str,
+    kind: str = "snapshots",
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """The METADATA TABLES every Iceberg engine exposes
+    (``SELECT * FROM tbl.files`` / ``.snapshots`` / ``.history`` /
+    ``.refs`` / ``.manifests`` / ``.partitions``) as DataFrames, built
+    entirely from the metadata tree — zero data-file I/O (metadata is
+    metadata-sized; at 100 TB this is how you inspect a table without
+    scanning it).  ``files``/``manifests``/``partitions`` describe the
+    current snapshot by default, or the one named by ``snapshot_id`` /
+    ``ref``; partition values render as JSON strings (one stable schema
+    across specs)."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    meta, _v = _load_metadata(fs, path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise IcebergError("pass snapshot_id OR ref, not both")
+        snapshot_id = _resolve_ref(meta, ref)
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                s.get("parent-snapshot-id"),
+                int(s.get("sequence-number", 0)),
+                int(s.get("timestamp-ms", 0)),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+                json.dumps(s.get("summary") or {}, sort_keys=True),
+            )
+            for s in meta.get("snapshots") or []
+        ]
+        schema = (
+            "snapshot_id long, parent_id long, sequence_number long, "
+            "committed_at_ms long, operation string, manifest_list string, "
+            "summary string"
+        )
+    elif kind == "history":
+        cur_chain: set[int] = set()
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+        c = meta.get("current-snapshot-id")
+        while c is not None and c in by_id:
+            cur_chain.add(c)
+            c = by_id[c].get("parent-snapshot-id")
+        rows = [
+            (
+                int(e.get("timestamp-ms", 0)),
+                int(e["snapshot-id"]),
+                e["snapshot-id"] in cur_chain,
+            )
+            for e in meta.get("snapshot-log") or []
+        ]
+        schema = (
+            "made_current_at_ms long, snapshot_id long, "
+            "is_current_ancestor boolean"
+        )
+    elif kind == "refs":
+        refs = dict(meta.get("refs") or {})
+        cur = meta.get("current-snapshot-id")
+        if "main" not in refs and cur is not None and cur >= 0:
+            refs["main"] = {"snapshot-id": cur, "type": "branch"}
+        rows = [
+            (name, r.get("type", "branch"), int(r["snapshot-id"]))
+            for name, r in sorted(refs.items())
+        ]
+        schema = "name string, type string, snapshot_id long"
+    elif kind == "manifests":
+        snap = _snapshot_of(meta, snapshot_id)
+        _s, _m, manifests = _read_avro(fs, snap["manifest-list"])
+        rows = [
+            (
+                mf["manifest_path"],
+                int(_get(mf, "manifest_length", default=0)),
+                int(_get(mf, "partition_spec_id", default=0)),
+                int(_get(mf, "content", default=0)),
+                int(_get(mf, "sequence_number", default=0)),
+                int(_get(mf, "added_snapshot_id", default=0)),
+                int(
+                    _get(
+                        mf, "added_data_files_count", "added_files_count",
+                        default=0,
+                    )
+                ),
+                int(
+                    _get(
+                        mf, "existing_data_files_count",
+                        "existing_files_count", default=0,
+                    )
+                ),
+                int(_get(mf, "added_rows_count", default=0)),
+                int(_get(mf, "existing_rows_count", default=0)),
+            )
+            for mf in manifests
+        ]
+        schema = (
+            "path string, length long, partition_spec_id int, content int, "
+            "sequence_number long, added_snapshot_id long, "
+            "added_data_files_count int, existing_data_files_count int, "
+            "added_rows_count long, existing_rows_count long"
+        )
+    elif kind in ("files", "partitions"):
+        entries, dels = _live_entries(fs, _snapshot_of(meta, snapshot_id))
+        if kind == "files":
+            rows = [
+                (
+                    int(e.get("content", 0) or 0),
+                    e["file_path"],
+                    str(e.get("file_format", "PARQUET")),
+                    json.dumps(
+                        {
+                            k: v
+                            for k, v in (e.get("partition") or {}).items()
+                        },
+                        sort_keys=True, default=str,
+                    ),
+                    int(e.get("record_count", 0) or 0),
+                    int(e.get("file_size_in_bytes", 0) or 0),
+                    int(e.get("_seq", 0)),
+                )
+                for e in entries + dels
+            ]
+            schema = (
+                "content int, file_path string, file_format string, "
+                "partition string, record_count long, "
+                "file_size_in_bytes long, sequence_number long"
+            )
+        else:
+            agg: dict[str, list[int]] = {}
+            for e in entries:
+                key = json.dumps(
+                    dict(e.get("partition") or {}), sort_keys=True,
+                    default=str,
+                )
+                slot = agg.setdefault(key, [0, 0, 0])
+                slot[0] += 1
+                slot[1] += int(e.get("record_count", 0) or 0)
+                slot[2] += int(e.get("file_size_in_bytes", 0) or 0)
+            rows = [
+                (k, v[0], v[1], v[2]) for k, v in sorted(agg.items())
+            ]
+            schema = (
+                "partition string, file_count long, record_count long, "
+                "total_size_bytes long"
+            )
+    else:
+        raise IcebergError(
+            f"unknown metadata table {kind!r} (snapshots|history|refs|"
+            "manifests|files|partitions)"
+        )
+    return spark.createDataFrame(rows, schema)
+
+
 def set_iceberg_ref(
     path: str,
     name: str,

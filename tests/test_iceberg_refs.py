@@ -153,3 +153,52 @@ def test_refs_through_rest_catalog(spark, tmp_path):
         )
         meta = cat.load_table("ns.t1")["metadata"]
         assert "audit" not in (meta.get("refs") or {})
+
+
+def test_metadata_tables(spark, tmp_path):
+    """read_iceberg_meta: every kind answers from the metadata tree with
+    zero data-file reads; files includes live DELETE entries; partitions
+    aggregates per partition record; unknown kinds refuse."""
+    root = str(tmp_path / "tbl")
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p"),
+    )
+    I.write_iceberg(docs.filter("k < 20").repartition("p"), root,
+                    partition_by=["p"])
+    I.write_iceberg(docs.filter("k >= 20").repartition("p"), root,
+                    partition_by=["p"])
+    I.delete_iceberg_rows(spark, root, "k = 3")
+    I.set_iceberg_ref(root, "t0", ref_type="tag", snapshot_id=1)
+
+    snaps = I.read_iceberg_meta(spark, root, "snapshots").collect()
+    assert [r["operation"] for r in snaps] == ["append", "append", "delete"]
+    assert [r["snapshot_id"] for r in snaps] == [1, 2, 3]
+    assert snaps[1]["parent_id"] == 1
+
+    hist = I.read_iceberg_meta(spark, root, "history").collect()
+    assert [r["snapshot_id"] for r in hist] == [1, 2, 3]
+    assert all(r["is_current_ancestor"] for r in hist)
+
+    refs = {r["name"]: r for r in I.read_iceberg_meta(spark, root, "refs").collect()}
+    assert refs["main"]["snapshot_id"] == 3 and refs["t0"]["type"] == "tag"
+
+    files = I.read_iceberg_meta(spark, root, "files").collect()
+    data = [r for r in files if r["content"] == 0]
+    dels = [r for r in files if r["content"] == 1]
+    assert len(data) == 8 and len(dels) == 1  # 4 parts x 2 appends + 1 del
+    assert sum(r["record_count"] for r in data) == 40
+
+    parts = I.read_iceberg_meta(spark, root, "partitions").collect()
+    assert len(parts) == 4
+    assert all(r["file_count"] == 2 and r["record_count"] == 10 for r in parts)
+
+    # as-of: the tag sees only the first append
+    p0 = I.read_iceberg_meta(spark, root, "partitions", ref="t0").collect()
+    assert all(r["file_count"] == 1 for r in p0)
+
+    mfs = I.read_iceberg_meta(spark, root, "manifests").collect()
+    assert sum(1 for r in mfs if r["content"] == 1) == 1
+
+    with pytest.raises(I.IcebergError, match="unknown metadata table"):
+        I.read_iceberg_meta(spark, root, "nope")
