@@ -978,6 +978,82 @@ def delta_history(path: str) -> list[dict]:
     return out
 
 
+def read_delta_meta(
+    spark: SparkSession,
+    path: str,
+    kind: str = "history",
+    version: int | None = None,
+) -> DataFrame:
+    """Delta's inspection surface as DataFrames — the
+    :func:`read_iceberg_meta` twin (``DESCRIBE HISTORY`` / ``DESCRIBE
+    DETAIL``-shaped ``files``/``partitions`` views), built entirely from
+    the log: zero data-file I/O.  ``files``/``partitions`` describe the
+    snapshot at ``version`` (default HEAD); partition values render as
+    stable JSON strings; ``files`` carries the DV cardinality and the
+    row-tracking base id when present."""
+    path = path.rstrip("/")
+    if kind == "history":
+        rows = [
+            (
+                int(h["version"]),
+                h.get("operation"),
+                json.dumps(h.get("operationParameters") or {}, sort_keys=True),
+                h.get("engineInfo"),
+            )
+            for h in delta_history(path)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, operation string, operation_parameters string, "
+            "engine_info string",
+        )
+    fs = get_filesystem(path)
+    snap = _snapshot(fs, path, version)
+    if kind == "files":
+        rows = []
+        for rel in sorted(snap.adds):
+            add = snap.adds[rel]
+            stats = json.loads(add["stats"]) if add.get("stats") else {}
+            dv = add.get("deletionVector") or {}
+            rows.append(
+                (
+                    rel,
+                    json.dumps(
+                        add.get("partitionValues") or {}, sort_keys=True
+                    ),
+                    int(add.get("size", 0) or 0),
+                    stats.get("numRecords"),
+                    dv.get("cardinality"),
+                    add.get("baseRowId"),
+                    add.get("defaultRowCommitVersion"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "path string, partition string, size_bytes long, "
+            "record_count long, dv_cardinality long, base_row_id long, "
+            "default_row_commit_version long",
+        )
+    if kind == "partitions":
+        agg: dict[str, list[int]] = {}
+        for add in snap.adds.values():
+            key = json.dumps(add.get("partitionValues") or {}, sort_keys=True)
+            stats = json.loads(add["stats"]) if add.get("stats") else {}
+            slot = agg.setdefault(key, [0, 0, 0])
+            slot[0] += 1
+            slot[1] += int(stats.get("numRecords") or 0)
+            slot[2] += int(add.get("size", 0) or 0)
+        rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+        return spark.createDataFrame(
+            rows,
+            "partition string, file_count long, record_count long, "
+            "total_size_bytes long",
+        )
+    raise DeltaError(
+        f"unknown metadata table {kind!r} (history|files|partitions)"
+    )
+
+
 def latest_version(path: str) -> int:
     fs = get_filesystem(path)
     commits, checkpoints = _list_log(fs, _log_dir(path))

@@ -3979,6 +3979,63 @@ def fast_forward_iceberg(path: str, name: str, to: str) -> None:
     _publish_metadata(fs, path, version, new_meta)
 
 
+def remove_orphan_iceberg(
+    path: str, dry_run: bool = False, min_age_s: float = 0.0
+) -> list[str]:
+    """Delete files under the table's ``data/`` and ``metadata/`` trees
+    that NO snapshot references (the ``remove_orphan_files`` maintenance
+    op): leftovers of crashed publishes — data files moved into place
+    whose commit lost the metadata race, manifests and manifest lists of
+    commits that never published.  Reachability is computed over EVERY
+    snapshot in the metadata (so time travel and refs are never broken;
+    run :func:`expire_iceberg` first to shrink that set); metadata JSON
+    versions and the version hint are always kept.  ``min_age_s`` skips
+    files younger than the cutoff — set it in production so a commit
+    that is mid-publish right now is never swept (the real op's
+    ``older_than`` guard).  Returns the relative paths removed."""
+    import time
+
+    fs = get_filesystem(path)
+    path = path.rstrip("/")
+    meta, _version = _load_metadata(fs, path)
+    reachable: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        ml = s["manifest-list"]
+        reachable.add(ml)
+        _s, _m, mfs = _read_avro(fs, ml)
+        for mf in mfs:
+            reachable.add(mf["manifest_path"])
+            _s2, _m2, entries = _read_avro(fs, mf["manifest_path"])
+            for e in entries:
+                d = e.get("data_file") or {}
+                if "file_path" in d:
+                    reachable.add(d["file_path"])
+    root = path + "/"
+    now = time.time()
+    victims: list[str] = []
+    for rel, _size in fs.walk_files(path):
+        top = rel.split("/", 1)[0]
+        if top not in ("data", "metadata"):
+            continue
+        base = rel.rsplit("/", 1)[-1]
+        if top == "metadata" and (
+            base.endswith(".metadata.json") or base == "version-hint.text"
+        ):
+            continue
+        full = root + rel
+        if full in reachable:
+            continue
+        if min_age_s > 0:
+            st = fs.stat(full)
+            if st is not None and now - st[1] / 1e9 < min_age_s:
+                continue
+        victims.append(rel)
+    if not dry_run:
+        for rel in victims:
+            fs.delete(root + rel)
+    return sorted(victims)
+
+
 def expire_iceberg(path: str, keep_last: int = 1, dry_run: bool = False) -> list[str]:
     """Expire all but the newest ``keep_last`` snapshots: rewrite the
     metadata without them and delete every data file, manifest, and

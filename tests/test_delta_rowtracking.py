@@ -3,11 +3,11 @@ Iceberg v3 row-lineage twin): baseRowId/defaultRowCommitVersion
 assignment on adds, the delta.rowTracking domainMetadata high-water
 mark, _row_id/_row_commit_version lineage reads, DV-delete id
 stability, checkpoint survival of the tracking state, the
-enable_row_tracking backfill, and the refusals on position-rewriting
-ops (UPDATE/MERGE/OPTIMIZE/copy-on-write DELETE must preserve _row_id
-via materialized columns, which is declared out of scope).  Reference:
-delta.io PROTOCOL.md; no counterpart in the reference repo (§2.E
-north-star surface)."""
+enable_row_tracking backfill, and id PRESERVATION through every
+rewriting op (OPTIMIZE/MERGE/UPDATE/copy-on-write DELETE write the
+lineage view into the table's hidden materialized columns).  Plus the
+read_delta_meta inspection surface.  Reference: delta.io PROTOCOL.md;
+no counterpart in the reference repo (§2.E north-star surface)."""
 
 from __future__ import annotations
 
@@ -275,3 +275,37 @@ def test_foreign_row_tracked_table_reads(spark, tmp_path):
     with_id = [r for r in rows if r["_row_id"] is not None]
     without = [r for r in rows if r["_row_id"] is None]
     assert len(with_id) == 4 and len(without) == 4
+
+
+def test_read_delta_meta(spark, tmp_path):
+    """read_delta_meta (the read_iceberg_meta twin): history / files /
+    partitions from the log alone — files carries DV cardinality and
+    the row-tracking base ids."""
+    root = str(tmp_path / "tbl")
+    D.write_delta(
+        _kv(spark, 0, 6).withColumn("p", (F.col("k") % 2).cast("string")),
+        root, partition_by=["p"], row_tracking=True,
+    )
+    D.write_delta(
+        _kv(spark, 6, 10).withColumn("p", (F.col("k") % 2).cast("string")),
+        root,
+    )
+    D.delete_delta_rows(spark, root, "k = 1", dv=True)
+
+    hist = D.read_delta_meta(spark, root, "history").collect()
+    assert [r["operation"] for r in hist] == [
+        "DELETE", "WRITE", "CREATE TABLE AS SELECT"
+    ]
+
+    files = D.read_delta_meta(spark, root, "files").collect()
+    assert sum(r["record_count"] for r in files) == 10
+    assert all(r["base_row_id"] is not None for r in files)
+    assert sum(r["dv_cardinality"] or 0 for r in files) == 1
+
+    parts = D.read_delta_meta(spark, root, "partitions").collect()
+    assert len(parts) == 2
+    assert {r["record_count"] for r in parts} == {5}
+    assert all(r["file_count"] == 2 for r in parts)
+
+    with pytest.raises(D.DeltaError, match="unknown metadata table"):
+        D.read_delta_meta(spark, root, "nope")

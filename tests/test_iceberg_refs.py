@@ -202,3 +202,37 @@ def test_metadata_tables(spark, tmp_path):
 
     with pytest.raises(I.IcebergError, match="unknown metadata table"):
         I.read_iceberg_meta(spark, root, "nope")
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """remove_orphan_iceberg sweeps data/metadata files no snapshot
+    references (crashed-publish leftovers) without touching anything
+    reachable — time travel and refs keep working; min_age_s guards
+    in-flight commits."""
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 5), root)
+    s1 = I.latest_snapshot(root)
+    I.write_iceberg(_kv(spark, 5, 8), root)
+    fs = get_filesystem(root)
+    # plant crashed-publish leftovers: a data file and a manifest no
+    # snapshot references
+    live_rel = next(
+        rel for rel, _s in fs.walk_files(root) if rel.endswith(".parquet")
+    )
+    fs.put_bytes(
+        f"{root}/data/part-99999-deadbeef.parquet",
+        fs.read_bytes(f"{root}/{live_rel}"),
+    )
+    fs.put_bytes(f"{root}/metadata/m-99-deadbeef.avro", b"junk")
+
+    young = I.remove_orphan_iceberg(root, dry_run=True, min_age_s=3600)
+    assert young == []  # both orphans are younger than the cutoff
+    listed = I.remove_orphan_iceberg(root, dry_run=True)
+    assert listed == [
+        "data/part-99999-deadbeef.parquet", "metadata/m-99-deadbeef.avro"
+    ]
+    removed = I.remove_orphan_iceberg(root)
+    assert removed == listed
+    assert I.read_iceberg(spark, root).count() == 8
+    assert I.read_iceberg(spark, root, snapshot_id=s1).count() == 5
+    assert I.remove_orphan_iceberg(root) == []
