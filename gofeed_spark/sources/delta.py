@@ -450,7 +450,12 @@ def _snapshot(fs: FileSystem, path: str, version: int | None = None) -> _Snapsho
         # genuinely unimplemented features (v2 checkpoints, ...) refuse,
         # each by name; columnMapping and deletionVectors both read
         feats = set(protocol.get("readerFeatures") or [])
-        unknown = feats - {"columnMapping", "timestampNtz", "deletionVectors"}
+        # v2Checkpoint: _checkpoint_files/_checkpoint_rows read the
+        # UUID-named manifest + sidecar form, so the feature is satisfied
+        unknown = feats - {
+            "columnMapping", "timestampNtz", "deletionVectors",
+            "v2Checkpoint",
+        }
         if unknown:
             raise DeltaUnsupported(f"reader features {sorted(unknown)}")
     elif mrv > 3:

@@ -359,7 +359,16 @@ def _v2_checkpoint(spark, root: str, as_json: bool) -> None:
             },
         )
     manifest_rows = [
-        {"protocol": snap.protocol},
+        # real checkpointPolicy=v2 writers advertise the feature in the
+        # protocol — readers that understand the form must accept it
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }
+        },
         {"metaData": snap.metadata},
         {
             "checkpointMetadata": {
@@ -380,7 +389,9 @@ def _v2_checkpoint(spark, root: str, as_json: bool) -> None:
         types = {
             "protocol": pa.struct(
                 [("minReaderVersion", pa.int32()),
-                 ("minWriterVersion", pa.int32())]
+                 ("minWriterVersion", pa.int32()),
+                 ("readerFeatures", pa.list_(pa.string())),
+                 ("writerFeatures", pa.list_(pa.string()))]
             ),
             "metaData": pa.struct(
                 [
