@@ -2117,6 +2117,15 @@ def write_iceberg(
         pfields = _spec_fields(ice_schema, spec)
         last_seq = 0
         fv = format_version if format_version is not None else 2
+        if fv >= 3:
+            clash = {"_row_id", "_last_updated_sequence_number"} & set(
+                df.columns
+            )
+            if clash:
+                raise IcebergError(
+                    f"columns {sorted(clash)} collide with the v3 "
+                    "reserved lineage column names"
+                )
 
     part_types = [(f["name"], f["result_type"]) for f in pfields]
 

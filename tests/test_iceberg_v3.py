@@ -3,9 +3,9 @@ lineage (spec §Row Lineage — explicit ``first_row_id`` assignment,
 ``next-row-id`` advance, ``_row_id``/``_last_updated_sequence_number``
 read columns) and deletion vectors (spec §Deletion Vectors — Puffin
 ``deletion-vector-v1`` blobs, one live DV per data file, merge-and-
-replace on re-delete), plus the v2→v3 upgrade rules and the guards on
-the still-v2-only writers (MERGE/rewrite must preserve ``_row_id`` and
-therefore refuse).  Reference behaviors: iceberg.apache.org/spec
+replace on re-delete), plus the v2→v3 upgrade rules and lineage
+PRESERVATION through every rewriting op (rewrite/MERGE materialize
+``_row_id`` into new files).  Reference behaviors: iceberg.apache.org/spec
 (format-version 3); no counterpart exists in the reference repo (the
 lakehouse surface is declared north-star scope, SURVEY.md §2.E)."""
 
@@ -392,3 +392,12 @@ def test_v3_through_rest_catalog(spark, tmp_path):
             r["k"] for r in read_iceberg_rest(spark, cat, "ns.t1").collect()
         )
         assert got == [0, 1, 3, 4, 5, 7]
+
+
+def test_v3_reserved_column_names_refused(spark, tmp_path):
+    bad = spark.createDataFrame([(1, 2)], "k bigint, _row_id bigint")
+    with pytest.raises(I.IcebergError, match="reserved lineage"):
+        I.write_iceberg(bad, str(tmp_path / "t"), format_version=3)
+    # fine on v2 (no lineage machinery touches the name)
+    I.write_iceberg(bad, str(tmp_path / "t2"))
+    assert I.read_iceberg(spark, str(tmp_path / "t2")).count() == 1
