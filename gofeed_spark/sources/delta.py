@@ -1496,7 +1496,10 @@ def enable_row_tracking(path: str) -> int:
         {"protocol": new_proto},
         {"metaData": {**snap.metadata, "configuration": cfg}},
     ]
-    base = 0
+    # a stale delta.rowTracking domain can outlive the config (e.g. a
+    # RESTORE across the enablement boundary): ids are NEVER reused, so
+    # the backfill starts above any surviving high-water mark
+    base = snap.row_hwm + 1
     for rel in sorted(snap.adds):
         add = snap.adds[rel]
         nrec = (

@@ -309,3 +309,26 @@ def test_read_delta_meta(spark, tmp_path):
 
     with pytest.raises(D.DeltaError, match="unknown metadata table"):
         D.read_delta_meta(spark, root, "nope")
+
+
+def test_reenable_after_restore_never_reuses_ids(spark, tmp_path):
+    """A RESTORE across the enablement boundary turns tracking off (the
+    target's configuration comes back) while the delta.rowTracking
+    domain's high-water mark survives the log — re-enabling must
+    backfill ABOVE it: row ids are never reused, even across config
+    flips."""
+    root = str(tmp_path / "tbl")
+    D.write_delta(_kv(spark, 0, 4), root)  # v0, untracked
+    D.enable_row_tracking(root)  # v1: ids 0..3
+    D.write_delta(_kv(spark, 4, 6), root)  # v2: ids 4, 5
+    assert _snap(root).row_hwm == 5
+
+    D.restore_delta(spark, root, 0)
+    snap = _snap(root)
+    assert not snap.row_tracking  # config restored to untracked
+    assert snap.row_hwm == 5  # ... but the mark survives the log
+
+    D.enable_row_tracking(root)
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    ids = sorted(r["_row_id"] for r in rows)
+    assert ids == [6, 7, 8, 9]  # backfill starts above the old mark
