@@ -401,6 +401,33 @@ def _resolve_ref(meta: dict, name: str) -> int:
     )
 
 
+def _ancestor_ids(meta: dict, head_id: int | None = None) -> set[int] | None:
+    """Snapshot ids on the parent chain of ``head_id`` (default: the
+    CURRENT snapshot) — the set an incremental consumer of that branch
+    may see (branch-staged commits share the table's sequence space but
+    are not ancestors).  ``None`` when the log carries no parent
+    pointers at all (foreign fallback: such a log cannot carry branches,
+    so the sequence window IS the chain)."""
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    head = head_id if head_id is not None else meta.get("current-snapshot-id")
+    if head is None or head not in by_id:
+        return None
+    chain: set[int] = set()
+    c: int | None = head
+    while c is not None and c in by_id:
+        chain.add(c)
+        c = by_id[c].get("parent-snapshot-id")
+    end = by_id[head]
+    earlier = [
+        s
+        for s in by_id.values()
+        if s.get("sequence-number", 0) < end.get("sequence-number", 0)
+    ]
+    if len(chain) == 1 and end.get("parent-snapshot-id") is None and earlier:
+        return None  # parentless foreign log: fall back to sequence order
+    return chain
+
+
 def _is_ancestor(meta: dict, ancestor_id: int, head_id: int) -> bool:
     """True when ``ancestor_id`` is on ``head_id``'s parent chain (or is
     it) — the fast-forward safety check."""
@@ -1160,6 +1187,15 @@ def read_iceberg_changes(
         for s in snaps
         if from_seq < s.get("sequence-number", 0) <= end.get("sequence-number", 0)
     ]
+    # follow ONE branch: window members must be on the target's ANCESTOR
+    # CHAIN, so commits staged on other branches (sequence numbers are
+    # TABLE-global) never leak into this consumer's feed.  The FROM
+    # snapshot itself only contributes its sequence floor — a consumer
+    # positioned on a rolled-back/abandoned snapshot keeps reading the
+    # surviving chain above its floor (the seq-offset contract).
+    chain = _ancestor_ids(meta, end["snapshot-id"])
+    if chain is not None:
+        window = [s for s in window if s["snapshot-id"] in chain]
     entries: list[dict] = []
     extra: dict[str, int] = {}
     delete_snaps: list[dict] = []

@@ -121,15 +121,21 @@ class IcebergStreamReader(DataSourceStreamReader):
             self._floor = seq
 
     def _seq_stats_fn(self, meta):
+        from gofeed_spark.sources.iceberg import _ancestor_ids
+
         by_seq = {
             s.get("sequence-number", 0): s for s in meta.get("snapshots") or []
         }
+        chain = _ancestor_ids(meta)
 
         def stats(seq: int) -> tuple[int, int]:
             got = self._sstats.get(seq)
             if got is not None:
                 return got
             s = by_seq.get(seq)
+            if s is not None and chain is not None and s["snapshot-id"] not in chain:
+                # staged on another branch: nothing for THIS consumer
+                s = None
             if s is None or (s.get("summary") or {}).get("operation") != "append":
                 # expired/missing seq or replace/delete snapshot: nothing
                 # deliverable (partitions() raises on non-append anyway)
@@ -175,14 +181,20 @@ class IcebergStreamReader(DataSourceStreamReader):
         }
 
     def partitions(self, start: dict, end: dict):
+        from gofeed_spark.sources.iceberg import _ancestor_ids
+
         lo, hi = int(start["seq"]), int(end["seq"])
         self._learn(hi)  # the engine will commit this window
         meta, _v = _load_metadata(self.fs, self.path)
+        # one branch only: commits staged on other branches share the
+        # sequence space but must never reach a main consumer
+        chain = _ancestor_ids(meta)
         window = sorted(
             (
                 s
                 for s in meta.get("snapshots") or []
                 if lo < s.get("sequence-number", 0) <= hi
+                and (chain is None or s["snapshot-id"] in chain)
             ),
             key=lambda s: s.get("sequence-number", 0),
         )

@@ -236,3 +236,37 @@ def test_remove_orphan_files(spark, tmp_path):
     assert I.read_iceberg(spark, root).count() == 8
     assert I.read_iceberg(spark, root, snapshot_id=s1).count() == 5
     assert I.remove_orphan_iceberg(root) == []
+
+
+def test_incremental_reads_follow_one_branch(spark, tmp_path):
+    """Branch-staged commits share the table's sequence space but must
+    never leak into a main consumer's incremental read or stream — the
+    window is the target's ancestor chain."""
+    root = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(_kv(spark, 0, 5), root)
+    I.set_iceberg_ref(root, "audit")
+    sb = I.write_iceberg(_kv(spark, 5, 8), root, branch="audit")
+    I.write_iceberg(_kv(spark, 100, 102), root)  # main append AFTER staging
+
+    inc = I.read_iceberg_changes(spark, root, from_snapshot_id=s1)
+    assert sorted(r.k for r in inc.collect()) == [100, 101]  # no 5..7
+
+    # a from-snapshot on another branch contributes only its sequence
+    # floor: the consumer reads the MAIN chain above it, never the
+    # branch rows (the rollback/abandoned-consumer contract)
+    inc2 = I.read_iceberg_changes(spark, root, from_snapshot_id=sb)
+    assert sorted(r.k for r in inc2.collect()) == [100, 101]
+
+    # the streaming source plans the same way: branch seqs deliver nothing
+    from gofeed_spark.sources.iceberg_stream import IcebergStreamReader
+
+    rdr = IcebergStreamReader({"path": root})
+    head = rdr.latestOffset()
+    parts = rdr.partitions({"seq": 0}, head)
+    import pyarrow.parquet as pq
+
+    rows = []
+    for p in parts:
+        for f in p.files:
+            rows += pq.read_table(f[0].replace("file:", "")).column("k").to_pylist()
+    assert sorted(rows) == [0, 1, 2, 3, 4, 100, 101]
