@@ -332,3 +332,29 @@ def test_reenable_after_restore_never_reuses_ids(spark, tmp_path):
     rows = D.read_delta(spark, root, row_lineage=True).collect()
     ids = sorted(r["_row_id"] for r in rows)
     assert ids == [6, 7, 8, 9]  # backfill starts above the old mark
+
+
+def test_streaming_upsert_sink_preserves_ids(spark, tmp_path):
+    """DeltaUpsertSink (the exactly-once streaming MERGE) composes with
+    row tracking: upserted keys keep their durable _row_id across
+    micro-batches, new keys take fresh ids, and re-delivered batches
+    skip on the txn watermark without disturbing either."""
+    from gofeed_spark.streaming.sinks import DeltaUpsertSink
+
+    root = str(tmp_path / "tbl")
+    D.write_delta(_kv(spark, 0, 6), root, row_tracking=True)  # ids 0..5
+
+    sink = DeltaUpsertSink(root, on=["k"], app_id="app")
+    b0 = spark.createDataFrame([(1, 111), (10, 100)], "k bigint, v bigint")
+    sink(b0, 0)
+    b1 = spark.createDataFrame([(1, 222), (11, 110)], "k bigint, v bigint")
+    sink(b1, 1)
+    sink(b1, 1)  # re-delivery: skipped on the txn watermark
+
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    got = {r["k"]: (r["v"], r["_row_id"]) for r in rows}
+    assert got[1] == (222, 1)  # upserted twice, durable id kept
+    assert got[2] == (4, 2)  # untouched
+    fresh = {got[10][1], got[11][1]}
+    assert len(fresh) == 2 and all(i > 5 for i in fresh)
+    assert D.last_txn_version(root, "app") == 1
