@@ -47,6 +47,10 @@ murmur3 over little-endian longs / UTF-8), ``truncate[W]``,
 ``year/month/day/hour`` (whole units since epoch), ``void`` — manifest
 pruning via ``where`` compares in transformed space, and transform
 fields keep their source column in data files (only identity drops it).
+Partition SPEC EVOLUTION (``write_iceberg(evolve_partition=True)``)
+adds a new default spec while old manifests keep theirs; mixed-
+generation reads coalesce identity values from data columns over
+manifest partition records, so nothing is lost in either direction.
 
 FORMAT-VERSION 3 (spec ratified 2024/25) is written too:
 ``write_iceberg(format_version=3)`` / ``upgrade_iceberg_format`` give
@@ -367,6 +371,37 @@ def _spec_fields(ice_schema: dict, spec: list[dict]) -> list[dict]:
             }
         )
     return out
+
+
+def _identity_restore_fields(meta: dict) -> tuple[list[str], list[str]]:
+    """(source columns, spec field names) whose values may live in
+    manifest partition records rather than data files — the IDENTITY
+    fields of EVERY spec the table ever had, not just the default: under
+    partition evolution, files written while a column was
+    identity-partitioned carry its value only in their manifest, even
+    after the field leaves the default spec.  Old specs that no longer
+    parse (foreign transforms) are skipped — their files refuse later if
+    actually read."""
+    ice_schema = _current_schema(meta)
+    spec_lists = (
+        [s.get("fields") or [] for s in meta["partition-specs"]]
+        if meta.get("partition-specs")
+        else [_current_spec(meta)]
+    )
+    # the DEFAULT spec resolves first so its field names win
+    default = _current_spec(meta)
+    ordered = [default] + [s for s in spec_lists if s != default]
+    pairs: dict[str, str] = {}
+    for sfields in ordered:
+        try:
+            fields = _spec_fields(ice_schema, sfields)
+        except (IcebergUnsupported, IcebergError):
+            continue
+        for f in fields:
+            if f["kind"] == "identity":
+                pairs.setdefault(f["source_col"], f["name"])
+    pcols = list(pairs)
+    return pcols, [pairs[c] for c in pcols]
 
 
 def _snapshot_of(meta: dict, snapshot_id: int | None) -> dict:
@@ -777,9 +812,7 @@ def read_iceberg(
     # only IDENTITY transforms drop the source column from data files
     # (the spec's staging shape) — transform fields keep it, so nothing
     # needs restoring for day/bucket/truncate partitions
-    idents = [f for f in fields if f["kind"] == "identity"]
-    pcols = [f["source_col"] for f in idents]
-    pkeys = [f["name"] for f in idents]
+    pcols, pkeys = _identity_restore_fields(meta)
     entries, dels = _live_entries(fs, _snapshot_of(meta, snapshot_id))
     _resolve_eq_cols(_current_schema(meta), dels)
     data_w: dict[str, str] = {}
@@ -796,15 +829,30 @@ def read_iceberg(
         # manifest partition structs key by the SPEC FIELD name; values
         # compare in TRANSFORMED space (compute with
         # icetransforms.transform_value for day/bucket/... fields); delete
-        # entries are NEVER pruned (a position delete may target any file)
+        # entries are NEVER pruned (a position delete may target any
+        # file).  An entry whose partition record LACKS the field was
+        # written under an earlier spec — its value is unknown, so it is
+        # conservatively kept (the data-column row filter still applies)
         entries = [
             e
             for e in entries
             if all(
-                str((e.get("partition") or {}).get(k)) == v
+                k not in (e.get("partition") or {})
+                or str((e.get("partition") or {}).get(k)) == v
                 for k, v in part_w.items()
             )
         ]
+        # mixed-spec survivors need the equality as a ROW filter too
+        # (their rows were only conservatively kept)
+        part_row_filters = (
+            part_w
+            if any(
+                k not in (e.get("partition") or {})
+                for e in entries
+                for k in part_w
+            )
+            else {}
+        )
         if data_w:
             # DATA columns prune on the manifests' lower/upper bounds —
             # the spec's file-skipping input (a point lookup opens only
@@ -845,6 +893,20 @@ def read_iceberg(
     )
     for k, v in data_w.items():
         df = df.filter(F.col(k) == F.lit(v).cast(schema[k].dataType))
+    if where:
+        by_field = {f["name"]: f for f in fields}
+        for k, v in part_row_filters.items():
+            f = by_field[k]
+            expr = (
+                F.col(f["source_col"])
+                if f["kind"] == "identity"
+                else X.transform_column(
+                    f["transform"], f["source_col"], f["src_type"]
+                )
+            )
+            df = df.filter(
+                expr == F.lit(v).cast(_type_from_iceberg(f["result_type"]))
+            )
     return df
 
 
@@ -922,7 +984,19 @@ def _assemble(
             )
         return spark.createDataFrame([], empty)
     by_type = {f.name: f.dataType for f in schema.fields}
-    phys = T.StructType([f for f in schema.fields if f.name not in pcols])
+    # identity partition columns are read PHYSICALLY too (nullable):
+    # under partition-spec EVOLUTION, files written before a column was
+    # identity-partitioned still carry it in the data, while files
+    # written after rely on the manifest partition value — the restore
+    # below coalesces data over manifest, so both generations read
+    phys = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+        + [
+            T.StructField(f.name, f.dataType, True)
+            for f in schema.fields
+            if f.name in pcols
+        ]
+    )
     if lineage:
         # physical materialized-lineage columns (nullable: only
         # rewritten files carry them; everything else reads null)
@@ -991,11 +1065,14 @@ def _assemble(
             "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
         ).join(F.broadcast(mdf), "__file")
         # restore partition columns BEFORE delete application: equality
-        # delete columns may include identity partition fields
+        # delete columns may include identity partition fields.  The
+        # physical value (pre-evolution files) wins over the manifest
+        # partition value (post-evolution files dropped the column)
         for c in pcols:
-            df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(
-                f"__pv_{c}"
-            )
+            df = df.withColumn(
+                c,
+                F.coalesce(F.col(c), F.col(f"__pv_{c}").cast(by_type[c])),
+            ).drop(f"__pv_{c}")
         dv_dels = [
             d for d in deletes if d.get("content", 1) == 1 and d.get("_dv")
         ]
@@ -1179,9 +1256,7 @@ def read_iceberg_changes(
     )
     schema = _schema_from_iceberg(_current_schema(meta))
     fields = _spec_fields(_current_schema(meta), _current_spec(meta))
-    idents = [f for f in fields if f["kind"] == "identity"]
-    pcols = [f["source_col"] for f in idents]
-    pkeys = [f["name"] for f in idents]
+    pcols, pkeys = _identity_restore_fields(meta)
     window = [
         s
         for s in snaps
@@ -1865,6 +1940,7 @@ def _bound_id_map(ice_schema: dict) -> dict:
 def _put_manifest(
     fs, md, filename, entries, part_types, ice_schema, spec, content,
     seq, sid, n_rows, fv: int = 2, first_row_id: int | None = None,
+    spec_id: int = 0,
 ) -> dict:
     """Write one Avro manifest of ``entries`` and return its manifest-LIST
     record — the shared commit tail of every writer (data or deletes)."""
@@ -1875,7 +1951,7 @@ def _put_manifest(
         meta={
             "schema": json.dumps(ice_schema),
             "partition-spec": json.dumps(spec),
-            "partition-spec-id": "0",
+            "partition-spec-id": str(spec_id),
             "format-version": str(fv),
             "content": "deletes" if content else "data",
         },
@@ -1884,7 +1960,7 @@ def _put_manifest(
     rec = {
         "manifest_path": mpath,
         "manifest_length": len(mbytes),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": content,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -2006,6 +2082,7 @@ def write_iceberg(
     evolve_schema: bool = False,
     format_version: int | None = None,
     branch: str | None = None,
+    evolve_partition: bool = False,
 ) -> int:
     """Commit ``df`` to an Iceberg table at ``path``; returns the new
     snapshot id.  ``mode='append'`` carries the prior snapshot's manifests
@@ -2065,14 +2142,65 @@ def write_iceberg(
         table_schema = _schema_from_iceberg(ice_schema)
         spec = _current_spec(meta)
         pfields = _spec_fields(ice_schema, spec)
+        spec_id_cur = int(meta.get("default-spec-id", 0))
+        evolved_spec: int | None = None
         if partition_by is not None:
             asked = [X.parse_partition_field(s) for s in partition_by]
             have = [(f["kind"], f["param"], f["source_col"]) for f in pfields]
-            if asked != have:
+            if asked != have and not evolve_partition:
                 raise IcebergSchemaMismatch(
                     f"partition_by {list(partition_by)} != table's "
                     f"{[f['transform'] + '(' + f['source_col'] + ')' for f in pfields]}"
+                    " (pass evolve_partition=True to add a new spec)"
                 )
+            if asked != have:
+                # PARTITION SPEC EVOLUTION (spec §Partition Evolution):
+                # a NEW spec with a fresh spec-id becomes the default;
+                # old manifests keep their spec by pointer.  Field ids
+                # are REUSED for identical (transform, source) fields
+                # from any prior spec, else minted above last-partition-id
+                by_col = {f["name"]: f["id"] for f in ice_schema["fields"]}
+                unknown_cols = [c for _k, _p, c in asked if c not in by_col]
+                if unknown_cols:
+                    raise IcebergError(
+                        f"partition_by {unknown_cols} not in table schema"
+                    )
+                specs = meta.get("partition-specs") or [
+                    {"spec-id": 0, "fields": spec}
+                ]
+                next_fid = max(int(meta.get("last-partition-id", 999)), 999)
+                new_fields = []
+                for kind, param, c in asked:
+                    tr = X.transform_spec_string(kind, param)
+                    src = by_col[c]
+                    prior = next(
+                        (
+                            f0
+                            for s0 in specs
+                            for f0 in s0.get("fields") or []
+                            if f0.get("transform") == tr
+                            and f0.get("source-id") == src
+                        ),
+                        None,
+                    )
+                    if prior is not None:
+                        new_fields.append(dict(prior))
+                    else:
+                        next_fid += 1
+                        new_fields.append(
+                            {
+                                "name": X.field_name(kind, param, c),
+                                "transform": tr,
+                                "source-id": src,
+                                "field-id": next_fid,
+                            }
+                        )
+                spec = new_fields
+                pfields = _spec_fields(ice_schema, spec)
+                evolved_spec = (
+                    max(s0.get("spec-id", 0) for s0 in specs) + 1
+                )
+                spec_id_cur = evolved_spec
         fv = int(meta.get("format-version", 2))
         if fv not in (2, 3):
             # v1 tables carry no sequence numbers; appending v2-shaped
@@ -2152,6 +2280,8 @@ def write_iceberg(
         ]
         pfields = _spec_fields(ice_schema, spec)
         last_seq = 0
+        spec_id_cur = 0
+        evolved_spec = None
         fv = format_version if format_version is not None else 2
         if fv >= 3:
             clash = {"_row_id", "_last_updated_sequence_number"} & set(
@@ -2224,7 +2354,7 @@ def write_iceberg(
     new_mf = _put_manifest(
         fs, md, f"m-{sid}-{token}.avro", entries,
         part_types, ice_schema, spec, 0, seq, sid, added_rows,
-        fv=fv, first_row_id=first_row,
+        fv=fv, first_row_id=first_row, spec_id=spec_id_cur,
     )
     base_id: int | None = None
     if branch is not None:
@@ -2300,6 +2430,16 @@ def write_iceberg(
             new_meta["schemas"] = list(meta.get("schemas") or []) + [ice_schema]
             new_meta["current-schema-id"] = ice_schema["schema-id"]
             new_meta["last-column-id"] = last_col
+        if evolved_spec is not None:
+            new_meta["partition-specs"] = list(
+                meta.get("partition-specs")
+                or [{"spec-id": 0, "fields": _current_spec(meta)}]
+            ) + [{"spec-id": evolved_spec, "fields": spec}]
+            new_meta["default-spec-id"] = evolved_spec
+            new_meta["last-partition-id"] = max(
+                int(meta.get("last-partition-id", 999)),
+                max((f["field-id"] for f in spec), default=999),
+            )
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = seq
         new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
@@ -2403,9 +2543,7 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
     schema = _schema_from_iceberg(ice_schema)
     spec = _current_spec(meta)
     pfields = _spec_fields(ice_schema, spec)
-    idents = [f for f in pfields if f["kind"] == "identity"]
-    pcols = [f["source_col"] for f in idents]
-    pkeys = [f["name"] for f in idents]
+    pcols, pkeys = _identity_restore_fields(meta)
     entries, dels = _live_entries(fs, _snapshot_of(meta, None))
     _resolve_eq_cols(ice_schema, dels)
     if not entries:
@@ -2989,7 +3127,7 @@ def merge_iceberg(
     if scan_rows:
         from gofeed_spark.sources.mergeutil import cond_sql
 
-        idents = [f for f in pfields if f["kind"] == "identity"]
+        mpcols, mpkeys = _identity_restore_fields(meta)
         entries, dels = _live_entries(fs, _snapshot_of(meta, None))
         _resolve_eq_cols(ice_schema, dels)
         bmap = {c: t for c, t in _bound_id_map(ice_schema).items() if c in on}
@@ -3005,8 +3143,8 @@ def merge_iceberg(
                 bmap,
             )
         live = _assemble(
-            spark, fs, schema, [f["source_col"] for f in idents], entries,
-            deletes=dels, pkeys=[f["name"] for f in idents],
+            spark, fs, schema, mpcols, entries,
+            deletes=dels, pkeys=mpkeys,
             lineage=fv >= 3,
         )
         val_cols = (
@@ -3091,7 +3229,7 @@ def merge_iceberg(
         when_not_matched == "insert" and when_matched != "update"
     )
     if need_scan or fv >= 3:
-        idents = [f for f in pfields if f["kind"] == "identity"]
+        mpcols, mpkeys = _identity_restore_fields(meta)
         entries, dels = _live_entries(fs, _snapshot_of(meta, None))
         _resolve_eq_cols(ice_schema, dels)
         # bounds file skipping before the key scan: files whose key range
@@ -3112,8 +3250,8 @@ def merge_iceberg(
                 bmap,
             )
         live_scan = _assemble(
-            spark, fs, schema, [f["source_col"] for f in idents], entries,
-            deletes=dels, pkeys=[f["name"] for f in idents],
+            spark, fs, schema, mpcols, entries,
+            deletes=dels, pkeys=mpkeys,
             lineage=fv >= 3,
         )
         if fv >= 3:
@@ -3474,6 +3612,17 @@ def rewrite_iceberg(
                 f"sort_by {in_part} are identity partition columns "
                 "(constant within each rewrite group — nothing to cluster)"
             )
+
+    if any(
+        k not in (e.get("partition") or {})
+        for e in entries
+        for k in part_names
+    ):
+        raise IcebergUnsupported(
+            "rewrite on a table with files from an earlier partition "
+            "spec (their layout cannot be regrouped driver-side); "
+            "migrate them first with write_iceberg(mode='overwrite')"
+        )
 
     groups: dict[tuple, list[dict]] = {}
     for e in entries:

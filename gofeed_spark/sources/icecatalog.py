@@ -117,6 +117,17 @@ def _updates_between(old: dict, new: dict) -> list[dict]:
                 "schema-id": new.get("current-schema-id", 0),
             }
         )
+    old_specs = {s.get("spec-id", 0) for s in old.get("partition-specs") or []}
+    for s in new.get("partition-specs") or []:
+        if s.get("spec-id", 0) not in old_specs:
+            ups.append({"action": "add-spec", "spec": s})
+    if new.get("default-spec-id", 0) != old.get("default-spec-id", 0):
+        ups.append(
+            {
+                "action": "set-default-spec",
+                "spec-id": new.get("default-spec-id", 0),
+            }
+        )
     old_snaps = {s["snapshot-id"] for s in old.get("snapshots") or []}
     for s in new.get("snapshots") or []:
         if s["snapshot-id"] not in old_snaps:
@@ -171,6 +182,25 @@ def _apply_updates(meta: dict, updates: list[dict]) -> dict:
                 default=0,
             )
             out["last-column-id"] = max(int(out.get("last-column-id", 0)), top)
+        elif act == "add-spec":
+            s = u["spec"]
+            out["partition-specs"] = list(
+                out.get("partition-specs") or []
+            ) + [s]
+            top = max(
+                (f.get("field-id", 0) for f in s.get("fields") or []),
+                default=0,
+            )
+            out["last-partition-id"] = max(
+                int(out.get("last-partition-id", 999)), top
+            )
+        elif act == "set-default-spec":
+            sid = u["spec-id"]
+            if sid == -1:  # spec: -1 = the spec added in this commit
+                sid = (out.get("partition-specs") or [{}])[-1].get(
+                    "spec-id", 0
+                )
+            out["default-spec-id"] = sid
         elif act == "set-current-schema":
             sid = u["schema-id"]
             if sid == -1:  # spec: -1 = the schema added in this commit

@@ -1684,3 +1684,122 @@ def test_cluster_layout_zorder_nulls(spark, tmp_path):
     out = cluster_layout(df, ["x", "y"], 4)
     assert out.count() == 1000
     assert out.filter("x IS NULL").count() == 100
+
+
+def test_partition_spec_evolution(spark, corpus, tmp_path):
+    """Partition-spec EVOLUTION (spec §Partition Evolution): a new spec
+    becomes the default while old manifests keep theirs by pointer —
+    both file generations read correctly (identity values coalesce from
+    data columns on pre-evolution files and from manifest partition
+    records on post-evolution files), where= pruning stays conservative
+    on old files and re-applies as a row filter, and field ids are
+    reused for identical fields across specs."""
+    tbl = str(tmp_path / "tbl")
+    # generation 1: UNPARTITIONED
+    I.write_iceberg(corpus.filter("doc_id < 30"), tbl)
+    with pytest.raises(I.IcebergSchemaMismatch, match="evolve_partition"):
+        I.write_iceberg(
+            corpus.filter("doc_id >= 30"), tbl, partition_by=["source"]
+        )
+    # generation 2: identity(source)
+    I.write_iceberg(
+        corpus.filter("doc_id >= 30"), tbl, partition_by=["source"],
+        evolve_partition=True,
+    )
+    meta = I._load_metadata(I.get_filesystem(tbl), tbl)[0]
+    assert meta["default-spec-id"] == 1
+    assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+
+    full = I.read_iceberg(spark, tbl)
+    assert full.count() == 60
+    # every row's source survives, whichever generation carries it
+    assert full.filter("source IS NULL").count() == 0
+
+    # where= on the partition field: old files are kept conservatively
+    # and row-filtered; values match an exact recompute
+    want = {r.doc_id for r in corpus.filter("source = 's1'").collect()}
+    got = {
+        r.doc_id
+        for r in I.read_iceberg(spark, tbl, where={"source": "s1"}).collect()
+    }
+    assert got == want and got  # non-vacuous
+
+    # generation 3: back to UNPARTITIONED, then to source again — the
+    # identical field reuses its field-id (never minted twice)
+    I.write_iceberg(
+        corpus.filter("doc_id < 5").select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "source", "n"
+        ),
+        tbl, partition_by=[], evolve_partition=True,
+    )
+    I.write_iceberg(
+        corpus.filter("doc_id < 5").select(
+            (F.col("doc_id") + 2000).alias("doc_id"), "source", "n"
+        ),
+        tbl, partition_by=["source"], evolve_partition=True,
+    )
+    meta = I._load_metadata(I.get_filesystem(tbl), tbl)[0]
+    specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
+    assert specs[3][0]["field-id"] == specs[1][0]["field-id"]
+    assert I.read_iceberg(spark, tbl).count() == 70
+
+    # DELETE and MERGE still work across generations
+    I.delete_iceberg_rows(spark, tbl, "doc_id IN (0, 35, 1000)")
+    assert I.read_iceberg(spark, tbl).count() == 67
+    # rewrite refuses while pre-evolution layouts are live
+    with pytest.raises(I.IcebergUnsupported, match="earlier partition"):
+        I.rewrite_iceberg(spark, tbl, min_files=1)
+
+
+def test_spec_evolution_drops_identity_field(spark, corpus, tmp_path):
+    """The hard direction: a column that WAS identity-partitioned (its
+    value lives only in old manifests) leaves the spec — reads must
+    still restore it for the old files."""
+    tbl = str(tmp_path / "tbl")
+    I.write_iceberg(
+        corpus.filter("doc_id < 20"), tbl, partition_by=["source"]
+    )
+    I.write_iceberg(
+        corpus.filter("doc_id >= 20"), tbl, partition_by=[],
+        evolve_partition=True,
+    )
+    full = I.read_iceberg(spark, tbl)
+    assert full.count() == 60 and full.filter("source IS NULL").count() == 0
+    want = {(r.doc_id, r.source) for r in corpus.collect()}
+    assert {(r.doc_id, r.source) for r in full.collect()} == want
+
+
+def test_spec_evolution_through_rest_catalog(spark, tmp_path):
+    from pyspark.sql import functions as FF
+
+    from gofeed_spark.sources.icecatalog import (
+        RestCatalog,
+        RestCatalogServer,
+        commit_iceberg_rest,
+        create_iceberg_rest,
+        read_iceberg_rest,
+    )
+
+    def kv(lo, hi):
+        return spark.range(lo, hi).select(
+            FF.col("id").alias("k"),
+            (FF.col("id") % 3).cast("string").alias("p"),
+        )
+
+    with RestCatalogServer(str(tmp_path / "wh")) as server:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("ns")
+        loc = f"{server.warehouse}/ns/t1"
+        create_iceberg_rest(
+            cat, "ns.t1", loc, lambda p: I.write_iceberg(kv(0, 6), p)
+        )
+        commit_iceberg_rest(
+            cat, "ns.t1",
+            lambda p: I.write_iceberg(
+                kv(6, 12), p, partition_by=["p"], evolve_partition=True
+            ),
+        )
+        meta = cat.load_table("ns.t1")["metadata"]
+        assert meta["default-spec-id"] == 1
+        assert len(meta["partition-specs"]) == 2
+        assert read_iceberg_rest(spark, cat, "ns.t1").count() == 12
