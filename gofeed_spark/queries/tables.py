@@ -2165,3 +2165,69 @@ def q193(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q194_partition_evolution",
+    oracle="""
+WITH l AS (SELECT COUNT(*) AS n FROM documents WHERE source = 'src7')
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(d.n_chars) AS BIGINT) AS chars_sum,
+       CAST(l.n AS BIGINT) AS n_lookup,
+       TRUE AS pruned
+FROM documents d, l
+GROUP BY d.source, l.n
+ORDER BY d.source
+""",
+)
+def q194(spark, sf_dir):
+    """PARTITION SPEC EVOLUTION (Iceberg spec §Partition Evolution): the
+    first half of the corpus lands UNPARTITIONED (one file), then the
+    spec evolves to identity(source) and the second half lands
+    partitioned — old manifests keep spec 0 by pointer, new ones stamp
+    spec 1.  The full read proves NOTHING is lost across generations
+    (identity values coalesce from data columns on old files, manifest
+    partition records on new ones); the ``where={'source': 'src7'}``
+    lookup proves pruning still works on the MIXED table — the old-spec
+    file is kept conservatively (its value is unknown to the manifests)
+    and row-filtered, while the new generation opens exactly one
+    partition directory, so the lookup's file list is strictly smaller
+    than the table's (the oracle-checked ``pruned`` boolean).  Eager at
+    construction."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q194_") + "/tbl"
+    try:
+        I.write_iceberg(
+            docs.filter(F.expr("(doc_id div 20) % 2 = 0")).repartition(1),
+            work,
+        )
+        I.write_iceberg(
+            docs.filter(F.expr("(doc_id div 20) % 2 = 1"))
+            .repartition("source"),
+            work,
+            partition_by=["source"],
+            evolve_partition=True,
+        )
+        full = I.read_iceberg(spark, work)
+        lookup = I.read_iceberg(spark, work, where={"source": "src7"})
+        n_lookup = lookup.count()
+        pruned = len(lookup.inputFiles()) < len(full.inputFiles())
+        return (
+            full.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_total"),
+                F.sum("n_chars").cast("long").alias("chars_sum"),
+            )
+            .withColumn("n_lookup", F.lit(n_lookup).cast("long"))
+            .withColumn("pruned", F.lit(bool(pruned)))
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
