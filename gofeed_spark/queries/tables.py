@@ -2231,3 +2231,67 @@ def q194(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@query(
+    "q195_iceberg_update",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 6 = 3 THEN n_chars + 500
+                     ELSE n_chars END) AS BIGINT) AS chars_after,
+       CAST(SUM(CASE WHEN doc_id % 6 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_upd,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_before
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q195(spark, sf_dir):
+    """MERGE-ON-READ UPDATE (the update_delta twin in Iceberg's idiom):
+    ``update_iceberg`` commits ONE overwrite snapshot that hides every
+    ``doc_id % 6 = 3`` row via position deletes and appends the updated
+    versions (``n_chars + 500`` evaluated against the OLD row) — no
+    untouched file is rewritten, O(matched) I/O.  The per-source
+    aggregate pins the updated contents, the update count, and — via
+    snapshot time travel below the update — the untouched pre-update
+    chars, all against corpus arithmetic.  Eager at construction."""
+    import shutil
+    import tempfile
+
+    from gofeed_spark.sources import iceberg as I
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    work = tempfile.mkdtemp(prefix="gofeed_q195_") + "/tbl"
+    try:
+        base = I.write_iceberg(docs, work, partition_by=["source"])
+        I.update_iceberg(
+            spark, work, "doc_id % 6 = 3", {"n_chars": "n_chars + 500"}
+        )
+        after = (
+            I.read_iceberg(spark, work)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars_after"),
+                F.sum(
+                    F.when(F.col("doc_id") % 6 == 3, 1).otherwise(0)
+                ).cast("long").alias("n_upd"),
+            )
+        )
+        before = (
+            I.read_iceberg(spark, work, snapshot_id=base)
+            .groupBy("source")
+            .agg(F.sum("n_chars").cast("long").alias("chars_before"))
+        )
+        return (
+            after.join(before, "source")
+            .select(
+                "source", "n_docs", "chars_after", "n_upd", "chars_before",
+            )
+            .orderBy("source")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)

@@ -2610,26 +2610,218 @@ def delete_iceberg_rows(spark: SparkSession, path: str, where) -> int:
     return sid
 
 
-def _delete_iceberg_dv(
-    spark, fs, path, meta, version, ice_schema, spec, part_types,
-    entries, dels, live, cond,
+def update_iceberg(
+    spark: SparkSession,
+    path: str,
+    where,
+    set_exprs: dict,
+    summary_extra: dict | None = None,
 ) -> int:
-    """Format-v3 DELETE body (see :func:`delete_iceberg_rows`): matched
-    live-row positions become per-file roaring bitmaps encoded ON
-    EXECUTORS, merged driver-side with each file's existing DV (the
-    compressed payloads, never exploded positions), framed into ONE
-    Puffin file, and committed as DV manifest entries.  Superseded DVs
-    are dropped from the carried delete manifests (rewritten with
-    EXISTING status + explicit sequence numbers, the rewrite-path
-    discipline) so every data file keeps at most one live DV."""
-    from gofeed_spark.sources import puffin as P
-    from gofeed_spark.sources import roaring as R
+    """Row-level UPDATE as merge-on-read (the :func:`update_delta` twin,
+    in Iceberg's own idiom): ONE ``overwrite`` snapshot hides every live
+    row matching ``where`` (parquet position deletes on v2, deletion
+    vectors on v3) and appends the updated versions — ``set_exprs``
+    (column → SQL expression/Column) all evaluate against the OLD row.
+    No untouched file is rewritten: O(matched) I/O, the merge-on-read
+    trade.  Partition-moving updates are fine (the data leg restages
+    under the new transformed values).  On v3 the updated rows KEEP
+    their durable ``_row_id`` (materialized into the new files) with
+    ``_last_updated_sequence_number`` falling back to this commit.
+    Incremental append readers refuse the snapshot loudly;
+    ``read_iceberg_changes(cdf=True)`` reads it as delete+insert
+    changelog rows (Iceberg has no pre/postimage files — the merge
+    contract).  Returns the new snapshot id, or -1 when nothing
+    matched."""
+    path = path.rstrip("/")
+    fs = get_filesystem(path)
+    md = _meta_dir(path)
+    meta, version = _load_metadata(fs, path)
+    fv = int(meta.get("format-version", 2))
+    if fv not in (2, 3):
+        raise IcebergUnsupported("UPDATE needs format-version 2+")
+    ice_schema = _current_schema(meta)
+    schema = _schema_from_iceberg(ice_schema)
+    spec = _current_spec(meta)
+    pfields = _spec_fields(ice_schema, spec)
+    part_types = [(f["name"], f["result_type"]) for f in pfields]
+    by_dtype = {f.name: f.dataType for f in schema.fields}
+    unknown = [c for c in set_exprs if c not in schema.names]
+    if unknown:
+        raise IcebergError(f"set columns {unknown} not in table schema")
+    pcols, pkeys = _identity_restore_fields(meta)
+    entries, dels = _live_entries(fs, _snapshot_of(meta, None))
+    _resolve_eq_cols(ice_schema, dels)
+    if not entries:
+        return -1
 
-    if any(d.get("content", 1) == 1 and not d.get("_dv") for d in dels):
-        raise IcebergUnsupported(
-            "v3 table carries live parquet position-delete files; "
-            "v3 forbids them — rewrite before DV deletes"
+    live = _assemble(
+        spark, fs, schema, pcols, entries, deletes=dels, keep_pos=True,
+        pkeys=pkeys, lineage=fv >= 3,
+    )
+    cond = F.expr(where) if isinstance(where, str) else where
+    matched = live.filter(cond).localCheckpoint()  # feeds both legs
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    sid = seq
+    token = uuid.uuid4().hex
+
+    # -- delete leg: hide the old row versions --
+    if fv >= 3:
+        payloads = _collect_dv_payloads(matched)
+        if not payloads:
+            return -1
+        del_entries, carried, n_upd, total_card = _dv_delete_leg(
+            fs, path, meta, part_types, entries, dels, payloads,
+            seq, sid, token,
         )
+        del_mf_rows = total_card
+    else:
+        full_by_base = spark.createDataFrame(
+            [
+                (posixpath.basename(e["file_path"]), e["file_path"])
+                for e in entries
+            ],
+            T.StructType(
+                [
+                    T.StructField("__file", T.StringType()),
+                    T.StructField("file_path", T.StringType()),
+                ]
+            ),
+        )
+        del_rows = (
+            matched.select("__file", "__pos")
+            .join(F.broadcast(full_by_base), "__file")
+            .select("file_path", F.col("__pos").alias("pos"))
+            .repartition(1)
+            .sortWithinPartitions("file_path", "pos")
+        )
+        staging = f"{path}_iceberg_upddel_{token}"
+        _with_field_ids(
+            del_rows,
+            {
+                "file_path": _FIELD_ID_DELETE_FILE_PATH,
+                "pos": _FIELD_ID_DELETE_POS,
+            },
+        ).write.mode("overwrite").parquet(fs.spark_path(staging))
+        del_entries, n_upd = _publish_staged_files(
+            fs, path, staging,
+            "data/delete-{ordinal:05d}-" + token + ".parquet",
+            sid, part_types, content=1, typed_partitions=False,
+            skip_empty=True,
+        )
+        if not del_entries:
+            return -1
+        carried = _carry_manifests(fs, meta)
+        del_mf_rows = n_upd
+
+    # -- data leg: the updated row versions (set exprs see OLD values) --
+    upd = matched.select(
+        *[
+            (
+                (F.expr(e) if isinstance(e, str) else e)
+                .cast(by_dtype[c])
+                .alias(c)
+                if (e := set_exprs.get(c)) is not None
+                else F.col(c)
+            )
+            for c in schema.names
+        ],
+        *([F.col("_row_id")] if fv >= 3 else []),
+    )
+    stage_df = upd
+    stage_cols = []
+    for f in pfields:
+        if f["kind"] == "identity":
+            stage_cols.append(f["source_col"])
+        else:
+            stage_df = stage_df.withColumn(
+                f["name"],
+                X.transform_column(f["transform"], f["source_col"], f["src_type"]),
+            )
+            stage_cols.append(f["name"])
+    ids_map = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    if fv >= 3:
+        ids_map["_row_id"] = _FIELD_ID_ROW_ID
+    stage_df = _with_field_ids(stage_df, ids_map)
+    staging = f"{path}_iceberg_upddata_{token}"
+    w = stage_df.write.mode("overwrite")
+    if stage_cols:
+        w = w.partitionBy(*stage_cols)
+    w.parquet(fs.spark_path(staging))
+    entries_out, added_rows = _publish_staged_files(
+        fs, path, staging,
+        "data/{part_dir}upd-{ordinal:05d}-" + token + ".parquet",
+        sid, part_types, content=0, typed_partitions=True, skip_empty=True,
+        bound_ids=_bound_id_map(ice_schema),
+    )
+    first_row: int | None = None
+    next_row: int | None = None
+    if fv >= 3:
+        first_row = int(meta.get("next-row-id", 0))
+        next_row = first_row
+        for e in entries_out:
+            e["data_file"]["first_row_id"] = next_row
+            next_row += int(e["data_file"].get("record_count", 0) or 0)
+
+    spec_id_cur = int(meta.get("default-spec-id", 0))
+    manifests = [
+        _put_manifest(
+            fs, md, f"m-{sid}-{token}-data.avro", entries_out,
+            part_types, ice_schema, spec, 0, seq, sid, added_rows,
+            fv=fv, first_row_id=first_row, spec_id=spec_id_cur,
+        ),
+        _put_manifest(
+            fs, md, f"m-{sid}-{token}-del.avro", del_entries,
+            part_types, ice_schema, spec, 1, seq, sid, del_mf_rows,
+            fv=fv, spec_id=spec_id_cur,
+        ),
+    ]
+    mlist_path = fs.join(md, f"snap-{sid}-{token}.avro")
+    fs.put_bytes(
+        mlist_path,
+        write_container(
+            json.dumps(_manifest_file_schema(fv)),
+            manifests + carried,
+            meta={"format-version": str(fv)},
+        ),
+    )
+    snapshot = {
+        "snapshot-id": sid,
+        **(
+            {"parent-snapshot-id": meta["current-snapshot-id"]}
+            if (meta.get("current-snapshot-id") or -1) >= 0
+            else {}
+        ),
+        "sequence-number": seq,
+        "timestamp-ms": seq,
+        "summary": {
+            **{str(k): str(v) for k, v in (summary_extra or {}).items()},
+            "operation": "overwrite",  # the spec's row-delta operation
+            "updated-rows": str(n_upd),
+            "engine-info": "gofeed_spark-iceberg/0.1",
+        },
+        "manifest-list": mlist_path,
+        "schema-id": ice_schema.get("schema-id", 0),
+        **({"first-row-id": first_row} if fv >= 3 else {}),
+    }
+    new_meta = dict(meta)
+    if fv >= 3:
+        new_meta["next-row-id"] = next_row
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = seq
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": seq, "snapshot-id": sid}
+    ]
+    _publish_metadata(fs, path, version, new_meta)
+    return sid
+
+
+def _collect_dv_payloads(matched) -> dict[str, bytes]:
+    """Matched live rows (``__file``/``__pos`` working columns) → per-
+    file roaring payloads encoded ON EXECUTORS (compressed bytes reach
+    the driver, never exploded positions)."""
 
     def _enc(key, pdf):
         import pandas as _pd
@@ -2643,25 +2835,37 @@ def _delete_iceberg_dv(
             }
         )
 
-    payloads = {
+    return {
         r["__file"]: bytes(r["__dv"])
-        for r in live.filter(cond)
-        .select("__file", "__pos")
+        for r in matched.select("__file", "__pos")
         .groupBy("__file")
         .applyInPandas(_enc, "__file string, __dv binary")
         .collect()
     }
-    if not payloads:
-        return -1
+
+
+def _dv_delete_leg(
+    fs, path, meta, part_types, entries, dels, payloads, seq, sid, token,
+):
+    """The v3 deletion-vector leg shared by DELETE and UPDATE: merge the
+    new per-file payloads with each file's existing DV, frame ONE Puffin
+    file, and return ``(del_entries, carried, n_new, total_card)`` —
+    the DV manifest entries, the carried manifests with superseded DVs
+    dropped, the newly deleted row count, and the merged cardinality."""
+    from gofeed_spark.sources import puffin as P
+    from gofeed_spark.sources import roaring as R
+
+    if any(d.get("content", 1) == 1 and not d.get("_dv") for d in dels):
+        raise IcebergUnsupported(
+            "v3 table carries live parquet position-delete files; "
+            "v3 forbids them — rewrite before DV deletes"
+        )
     by_base = {posixpath.basename(e["file_path"]): e for e in entries}
     old_dvs = {
         posixpath.basename(d["referenced_data_file"]): d
         for d in dels
         if d.get("_dv")
     }
-    seq = int(meta.get("last-sequence-number", 0)) + 1
-    sid = seq
-    token = uuid.uuid4().hex
     md = _meta_dir(path)
 
     blobs: list[tuple[dict, bytes]] = []
@@ -2736,18 +2940,40 @@ def _delete_iceberg_dv(
         off += len(blob)
 
     # carry prior manifests, dropping superseded DV entries
+    ice_schema = _current_schema(meta)
+    spec = _current_spec(meta)
     carried = [
         mf for mf in _carry_manifests(fs, meta) if mf.get("content", 0) != 1
     ] + _carry_delete_manifests_dropping_dvs(
         fs, md, meta, set(payloads), part_types, ice_schema, spec,
         seq, sid, token,
     )
+    return del_entries, carried, n_new, sum(c for _f, c in entry_info)
 
+
+def _delete_iceberg_dv(
+    spark, fs, path, meta, version, ice_schema, spec, part_types,
+    entries, dels, live, cond,
+) -> int:
+    """Format-v3 DELETE body (see :func:`delete_iceberg_rows`): the
+    shared DV leg (:func:`_dv_delete_leg` — executor-encoded roaring
+    payloads, one Puffin file, one live DV per data file with superseded
+    entries dropped from the carried manifests) committed as an
+    operation='delete' snapshot."""
+    payloads = _collect_dv_payloads(live.filter(cond))
+    if not payloads:
+        return -1
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    sid = seq
+    token = uuid.uuid4().hex
+    del_entries, carried, n_new, total_card = _dv_delete_leg(
+        fs, path, meta, part_types, entries, dels, payloads, seq, sid, token,
+    )
     _commit_delete_snapshot(
         fs, path, meta, version, ice_schema, spec, part_types,
         del_entries, n_new, seq, sid, token, "deleted-rows",
         fv=3, carried=carried,
-        manifest_rows=sum(card for _f, card in entry_info),
+        manifest_rows=total_card,
     )
     return sid
 

@@ -1803,3 +1803,36 @@ def test_spec_evolution_through_rest_catalog(spark, tmp_path):
         assert meta["default-spec-id"] == 1
         assert len(meta["partition-specs"]) == 2
         assert read_iceberg_rest(spark, cat, "ns.t1").count() == 12
+
+
+def test_update_iceberg(spark, corpus, tmp_path):
+    """Merge-on-read UPDATE (the update_delta twin): one overwrite
+    snapshot hides matched rows via position deletes and appends the
+    updated versions — set exprs see the OLD row, time travel keeps the
+    pre-update state, the changelog reads delete+insert, and
+    partition-MOVING updates restage under the new value."""
+    tbl = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(corpus, tbl, partition_by=["source"])
+    s2 = I.update_iceberg(spark, tbl, "doc_id < 5", {"n": "n + 1000"})
+    assert s2 > s1
+    got = {r.doc_id: r.n for r in I.read_iceberg(spark, tbl).collect()}
+    assert all(got[i] == 2 * i + 1000 for i in range(5))
+    assert got[10] == 20
+    assert I.read_iceberg(spark, tbl, snapshot_id=s1).count() == 60
+    ch = I.read_iceberg_changes(spark, tbl, from_snapshot_id=s1, cdf=True)
+    kinds = sorted((r.doc_id, r._change_type) for r in ch.collect())
+    assert kinds == sorted(
+        [(i, "delete") for i in range(5)] + [(i, "insert") for i in range(5)]
+    )
+
+    # partition-moving update: the row restages under the new dir and a
+    # partition lookup finds it there
+    I.update_iceberg(spark, tbl, "doc_id = 7", {"source": "'moved'"})
+    moved = I.read_iceberg(spark, tbl, where={"source": "moved"}).collect()
+    assert [r.doc_id for r in moved] == [7]
+    assert I.read_iceberg(spark, tbl).count() == 60
+
+    # no match: no commit
+    assert I.update_iceberg(spark, tbl, "doc_id = 999", {"n": "0"}) == -1
+    with pytest.raises(I.IcebergError, match="not in table schema"):
+        I.update_iceberg(spark, tbl, "doc_id = 1", {"nope": "1"})

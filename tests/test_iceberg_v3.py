@@ -401,3 +401,37 @@ def test_v3_reserved_column_names_refused(spark, tmp_path):
     # fine on v2 (no lineage machinery touches the name)
     I.write_iceberg(bad, str(tmp_path / "t2"))
     assert I.read_iceberg(spark, str(tmp_path / "t2")).count() == 1
+
+
+def test_v3_update_preserves_ids(spark, tmp_path):
+    """UPDATE on v3: DV leg + data leg in one snapshot, updated rows
+    keep their durable _row_id (materialized) with the last-updated
+    sequence bumped; repeat updates supersede cleanly."""
+    root = str(tmp_path / "tbl")
+    I.write_iceberg(_kv(spark, 0, 6), root, format_version=3)
+    u1 = I.update_iceberg(spark, root, "k IN (1, 4)", {"v": "v * 10"})
+    seq_of = {
+        s["snapshot-id"]: s["sequence-number"] for s in _meta(root)["snapshots"]
+    }
+    rows = I.read_iceberg(spark, root, row_lineage=True).collect()
+    got = {
+        r["k"]: (r["v"], r["_row_id"], r["_last_updated_sequence_number"])
+        for r in rows
+    }
+    assert got[1] == (20, 1, seq_of[u1]) and got[4] == (80, 4, seq_of[u1])
+    assert got[0] == (0, 0, 1)  # untouched: id AND seq kept
+
+    # a second update hits a row living in the previous update's file
+    I.update_iceberg(spark, root, "k = 1", {"v": "v + 1"})
+    rows = I.read_iceberg(spark, root, row_lineage=True).collect()
+    got = {r["k"]: (r["v"], r["_row_id"]) for r in rows}
+    assert got[1] == (21, 1) and got[4] == (80, 4)
+    entries, dels = _live(root)
+    from collections import Counter as _C
+
+    per_file = _C(
+        posixpath.basename(d["referenced_data_file"])
+        for d in dels
+        if d.get("_dv")
+    )
+    assert set(per_file.values()) == {1}  # one live DV per file
