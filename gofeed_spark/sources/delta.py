@@ -1757,6 +1757,7 @@ def update_delta(
     path: str,
     where,
     set_exprs: dict,
+    dv: bool = False,
 ) -> int:
     """Row-level UPDATE with protocol-native CHANGE DATA FEED output:
     rewrite only the files that hold rows matching ``where`` (a SQL
@@ -1779,7 +1780,14 @@ def update_delta(
     across partitions — a rewrite, not an update).  Returns the new
     version, or -1 when nothing matched (no commit).  Column-mapped
     tables refuse loudly (their cdc READ path works; the writer keeps
-    to unmapped tables)."""
+    to unmapped tables).
+
+    ``dv=True`` updates via DELETION VECTORS instead of rewriting: the
+    matched rows are hidden with per-file roaring bitmaps and the
+    updated versions append in the same commit — O(matched) I/O on
+    tables of any size (huge files never rewrite for a few changed
+    rows).  Row-tracked tables keep every updated row's durable
+    ``_row_id`` either way."""
     path = path.rstrip("/")
     fs = get_filesystem(path)
     snap = _snapshot(fs, path)
@@ -1803,6 +1811,11 @@ def update_delta(
     cond = F.expr(where) if isinstance(where, str) else where
 
     items = list(snap.adds.items())
+    if dv:
+        return _update_with_dv(
+            spark, fs, path, snap, schema, pcols, items, cond, where,
+            set_exprs, mat,
+        )
     working = _assemble(spark, fs, path, schema, pcols, items, keep_file=True)
     hits = {
         r["__file"]
@@ -1897,6 +1910,115 @@ def update_delta(
     actions.extend({"cdc": c} for c in cdc_adds)
     if tracked and new_adds:
         actions.append(_assign_fresh_row_ids(snap.row_hwm, new_adds, version))
+    _publish_commit(fs, path, version, actions)
+    return version
+
+
+def _collect_dv_payloads(matched) -> dict[str, bytes]:
+    """Matched rows (``__file``/``__pos`` working columns) → per-file
+    roaring payloads encoded ON EXECUTORS (compressed bytes reach the
+    driver, never exploded positions)."""
+
+    def _enc(key, pdf):
+        import pandas as _pd
+
+        from gofeed_spark.sources.roaring import dv_payload
+
+        return _pd.DataFrame(
+            {
+                "__file": [key[0]],
+                "__dv": [bytearray(dv_payload(pdf["__pos"].tolist()))],
+            }
+        )
+
+    return {
+        r["__file"]: bytes(r["__dv"])
+        for r in matched.select("__file", "__pos")
+        .groupBy("__file")
+        .applyInPandas(_enc, "__file string, __dv binary")
+        .collect()
+    }
+
+
+def _update_with_dv(
+    spark, fs, path, snap, schema, pcols, items, cond, where, set_exprs, mat
+) -> int:
+    """DV-mode UPDATE body (``update_delta(dv=True)``): hide the matched
+    rows with deletion vectors (no data file rewritten — O(matched) I/O,
+    the merge-on-read trade) and append the updated versions in the same
+    commit; ``set_exprs`` see the OLD row.  On a row-tracked table the
+    updated rows keep their durable ``_row_id`` (materialized) with the
+    commit version falling back to the new file's default; the new files
+    take fresh base ids.  CDC carries update_preimage/postimage exactly
+    like the copy-on-write form."""
+    tracked = mat is not None
+    by_type = {f.name: f.dataType for f in schema.fields}
+    working = _assemble(
+        spark, fs, path, schema, pcols, items, keep_file=True, keep_pos=True,
+        lineage=tracked, lineage_cols=mat,
+    )
+    matched = working.filter(cond).localCheckpoint()  # feeds 3 outputs
+    payloads = _collect_dv_payloads(matched)
+    if not payloads:
+        return -1
+
+    upd = matched.select(
+        *[
+            (
+                (F.expr(e) if isinstance(e, str) else e)
+                .cast(by_type[c])
+                .alias(c)
+                if (e := set_exprs.get(c)) is not None
+                else F.col(c)
+            )
+            for c in schema.names
+        ],
+        *(
+            [
+                F.col("_row_id").alias(mat[0]),
+                F.lit(None).cast("long").alias(mat[1]),
+            ]
+            if tracked
+            else []
+        ),
+    )
+    cdc = (
+        matched.select(*schema.names)
+        .withColumn("_change_type", F.lit("update_preimage"))
+        .unionByName(
+            upd.select(*schema.names).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+    )
+    token = uuid.uuid4().hex
+    new_adds = _stage_and_publish(fs, path, upd, pcols, token, "upd", "", True)
+    cdc_adds = _stage_and_publish(
+        fs, path, cdc, pcols, token, "cdc", "_change_data/", False
+    )
+    version = snap.version + 1
+    row_dom = (
+        _assign_fresh_row_ids(snap.row_hwm, new_adds, version)
+        if tracked and new_adds
+        else None
+    )
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": str(where)},
+                "engineInfo": "gofeed_spark-delta/0.1",
+            }
+        }
+    ]
+    upg = _dv_protocol_upgrade(snap)
+    if upg is not None:
+        actions.append(upg)
+    actions.extend(_dv_mark_actions(fs, path, items, payloads))
+    actions.extend({"add": a} for a in new_adds)
+    actions.extend({"cdc": c} for c in cdc_adds)
+    if row_dom is not None:
+        actions.append(row_dom)
     _publish_commit(fs, path, version, actions)
     return version
 
@@ -2016,41 +2138,14 @@ def delete_delta_rows(
     return version
 
 
-def _delete_with_dv(
-    spark, fs, path, snap, schema, pcols, items, cond, where
-) -> int:
-    """DV-mode DELETE body: per-file roaring payloads encoded on
-    executors, merged with existing DVs, one new DV file, re-added adds.
-    See :func:`delete_delta_rows` (dv=True)."""
-    import pandas as pd  # noqa: F401
-
+def _dv_mark_actions(fs, path, items, payloads) -> list[dict]:
+    """The Delta DV leg shared by DELETE and UPDATE (dv=True): merge the
+    new per-file roaring payloads with each file's existing DV, frame
+    ONE new DV file, and return the remove + DV-bearing re-add actions
+    for every affected file (other add fields — stats, baseRowId —
+    carry through untouched)."""
     from gofeed_spark.sources import roaring as R
 
-    working = _assemble(
-        spark, fs, path, schema, pcols, items, keep_file=True, keep_pos=True
-    )
-    matched = working.filter(cond).localCheckpoint()  # feeds cdc + payloads
-    def _enc(key, pdf):
-        import pandas as _pd
-
-        from gofeed_spark.sources.roaring import dv_payload
-
-        return _pd.DataFrame(
-            {
-                "__file": [key[0]],
-                "__dv": [bytearray(dv_payload(pdf["__pos"].tolist()))],
-            }
-        )
-
-    payloads = {
-        r["__file"]: bytes(r["__dv"])
-        for r in matched.select("__file", "__pos")
-        .groupBy("__file")
-        .applyInPandas(_enc, "__file string, __dv binary")
-        .collect()
-    }
-    if not payloads:
-        return -1
     by_base = {posixpath.basename(rel): (rel, add) for rel, add in items}
     # merge with any EXISTING DV on the file (positions are file-physical
     # on both sides) and frame everything into ONE new DV file
@@ -2069,41 +2164,7 @@ def _delete_with_dv(
     dv_uuid = str(uuid.uuid4())
     fs.put_bytes(fs.join(path, R.dv_file_name(dv_uuid)), blob)
 
-    # cdc rows: the deleted rows, change-feed-visible
-    cdc = (
-        matched.select(*schema.names)
-        .withColumn("_change_type", F.lit("delete"))
-    )
-    token = uuid.uuid4().hex
-    cdc_adds = _stage_and_publish(
-        fs, path, cdc, pcols, token, "cdc", "_change_data/", False
-    )
-
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "operation": "DELETE",
-                "operationParameters": {"predicate": str(where)},
-                "engineInfo": "gofeed_spark-delta/0.1",
-            }
-        }
-    ]
-    proto = snap.protocol
-    feats = set(proto.get("readerFeatures") or [])
-    if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in feats:
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(feats | {"deletionVectors"}),
-                    "writerFeatures": sorted(
-                        set(proto.get("writerFeatures") or [])
-                        | {"deletionVectors"}
-                    ),
-                }
-            }
-        )
+    actions: list[dict] = []
     for i, base in enumerate(ordered):
         _rel, add = by_base[base]
         actions.append(
@@ -2127,6 +2188,66 @@ def _delete_with_dv(
             "cardinality": cards[i],
         }
         actions.append({"add": new_add})
+    return actions
+
+
+def _dv_protocol_upgrade(snap) -> dict | None:
+    """The protocol action enabling deletionVectors (None when the table
+    already has the feature)."""
+    proto = snap.protocol
+    feats = set(proto.get("readerFeatures") or [])
+    if proto.get("minReaderVersion", 1) >= 3 and "deletionVectors" in feats:
+        return None
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(feats | {"deletionVectors"}),
+            "writerFeatures": sorted(
+                set(proto.get("writerFeatures") or [])
+                | {"deletionVectors"}
+            ),
+        }
+    }
+
+
+def _delete_with_dv(
+    spark, fs, path, snap, schema, pcols, items, cond, where
+) -> int:
+    """DV-mode DELETE body: per-file roaring payloads encoded on
+    executors, merged with existing DVs, one new DV file, re-added adds.
+    See :func:`delete_delta_rows` (dv=True)."""
+    working = _assemble(
+        spark, fs, path, schema, pcols, items, keep_file=True, keep_pos=True
+    )
+    matched = working.filter(cond).localCheckpoint()  # feeds cdc + payloads
+    payloads = _collect_dv_payloads(matched)
+    if not payloads:
+        return -1
+
+    # cdc rows: the deleted rows, change-feed-visible
+    cdc = (
+        matched.select(*schema.names)
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    token = uuid.uuid4().hex
+    cdc_adds = _stage_and_publish(
+        fs, path, cdc, pcols, token, "cdc", "_change_data/", False
+    )
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {"predicate": str(where)},
+                "engineInfo": "gofeed_spark-delta/0.1",
+            }
+        }
+    ]
+    upg = _dv_protocol_upgrade(snap)
+    if upg is not None:
+        actions.append(upg)
+    actions.extend(_dv_mark_actions(fs, path, items, payloads))
     actions.extend({"cdc": c} for c in cdc_adds)
     version = snap.version + 1
     _publish_commit(fs, path, version, actions)

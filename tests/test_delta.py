@@ -1583,3 +1583,35 @@ def test_merge_conditional_and_partial(spark, tmp_path):
     with pytest.raises(D.DeltaError, match="not non-key"):
         D.merge_delta(spark, tbl, src, ["k"], when_not_matched=None,
                       set_cols=["k"])
+
+
+def test_update_with_deletion_vectors(spark, tmp_path):
+    """update_delta(dv=True): matched rows hide behind per-file DVs and
+    the updated versions append in the same commit — no data file
+    rewritten, time travel and the pre/postimage change feed intact."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1)
+    D.write_delta(df, root)
+    v = D.update_delta(spark, root, "k % 2 = 0", {"v": "v + 100"}, dv=True)
+    got = {r.k: r.v for r in D.read_delta(spark, root).collect()}
+    assert got == {0: 100, 1: 2, 2: 104, 3: 6, 4: 108, 5: 10}
+    assert D.read_delta(spark, root, version=0).count() == 6
+    ch = D.read_delta_changes(spark, root, start_version=0, cdf=True)
+    kinds = sorted((r.k, r._change_type) for r in ch.collect())
+    assert kinds == sorted(
+        [(k, "update_preimage") for k in (0, 2, 4)]
+        + [(k, "update_postimage") for k in (0, 2, 4)]
+    )
+    # the original file SURVIVES with a DV; one new file holds the
+    # updated rows
+    snap = D._snapshot(D.get_filesystem(root), root)
+    assert len(snap.adds) == 2
+    assert sum(1 for a in snap.adds.values() if a.get("deletionVector")) == 1
+    # a DV delete after the DV update composes (merges on the same file)
+    D.delete_delta_rows(spark, root, "k = 1", dv=True)
+    assert sorted(r.k for r in D.read_delta(spark, root).collect()) == [
+        0, 2, 3, 4, 5,
+    ]
+    assert D.update_delta(spark, root, "k = 99", {"v": "0"}, dv=True) == -1

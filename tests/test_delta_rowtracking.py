@@ -358,3 +358,21 @@ def test_streaming_upsert_sink_preserves_ids(spark, tmp_path):
     fresh = {got[10][1], got[11][1]}
     assert len(fresh) == 2 and all(i > 5 for i in fresh)
     assert D.last_txn_version(root, "app") == 1
+
+
+def test_dv_update_preserves_ids(spark, tmp_path):
+    """update_delta(dv=True) on a tracked table: matched rows keep their
+    durable _row_id (materialized into the new files) with the commit
+    version bumped; untouched rows keep both; repeat DV updates
+    compose."""
+    root = str(tmp_path / "tbl")
+    D.write_delta(_kv(spark, 0, 6), root, row_tracking=True)
+    uv = D.update_delta(spark, root, "k IN (1, 4)", {"v": "v * 10"}, dv=True)
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    got = {r["k"]: (r["v"], r["_row_id"], r["_row_commit_version"]) for r in rows}
+    assert got[1] == (20, 1, uv) and got[4] == (80, 4, uv)
+    assert got[0] == (0, 0, 0)
+    D.update_delta(spark, root, "k = 1", {"v": "v + 1"}, dv=True)
+    rows = D.read_delta(spark, root, row_lineage=True).collect()
+    assert {r["k"]: r["_row_id"] for r in rows} == {i: i for i in range(6)}
+    assert {r["v"] for r in rows if r["k"] == 1} == {21}
