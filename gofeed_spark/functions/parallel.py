@@ -33,13 +33,22 @@ from pyspark.sql import DataFrame
 MIN_INPUT_BYTES = 1 << 20
 
 
-def parallel_floor(df: DataFrame) -> DataFrame:
+def parallel_floor(df: DataFrame, per_task_bytes: "int | None" = None) -> DataFrame:
     """Repartition ``df`` up to the session's default parallelism when its
     scan is split-starved AND carries enough input bytes for the widening
     to pay for itself; identity otherwise (and on any planning/metadata
     error — the floor is an optimization, never a correctness
     dependency).  Non-local storage skips the floor entirely: warehouse
-    tables are well-split, and sizing them needs a remote call."""
+    tables are well-split, and sizing them needs a remote call.
+
+    ``per_task_bytes`` (opt-in, for the HEAVIEST per-byte passes only —
+    the shingle/minhash kernels, measured ~0.8 s serial on a 0.6 MB scan):
+    below ``MIN_INPUT_BYTES`` the full-parallelism floor never pays, but a
+    PROPORTIONAL width (one task per ``per_task_bytes`` of input, capped
+    at the session's cores) still does when the pass is expensive enough
+    per byte — 0.78 → 0.46 s measured on the sf0.1 shingle pass at width
+    ~9.  Callers with cheap per-byte passes must leave it None: the same
+    widening INFLATES scan-projects (the round-8 lesson)."""
     import os
 
     try:
@@ -52,6 +61,10 @@ def parallel_floor(df: DataFrame) -> DataFrame:
         for f in files:
             total += os.path.getsize(f[5:] if f.startswith("file:") else f)
         if total < MIN_INPUT_BYTES:
+            if per_task_bytes:
+                w = min(p, total // per_task_bytes)
+                if w >= 2 and df.rdd.getNumPartitions() * 2 <= w:
+                    return df.repartition(w)
             return df
         if df.rdd.getNumPartitions() * 2 <= p:
             return df.repartition(p)

@@ -122,6 +122,7 @@ def _group_pairs(
     df_cap: int | None,
     hot: str = "drop",
     n: int | None = None,
+    payload: tuple[str, ...] = (),
 ) -> DataFrame:
     """Inverted-index pair generation in ONE pass: group doc ids per key,
     emit ordered in-group pairs via a nested explode.  Equivalent to the
@@ -131,6 +132,14 @@ def _group_pairs(
 
     - ``"drop"`` (shingle semantics): remove the key entirely — a shingle
       shared by that many docs carries no near-dup signal.
+    ``payload``: extra per-doc columns (functionally dependent on
+    ``doc_id``) carried THROUGH the pair explosion and emitted as
+    ``<col>_a`` / ``<col>_b`` — the alternative to re-joining a
+    corpus-sized attribute relation onto both pair endpoints downstream
+    (two more shuffles at warehouse scale for a few carried bytes per
+    row here).  Unsupported with ``hot="star"`` (the hub join would
+    need the join anyway).
+
     - ``"star"`` (LSH band semantics): a band bucket shared by m docs means
       those docs ARE near-identical (the opposite of a viral shingle), so
       dropping it loses a real duplicate family.  Instead emit a spanning
@@ -149,8 +158,13 @@ def _group_pairs(
     """
     # pair EXPLOSION is compute-bound over byte-slim rows — AQE's byte
     # coalescing would run it on 1-2 reducers (see compute_width; ``n`` =
-    # the caller's corpus size, gating the widening off at small volume)
-    keyed = compute_width(keyed, key, n=n)
+    # the caller's corpus size, gating the widening off at small volume).
+    # ``n`` counts DOCS while the keyed relation is docs × expansion
+    # (≥16 LSH bands / ~50 shingles per doc), so the default 20k-row gate
+    # overshoots by the expansion factor here — 4k docs already means a
+    # ≥64k-row key stage, the same work the 20k gate targets on row-level
+    # relations (measured at sf0.1: widened 1.0 s vs coalesced 2.0+ s).
+    keyed = compute_width(keyed, key, n=n, min_rows=4_000)
     star = None
     if df_cap is not None:
         # Identify hot keys BEFORE the collect_set aggregation: a viral key
@@ -175,9 +189,27 @@ def _group_pairs(
         keyed = keyed.join(F.broadcast(hot_keys.select(key)), key, "left_anti")
     grouped = (
         keyed.groupBy(key)
-        .agg(F.collect_set("doc_id").alias("ids"))
+        .agg(
+            F.collect_set(
+                F.struct("doc_id", *payload) if payload else F.col("doc_id")
+            ).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
+    if payload:
+        if hot == "star":
+            raise ValueError("payload columns are unsupported with hot='star'")
+        return (
+            grouped.select(F.explode("ids").alias("a"), "ids")
+            .select("a", F.explode("ids").alias("b"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload],
+                F.col("b.doc_id").alias("doc_b"),
+                *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload],
+            )
+        )
     pairs = (
         grouped.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
@@ -292,28 +324,32 @@ def ngram_jaccard_pairs(
     output, two fewer jobs.  Must be an upper BOUND: guessing low re-opens
     the quadratic surface the cap exists to close.
     """
-    docs = parallel_floor(docs)  # split-starved scans → serial Arrow shingle pass
+    # heavy per-byte pass: proportional floor widens even sub-MiB scans
+    docs = parallel_floor(docs, per_task_bytes=64 * 1024)
     n_est = _corpus_n(docs, n_hint)
     if n_hint is not None and df_cap is not None and n_hint <= df_cap:
         df_cap = None
-    # Shingling is the expensive subtree and feeds both the size relation
-    # and the inverted index — persist so it is computed once (spills to
-    # disk under pressure; at warehouse scale materialize it as a table).
-    sh = _doc_shingles(docs, text_col, id_col, k).persist()
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("h"))
+    # |A| rides the exploded relation as a carried per-row int (n_sh)
+    # instead of a separate size relation: joining sizes onto BOTH pair
+    # endpoints is two more corpus-sized shuffles at warehouse scale
+    # (and two broadcast jobs at bench scale), where the carry widens the
+    # already-slim shingle shuffle by 8 bytes/row.  With a single
+    # consumer the shingle subtree also needs no persist.
+    sh = _doc_shingles(docs, text_col, id_col, k)
+    ex = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("h"))
     shared = (
-        compute_width(_group_pairs(ex, "h", df_cap, n=n_est), "doc_a", "doc_b", n=n_est)
-        .groupBy("doc_a", "doc_b")
+        compute_width(
+            _group_pairs(ex, "h", df_cap, n=n_est, payload=("n_sh",)),
+            "doc_a", "doc_b", n=n_est,
+        )
+        .groupBy("doc_a", "n_sh_a", "doc_b", "n_sh_b")
         .agg(F.count("*").alias("shared"))
     )
     return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-        .withColumn(
+        shared.withColumn(
             "jac",
             F.col("shared").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("shared")).cast("double"),
         )
         .filter(F.col("jac") >= threshold)
         .select("doc_a", "doc_b", F.round("jac", 6).alias("jac"))
@@ -345,7 +381,7 @@ def minhash_signatures(
     so exact-duplicate verdicts must verify on fp, never on est_jac = 1.0
     (measured on the test corpus — natural jac-0.99 pairs collide).
     """
-    docs = parallel_floor(docs)  # split-starved scans → serial Arrow/regex pass
+    docs = parallel_floor(docs, per_task_bytes=64 * 1024)  # heavy per-byte pass
     import hashlib
 
     import numpy as np
@@ -469,7 +505,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     extraction per token per bit — measurably slower); the fingerprint is
     returned as two 32-bit halves to avoid BIGINT sign traps downstream.
     """
-    docs = parallel_floor(docs)  # split-starved scans → serial Arrow/regex pass
+    docs = parallel_floor(docs, per_task_bytes=64 * 1024)  # heavy per-byte pass
     import hashlib
     import re
 

@@ -522,16 +522,21 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber
 )
 def q24(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
+    # Exact fixed-point in LONG (the q06 cents convention): price and
+    # discount are exact 2-dp values, so cents·(100-pct) is the exact
+    # product in 1e-4 units and +50 floor-div 100 is the same half-up
+    # tie-break the oracle's decimal(18,6)→ROUND(…,2) chain performs —
+    # all integer codegen, no decimal ops (verified value-identical per
+    # row against the decimal form over the full table; the /100 divide
+    # is exact because its input is an exact multiple of 100 < 2^53).
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pct = F.round(F.col("l_discount") * 100).cast("long")
+    e4 = cents * (F.lit(100) - pct) + F.lit(50)
+    net = ((e4 - F.pmod(e4, 100)) / 100).cast("long") / 100.0
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        # double → decimal(18,6) recovers the exact 4-dp product, THEN the
-        # half-up round to 2 dp is a true decimal tie-break — identical in
-        # both engines (direct double→(18,2) casts diverge on .xx5 ties).
-        F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"), 2)
-        .cast(D18_2)
-        .cast("double")
-        .alias("net"),
+        net.alias("net"),
         F.when(F.col("l_tax") > 0.05, "hi").otherwise("lo").alias("band"),
         F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias("rf"),
     )

@@ -46,3 +46,25 @@ def test_floor_skips_small_input(spark, tmp_path):
 def test_floor_skips_in_memory_frames(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], "x int")
     assert parallel_floor(df) is df
+
+
+def test_floor_proportional_width_below_min_bytes(spark, tmp_path):
+    # Opt-in per_task_bytes: a sub-MiB heavy-pass input gets a width
+    # proportional to its bytes (one task per per_task_bytes), capped at
+    # session parallelism — never the full-parallelism floor.
+    p = str(tmp_path / "mid.parquet")
+    _write_one_row_group(p, 3000, "y" * 120)  # ~400 KB < 1 MiB gate
+    df = spark.read.parquet(p)
+    assert parallel_floor(df) is df  # default: below the byte gate
+    out = parallel_floor(df, per_task_bytes=64 * 1024)
+    w = out.rdd.getNumPartitions()
+    # ~400 KB / 64 KiB = 6 tasks, capped at session parallelism
+    assert 2 <= w <= min(6, spark.sparkContext.defaultParallelism)
+    assert out.count() == 3000
+
+
+def test_floor_proportional_width_skips_tiny_input(spark, tmp_path):
+    p = str(tmp_path / "tiny.parquet")
+    _write_one_row_group(p, 200, "x" * 100)  # ~20 KB: width would be < 2
+    df = spark.read.parquet(p)
+    assert parallel_floor(df, per_task_bytes=64 * 1024) is df

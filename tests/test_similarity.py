@@ -827,3 +827,21 @@ def test_ensure_pq_index_idempotent(spark, tmp_path):
         emb.filter(F.col("vec_id") == 2).collect()[0]["embedding"], dtype=np.float64
     )
     assert probe_pq_index(spark, path, qv, k=3, exclude_id=2).count() == 3
+
+
+def test_bucket_gram_einsum_bit_identical_to_pair_einsum():
+    # The r17 scorer computes per-bucket cosines via the full-gram
+    # einsum (ik,jk->ij) and slices the upper triangle; pin that this is
+    # BIT-identical to the per-pair form (ij,ij->i over gathered rows) —
+    # einsum's sequential reduction over the last axis must not change
+    # with the output shape (it would flip threshold-boundary pairs).
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for m, dim in [(2, 64), (62, 64), (200, 64), (5, 7)]:
+        sub = rng.standard_normal((m, dim))
+        sub = sub / np.linalg.norm(sub, axis=1)[:, None]
+        iu, ju = np.triu_indices(m, 1)
+        pair = np.einsum("ij,ij->i", sub[iu], sub[ju])
+        gram = np.einsum("ik,jk->ij", sub, sub)[iu, ju]
+        assert np.array_equal(pair, gram)
