@@ -66,9 +66,76 @@ def topk_similar_pairs(
     """Exact top-k most-cosine-similar pairs (rank, id_a, id_b), a < b.
 
     O(n²) dot products — the small-corpus oracle twin of the LSH path.
+
+    Small-enough corpora (the only regime callers route here — q43
+    self-caps at 4096 rows) score through the broadcast normalized
+    matrix: one Arrow pass computes each partition's rows × corpus gram
+    in numpy row blocks and emits only the block's top-k survivors under
+    the global total order, so no pair row ever crosses the JVM boundary
+    — the O(n²) BroadcastNestedLoopJoin + per-element-interpreted cosine
+    HOF this replaces was 2 µs/pair (17 s for the capped 4096-row sample
+    at sf1.0, vs ~1 Gflop of numpy).  Ties at the k-th cosine keep EVERY
+    tied candidate (then the global sort tie-breaks on ids), so clone
+    corpora with many cos=1.0 pairs stay exact.  Corpora above
+    ``broadcast_limit`` (or with no footer estimate) keep the join form.
     """
     emb = parallel_floor(emb)  # split-starved scans → serial Arrow pass
     e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+    from gofeed_spark.catalog import df_rowcount_estimate
+
+    n = df_rowcount_estimate(emb)
+    if n is not None and _fits_broadcast(n, False, 1_000_000):
+        b_mat, b_ids = _corpus_broadcast(e)
+        kk = k
+
+        def block_topk(batches):
+            import pandas as pd
+
+            m, sids = b_mat.value, b_ids.value
+            for pdf in batches:
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                out_a, out_b, out_c = [], [], []
+                # row blocks bound the (block × corpus) gram to ~16 MB
+                step = max(1, (2 << 20) // max(len(sids), 1))
+                for s in range(0, len(ids), step):
+                    blk = ids[s : s + step]
+                    sub = m[np.searchsorted(sids, blk)]
+                    g = np.einsum("ik,jk->ij", sub, m)
+                    # a < b only: mask corpus columns at-or-below the row id
+                    g[sids[None, :] <= blk[:, None]] = -np.inf
+                    flat = g.ravel()
+                    t = min(kk, flat.size)
+                    if t == 0:
+                        continue
+                    kth = np.partition(flat, flat.size - t)[flat.size - t]
+                    if kth == -np.inf:
+                        # fewer than t real pairs in the block
+                        cand = np.nonzero(flat > -np.inf)[0]
+                    else:
+                        cand = np.nonzero(flat >= kth)[0]
+                    ri, ci = np.unravel_index(cand, g.shape)
+                    out_a.append(blk[ri])
+                    out_b.append(sids[ci])
+                    out_c.append(flat[cand])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                            "cos": np.concatenate(out_c),
+                        }
+                    )
+
+        scored = e.select("id").mapInPandas(
+            block_topk, "id_a long, id_b long, cos double"
+        )
+        pairs = (
+            scored.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+            .limit(k)
+        )
+        return with_rank(
+            pairs, [F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()]
+        ).select("rank", "id_a", "id_b")
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     pairs = (
