@@ -180,6 +180,7 @@ def gopher_rules(
     max_ellipsis_frac: float = 0.3,
     min_stopwords: int = 2,
     stopwords: tuple = GOPHER_STOPWORDS,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     r"""Gopher-style repetition/format quality rules — the document-shape
     filters (distinct from q38's length gate) a web-scale pipeline applies
@@ -193,6 +194,11 @@ def gopher_rules(
     Returns (id, mean_wl, symbol_ratio, bullet_frac, ellipsis_frac,
     stop_hits, gopher_ok) with ratios rounded to 6 for hash stability;
     rule comparisons use the UNROUNDED values.
+
+    ``keep_cols``: caller columns passed through to the output — this
+    operator is a pure per-row projection, so a downstream that needs its
+    own columns alongside the verdict composes them here instead of
+    re-joining (and re-computing) its upstream subtree on ``id_col``.
 
     Everything is whole-stage codegen, and regex is almost gone (profiled
     in round 7 as this operator's constant-factor gap vs its oracle): the
@@ -214,6 +220,7 @@ def gopher_rules(
     # references below read, not re-evaluate.
     with_arrays = docs.select(
         F.col(id_col).alias("__id"),
+        *keep_cols,  # caller pass-through (composition without a re-join)
         t.alias("__text"),
         F.translate(F.lower(t), "\t\n\x0b\f\r", "     ").alias("__wsnorm"),
         F.split(t, r"\n").alias("__lines"),
@@ -272,6 +279,7 @@ def gopher_rules(
     )
     return with_arrays.select(
         F.col("__id").alias(id_col),
+        *keep_cols,
         F.round(mean_wl, 6).alias("mean_wl"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),
         F.round(bullet_frac, 6).alias("bullet_frac"),

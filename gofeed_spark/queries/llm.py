@@ -1965,20 +1965,25 @@ def q99(spark, sf_dir):
         ).alias("text"),
     )
     cleaned = dedup.strip_duplicate_spans(corpus, k=8)
+    # gopher_rules is a pure per-row projection, so the verdict composes
+    # directly over the cleaned frame (keep_cols pass-through) — the
+    # previous doc_id self-join recomputed the whole span-dedup subtree
+    # on BOTH join sides (two extra shuffled passes at any scale).
     rules = textstats.gopher_rules(
-        cleaned.select("doc_id", F.col("clean_text").alias("text")),
+        cleaned.select(
+            "doc_id",
+            "n_removed_tokens",
+            F.length("clean_text").alias("__clen"),
+            F.col("clean_text").alias("text"),
+        ),
         stopwords=_Q91_STOPS,
+        keep_cols=("n_removed_tokens", "__clen"),
     )
-    joined = cleaned.alias("c").join(
-        rules.alias("r"), F.col("c.doc_id") == F.col("r.doc_id")
-    )
-    keep = (
-        (F.col("r.gopher_ok") == 1) & (F.length(F.col("c.clean_text")) > 0)
-    ).cast("int")
-    return joined.select(
-        F.col("c.doc_id").alias("doc_id"),
-        F.col("c.n_removed_tokens").alias("n_removed_tokens"),
-        F.col("r.gopher_ok").alias("gopher_ok"),
+    keep = ((F.col("gopher_ok") == 1) & (F.col("__clen") > 0)).cast("int")
+    return rules.select(
+        "doc_id",
+        "n_removed_tokens",
+        "gopher_ok",
         keep.alias("keep"),
     )
 
