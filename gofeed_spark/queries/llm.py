@@ -2237,14 +2237,31 @@ def q103(spark, sf_dir):
         (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text", "source"
     )
     corpus = docs.unionByName(clones)
-    deduped = corpus.join(dedup.dedup_keep_first(corpus), "doc_id")
-    rules = textstats.gopher_rules(deduped, stopwords=_Q91_STOPS)
-    quality = deduped.join(
-        rules.filter(F.col("gopher_ok") == 1).select("doc_id"), "doc_id"
+    # Every stage COMPOSES over the previous frame instead of emitting an
+    # id relation re-joined onto it (r17 optimization): the three
+    # doc_id self-joins planned 3x the upstream subtree (AQE's
+    # ReusedExchange recovered some at runtime, but the joins and their
+    # exchanges were real).  Identical rows at every stage: the window is
+    # dedup_keep_first's exact definition, the verdict is gopher_rules
+    # with pass-through columns, the sample is mixture_sample's own
+    # broadcast-rates filter (shared _keep_hash/mixture_rates code).
+    from gofeed_spark.operators.mixing import _keep_hash, mixture_rates
+    from pyspark.sql import Window
+
+    kw = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        corpus.withColumn("__rn", F.row_number().over(kw))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
+    quality = textstats.gopher_rules(
+        deduped, stopwords=_Q91_STOPS, keep_cols=("text", "source")
+    ).filter(F.col("gopher_ok") == 1).select("doc_id", "text", "source")
     w = 1 + (F.substring("source", 4, 10).cast("int") % 4)
-    mixed = mixing.mixture_sample(quality, w, budget_frac=0.6)
-    survivors = quality.join(mixed.select("doc_id"), "doc_id")
+    rates = mixture_rates(quality, w, budget_frac=0.6)
+    survivors = quality.join(F.broadcast(rates), "source").filter(
+        _keep_hash("doc_id", "m").cast("double") < F.col("rate") * 1_000_000
+    )
     return (
         shard_for_export(survivors, n_shards=8)
         .select("doc_id", "source", "shard", "pos")
