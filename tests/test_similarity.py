@@ -122,10 +122,19 @@ def test_ivf_topk_leaves_no_persisted_frames(spark, emb):
     """A query call must not grow the session's persisted-RDD set (the
     round-3 ivf_topk persisted its assignment frame per call and never
     released it — a session-lifetime cache leak at serving rates)."""
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persisted_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    # Compare ID SETS, not sizes: the async ContextCleaner may purge
+    # earlier tests' unreferenced cache entries at any moment (observed:
+    # the count SHRANK mid-test under the full suite), which a size
+    # equality misreads as a change.  A frame leaked by ivf_topk would
+    # still appear as a NEW id immediately after the collect.
+    before = persisted_ids()
     out = ivf_topk(emb, query_id=1, k=2, n_cells=2, n_probe=2)
     out.collect()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    assert not (persisted_ids() - before)
 
 
 # --- driver-side row-count statistics (no COUNT job) --------------------------
