@@ -777,13 +777,13 @@ def q74(spark, sf_dir):
     resolution for the naive union (which the oracle spells out)."""
     e = T(spark, sf_dir, "events").select(
         "event_type",
-        F.col("value").cast(D18_4).alias("v"),
+        F.round(F.col("value") * 10000).cast("long").alias("v"),  # exact e4 units (see q32)
         F.date_trunc("hour", "ts").alias("h"),
         F.date_trunc("day", "ts").alias("d"),
     )
     gs = e.groupingSets(
         [["h", "event_type"], ["d", "event_type"]], "h", "d", "event_type"
-    ).agg(F.count("*").alias("n"), F.sum("v").cast("double").alias("sv"))
+    ).agg(F.count("*").alias("n"), (F.sum("v") / 10000.0).alias("sv"))
     return gs.select(
         F.when(F.col("h").isNotNull(), "hour").otherwise("day").alias("resolution"),
         F.coalesce("h", "d").alias("bucket"),
@@ -871,7 +871,14 @@ def q32(spark, sf_dir):
         e.groupBy(F.date_trunc("hour", "ts").alias("h"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(D18_4)).cast("double").alias("sv"),
+            # exact long units (the q06/q24 cents convention, e4 here):
+            # value is an exact 2-dp grid (measured: max |v*100 -
+            # round(v*100)| = 3.6e-12 over the full table), so the long
+            # sum is the decimal sum exactly and the final /1e4 divide
+            # rounds the same exact rational the DECIMAL->DOUBLE cast
+            # does — no decimal ops in the aggregate.
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0)
+            .alias("sv"),
         )
     )
 
@@ -932,7 +939,9 @@ def q124(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(D18_4)).cast("double").alias("sv"),
+            # exact e4-long sum — see q32
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0)
+            .alias("sv"),
         )
         .select(
             F.col("w.start").cast("long").alias("ws"), "event_type", "n", "sv"
