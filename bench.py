@@ -146,6 +146,13 @@ def main() -> None:
         sql = oracles.get(name) if con is not None else None
         try:
             for _ in range(args.runs):
+                # Honest warm runs (r18): drop every persisted frame left by
+                # the previous execution so a within-query persist (e.g.
+                # q41's signature subtree) pays its materialization on EVERY
+                # timed run instead of riding the session CacheManager
+                # across runs.  The clear itself is untimed — it is not part
+                # of the query's cost.
+                spark.catalog.clearCache()
                 svals.append(_spark_once(spark, name, sf_dir))
                 if sql is not None:
                     t0 = time.time()
