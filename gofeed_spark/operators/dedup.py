@@ -536,6 +536,45 @@ def minhash_lsh_pairs(
     n_est = _corpus_n(docs, n_hint)
     if n_hint is not None and df_cap is not None and n_hint <= df_cap:
         df_cap = None
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    if df_cap is None:
+        # No bucket can go hot (n_hint proved it, or the caller asked for
+        # exact small-corpus semantics), so the star guard is off and the
+        # signature can ride the band shuffle as a ``_group_pairs`` payload:
+        # every candidate pair leaves the explosion with BOTH signatures
+        # attached, dropping the two corpus-sized est_jac re-joins AND the
+        # persist that fed them (the signature pipeline now has exactly one
+        # consumer).  Equivalence: collect_set over struct(doc_id, sig) has
+        # the same cardinality as over doc_id (sig is functionally
+        # dependent), so the pair set is identical, and est_jac is the same
+        # zip_with over the same arrays — rows byte-identical to the join
+        # form (pinned in tests/test_dedup.py).  This is the small-corpus
+        # arm only: at warehouse scale df_cap stays on and the SLIM band
+        # relation below wins on shuffle bytes (carrying 64 longs through a
+        # 16-band explosion is ~8 KB/doc vs ~1.3 KB/doc for slim + two
+        # sig-relation shuffles — §2.3 napkin math), besides needing the
+        # hub join anyway for star pairs.
+        band_sig = _band_rows(
+            minhash_signatures(docs, num_hashes, k, text_col, id_col),
+            num_hashes,
+            bands,
+            keep_sig=True,
+        )
+        cand = compute_width(
+            _group_pairs(band_sig, "bh", df_cap=None, n=n_est, payload=("sig",)),
+            "doc_a", "doc_b", n=n_est,
+        ).dropDuplicates(["doc_a", "doc_b"])
+        return (
+            cand.withColumn("est_jac", est)
+            .filter(F.col("est_jac") >= threshold)
+            .select("doc_a", "doc_b", F.round("est_jac", 6).alias("est_jac"))
+        )
     # Signatures feed the band relation AND both sides of the candidate
     # re-join — persist so the 64-min-agg pipeline runs once, not 3×.
     sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col).persist()
@@ -552,16 +591,10 @@ def minhash_lsh_pairs(
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("est_jac", agree.cast("double") / F.lit(float(num_hashes)))
+        .withColumn("est_jac", est)
         .filter(F.col("est_jac") >= threshold)
         .select("doc_a", "doc_b", F.round("est_jac", 6).alias("est_jac"))
     )
@@ -961,11 +994,16 @@ def fuzzy_join_jaccard(
 # --- incremental dedup: persisted MinHash index -------------------------------
 
 
-def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _band_rows(
+    sigs: DataFrame, num_hashes: int, bands: int, keep_sig: bool = False
+) -> DataFrame:
     """(doc_id, bh): the slim banded-LSH relation derived from signatures —
     shared by the batch path (``minhash_lsh_pairs``) and the persisted
-    index so build and probe can never disagree on the band hash."""
+    index so build and probe can never disagree on the band hash.
+    ``keep_sig`` additionally carries the full signature (the small-corpus
+    payload-carry arm of ``minhash_lsh_pairs``)."""
     rpb = num_hashes // bands
+    extra = ["sig"] if keep_sig else []
     return sigs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -973,6 +1011,7 @@ def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select(
         "doc_id",
         F.xxhash64("band", F.slice("sig", F.col("band") * rpb + 1, rpb)).alias("bh"),
+        *extra,
     )
 
 

@@ -863,3 +863,123 @@ def test_exact_probe_skips_sigs_scan_without_self_hits(spark, tmp_path):
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "In(fp" in plan2 or "EqualTo(fp" in plan2  # pushed to the scan
     assert rows(out2, "new_id", "dup_of") == {(10, 20)}
+
+
+# --- r18 kernel pins: batch-deduped blake2b shingles + vectorized minhash ------
+def _reference_shingles(text: str, k: int = 5) -> set[int]:
+    """The original per-row formulation _doc_shingles must stay
+    byte-identical to: blake2b-8 (signed, big-endian) over each distinct
+    k-gram of lower-cased \\s+ tokens joined by single spaces."""
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", text.lower()) if text else []
+    return {
+        int.from_bytes(
+            hashlib.blake2b(
+                " ".join(toks[i : i + k]).encode(), digest_size=8
+            ).digest(),
+            "big",
+            signed=True,
+        )
+        for i in range(len(toks) - k + 1)
+    }
+
+
+def test_doc_shingles_byte_identical_to_per_row_reference(spark):
+    from gofeed_spark.operators.dedup import _doc_shingles
+
+    fixtures = [
+        (1, A),
+        (2, A),  # exact dup: identical sets
+        (3, B),
+        (4, C),
+        (5, "too short"),  # < k tokens: empty array, row kept
+        (6, ""),  # empty text: empty array, row kept
+        (7, None),  # null text: empty array, row kept
+        (8, "a  b\tc\nd  e f a b c d e"),  # mixed whitespace, repeats
+    ]
+    d = spark.createDataFrame(fixtures, "doc_id long, text string")
+    out = {r.doc_id: sorted(r.sh) for r in _doc_shingles(d, "text", "doc_id", 5).collect()}
+    assert set(out) == {t[0] for t in fixtures}  # every row survives
+    for did, text in fixtures:
+        assert out[did] == sorted(_reference_shingles(text or "")), did
+
+
+def test_minhash_signatures_match_per_doc_reference(spark):
+    """The batched reduceat signature pass must equal the per-doc
+    multiply-shift min-reduce exactly (same seeds, same wraparound)."""
+    import numpy as np
+
+    rng = np.random.RandomState(9172)
+    A_ = rng.randint(1, 2**63 - 1, size=64, dtype=np.int64).astype(np.uint64) | np.uint64(1)
+    B_ = rng.randint(0, 2**63 - 1, size=64, dtype=np.int64).astype(np.uint64)
+
+    d = spark.createDataFrame(
+        [(1, A), (2, A), (3, B), (4, C), (5, "too short")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (tuple(r.sig), r.fp)
+        for r in minhash_signatures(d, with_fp=True).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # no-shingle docs drop
+    import hashlib
+
+    for did, text in [(1, A), (2, A), (3, B), (4, C)]:
+        s = np.array(sorted(_reference_shingles(text)), dtype=np.int64).astype(np.uint64)
+        sig = (s[:, None] * A_[None, :] + B_[None, :]).min(axis=0).astype(np.int64)
+        assert got[did][0] == tuple(int(x) for x in sig), did
+        fp = int.from_bytes(
+            hashlib.blake2b(
+                np.sort(s.astype(np.int64)).tobytes(), digest_size=8
+            ).digest(),
+            "big",
+            signed=True,
+        )
+        assert got[did][1] == fp, did
+
+
+def test_hash_array_known_vectors_pinned():
+    """_doc_shingles_fast (q40/q96) depends on pd.util.hash_array being
+    byte-stable: a pandas hash-behavior change must fail HERE, loudly,
+    instead of silently dropping cross-worker shingle matches (r17
+    advice).  Vectors recorded under pandas 2.2.2."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.array(
+        ["the", "quick brown", "fox jumps over", "", "the quick brown fox jumps"],
+        dtype=object,
+    )
+    assert [int(x) for x in pd.util.hash_array(arr)] == [
+        16892138555348062845,
+        2442680455605164341,
+        9284776066867850121,
+        1760245841805064774,
+        10447873288893091346,
+    ]
+
+
+def test_minhash_pairs_payload_carry_byte_identical_to_join_form(spark):
+    """minhash_lsh_pairs has two plan shapes: payload-carry (df_cap=None,
+    the small-corpus arm — no persist, no est_jac re-joins) and slim
+    bands + two sig joins (df_cap on, the warehouse arm).  est_jac
+    depends on hash values and q41 is rows-only checked, so the two
+    forms must emit byte-identical rows."""
+    d = spark.createDataFrame(
+        [(i, A) for i in range(1, 4)]
+        + [(4, B), (5, B), (6, C), (7, A + " extra tokens appended here")],
+        "doc_id long, text string",
+    )
+    carry = {
+        (r.doc_a, r.doc_b, repr(r.est_jac))
+        for r in minhash_lsh_pairs(d, threshold=0.2, df_cap=None).collect()
+    }
+    # df_cap above any possible bucket size keeps the join form with the
+    # (inert) hot-key guard — the scale shape on the same data
+    join = {
+        (r.doc_a, r.doc_b, repr(r.est_jac))
+        for r in minhash_lsh_pairs(d, threshold=0.2, df_cap=10_000).collect()
+    }
+    assert carry and carry == join
