@@ -16,6 +16,8 @@ import urllib.request
 
 import pytest
 
+pytestmark = pytest.mark.slow  # r18: excluded from the default driver tier (see pytest.ini)
+
 from gofeed_spark.__main__ import _parse_hc_address, build_parser
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

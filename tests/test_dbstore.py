@@ -11,6 +11,8 @@ import types
 
 import pytest
 
+pytestmark = pytest.mark.slow  # r18: excluded from the default driver tier (see pytest.ini)
+
 from gofeed_spark.feedstate import dbstore
 from gofeed_spark.feedstate.dbstore import DbApiStore
 from gofeed_spark.feedstate.model import AVAILABLE, COMPLETE, FAILED

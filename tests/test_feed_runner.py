@@ -5,6 +5,10 @@ path, including crash-idempotency."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # r18: excluded from the default driver tier (see pytest.ini)
+
 import os
 
 from pyspark.sql import functions as F

@@ -11,6 +11,8 @@ import shutil
 
 import pytest
 
+pytestmark = pytest.mark.slow  # r18: excluded from the default driver tier (see pytest.ini)
+
 from gofeed_spark.catalog import load_table
 from gofeed_spark.feedstate.model import AVAILABLE, COMPLETE, FAILED
 from gofeed_spark.queries import QUERIES
