@@ -738,10 +738,24 @@ def _assemble(
                 + ([F.col("__pos")] if need_pos else [])
             )
         )
-    if pcols or extra is not None or keep_file or need_pos:
-        basenames = [posixpath.basename(rel) for rel, _ in adds]
-        if len(set(basenames)) != len(basenames):
-            raise DeltaError("duplicate data-file basenames; cannot key partition map")
+    # The broadcast basename map only exists to ATTACH things (partition
+    # values, _commit_version, lineage base ids); when nothing needs
+    # attaching, __file/__pos come straight off the scan and the join —
+    # one Exchange + BroadcastHashJoin per read — drops out of the plan
+    # (the merge candidate scan and the unpartitioned DV-writer input hit
+    # this path on every row-level op).
+    need_map = bool(pcols) or extra is not None or lineage
+    if need_map or dv_adds or keep_file or need_pos:
+        if need_map or dv_adds or keep_file:
+            basenames = [posixpath.basename(rel) for rel, _ in adds]
+            if len(set(basenames)) != len(basenames):
+                raise DeltaError(
+                    "duplicate data-file basenames; cannot key partition map"
+                )
+            df = df.withColumn(
+                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+    if need_map:
         map_schema = T.StructType(
             [T.StructField("__file", T.StringType())]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
@@ -785,94 +799,92 @@ def _assemble(
             for rel, add in adds
         ]
         mdf = spark.createDataFrame(rows, map_schema)
-        df = df.withColumn(
-            "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-        ).join(F.broadcast(mdf), "__file")
+        df = df.join(F.broadcast(mdf), "__file")
         for c in pcols:
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
-        if dv_adds:
-            payloads = [
-                (
-                    posixpath.basename(rel),
-                    _dv_payload_bytes(fs, path, add["deletionVector"]),
-                )
-                for rel, add in dv_adds
-            ]
-            # a foreign descriptor may omit cardinality — NEVER count it
-            # as 0 (an arbitrarily large DV would take the driver-decode
-            # path and OOM the driver; r16 advice): unknown size is
-            # over-threshold by fiat
-            cards = [
-                (add.get("deletionVector") or {}).get("cardinality")
-                for _rel, add in dv_adds
-            ]
-            total_card = (
-                sum(int(c) for c in cards)
-                if all(c is not None for c in cards)
-                else _DV_BROADCAST_MAX + 1
+    if dv_adds:
+        payloads = [
+            (
+                posixpath.basename(rel),
+                _dv_payload_bytes(fs, path, add["deletionVector"]),
             )
-            if total_card <= _DV_BROADCAST_MAX:
-                # the common case: DV positions fit a broadcast — decode
-                # driver-side (the bytes are already here) and hash-probe
-                # per task; the data relation NEVER shuffles (the
-                # per-file positional-filter shape real readers use)
+            for rel, add in dv_adds
+        ]
+        # a foreign descriptor may omit cardinality — NEVER count it
+        # as 0 (an arbitrarily large DV would take the driver-decode
+        # path and OOM the driver; r16 advice): unknown size is
+        # over-threshold by fiat
+        cards = [
+            (add.get("deletionVector") or {}).get("cardinality")
+            for _rel, add in dv_adds
+        ]
+        total_card = (
+            sum(int(c) for c in cards)
+            if all(c is not None for c in cards)
+            else _DV_BROADCAST_MAX + 1
+        )
+        if total_card <= _DV_BROADCAST_MAX:
+            # the common case: DV positions fit a broadcast — decode
+            # driver-side (the bytes are already here) and hash-probe
+            # per task; the data relation NEVER shuffles (the
+            # per-file positional-filter shape real readers use)
+            from gofeed_spark.sources.roaring import dv_decode_payload
+
+            rows_dv = [
+                (f, int(p))
+                for f, raw in payloads
+                for p in dv_decode_payload(bytes(raw))
+            ]
+            ddf = spark.createDataFrame(
+                rows_dv,
+                T.StructType(
+                    [
+                        T.StructField("__tfile", T.StringType()),
+                        T.StructField("__tpos", T.LongType()),
+                    ]
+                ),
+            )
+            ddf = F.broadcast(ddf)
+        else:
+            # giant accumulated DVs (the table wants an OPTIMIZE
+            # purge): explode payloads ON EXECUTORS and let the
+            # planner shuffle — correct at any size, never OOMs
+            pdf = spark.createDataFrame(
+                [(f, bytearray(raw)) for f, raw in payloads],
+                T.StructType(
+                    [
+                        T.StructField("__tfile", T.StringType()),
+                        T.StructField("__dv", T.BinaryType()),
+                    ]
+                ),
+            )
+
+            def _explode_dv(batches):
+                import pandas as _pd
+
                 from gofeed_spark.sources.roaring import dv_decode_payload
 
-                rows_dv = [
-                    (f, int(p))
-                    for f, raw in payloads
-                    for p in dv_decode_payload(bytes(raw))
-                ]
-                ddf = spark.createDataFrame(
-                    rows_dv,
-                    T.StructType(
-                        [
-                            T.StructField("__tfile", T.StringType()),
-                            T.StructField("__tpos", T.LongType()),
-                        ]
-                    ),
-                )
-                ddf = F.broadcast(ddf)
-            else:
-                # giant accumulated DVs (the table wants an OPTIMIZE
-                # purge): explode payloads ON EXECUTORS and let the
-                # planner shuffle — correct at any size, never OOMs
-                pdf = spark.createDataFrame(
-                    [(f, bytearray(raw)) for f, raw in payloads],
-                    T.StructType(
-                        [
-                            T.StructField("__tfile", T.StringType()),
-                            T.StructField("__dv", T.BinaryType()),
-                        ]
-                    ),
-                )
+                for b in batches:
+                    for f, raw in zip(b["__tfile"], b["__dv"]):
+                        poss = sorted(dv_decode_payload(bytes(raw)))
+                        yield _pd.DataFrame(
+                            {
+                                "__tfile": f,
+                                "__tpos": _pd.Series(poss, dtype="int64"),
+                            }
+                        )
 
-                def _explode_dv(batches):
-                    import pandas as _pd
-
-                    from gofeed_spark.sources.roaring import dv_decode_payload
-
-                    for b in batches:
-                        for f, raw in zip(b["__tfile"], b["__dv"]):
-                            poss = sorted(dv_decode_payload(bytes(raw)))
-                            yield _pd.DataFrame(
-                                {
-                                    "__tfile": f,
-                                    "__tpos": _pd.Series(poss, dtype="int64"),
-                                }
-                            )
-
-                ddf = pdf.mapInPandas(
-                    _explode_dv, "__tfile string, __tpos long"
-                )
-            df = df.join(
-                ddf,
-                (df["__file"] == ddf["__tfile"])
-                & (df["__pos"] == ddf["__tpos"]),
-                "left_anti",
+            ddf = pdf.mapInPandas(
+                _explode_dv, "__tfile string, __tpos long"
             )
-        if not keep_file:
-            df = df.drop("__file")
+        df = df.join(
+            ddf,
+            (df["__file"] == ddf["__tfile"])
+            & (df["__pos"] == ddf["__tpos"]),
+            "left_anti",
+        )
+    if not keep_file:
+        df = df.drop("__file")
     return df.select(*out_cols)
 
 
@@ -2383,7 +2395,21 @@ def merge_delta(
     # the source feeds several jobs (uniqueness check, file scan, rewrite
     # join, insert anti join) — pin it once
     src = src.localCheckpoint()
-    if src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count():
+    # ONE aggregation job answers both per-merge questions about the
+    # source: key uniqueness (max per-key count) and the key min/max that
+    # feeds file skipping — the separate groupBy-filter-limit-count probe
+    # was a whole extra job per merge (§1.2: fewer passes)
+    stats = (
+        src.groupBy(*on)
+        .count()
+        .agg(
+            F.max("count").alias("__dup"),
+            *[F.min(c).alias(f"__lo_{c}") for c in on],
+            *[F.max(c).alias(f"__hi_{c}") for c in on],
+        )
+        .collect()[0]
+    )
+    if (stats["__dup"] or 0) > 1:
         raise DeltaError(
             "MERGE source has duplicate key rows (ambiguous by the SQL rule); "
             "reduce to one row per key first"
@@ -2393,18 +2419,14 @@ def merge_delta(
     items = list(snap.adds.items())
     affected: list[tuple[str, dict]] = []
     if items and when_matched is not None:
-        # FILE SKIPPING before the candidate scan: one tiny agg gives the
-        # source keys' min/max, and add-action stats (written by this
-        # module's writers, carried through checkpoints) drop every file
-        # whose key range cannot intersect — at large table sizes the
-        # scan reads only the overlapping files instead of the whole
-        # table's key columns
-        bounds = src.agg(
-            *[F.min(c).alias(f"__lo_{c}") for c in on],
-            *[F.max(c).alias(f"__hi_{c}") for c in on],
-        ).collect()[0]
-        lo = {c: bounds[f"__lo_{c}"] for c in on}
-        hi = {c: bounds[f"__hi_{c}"] for c in on}
+        # FILE SKIPPING before the candidate scan: the source keys'
+        # min/max (from the stats job above) + add-action stats (written
+        # by this module's writers, carried through checkpoints) drop
+        # every file whose key range cannot intersect — at large table
+        # sizes the scan reads only the overlapping files instead of the
+        # whole table's key columns
+        lo = {c: stats[f"__lo_{c}"] for c in on}
+        hi = {c: stats[f"__hi_{c}"] for c in on}
         candidates = _prune_adds_by_key_range(items, on, lo, hi)
         hits: set = set()
         if candidates:
@@ -2413,7 +2435,8 @@ def merge_delta(
             )
             hits = {
                 r["__file"]
-                for r in working.join(skeys, on, "left_semi")
+                for r in working.select(*on, "__file")
+                .join(skeys, on, "left_semi")
                 .select("__file")
                 .distinct()
                 .collect()
@@ -2548,14 +2571,20 @@ def merge_delta(
                 )
             )
         mkeys = matched.select(*on).distinct()
-        n_matched = updated.count()  # rows the WHEN clause actually hits
+        # one agg answers both counts (j is checkpointed, but each count
+        # is still a separate job at the scheduler): rows the WHEN clause
+        # hits AND whether anything matched at all
+        cnts = j.agg(
+            F.count(F.when(F.col("__upd"), F.lit(1))).alias("__n_upd"),
+            F.count(F.when(F.col("__m"), F.lit(1))).alias("__n_m"),
+        ).collect()[0]
+        n_matched = cnts["__n_upd"]
         if n_matched == 0:
             # nothing updates/deletes: no rewrite, no CDC — but matched
             # keys STILL suppress inserts (they matched, the SQL rule),
             # so mkeys survives when any key matched at all
-            any_matched = matched.limit(1).count() > 0
             affected, rewritten, cdc_parts = [], None, []
-            if not any_matched:
+            if not cnts["__n_m"]:
                 mkeys = None
 
     n_ins = 0

@@ -1022,7 +1022,16 @@ def _assemble(
     need_seq = bool(deletes) or lineage
     if need_pos:
         df = df.withColumn("__pos", F.col("_metadata.row_index"))
-    if pcols or extra is not None or need_pos:
+    # the broadcast basename map only exists to ATTACH per-file values
+    # (partition struct, snapshot id, sequence number, first_row_id);
+    # a pure keep_pos read (the delete-writer input on an unpartitioned,
+    # delete-free table) needs only __file/__pos, which come straight off
+    # the scan — skip the Exchange+BroadcastHashJoin entirely
+    if need_pos and not (pcols or extra is not None or need_seq):
+        df = df.withColumn(
+            "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+    elif pcols or extra is not None or need_pos:
         basenames = [posixpath.basename(e["file_path"]) for e in entries]
         if len(set(basenames)) != len(basenames):
             raise IcebergError("duplicate data-file basenames; cannot key partition map")
