@@ -132,7 +132,13 @@ def q134(spark, sf_dir):
     value-checked byte-for-byte against DuckDB running the generated
     twin SQL.  Pure codegen — one projection, no shuffle, no UDF: the
     100 TB posture is a map-only scan."""
-    d = T(spark, sf_dir, "documents")
+    from gofeed_spark.functions.parallel import parallel_floor
+
+    # the regex-chain extraction is a heavy per-byte pass and the
+    # synthetic table is one row group: floor the scan width or the whole
+    # chain runs on one core (round-8 rule; 9.0->1.6 s at sf1.0, no-op on
+    # well-split warehouse tables and on sub-MiB gate inputs)
+    d = parallel_floor(T(spark, sf_dir, "documents"))
     txt = html_to_text(_html_col())
     return d.select("doc_id", *[c for c in _metrics_cols(txt)]).orderBy("doc_id")
 
@@ -215,7 +221,8 @@ def q135(spark, sf_dir):
     try:
         # ~5k records per archive (the q118 rule): read-side parallelism
         # scales with the corpus; 4 at the sf0.01 gate
-        n_arch = W.archive_count(crawl.count(), spark.sparkContext.defaultParallelism)
+        n_rec = crawl.count()
+        n_arch = W.archive_count(n_rec, spark.sparkContext.defaultParallelism)
         W.export_warc(
             crawl, out_dir, n_archives=n_arch, content_type="text/html"
         ).collect()
@@ -227,8 +234,20 @@ def q135(spark, sf_dir):
             )
             .select("url", F.decode("body", "utf-8").alias("html"))
         )
+        # explicit width on the window key: AQE's byte-based coalescing
+        # funnels the post-window stage — which carries the WHOLE
+        # regex-extraction chain — onto 1-2 reducers (the r17 TW lesson on
+        # a derived relation; 25.1->5.9 s at sf1.0).  The window reuses
+        # the repartition's distribution, so no extra exchange appears;
+        # the n-gate skips the widening at sub-20k-row gate SFs.
+        from gofeed_spark.functions.parallel import compute_width
+
         kept = (
-            back.withColumn("url_canon", canonicalize_url(F.col("url")))
+            compute_width(
+                back.withColumn("url_canon", canonicalize_url(F.col("url"))),
+                "url_canon",
+                n=n_rec,
+            )
             .withColumn(
                 "rn",
                 F.row_number().over(
@@ -616,7 +635,8 @@ def q144(spark, sf_dir):
     )
     out_dir = tempfile.mkdtemp(prefix="gofeed_q144_")
     try:
-        n_arch = W.archive_count(crawl.count(), spark.sparkContext.defaultParallelism)
+        n_rec = crawl.count()
+        n_arch = W.archive_count(n_rec, spark.sparkContext.defaultParallelism)
         W.export_warc(
             crawl, out_dir, n_archives=n_arch, content_type="text/html"
         ).collect()
@@ -633,8 +653,19 @@ def q144(spark, sf_dir):
             .filter(F.col("allowed"))
             .drop("allowed")
         )
+        # explicit width on the window key (the q135 fix): the post-window
+        # stage carries the whole extraction + quality chain and AQE's
+        # byte coalescing would run it 1-2 wide
+        from gofeed_spark.functions.parallel import compute_width
+
         kept = (
-            admitted.withColumn("url_canon", canonicalize_url(F.col("url")))
+            compute_width(
+                admitted.withColumn(
+                    "url_canon", canonicalize_url(F.col("url"))
+                ),
+                "url_canon",
+                n=n_rec,
+            )
             .withColumn(
                 "rn",
                 F.row_number().over(
