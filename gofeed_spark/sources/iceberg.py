@@ -1283,6 +1283,7 @@ def read_iceberg_changes(
     entries: list[dict] = []
     extra: dict[str, int] = {}
     delete_snaps: list[dict] = []
+    adds_by_snap: dict[int, list[dict]] = {}
     for s in window:
         op = (s.get("summary") or {}).get("operation")
         if op == "replace":
@@ -1358,6 +1359,7 @@ def read_iceberg_changes(
                     raise IcebergUnsupported("non-parquet data file")
                 entries.append(d)
                 extra[d["file_path"]] = s["snapshot-id"]
+                adds_by_snap.setdefault(s["snapshot-id"], []).append(d)
         if has_new_dels:
             delete_snaps.append(s)
     base = _assemble(spark, fs, schema, pcols, entries, extra, pkeys=pkeys)
@@ -1369,6 +1371,52 @@ def read_iceberg_changes(
     ]
     ice_schema = _current_schema(meta)
     by_seq = sorted(snaps, key=lambda x: x.get("sequence-number", 0))
+
+    def _append_entries_between(parent_snap: dict, floor_id: int):
+        """ADDED data entries of the snapshots strictly between
+        ``floor_id`` and ``parent_snap`` on the parent chain, or ``None``
+        when the chain is broken or carries any non-append snapshot
+        (whose delete/replace effects a memoized live state would miss).
+        Enables the per-snapshot live-state MEMO below: live(parent) =
+        live(floor) ∪ the appends in between."""
+        out: list[dict] = []
+        cur = parent_snap
+        while cur is not None and cur["snapshot-id"] != floor_id:
+            op = (cur.get("summary") or {}).get("operation")
+            if op != "append":
+                return None
+            _sc, _m, mfs = _read_avro(fs, cur["manifest-list"])
+            for mf in mfs:
+                if _get(mf, "added_snapshot_id", default=-1) != cur["snapshot-id"]:
+                    continue
+                _s2, _m2, ments = _read_avro(fs, mf["manifest_path"])
+                for e in ments:
+                    if e.get("status") == 2:
+                        continue
+                    d = e.get("data_file") or {}
+                    if _get(d, "content", default=0) != 0:
+                        return None  # a delete file inside an "append"
+                    d["_seq"] = int(
+                        e.get("sequence_number")
+                        or _get(mf, "sequence_number", default=0)
+                        or 0
+                    )
+                    out.append(d)
+            cur = by_id.get(cur.get("parent-snapshot-id"))
+        return out if cur is not None else None
+
+    # MEMOIZED live state: each delete snapshot's hidden rows need its
+    # PARENT's live state, and deriving that from scratch re-scans the
+    # base files and re-applies every accumulated delete — O(history)
+    # work per delete snapshot, quadratic over a deep chain.  Instead the
+    # loop carries the previous snapshot's live frame forward (lazily
+    # localCheckpointed so ONE execution of the returned changelog
+    # materializes the shared state once instead of re-deriving it under
+    # every union branch) and advances it per step: subtract the rows the
+    # snapshot hid, union the appends on the chain in between.  Any
+    # non-append/unknown link falls back to the from-scratch derivation.
+    memo_id: int | None = None
+    memo_live = None
     for s in delete_snaps:
         # the ACTUAL parent, not previous-by-sequence: after a rollback
         # the previous-by-sequence snapshot is the rolled-back-FROM state
@@ -1419,12 +1467,25 @@ def read_iceberg_changes(
         if not new_dels:
             continue
         _resolve_eq_cols(ice_schema, new_dels)
-        p_entries, p_dels = _live_entries(fs, parent)
-        _resolve_eq_cols(ice_schema, p_dels)
-        parent_live = _assemble(
-            spark, fs, schema, pcols, p_entries, deletes=p_dels,
-            keep_pos=True, pkeys=pkeys,
-        )
+        parent_live = None
+        if memo_id is not None:
+            apps = _append_entries_between(parent, memo_id)
+            if apps is not None:
+                parent_live = memo_live
+                if apps:
+                    parent_live = parent_live.unionByName(
+                        _assemble(
+                            spark, fs, schema, pcols, apps,
+                            keep_pos=True, pkeys=pkeys,
+                        )
+                    )
+        if parent_live is None:
+            p_entries, p_dels = _live_entries(fs, parent)
+            _resolve_eq_cols(ice_schema, p_dels)
+            parent_live = _assemble(
+                spark, fs, schema, pcols, p_entries, deletes=p_dels,
+                keep_pos=True, pkeys=pkeys,
+            )
         hidden = None
         dv_dels = [
             d for d in new_dels if d.get("content") == 1 and d.get("_dv")
@@ -1483,16 +1544,41 @@ def read_iceberg_changes(
                 cond = cond & parent_live[c].eqNullSafe(edf[f"__eq_{c}"])
             piece = parent_live.join(_maybe_broadcast(edf, [d]), cond, "left_semi")
             hidden = piece if hidden is None else hidden.unionByName(piece)
+        def _with_own_adds(live: DataFrame, snap: dict) -> DataFrame:
+            # state AT the snapshot includes its OWN data adds (a
+            # merge-shaped overwrite deletes old versions AND appends new
+            # rows in the same commit)
+            own = adds_by_snap.get(snap["snapshot-id"]) or []
+            if not own:
+                return live
+            return live.unionByName(
+                _assemble(
+                    spark, fs, schema, pcols, own, keep_pos=True, pkeys=pkeys
+                )
+            )
+
         if hidden is None:
+            memo_id = s["snapshot-id"]
+            memo_live = _with_own_adds(parent_live, s)
             continue
-        hidden = (
-            hidden.dropDuplicates(["__file", "__pos"])
-            .select(*[f.name for f in schema.fields])
+        hidden = hidden.dropDuplicates(["__file", "__pos"])
+        # advance the memo: state AT this snapshot = parent state minus
+        # the rows it hid plus its own adds (lazy checkpoint —
+        # materialized once by the first execution, shared by every
+        # later branch)
+        memo_live = _with_own_adds(
+            parent_live.join(
+                hidden.select("__file", "__pos"), ["__file", "__pos"], "left_anti"
+            ),
+            s,
+        ).localCheckpoint(eager=False)
+        memo_id = s["snapshot-id"]
+        parts.append(
+            hidden.select(*[f.name for f in schema.fields])
             .withColumn("_change_type", F.lit("delete"))
             .withColumn("_snapshot_id", F.lit(s["snapshot-id"]))
             .select(*out_cols)
         )
-        parts.append(hidden)
     out = parts[0]
     for piece in parts[1:]:
         out = out.unionByName(piece)
