@@ -455,6 +455,7 @@ def minhash_signatures(
     """
     docs = parallel_floor(docs, per_task_bytes=64 * 1024)  # heavy per-byte pass
     import hashlib
+    import re
 
     import numpy as np
 
@@ -462,17 +463,37 @@ def minhash_signatures(
     A = rng.randint(1, 2**63 - 1, size=num_hashes, dtype=np.int64).astype(np.uint64) | np.uint64(1)
     B = rng.randint(0, 2**63 - 1, size=num_hashes, dtype=np.int64).astype(np.uint64)
 
-    sh = _doc_shingles(docs, text_col, id_col, k)
-
+    # FUSED shingle+signature worker: shingling inline (the exact
+    # `_doc_shingles` kernel — blake2b-8 over lower-cased \s+ k-grams,
+    # values pinned in tests/test_dedup.py) so the per-doc shingle arrays
+    # never cross the JVM<->Python boundary between two chained
+    # mapInPandas stages; one Arrow pass emits assembled signatures.
     def run(batches):
         import pandas as pd
 
+        ws = re.compile(r"\s+")
         for pdf in batches:
             ids, sigs, fps = [], [], []
-            for did, hs in zip(pdf["doc_id"], pdf["sh"]):
-                if len(hs) == 0:
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(text.lower()) if text else []
+                n = len(toks)
+                if n < k:
                     continue
-                s = np.array(hs, dtype=np.int64).astype(np.uint64)
+                hs = {
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            " ".join(toks[i : i + k]).encode(), digest_size=8
+                        ).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for i in range(n - k + 1)
+                }
+                if not hs:
+                    continue
+                s = np.fromiter(hs, dtype=np.int64, count=len(hs)).astype(
+                    np.uint64
+                )
                 # (n_sh, num_hashes) wraparound multiply-shift, min over shingles
                 sig = (s[:, None] * A[None, :] + B[None, :]).min(axis=0)
                 ids.append(did)
@@ -498,7 +519,7 @@ def minhash_signatures(
 
     id_type = docs.schema[id_col].dataType.simpleString()
     schema = f"doc_id {id_type}, sig array<long>" + (", fp long" if with_fp else "")
-    return sh.mapInPandas(run, schema)
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def minhash_lsh_pairs(
