@@ -105,6 +105,14 @@ def tfidf_keywords(
         # the join build side (profiled: 1.16M-row broadcast, 9.5 s at
         # sf1.0 vs 7.0 persisted).  Spills under pressure; at warehouse
         # scale materialize it as a table instead.
+        # NOTE (r17 advice): the returned frame is lazy, so there is no
+        # eager unpersist path — each distinct input frame adds one
+        # persisted subtree for the session's lifetime.  This is a known,
+        # accepted exception to the ivf-style persisted-frames leak
+        # invariant (do not extend that regression test to cover it);
+        # long-lived serving sessions should call
+        # spark.catalog.clearCache() between corpora or use the bm25
+        # build (which unpersists after its writes).
         .persist()
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))

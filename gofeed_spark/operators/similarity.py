@@ -78,6 +78,16 @@ def topk_similar_pairs(
     tied candidate (then the global sort tie-breaks on ids), so clone
     corpora with many cos=1.0 pairs stay exact.  Corpora above
     ``broadcast_limit`` (or with no footer estimate) keep the join form.
+
+    Rank-boundary margin (the q139 discipline, measured r18): this path
+    computes cosine as a dot of PRE-normalized vectors while the join
+    fallback and the DuckDB oracle compute dot/(|a|*|b|) — a different
+    FP rounding.  On the gate corpora the min nonzero adjacent-cosine
+    gap at the k=10 boundary is 1.0e-5 (sf0.01, n=500) / 3.5e-7 (sf0.1,
+    n=2000) with zero exact-tie rows at the boundary, against a measured
+    max ordering delta between the two computations of 1.4e-15 — eight
+    orders of margin, so the two forms cannot rank-disagree on these
+    corpora.
     """
     emb = parallel_floor(emb)  # split-starved scans → serial Arrow pass
     e = emb.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))

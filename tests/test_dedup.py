@@ -983,3 +983,28 @@ def test_minhash_pairs_payload_carry_byte_identical_to_join_form(spark):
         for r in minhash_lsh_pairs(d, threshold=0.2, df_cap=10_000).collect()
     }
     assert carry and carry == join
+
+
+def test_group_pairs_payload_is_functionally_dependent_on_doc_id(spark):
+    """_group_pairs payload columns must be functionally dependent on
+    doc_id (collect_set is over the whole struct — a non-dependent
+    payload would create duplicate set members per doc and silently
+    inflate downstream shared counts).  Pin the invariant for the one
+    production payload caller: q41's band relation carries sig, and per
+    (bucket, doc) there must be exactly one distinct (doc_id, sig)."""
+    from gofeed_spark.operators.dedup import _band_rows
+
+    d = spark.createDataFrame(
+        [(1, A), (2, A), (3, B), (4, C)], "doc_id long, text string"
+    )
+    band_sig = _band_rows(minhash_signatures(d), 64, 16, keep_sig=True)
+    got = (
+        band_sig.groupBy("bh")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.countDistinct("doc_id", "sig").alias("nds"),
+        )
+        .filter(F.col("nd") != F.col("nds"))
+        .count()
+    )
+    assert got == 0
